@@ -1,0 +1,111 @@
+"""Timestream SQL sugar re-expressed as Catalyst expressions.
+
+The reference's analytical surface is Timestream SQL (README.md:100-113,
+127-135). Timestream-specific functions and Grafana macros map to plain
+Spark expressions -- no custom Catalyst rule needed (SURVEY.md section 4):
+
+- ``bin(time, 1h)``              -> epoch-aligned tumbling bucket (B1)
+- ``ago(24h)``                   -> ``now - interval`` with injectable "now"
+                                    for deterministic tests (B2, D5)
+- ``CREATE_TIME_SERIES(t, v)``   -> time-ordered array of (time, value)
+                                    structs per group (B8)
+- ``$__timeFilter`` etc.         -> client-side macro expansion (B9)
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {
+    "s": 1,
+    "m": 60,
+    "h": 3600,
+    "d": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """Parse a Timestream interval literal like ``1h``, ``24h``, ``15m``."""
+    m = re.fullmatch(r"\s*(\d+)\s*([smhd])\s*", spec)
+    if not m:
+        raise ValueError(f"unsupported interval spec: {spec!r}")
+    return int(m.group(1)) * _UNIT_SECONDS[m.group(2)]
+
+
+def bin_(time_col: Column | str, interval: str) -> Column:
+    """Timestream ``bin(time, interval)`` (README.md:103): floor the
+    timestamp to an epoch-aligned bucket of the given width.
+
+    Implemented arithmetically (epoch // width * width) so any width works,
+    not just calendar units; for calendar widths this equals
+    ``date_trunc``. Stays inside codegen -- no UDF.
+    """
+    secs = _interval_seconds(interval)
+    c = F.col(time_col) if isinstance(time_col, str) else time_col
+    epoch = F.unix_timestamp(c)
+    return F.timestamp_seconds((epoch - (epoch % F.lit(secs)))).alias("binned_time")
+
+
+def ago(interval: str, now: Column | datetime | str | None = None) -> Column:
+    """Timestream ``ago(interval)`` (README.md:109): ``now - interval``.
+
+    ``now`` is injectable (D5) so tests and oracle comparisons are
+    deterministic; defaults to ``current_timestamp()`` like Timestream.
+    """
+    secs = _interval_seconds(interval)
+    if now is None:
+        now_col = F.current_timestamp()
+    elif isinstance(now, Column):
+        now_col = now
+    else:
+        now_col = F.lit(now).cast("timestamp")
+    return F.timestamp_seconds(F.unix_timestamp(now_col) - F.lit(secs))
+
+
+def create_time_series(time_col: Column | str, value_col: Column | str) -> Column:
+    """Timestream ``CREATE_TIME_SERIES(time, value)`` (README.md:130): per
+    group, collapse rows into a time-ascending array of (time, value) pairs.
+
+    ``sort_array`` on an array of structs sorts lexicographically by field
+    order, so putting ``time`` first gives exact time-first ordering (B8).
+    Aggregate + sort are both JVM-side; state is one array per group.
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.sort_array(
+        F.collect_list(F.struct(t.alias("time"), v.alias("value")))
+    )
+
+
+def expand_macros(
+    sql: str,
+    database: str = "",
+    table: str = "events",
+    measure: str = "sc_bytes",
+    time_col: str = "time",
+    time_from: str | None = None,
+    time_to: str | None = None,
+) -> str:
+    """Grafana Timestream-datasource macro expansion (README.md:127-135, B9).
+
+    ``$__database``/``$__table``/``$__measure`` are textual; ``$__timeFilter``
+    expands to a BETWEEN predicate over the dashboard's time range (injectable
+    for determinism, D5). The expanded text is plain Spark SQL.
+    """
+    out = sql.replace("$__database", database).replace("$__table", table)
+    out = out.replace("$__measure", f"'{measure}'")
+    if "$__timeFilter" in out:
+        if time_from is None or time_to is None:
+            raise ValueError("$__timeFilter requires time_from/time_to")
+        out = out.replace(
+            "$__timeFilter",
+            f"{time_col} BETWEEN timestamp '{time_from}' AND timestamp '{time_to}'",
+        )
+    # Timestream's ``"$__database"."$__table"`` becomes a bare view name when
+    # database is empty.
+    out = out.replace('""."', '"').replace('"."', ".").replace('"', "")
+    return out

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what we would set on a real cluster where it
+matters for plan shape (AQE, shuffle partitions, UTC, Arrow); memory knobs are
+local-only. At 100 TB the same code runs unchanged -- only
+``spark.sql.shuffle.partitions`` (or AQE auto-coalesce) and executor sizing
+move.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "aws_cloudfront_realtime_monitoring_spark",
+              cpus: str | int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    - AQE on (runtime coalesce + skew-join handling) -- our scale posture.
+    - ``spark.sql.shuffle.partitions`` defaults to the core count locally; on
+      a cluster AQE coalesces from a deliberately-high initial number.
+    - Session timezone pinned UTC so timestamp semantics match the DuckDB
+      oracle (naive-UTC parquet timestamps).
+    - Arrow on for every pandas interchange (Pandas UDFs, toPandas).
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

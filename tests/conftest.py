@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aws_cloudfront_realtime_monitoring_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
