@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+All queries live in ``aws_cloudfront_realtime_monitoring_spark.plans`` -- a registry of
+(Spark DataFrame builder, ANSI-SQL oracle) pairs; this module is a thin
+adapter over it.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all  # noqa: E402
+
+_REGISTRY = load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (reference Q1, README.md:100-113) on sf0.001."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _REGISTRY["q1_hourly_measure_by_dim"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md section 2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def make(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as long
+            # under this flag and sources.tables converts to TimestampType.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return _REGISTRY[name].build(spark, sf_dir)
+
+        run.__name__ = name
+        return run
+
+    return {name: make(name) for name in _REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted for non-SQL ops)."""
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,217 @@
+"""Timestream-surface queries (SURVEY.md Tier B) on the ``events`` stream
+table -- the driver-provided stand-in for the CloudFront log table
+(FIXTURES.md F2 note).
+
+Q1/Q2 reproduce the reference's two documented Timestream queries
+(README.md:100-113 and :127-135): time bucketing (``bin``), relative time
+filter (``ago``), conditional aggregate over the narrow layout,
+``CREATE_TIME_SERIES``, and Grafana macro expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timestream import expand_macros
+from ..sources.tables import load_table
+from . import register
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-independent, engine-exact double sum: round -> DECIMAL
+    accumulate -> DOUBLE. Matches ``dsum_sql`` bit-for-bit.
+
+    Only safe when the underlying doubles are already (close to) ``scale``
+    decimal values -- for products of columns use :func:`money` terms
+    instead, which stay exact end-to-end.
+    """
+    return F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST(ROUND({expr}, {scale}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def money(col: Column | str, prec: int = 14, scale: int = 2) -> Column:
+    """Cast a k-decimal-place double (price/discount/tax style) to an exact
+    DECIMAL so subsequent arithmetic is engine-exact. Spark and DuckDB agree
+    on double->decimal casts for values that are near-exact k-dp decimals;
+    they do NOT agree on ROUND() of arbitrary products, which is why products
+    must be formed decimal*decimal, never rounded doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def money_sql(expr: str, prec: int = 14, scale: int = 2) -> str:
+    return f"CAST({expr} AS DECIMAL({prec},{scale}))"
+
+
+def with_now(df: DataFrame, events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach the dataset's max timestamp as ``__now`` via a broadcast
+    1-row cross join -- the injectable "now" (D5) without a driver-side
+    collect; scales as a broadcast, never a shuffle."""
+    now = events.agg(F.max(ts_col).alias("__now"))
+    return df.crossJoin(F.broadcast(now))
+
+
+#: shared DuckDB fragment: epoch-aligned 1h bucket as naive TIMESTAMP
+_BIN_1H_SQL = "make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) * 1000000)"
+
+
+def _bin_1h(col: Column) -> Column:
+    epoch = F.unix_timestamp(col)
+    return F.timestamp_seconds(epoch - (epoch % F.lit(3600)))
+
+
+@register(
+    "q1_hourly_measure_by_dim",
+    oracle=f"""
+    WITH now AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT {_BIN_1H_SQL} AS binned_time,
+           event_type,
+           {dsum_sql('value', 2)} AS sum_value,
+           COUNT(*) AS n
+    FROM events, now
+    WHERE ts >= now.now_ts - INTERVAL 24 HOUR
+    GROUP BY 1, 2
+    """,
+    description="Flagship Q1 (README.md:100-113): hourly measure by dimension "
+                "over the trailing 24 h. bin(time,1h)+ago(24h)+SUM+GROUP BY.",
+    tags=("tier-b", "flagship"),
+)
+def q1_hourly_measure_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        with_now(events, events)
+        .where(F.col("ts") >= F.col("__now") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy(
+            _bin_1h(F.col("ts")).alias("binned_time"),
+            F.col("event_type"),
+        )
+        .agg(dsum(F.col("value"), 2).alias("sum_value"), F.count("*").alias("n"))
+        .orderBy("binned_time", "event_type")
+    )
+
+
+@register(
+    "q2_create_time_series",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_points,
+           string_agg(
+             epoch_us(ts)::VARCHAR || ':' || (value::DECIMAL(18,2))::VARCHAR,
+             ';' ORDER BY epoch_us(ts), (value::DECIMAL(18,2))::VARCHAR
+           ) AS series
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-06 00:00:00'
+    GROUP BY event_type
+    """,
+    description="Q2 (README.md:127-135): CREATE_TIME_SERIES per dimension -- "
+                "time-ascending (time,value) series per group, canonicalized "
+                "to a string for engine-portable comparison.",
+    tags=("tier-b",),
+)
+def q2_create_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pair = F.struct(
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("val"),
+    )
+    series = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(pair)),
+            lambda x: F.concat_ws(":", x["us"], x["val"]),
+        ),
+        ";",
+    )
+    return (
+        events.where(
+            F.col("ts").between("2024-01-05 00:00:00", "2024-01-06 00:00:00")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_points"), series.alias("series"))
+    )
+
+
+@register(
+    "ago_filter_count",
+    oracle="""
+    WITH now AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT event_type, COUNT(*) AS n
+    FROM events, now
+    WHERE ts >= now.now_ts - INTERVAL 72 HOUR
+    GROUP BY event_type
+    """,
+    description="Relative time predicate ago(72h) with injectable now (B2/D5).",
+    tags=("tier-b",),
+)
+def ago_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        with_now(events, events)
+        .where(F.col("ts") >= F.col("__now") - F.expr("INTERVAL 72 HOURS"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "narrow_unpivot_agg",
+    oracle=f"""
+    WITH narrow AS (
+      SELECT 'value' AS measure_name, value AS measure_value FROM events
+      UNION ALL
+      SELECT 'user_id' AS measure_name, user_id::DOUBLE AS measure_value FROM events
+    )
+    SELECT measure_name, COUNT(*) AS n, {dsum_sql('measure_value', 2)} AS sum_measure
+    FROM narrow GROUP BY measure_name
+    """,
+    description="Wide->narrow melt (A14, lambda_function.py:110-117) as "
+                "unpivot, then the conditional-aggregate un-pivot (B4/B5).",
+    tags=("tier-a", "tier-b"),
+)
+def narrow_unpivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    narrow = events.select(
+        F.col("value"), F.col("user_id").cast("double").alias("user_id")
+    ).unpivot(
+        ids=[], values=["value", "user_id"],
+        variableColumnName="measure_name", valueColumnName="measure_value",
+    )
+    return narrow.groupBy("measure_name").agg(
+        F.count("*").alias("n"), dsum(F.col("measure_value"), 2).alias("sum_measure")
+    )
+
+
+#: Grafana panel query template before macro expansion (B9, README.md:127-135)
+GRAFANA_TEMPLATE = """
+SELECT event_type, COUNT(*) AS n, {sum_sql} AS sum_value
+FROM "$__database"."$__table"
+WHERE $__timeFilter
+GROUP BY event_type
+"""
+
+
+@register(
+    "grafana_macro_timeseries",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql('value', 2)} AS sum_value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+    description="Grafana macro expansion (B9): $__table/$__timeFilter template "
+                "expanded client-side, then executed as Spark SQL.",
+    tags=("tier-b",),
+)
+def grafana_macro_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = expand_macros(
+        GRAFANA_TEMPLATE.format(sum_sql=dsum_sql("value", 2)),
+        table="events",
+        time_col="ts",
+        time_from="2024-01-10 00:00:00",
+        time_to="2024-01-20 00:00:00",
+    )
+    return spark.sql(sql)

@@ -1,0 +1,339 @@
+r"""Deduplication operators over ``documents`` (driver-mandated
+training-data extensions): exact hash dedup, exact n-gram Jaccard, MinHash +
+LSH banding, and SimHash.
+
+Scale design (the point of each variant):
+- **exact**: one hash-groupBy / window over md5(text) -- the cheap first
+  pass; shuffle on the digest, perfectly partitionable.
+- **ngram_jaccard**: ground-truth pairwise Jaccard via shingle explode +
+  equi-join on shingle. Exact but worst-case quadratic in co-occurring
+  shingles -- kept as the oracle-grade reference path.
+- **minhash_lsh**: the 100 TB path. Signatures are computed map-side with
+  array expressions (NO explode, NO shuffle per shingle); only (band, sig)
+  pairs shuffle for the bucket join, then the handful of candidates is
+  verified with an exact array_intersect Jaccard. Sub-quadratic end to end.
+- **simhash**: 32-bit signature from word-hash bit votes; near-dups =
+  pairs within Hamming distance. Signature build is a per-doc aggregation;
+  the pair scan here is a broadcast self-join (fine at 10^3 docs; at scale
+  you'd band the signature bits exactly like MinHash-LSH).
+
+Every query's DuckDB oracle replicates the SAME deterministic algorithm
+(shared md5-based h60 hash + universal-hash permutations), so hash equality
+is a true correctness check, not a smoke test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HASH_PRIME, h60_sql, perm_params
+from ..sources.tables import load_table
+from . import register
+from .text import words_col
+
+# ---------------------------------------------------------------- shingles
+
+_WORDS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(words) - 2, 0)), "
+    "i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]))"
+)
+#: CTE producing (doc_id, sh) with distinct word-3gram shingles
+SHINGLE_CTE_SQL = f"""
+    words AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM words)
+"""
+
+
+def shingles_col() -> Column:
+    """Distinct word-3gram shingles as an array column (map-side only).
+
+    Built with ``zip_with`` over shifted slices rather than
+    ``transform(sequence(...), i -> element_at(words, i))``: HOF lambdas get
+    no common-subexpression elimination, so an ``element_at(words_expr, i)``
+    body re-splits the text per element (measured 10x slower at sf0.1).
+    ``zip_with`` evaluates each input array exactly once per row.
+    """
+    w = words_col()
+    s2 = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    s3 = F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0)))
+    pair = F.zip_with(w, s2, lambda a, b: F.concat_ws(" ", a, b))
+    tri = F.zip_with(
+        pair,
+        s3,
+        lambda ab, c: F.when(c.isNull(), None).otherwise(
+            F.concat(ab, F.lit(" "), c)
+        ),
+    )
+    return F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
+
+
+def h60_col(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+# ------------------------------------------------------------- exact dedup
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                THEN 1 ELSE 0 END AS is_canonical
+    FROM documents
+    """,
+    description="Exact dedup: hash-group on md5(text), keep-first canonical "
+                "flag. One shuffle on the digest; at 100 TB this is the "
+                "standard first-pass dedup (hash, not full text, moves).",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.count("*").over(w).alias("group_size"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------- exact n-gram Jaccard
+
+JACCARD_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SHINGLE_CTE_SQL},
+    cnt AS (SELECT doc_id, len(sh) AS n FROM shingled),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+    inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i AS doc_a, j AS doc_b,
+           ROUND(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = i
+    JOIN cnt cb ON cb.doc_id = j
+    WHERE c::DOUBLE / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+    description="Exact word-3gram Jaccard near-dup pairs (>= 0.6) via "
+                "shingle explode + equi-join -- the ground-truth path that "
+                "minhash_lsh approximates.",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles_col().alias("sh"))
+    cnt = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    return (
+        inter.join(ca, F.col("i") == F.col("ca.doc_id"))
+        .join(cb, F.col("j") == F.col("cb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("i").alias("doc_a"),
+            F.col("j").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------ MinHash+LSH
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+_PERMS = perm_params(MINHASH_K)
+
+
+def _minhash_sigs_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {HASH_PRIME}) + {b}) % {HASH_PRIME})) AS m{j}"
+        for j, (a, b) in enumerate(_PERMS)
+    )
+    return f"""
+    hashed AS (
+      SELECT doc_id, sh, list_transform(sh, s -> {h60_sql('s')}) AS hs
+      FROM shingled WHERE len(sh) > 0),
+    sigs AS (SELECT doc_id, sh, {mins} FROM hashed)
+    """
+
+
+def _band_sql(b: int) -> str:
+    cols = " || ',' || ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+    return f"SELECT doc_id, sh, {b} AS band, md5({cols}) AS sig FROM sigs"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SHINGLE_CTE_SQL},
+    {_minhash_sigs_sql()},
+    bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(LSH_BANDS))}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT i, j,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = i
+      JOIN shingled sb ON sb.doc_id = j)
+    SELECT i AS doc_a, j AS doc_b, ROUND(jac, 4) AS jaccard
+    FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+    """,
+    description=f"MinHash({MINHASH_K} perms) + LSH ({LSH_BANDS} bands x "
+                f"{LSH_ROWS} rows) candidate generation, exact-Jaccard "
+                "verification of candidates. Signatures are pure array "
+                "expressions (map-side); only band signatures shuffle. "
+                "The oracle replicates the identical algorithm in SQL.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles_col().alias("sh")).where(F.size("sh") > 0)
+    hs = sh.select("doc_id", "sh", F.transform("sh", h60_col).alias("hs"))
+
+    def perm_min(j: int) -> Column:
+        a, b = _PERMS[j]
+        return F.array_min(
+            F.transform(
+                "hs", lambda h: (F.lit(a) * (h % F.lit(HASH_PRIME)) + F.lit(b)) % F.lit(HASH_PRIME)
+            )
+        ).alias(f"m{j}")
+
+    # persist the signature relation: it feeds BOTH sides of the band
+    # self-join and the verification joins -- without this the 2M+ md5/perm
+    # chain is recomputed 4x. At cluster scale this is the standard
+    # materialize-signatures step of MinHash pipelines.
+    sigs = hs.select(
+        "doc_id", "sh", *[perm_min(j) for j in range(MINHASH_K)]
+    ).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                    )
+                ).alias("sig"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", "sh", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "sh", "bs.band", "bs.sig"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.size("sha") + F.size("shb") - inter)
+    return cand.where(jac >= JACCARD_THRESHOLD).select(
+        F.col("i").alias("doc_a"),
+        F.col("j").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+# <=2 of 32 bits: on this corpus the planted near-dup pairs sit at distance 0
+# while the background distribution peaks at ~10 -- see distribution note in
+# tests/test_dedup.py.
+HAMMING_MAX = 2
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    w AS (SELECT doc_id, unnest(words) AS word FROM words),
+    h AS (SELECT doc_id, {h60_sql('word')} AS h FROM w),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes)
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    {_simhash_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    """,
+    description=f"SimHash({SIMHASH_BITS}-bit) near-dup pairs within Hamming "
+                f"distance {HAMMING_MAX}: per-word hash bit votes aggregated "
+                "per doc (partial agg, one shuffle on doc_id), then pair "
+                "scan. At scale the pair scan bands signature bytes "
+                "(LSH-style) instead of self-joining.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(words_col()).alias("word"))
+    h = w.select("doc_id", h60_col(F.col("word")).alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = votes.select("doc_id", sig_expr.cast("bigint").alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(hamming <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )

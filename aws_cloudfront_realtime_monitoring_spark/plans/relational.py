@@ -1,0 +1,558 @@
+"""Tier-C relational operator coverage (SURVEY.md section 2, Tier C): the
+standard OLAP surface the reference delegates to Timestream's hosted engine.
+Each query exercises one operator family as a first-class, oracle-checked
+capability, expressed declaratively so Catalyst picks the physical strategy.
+
+Scale notes are attached per query: which side broadcasts, where the
+shuffles are, and why the plan survives a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import register
+from .core import dsum, dsum_sql, money
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_PRICE = "CAST(l_extendedprice AS DECIMAL(14,2))"
+_DISC = "(1 - CAST(l_discount AS DECIMAL(4,2)))"
+_TAX = "(1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_PRICE} * {_DISC} * {_TAX}) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-style pricing summary: multi-aggregate hash "
+                "aggregation with filter pushdown. Partial (map-side) agg "
+                "makes the shuffle carry only |groups| rows per partition.",
+    tags=("aggregate",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # decimal end-to-end: double->decimal once per column, exact products
+    disc_price = money("l_extendedprice") * (1 - money("l_discount", 4, 2))
+    charge = disc_price * (1 + money("l_tax", 4, 2))
+    return (
+        li.where(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_region",
+    oracle=f"""
+    SELECT r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    description="4-way star join: fact lineitem joined through orders to "
+                "broadcast dimensions. customer/nation/region broadcast "
+                "(small dims); lineitem-orders is the only shuffle join, on "
+                "the natural key. AQE handles skew.",
+    tags=("join", "broadcast"),
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # dims are broadcast explicitly: at 100 TB the fact side never shuffles
+    # for them; only lineitem-orders co-partitions on orderkey.
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(money("l_extendedprice") * (1 - money("l_discount", 4, 2)))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum_sql('o.o_totalprice', 2)} AS total_spent,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c.c_custkey
+    LIMIT 10
+    """,
+    description="Top-K: aggregate then global top-10 with deterministic "
+                "tiebreak. Spark executes as TakeOrderedAndProject -- no "
+                "full sort, each partition keeps only K rows.",
+    tags=("topk", "join"),
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(F.col("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    GROUP BY c.c_mktsegment
+    """,
+    description="Left-semi join (EXISTS). Semi-join keeps the build side "
+                "de-duplicated -- shuffle carries distinct keys only.",
+    tags=("join", "semi"),
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+    description="Left-anti join (NOT EXISTS) plus broadcast dim join.",
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "rank_orders_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+    description="Window ranking: top-3 orders per customer via row_number. "
+                "One shuffle on the partition key; rank filter applied "
+                "before any further join (WindowGroupLimit pushdown).",
+    tags=("window",),
+)
+def rank_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@register(
+    "lag_gap_analysis",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {dsum_sql('gap_s', 1)} AS sum_gap_s
+    FROM (
+      SELECT user_id, ts,
+             ROUND(epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 1) AS gap_s
+      FROM events)
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+    description="Analytic window function (lag) computing inter-event gaps "
+                "per user -- the sessionization building block.",
+    tags=("window",),
+)
+def lag_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.round(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1_000_000.0, 1
+    )
+    return (
+        events.withColumn("gap_s", gap)
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("gap_s"), 1).alias("sum_gap_s"))
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+    description="Sessionization: gap>30min starts a new session; lag + "
+                "running sum window idiom. Single shuffle on user_id reused "
+                "by both windows (same partitioning).",
+    tags=("window", "session"),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessions = events.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count_distinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "distinct_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Multi-column distinct aggregation (expand + two-phase agg).",
+    tags=("aggregate", "distinct"),
+)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "approx_distinct_ips",
+    oracle=None,  # approximate: no exact SQL equivalent; rows-only check
+    description="approx_count_distinct (HyperLogLog++) per event_type -- the "
+                "scale path for distinct counting: mergeable sketch, no "
+                "expand, constant memory. Exactness checked separately by "
+                "tests against true distinct within rsd bounds.",
+    tags=("aggregate", "approx"),
+)
+def approx_distinct_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "set_operations",
+    oracle="""
+    WITH early AS (SELECT o_custkey FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+         late  AS (SELECT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+    UNION ALL
+    SELECT 'early_only' AS cohort, COUNT(*) AS n FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+    UNION ALL
+    SELECT 'all' AS cohort, COUNT(*) AS n FROM (SELECT o_custkey FROM early UNION SELECT o_custkey FROM late)
+    """,
+    description="Set operations: INTERSECT / EXCEPT / UNION-distinct over "
+                "customer cohorts. Each is a distinct-style hash aggregation.",
+    tags=("setops",),
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.where(F.col("o_orderdate") < "1997-01-01").select("o_custkey")
+    late = orders.where(F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
+    rows = [
+        early.intersect(late).agg(F.lit("both").alias("cohort"), F.count("*").alias("n")),
+        # subtract == EXCEPT DISTINCT (set semantics, matching the SQL oracle;
+        # exceptAll would keep multiplicity differences)
+        early.subtract(late).agg(F.lit("early_only").alias("cohort"), F.count("*").alias("n")),
+        early.union(late).distinct().agg(F.lit("all").alias("cohort"), F.count("*").alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "rollup_priority_status",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n, {dsum_sql('o_totalprice', 2)} AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    description="ROLLUP hierarchy (priority -> status -> grand total): "
+                "grouping-sets expansion inside one hash aggregate.",
+    tags=("aggregate", "rollup"),
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"), dsum(F.col("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {dsum_sql('l_quantity', 2)} AS qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    description="CUBE over (returnflag, linestatus): all 4 grouping sets.",
+    tags=("aggregate", "cube"),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum(F.col("l_quantity"), 2).alias("qty")
+    )
+
+
+@register(
+    "string_json_functions",
+    oracle="""
+    SELECT upper(event_type) AS event_type_uc,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(length(props)) AS min_len,
+           MAX(substr(event_type, 1, 2)) AS max_prefix
+    FROM events
+    GROUP BY upper(event_type)
+    """,
+    description="Scalar string + JSON functions (get_json_object, upper, "
+                "substr, length) -- all JVM-side codegen, no UDF.",
+    tags=("functions", "json"),
+)
+def string_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    # from_json with an explicit schema: parsed once per row into a typed
+    # struct, much cheaper than per-field JSON-path evaluation at scale.
+    return (
+        events.withColumn("props_s", F.from_json("props", "k BIGINT"))
+        .groupBy(F.upper("event_type").alias("event_type_uc"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("props_s.k")).alias("sum_k"),
+            F.min(F.length("props")).alias("min_len"),
+            F.max(F.substring("event_type", 1, 2)).alias("max_prefix"),
+        )
+    )
+
+
+@register(
+    "date_functions",
+    oracle=f"""
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           COUNT(*) AS n,
+           {dsum_sql('o_totalprice', 2)} AS total,
+           MIN(date_trunc('week', o_orderdate)) AS first_week
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+    description="Temporal scalar functions: year/month extraction, "
+                "date_trunc('week'); monthly aggregation.",
+    tags=("functions", "date"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+            F.min(F.date_trunc("week", F.col("o_orderdate"))).alias("first_week"),
+        )
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+    SELECT e.event_id, MAX(o.o_orderdate) AS latest_orderdate
+    FROM events e
+    JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id
+    """,
+    description="As-of join: latest order at-or-before each event per user. "
+                "Implemented with the union+window pattern (sort within "
+                "user_id partition, last_value ignorenulls) -- one shuffle, "
+                "no per-key scans; scales linearly where a naive "
+                "inequality join is quadratic.",
+    tags=("join", "asof"),
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    # union both streams tagged by kind; within each user, a running
+    # last_value(orderdate ignorenulls) ordered by time gives the as-of match.
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("o_date"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("o_date"),
+    )
+    # orders sort before events at identical t (is_event asc) => "<=" semantics
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    merged = left.unionByName(right).withColumn(
+        "latest_orderdate", F.last("o_date", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where((F.col("is_event") == 1) & F.col("latest_orderdate").isNotNull())
+        .select("event_id", "latest_orderdate")
+    )
+
+
+@register(
+    "range_join_bucketized",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_shipped_7d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+    description="Range join (shipdate within 7 days of order date) as "
+                "equi-join on the key plus range filter -- Catalyst keeps "
+                "the equi-part hashable so no nested-loop join appears.",
+    tags=("join", "range"),
+)
+def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), 7))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped_7d"))
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)} AS open_total,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)} AS finished_total,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 2)} AS partial_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="Pivot (narrow->wide conditional aggregation) -- the same "
+                "CASE WHEN un-pivot shape as the reference's Q1 (B4).",
+    tags=("aggregate", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def cond_sum(status: str, alias: str):
+        return dsum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")), 2
+        ).alias(alias)
+
+    return orders.groupBy("o_orderpriority").agg(
+        cond_sum("O", "open_total"),
+        cond_sum("F", "finished_total"),
+        cond_sum("P", "partial_total"),
+    )

@@ -1,0 +1,264 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``
+column): brute-force cosine top-k as the exactness baseline, an IVF-style
+bucketed variant as the scale path, and an all-pairs near-duplicate scan.
+
+Cross-engine determinism: embeddings are quantized to integers
+(``round(x * 1e6)``) so dot products and norms are EXACT 64-bit sums in both
+Spark and DuckDB; the cosine double then comes out bit-identical (same IEEE
+ops in the same order), making ranks and rounded outputs hash-comparable.
+
+Scale posture:
+- quantized vectors/norms are computed map-side (array expressions, no UDF);
+- brute-force joins broadcast the (small) query set against the corpus --
+  the corpus never shuffles;
+- the IVF variant equi-joins on a 6-bit sign-pattern bucket: at 100 TB the
+  corpus is hash-partitioned by bucket, each probe touches ~1/64 of data.
+  (Recall is approximate by construction -- that is the documented tradeoff;
+  the oracle replicates the same bucketing so correctness is still exact.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import register
+
+QUANT = 1_000_000
+N_QUERIES = 5     # vec_id < 5 are the probe vectors
+TOP_K = 5
+IVF_BITS = 6
+NEAR_DUP_COS = 0.4
+
+# ----------------------------------------------------------- shared exprs
+
+_QVEC_SQL = (
+    f"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+)
+
+#: CTE: (vec_id, label, qe BIGINT[], nrm BIGINT)
+QUANT_CTE_SQL = f"""
+    q AS (SELECT vec_id, label, {_QVEC_SQL} AS qe FROM embeddings),
+    qn AS (SELECT vec_id, label, qe,
+                  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nrm
+           FROM q)
+"""
+
+
+def qvec(col: str = "embedding") -> Column:
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint")
+    )
+
+
+def qnorm(qe: Column | str) -> Column:
+    c = F.col(qe) if isinstance(qe, str) else qe
+    return F.aggregate(c, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(dot_c: Column, na: Column, nb: Column) -> Column:
+    # same op order as the SQL oracle: dot / sqrt(na) / sqrt(nb)
+    return (
+        dot_c.cast("double") / F.sqrt(na.cast("double")) / F.sqrt(nb.cast("double"))
+    )
+
+
+_PAIR_COS_SQL = (
+    "CAST(dp AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE))"
+)
+
+
+# ----------------------------------------------------- brute-force top-k
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH {QUANT_CTE_SQL},
+    ex AS (SELECT vec_id, unnest(qe) AS v,
+                  unnest(generate_series(1, len(qe))) AS i
+           FROM qn),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.v * b.v) AS dp
+      FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, cand_id, {_PAIR_COS_SQL} AS cos
+      FROM (SELECT d.query_id, d.cand_id, d.dp, qa.nrm AS na, qb.nrm AS nb
+            FROM dots d
+            JOIN qn qa ON qa.vec_id = d.query_id
+            JOIN qn qb ON qb.vec_id = d.cand_id)),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored)
+    SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    description=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} probe "
+                "vectors: broadcast probe set x corpus, integer-exact dot "
+                "products, window rank. The exactness baseline for ANN.",
+    tags=("similarity", "ann"),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", qvec().alias("qe")).withColumn("nrm", qnorm("qe"))
+    queries = base.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("qqe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine(dot("qqe", "qe"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "rnk", F.round("cos", 6).alias("cos6"))
+    )
+
+
+# ------------------------------------------------------- IVF-style top-k
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
+    for d in range(IVF_BITS)
+)
+
+
+def _bucket_col() -> Column:
+    out = None
+    for d in range(IVF_BITS):
+        term = F.when(F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)).otherwise(0)
+        out = term if out is None else out + term
+    return out
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket, {_QVEC_SQL} AS qe
+               FROM embeddings),
+    qn AS (SELECT vec_id, bucket, qe,
+                  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nrm
+           FROM b),
+    ex AS (SELECT vec_id, bucket, unnest(qe) AS v,
+                  unnest(generate_series(1, len(qe))) AS i
+           FROM qn),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.v * b.v) AS dp
+      FROM ex a JOIN ex b ON a.i = b.i AND a.bucket = b.bucket
+                         AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, cand_id, {_PAIR_COS_SQL} AS cos
+      FROM (SELECT d.query_id, d.cand_id, d.dp, qa.nrm AS na, qb.nrm AS nb
+            FROM dots d
+            JOIN qn qa ON qa.vec_id = d.query_id
+            JOIN qn qb ON qb.vec_id = d.cand_id)),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored)
+    SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
+    FROM ranked WHERE rnk <= 3
+    """,
+    description=f"IVF/LSH-bucketed ANN: {IVF_BITS}-bit sign-pattern coarse "
+                "quantizer; probes search only their own bucket (equi-join "
+                "on bucket -> hash-partitionable, ~1/64 of corpus touched "
+                "per probe at scale). Approximate recall by design.",
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", _bucket_col().alias("bucket"), qvec().alias("qe")
+    ).withColumn("nrm", qnorm("qe"))
+    queries = base.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("qe").alias("qqe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine(dot("qqe", "qe"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "cand_id", "rnk", F.round("cos", 6).alias("cos6"))
+    )
+
+
+# ------------------------------------------------- all-pairs near-dup scan
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {QUANT_CTE_SQL},
+    ex AS (SELECT vec_id, unnest(qe) AS v,
+                  unnest(generate_series(1, len(qe))) AS i
+           FROM qn),
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS dp
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT va, vb, {_PAIR_COS_SQL} AS cos
+      FROM (SELECT d.va, d.vb, d.dp, qa.nrm AS na, qb.nrm AS nb
+            FROM dots d
+            JOIN qn qa ON qa.vec_id = d.va
+            JOIN qn qb ON qb.vec_id = d.vb))
+    SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 6) AS cos6
+    FROM scored WHERE cos >= {NEAR_DUP_COS}
+    """,
+    description=f"Embedding-cosine near-duplicate pairs (cos >= "
+                f"{NEAR_DUP_COS}): all-pairs scan with integer-exact dots. "
+                "At 100 TB this brute-force pair scan is replaced by "
+                "bucketed pre-filtering (ann_topk_ivf's quantizer) -- kept "
+                "exact here as the ground-truth variant.",
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", qvec().alias("qe")).withColumn("nrm", qnorm("qe"))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        cosine(dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cos"),
+    )
+    return scored.where(F.col("cos") >= NEAR_DUP_COS).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos6")
+    )

@@ -42,6 +42,9 @@ def get_spark(app_name: str = "aws_cloudfront_realtime_monitoring_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata writes events.ts as TIMESTAMP(NANOS); Spark has no nanos
+        # type, so read as long and convert in the loader (sources.tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

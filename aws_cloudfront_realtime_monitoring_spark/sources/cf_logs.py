@@ -94,7 +94,16 @@ def parse_log_lines(
     Works on batch and streaming DataFrames alike.
     """
     if sample_fraction is not None:
-        lines = lines.sample(fraction=sample_fraction, seed=sample_seed)
+        # Hash-based sampling instead of .sample(): works identically on
+        # batch AND streaming DataFrames (sample() is unsupported on
+        # streams), and is deterministic per record -- replay/retry safe,
+        # which at-scale ingest wants anyway. The reference's sampling is
+        # random at the edge (template.yaml:9-14); keyed sampling preserves
+        # the rate while making tests and backfills reproducible.
+        bucket = F.pmod(
+            F.hash(F.col(value_col), F.lit(sample_seed)), F.lit(1_000_000)
+        )
+        lines = lines.where(bucket < int(sample_fraction * 1_000_000))
 
     parsed = lines.select(
         F.from_csv(F.col(value_col), wire_ddl(), _csv_options()).alias("r")

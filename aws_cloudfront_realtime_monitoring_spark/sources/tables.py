@@ -12,6 +12,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+#: columns stored as TIMESTAMP(NANOS) in the driver's parquet
+_NANO_TS_COLUMNS = {"ts"}
 
 TABLES = (
     "region",
@@ -30,7 +34,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Nanosecond-precision parquet timestamps arrive as raw LongType nanos
+    # (spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType at
+    # microsecond precision -- the same truncation DuckDB applies.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.LongType) and f.name in _NANO_TS_COLUMNS:
+            # integer `div`: float division would lose precision above 2^53 ns
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

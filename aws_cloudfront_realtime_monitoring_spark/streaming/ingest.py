@@ -1,0 +1,113 @@
+"""Structured Streaming ingest: the reference's Kinesis -> Lambda ->
+Timestream hot path (SURVEY.md EP1), re-expressed as
+``readStream -> parse -> watermark -> windowed agg / dedup -> sink``.
+
+Reference parity mapping:
+- Kinesis shard polling, <=1000-rec / <=10 s batches (template.yaml:26-33)
+  -> micro-batch trigger (``processingTime``) on any streaming source; a
+  file source replays fixture lines in tests.
+- the Lambda's parse chain (lambda_function.py:66-119) -> the SAME
+  ``parse_log_lines`` used in batch (one code path, both modes).
+- Timestream memory-store 24 h ingestion bound (template.yaml:204) ->
+  ``withWatermark(timestamp, '24 hours')``: late data beyond the bound is
+  dropped from stateful aggregations, exactly the reference's effective
+  behavior.
+- buffered 100-record WriteRecords flush + raise-on-error at-least-once
+  (lambda_function.py:54-60, 121-126) -> checkpointed ``writeStream`` to
+  time-partitioned parquet: exactly-once, strictly stronger; partition
+  layout (event_date/event_hour) doubles as the retention + pruning unit
+  (D6).
+
+Scale: parse is a narrow map; the only stateful shuffle keys are
+(window, dimension) -- bounded state per the watermark. Shard-count
+parallelism (template.yaml:191) becomes source partitions -> tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.cf_logs import parse_log_lines
+
+
+def stream_log_lines(
+    spark: SparkSession,
+    watch_dir: str,
+    max_files_per_trigger: int | None = 1,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """File-source replay of wire-format TSV lines -> parsed typed stream.
+
+    ``maxFilesPerTrigger`` stands in for the reference's 1000-record batch
+    cap (template.yaml:31); in production the source would be
+    ``format('kinesis')``/``format('kafka')`` with ``maxOffsetsPerTrigger``.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(watch_dir)
+    return parse_log_lines(lines, sample_fraction=sample_fraction)
+
+
+def hourly_bytes_stream(parsed: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming version of the flagship Q1: tumbling 1 h windows of
+    sum(sc_bytes) per edge location, late data bounded by the watermark
+    (the Timestream memory-store bound, template.yaml:204)."""
+    return (
+        parsed.withWatermark("timestamp", watermark)
+        .groupBy(
+            F.window("timestamp", "1 hour").alias("win"),
+            F.col("x_edge_location"),
+        )
+        .agg(F.sum("sc_bytes").alias("sum_bytes_downloaded"))
+        .select(
+            F.col("win.start").alias("binned_time"),
+            "x_edge_location",
+            "sum_bytes_downloaded",
+        )
+    )
+
+
+def dedup_stream(parsed: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming dedup on the request id (FIXTURES.md: ~1% duplicated):
+    ``dropDuplicatesWithinWatermark`` keeps state only within the watermark
+    horizon -- bounded memory at any scale."""
+    return parsed.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["x_edge_request_id"]
+    )
+
+
+def write_partitioned_parquet(
+    parsed: DataFrame, out_dir: str, checkpoint_dir: str, trigger_seconds: int = 10
+):
+    """Exactly-once partitioned parquet sink (the Timestream stand-in, D6).
+
+    Partitioning by (event_date, event_hour) gives Catalyst partition
+    pruning for the time-range queries (README.md:109) and makes retention
+    a partition drop (template.yaml:203-205 semantics).
+    """
+    with_parts = parsed.withColumn(
+        "event_date", F.to_date("timestamp")
+    ).withColumn("event_hour", F.hour("timestamp"))
+    return (
+        with_parts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_date", "event_hour")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .outputMode("append")
+    )
+
+
+def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """Synchronously drain a bounded stream into an in-memory table (test
+    harness): returns the started query after processing all available."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf"}.
+
+Headline set covers every operator family: Timestream surface (q1/q2),
+joins, windows, rollup, dedup (exact + minhash-lsh + simhash), similarity
+(brute force + ivf), text analysis, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+from aws_cloudfront_realtime_monitoring_spark.session import get_spark
+
+HEADLINE = [
+    "q1_hourly_measure_by_dim",
+    "q2_create_time_series",
+    "narrow_unpivot_agg",
+    "pricing_summary",
+    "revenue_by_region",
+    "top_customers",
+    "rank_orders_window",
+    "sessionize",
+    "asof_join_latest_order",
+    "rollup_priority_status",
+    "distinct_aggregates",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "text_token_stats",
+    "text_fingerprint",
+    "multimodal_decode_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry = load_all()
+    spark = get_spark("bench")
+
+    # warm the JVM/codegen path once so per-query numbers measure the
+    # queries, not session bring-up
+    registry["ago_filter_count"].build(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        # noop sink: forces full evaluation of every output column without
+        # driver-side collection (count() would let Catalyst prune the
+        # expensive projections away)
+        registry[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

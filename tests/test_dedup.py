@@ -1,0 +1,50 @@
+"""Semantic tests for the dedup family beyond oracle parity: MinHash-LSH
+recall vs the exact path, SimHash separation, quantifying what each finds."""
+
+from __future__ import annotations
+
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+
+REGISTRY = load_all()
+
+
+def _pairs(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates + exact verify should recover (essentially all of)
+    the exact n-gram Jaccard pairs; any candidate it keeps is exact-verified
+    so precision is 1.0 by construction."""
+    exact = _pairs(REGISTRY["dedup_ngram_jaccard"].build(spark, sf_dir))
+    lsh = _pairs(REGISTRY["dedup_minhash_lsh"].build(spark, sf_dir))
+    assert lsh <= exact  # no false positives (exact verification)
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} too low"
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    """SimHash at Hamming<=2 should find near-identical docs; pairs at
+    distance 0 should substantially overlap the exact Jaccard pairs."""
+    exact = _pairs(REGISTRY["dedup_ngram_jaccard"].build(spark, sf_dir))
+    sim = REGISTRY["dedup_simhash"].build(spark, sf_dir)
+    zero = {(r.doc_a, r.doc_b) for r in sim.collect() if r.hamming == 0}
+    if exact:
+        assert zero & exact, "no overlap between SimHash-0 and exact near-dups"
+
+
+def test_exact_dedup_partitions_consistent(spark, sf_dir):
+    df = REGISTRY["dedup_exact"].build(spark, sf_dir)
+    rows = df.collect()
+    n_docs = len(rows)
+    n_canonical = sum(r.is_canonical for r in rows)
+    # canonical count == number of distinct texts
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    n_distinct = (
+        load_table(spark, sf_dir, "documents").select("text").distinct().count()
+    )
+    assert n_canonical == n_distinct
+    assert all(r.group_size >= 1 for r in rows)
+    assert n_docs >= n_canonical

@@ -154,11 +154,13 @@ def test_malformed_and_unicode_lines(spark):
 
 
 def test_sampling_is_deterministic(spark):
-    df = lines_df(spark, *[GOLDEN_LINE] * 100)
-    n1 = parse_log_lines(df, sample_fraction=0.05, sample_seed=1).count()
-    n2 = parse_log_lines(df, sample_fraction=0.05, sample_seed=1).count()
+    # distinct lines (hash-based sampling keys on record content)
+    lines = [GOLDEN_LINE.replace("boNb1al7", f"req{i:04d}") for i in range(200)]
+    df = lines_df(spark, *lines)
+    n1 = parse_log_lines(df, sample_fraction=0.1, sample_seed=1).count()
+    n2 = parse_log_lines(df, sample_fraction=0.1, sample_seed=1).count()
     assert n1 == n2
-    assert 0 < n1 < 100
+    assert 0 < n1 < 200
 
 
 def test_narrow_view_matches_reference_shape(spark):

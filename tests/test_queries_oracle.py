@@ -1,0 +1,50 @@
+"""Registry-wide oracle parity at sf0.001 -- the same comparison the driver
+runs at sf0.01 (tools/check_oracles mirrors __spark_entry__ semantics)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+from check_oracles import canon  # noqa: E402
+
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+from aws_cloudfront_realtime_monitoring_spark.sources.tables import TABLES
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    q = REGISTRY[name]
+    sdf = q.build(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert len(sdf) > 0, f"{name}: rows-only query returned empty"
+        return
+    odf = duck.execute(q.oracle).df()
+    scols, srows = canon(sdf)
+    ocols, orows = canon(odf)
+    assert scols == ocols, f"{name}: column mismatch"
+    assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} != {len(orows)}"
+    assert srows == orows, f"{name}: value mismatch"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,59 @@
+"""Semantic tests for similarity search: brute-force top-k agrees with a
+NumPy reference; IVF results are a subset of same-bucket truth."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+    N_QUERIES,
+    QUANT,
+    TOP_K,
+)
+from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+REGISTRY = load_all()
+
+
+def _numpy_topk(sf_dir: str, spark):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    # same quantization as the engine
+    mat = np.round(np.array([r.embedding for r in emb], dtype=np.float64) * QUANT)
+    norms = (mat * mat).sum(axis=1)
+    out = {}
+    for qi in range(N_QUERIES):
+        q = mat[ids == qi][0]
+        qn = (q * q).sum()
+        cos = (mat @ q) / np.sqrt(norms) / np.sqrt(qn)
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != qi],
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[qi] = [i for _, i in order[:TOP_K]]
+    return out
+
+
+def test_bruteforce_topk_matches_numpy(spark, sf_dir):
+    df = REGISTRY["ann_topk_bruteforce"].build(spark, sf_dir)
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.cand_id))
+    expected = _numpy_topk(sf_dir, spark)
+    for qi, pairs in got.items():
+        assert [c for _, c in sorted(pairs)] == expected[qi]
+
+
+def test_ivf_results_subset_of_bruteforce_candidates(spark, sf_dir):
+    """IVF searches one bucket only: its hits must be valid vectors ranked
+    consistently (rnk 1..3, descending cosine)."""
+    df = REGISTRY["ann_topk_ivf"].build(spark, sf_dir).collect()
+    by_q = {}
+    for r in df:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r.cos6 for r in rows]
+        assert cos == sorted(cos, reverse=True)

@@ -1,0 +1,111 @@
+"""Structured Streaming tests: file-source replay of wire-format fixture
+lines -> parser -> windowed aggregates / dedup / partitioned sink
+(FIXTURES.md F5; reference EP1)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cloudfront_realtime_monitoring_spark.streaming import (
+    dedup_stream,
+    hourly_bytes_stream,
+    run_to_memory_sink,
+    stream_log_lines,
+    write_partitioned_parquet,
+)
+from tests.test_parser import GOLDEN, GOLDEN_LINE
+from aws_cloudfront_realtime_monitoring_spark.schema import CF_FIELDS
+
+
+def make_line(ts: float, req_id: str, edge: str, sc_bytes: int) -> str:
+    vals = dict(GOLDEN)
+    vals["timestamp"] = str(ts)
+    vals["x-edge-request-id"] = req_id
+    vals["x-edge-location"] = edge
+    vals["sc-bytes"] = str(sc_bytes)
+    return "\t".join(vals[name] for name, _ in CF_FIELDS)
+
+
+BASE_TS = 1602630000.0  # 2020-10-13T23:00:00Z
+
+
+@pytest.fixture()
+def replay_dir():
+    with tempfile.TemporaryDirectory() as d:
+        # two micro-batch files ("Kinesis batches"), plus one late record
+        with open(os.path.join(d, "batch1.txt"), "w") as f:
+            for i in range(10):
+                f.write(make_line(BASE_TS + i * 60, f"req-a-{i}", "IAD66-C1", 100) + "\n")
+        with open(os.path.join(d, "batch2.txt"), "w") as f:
+            for i in range(10):
+                f.write(make_line(BASE_TS + 3600 + i * 60, f"req-b-{i}", "FRA56-P2", 50) + "\n")
+            # duplicate request id (dedup target)
+            f.write(make_line(BASE_TS + 3600, "req-b-0", "FRA56-P2", 50) + "\n")
+            # very late record: >24h older than everything else
+            f.write(make_line(BASE_TS - 200_000, "req-late", "SIN2-C1", 999) + "\n")
+        yield d
+
+
+def test_streaming_windowed_aggregate(spark, replay_dir):
+    parsed = stream_log_lines(spark, replay_dir)
+    agg = hourly_bytes_stream(parsed)
+    q = run_to_memory_sink(agg, "hourly_out", output_mode="complete")
+    try:
+        rows = {
+            (r.binned_time.isoformat(), r.x_edge_location): r.sum_bytes_downloaded
+            for r in spark.sql("SELECT * FROM hourly_out").collect()
+        }
+    finally:
+        q.stop()
+    assert rows[("2020-10-13T23:00:00", "IAD66-C1")] == 1000
+    assert rows[("2020-10-14T00:00:00", "FRA56-P2")] == 550  # incl. duplicate
+    assert any(k[1] == "SIN2-C1" for k in rows)  # late row still in complete mode
+
+
+def test_streaming_dedup_within_watermark(spark, replay_dir):
+    parsed = stream_log_lines(spark, replay_dir)
+    deduped = dedup_stream(parsed)
+    q = run_to_memory_sink(deduped, "dedup_out")
+    try:
+        ids = [r.x_edge_request_id for r in spark.sql("SELECT * FROM dedup_out").collect()]
+    finally:
+        q.stop()
+    # the duplicated req-b-0 appears exactly once
+    assert ids.count("req-b-0") == 1
+    assert len(ids) == len(set(ids))
+
+
+def test_streaming_partitioned_parquet_sink(spark, replay_dir):
+    with tempfile.TemporaryDirectory() as out:
+        sink_dir = os.path.join(out, "data")
+        ckpt = os.path.join(out, "ckpt")
+        parsed = stream_log_lines(spark, replay_dir)
+        q = write_partitioned_parquet(parsed, sink_dir, ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+        written = spark.read.parquet(sink_dir)
+        assert written.count() == 22
+        # partition layout present (pruning + retention unit)
+        parts = {d for d in os.listdir(sink_dir) if d.startswith("event_date=")}
+        assert parts  # partitioned by date
+        # restart with same checkpoint: no duplicates (exactly-once)
+        q2 = write_partitioned_parquet(
+            stream_log_lines(spark, replay_dir), sink_dir, ckpt
+        ).start()
+        q2.processAllAvailable()
+        q2.stop()
+        assert spark.read.parquet(sink_dir).count() == 22
+
+
+def test_streaming_source_sampling(spark, replay_dir):
+    parsed = stream_log_lines(spark, replay_dir, sample_fraction=0.5)
+    q = run_to_memory_sink(parsed.select("x_edge_request_id"), "sampled_out")
+    try:
+        n = spark.sql("SELECT count(*) c FROM sampled_out").collect()[0].c
+    finally:
+        q.stop()
+    assert 0 < n < 22

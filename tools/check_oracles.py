@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate: run every registry query
+on Spark AND its DuckDB oracle over the same parquet tables, compare row
+count, column names, and an order-insensitive value multiset.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+
+def normalize_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 2**53:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def canon(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(normalize_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+    from aws_cloudfront_realtime_monitoring_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("check_oracles", cpus=8)
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    n_fail = 0
+    for name, q in registry.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.build(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if q.oracle is None:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            continue
+        try:
+            odf = con.execute(q.oracle).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        scols, srows = canon(sdf)
+        ocols, orows = canon(odf)
+        if scols != ocols:
+            print(f"FAIL  {name}: columns {scols} != {ocols}")
+            n_fail += 1
+        elif len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
+            n_fail += 1
+        elif srows != orows:
+            diffs = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+            print(f"FAIL  {name}: {len(diffs)} differing rows of {len(srows)}")
+            for i in diffs[:3]:
+                print(f"      spark : {srows[i]}")
+                print(f"      oracle: {orows[i]}")
+            n_fail += 1
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{t_spark:.1f}s]")
+    spark.stop()
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(main())
