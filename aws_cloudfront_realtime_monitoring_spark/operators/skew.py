@@ -1,0 +1,77 @@
+"""Skew-handling utilities: salted joins and two-phase aggregation.
+
+AQE's skew-join splitting (on by default in our sessions) handles most skew
+at runtime; these explicit operators are for the cases AQE can't fix --
+a single pathological key in an aggregation, or a join where the skewed
+side's partitions must be split deterministically (e.g. streaming, where
+AQE is unavailable).
+
+Semantics are identity-preserving: results equal the unsalted equivalents
+(asserted in tests/test_skew.py); only the shuffle layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``large`` has skewed keys: the large side gets a
+    deterministic per-row salt, the small side is replicated ``n_salts``
+    times, and the join key becomes (key, salt) -- the hot key's rows spread
+    over ``n_salts`` partitions instead of one straggler task.
+
+    Cost model: small side inflates n_salts x (it should be small or already
+    broadcastable -- salting matters when it is *too big to broadcast* but
+    far smaller than the large side).
+    """
+    salt: Column = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(n_salts))
+    salted_large = large.withColumn("__salt", salt)
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_large.join(salted_small, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Aggregation with a skewed group key, split into partial (key, salt)
+    then final (key) phases so no single reducer owns the hot key.
+
+    ``agg_exprs`` maps output column -> one of 'sum'/'count'/'min'/'max'
+    over an input column (``count`` takes any column). Decomposable
+    aggregates only -- that is what makes two-phase valid.
+    """
+    partial_aggs, final_aggs = [], []
+    for out_col, spec in agg_exprs.items():
+        fn, _, in_col = spec.partition(":")
+        p = f"__p_{out_col}"
+        if fn == "count":
+            partial_aggs.append(F.count(in_col or "*").alias(p))
+            final_aggs.append(F.sum(p).alias(out_col))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(in_col).alias(p))
+            final_aggs.append(F.sum(p).alias(out_col))
+        elif fn == "min":
+            partial_aggs.append(F.min(in_col).alias(p))
+            final_aggs.append(F.min(p).alias(out_col))
+        elif fn == "max":
+            partial_aggs.append(F.max(in_col).alias(p))
+            final_aggs.append(F.max(p).alias(out_col))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {spec!r}")
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)
+    return partial.groupBy(key).agg(*final_aggs)

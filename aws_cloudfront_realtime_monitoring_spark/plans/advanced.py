@@ -1,0 +1,418 @@
+"""Advanced operator coverage: sliding/session windows as batch semantics,
+Timestream-style rate/interpolation, exact quantiles, engine-exact moment
+statistics, argmin/argmax, grouping sets, and subquery shapes.
+
+Determinism notes:
+- variance/correlation use integer-quantized sums (round(x*100) BIGINT), so
+  the moments are exact in both engines and only the final few IEEE double
+  ops run on identical inputs -- no accumulation-order drift;
+- rates/interpolations compute the same IEEE expression from identical
+  inputs on both sides, then round for display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+from . import register
+from .core import dsum, dsum_sql
+
+
+@register(
+    "sliding_window_counts",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT event_type, value,
+             make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900
+                              - unnest(generate_series(0, 3))) * 900) * 1000000)
+               AS window_start
+      FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n, {dsum_sql('value', 2)} AS sum_value
+    FROM expanded GROUP BY window_start, event_type
+    """,
+    description="Sliding windows (1 h length, 15 min slide) in batch: each "
+                "event contributes to 4 overlapping windows. Spark's "
+                "window() generates the expansion; the oracle replicates it "
+                "with an explicit series unnest.",
+    tags=("window", "sliding"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    description="Native session_window (30 min gap) in batch mode -- "
+                "Spark's dynamic-gap session assignment; the oracle derives "
+                "identical sessions with the lag+cumsum idiom.",
+    tags=("window", "session"),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@register(
+    "derivative_rate",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             value - LAG(value) OVER w AS dv,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS DOUBLE) / 1000000.0 AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(dv / dt, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_rate
+    FROM d WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY event_type
+    """,
+    description="Timestream DERIVATIVE-style rate of change per series: "
+                "lag-based dv/dt, aggregated exactly (rounded-decimal sum).",
+    tags=("window", "timeseries"),
+)
+def derivative_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double") / 1e6
+    return (
+        events.select("event_type", dv.alias("dv"), dt.alias("dt"))
+        .where(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("dv") / F.col("dt"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_rate"),
+        )
+    )
+
+
+@register(
+    "interpolate_linear_fill",
+    oracle="""
+    WITH hours AS (
+      SELECT event_type,
+             make_timestamp(unnest(generate_series(
+               CAST(floor(epoch(TIMESTAMP '2024-01-02 00:00:00')) AS BIGINT),
+               CAST(floor(epoch(TIMESTAMP '2024-01-04 00:00:00')) AS BIGINT),
+               3600)) * 1000000) AS grid_ts
+      FROM (SELECT DISTINCT event_type FROM events)),
+    pts AS (SELECT event_type, ts, value FROM events),
+    merged AS (
+      SELECT event_type, grid_ts AS t, NULL::DOUBLE AS v, 1 AS is_grid
+      FROM hours
+      UNION ALL
+      SELECT event_type, ts AS t, value AS v, 0 AS is_grid FROM pts),
+    filled AS (
+      SELECT event_type, t, v, is_grid,
+             LAST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t, is_grid
+                     ROWS UNBOUNDED PRECEDING) AS prev_v,
+             LAST_VALUE(CASE WHEN is_grid = 0 THEN epoch_us(t) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t, is_grid
+                     ROWS UNBOUNDED PRECEDING) AS prev_t,
+             FIRST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t, is_grid
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             FIRST_VALUE(CASE WHEN is_grid = 0 THEN epoch_us(t) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t, is_grid
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM merged)
+    SELECT event_type, t AS grid_ts,
+           ROUND(prev_v + (next_v - prev_v)
+                 * (CAST(epoch_us(t) - prev_t AS DOUBLE)
+                    / CAST(next_t - prev_t AS DOUBLE)), 4) AS interp
+    FROM filled
+    WHERE is_grid = 1 AND prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND next_t > prev_t
+    """,
+    description="Timestream INTERPOLATE_LINEAR_FILL analog: hourly grid per "
+                "series, linear interpolation between neighboring real "
+                "points via the union+window idiom (one shuffle per series "
+                "key, no per-point scans).",
+    tags=("timeseries", "interpolation"),
+)
+def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-02 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-04 00:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("t"),
+        )
+        .select("event_type", "t", F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid"))
+    )
+    pts = events.select(
+        "event_type", F.col("ts").alias("t"), F.col("value").alias("v"), F.lit(0).alias("is_grid")
+    )
+    merged = grid.unionByName(pts)
+    # BOTH lookups use GROWING frames (unboundedPreceding..current): Spark's
+    # shrinking-frame processor (current..unboundedFollowing) recomputes the
+    # aggregate per row -- O(n^2) per partition, measured 75 s at sf0.1.
+    # The "next point" is found with the ordering reversed instead (same
+    # result; a real point exactly at a grid instant lands in `prev` with
+    # interpolation weight 0, so exclusion from `next` is immaterial).
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wr = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("t").desc(), F.col("is_grid").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    real_v = F.when(F.col("is_grid") == 0, F.col("v"))
+    real_t = F.when(F.col("is_grid") == 0, F.unix_micros("t"))
+    pv = F.last(real_v, ignorenulls=True).over(wf)
+    pt = F.last(real_t, ignorenulls=True).over(wf)
+    nv = F.last(real_v, ignorenulls=True).over(wr)
+    nt = F.last(real_t, ignorenulls=True).over(wr)
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.unix_micros("t") - F.col("prev_t")).cast("double")
+        / (F.col("next_t") - F.col("prev_t")).cast("double")
+    )
+    return (
+        merged.select(
+            "event_type", "t", "is_grid",
+            pv.alias("prev_v"), pt.alias("prev_t"),
+            nv.alias("next_v"), nt.alias("next_t"),
+        )
+        .where(
+            (F.col("is_grid") == 1)
+            & F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("next_t") > F.col("prev_t"))
+        )
+        .select(
+            "event_type",
+            F.col("t").alias("grid_ts"),
+            F.round(interp, 4).alias("interp"),
+        )
+    )
+
+
+@register(
+    "quantiles_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    description="Exact interpolated quantiles (percentile / quantile_cont): "
+                "the exact path; approx_percentile is the sketch-based "
+                "scale path (tested separately, rows-only).",
+    tags=("aggregate", "quantile"),
+)
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "moment_stats",
+    oracle="""
+    WITH q AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS x,
+                      user_id AS y
+               FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(x * x) AS sxx,
+                 SUM(y) AS sy, SUM(y * y) AS syy,
+                 SUM(x * y) AS sxy
+          FROM q GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) / 10000.0, 4) AS var_value,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy
+    FROM s
+    """,
+    description="Variance and correlation via integer-quantized moment sums "
+                "-- exact, order-independent accumulation (built-in "
+                "stddev/corr use float merge-order-dependent accumulators, "
+                "unfit for cross-engine hash comparison).",
+    tags=("aggregate", "stats"),
+)
+def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    q = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        F.col("user_id").alias("y"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var = (sxx - sx * sx / nd) / (nd - F.lit(1.0)) / F.lit(10000.0)
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(var, 4).alias("var_value"),
+        F.round(corr, 6).alias("corr_xy"),
+    )
+
+
+@register(
+    "argminmax_by_type",
+    oracle="""
+    SELECT event_type,
+           min_by(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000 + event_id) AS min_event,
+           max_by(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000 + event_id) AS max_event,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    description="argmin/argmax (min_by/max_by) with a scalar composite "
+                "ordering key (quantized value + id) so ties break "
+                "deterministically in both engines.",
+    tags=("aggregate",),
+)
+def argminmax_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    key = F.round(F.col("value") * 100, 0).cast("bigint") * 10_000_000 + F.col(
+        "event_id"
+    )
+    return events.groupBy("event_type").agg(
+        F.min_by("event_id", key).alias("min_event"),
+        F.max_by("event_id", key).alias("max_event"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+           {dsum_sql('o_totalprice', 2)} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+    """,
+    description="Explicit GROUPING SETS over a join (segment-only, "
+                "status-only, grand total) via the SQL API.",
+    tags=("aggregate", "grouping-sets", "sql-api"),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+               {dsum_sql('o_totalprice', 2)} AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "subquery_shapes",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      AND o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+    description="Subquery shapes through the SQL API: uncorrelated scalar "
+                "subquery, IN-subquery, correlated EXISTS -- Catalyst "
+                "rewrites them to broadcast/semi joins.",
+    tags=("sql-api", "subquery", "join"),
+)
+def subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "string_distance_pairs",
+    oracle="""
+    WITH t AS (SELECT DISTINCT p_type FROM part)
+    SELECT a.p_type AS type_a, b.p_type AS type_b,
+           levenshtein(a.p_type, b.p_type) AS dist
+    FROM t a JOIN t b ON a.p_type < b.p_type
+    WHERE levenshtein(a.p_type, b.p_type) <= 6
+    """,
+    description="String-similarity self-join (levenshtein <= 6 over distinct "
+                "part types) -- fuzzy-matching building block.",
+    tags=("text", "join"),
+)
+def string_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    t = part.select("p_type").distinct()
+    a = t.select(F.col("p_type").alias("type_a"))
+    b = t.select(F.col("p_type").alias("type_b"))
+    dist = F.levenshtein("type_a", "type_b")
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .where(dist <= 6)
+        .select("type_a", "type_b", dist.alias("dist"))
+    )

@@ -42,6 +42,10 @@ HEADLINE = [
     "text_token_stats",
     "text_fingerprint",
     "multimodal_decode_meta",
+    "sliding_window_counts",
+    "interpolate_linear_fill",
+    "moment_stats",
+    "subquery_shapes",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the plan SHAPE is part of the contract.
+
+These assert the properties that make the queries scale -- filter pushdown
+reaching the parquet scan, dimensions broadcasting, top-k avoiding global
+sorts, map-only pipelines staying shuffle-free -- so a refactor that silently
+degrades a plan (e.g. loses a broadcast) fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p       # predicate reached the scan
+    assert "PartialMerge" in p or "HashAggregate" in p
+    # column pruning: unused wide columns are not read
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "revenue_by_region")
+    assert p.count("BroadcastHashJoin") >= 3       # cust/nation/region never shuffle the fact side
+    assert "CartesianProduct" not in p
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "top_customers")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_map_only_queries_have_no_shuffle(spark, sf_dir):
+    for name in ("text_token_stats", "text_quality", "multimodal_frame_offsets"):
+        p = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in p, f"{name} shuffles unexpectedly"
+
+
+def test_ann_bruteforce_broadcasts_probe_set(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ann_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # rank-filter pushdown: per-partition group limit before the shuffle
+    assert "WindowGroupLimit" in p
+
+
+def test_q1_now_is_broadcast_not_collected(spark, sf_dir):
+    # injectable "now" = broadcast 1-row aggregate, not a driver collect
+    p = plan_of(spark, sf_dir, "q1_hourly_measure_by_dim")
+    assert "BroadcastExchange" in p
+
+
+def test_semi_and_anti_joins_planned_as_such(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "customers_with_open_orders")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "customers_without_orders")
+
+
+def test_window_rank_filter_pushed(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "rank_orders_window")
+    assert "WindowGroupLimit" in p                 # top-3 limit applied pre-shuffle
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in p

@@ -109,3 +109,26 @@ def test_streaming_source_sampling(spark, replay_dir):
     finally:
         q.stop()
     assert 0 < n < 22
+
+
+def test_stateful_running_totals_across_batches(spark, replay_dir):
+    """applyInPandasWithState: state must carry across micro-batches
+    (maxFilesPerTrigger=1 -> one batch per file)."""
+    from aws_cloudfront_realtime_monitoring_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    parsed = stream_log_lines(spark, replay_dir, max_files_per_trigger=1)
+    totals = running_totals_stream(parsed)
+    q = run_to_memory_sink(totals, "totals_out", output_mode="update")
+    try:
+        rows = spark.sql(
+            "SELECT x_edge_location, max(n) n, max(total_bytes) t "
+            "FROM totals_out GROUP BY x_edge_location"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.x_edge_location: (r.n, r.t) for r in rows}
+    assert got["IAD66-C1"] == (10, 1000)
+    assert got["FRA56-P2"] == (11, 550)  # includes the duplicate record
+    assert got["SIN2-C1"] == (1, 999)
