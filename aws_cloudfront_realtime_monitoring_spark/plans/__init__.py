@@ -46,5 +46,5 @@ def register(name: str, oracle: str | None, description: str = "",
 
 def load_all() -> dict[str, Query]:
     """Import every plan module so registration side effects run."""
-    from . import core, relational, advanced, text, dedup, similarity, multimodal  # noqa: F401
+    from . import core, relational, advanced, text, dedup, similarity, multimodal, udf  # noqa: F401
     return REGISTRY

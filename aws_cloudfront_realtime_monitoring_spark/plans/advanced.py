@@ -416,3 +416,45 @@ def string_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 6)
         .select("type_a", "type_b", dist.alias("dist"))
     )
+
+
+@register(
+    "window_frames_ranking",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(28,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+             AS mov_avg4,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ROUND(value, 2) DESC, event_id)
+    """,
+    description="Window frame specs + ranking family: running sum (growing "
+                "frame, decimal-exact), 4-row moving average, rank / "
+                "dense_rank / ntile with deterministic tiebreaks. One "
+                "shuffle on user_id serves all six functions.",
+    tags=("window", "frames"),
+)
+def window_frames_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wt = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy(
+        F.round(F.col("value"), 2).desc(), F.asc("event_id")
+    )
+    wq = W.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return events.select(
+        "event_id",
+        F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)"))
+        .over(wt.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_sum"),
+        F.round(F.avg("value").over(wt.rowsBetween(-3, 0)), 4).alias("mov_avg4"),
+        F.rank().over(wv).alias("rnk"),
+        F.dense_rank().over(wv).alias("drnk"),
+        F.ntile(4).over(wq).alias("quartile"),
+    )

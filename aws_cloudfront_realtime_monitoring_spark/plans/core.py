@@ -215,3 +215,57 @@ def grafana_macro_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_to="2024-01-20 00:00:00",
     )
     return spark.sql(sql)
+
+
+@register(
+    "q1_narrow_form",
+    oracle=f"""
+    WITH narrow AS (
+      SELECT ts AS time, event_type, 'value' AS measure_name, value AS measure_value
+      FROM events
+      UNION ALL
+      SELECT ts AS time, event_type, 'user_id' AS measure_name, user_id::DOUBLE AS measure_value
+      FROM events)
+    SELECT make_timestamp(((CAST(floor(epoch(time)) AS BIGINT) // 3600) * 3600) * 1000000)
+             AS binned_time,
+           event_type,
+           {dsum_sql("CASE WHEN measure_name = 'value' THEN measure_value END", 2)}
+             AS sum_measure
+    FROM narrow
+    WHERE measure_name IN ('value')
+    GROUP BY 1, 2
+    """,
+    description="The reference's Q1 in its TRUE narrow form "
+                "(README.md:100-113): unpivot to the Timestream layout "
+                "(A14), filter measure_name IN (B3), conditional-aggregate "
+                "un-pivot SUM(CASE WHEN ...) (B4/B5), bin+group (B1/B6). "
+                "Catalyst collapses the melt+filter back to a wide scan -- "
+                "the narrow view costs nothing when queried this way.",
+    tags=("tier-b", "narrow"),
+)
+def q1_narrow_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    narrow = events.select(
+        F.col("ts").alias("time"),
+        "event_type",
+        F.col("value"),
+        F.col("user_id").cast("double").alias("user_id"),
+    ).unpivot(
+        ids=["time", "event_type"],
+        values=["value", "user_id"],
+        variableColumnName="measure_name",
+        valueColumnName="measure_value",
+    )
+    epoch = F.unix_timestamp("time")
+    return (
+        narrow.where(F.col("measure_name").isin("value"))
+        .groupBy(
+            F.timestamp_seconds(epoch - (epoch % F.lit(3600))).alias("binned_time"),
+            F.col("event_type"),
+        )
+        .agg(
+            dsum(
+                F.when(F.col("measure_name") == "value", F.col("measure_value")), 2
+            ).alias("sum_measure")
+        )
+    )

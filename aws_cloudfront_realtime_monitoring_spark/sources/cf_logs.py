@@ -45,6 +45,13 @@ def _csv_options() -> dict:
         "quote": "",
         "nullValue": "-",          # null sentinel, lambda_function.py:85-86 (D2)
         "mode": "PERMISSIVE",
+        # the reference strips every token (lambda_function.py:81-93
+        # `.strip()` on each field); trim on both edges to match. Note the
+        # CSV reader trims every char <= 0x20 (incl. control chars) where
+        # Python strip() removes only whitespace -- immaterial on real
+        # CloudFront wires (fields are URL-encoded).
+        "ignoreLeadingWhiteSpace": "true",
+        "ignoreTrailingWhiteSpace": "true",
     }
 
 

@@ -179,3 +179,15 @@ def test_narrow_view_matches_reference_shape(spark):
     assert r.sc_bytes == "16653"
     dims = set(narrow.columns) - {"time", "measure_name", "measure_value"}
     assert dims == set(narrow_dimension_columns())
+
+
+def test_padded_tokens_are_stripped(spark):
+    # reference strips every token (lambda_function.py:81-93); '  200 ' -> 200,
+    # ' - ' -> NULL, padded strings lose edge whitespace
+    line = GOLDEN_LINE.replace("\t200\t", "\t  200 \t").replace(
+        "\tGET\t", "\t GET \t"
+    ).replace("\t-\t-\t-\tHit\t", "\t - \t-\t-\tHit\t")
+    row = parse_log_lines(lines_df(spark, line)).collect()[0]
+    assert row.sc_status == 200
+    assert row.cs_method == "GET"
+    assert row.cs_referer is None  # ' - ' trims to the sentinel

@@ -132,3 +132,33 @@ def test_stateful_running_totals_across_batches(spark, replay_dir):
     assert got["IAD66-C1"] == (10, 1000)
     assert got["FRA56-P2"] == (11, 550)  # includes the duplicate record
     assert got["SIN2-C1"] == (1, 999)
+
+
+def test_retention_partition_drop(spark, replay_dir):
+    """D6: retention = partition drop (template.yaml:203-205 semantics)."""
+    from datetime import date
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        drop_partitions_older_than,
+        list_date_partitions,
+        read_sink,
+    )
+
+    with tempfile.TemporaryDirectory() as out:
+        sink_dir = os.path.join(out, "data")
+        q = write_partitioned_parquet(
+            stream_log_lines(spark, replay_dir), sink_dir, os.path.join(out, "ck")
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        parts = list_date_partitions(sink_dir)
+        assert len(parts) == 3  # 2020-10-11 (late record), 2020-10-13, 2020-10-14
+        # dry run drops nothing
+        would = drop_partitions_older_than(sink_dir, date(2020, 10, 13), dry_run=True)
+        assert len(would) == 1 and len(list_date_partitions(sink_dir)) == 3
+        dropped = drop_partitions_older_than(sink_dir, date(2020, 10, 13))
+        assert len(dropped) == 1
+        # streaming sinks keep a _spark_metadata log that still lists the
+        # dropped files; read_sink bypasses it via explicit partition paths
+        remaining = read_sink(spark, sink_dir)
+        assert remaining.count() == 21  # late 999-byte record retired
+        assert remaining.where(F.col("x_edge_location") == "SIN2-C1").count() == 0
