@@ -269,3 +269,59 @@ def q1_narrow_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_measure")
         )
     )
+
+
+#: event_type -> HTTP status used when synthesizing wire lines (distinct
+#: statuses so the parse round-trip produces several groups)
+_TYPE_STATUS = {"click": 200, "view": 304, "purchase": 201, "signup": 302, "error": 500}
+
+
+@register(
+    "cf_parse_wire_roundtrip",
+    oracle=f"""
+    SELECT CASE event_type
+             WHEN 'click' THEN 200 WHEN 'view' THEN 304
+             WHEN 'purchase' THEN 201 WHEN 'signup' THEN 302
+             ELSE 500 END AS sc_status,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_bytes,
+           COUNT(DISTINCT 'u' || user_id) AS n_ips
+    FROM events GROUP BY 1
+    """,
+    description="End-to-end wire-format round-trip at scale: synthesize one "
+                "40-field tab-delimited CloudFront line per event row (pure "
+                "Catalyst string ops), parse with the production parser "
+                "(A4-A12), aggregate. The oracle computes the same "
+                "aggregate directly from events -- any parser loss or "
+                "mis-positioning breaks the hash.",
+    tags=("tier-a", "parser"),
+)
+def cf_parse_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schema import CF_FIELDS
+    from ..sources import parse_log_lines
+
+    events = load_table(spark, sf_dir, "events")
+    status = F.coalesce(
+        *[F.when(F.col("event_type") == t, F.lit(str(s))) for t, s in _TYPE_STATUS.items()],
+        F.lit("500"),
+    )
+    field_exprs = {
+        "timestamp": F.format_string(
+            "%.3f", F.unix_micros("ts").cast("double") / F.lit(1_000_000.0)
+        ),
+        "c-ip": F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        "sc-status": status,
+        "sc-bytes": F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+        "cs-method": F.lit("GET"),
+        "cs-uri-stem": F.concat(F.lit("/e/"), F.col("event_id").cast("string")),
+        "cs-user-agent": F.col("props"),
+    }
+    line = F.concat_ws(
+        "\t", *[field_exprs.get(name, F.lit("-")) for name, _ in CF_FIELDS]
+    )
+    parsed = parse_log_lines(events.select(line.alias("value")))
+    return parsed.groupBy("sc_status").agg(
+        F.count("*").alias("n"),
+        F.sum("sc_bytes").alias("sum_bytes"),
+        F.count_distinct("c_ip").alias("n_ips"),
+    )

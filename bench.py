@@ -23,6 +23,7 @@ from aws_cloudfront_realtime_monitoring_spark.plans import load_all
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 
 HEADLINE = [
+    "cf_parse_wire_roundtrip",
     "q1_hourly_measure_by_dim",
     "q2_create_time_series",
     "narrow_unpivot_agg",
