@@ -212,21 +212,28 @@ def _band_sql(b: int) -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", shingles_col().alias("sh")).where(F.size("sh") > 0)
-    hs = sh.select("doc_id", "sh", F.transform("sh", h60_col).alias("hs"))
+    # hash+mod ONCE into `hm`; every permutation then shares the identical
+    # md5 subtree, which project-level subexpression elimination dedupes
+    # (computing per-perm from raw shingles measured ~1.6x slower)
+    # __b (non-deterministic) blocks CollapseProject, so `hm` is evaluated
+    # once per row instead of being re-inlined into all 16 permutations
+    hm = sh.select(
+        "doc_id", "sh",
+        F.transform("sh", lambda s: h60_col(s) % F.lit(HASH_PRIME)).alias("hm"),
+        F.rand(42).alias("__b"),
+    )
 
     def perm_min(j: int) -> Column:
         a, b = _PERMS[j]
         return F.array_min(
-            F.transform(
-                "hs", lambda h: (F.lit(a) * (h % F.lit(HASH_PRIME)) + F.lit(b)) % F.lit(HASH_PRIME)
-            )
+            F.transform("hm", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME))
         ).alias(f"m{j}")
 
     # persist the signature relation: it feeds BOTH sides of the band
     # self-join and the verification joins -- without this the 2M+ md5/perm
     # chain is recomputed 4x. At cluster scale this is the standard
     # materialize-signatures step of MinHash pipelines.
-    sigs = hs.select(
+    sigs = hm.select(
         "doc_id", "sh", *[perm_min(j) for j in range(MINHASH_K)]
     ).persist()
     band_structs = F.array(

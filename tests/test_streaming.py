@@ -162,3 +162,50 @@ def test_retention_partition_drop(spark, replay_dir):
         remaining = read_sink(spark, sink_dir)
         assert remaining.count() == 21  # late 999-byte record retired
         assert remaining.where(F.col("x_edge_location") == "SIN2-C1").count() == 0
+
+
+def test_streaming_sliding_window(spark, replay_dir):
+    """Sliding 1h/15m windows over the stream: each record lands in 4
+    overlapping windows."""
+    parsed = stream_log_lines(spark, replay_dir)
+    agg = (
+        parsed.withWatermark("timestamp", "24 hours")
+        .groupBy(F.window("timestamp", "1 hour", "15 minutes"), "x_edge_location")
+        .agg(F.count("*").alias("n"))
+    )
+    q = run_to_memory_sink(agg, "slide_out", output_mode="complete")
+    try:
+        rows = spark.sql(
+            "SELECT window.start s, x_edge_location e, n FROM slide_out"
+        ).collect()
+    finally:
+        q.stop()
+    iad = [r for r in rows if r.e == "IAD66-C1"]
+    # 10 IAD records spread over 9 min starting 23:00 -> windows starting
+    # 22:15..23:00; the 23:00 window holds all 10
+    by_start = {r.s.isoformat(): r.n for r in iad}
+    assert by_start["2020-10-13T23:00:00"] == 10
+    assert len(by_start) >= 4
+
+
+def test_streaming_session_window(spark, replay_dir):
+    """session_window in streaming mode with watermark: per-edge sessions
+    with 30 min gap."""
+    parsed = stream_log_lines(spark, replay_dir)
+    agg = (
+        parsed.withWatermark("timestamp", "24 hours")
+        .groupBy(F.session_window("timestamp", "30 minutes"), "x_edge_location")
+        .agg(F.count("*").alias("n"))
+    )
+    q = run_to_memory_sink(agg, "sess_out", output_mode="complete")
+    try:
+        rows = spark.sql(
+            "SELECT x_edge_location e, n FROM sess_out"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(r.e, r.n) for r in rows}
+    # IAD burst (10 within 9 min) = one session; FRA 11 (incl dup) = one
+    assert ("IAD66-C1", 10) in got
+    assert ("FRA56-P2", 11) in got
+    assert ("SIN2-C1", 1) in got
