@@ -5,7 +5,7 @@ The reference parses one record at a time in Python inside a Lambda
 ``split('\\t')`` -> positional zip against an ordered field->type config ->
 per-field cast with a ``-`` null sentinel -> drop header columns -> rename
 ``-``->``_``. Here the whole chain is declarative Catalyst expressions --
-one ``from_csv`` call performs tokenize + positional schema apply + cast +
+one split-and-project chain performs tokenize + positional schema apply + cast +
 null-sentinel handling for every row, JVM-side, inside whole-stage codegen.
 The same function works identically on a batch DataFrame and a streaming
 DataFrame (Structured Streaming), which is how the engine scales the
@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..schema import CF_FIELDS, DROPPED_BY_DEFAULT, storage_name, wire_ddl
+from ..schema import CF_FIELDS, DROPPED_BY_DEFAULT, storage_name
 
 
 def decode_kinesis_payload(col: Column, charset: str = "UTF-8") -> Column:
@@ -38,21 +38,23 @@ def decode_kinesis_payload(col: Column, charset: str = "UTF-8") -> Column:
     return F.decode(F.unbase64(col), charset)
 
 
-def _csv_options() -> dict:
-    # quote disabled: the wire format is raw TSV, no quoting/escaping.
-    return {
-        "sep": "\t",
-        "quote": "",
-        "nullValue": "-",          # null sentinel, lambda_function.py:85-86 (D2)
-        "mode": "PERMISSIVE",
-        # the reference strips every token (lambda_function.py:81-93
-        # `.strip()` on each field); trim on both edges to match. Note the
-        # CSV reader trims every char <= 0x20 (incl. control chars) where
-        # Python strip() removes only whitespace -- immaterial on real
-        # CloudFront wires (fields are URL-encoded).
-        "ignoreLeadingWhiteSpace": "true",
-        "ignoreTrailingWhiteSpace": "true",
-    }
+def _typed_token(toks: Column, i: int, typ: str) -> Column:
+    """One positional token -> typed value: trim (the reference strips every
+    token, lambda_function.py:81-93), ``-`` sentinel -> NULL (D2),
+    ANSI-safe cast (``try_cast``: malformed tokens become NULL, matching the
+    reference's PERMISSIVE intent rather than erroring).
+
+    ``F.get`` is OOB-safe (short/truncated lines yield NULLs, no ANSI
+    error). Real CloudFront fields are URL-encoded, so edge whitespace
+    beyond ASCII space does not occur on the wire.
+    """
+    t = F.trim(F.get(toks, i))
+    v = F.when(t == "-", None).otherwise(t)
+    if typ == "int":
+        return v.try_cast("bigint")
+    if typ == "float":
+        return v.try_cast("double")
+    return v
 
 
 def parse_cs_headers(col: Column) -> Column:
@@ -92,7 +94,7 @@ def parse_log_lines(
     """Raw TSV-line DataFrame -> wide typed CloudFront log DataFrame.
 
     One expression chain covering reference operators A4-A15:
-    tokenize+schema+cast via ``from_csv`` (A4-A8), header parsing (A9-A10) or
+    tokenize+schema+cast via split-and-project (A4-A8), header parsing (A9-A10) or
     drop (A11), rename (A12), timestamp conversion (A15 sans truncation).
     ``sample_fraction`` mirrors CloudFront's source-side sampling
     (template.yaml:9-14; A19) -- applied BEFORE parsing, like the edge
@@ -112,24 +114,31 @@ def parse_log_lines(
         )
         lines = lines.where(bucket < int(sample_fraction * 1_000_000))
 
-    parsed = lines.select(
-        F.from_csv(F.col(value_col), wire_ddl(), _csv_options()).alias("r")
-    ).select("r.*")
+    # Tokenize ONCE into an array column behind a non-deterministic barrier:
+    # without it, CollapseProject inlines the split() into all 40 field
+    # expressions and the line is re-split 40x per row (measured 10x slower;
+    # the from_csv expression path is also ~3.5x slower than this shape).
+    toks_df = lines.select(
+        F.split(F.col(value_col), "\t", -1).alias("__toks"),
+        F.rand(sample_seed).alias("__cse_barrier"),
+    )
 
-    # Rename every wire field to its storage name (A12) and convert the
-    # float epoch-seconds timestamp to a true TIMESTAMP keeping ms (A15/D3).
+    # Positional schema apply + cast (A5-A8) + rename (A12) + timestamp
+    # conversion keeping ms (A15/D3), all in one whole-stage-codegen'd
+    # projection.
     cols: list[Column] = []
-    for wire_name, _ in CF_FIELDS:
+    for i, (wire_name, typ) in enumerate(CF_FIELDS):
         col = storage_name(wire_name)
+        tok = _typed_token(F.col("__toks"), i, typ)
         if wire_name == "timestamp":
-            cols.append(F.timestamp_seconds(F.col("`timestamp`")).alias("timestamp"))
+            cols.append(F.timestamp_seconds(tok).alias(col))
         elif wire_name == "cs-headers" and parse_headers:
-            cols.append(parse_cs_headers(F.col("`cs-headers`")).alias(col))
+            cols.append(parse_cs_headers(tok).alias(col))
         elif wire_name == "cs-header-names" and parse_headers:
-            cols.append(parse_cs_header_names(F.col("`cs-header-names`")).alias(col))
+            cols.append(parse_cs_header_names(tok).alias(col))
         else:
-            cols.append(F.col(f"`{wire_name}`").alias(col))
-    out = parsed.select(*cols)
+            cols.append(tok.alias(col))
+    out = toks_df.select(*cols)
 
     if drop_headers and not parse_headers:
         # Reference deletes both header fields pre-ingest for cost
