@@ -397,7 +397,7 @@ def subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT DISTINCT p_type FROM part)
     SELECT a.p_type AS type_a, b.p_type AS type_b,
-           levenshtein(a.p_type, b.p_type) AS dist
+           CAST(levenshtein(a.p_type, b.p_type) AS BIGINT) AS dist
     FROM t a JOIN t b ON a.p_type < b.p_type
     WHERE levenshtein(a.p_type, b.p_type) <= 6
     """,
@@ -414,7 +414,7 @@ def string_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("type_a") < F.col("type_b"))
         .where(dist <= 6)
-        .select("type_a", "type_b", dist.alias("dist"))
+        .select("type_a", "type_b", dist.cast("bigint").alias("dist"))
     )
 
 
@@ -428,9 +428,9 @@ def string_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
              AS mov_avg4,
-           RANK() OVER w AS rnk,
-           DENSE_RANK() OVER w AS drnk,
-           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS quartile
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ROUND(value, 2) DESC, event_id)
     """,
@@ -454,7 +454,7 @@ def window_frames_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_sum"),
         F.round(F.avg("value").over(wt.rowsBetween(-3, 0)), 4).alias("mov_avg4"),
-        F.rank().over(wv).alias("rnk"),
-        F.dense_rank().over(wv).alias("drnk"),
-        F.ntile(4).over(wq).alias("quartile"),
+        F.rank().over(wv).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wv).cast("bigint").alias("drnk"),
+        F.ntile(4).over(wq).cast("bigint").alias("quartile"),
     )

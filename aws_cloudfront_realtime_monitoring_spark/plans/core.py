@@ -279,12 +279,12 @@ _TYPE_STATUS = {"click": 200, "view": 304, "purchase": 201, "signup": 302, "erro
 @register(
     "cf_parse_wire_roundtrip",
     oracle=f"""
-    SELECT CASE event_type
+    SELECT CAST(CASE event_type
              WHEN 'click' THEN 200 WHEN 'view' THEN 304
              WHEN 'purchase' THEN 201 WHEN 'signup' THEN 302
-             ELSE 500 END AS sc_status,
+             ELSE 500 END AS BIGINT) AS sc_status,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_bytes,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_bytes,
            COUNT(DISTINCT 'u' || user_id) AS n_ips
     FROM events GROUP BY 1
     """,

@@ -307,7 +307,7 @@ def _simhash_sql() -> str:
     WITH words AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
     {_simhash_sql()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.sig, b.sig)) AS hamming
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
     """,
@@ -341,6 +341,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("bigint").alias("hamming"),
         )
     )

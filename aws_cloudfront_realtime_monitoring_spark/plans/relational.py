@@ -190,8 +190,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, rnk FROM (
       SELECT o_custkey, o_orderkey,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
       FROM orders)
     WHERE rnk <= 3
     """,
@@ -204,7 +204,7 @@ def rank_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "rnk")
     )
@@ -396,7 +396,7 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT upper(event_type) AS event_type_uc,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(length(props)) AS min_len,
            MAX(substr(event_type, 1, 2)) AS max_prefix
     FROM events
@@ -416,7 +416,7 @@ def string_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("props_s.k")).alias("sum_k"),
-            F.min(F.length("props")).alias("min_len"),
+            F.min(F.length("props")).cast("bigint").alias("min_len"),
             F.max(F.substring("event_type", 1, 2)).alias("max_prefix"),
         )
     )
@@ -425,7 +425,7 @@ def string_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "date_functions",
     oracle=f"""
-    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
            COUNT(*) AS n,
            {dsum_sql('o_totalprice', 2)} AS total,
            MIN(date_trunc('week', o_orderdate)) AS first_week
@@ -440,7 +440,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy(
-            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+            F.year("o_orderdate").cast("bigint").alias("yr"), F.month("o_orderdate").cast("bigint").alias("mo")
         )
         .agg(
             F.count("*").alias("n"),

@@ -101,8 +101,8 @@ _PAIR_COS_SQL = (
             JOIN qn qb ON qb.vec_id = d.cand_id)),
     ranked AS (
       SELECT query_id, cand_id, cos,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, cand_id) AS rnk
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
       FROM scored)
     SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
     FROM ranked WHERE rnk <= {TOP_K}
@@ -128,7 +128,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "cand_id", "rnk", F.round("cos", 6).alias("cos6"))
     )
@@ -175,8 +175,8 @@ def _bucket_col() -> Column:
             JOIN qn qb ON qb.vec_id = d.cand_id)),
     ranked AS (
       SELECT query_id, cand_id, cos,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, cand_id) AS rnk
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
       FROM scored)
     SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
     FROM ranked WHERE rnk <= 3
@@ -209,7 +209,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 3)
         .select("query_id", "cand_id", "rnk", F.round("cos", 6).alias("cos6"))
     )

@@ -56,9 +56,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(words_col()).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars"),
+        F.size(words_col()).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
     )
 
 
@@ -115,7 +115,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for l in LANG_ORDER:
         pred = pred.when(F.col(f"s_{l}") == best, l)
     return scored.select(
-        "doc_id", "labeled_lang", pred.alias("pred_lang"), best.alias("top_score")
+        "doc_id", "labeled_lang", pred.alias("pred_lang"), best.cast("bigint").alias("top_score")
     )
 
 
@@ -147,15 +147,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     base = docs.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        F.length("text").cast("bigint").alias("n_chars"),
         w.alias("words"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).alias("n_punct"),
-        F.size(F.filter(w, lambda x: F.array_contains(en, x))).alias("n_stop"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).cast("bigint").alias("n_punct"),
+        F.size(F.filter(w, lambda x: F.array_contains(en, x))).cast("bigint").alias("n_stop"),
     )
     return base.select(
         "doc_id",
         "n_chars",
-        F.size("words").alias("n_words"),
+        F.size("words").cast("bigint").alias("n_words"),
         F.aggregate(
             F.col("words"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ).alias("sum_word_len"),
@@ -212,7 +212,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "doc_id",
-        F.size(fps).alias("n_fp"),
+        F.size(fps).cast("bigint").alias("n_fp"),
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )

@@ -10,7 +10,7 @@ import duckdb
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-from check_oracles import canon  # noqa: E402
+from check_oracles import canon, dtype_sig  # noqa: E402
 
 from aws_cloudfront_realtime_monitoring_spark.plans import load_all
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import TABLES
@@ -38,6 +38,9 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     scols, srows = canon(sdf)
     ocols, orows = canon(odf)
     assert scols == ocols, f"{name}: column mismatch"
+    assert dtype_sig(sdf) == dtype_sig(odf), (
+        f"{name}: dtype mismatch {dtype_sig(sdf)} != {dtype_sig(odf)}"
+    )
     assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} != {len(orows)}"
     assert srows == orows, f"{name}: value mismatch"
 

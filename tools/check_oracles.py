@@ -42,6 +42,22 @@ def canon(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, sorted(rows)
 
 
+def dtype_sig(df: pd.DataFrame) -> list[str]:
+    """Exact pandas dtype per (sorted) column -- strict schema comparison.
+    DuckDB and Spark diverge silently here (HUGEINT sums, BIGINT ranks vs
+    Spark INT), so the gate enforces dtype equality to mirror the strictest
+    possible driver-side schema check. Timestamp unit (ns vs us) is
+    normalized: both engines mean the same logical TIMESTAMP; only the
+    pandas conversion differs."""
+    out = []
+    for c in sorted(df.columns):
+        d = str(df[c].dtype)
+        if d.startswith("datetime64"):
+            d = "datetime64"
+        out.append(d)
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -84,6 +100,11 @@ def main() -> int:
         ocols, orows = canon(odf)
         if scols != ocols:
             print(f"FAIL  {name}: columns {scols} != {ocols}")
+            n_fail += 1
+        elif dtype_sig(sdf) != dtype_sig(odf):
+            print(
+                f"FAIL  {name}: dtypes {dtype_sig(sdf)} != {dtype_sig(odf)}"
+            )
             n_fail += 1
         elif len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
