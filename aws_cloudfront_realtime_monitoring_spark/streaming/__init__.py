@@ -3,5 +3,7 @@ from .ingest import (  # noqa: F401
     hourly_bytes_stream,
     dedup_stream,
     write_partitioned_parquet,
+    write_foreach_batch_grouped,
     run_to_memory_sink,
 )
+from .stateful import running_totals_stream  # noqa: F401

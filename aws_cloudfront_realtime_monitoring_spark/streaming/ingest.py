@@ -111,3 +111,40 @@ def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def write_foreach_batch_grouped(
+    parsed: DataFrame,
+    handler,
+    flush_size: int = 100,
+    checkpoint_dir: str | None = None,
+):
+    """Custom-sink extension point mirroring the reference's buffered
+    WriteRecords flush: within each micro-batch, each partition groups rows
+    into ``flush_size`` chunks and calls ``handler(chunk_of_rows)`` --
+    exactly the Lambda's 100-record buffering + remainder flush
+    (lambda_function.py:121-126; README.md:203). A raising handler fails the
+    batch and checkpoint replay re-delivers it (at-least-once, matching
+    lambda_function.py:58-60; idempotent handlers upgrade to effectively
+    exactly-once).
+
+    ``handler`` must be picklable (runs on executors via foreachPartition).
+    """
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        def per_partition(rows):
+            buf = []
+            for row in rows:
+                buf.append(row)
+                if len(buf) == flush_size:
+                    handler(buf)
+                    buf = []
+            if buf:
+                handler(buf)
+
+        batch_df.rdd.foreachPartition(per_partition)
+
+    writer = parsed.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -191,3 +191,28 @@ def test_padded_tokens_are_stripped(spark):
     assert row.sc_status == 200
     assert row.cs_method == "GET"
     assert row.cs_referer is None  # ' - ' trims to the sentinel
+
+
+def test_narrow_multi_measure(spark):
+    # generalized melt: several measures -> one narrow row per (record, measure)
+    wide = parse_log_lines(lines_df(spark, GOLDEN_LINE))
+    narrow = to_narrow(wide, measures=["sc_bytes", "cs_bytes", "c_port"])
+    rows = {r.measure_name: r.measure_value for r in narrow.collect()}
+    assert rows == {"sc_bytes": 16653, "cs_bytes": 59, "c_port": 36242}
+
+
+def test_strict_compat_q1_truncates_seconds(spark):
+    # strict-compat narrow view reproduces the reference's whole-second
+    # Time (lambda_function.py:115-116) so Q1-on-narrow byte-matches
+    from pyspark.sql import functions as F2
+
+    wide = parse_log_lines(lines_df(spark, GOLDEN_LINE))
+    narrow = to_narrow(wide, strict_compat=True)
+    q1 = (
+        narrow.where(F2.col("measure_name") == "sc_bytes")
+        .groupBy(F2.date_trunc("hour", "time").alias("binned_time"))
+        .agg(F2.sum("measure_value").alias("sum_bytes_downloaded"))
+    )
+    r = q1.collect()[0]
+    assert r.binned_time.isoformat() == "2020-10-14T03:00:00"
+    assert r.sum_bytes_downloaded == 16653

@@ -209,3 +209,33 @@ def test_streaming_session_window(spark, replay_dir):
     assert ("IAD66-C1", 10) in got
     assert ("FRA56-P2", 11) in got
     assert ("SIN2-C1", 1) in got
+
+
+def test_foreach_batch_grouped_flush(spark, replay_dir):
+    """A16/A17 parity: 100-record buffered flush (here 8 to exercise the
+    remainder path) via foreachBatch + foreachPartition grouping."""
+    import glob
+    from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+        write_foreach_batch_grouped,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        log_dir = os.path.join(d, "calls")
+        os.makedirs(log_dir)
+
+        def handler(rows):
+            # executor-side: record each flush size
+            import os as _os, uuid
+
+            assert 0 < len(rows) <= 8
+            with open(_os.path.join(log_dir, uuid.uuid4().hex), "w") as f:
+                f.write(str(len(rows)))
+
+        parsed = stream_log_lines(spark, replay_dir).coalesce(1)
+        q = write_foreach_batch_grouped(parsed, handler, flush_size=8).start()
+        q.processAllAvailable()
+        q.stop()
+        sizes = sorted(int(open(p).read()) for p in glob.glob(f"{log_dir}/*"))
+        assert sum(sizes) == 22          # every record flushed exactly once
+        assert all(s <= 8 for s in sizes)
+        assert sizes.count(8) >= 2       # full buffers + remainder flushes
