@@ -31,7 +31,19 @@ def salted_join(
     Cost model: small side inflates n_salts x (it should be small or already
     broadcastable -- salting matters when it is *too big to broadcast* but
     far smaller than the large side).
+
+    Only join types that never emit unmatched SMALL-side rows are valid:
+    for right/full outer joins the n_salts small-side replicas would each
+    surface as an unmatched output row (duplicates), so they are rejected.
     """
+    supported = {"inner", "left", "left_outer", "left_semi", "left_anti",
+                 "leftsemi", "leftanti", "semi", "anti", "cross"}
+    if how.lower().replace("_", "") not in {s.replace("_", "") for s in supported}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            "rows would be replicated n_salts times (use a plain join or "
+            "AQE skew handling for right/full outer)"
+        )
     salt: Column = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(n_salts))
     salted_large = large.withColumn("__salt", salt)
     salted_small = small.withColumn(

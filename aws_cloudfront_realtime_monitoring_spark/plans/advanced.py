@@ -53,14 +53,17 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_agg",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      -- strict > matches Spark's merge rule: an event exactly `gap` after
+      -- its predecessor is MERGED into the same session (end-inclusive
+      -- merge; pinned by tests/test_session_boundary.py)
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged)
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
@@ -68,7 +71,9 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Native session_window (30 min gap) in batch mode -- "
                 "Spark's dynamic-gap session assignment; the oracle derives "
-                "identical sessions with the lag+cumsum idiom.",
+                "identical sessions with the lag+cumsum idiom. Boundary "
+                "semantics (exact-gap events merge) are pinned by a fixture "
+                "test so an engine upgrade changing the rule fails loudly.",
     tags=("window", "session"),
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,68 +234,66 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "quantiles_by_type",
+    "stats_profile",
     oracle="""
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 4) AS p50,
-           ROUND(quantile_cont(value, 0.9), 4) AS p90,
-           ROUND(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type
-    """,
-    description="Exact interpolated quantiles (percentile / quantile_cont): "
-                "the exact path; approx_percentile is the sketch-based "
-                "scale path (tested separately, rows-only).",
-    tags=("aggregate", "quantile"),
-)
-def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
-    )
-
-
-@register(
-    "moment_stats",
-    oracle="""
-    WITH q AS (SELECT event_type,
+    WITH q AS (SELECT event_type, value, event_id,
                       CAST(ROUND(value * 100) AS BIGINT) AS x,
                       user_id AS y
                FROM events),
     s AS (SELECT event_type, COUNT(*) AS n,
+                 ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                 ROUND(quantile_cont(value, 0.9), 4) AS p90,
+                 ROUND(quantile_cont(value, 0.99), 4) AS p99,
                  SUM(x) AS sx, SUM(x * x) AS sxx,
                  SUM(y) AS sy, SUM(y * y) AS syy,
-                 SUM(x * y) AS sxy
+                 SUM(x * y) AS sxy,
+                 min_by(event_id, x * 10000000 + event_id) AS min_event,
+                 max_by(event_id, x * 10000000 + event_id) AS max_event,
+                 MIN(value) AS min_value, MAX(value) AS max_value
           FROM q GROUP BY event_type)
-    SELECT event_type, n,
+    SELECT event_type, n, p50, p90, p99,
            ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                  / (CAST(n AS DOUBLE) - 1.0) / 10000.0, 4) AS var_value,
            ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy,
+           min_event, max_event, min_value, max_value
     FROM s
     """,
-    description="Variance and correlation via integer-quantized moment sums "
-                "-- exact, order-independent accumulation (built-in "
-                "stddev/corr use float merge-order-dependent accumulators, "
-                "unfit for cross-engine hash comparison).",
-    tags=("aggregate", "stats"),
+    description="Statistical profile per group in ONE aggregation pass: "
+                "exact interpolated quantiles (percentile / quantile_cont), "
+                "variance + correlation via integer-quantized moment sums "
+                "(exact, order-independent -- built-in stddev/corr use "
+                "merge-order-dependent float accumulators, unfit for "
+                "cross-engine hash comparison), and argmin/argmax "
+                "(min_by/max_by) with a composite scalar key so ties break "
+                "deterministically in both engines.",
+    tags=("aggregate", "quantile", "stats"),
 )
-def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     q = events.select(
         "event_type",
+        "value",
+        "event_id",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
         F.col("user_id").alias("y"),
     )
+    key = F.col("x") * 10_000_000 + F.col("event_id")
     s = q.groupBy("event_type").agg(
         F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
         F.sum("x").alias("sx"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.min_by("event_id", key).alias("min_event"),
+        F.max_by("event_id", key).alias("max_event"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
     )
     nd = F.col("n").cast("double")
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
@@ -303,59 +306,15 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         "n",
+        "p50",
+        "p90",
+        "p99",
         F.round(var, 4).alias("var_value"),
         F.round(corr, 6).alias("corr_xy"),
-    )
-
-
-@register(
-    "argminmax_by_type",
-    oracle="""
-    SELECT event_type,
-           min_by(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000 + event_id) AS min_event,
-           max_by(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000 + event_id) AS max_event,
-           MIN(value) AS min_value, MAX(value) AS max_value
-    FROM events GROUP BY event_type
-    """,
-    description="argmin/argmax (min_by/max_by) with a scalar composite "
-                "ordering key (quantized value + id) so ties break "
-                "deterministically in both engines.",
-    tags=("aggregate",),
-)
-def argminmax_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    key = F.round(F.col("value") * 100, 0).cast("bigint") * 10_000_000 + F.col(
-        "event_id"
-    )
-    return events.groupBy("event_type").agg(
-        F.min_by("event_id", key).alias("min_event"),
-        F.max_by("event_id", key).alias("max_event"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-    )
-
-
-@register(
-    "grouping_sets_explicit",
-    oracle=f"""
-    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
-           {dsum_sql('o_totalprice', 2)} AS total
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
-    """,
-    description="Explicit GROUPING SETS over a join (segment-only, "
-                "status-only, grand total) via the SQL API.",
-    tags=("aggregate", "grouping-sets", "sql-api"),
-)
-def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(
-        f"""
-        SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
-               {dsum_sql('o_totalprice', 2)} AS total
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
-        """
+        "min_event",
+        "max_event",
+        "min_value",
+        "max_value",
     )
 
 

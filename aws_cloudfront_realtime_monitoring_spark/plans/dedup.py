@@ -284,6 +284,12 @@ SIMHASH_BITS = 32
 # while the background distribution peaks at ~10 -- see distribution note in
 # tests/test_dedup.py.
 HAMMING_MAX = 2
+#: pigeonhole bands (lo_bit, n_bits): HAMMING_MAX+1 = 3 disjoint bands of
+#: 11/11/10 bits -- any pair within Hamming distance 2 differs in <= 2
+#: bands, so it matches EXACTLY on at least one band. Equi-join on
+#: (band, bits) generates candidates; exact bit_count verifies. Same
+#: sub-quadratic shape as the MinHash-LSH bucket join above.
+SIMHASH_BANDS = [(0, 11), (11, 11), (22, 10)]
 
 
 def _simhash_sql() -> str:
@@ -301,21 +307,39 @@ def _simhash_sql() -> str:
     """
 
 
+def _simhash_band_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS band, (sig >> {lo}) & {(1 << n) - 1} AS bits FROM sigs"
+        for i, (lo, n) in enumerate(SIMHASH_BANDS)
+    )
+    return f"bands AS ({selects})"
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
     WITH words AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
-    {_simhash_sql()}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_MAX}
+    {_simhash_sql()},
+    {_simhash_band_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, a.sig AS sa, b.doc_id AS j, b.sig AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+    SELECT i AS doc_a, j AS doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
     """,
     description=f"SimHash({SIMHASH_BITS}-bit) near-dup pairs within Hamming "
                 f"distance {HAMMING_MAX}: per-word hash bit votes aggregated "
-                "per doc (partial agg, one shuffle on doc_id), then pair "
-                "scan. At scale the pair scan bands signature bytes "
-                "(LSH-style) instead of self-joining.",
+                "per doc (partial agg, one shuffle on doc_id); the pair "
+                "scan is pigeonhole-banded -- the signature splits into "
+                "HAMMING_MAX+1 bands (11/11/10 bits), any qualifying pair "
+                "matches exactly on >= 1 band, so candidates come from an "
+                "equi-join on (band, bits) (hash-partitionable, "
+                "sub-quadratic) and an exact bit_count verifies. EXACT "
+                "results -- the banding loses nothing (pigeonhole), unlike "
+                "probabilistic MinHash-LSH recall.",
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,15 +356,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
         sig_expr = term if sig_expr is None else sig_expr + term
-    sigs = votes.select("doc_id", sig_expr.cast("bigint").alias("sig"))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(hamming <= HAMMING_MAX)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("bigint").alias("hamming"),
+    # persist: the signature relation feeds both sides of the band join
+    sigs = votes.select("doc_id", sig_expr.cast("bigint").alias("sig")).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("sig", lo).bitwiseAND(F.lit((1 << n) - 1)).alias("bits"),
+            )
+            for i, (lo, n) in enumerate(SIMHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", "sig", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "sig", "bs.band", "bs.bits"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.doc_id").alias("j"),
+            F.col("b.sig").alias("sb"),
+        )
+        .dropDuplicates(["i", "j"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.where(hamming <= HAMMING_MAX).select(
+        F.col("i").alias("doc_a"),
+        F.col("j").alias("doc_b"),
+        hamming.cast("bigint").alias("hamming"),
     )

@@ -139,50 +139,41 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_with_open_orders",
+    "semi_anti_membership",
     oracle="""
-    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    SELECT 'with_open' AS cohort, c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
-    GROUP BY c.c_mktsegment
-    """,
-    description="Left-semi join (EXISTS). Semi-join keeps the build side "
-                "de-duplicated -- shuffle carries distinct keys only.",
-    tags=("join", "semi"),
-)
-def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"))
-    )
-
-
-@register(
-    "customers_without_orders",
-    oracle="""
-    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'without_any' AS cohort, c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY n.n_name
+    GROUP BY c_mktsegment
     """,
-    description="Left-anti join (NOT EXISTS) plus broadcast dim join.",
-    tags=("join", "anti"),
+    description="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one "
+                "tagged result. Semi/anti joins keep the build side "
+                "de-duplicated -- the shuffle carries distinct keys only.",
+    tags=("join", "semi", "anti"),
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    semi = (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("with_open").alias("cohort"), "c_mktsegment", "n_customers")
     )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("without_any").alias("cohort"), "c_mktsegment", "n_customers")
+    )
+    return semi.unionAll(anti)
 
 
 @register(
@@ -245,15 +236,18 @@ def lag_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
+      -- (ts, event_id) tiebreak matches the flag window exactly: with
+      -- duplicate (user_id, ts) rows an ts-only ORDER BY would make the
+      -- ROWS-frame prefix sum nondeterministic across engines
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged)
     SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
@@ -303,20 +297,51 @@ def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL++ relative standard deviation; the in-query contract asserts the
+#: estimate lands within 5*rsd of the exact count (HLL++ bias-corrected
+#: error is well inside 3*rsd with overwhelming probability; 5*rsd keeps
+#: the gate deterministic-in-practice at every SF).
+APPROX_RSD = 0.02
+
+
 @register(
     "approx_distinct_ips",
-    oracle=None,  # approximate: no exact SQL equivalent; rows-only check
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events GROUP BY event_type
+    """,
     description="approx_count_distinct (HyperLogLog++) per event_type -- the "
                 "scale path for distinct counting: mergeable sketch, no "
-                "expand, constant memory. Exactness checked separately by "
-                "tests against true distinct within rsd bounds.",
+                "expand, constant memory. A sketch estimate cannot "
+                "hash-match an oracle, so the query carries its own "
+                "verification contract: it emits the exact distinct count "
+                "alongside an in-query `within_bound` boolean "
+                "(|approx - exact| <= 5*rsd*exact); the oracle computes the "
+                "exact side and expects the bound to hold (within_bound=1), "
+                "turning the sketch into a hash-checkable row.",
     tags=("aggregate", "approx"),
 )
 def approx_distinct_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n"),
+    )
+    bound = F.lit(5 * APPROX_RSD) * F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        F.when(
+            F.abs(F.col("approx_users") - F.col("exact_users")) <= bound, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("within_bound"),
     )
 
 
@@ -355,97 +380,103 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_priority_status",
+    "grouping_analytics",
     oracle=f"""
-    SELECT o_orderpriority, o_orderstatus,
+    SELECT 'rollup' AS variant, o_orderpriority AS k1, o_orderstatus AS k2,
            COUNT(*) AS n, {dsum_sql('o_totalprice', 2)} AS total
     FROM orders
     GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-    """,
-    description="ROLLUP hierarchy (priority -> status -> grand total): "
-                "grouping-sets expansion inside one hash aggregate.",
-    tags=("aggregate", "rollup"),
-)
-def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("n"), dsum(F.col("o_totalprice"), 2).alias("total")
-    )
-
-
-@register(
-    "cube_flag_status",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n, {dsum_sql('l_quantity', 2)} AS qty
+    UNION ALL
+    SELECT 'cube' AS variant, l_returnflag AS k1, l_linestatus AS k2,
+           COUNT(*) AS n, {dsum_sql('l_quantity', 2)} AS total
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets' AS variant, c_mktsegment AS k1, o_orderstatus AS k2,
+           COUNT(*) AS n, {dsum_sql('o_totalprice', 2)} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
     """,
-    description="CUBE over (returnflag, linestatus): all 4 grouping sets.",
-    tags=("aggregate", "cube"),
+    description="Multi-dimensional grouping family in one tagged result: "
+                "ROLLUP hierarchy (priority -> status -> grand total) on "
+                "orders, CUBE (all 4 sets) on lineitem, and explicit "
+                "GROUPING SETS over a join via the SQL API. Each is a "
+                "grouping-sets expansion inside a single hash aggregate.",
+    tags=("aggregate", "rollup", "cube", "grouping-sets", "sql-api"),
 )
-def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dsum(F.col("l_quantity"), 2).alias("qty")
+    rollup = (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice"), 2).alias("total"))
+        .select(
+            F.lit("rollup").alias("variant"),
+            F.col("o_orderpriority").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            "n", "total",
+        )
     )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum(F.col("l_quantity"), 2).alias("total"))
+        .select(
+            F.lit("cube").alias("variant"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n", "total",
+        )
+    )
+    register_views(spark, sf_dir)
+    gsets = spark.sql(
+        f"""
+        SELECT 'gsets' AS variant, c_mktsegment AS k1, o_orderstatus AS k2,
+               COUNT(*) AS n, {dsum_sql('o_totalprice', 2)} AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        """
+    )
+    return rollup.unionAll(cube).unionAll(gsets)
 
 
 @register(
-    "string_json_functions",
+    "scalar_functions",
     oracle="""
     SELECT upper(event_type) AS event_type_uc,
+           CAST(year(ts) AS BIGINT) AS yr,
            COUNT(*) AS n,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(length(props)) AS min_len,
-           MAX(substr(event_type, 1, 2)) AS max_prefix
+           MAX(substr(event_type, 1, 2)) AS max_prefix,
+           MIN(date_trunc('week', ts)) AS first_week,
+           COUNT(DISTINCT month(ts)) AS n_months
     FROM events
-    GROUP BY upper(event_type)
+    GROUP BY upper(event_type), year(ts)
     """,
-    description="Scalar string + JSON functions (get_json_object, upper, "
-                "substr, length) -- all JVM-side codegen, no UDF.",
-    tags=("functions", "json"),
+    description="Scalar function families in one pass: string (upper, "
+                "substr, length), JSON (one from_json parse per row -- "
+                "cheaper than per-field JSON-path at scale), and temporal "
+                "(year/month extraction, date_trunc week). All JVM-side "
+                "codegen, no UDF.",
+    tags=("functions", "json", "date"),
 )
-def string_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    # from_json with an explicit schema: parsed once per row into a typed
-    # struct, much cheaper than per-field JSON-path evaluation at scale.
     return (
         events.withColumn("props_s", F.from_json("props", "k BIGINT"))
-        .groupBy(F.upper("event_type").alias("event_type_uc"))
+        .groupBy(
+            F.upper("event_type").alias("event_type_uc"),
+            F.year("ts").cast("bigint").alias("yr"),
+        )
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("props_s.k")).alias("sum_k"),
             F.min(F.length("props")).cast("bigint").alias("min_len"),
             F.max(F.substring("event_type", 1, 2)).alias("max_prefix"),
-        )
-    )
-
-
-@register(
-    "date_functions",
-    oracle=f"""
-    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
-           COUNT(*) AS n,
-           {dsum_sql('o_totalprice', 2)} AS total,
-           MIN(date_trunc('week', o_orderdate)) AS first_week
-    FROM orders
-    GROUP BY year(o_orderdate), month(o_orderdate)
-    """,
-    description="Temporal scalar functions: year/month extraction, "
-                "date_trunc('week'); monthly aggregation.",
-    tags=("functions", "date"),
-)
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(
-            F.year("o_orderdate").cast("bigint").alias("yr"), F.month("o_orderdate").cast("bigint").alias("mo")
-        )
-        .agg(
-            F.count("*").alias("n"),
-            dsum(F.col("o_totalprice"), 2).alias("total"),
-            F.min(F.date_trunc("week", F.col("o_orderdate"))).alias("first_week"),
+            F.min(F.date_trunc("week", F.col("ts"))).alias("first_week"),
+            F.count_distinct(F.month("ts")).alias("n_months"),
         )
     )
 

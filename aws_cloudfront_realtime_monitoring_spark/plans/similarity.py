@@ -30,6 +30,9 @@ N_QUERIES = 5     # vec_id < 5 are the probe vectors
 TOP_K = 5
 IVF_BITS = 6
 NEAR_DUP_COS = 0.4
+#: block count for the block-partitioned near-dup join; at 100 TB pick B so
+#: one block (~N/B vectors) fits an executor's memory
+NEAR_DUP_BLOCKS = 8
 
 # ----------------------------------------------------------- shared exprs
 
@@ -284,13 +287,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 6) AS cos6
     FROM scored WHERE cos >= {NEAR_DUP_COS}
     """,
-    description="Blocked-matrix variant of embedding_near_dup: each "
-                "partition's block multiplies (int64 numpy matmul, exact) "
-                "against the broadcast quantized corpus inside mapInPandas. "
-                "Same oracle, same results, ~4x faster than the per-element "
-                "Catalyst fold at sf0.1 (advantage grows with corpus size) "
-                "-- the pattern that scales to block x block joins when the "
-                "corpus no longer broadcasts.",
+    description="Block-partitioned variant of embedding_near_dup: the corpus "
+                "is hashed into NEAR_DUP_BLOCKS blocks (vec_id % B); each row "
+                "is replicated once per partner block, grouped by the "
+                "unordered block pair (b1 <= b2), and each group multiplies "
+                "its two blocks with one exact int64 numpy matmul inside "
+                "applyInPandas. NOTHING is collected to the driver and no "
+                "side exceeds a block in memory: total work is B(B+1)/2 "
+                "block-pair tasks over B*N replicated rows -- the standard "
+                "distributed all-pairs shape. At 100 TB, B grows so a block "
+                "fits an executor; the plan is unchanged.",
     tags=("similarity", "dedup", "pandas-udf"),
 )
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,33 +304,52 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", qvec().alias("qe"))
-    # broadcast the quantized corpus (N x D int64); at 100 TB this becomes
-    # a block-partitioned join, same math per block pair
-    rows = base.collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.qe for r in rows], dtype=np.int64)
-    norms = (mat * mat).sum(axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    B = NEAR_DUP_BLOCKS
+    base = emb.select(
+        "vec_id", qvec().alias("qe"), F.pmod(F.col("vec_id"), F.lit(B)).alias("blk")
+    )
+    # replicate each row to every unordered block pair it belongs to:
+    # row in block b joins groups (min(b,p), max(b,p)) for p in 0..B-1
+    rep = base.select(
+        "vec_id", "qe", "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("p"),
+    ).select(
+        "vec_id", "qe", "blk",
+        F.least("blk", "p").alias("g1"),
+        F.greatest("blk", "p").alias("g2"),
+    )
 
-    def block(batches):
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            ids_l = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat_l = np.array(list(pdf["qe"]), dtype=np.int64)
-            nrm_l = (mat_l * mat_l).sum(axis=1)
-            dots = mat_l @ all_mat.T            # int64 matmul: exact
-            cos = dots / np.sqrt(nrm_l)[:, None] / np.sqrt(all_norms)[None, :]
-            li, gj = np.nonzero((cos >= NEAR_DUP_COS) & (ids_l[:, None] < all_ids[None, :]))
-            if len(li):
-                yield pd.DataFrame(
-                    {
-                        "vec_a": ids_l[li],
-                        "vec_b": all_ids[gj],
-                        "cos6": np.round(cos[li, gj], 6),
-                    }
-                )
+    def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = key
+        left = pdf[pdf["blk"] == g1] if g1 != g2 else pdf
+        right = pdf[pdf["blk"] == g2] if g1 != g2 else pdf
+        ids_a = left["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = right["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            empty = np.array([], dtype=np.int64)
+            return pd.DataFrame(
+                {"vec_a": empty, "vec_b": empty, "cos6": empty.astype(np.float64)}
+            )
+        mat_a = np.array(list(left["qe"]), dtype=np.int64)
+        mat_b = np.array(list(right["qe"]), dtype=np.int64)
+        nrm_a = (mat_a * mat_a).sum(axis=1)
+        nrm_b = (mat_b * mat_b).sum(axis=1)
+        dots = mat_a @ mat_b.T                    # int64 matmul: exact
+        cos = dots / np.sqrt(nrm_a)[:, None] / np.sqrt(nrm_b)[None, :]
+        # within a block require a < b; across blocks every (a, b) pair is
+        # valid and appears in exactly this one group -- orient the pair as
+        # (min, max) so the output keying matches the all-pairs oracle
+        keep = cos >= NEAR_DUP_COS
+        if g1 == g2:
+            keep &= ids_a[:, None] < ids_b[None, :]
+        ii, jj = np.nonzero(keep)
+        va, vb = ids_a[ii], ids_b[jj]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        # round half-away-from-zero on the (non-negative) kept values,
+        # matching both engines' ROUND (np.round would tie half-to-even)
+        cos6 = np.floor(cos[ii, jj] * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos6": cos6})
 
-    return base.mapInPandas(block, "vec_a BIGINT, vec_b BIGINT, cos6 DOUBLE")
+    return rep.groupBy("g1", "g2").applyInPandas(
+        block_pair, "vec_a BIGINT, vec_b BIGINT, cos6 DOUBLE"
+    )

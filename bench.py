@@ -33,7 +33,7 @@ HEADLINE = [
     "rank_orders_window",
     "sessionize",
     "asof_join_latest_order",
-    "rollup_priority_status",
+    "grouping_analytics",
     "distinct_aggregates",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -45,7 +45,7 @@ HEADLINE = [
     "multimodal_decode_meta",
     "sliding_window_counts",
     "interpolate_linear_fill",
-    "moment_stats",
+    "stats_profile",
     "subquery_shapes",
 ]
 

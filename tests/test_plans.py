@@ -67,8 +67,24 @@ def test_q1_now_is_broadcast_not_collected(spark, sf_dir):
 
 
 def test_semi_and_anti_joins_planned_as_such(spark, sf_dir):
-    assert "LeftSemi" in plan_of(spark, sf_dir, "customers_with_open_orders")
-    assert "LeftAnti" in plan_of(spark, sf_dir, "customers_without_orders")
+    p = plan_of(spark, sf_dir, "semi_anti_membership")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+
+
+def test_simhash_banded_no_nested_loop(spark, sf_dir):
+    # the pigeonhole banding must plan as an equi-join on (band, bits):
+    # no quadratic BroadcastNestedLoopJoin / CartesianProduct pair scan
+    p = plan_of(spark, sf_dir, "dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_blocked_near_dup_is_distributed(spark, sf_dir):
+    # the block-partitioned near-dup must not collect the corpus: the plan
+    # groups by block pair and applies the matmul in FlatMapGroupsInPandas
+    p = plan_of(spark, sf_dir, "embedding_near_dup_blocked")
+    assert "FlatMapGroupsInPandas" in p
 
 
 def test_window_rank_filter_pushed(spark, sf_dir):

@@ -47,3 +47,17 @@ def test_two_phase_agg_rejects_non_decomposable():
 
     with pytest.raises(ValueError):
         two_phase_agg(None, "k", {"m": "median:x"})
+
+
+def test_salted_join_rejects_outer_joins(spark, sf_dir):
+    """right/full outer would emit each unmatched small-side row once per
+    salt replica -- the operator must refuse rather than silently duplicate."""
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(orders, cust, "o_custkey", n_salts=4, how=how)
