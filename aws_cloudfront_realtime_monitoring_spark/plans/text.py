@@ -171,6 +171,25 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: polynomial rolling-hash parameters for 8-gram fingerprints: base 131,
+#: modulus 2^31-1 (HASH_PRIME). codepoint < 2^21 and coefficient < 2^31, so
+#: every product stays < 2^52 and the 8-term sum < 2^55 -- exact in int64 on
+#: both engines, no md5 per position (the md5 variant measured ~4 s at sf0.1;
+#: this is pure integer arithmetic).
+FP_BASE = 131
+_FP_COEF = [pow(FP_BASE, 7 - k, 2_147_483_647) for k in range(8)]
+_FP_MOD = 2_147_483_647
+
+_FP_HASH_SQL = (
+    "("
+    + " + ".join(
+        f"CAST(ascii(substr(text, CAST(i + {k} AS INTEGER), 1)) AS BIGINT) * {c}"
+        for k, c in enumerate(_FP_COEF)
+    )
+    + f") % {_FP_MOD}"
+)
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
@@ -179,7 +198,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i
       FROM documents),
     grams AS (
-      SELECT doc_id, i, {h60_sql("substr(text, CAST(i AS INTEGER), 8)")} AS h
+      SELECT doc_id, i, {_FP_HASH_SQL} AS h
       FROM pos),
     wins AS (
       SELECT doc_id, i,
@@ -192,25 +211,37 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     description="Document fingerprinting via winnowing (Schleimer et al.): "
-                "char-8-gram rolling hashes, min over each 4-window, distinct "
-                "mins. Array-expression implementation -- per-doc, no shuffle.",
+                "char-8-gram polynomial rolling hashes (base 131 mod 2^31-1, "
+                "engine-portable integer arithmetic -- no per-position md5), "
+                "min over each 4-window, distinct mins. Array-expression "
+                "implementation -- per-doc narrow map, no shuffle.",
     tags=("text", "fingerprint"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_grams = F.greatest(F.length("text") - 7, F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(F.substring(F.md5(F.substr(F.col("text"), i, F.lit(8))), 1, 15), 16, 10).cast("bigint"),
+    # codepoints materialized ONCE per row; the rand() barrier stops
+    # CollapseProject from re-inlining the split into every F.get below
+    codes = F.transform(F.split("text", ""), lambda ch: F.ascii(ch).cast("bigint"))
+    chars = docs.where(F.length("text") >= 11).select(
+        "doc_id", codes.alias("cs"), F.rand(7).alias("__b1")
     )
-    base = docs.where(F.length("text") >= 11).select("doc_id", hashes.alias("hs"))
+
+    def gram_hash(i):  # i = 0-based start index into cs
+        s = None
+        for k, c in enumerate(_FP_COEF):
+            term = F.get("cs", i + F.lit(k)) * F.lit(c)
+            s = term if s is None else s + term
+        return s % F.lit(_FP_MOD)
+
+    hashes = F.transform(F.sequence(F.lit(0), F.size("cs") - 8), gram_hash)
+    grams = chars.select("doc_id", hashes.alias("hs"), F.rand(7).alias("__b2"))
     fps = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("hs") - 3),
             lambda i: F.array_min(F.slice(F.col("hs"), i, 4)),
         )
     )
-    return base.select(
+    return grams.select(
         "doc_id",
         F.size(fps).cast("bigint").alias("n_fp"),
         F.array_min(fps).alias("min_fp"),

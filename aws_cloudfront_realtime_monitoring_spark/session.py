@@ -42,6 +42,12 @@ def get_spark(app_name: str = "aws_cloudfront_realtime_monitoring_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # one task per cached-layout file: testdata tables are tiny on disk
+        # but CPU-heavy per byte (hashing/parsing), so default 128 MB splits
+        # + 4 MB open-cost packing would glue all files into one task. At
+        # real scale these two go back to defaults.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "4m")
         # testdata writes events.ts as TIMESTAMP(NANOS); Spark has no nanos
         # type, so read as long and convert in the loader (sources.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -5,11 +5,26 @@ lineitem events documents embeddings`` live as one parquet file each under
 ``/root/testdata/sf{0.001,0.01,0.1}/``. At scale these would be
 directory-partitioned datasets; the loaders take any path so the same code
 reads a 100 TB partitioned layout unchanged.
+
+Local layout cache
+------------------
+The driver's files are written as a SINGLE parquet row group each, which
+caps every scan at one task regardless of core count -- a narrow map over
+600k lineitem rows would use 1 of 32 local cores. A real deployment never
+has this problem (ingest writes many files/row groups; see the partitioned
+streaming sink, D6), so the loader reproduces that layout once per
+(sf_dir, table): large tables are rewritten into a multi-file parquet
+directory under ``.layout_cache/`` (keyed by source size+mtime, atomic
+rename, safe under concurrent runs) and every later read scans the
+partitioned copy in parallel. Data is byte-identical row-for-row; only the
+physical file layout changes -- exactly what an ingest/compaction step does
+at cluster scale.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, types as T
@@ -32,9 +47,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+#: where re-partitioned table layouts live; override for tests
+LAYOUT_CACHE_DIR = os.environ.get(
+    "SPARK_GRAFT_LAYOUT_CACHE", os.path.join(_REPO_ROOT, ".layout_cache")
+)
+#: only re-layout tables big enough for parallelism to matter
+_CACHE_MIN_BYTES = 100_000
+#: target file count == default local core count
+_CACHE_FILES = 32
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+def _read_raw(spark: SparkSession, src: str) -> DataFrame:
+    df = spark.read.parquet(src)
     # Nanosecond-precision parquet timestamps arrive as raw LongType nanos
     # (spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType at
     # microsecond precision -- the same truncation DuckDB applies.
@@ -45,6 +70,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
             )
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return _read_raw(spark, src)  # non-local path: let Spark handle it
+    if st.st_size < _CACHE_MIN_BYTES:
+        return _read_raw(spark, src)
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    cache = os.path.join(
+        LAYOUT_CACHE_DIR, sf_tag, f"{name}-{st.st_size}-{int(st.st_mtime)}"
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        tmp = f"{cache}.tmp-{os.getpid()}"
+        _read_raw(spark, src).repartition(_CACHE_FILES).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, cache)
+        except OSError:  # lost a concurrent race: the cache now exists
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(cache)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
