@@ -31,10 +31,16 @@ def to_narrow(
     ``measure_value BIGINT``, plus every remaining column stringified as a
     dimension (lambda_function.py:103-108).
 
-    ``strict_compat=True`` reproduces two reference quirks byte-for-byte:
-    truncation of time to whole seconds (lambda_function.py:115-116, D3) and
+    ``strict_compat=True`` reproduces three reference quirks:
+    truncation of time to whole seconds (lambda_function.py:115-116, D3),
     NULL dimensions rendered as the literal ``-`` sentinel
-    (lambda_function.py:85-86, D2).
+    (lambda_function.py:85-86, D2), and -- because the reference iterates
+    EVERY payload field into the dimension list (lambda_function.py:104-108)
+    -- a stringified ``timestamp`` dimension carrying the original epoch
+    value. Documented deviation D7: the reference renders it as Python
+    ``str(float)`` (shortest repr); we render fixed ``sec.mmm`` (millisecond
+    truncation, integer arithmetic) so the value is deterministic and
+    engine-portable.
     """
     measures = measures or ["sc_bytes"]
     dim_cols = [c for c in df.columns if c != time_col]
@@ -49,16 +55,31 @@ def to_narrow(
             s = F.coalesce(s, F.lit("-"))
         return s.alias(c)
 
+    extra_dims = []
+    if strict_compat:
+        ts_dim = F.concat(
+            F.expr(f"unix_micros(`{time_col}`) div 1000000").cast("string"),
+            F.lit("."),
+            F.lpad(
+                F.expr(f"(unix_micros(`{time_col}`) div 1000) % 1000").cast("string"),
+                3,
+                "0",
+            ),
+        )
+        extra_dims.append(ts_dim.alias("timestamp"))
+
     # unpivot produces (dims..., measure_name, measure_value); ids keep every
     # dimension column INCLUDING the measure source columns themselves
     # stringified, matching the reference's dimension list.
     wide = df.select(
         time_expr.alias("time"),
         *[dim(c) for c in dim_cols],
+        *extra_dims,
         *[F.col(m).cast("long").alias(f"__m_{m}") for m in measures],
     )
+    id_cols = ["time"] + dim_cols + (["timestamp"] if strict_compat else [])
     return wide.unpivot(
-        ids=["time"] + dim_cols,
+        ids=id_cols,
         values=[f"__m_{m}" for m in measures],
         variableColumnName="measure_name",
         valueColumnName="measure_value",

@@ -44,7 +44,38 @@ def register(name: str, oracle: str | None, description: str = "",
     return deco
 
 
+#: Names surfaced FIRST in the registry (insertion order of the dict the
+#: driver iterates). CORRECTNESS_r01.json recorded rows for exactly the
+#: first 50 queries() entries -- positions 50-52 (the UDF trio) got none --
+#: so the registry is kept at <= 50 entries and queries whose verification
+#: is new or recently changed lead, with the long-stable rows behind them.
+PRIORITY = [
+    "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "pandas_udf_scalar",          # no driver row in r01 (position 50)
+    "grouped_udaf_applyinpandas",  # no driver row in r01 (position 51)
+    "udtf_tokenize",              # no driver row in r01 (position 52)
+    "approx_distinct_ips",        # oracle contract new this round
+    "strict_compat_narrow",       # new this round
+    "stream_hourly_bytes_equiv",  # new this round
+    "stream_dedup_equiv",         # new this round
+    "dedup_simhash",              # pair scan re-banded this round
+    "embedding_near_dup_blocked",  # block-join rewrite this round
+    "text_fingerprint",           # rolling-hash rewrite this round
+    "stats_profile",              # merged query, new name
+    "grouping_analytics",         # merged query, new name
+    "scalar_functions",           # merged query, new name
+    "semi_anti_membership",       # merged query, new name
+]
+
+
 def load_all() -> dict[str, Query]:
-    """Import every plan module so registration side effects run."""
-    from . import core, relational, advanced, text, dedup, similarity, multimodal, udf  # noqa: F401
-    return REGISTRY
+    """Import every plan module so registration side effects run; order the
+    registry so recently-changed/new verifications come first (see PRIORITY)."""
+    from . import (  # noqa: F401
+        core, relational, advanced, text, dedup, similarity, multimodal, udf,
+        streaming_equiv,
+    )
+    ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
+    for n, q in REGISTRY.items():
+        ordered.setdefault(n, q)
+    return ordered

@@ -276,6 +276,46 @@ def q1_narrow_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TYPE_STATUS = {"click": 200, "view": 304, "purchase": 201, "signup": 302, "error": 500}
 
 
+def _synth_wire_lines(events: DataFrame, ts_int_math: bool = False) -> DataFrame:
+    """Synthesize one 40-field tab-delimited CloudFront line per event row
+    (pure Catalyst string ops; absent fields render as the ``-`` sentinel).
+
+    ``ts_int_math=True`` renders the timestamp token as ``sec.mmm`` via
+    integer truncation (``us div 1000``) instead of ``%.3f`` float
+    formatting -- byte-replicable in DuckDB, which float formatting is not
+    (engine rounding rules differ at sub-ms ties).
+    """
+    from ..schema import CF_FIELDS
+
+    status = F.coalesce(
+        *[F.when(F.col("event_type") == t, F.lit(str(s))) for t, s in _TYPE_STATUS.items()],
+        F.lit("500"),
+    )
+    if ts_int_math:
+        ts_tok = F.concat(
+            F.expr("unix_micros(ts) div 1000000").cast("string"),
+            F.lit("."),
+            F.lpad(F.expr("(unix_micros(ts) div 1000) % 1000").cast("string"), 3, "0"),
+        )
+    else:
+        ts_tok = F.format_string(
+            "%.3f", F.unix_micros("ts").cast("double") / F.lit(1_000_000.0)
+        )
+    field_exprs = {
+        "timestamp": ts_tok,
+        "c-ip": F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        "sc-status": status,
+        "sc-bytes": F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+        "cs-method": F.lit("GET"),
+        "cs-uri-stem": F.concat(F.lit("/e/"), F.col("event_id").cast("string")),
+        "cs-user-agent": F.col("props"),
+    }
+    line = F.concat_ws(
+        "\t", *[field_exprs.get(name, F.lit("-")) for name, _ in CF_FIELDS]
+    )
+    return events.select(line.alias("value"))
+
+
 @register(
     "cf_parse_wire_roundtrip",
     oracle=f"""
@@ -297,31 +337,60 @@ _TYPE_STATUS = {"click": 200, "view": 304, "purchase": 201, "signup": 302, "erro
     tags=("tier-a", "parser"),
 )
 def cf_parse_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..schema import CF_FIELDS
     from ..sources import parse_log_lines
 
     events = load_table(spark, sf_dir, "events")
-    status = F.coalesce(
-        *[F.when(F.col("event_type") == t, F.lit(str(s))) for t, s in _TYPE_STATUS.items()],
-        F.lit("500"),
-    )
-    field_exprs = {
-        "timestamp": F.format_string(
-            "%.3f", F.unix_micros("ts").cast("double") / F.lit(1_000_000.0)
-        ),
-        "c-ip": F.concat(F.lit("u"), F.col("user_id").cast("string")),
-        "sc-status": status,
-        "sc-bytes": F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
-        "cs-method": F.lit("GET"),
-        "cs-uri-stem": F.concat(F.lit("/e/"), F.col("event_id").cast("string")),
-        "cs-user-agent": F.col("props"),
-    }
-    line = F.concat_ws(
-        "\t", *[field_exprs.get(name, F.lit("-")) for name, _ in CF_FIELDS]
-    )
-    parsed = parse_log_lines(events.select(line.alias("value")))
+    parsed = parse_log_lines(_synth_wire_lines(events))
     return parsed.groupBy("sc_status").agg(
         F.count("*").alias("n"),
         F.sum("sc_bytes").alias("sum_bytes"),
         F.count_distinct("c_ip").alias("n_ips"),
+    )
+
+
+@register(
+    "strict_compat_narrow",
+    oracle="""
+    SELECT CAST(CASE event_type
+             WHEN 'click' THEN 200 WHEN 'view' THEN 304
+             WHEN 'purchase' THEN 201 WHEN 'signup' THEN 302
+             ELSE 500 END AS VARCHAR) AS sc_status,
+           'sc_bytes' AS measure_name,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_bytes,
+           COUNT(*) AS n_dash_referer,
+           COUNT(DISTINCT
+             ((epoch_us(ts) // 1000000)::VARCHAR || '.' ||
+              lpad(((epoch_us(ts) // 1000) % 1000)::VARCHAR, 3, '0'))) AS n_ts_dims,
+           MIN(make_timestamp((epoch_us(ts) // 1000000) * 1000000)) AS min_time,
+           MAX(make_timestamp((epoch_us(ts) // 1000000) * 1000000)) AS max_time
+    FROM events GROUP BY 1
+    """,
+    description="Byte-parity strict-compat narrow view, driver-checked: wire "
+                "lines (integer-math sec.mmm timestamp tokens) -> production "
+                "parser -> to_narrow(strict_compat=True), reproducing the "
+                "reference's second-truncated Time (lambda_function.py:"
+                "115-116), literal-'-' rendering of absent dimensions "
+                "(:85-86), and the stringified timestamp dimension its "
+                "all-fields dimension loop carries (:104-108). The oracle "
+                "recomputes every aggregate -- truncated seconds, dash "
+                "counts, distinct timestamp-dimension strings -- directly "
+                "from events, so any parity drift breaks the hash.",
+    tags=("tier-a", "narrow", "strict-compat"),
+)
+def strict_compat_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.narrow import to_narrow
+    from ..sources import parse_log_lines
+
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_log_lines(_synth_wire_lines(events, ts_int_math=True))
+    narrow = to_narrow(parsed, time_col="timestamp", strict_compat=True)
+    return narrow.groupBy("sc_status").agg(
+        F.min(F.col("measure_name")).alias("measure_name"),
+        F.count("*").alias("n"),
+        F.sum("measure_value").alias("sum_bytes"),
+        F.count(F.when(F.col("cs_referer") == "-", 1)).alias("n_dash_referer"),
+        F.count_distinct(F.col("timestamp")).alias("n_ts_dims"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
     )

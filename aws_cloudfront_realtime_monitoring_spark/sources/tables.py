@@ -72,15 +72,29 @@ def _read_raw(spark: SparkSession, src: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def layout_dir(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Materialize (once) and return the multi-file layout directory for a
+    table, or ``None`` if the table stays on its raw single-file path.
+    Streaming sources need a directory -- pass ``force=True`` semantics by
+    calling :func:`stream_dir` instead."""
     src = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(src)
     except OSError:
-        return _read_raw(spark, src)  # non-local path: let Spark handle it
+        return None  # non-local path: let Spark handle it
     if st.st_size < _CACHE_MIN_BYTES:
-        return _read_raw(spark, src)
+        return None
+    return _materialize(spark, src, sf_dir, name, st)
 
+
+def stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Layout directory for use as a file-stream source (always
+    materialized, regardless of size -- streaming sources list a dir)."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    return _materialize(spark, src, sf_dir, name, os.stat(src))
+
+
+def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     cache = os.path.join(
         LAYOUT_CACHE_DIR, sf_tag, f"{name}-{st.st_size}-{int(st.st_mtime)}"
@@ -94,6 +108,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             os.rename(tmp, cache)
         except OSError:  # lost a concurrent race: the cache now exists
             shutil.rmtree(tmp, ignore_errors=True)
+    return cache
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cache = layout_dir(spark, sf_dir, name)
+    if cache is None:
+        return _read_raw(spark, os.path.join(sf_dir, f"{name}.parquet"))
     return spark.read.parquet(cache)
 
 

@@ -50,6 +50,74 @@ def stream_log_lines(
     return parse_log_lines(lines, sample_fraction=sample_fraction)
 
 
+#: reference batching parity (template.yaml:26-33): <=1000 records per
+#: poll, <=10 s batching window, start at the stream tip
+KAFKA_DEFAULTS = {
+    "max_records_per_trigger": 1000,   # template.yaml:31 BatchSize
+    "trigger_seconds": 10,             # template.yaml:32 MaximumBatchingWindowInSeconds
+    "starting_position": "latest",     # template.yaml:30 StartingPosition: LATEST
+}
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    max_records_per_trigger: int = KAFKA_DEFAULTS["max_records_per_trigger"],
+    starting_position: str = KAFKA_DEFAULTS["starting_position"],
+) -> dict[str, str]:
+    """Option map for a ``format('kafka')`` source with the reference's
+    event-source-mapping semantics (template.yaml:26-33):
+
+    - ``maxOffsetsPerTrigger`` caps records per micro-batch like the
+      Kinesis->Lambda BatchSize of 1000 (template.yaml:31);
+    - ``startingOffsets`` latest == StartingPosition LATEST
+      (template.yaml:30);
+    - per-partition ordering == per-shard ordering; partition count is the
+      parallelism degree, exactly like shard count (template.yaml:191).
+
+    Kept as a pure config map so parity is testable without the Kafka
+    connector jar on the classpath; a Kinesis connector takes the same
+    shape with ``startingPosition``/``maxFetchRate``.
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_position,
+        "maxOffsetsPerTrigger": str(max_records_per_trigger),
+        # the reference re-polls the same batch on failure (at-least-once,
+        # lambda_function.py:58-60); checkpointed restart may legitimately
+        # observe aged-out offsets, which should not kill the query
+        "failOnDataLoss": "false",
+    }
+
+
+def stream_kafka_lines(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    charset: str = "UTF-8",
+    sample_fraction: float | None = None,
+    **option_overrides,
+) -> DataFrame:
+    """Kafka -> parsed typed stream: the production drop-in for the
+    file-replay source (same parser, same downstream plan). The record
+    value carries the raw TSV line bytes (A2/A3: Kinesis base64 decoding is
+    transport-level -- Kafka delivers binary values directly, so only the
+    charset decode remains; pass ``charset='ISO-8859-1'`` for byte-exact
+    reference behavior, D4).
+
+    Requires the spark-sql-kafka connector on the classpath at .load() time
+    (not bundled in this sandbox; config parity is covered by tests).
+    """
+    opts = kafka_source_options(bootstrap_servers, topic)
+    opts.update({k: str(v) for k, v in option_overrides.items()})
+    reader = spark.readStream.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    lines = reader.load().select(F.decode(F.col("value"), charset).alias("value"))
+    return parse_log_lines(lines, sample_fraction=sample_fraction)
+
+
 def hourly_bytes_stream(parsed: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Streaming version of the flagship Q1: tumbling 1 h windows of
     sum(sc_bytes) per edge location, late data bounded by the watermark

@@ -177,8 +177,15 @@ def test_narrow_view_matches_reference_shape(spark):
     assert r.cs_referer == "-"
     # sc_bytes itself also a (string) dimension (lambda_function.py:103-108)
     assert r.sc_bytes == "16653"
+    # strict compat: the reference's all-fields dimension loop also carries
+    # a stringified `timestamp` dimension (lambda_function.py:104-108);
+    # rendered as fixed sec.mmm (deviation D7: ms truncation, not str(float))
+    assert r.timestamp == "1602646738.145"
     dims = set(narrow.columns) - {"time", "measure_name", "measure_value"}
-    assert dims == set(narrow_dimension_columns())
+    assert dims == set(narrow_dimension_columns()) | {"timestamp"}
+    # non-strict narrow omits the parity-quirk timestamp dimension
+    lax = to_narrow(wide)
+    assert "timestamp" not in lax.columns
 
 
 def test_padded_tokens_are_stripped(spark):

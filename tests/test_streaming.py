@@ -239,3 +239,25 @@ def test_foreach_batch_grouped_flush(spark, replay_dir):
         assert sum(sizes) == 22          # every record flushed exactly once
         assert all(s <= 8 for s in sizes)
         assert sizes.count(8) >= 2       # full buffers + remainder flushes
+
+
+def test_kafka_source_options_reference_parity():
+    """Config-level parity with the reference's event-source mapping
+    (template.yaml:26-33): 1000-record batch cap, LATEST start."""
+    from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+        KAFKA_DEFAULTS,
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options("broker:9092", "cf-logs")
+    assert opts["maxOffsetsPerTrigger"] == "1000"      # template.yaml:31
+    assert opts["startingOffsets"] == "latest"         # template.yaml:30
+    assert opts["subscribe"] == "cf-logs"
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["failOnDataLoss"] == "false"
+    assert KAFKA_DEFAULTS["trigger_seconds"] == 10     # template.yaml:32
+
+    tuned = kafka_source_options("b:9092", "t", max_records_per_trigger=500,
+                                 starting_position="earliest")
+    assert tuned["maxOffsetsPerTrigger"] == "500"
+    assert tuned["startingOffsets"] == "earliest"
