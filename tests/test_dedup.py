@@ -48,3 +48,33 @@ def test_exact_dedup_partitions_consistent(spark, sf_dir):
     assert n_canonical == n_distinct
     assert all(r.group_size >= 1 for r in rows)
     assert n_docs >= n_canonical
+
+
+def test_simhash_banding_is_lossless_pigeonhole():
+    """Pure pigeonhole property: any two 32-bit signatures within Hamming
+    distance HAMMING_MAX share at least one of the SIMHASH_BANDS exactly --
+    the banded equi-join loses NO qualifying pair (unlike probabilistic
+    MinHash-LSH recall)."""
+    import random
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BANDS,
+    )
+
+    rng = random.Random(7)
+    for _ in range(2000):
+        a = rng.getrandbits(32)
+        flips = rng.sample(range(32), rng.randint(0, HAMMING_MAX))
+        b = a
+        for bit in flips:
+            b ^= 1 << bit
+        shares_band = any(
+            (a >> lo) & ((1 << n) - 1) == (b >> lo) & ((1 << n) - 1)
+            for lo, n in SIMHASH_BANDS
+        )
+        assert shares_band, f"pair at distance {len(flips)} missed by banding"
+    # bands tile the full 32 bits exactly
+    assert sorted(
+        bit for lo, n in SIMHASH_BANDS for bit in range(lo, lo + n)
+    ) == list(range(32))

@@ -57,3 +57,21 @@ def test_ivf_results_subset_of_bruteforce_candidates(spark, sf_dir):
         assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
         cos = [r.cos6 for r in rows]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_blocked_near_dup_equals_all_pairs(spark, sf_dir):
+    """The block-partitioned matmul join must produce EXACTLY the all-pairs
+    Catalyst result -- same pairs, same rounded cosines (block decomposition
+    is a physical re-arrangement, not an approximation)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+
+    reg = load_all()
+    exact = {
+        (r.vec_a, r.vec_b): r.cos6
+        for r in reg["embedding_near_dup"].build(spark, sf_dir).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b): r.cos6
+        for r in reg["embedding_near_dup_blocked"].build(spark, sf_dir).collect()
+    }
+    assert blocked == exact
