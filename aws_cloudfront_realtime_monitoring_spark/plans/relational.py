@@ -77,9 +77,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r.r_name
     """,
     description="4-way star join: fact lineitem joined through orders to "
-                "broadcast dimensions. customer/nation/region broadcast "
-                "(small dims); lineitem-orders is the only shuffle join, on "
-                "the natural key. AQE handles skew.",
+                "broadcast dimensions. lineitem pre-aggregates per orderkey "
+                "before the fact-fact join, so the shuffle carries one row "
+                "per order instead of one per line item (~4x less at TPC-H "
+                "shape); customer/nation/region broadcast (small dims). "
+                "Decimal partial sums are exact, so the rewrite is "
+                "bit-identical to joining raw line items. AQE handles skew.",
     tags=("join", "broadcast"),
 )
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,14 +98,21 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "r_name")
     )
+    # push the aggregation below the join: revenue is additive per order,
+    # so summing per l_orderkey first (map-side partial agg) shrinks the
+    # orderkey shuffle from |lineitem| to |orders| rows.
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(money("l_extendedprice") * (1 - money("l_discount", 4, 2)))
+        .alias("order_rev"),
+        F.count("*").alias("order_items"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_agg.join(orders, li_agg.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.sum(money("l_extendedprice") * (1 - money("l_discount", 4, 2)))
-            .cast("double").alias("revenue"),
-            F.count("*").alias("n_items"),
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.sum("order_items").alias("n_items"),
         )
     )
 
