@@ -51,20 +51,28 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "dedup_clusters",             # new this round (connected components)
+    "text_tfidf_topk",            # new this round
+    "sample_stratified",          # new this round
+    "text_profile",               # merged query, new name (token stats +
+                                  # langid + quality in one pass)
+    "multimodal_pipeline",        # merged query, new name (decode meta +
+                                  # frame offsets in one pass)
+    "revenue_by_region",          # agg-below-join rewrite this round
     "pandas_udf_scalar",          # no driver row in r01 (position 50)
     "grouped_udaf_applyinpandas",  # no driver row in r01 (position 51)
     "udtf_tokenize",              # no driver row in r01 (position 52)
-    "approx_distinct_ips",        # oracle contract new this round
-    "strict_compat_narrow",       # new this round
-    "stream_hourly_bytes_equiv",  # new this round
-    "stream_dedup_equiv",         # new this round
-    "dedup_simhash",              # pair scan re-banded this round
-    "embedding_near_dup_blocked",  # block-join rewrite this round
-    "text_fingerprint",           # rolling-hash rewrite this round
-    "stats_profile",              # merged query, new name
-    "grouping_analytics",         # merged query, new name
-    "scalar_functions",           # merged query, new name
-    "semi_anti_membership",       # merged query, new name
+    "approx_distinct_ips",        # oracle contract new in r02
+    "strict_compat_narrow",       # new in r02
+    "stream_hourly_bytes_equiv",  # new in r02
+    "stream_dedup_equiv",         # new in r02
+    "dedup_simhash",              # pair scan re-banded in r02
+    "embedding_near_dup_blocked",  # block-join rewrite in r02
+    "text_fingerprint",           # rolling-hash rewrite in r02
+    "stats_profile",              # merged query
+    "grouping_analytics",         # merged query
+    "scalar_functions",           # merged query
+    "semi_anti_membership",       # merged query
 ]
 
 
@@ -73,7 +81,7 @@ def load_all() -> dict[str, Query]:
     registry so recently-changed/new verifications come first (see PRIORITY)."""
     from . import (  # noqa: F401
         core, relational, advanced, text, dedup, similarity, multimodal, udf,
-        streaming_equiv,
+        streaming_equiv, sampling,
     )
     ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
     for n, q in REGISTRY.items():

@@ -315,20 +315,31 @@ def _simhash_band_sql() -> str:
     return f"bands AS ({selects})"
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+def _simhash_pairs_ctes() -> str:
+    """WITH-body (no leading WITH) ending in a ``pairs(doc_a, doc_b,
+    hamming)`` CTE -- shared by the ``dedup_simhash`` and
+    ``dedup_clusters`` oracles."""
+    return f"""
+    words AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
     {_simhash_sql()},
     {_simhash_band_sql()},
     cand AS (
       SELECT DISTINCT a.doc_id AS i, a.sig AS sa, b.doc_id AS j, b.sig AS sb
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
-    SELECT i AS doc_a, j AS doc_b,
-           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT i AS doc_a, j AS doc_b,
+             CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX})
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_pairs_ctes()}
+    SELECT doc_a, doc_b, hamming FROM pairs
     """,
     description=f"SimHash({SIMHASH_BITS}-bit) near-dup pairs within Hamming "
                 f"distance {HAMMING_MAX}: per-word hash bit votes aggregated "
@@ -343,6 +354,12 @@ def _simhash_band_sql() -> str:
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_pairs(spark, sf_dir)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs via pigeonhole-banded SimHash
+    (exact; shared by ``dedup_simhash`` and ``dedup_clusters``)."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.explode(words_col()).alias("word"))
     h = w.select("doc_id", h60_col(F.col("word")).alias("h"))
@@ -391,4 +408,106 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("doc_a"),
         F.col("j").alias("doc_b"),
         hamming.cast("bigint").alias("hamming"),
+    )
+
+
+# ------------------------------------------------------- connected components
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_pairs_ctes()},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_rep
+             FROM reach GROUP BY node)
+    SELECT c.doc_id, c.cluster_rep, s.cluster_size,
+           CASE WHEN c.doc_id = c.cluster_rep THEN 1 ELSE 0 END AS is_canonical
+    FROM comp c
+    JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+          FROM comp GROUP BY cluster_rep) s
+      ON c.cluster_rep = s.cluster_rep
+    """,
+    description="Near-dup CLUSTERS from the pigeonhole-banded SimHash "
+                "pairs: connected components by distributed min-label "
+                "propagation with pointer-jumping compression "
+                "(lbl <- lbl(lbl) each round), so rounds grow with "
+                "log(component diameter), not diameter. Each round is two "
+                "hash-partitioned equi-joins + a min-aggregate; labels are "
+                "localCheckpoint'ed per round to truncate lineage, and the "
+                "driver only ever sees a single changed-row COUNT -- the "
+                "label relation itself never leaves the executors (the "
+                "GraphFrames/GraphX CC shape). Near-dup components are "
+                "dense (near-cliques), so convergence is 2-3 rounds in "
+                "practice. Output: every doc in >=1 pair, its canonical "
+                "representative (component-min doc_id), component size, "
+                "and a canonical flag -- the keep-list a dedup pipeline "
+                "actually consumes. Oracle: DuckDB recursive CTE computing "
+                "the same transitive closure.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    while True:
+        # propagate: every node takes the min label over itself + neighbors
+        nbr = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
+            .select(F.col("e.src").alias("node"), F.col("l.lbl").alias("lbl"))
+        )
+        merged = (
+            labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        # compress: pointer-jump lbl -> lbl's current label (keeps label
+        # trees flat; turns O(diameter) propagation into O(log diameter))
+        compressed = (
+            merged.alias("m")
+            .join(labels.alias("p"), F.col("m.lbl") == F.col("p.node"))
+            .select(
+                F.col("m.node").alias("node"),
+                F.least(F.col("m.lbl"), F.col("p.lbl")).alias("lbl"),
+            )
+        )
+        # materialize + cut lineage: iterative plans otherwise stack one
+        # shuffle DAG per round
+        new_labels = compressed.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
+    sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_rep")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "cluster_size",
+            F.when(F.col("doc_id") == F.col("cluster_rep"), 1)
+            .otherwise(0)
+            .alias("is_canonical"),
+        )
     )

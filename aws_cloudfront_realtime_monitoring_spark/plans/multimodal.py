@@ -12,40 +12,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_payload, decode_batches, frame_sample_offsets
+from ..operators.multimodal import attach_payload, decode_batches
 from ..sources.tables import load_table
 from . import register
 
 
 @register(
-    "multimodal_decode_meta",
+    "multimodal_pipeline",
     oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           (octet_length(encode(text)) * 7919) % 624 + 16 AS width,
-           (octet_length(encode(text)) * 104729) % 464 + 16 AS height,
-           octet_length(encode(text)) % 24 + 1 AS n_frames,
-           CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-                           ELSE 'webp' END AS fmt
-    FROM documents
-    """,
-    description="Binary payload -> mapInPandas (Arrow-batched) decode stub "
-                "-> typed metadata. Verifies the multimodal plumbing: "
-                "binary column round-trip through pandas batches with a "
-                "declared output schema.",
-    tags=("multimodal", "pandas-udf"),
-)
-def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_batches(attach_payload(docs))
-
-
-@register(
-    "multimodal_frame_offsets",
-    oracle="""
-    WITH meta AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes
-                  FROM documents)
-    SELECT doc_id, n_bytes,
+    WITH meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             (octet_length(encode(text)) * 7919) % 624 + 16 AS width,
+             (octet_length(encode(text)) * 104729) % 464 + 16 AS height,
+             octet_length(encode(text)) % 24 + 1 AS n_frames,
+             CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                             ELSE 'webp' END AS fmt
+      FROM documents)
+    SELECT doc_id, n_bytes, width, height, n_frames, fmt,
            least(0 * greatest(n_bytes // 4, 1), n_bytes - 1)
              || ';' || least(1 * greatest(n_bytes // 4, 1), n_bytes - 1)
              || ';' || least(2 * greatest(n_bytes // 4, 1), n_bytes - 1)
@@ -53,16 +37,26 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            AS offsets_str
     FROM meta
     """,
-    description="Deterministic frame-sample plan (evenly spaced byte "
-                "offsets per payload), computed as pure Catalyst arithmetic "
-                "-- no payload bytes touched.",
-    tags=("multimodal",),
+    description="Full multimodal plumbing in one pass: binary payload -> "
+                "mapInPandas (Arrow-batched) decode stub -> typed metadata "
+                "-> deterministic frame-sample plan (evenly spaced byte "
+                "offsets, pure Catalyst arithmetic over the decoded "
+                "metadata -- payload bytes never leave the decode batch). "
+                "Verifies the binary-column round-trip through pandas "
+                "batches with a declared schema AND the downstream "
+                "aggregability of the decoded columns.",
+    tags=("multimodal", "pandas-udf"),
 )
-def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_batches(attach_payload(docs))
-    return frame_sample_offsets(decoded).select(
-        "doc_id",
-        "n_bytes",
-        F.array_join(F.col("frame_offsets"), ";").alias("offsets_str"),
+    n_samples = 4
+    step = F.greatest(F.expr(f"n_bytes div {n_samples}"), F.lit(1))
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_samples - 1)),
+        lambda i: F.least(i * step, F.col("n_bytes") - 1),
+    )
+    return decoded.select(
+        "doc_id", "n_bytes", "width", "height", "n_frames", "fmt",
+        F.array_join(offsets, ";").alias("offsets_str"),
     )

@@ -1,0 +1,83 @@
+"""Deterministic sampling operators (training-data-pipeline extensions):
+hash-based stratified sampling for train/eval splits and per-stratum
+down-sampling.
+
+Random sampling (``df.sample``) is not reproducible across engines, retries,
+or partitionings, so the sampler keys on the engine-portable md5-derived
+h60 hash of the row id: a row is in the sample iff
+``h60(doc_id) mod 1000 < rate_per_mille[stratum]``. That makes the sample
+
+- a pure narrow map (no shuffle, no state, embarrassingly parallel),
+- stable under re-partitioning, retries, and at-least-once replay, and
+- consistent across engines -- the DuckDB oracle computes the identical
+  predicate, so the driver hash-checks the exact sampled row set.
+
+The same construction is what a 100 TB pipeline wants: the sample decision
+rides with the row (any executor can evaluate it), and upstream operators
+can push it down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, h60_sql
+from ..sources.tables import load_table
+from . import register
+
+#: per-language keep rates in per-mille (training mix: downsample the
+#: majority language, keep more of the rare ones)
+STRATA_RATES = {"en": 250, "es": 500, "fr": 500, "de": 750, "zh": 750}
+#: rate for languages not listed above
+DEFAULT_RATE = 100
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in STRATA_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE {DEFAULT_RATE} END"
+
+
+def _rate_col() -> Column:
+    expr = None
+    for lang, rate in STRATA_RATES.items():
+        branch = (F.col("lang") == lang, F.lit(rate))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    return expr.otherwise(F.lit(DEFAULT_RATE))
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, lang, n_chars,
+             {_rate_case_sql()} AS rate_per_mille,
+             {h60_sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, n_chars, rate_per_mille, bucket
+    FROM tagged
+    WHERE bucket < rate_per_mille
+    """,
+    description="Deterministic stratified sample: per-language keep rates "
+                "(per-mille), membership decided by h60(doc_id) mod 1000 -- "
+                "a pure narrow map with no shuffle that is reproducible "
+                "across engines, retries, and partitionings (unlike "
+                "df.sample). The predicate is scan-pushable; at 100 TB the "
+                "sample never materializes the rejected rows. The driver "
+                "hash-checks the exact sampled row set against the "
+                "identical DuckDB predicate.",
+    tags=("sampling",),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(1000))
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars",
+            _rate_col().alias("rate_per_mille"),
+            bucket.alias("bucket"),
+        )
+        .where(F.col("bucket") < F.col("rate_per_mille"))
+    )

@@ -38,33 +38,10 @@ def words_col(col: str = "text") -> Column:
 _WORDS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
 
 
-@register(
-    "text_token_stats",
-    oracle=f"""
-    SELECT doc_id,
-           len({_WORDS_SQL}) AS n_ws_tokens,
-           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
-           length(text) AS n_chars
-    FROM documents
-    """,
-    description="Token counting: whitespace tokens + BPE-ish regex tokens "
-                "(letter runs / digit runs / punctuation glyphs). Pure "
-                "codegen'd string ops, embarrassingly parallel.",
-    tags=("text",),
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(words_col()).cast("bigint").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
-        F.length("text").cast("bigint").alias("n_chars"),
-    )
-
-
-def _lang_score_sql(lang: str) -> str:
+def _lang_score_over(words_expr: str, lang: str) -> str:
+    """Stopword-hit count over an already-materialized word-list column."""
     arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return f"len(list_filter({_WORDS_SQL}, w -> list_contains([{arr}], w)))"
+    return f"len(list_filter({words_expr}, w -> list_contains([{arr}], w)))"
 
 
 def _langid_case_sql() -> str:
@@ -77,31 +54,64 @@ def _langid_case_sql() -> str:
 
 
 @register(
-    "text_langid",
+    "text_profile",
     oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             {", ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in LANG_ORDER)}
-      FROM documents)
-    SELECT doc_id, lang AS labeled_lang,
+    WITH w AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+             len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             {_WORDS_SQL} AS words
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, n_chars, n_bpe_tokens, n_punct,
+             len(words) AS n_ws_tokens,
+             CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+               AS sum_word_len,
+             {", ".join(f"{_lang_score_over('words', l)} AS s_{l}" for l in LANG_ORDER)}
+      FROM w)
+    SELECT doc_id, lang AS labeled_lang, n_chars, n_ws_tokens, n_bpe_tokens,
            {_langid_case_sql()} AS pred_lang,
-           GREATEST({", ".join(f"s_{l}" for l in LANG_ORDER)}) AS top_score
-    FROM scored
+           GREATEST({", ".join(f"s_{l}" for l in LANG_ORDER)}) AS top_score,
+           sum_word_len, n_punct, s_en AS n_stop,
+           CASE WHEN n_ws_tokens BETWEEN 10 AND 1000
+                 AND s_en * 20 >= n_ws_tokens THEN 1 ELSE 0 END AS quality_pass
+    FROM s
     """,
-    description="Language-ID heuristic: stopword-hit counts per language, "
-                "deterministic argmax. n-gram/stopword LID in pure SQL.",
+    description="Single-pass per-document text profile, merging token "
+                "counting (whitespace + BPE-ish regex tokens), stopword-"
+                "argmax language ID, and Gopher-style quality gating "
+                "(length / punctuation / stopword-ratio thresholds). One "
+                "narrow map over the corpus: the word array materializes "
+                "once behind a projection barrier and every downstream "
+                "column reads the attribute, so the tokenizer runs once "
+                "per row, not once per output column.",
     tags=("text",),
 )
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = words_col()
-    scored = docs.select(
+    # rand() barrier: stops CollapseProject from re-inlining the split into
+    # every consumer below (no CSE across HOF lambdas otherwise)
+    base = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+        .cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0))
+        .cast("bigint").alias("n_punct"),
+        words_col().alias("words"),
+        F.rand(7).alias("__b1"),
+    )
+    scored = base.select(
+        "doc_id", "labeled_lang", "n_chars", "n_bpe_tokens", "n_punct",
+        F.size("words").cast("bigint").alias("n_ws_tokens"),
+        F.aggregate(
+            F.col("words"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_word_len"),
         *[
             F.size(
                 F.filter(
-                    w,
+                    F.col("words"),
                     lambda x: F.array_contains(
                         F.array(*[F.lit(s) for s in STOPWORDS[l]]), x
                     ),
@@ -115,59 +125,90 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for l in LANG_ORDER:
         pred = pred.when(F.col(f"s_{l}") == best, l)
     return scored.select(
-        "doc_id", "labeled_lang", pred.alias("pred_lang"), best.cast("bigint").alias("top_score")
+        "doc_id", "labeled_lang", "n_chars", "n_ws_tokens", "n_bpe_tokens",
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("top_score"),
+        "sum_word_len", "n_punct",
+        F.col("s_en").cast("bigint").alias("n_stop"),
+        F.when(
+            F.col("n_ws_tokens").between(10, 1000)
+            & (F.col("s_en") * 20 >= F.col("n_ws_tokens")),
+            1,
+        ).otherwise(0).alias("quality_pass"),
     )
+
+
+#: top-k terms kept per document in the TF-IDF ranking
+TFIDF_TOPK = 3
+
+_LWORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
 
 
 @register(
-    "text_quality",
+    "text_tfidf_topk",
     oracle=f"""
-    WITH w AS (
-      SELECT doc_id, length(text) AS n_chars,
-             {_WORDS_SQL} AS words,
-             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-             {_lang_score_sql('en')} AS n_stop
-      FROM documents)
-    SELECT doc_id, n_chars,
-           len(words) AS n_words,
-           CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS sum_word_len,
-           n_punct, n_stop,
-           CASE WHEN len(words) BETWEEN 10 AND 1000
-                 AND n_stop * 20 >= len(words) THEN 1 ELSE 0 END AS quality_pass
-    FROM w
+    WITH words AS (
+      SELECT doc_id, unnest({_LWORDS_SQL}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS BIGINT)
+               * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT)
+               AS score_micro
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, df, score_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score_micro DESC, term) AS INTEGER) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, score_micro, rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOPK}
     """,
-    description="Quality scoring: length, punctuation count, stopword hits, "
-                "word-length mass; integer-exact pass/fail gate (Gopher-rule "
-                "style thresholds).",
-    tags=("text",),
+    description=f"TF-IDF top-{TFIDF_TOPK} terms per document. Term "
+                "frequencies partial-aggregate map-side before the "
+                "(doc, term) shuffle; document frequencies aggregate the "
+                "(already tiny) tf relation on term; the corpus size joins "
+                "as a broadcast scalar. idf is quantized to integer "
+                "micro-units (floor(ln(N/df)*1e6+0.5)) so scores are exact "
+                "BIGINTs -- order-stable across engines and partitionings "
+                "-- and the per-doc top-k runs as a window rank with a "
+                "deterministic term tiebreak. tf x df join shuffles on "
+                "term: hash-partitionable, skew handled by AQE.",
+    tags=("text", "tfidf"),
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
-    w = words_col()
-    en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    base = docs.select(
+    words = docs.select(
         "doc_id",
-        F.length("text").cast("bigint").alias("n_chars"),
-        w.alias("words"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0)).cast("bigint").alias("n_punct"),
-        F.size(F.filter(w, lambda x: F.array_contains(en, x))).cast("bigint").alias("n_stop"),
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("term"),
     )
-    return base.select(
-        "doc_id",
-        "n_chars",
-        F.size("words").cast("bigint").alias("n_words"),
-        F.aggregate(
-            F.col("words"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-        ).alias("sum_word_len"),
-        "n_punct",
-        "n_stop",
-        F.when(
-            F.size("words").between(10, 1000)
-            & (F.col("n_stop") * 20 >= F.size("words")),
-            1,
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf_micro = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6 + 0.5
+    ).cast("bigint")
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf") * idf_micro).alias("score_micro"),
         )
-        .otherwise(0)
-        .alias("quality_pass"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rnk")
     )
 
 

@@ -40,9 +40,12 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
-    "text_token_stats",
+    "text_profile",
+    "text_tfidf_topk",
     "text_fingerprint",
-    "multimodal_decode_meta",
+    "dedup_clusters",
+    "sample_stratified",
+    "multimodal_pipeline",
     "sliding_window_counts",
     "interpolate_linear_fill",
     "stats_profile",

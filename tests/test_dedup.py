@@ -78,3 +78,35 @@ def test_simhash_banding_is_lossless_pigeonhole():
     assert sorted(
         bit for lo, n in SIMHASH_BANDS for bit in range(lo, lo + n)
     ) == list(range(32))
+
+
+def test_dedup_clusters_properties(spark, sf_dir):
+    """Connected-components invariants: every pair's endpoints share a
+    cluster_rep, the rep is the component-min doc_id (and a member), sizes
+    are consistent, exactly one canonical doc per cluster."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+
+    reg = load_all()
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in reg["dedup_simhash"].build(spark, sf_dir).collect()
+    ]
+    rows = reg["dedup_clusters"].build(spark, sf_dir).collect()
+    rep = {r.doc_id: r.cluster_rep for r in rows}
+    # every doc in a pair is labeled, and both endpoints agree
+    for a, b in pairs:
+        assert rep[a] == rep[b]
+    # rep is a member of its own cluster and is the minimum member
+    members: dict[int, list[int]] = {}
+    for r in rows:
+        members.setdefault(r.cluster_rep, []).append(r.doc_id)
+    for c_rep, docs in members.items():
+        assert c_rep == min(docs)
+        assert rep[c_rep] == c_rep
+    # size + canonical-flag consistency
+    for r in rows:
+        assert r.cluster_size == len(members[r.cluster_rep]) >= 2
+        assert r.is_canonical == (1 if r.doc_id == r.cluster_rep else 0)
+    # exactly one canonical per cluster
+    n_canon = sum(r.is_canonical for r in rows)
+    assert n_canon == len(members)

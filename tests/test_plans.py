@@ -47,7 +47,7 @@ def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
 
 
 def test_map_only_queries_have_no_shuffle(spark, sf_dir):
-    for name in ("text_token_stats", "text_quality", "multimodal_frame_offsets"):
+    for name in ("text_profile", "multimodal_pipeline", "sample_stratified"):
         p = plan_of(spark, sf_dir, name)
         assert "Exchange" not in p, f"{name} shuffles unexpectedly"
 

@@ -75,3 +75,24 @@ def test_blocked_near_dup_equals_all_pairs(spark, sf_dir):
         for r in reg["embedding_near_dup_blocked"].build(spark, sf_dir).collect()
     }
     assert blocked == exact
+
+
+def test_stratified_sample_is_deterministic_subset(spark, sf_dir):
+    """sample_stratified: same rows on every run, membership follows the
+    per-stratum hash rule exactly, and realized rates are in the right
+    ballpark (law-of-large-numbers loose bound)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+    from aws_cloudfront_realtime_monitoring_spark.plans.sampling import (
+        DEFAULT_RATE,
+        STRATA_RATES,
+    )
+
+    reg = load_all()
+    r1 = sorted((r.doc_id, r.lang) for r in reg["sample_stratified"].build(spark, sf_dir).collect())
+    r2 = sorted((r.doc_id, r.lang) for r in reg["sample_stratified"].build(spark, sf_dir).collect())
+    assert r1 == r2 and len(r1) > 0
+    # membership rule: bucket < rate for every emitted row
+    for row in reg["sample_stratified"].build(spark, sf_dir).collect():
+        rate = STRATA_RATES.get(row.lang, DEFAULT_RATE)
+        assert row.rate_per_mille == rate
+        assert 0 <= row.bucket < rate
