@@ -441,11 +441,11 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "log(component diameter), not diameter. Each round is two "
                 "hash-partitioned equi-joins + a min-aggregate; labels are "
                 "localCheckpoint'ed per round to truncate lineage, and the "
-                "driver only ever sees a single changed-row COUNT -- the "
-                "label relation itself never leaves the executors (the "
-                "GraphFrames/GraphX CC shape). Near-dup components are "
-                "dense (near-cliques), so convergence is 2-3 rounds in "
-                "practice. Output: every doc in >=1 pair, its canonical "
+                "driver only ever sees a scalar label-mass SUM (labels "
+                "decrease monotonically, so an unchanged sum IS the "
+                "fixpoint) -- the label relation itself never leaves the "
+                "executors (the GraphFrames/GraphX CC shape). "
+                "Output: every doc in >=1 pair, its canonical "
                 "representative (component-min doc_id), component size, "
                 "and a canonical flag -- the keep-list a dedup pipeline "
                 "actually consumes. Oracle: DuckDB recursive CTE computing "
@@ -465,6 +465,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
+
+    def jump(df: DataFrame, through: DataFrame) -> DataFrame:
+        # pointer-jump lbl -> lbl's current label (keeps label trees flat;
+        # turns O(diameter) propagation into O(log diameter))
+        return (
+            df.alias("m")
+            .join(through.alias("p"), F.col("m.lbl") == F.col("p.node"))
+            .select(
+                F.col("m.node").alias("node"),
+                F.least(F.col("m.lbl"), F.col("p.lbl")).alias("lbl"),
+            )
+        )
+
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     while True:
         # propagate: every node takes the min label over itself + neighbors
         nbr = (
@@ -475,28 +489,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = (
             labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
         )
-        # compress: pointer-jump lbl -> lbl's current label (keeps label
-        # trees flat; turns O(diameter) propagation into O(log diameter))
-        compressed = (
-            merged.alias("m")
-            .join(labels.alias("p"), F.col("m.lbl") == F.col("p.node"))
-            .select(
-                F.col("m.node").alias("node"),
-                F.least(F.col("m.lbl"), F.col("p.lbl")).alias("lbl"),
-            )
-        )
+        compressed = jump(merged, labels)
         # materialize + cut lineage: iterative plans otherwise stack one
         # shuffle DAG per round
-        new_labels = compressed.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = compressed.localCheckpoint()
+        # convergence via the label-mass invariant: every update strictly
+        # DECREASES some label and none ever increases, so an unchanged
+        # sum means a fixpoint -- one tiny aggregate instead of an
+        # old-vs-new join per round
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     comp = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
     sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
