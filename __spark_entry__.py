@@ -12,7 +12,10 @@ adapter over it.
 
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 from pathlib import Path
 
@@ -24,10 +27,39 @@ from aws_cloudfront_realtime_monitoring_spark.plans import load_all  # noqa: E40
 
 _REGISTRY = load_all()
 
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers regardless of
+    the driver process's cwd/PYTHONPATH.
+
+    Pandas-UDF / mapInPandas closures pickle module-level functions BY
+    REFERENCE, so workers must import ``aws_cloudfront_realtime_monitoring_spark``
+    themselves; a harness that starts its SparkSession from another working
+    directory would otherwise fail every UDF query with
+    ModuleNotFoundError. ``addPyFile`` ships a zip of the package and puts
+    it on every worker's sys.path (idempotent per SparkContext)."""
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    if getattr(sc, "_acrm_pkg_shipped", False):
+        return
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        root = Path(__file__).resolve().parent
+        fd, zpath = tempfile.mkstemp(prefix="acrm_spark_pkg_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted((root / "aws_cloudfront_realtime_monitoring_spark").rglob("*.py")):
+                z.write(p, p.relative_to(root))
+        _PKG_ZIP = zpath
+    sc.addPyFile(_PKG_ZIP)
+    sc._acrm_pkg_shipped = True
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference Q1, README.md:100-113) on sf0.001."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
     return _REGISTRY["q1_hourly_measure_by_dim"].build(spark, "/root/testdata/sf0.001")
 
 
@@ -39,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as long
             # under this flag and sources.tables converts to TimestampType.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _ship_package(spark)
             return _REGISTRY[name].build(spark, sf_dir)
 
         run.__name__ = name
