@@ -1,0 +1,166 @@
+"""Distributed k-means over embedding columns — the trained-centroid IVF
+path for ANN at scale (``plans.similarity``'s sign-pattern IVF is the
+train-free variant; this one learns the coarse quantizer).
+
+Scale shape (the point):
+- vectors NEVER shuffle: each Lloyd iteration is a narrow map (distance to
+  k broadcast centroids + argmin) followed by one partial-aggregated
+  groupBy(cluster) whose shuffle carries k×dim running sums per partition,
+  not vectors;
+- centroids are model state: k×dim integers on the driver per iteration —
+  the legitimate driver-side footprint of iterative ML (same contract as
+  MLlib's KMeans), independent of corpus size;
+- all arithmetic is integer-exact on 1e6-quantized vectors (the
+  ``plans.similarity`` convention): squared-L2 distances and centroid
+  means are 64-bit integer ops, so results are bit-stable across
+  partitionings, retries, and engines — the test suite replays the SAME
+  computation in numpy and asserts exact equality.
+
+Determinism details:
+- init: the k vectors with the smallest (h60(vec_id), vec_id) — no RNG;
+- argmin tiebreak: lowest centroid index wins;
+- centroid update: per-dimension integer mean, rounded half away from zero
+  (sign(s) * ((|s| * 2 + n) // (2 * n))) — exact in int64;
+- convergence: centroids unchanged (integer equality), or max_iters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60
+
+#: quantization scale shared with plans.similarity
+QUANT = 1_000_000
+
+
+def quantize(col: Column) -> Column:
+    """float array -> exact int64 array (round half away from zero, matching
+    both engines' ROUND)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint"))
+
+
+def _sq_dist(vec: Column, centroid: list[int]) -> Column:
+    """Exact integer squared-L2 distance from an int64 vector column to a
+    Python-side centroid (per-element (x-c)^2 summed; |x-c| <= 2e6 and
+    dim <= 64 keeps the sum < 2^49 — no overflow)."""
+    lit = F.array(*[F.lit(int(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+
+
+def assign_clusters(qvecs: DataFrame, centroids: list[list[int]],
+                    vec_col: str = "qv") -> DataFrame:
+    """Add ``cluster`` (argmin of exact distance, lowest index on ties) and
+    ``dist`` columns. Narrow map — centroids ride into the task as
+    literals (k x dim integers), vectors stay put."""
+    dists = [_sq_dist(F.col(vec_col), c) for c in centroids]
+    out = qvecs
+    for j, d in enumerate(dists):
+        out = out.withColumn(f"__d{j}", d)
+    dmin = F.least(*[F.col(f"__d{j}") for j in range(len(centroids))])
+    cluster = F.when(F.col("__d0") == dmin, 0)
+    for j in range(1, len(centroids)):
+        cluster = cluster.when(F.col(f"__d{j}") == dmin, j)
+    out = out.withColumn("cluster", cluster).withColumn("dist", dmin)
+    return out.drop(*[f"__d{j}" for j in range(len(centroids))])
+
+
+def init_centroids(qvecs: DataFrame, k: int, vec_col: str = "qv",
+                   id_col: str = "vec_id") -> list[list[int]]:
+    """Deterministic seeding: the k vectors with the smallest
+    (h60(vec_id), vec_id). One top-k (TakeOrderedAndProject) — no RNG, no
+    full sort."""
+    rows = (
+        qvecs.select(id_col, vec_col,
+                     h60(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    return [[int(x) for x in r[vec_col]] for r in rows]
+
+
+def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Lloyd's algorithm on quantized vectors.
+
+    Returns ``(centroids, assignments, n_iters)`` where ``centroids`` is a
+    k x dim list of ints (the trained coarse quantizer), ``assignments`` a
+    DataFrame (id, cluster, dist), and ``n_iters`` the executed iteration
+    count (including the final no-change check).
+    """
+    qvecs = vectors.select(
+        id_col, quantize(F.col(vec_col)).alias("qv")
+    ).persist()
+    dim = qvecs.select(F.size("qv")).first()[0]
+    centroids = init_centroids(qvecs, k)
+    n_iters = 0
+    for _ in range(max_iters):
+        n_iters += 1
+        assigned = assign_clusters(qvecs, centroids)
+        # k x dim running sums + counts: the ONLY shuffle, partial-agg'd
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty clusters keep theirs
+        for r in stats:
+            n = r["n"]
+            new_centroids[r["cluster"]] = [
+                _round_div(int(r[f"s{i}"]), n) for i in range(dim)
+            ]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+    assignments = assign_clusters(qvecs, centroids).select(
+        id_col, "cluster", "dist"
+    )
+    qvecs.unpersist()
+    return centroids, assignments, n_iters
+
+
+def _round_div(s: int, n: int) -> int:
+    """Integer mean rounded half away from zero — exact, engine-portable."""
+    sign = 1 if s >= 0 else -1
+    return sign * ((abs(s) * 2 + n) // (2 * n))
+
+
+def ivf_search(qvecs: DataFrame, centroids: list[list[int]],
+               probes: DataFrame, top_k: int = 5,
+               vec_col: str = "qv", id_col: str = "vec_id") -> DataFrame:
+    """IVF search with the trained quantizer: corpus and probes are each
+    assigned to their nearest centroid (narrow maps), candidates come from
+    an equi-join on the cluster id (hash-partitionable — each probe scans
+    one inverted list, not the corpus), ranked by exact integer dot
+    product. Same approximate-recall contract as ``ann_topk_ivf``, but
+    with a LEARNED coarse quantizer."""
+    from pyspark.sql import Window as W
+
+    corpus = assign_clusters(qvecs, centroids, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_qv"), "cluster"
+    )
+    probe = assign_clusters(probes.select(
+        F.col(id_col).alias("p_id"), F.col(vec_col).alias("p_qv")
+    ), centroids, "p_qv").select("p_id", "p_qv", "cluster")
+    dot = F.aggregate(
+        F.zip_with("p_qv", "c_qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("p_id").orderBy(F.desc("dot"), F.asc("c_id"))
+    return (
+        probe.join(corpus, "cluster")
+        .where(F.col("p_id") != F.col("c_id"))
+        .select("p_id", "c_id", dot.alias("dot"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+    )

@@ -1,0 +1,128 @@
+"""k-means / trained-centroid IVF: exact numpy replication + invariants.
+
+The operator does ALL arithmetic in int64 on 1e6-quantized vectors, so an
+independent numpy implementation of the same algorithm must produce
+IDENTICAL centroids and assignments — a bit-exact oracle for an iterative
+distributed algorithm (no tolerance, no flakiness).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+    QUANT,
+    fit_kmeans,
+    ivf_search,
+    quantize,
+)
+from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+K = 4
+MAX_ITERS = 20
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _numpy_kmeans(ids: np.ndarray, vecs: np.ndarray, k: int, max_iters: int):
+    """Reference implementation: same init, same integer arithmetic, same
+    tiebreaks as operators.kmeans."""
+    order = sorted(range(len(ids)), key=lambda i: (_h60(str(ids[i])), ids[i]))
+    centroids = vecs[order[:k]].copy()  # int64 (k, dim)
+    for it in range(1, max_iters + 1):
+        d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin: lowest index wins ties
+        new_c = centroids.copy()
+        for j in range(k):
+            members = vecs[assign == j]
+            if len(members):
+                s = members.sum(axis=0)
+                n = len(members)
+                new_c[j] = np.sign(s) * ((np.abs(s) * 2 + n) // (2 * n))
+        if (new_c == centroids).all():
+            break
+        centroids = new_c
+    d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return centroids, d.argmin(axis=1), d.min(axis=1), it
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments, n_iters = fit_kmeans(emb, k=K, max_iters=MAX_ITERS)
+    return emb, centroids, assignments.collect(), n_iters
+
+
+def test_kmeans_matches_numpy_exactly(fitted, spark, sf_dir):
+    emb, centroids, assign_rows, n_iters = fitted
+    pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = pdf["vec_id"].to_numpy()
+    vecs = np.array([np.array(v, dtype=np.int64) for v in pdf["qv"]])
+    np_centroids, np_assign, np_dist, np_iters = _numpy_kmeans(
+        ids, vecs, K, MAX_ITERS
+    )
+    assert [list(c) for c in np_centroids] == centroids
+    got = {r.vec_id: (r.cluster, r.dist) for r in assign_rows}
+    for i, vid in enumerate(ids):
+        assert got[vid] == (int(np_assign[i]), int(np_dist[i]))
+    assert n_iters == np_iters
+
+
+def test_kmeans_deterministic_across_runs(fitted, spark, sf_dir):
+    emb, centroids, assign_rows, _ = fitted
+    c2, a2, _ = fit_kmeans(emb, k=K, max_iters=MAX_ITERS)
+    assert c2 == centroids
+    assert sorted((r.vec_id, r.cluster, r.dist) for r in a2.collect()) == sorted(
+        (r.vec_id, r.cluster, r.dist) for r in assign_rows
+    )
+
+
+def test_kmeans_partitions_all_vectors(fitted):
+    _, centroids, assign_rows, _ = fitted
+    assert len({r.vec_id for r in assign_rows}) == len(assign_rows)
+    assert {r.cluster for r in assign_rows} <= set(range(K))
+    assert all(r.dist >= 0 for r in assign_rows)
+
+
+def test_ivf_search_ranks_within_cluster(fitted, spark, sf_dir):
+    """IVF candidates all share the probe's cluster; ranking is exact dot
+    product with deterministic tiebreak, verified against a brute-force
+    rescan restricted to the same inverted list."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        assign_clusters,
+    )
+
+    emb, centroids, _, _ = fitted
+    qvecs = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    probes = qvecs.orderBy("vec_id").limit(3)
+    out = ivf_search(qvecs, centroids, probes, top_k=5).collect()
+    assigned = {
+        r.vec_id: (r.cluster, tuple(r.qv))
+        for r in assign_clusters(qvecs, centroids).collect()
+    }
+    by_probe: dict[int, list] = {}
+    for r in out:
+        by_probe.setdefault(r.p_id, []).append(r)
+    for p_id, rows in by_probe.items():
+        rows.sort(key=lambda r: r.rnk)
+        p_cluster, p_vec = assigned[p_id]
+        # exact expected list: same cluster, ranked by integer dot
+        cand = [
+            (sum(a * b for a, b in zip(p_vec, vec)), cid)
+            for cid, (cl, vec) in assigned.items()
+            if cl == p_cluster and cid != p_id
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expect = [(cid, dot) for dot, cid in cand[:5]]
+        assert [(r.c_id, r.dot) for r in rows] == expect
