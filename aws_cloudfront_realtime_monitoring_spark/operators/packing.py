@@ -1,0 +1,101 @@
+"""Token-budget shard packing: group documents into fixed-capacity training
+shards (sequence-packing's coarse sibling — every large-scale training
+pipeline ends with this step).
+
+Bin packing is inherently sequential, so the distributed shape is two-level:
+
+1. **Scatter** (narrow map): docs hash deterministically into P independent
+   pack groups via the portable h60 hash — no shuffle yet, any executor can
+   compute its rows' group.
+2. **Pack** (one shuffle + applyInPandas): each group is packed locally with
+   first-fit-decreasing (sorted by tokens desc, doc_id asc — deterministic),
+   an Arrow-batched pandas computation over one group at a time. Group
+   sizes are corpus/P, so P scales the parallelism and bounds per-task
+   memory; shard ids are globally unique as group * MAX_SHARDS + local id.
+
+FFD within a group guarantees <= (11/9 OPT + 1) shards of that group; the
+scatter step costs at most a constant factor in fill efficiency in exchange
+for full parallelism (the standard trade at 100 TB, where a global greedy
+pass is impossible anyway).
+
+Docs larger than the capacity get a dedicated shard (flagged ``oversize``)
+rather than being dropped — the caller decides whether to split or discard.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60
+
+#: per-group shard-id namespace; no group ever packs more shards than this
+MAX_SHARDS = 1_000_000
+
+PACKED_SCHEMA = (
+    "doc_id BIGINT, n_tokens BIGINT, pack_group INT, shard_id BIGINT, "
+    "shard_fill BIGINT, oversize INT"
+)
+
+
+def pack_shards(docs_with_tokens: DataFrame, capacity: int,
+                n_groups: int = 32,
+                id_col: str = "doc_id",
+                tokens_col: str = "n_tokens") -> DataFrame:
+    """Assign every doc to a shard of at most ``capacity`` tokens.
+
+    ``docs_with_tokens`` needs (id_col, tokens_col). Returns one row per doc
+    with its shard id, the shard's total fill, and an oversize flag.
+    """
+
+    def pack_group(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            group = int(pdf["pack_group"].iloc[0])
+            pdf = pdf.sort_values(
+                ["n_tokens", "doc_id"], ascending=[False, True]
+            )
+            # first-fit-decreasing over open shards
+            fills: list[int] = []
+            assign: list[int] = []
+            oversize: list[int] = []
+            for tok in pdf["n_tokens"]:
+                tok = int(tok)
+                if tok > capacity:
+                    fills.append(tok)
+                    assign.append(len(fills) - 1)
+                    oversize.append(1)
+                    continue
+                for j, fill in enumerate(fills):
+                    if fill + tok <= capacity:
+                        fills[j] = fill + tok
+                        assign.append(j)
+                        break
+                else:
+                    fills.append(tok)
+                    assign.append(len(fills) - 1)
+                oversize.append(0)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": pdf["n_tokens"].to_numpy(),
+                    "pack_group": group,
+                    "shard_id": [group * MAX_SHARDS + j for j in assign],
+                    "shard_fill": [fills[j] for j in assign],
+                    "oversize": oversize,
+                }
+            )
+            yield out
+
+    tagged = docs_with_tokens.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        F.pmod(h60(F.col(id_col).cast("string")), F.lit(n_groups))
+        .cast("int")
+        .alias("pack_group"),
+    )
+    return tagged.groupBy("pack_group").applyInPandas(pack_group, PACKED_SCHEMA)

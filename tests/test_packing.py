@@ -1,0 +1,68 @@
+"""Shard packing invariants: capacity, completeness, determinism, fill
+accounting, FFD efficiency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
+    MAX_SHARDS,
+    pack_shards,
+)
+from aws_cloudfront_realtime_monitoring_spark.plans.text import words_col
+from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+CAPACITY = 400
+
+
+def _packed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words_col()).alias("n_tokens")
+    )
+    return docs, pack_shards(docs, capacity=CAPACITY, n_groups=8).collect()
+
+
+def test_packing_capacity_and_completeness(spark, sf_dir):
+    docs, rows = _packed(spark, sf_dir)
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    shards: dict[int, list] = {}
+    for r in rows:
+        shards.setdefault(r.shard_id, []).append(r)
+    for shard_id, members in shards.items():
+        total = sum(m.n_tokens for m in members)
+        # shard_fill is the shard's final total, identical on every member
+        assert {m.shard_fill for m in members} == {total}
+        # same group for all members; shard id encodes the group
+        assert {m.pack_group for m in members} == {shard_id // MAX_SHARDS}
+        if any(m.oversize for m in members):
+            # oversize docs sit alone in a dedicated shard
+            assert len(members) == 1 and members[0].n_tokens > CAPACITY
+        else:
+            assert total <= CAPACITY
+
+
+def test_packing_deterministic(spark, sf_dir):
+    _, r1 = _packed(spark, sf_dir)
+    _, r2 = _packed(spark, sf_dir)
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_packing_ffd_fill_efficiency(spark, sf_dir):
+    """Every group needs at least ceil(group_tokens / capacity) shards; FFD
+    must stay within a small factor of that lower bound."""
+    import math
+
+    _, rows = _packed(spark, sf_dir)
+    by_group: dict[int, list] = {}
+    for r in rows:
+        if not r.oversize:
+            by_group.setdefault(r.pack_group, []).append(r)
+    for g, members in by_group.items():
+        total = sum(m.n_tokens for m in members)
+        n_shards = len({m.shard_id for m in members})
+        lower = math.ceil(total / CAPACITY)
+        assert n_shards <= max(2 * lower, lower + 1), (
+            f"group {g}: {n_shards} shards vs lower bound {lower}"
+        )
