@@ -110,6 +110,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # host 1-min load when the run finished: this container runs
+                # on a shared box and totals swing ~35% with neighbors'
+                # bursts; min-of-3 absorbs short spikes, this field lets a
+                # reader weigh cross-round comparisons
+                "load_avg": round(os.getloadavg()[0], 2),
             }
         )
     )
