@@ -435,73 +435,27 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.cluster_rep = s.cluster_rep
     """,
     description="Near-dup CLUSTERS from the pigeonhole-banded SimHash "
-                "pairs: connected components by distributed min-label "
-                "propagation with pointer-jumping compression "
-                "(lbl <- lbl(lbl) each round), so rounds grow with "
-                "log(component diameter), not diameter. Each round is two "
-                "hash-partitioned equi-joins + a min-aggregate; labels are "
-                "localCheckpoint'ed per round to truncate lineage, and the "
-                "driver only ever sees a scalar label-mass SUM (labels "
-                "decrease monotonically, so an unchanged sum IS the "
-                "fixpoint) -- the label relation itself never leaves the "
-                "executors (the GraphFrames/GraphX CC shape). "
-                "Output: every doc in >=1 pair, its canonical "
-                "representative (component-min doc_id), component size, "
-                "and a canonical flag -- the keep-list a dedup pipeline "
-                "actually consumes. Oracle: DuckDB recursive CTE computing "
-                "the same transitive closure.",
+                "pairs: connected components by star contraction "
+                "(operators/graph.py) -- ROOT-level hooking (each label-"
+                "tree root adopts the min of neighboring trees' roots) + "
+                "pointer-doubling flattening, so outer rounds grow with "
+                "log(component size); every step is a hash-partitioned "
+                "equi-join or aggregate, inter-round labels round-trip "
+                "through parquet (the production barrier for iterative "
+                "jobs), and the driver only ever sees a scalar label-mass "
+                "SUM (labels decrease monotonically, so an unchanged sum "
+                "IS the fixpoint). Output: every doc in >=1 pair, its "
+                "canonical representative (component-min doc_id), "
+                "component size, and a canonical flag -- the keep-list a "
+                "dedup pipeline actually consumes. Oracle: DuckDB "
+                "recursive CTE computing the same transitive closure.",
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
     pairs = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
-    )
-
-    def jump(df: DataFrame, through: DataFrame) -> DataFrame:
-        # pointer-jump lbl -> lbl's current label (keeps label trees flat;
-        # turns O(diameter) propagation into O(log diameter))
-        return (
-            df.alias("m")
-            .join(through.alias("p"), F.col("m.lbl") == F.col("p.node"))
-            .select(
-                F.col("m.node").alias("node"),
-                F.least(F.col("m.lbl"), F.col("p.lbl")).alias("lbl"),
-            )
-        )
-
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    while True:
-        # propagate: every node takes the min label over itself + neighbors
-        nbr = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
-            .select(F.col("e.src").alias("node"), F.col("l.lbl").alias("lbl"))
-        )
-        merged = (
-            labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        )
-        compressed = jump(merged, labels)
-        # materialize + cut lineage: iterative plans otherwise stack one
-        # shuffle DAG per round
-        labels = compressed.localCheckpoint()
-        # convergence via the label-mass invariant: every update strictly
-        # DECREASES some label and none ever increases, so an unchanged
-        # sum means a fixpoint -- one tiny aggregate instead of an
-        # old-vs-new join per round
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+    labels = connected_components(pairs)
     comp = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
     sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
     return (

@@ -110,3 +110,54 @@ def test_dedup_clusters_properties(spark, sf_dir):
     # exactly one canonical per cluster
     n_canon = sum(r.is_canonical for r in rows)
     assert n_canon == len(members)
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """The distributed CC operator must agree exactly with a plain Python
+    union-find on a seeded random graph (chains, cliques, isolated pairs --
+    shapes the planted corpus doesn't cover)."""
+    import random
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    edges = set()
+    # long chain (stresses round count / pointer jumping)
+    chain = rng.sample(range(1000, 2000), 400)
+    edges.update(zip(chain, chain[1:]))
+    # a few dense cliques
+    for base in (0, 100, 200):
+        members = rng.sample(range(base, base + 50), 12)
+        edges.update(
+            (a, b) for a in members for b in members if a < b and rng.random() < 0.4
+        )
+    # random sparse noise
+    for _ in range(300):
+        a, b = rng.sample(range(3000, 3500), 2)
+        edges.add((min(a, b), max(a, b)))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # canonicalize: min member per root
+    roots: dict[int, int] = {}
+    for n, r in expected.items():
+        roots[r] = min(roots.get(r, n), n)
+    expected = {n: roots[find(n)] for n in parent}
+
+    df = spark.createDataFrame(sorted(edges), "doc_a BIGINT, doc_b BIGINT")
+    got = {r.node: r.lbl for r in connected_components(df).collect()}
+    assert got == expected
