@@ -170,14 +170,16 @@ _LWORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <>
     """,
     description=f"TF-IDF top-{TFIDF_TOPK} terms per document. Term "
                 "frequencies partial-aggregate map-side before the "
-                "(doc, term) shuffle; document frequencies aggregate the "
-                "(already tiny) tf relation on term; the corpus size joins "
-                "as a broadcast scalar. idf is quantized to integer "
-                "micro-units (floor(ln(N/df)*1e6+0.5)) so scores are exact "
-                "BIGINTs -- order-stable across engines and partitionings "
-                "-- and the per-doc top-k runs as a window rank with a "
-                "deterministic term tiebreak. tf x df join shuffles on "
-                "term: hash-partitionable, skew handled by AQE.",
+                "(doc, term) shuffle; document frequencies come from a "
+                "COUNT window over the term partition of the SAME tf "
+                "relation -- no df relation, no tf-x-df join, one shuffle "
+                "on term total; the corpus size joins as a broadcast "
+                "scalar. idf is quantized to integer micro-units "
+                "(floor(ln(N/df)*1e6+0.5)) so scores are exact BIGINTs -- "
+                "order-stable across engines and partitionings -- and the "
+                "per-doc top-k runs as a window rank with a deterministic "
+                "term tiebreak. All shuffles hash-partitionable, skew "
+                "handled by AQE.",
     tags=("text", "tfidf"),
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,14 +193,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df via a count window over term: one shuffle gives every tf row its
+    # term's doc frequency -- cheaper than groupBy(term) + equi-join back
+    df_w = F.count("*").over(W.partitionBy("term")).alias("df")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
+    with_df = tf.select("doc_id", "term", "tf", df_w)
     idf_micro = F.floor(
         F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6 + 0.5
     ).cast("bigint")
     scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n_docs))
+        with_df.crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id", "term", "tf", "df",
             (F.col("tf") * idf_micro).alias("score_micro"),
