@@ -66,3 +66,34 @@ def test_packing_ffd_fill_efficiency(spark, sf_dir):
         assert n_shards <= max(2 * lower, lower + 1), (
             f"group {g}: {n_shards} shards vs lower bound {lower}"
         )
+
+
+def test_packing_property_random_token_sizes(spark):
+    """Hypothesis-style property sweep (fixed seeds, adversarial shapes):
+    capacity, completeness, and fill accounting hold for uniform, skewed,
+    all-oversize, and single-doc inputs."""
+    import random
+
+    cap = 100
+    cases = {
+        "uniform": [random.Random(1).randint(1, 99) for _ in range(200)],
+        "skewed": [1] * 150 + [99] * 40 + [150] * 10,
+        "all_oversize": [101, 500, 1000],
+        "single": [42],
+    }
+    for name, sizes in cases.items():
+        docs = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], "doc_id BIGINT, n_tokens BIGINT"
+        )
+        rows = pack_shards(docs, capacity=cap, n_groups=4).collect()
+        assert len(rows) == len(sizes), name
+        shards: dict[int, list] = {}
+        for r in rows:
+            shards.setdefault(r.shard_id, []).append(r)
+        for members in shards.values():
+            total = sum(m.n_tokens for m in members)
+            assert {m.shard_fill for m in members} == {total}, name
+            if any(m.oversize for m in members):
+                assert len(members) == 1 and members[0].n_tokens > cap, name
+            else:
+                assert total <= cap, name

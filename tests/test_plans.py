@@ -95,3 +95,25 @@ def test_window_rank_filter_pushed(spark, sf_dir):
 def test_minhash_no_cartesian(spark, sf_dir):
     p = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert "CartesianProduct" not in p
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """percentile_approx (GK sketch) must land within the declared rank
+    error of the exact percentile -- the same verified-approximation
+    contract the HLL row carries in-query."""
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    acc = 100  # rank error <= 1/acc = 1%
+    row = events.agg(
+        F.percentile_approx("value", 0.5, acc).alias("approx"),
+        F.count("*").alias("n"),
+    ).first()
+    values = sorted(r.value for r in events.select("value").collect())
+    n = row.n
+    # the approx p50 must sit between the exact (0.5 - 1/acc) and
+    # (0.5 + 1/acc) rank positions
+    lo = values[max(int((0.5 - 1.0 / acc) * n) - 1, 0)]
+    hi = values[min(int((0.5 + 1.0 / acc) * n) + 1, n - 1)]
+    assert lo <= row.approx <= hi
