@@ -117,3 +117,35 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     lo = values[max(int((0.5 - 1.0 / acc) * n) - 1, 0)]
     hi = values[min(int((0.5 + 1.0 / acc) * n) + 1, n - 1)]
     assert lo <= row.approx <= hi
+
+
+#: queries whose builders EXECUTE work (iterative loops, streaming runs) --
+#: explain() would run them; audited by tools/audit_plans.py instead
+_EXECUTING = {"dedup_clusters", "stream_hourly_bytes_equiv", "stream_dedup_equiv"}
+#: accepted BroadcastNestedLoopJoin surfaces:
+#: - q1/ago_filter_count/text_tfidf_topk: a ONE-ROW scalar broadcast
+#:   (injectable now() / corpus count) with a non-equi or cross predicate —
+#:   effectively a filter, O(n x 1);
+#: - ann_topk_bruteforce: the deliberately-broadcast probe set;
+#: - embedding_near_dup: the documented quadratic ground-truth variant;
+#: - string_distance_pairs: bounded ~150-value domain.
+_NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
+           "ann_topk_bruteforce", "embedding_near_dup", "string_distance_pairs"}
+_ROWUDF_OK = {"udtf_tokenize"}
+
+
+def test_no_cartesian_or_rowudf_in_any_registry_plan(spark, sf_dir):
+    """Fleet-wide plan guard: NO registry query may contain a
+    CartesianProduct, and only the allowlisted surfaces may use a
+    BroadcastNestedLoopJoin (bounded domains) or a row-Python UDF (the
+    UDTF extension-point demo). Protects every operator's scale posture
+    against silent plan regressions in one sweep."""
+    for name in REGISTRY:
+        if name in _EXECUTING:
+            continue
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: CartesianProduct"
+        if name not in _NLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, f"{name}: NLJ"
+        if name not in _ROWUDF_OK:
+            assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
