@@ -261,3 +261,49 @@ def test_kafka_source_options_reference_parity():
                                  starting_position="earliest")
     assert tuned["maxOffsetsPerTrigger"] == "500"
     assert tuned["startingOffsets"] == "earliest"
+
+
+def test_sliding_window_stream_equals_batch(spark, sf_dir):
+    """Sliding windows (2h window, 1h slide) computed by a REAL streaming
+    query in complete mode must equal the batch sliding-window aggregate
+    over the same events -- every event lands in two overlapping windows in
+    both engines."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        load_table,
+        stream_dir,
+    )
+
+    path = stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_equiv")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.ws, r.event_type): r.n
+            for r in spark.table("slide_equiv").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    want = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    assert got == want and len(want) > 0
