@@ -18,7 +18,11 @@ outer round:
   400-node chain had not converged after 60 naive rounds, vs 10 rounds
   for root hooking.)
 - **flatten**: pointer-double the label forest (``lbl <- lbl(lbl)``)
-  until flat — log(depth) self-joins.
+  until flat — log(depth) self-joins. The hook is NOT materialized on
+  its own: it is composed un-barriered under the round's first
+  double-jump, so each round writes exactly one label table (identical
+  hook/jump sub-plans inside the composite are deduplicated by Spark's
+  ReusedExchange, so the fan-out costs scans, not shuffles).
 - **materialization barrier**: every step round-trips the label relation
   through parquet. This both truncates lineage AND keeps per-round cost
   CONSTANT: repeated ``localCheckpoint``/``checkpoint`` chains measurably
@@ -27,9 +31,15 @@ outer round:
   On a cluster the barrier directory belongs on shared storage — which is
   exactly how production iterative jobs (GraphFrames CC, MLlib) persist
   interround state anyway.
-- **convergence** via the label-mass invariant: labels only ever
-  decrease, so an unchanged SUM(lbl) is exactly the fixpoint; the driver
-  only ever sees that one scalar per step.
+- **convergence** via ONE aggregate job per barrier: a self-join of the
+  label table computes both the label mass SUM(lbl) and a flatness
+  defect (count of nodes whose label's label is smaller). Labels only
+  ever decrease, so an unchanged mass across a full round is exactly the
+  global fixpoint, and defect == 0 is exactly "the forest is flat" — no
+  confirming extra jump is needed, and the driver only ever sees two
+  scalars per step. Typical round cost: 1 barrier write + 1 stats job
+  (the r1/r2 shape was 4-6 jobs/round: separate hook barrier, hook sum,
+  and a confirming flatten iteration).
 
 All joins are hash-partitioned equi-joins on node/label ids — AQE handles
 skew (a giant component's root is a hot key; AQE splits it).
@@ -37,12 +47,15 @@ skew (a giant component's root is a hot key; AQE splits it).
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
@@ -72,8 +85,24 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    def lbl_sum(df: DataFrame) -> int:
-        return df.agg(F.sum("lbl")).collect()[0][0]
+    def stats(df: DataFrame) -> tuple[int, int]:
+        """One job: (label mass, flatness defect) of a barriered label
+        table. Every label value is itself a node in the table (labels
+        are always copied from existing node ids), so the self-join on
+        lbl == node is lossless and the defect — how many nodes' labels
+        could still be compressed by a jump — is exact."""
+        row = (
+            df.alias("m")
+            .join(df.alias("p"), F.col("m.lbl") == F.col("p.node"))
+            .agg(
+                F.sum(F.col("m.lbl")).alias("mass"),
+                F.count(F.when(F.col("p.lbl") < F.col("m.lbl"), 1)).alias(
+                    "defect"
+                ),
+            )
+            .collect()[0]
+        )
+        return row["mass"], row["defect"]
 
     p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
@@ -99,17 +128,6 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             )
         )
 
-    def flatten(df: DataFrame, cur_sum: int) -> tuple[DataFrame, int]:
-        while True:
-            # two chained jumps per barrier: the un-barriered self-join
-            # doubles the plan once (4 parquet scans), still cheap, and
-            # halves the materialization count
-            jumped = barrier(_jump(_jump(df)))
-            new_sum = lbl_sum(jumped)
-            if new_sum == cur_sum:
-                return jumped, new_sum
-            df, cur_sum = jumped, new_sum
-
     def finish(result: DataFrame) -> DataFrame:
         if own_tmp:
             # the returned DataFrame must outlive the temp dir: re-anchor it
@@ -121,10 +139,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         return result
 
     try:
-        prev_sum = lbl_sum(labels)
-        for _ in range(max_rounds):
+        prev_mass, defect = stats(labels)
+        for rnd in range(1, max_rounds + 1):
             # look up both endpoint labels, then hook each ROOT to the min
-            # of the two: (root_of_u <- lbl(v)) and (root_of_v <- lbl(u))
+            # of the two: (root_of_u <- lbl(v)) and (root_of_v <- lbl(u)).
+            # The hook is a lazy plan — it materializes only underneath
+            # the round's first double-jump, one write for hook+flatten.
             lu = (
                 edges.alias("e")
                 .join(labels.alias("x"), F.col("e.u") == F.col("x.node"))
@@ -141,18 +161,26 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 luv.select(F.col("lb").alias("node"), F.col("la").alias("lbl"))
             )
             upd = cand.groupBy("node").agg(F.min("lbl").alias("u_lbl"))
-            hooked = barrier(
-                labels.join(upd, "node", "left").select(
-                    "node",
-                    F.least(
-                        F.col("lbl"), F.coalesce(F.col("u_lbl"), F.col("lbl"))
-                    ).alias("lbl"),
-                )
+            hooked = labels.join(upd, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("u_lbl"), F.col("lbl"))
+                ).alias("lbl"),
             )
-            labels, cur_sum = flatten(hooked, lbl_sum(hooked))
-            if cur_sum == prev_sum:
+            labels = barrier(_jump(_jump(hooked)))
+            mass, defect = stats(labels)
+            while defect > 0:
+                labels = barrier(_jump(_jump(labels)))
+                mass, defect = stats(labels)
+            if mass == prev_mass:
+                _LOG.info(
+                    "connected_components converged: %d hook rounds, "
+                    "%d barrier writes",
+                    rnd,
+                    step,
+                )
                 return finish(labels)
-            prev_sum = cur_sum
+            prev_mass = mass
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} hook rounds"
         )
