@@ -79,6 +79,13 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
                     fills.append(tok)
                     assign.append(len(fills) - 1)
                 oversize.append(0)
+            if len(fills) > MAX_SHARDS:
+                raise ValueError(
+                    f"pack_group {group} produced {len(fills)} shards, over "
+                    f"the {MAX_SHARDS} per-group id namespace -- shard_ids "
+                    "would collide with the next group's; increase capacity "
+                    "or n_groups"
+                )
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),

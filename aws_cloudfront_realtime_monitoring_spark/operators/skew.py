@@ -36,13 +36,18 @@ def salted_join(
     for right/full outer joins the n_salts small-side replicas would each
     surface as an unmatched output row (duplicates), so they are rejected.
     """
+    # no 'cross': this operator always joins on (key, __salt), and Spark
+    # treats a cross join with a condition as inner -- accepting it would
+    # promise cartesian semantics the salted form can never deliver
     supported = {"inner", "left", "left_outer", "left_semi", "left_anti",
-                 "leftsemi", "leftanti", "semi", "anti", "cross"}
+                 "leftsemi", "leftanti", "semi", "anti"}
     if how.lower().replace("_", "") not in {s.replace("_", "") for s in supported}:
         raise ValueError(
-            f"salted_join does not support how={how!r}: unmatched small-side "
-            "rows would be replicated n_salts times (use a plain join or "
-            "AQE skew handling for right/full outer)"
+            f"salted_join does not support how={how!r}: cross has no "
+            "cartesian meaning under the (key, salt) equi-join, and "
+            "unmatched small-side rows of right/full outer joins would be "
+            "replicated n_salts times (use a plain join or AQE skew "
+            "handling for those)"
         )
     salt: Column = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(n_salts))
     salted_large = large.withColumn("__salt", salt)

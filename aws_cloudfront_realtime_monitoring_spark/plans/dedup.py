@@ -229,13 +229,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("hm", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME))
         ).alias(f"m{j}")
 
-    # persist the signature relation: it feeds BOTH sides of the band
-    # self-join and the verification joins -- without this the 2M+ md5/perm
-    # chain is recomputed 4x. At cluster scale this is the standard
-    # materialize-signatures step of MinHash pipelines.
+    # materialize the signature relation once: it feeds BOTH sides of the
+    # band self-join -- without a barrier the 2M+ md5/perm chain is
+    # recomputed 4x. At cluster scale this is the standard materialize-
+    # signatures step of MinHash pipelines. localCheckpoint (lazy), not
+    # persist(): checkpoint blocks are reclaimed by the ContextCleaner as
+    # soon as this build's RDD is garbage-collected, so registry builds
+    # stay side-effect-free for the session (a .persist() here outlives
+    # the query -- the driver harness runs all 50 queries in one session
+    # with no clearCache hook between them).
     sigs = hm.select(
         "doc_id", "sh", *[perm_min(j) for j in range(MINHASH_K)]
-    ).persist()
+    ).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -373,8 +378,12 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
         sig_expr = term if sig_expr is None else sig_expr + term
-    # persist: the signature relation feeds both sides of the band join
-    sigs = votes.select("doc_id", sig_expr.cast("bigint").alias("sig")).persist()
+    # lazy localCheckpoint: the signature relation feeds both sides of the
+    # band join; checkpoint blocks free themselves on GC (a persist() here
+    # would leak cached blocks for the session -- see the MinHash note)
+    sigs = votes.select(
+        "doc_id", sig_expr.cast("bigint").alias("sig")
+    ).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(

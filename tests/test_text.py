@@ -40,3 +40,49 @@ def test_text_profile_consistency(spark, sf_dir):
         expected = 1 if (10 <= r.n_ws_tokens <= 1000 and r.n_stop * 20 >= r.n_ws_tokens) else 0
         assert r.quality_pass == expected
         assert r.sum_word_len + max(r.n_ws_tokens - 1, 0) <= r.n_chars + r.n_ws_tokens
+
+
+def test_tfidf_idf_quantization_margin(spark):
+    """The hash contract depends on Spark (Java Math.log) and DuckDB (libm)
+    agreeing on floor(ln(N/df)*1e6 + 0.5). Neither log is guaranteed
+    correctly rounded, so agreement is only certain when no quantization
+    input lands near an integer boundary: a 1-ulp log divergence moves
+    x = ln(N/df)*1e6 + 0.5 by at most ~|x|*2^-52 < 1e-8, so a margin of
+    1e-5 to the nearest boundary makes a flip impossible. Checked over ALL
+    distinct df values of the tf relation (not just output rows -- a flip
+    in a non-output row could reorder the top-k cut) at both pytest and
+    driver-correctness scale factors."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        words = docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+            ).alias("term"),
+        )
+        dfs = {
+            r.df
+            for r in words.groupBy("doc_id", "term")
+            .count()
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .select("df")
+            .distinct()
+            .collect()
+        }
+        worst = min(
+            min(frac, 1.0 - frac)
+            for df in dfs
+            for frac in [math.modf(math.log(n_docs / df) * 1e6 + 0.5)[0]]
+        )
+        assert worst > 1e-5, (
+            f"{sf_dir}: idf quantization margin {worst:.2e} too close to a "
+            "boundary; the Spark/DuckDB hash contract may flip"
+        )
