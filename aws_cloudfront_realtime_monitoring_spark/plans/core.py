@@ -301,14 +301,33 @@ def _synth_wire_lines(events: DataFrame, ts_int_math: bool = False) -> DataFrame
         ts_tok = F.format_string(
             "%.3f", F.unix_micros("ts").cast("double") / F.lit(1_000_000.0)
         )
+    bytes_tok = F.round(F.col("value") * 100, 0).cast("bigint").cast("string")
+    # cs-headers payload (A9 wire shape, reference test.json:39-72): URL-
+    # encoded newline-delimited K:V block exercising every branch of the
+    # reference's header loop (lambda_function.py:40-49) -- a value with a
+    # colon (first-colon split only), a space (URL decode), an entry
+    # without ':' (skipped), and a trailing empty entry (dropped). The
+    # names field (A10) keeps `badentry`: the names parser drops only
+    # empties (lambda_function.py:50-52).
+    headers_tok = F.url_encode(
+        F.concat(
+            F.lit("Host:h"), F.col("user_id").cast("string"),
+            F.lit(".example.com\nX-B:"), bytes_tok,
+            F.lit("\nX-Tag:u:"), F.col("user_id").cast("string"),
+            F.lit(" "), F.col("event_type"),
+            F.lit("\nbadentry\n"),
+        )
+    )
     field_exprs = {
         "timestamp": ts_tok,
         "c-ip": F.concat(F.lit("u"), F.col("user_id").cast("string")),
         "sc-status": status,
-        "sc-bytes": F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+        "sc-bytes": bytes_tok,
         "cs-method": F.lit("GET"),
         "cs-uri-stem": F.concat(F.lit("/e/"), F.col("event_id").cast("string")),
         "cs-user-agent": F.col("props"),
+        "cs-headers": headers_tok,
+        "cs-header-names": F.url_encode(F.lit("Host\nX-B\nX-Tag\nbadentry\n")),
     }
     line = F.concat_ws(
         "\t", *[field_exprs.get(name, F.lit("-")) for name, _ in CF_FIELDS]
@@ -325,26 +344,47 @@ def _synth_wire_lines(events: DataFrame, ts_int_math: bool = False) -> DataFrame
              ELSE 500 END AS BIGINT) AS sc_status,
            COUNT(*) AS n,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_bytes,
-           COUNT(DISTINCT 'u' || user_id) AS n_ips
+           COUNT(DISTINCT 'u' || user_id) AS n_ips,
+           CAST(3 * COUNT(*) AS BIGINT) AS n_hdr_entries,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS hdr_sum_bytes,
+           MAX('u:' || user_id || ' ' || event_type) AS max_tag_value,
+           CAST(4 * COUNT(*) AS BIGINT) AS n_hdr_names,
+           'Host,X-B,X-Tag,badentry' AS names_joined
     FROM events GROUP BY 1
     """,
     description="End-to-end wire-format round-trip at scale: synthesize one "
-                "40-field tab-delimited CloudFront line per event row (pure "
-                "Catalyst string ops), parse with the production parser "
-                "(A4-A12), aggregate. The oracle computes the same "
-                "aggregate directly from events -- any parser loss or "
-                "mis-positioning breaks the hash.",
+                "40-field tab-delimited CloudFront line per event row "
+                "including URL-encoded cs-headers / cs-header-names blocks "
+                "(pure Catalyst string ops), parse with the production "
+                "parser with parse_headers=True (A4-A12 incl. the A9/A10 "
+                "header K/V and names parse: URL decode, newline split, "
+                "FIRST-colon-only K/V split, skip-no-colon and drop-empty "
+                "rules), aggregate. Header-derived outputs -- entry counts, "
+                "a value summed back to bytes, the max colon-and-space-"
+                "bearing decoded value string, the joined names list -- are "
+                "recomputed by the oracle directly from events, so any "
+                "decode/split/positioning drift breaks the hash.",
     tags=("tier-a", "parser"),
 )
 def cf_parse_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import parse_log_lines
 
     events = load_table(spark, sf_dir, "events")
-    parsed = parse_log_lines(_synth_wire_lines(events))
+    parsed = parse_log_lines(_synth_wire_lines(events), parse_headers=True)
     return parsed.groupBy("sc_status").agg(
         F.count("*").alias("n"),
         F.sum("sc_bytes").alias("sum_bytes"),
         F.count_distinct("c_ip").alias("n_ips"),
+        F.sum(F.size("cs_headers")).alias("n_hdr_entries"),
+        F.sum(
+            F.col("cs_headers").getItem(1).getField("Value").try_cast("bigint")
+        ).alias("hdr_sum_bytes"),
+        F.max(F.col("cs_headers").getItem(2).getField("Value")).alias(
+            "max_tag_value"
+        ),
+        F.sum(F.size("cs_header_names")).alias("n_hdr_names"),
+        F.min(F.array_join("cs_header_names", ",")).alias("names_joined"),
     )
 
 
