@@ -51,14 +51,20 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
-    "dedup_clusters",             # new this round (connected components)
-    "text_tfidf_topk",            # new this round
-    "sample_stratified",          # new this round
-    "text_profile",               # merged query, new name (token stats +
-                                  # langid + quality in one pass)
-    "multimodal_pipeline",        # merged query, new name (decode meta +
-                                  # frame offsets in one pass)
-    "revenue_by_region",          # agg-below-join rewrite this round
+    "cf_parse_wire_roundtrip",    # r03: header K/V + names parse (A9/A10)
+                                  # now flow through the oracle row
+    "stats_profile",              # r03: + percentile_approx (GK sketch)
+                                  # in-query rank-error contract
+    "dedup_clusters",             # r03: fused hook/flatten barriers
+    "dedup_simhash",              # r03: localCheckpoint signature barrier
+    "dedup_minhash_lsh",          # r03: localCheckpoint signature barrier
+    "text_tfidf_topk",            # new in r02
+    "sample_stratified",          # new in r02
+    "text_profile",               # merged query (token stats + langid +
+                                  # quality in one pass)
+    "multimodal_pipeline",        # merged query (decode meta + frame
+                                  # offsets in one pass)
+    "revenue_by_region",          # agg-below-join rewrite in r02
     "pandas_udf_scalar",          # no driver row in r01 (position 50)
     "grouped_udaf_applyinpandas",  # no driver row in r01 (position 51)
     "udtf_tokenize",              # no driver row in r01 (position 52)
@@ -66,10 +72,8 @@ PRIORITY = [
     "strict_compat_narrow",       # new in r02
     "stream_hourly_bytes_equiv",  # new in r02
     "stream_dedup_equiv",         # new in r02
-    "dedup_simhash",              # pair scan re-banded in r02
     "embedding_near_dup_blocked",  # block-join rewrite in r02
     "text_fingerprint",           # rolling-hash rewrite in r02
-    "stats_profile",              # merged query
     "grouping_analytics",         # merged query
     "scalar_functions",           # merged query
     "semi_anti_membership",       # merged query

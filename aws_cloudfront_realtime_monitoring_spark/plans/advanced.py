@@ -257,7 +257,8 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy,
-           min_event, max_event, min_value, max_value
+           min_event, max_event, min_value, max_value,
+           CAST(1 AS BIGINT) AS p50_approx_ok
     FROM s
     """,
     description="Statistical profile per group in ONE aggregation pass: "
@@ -267,7 +268,14 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merge-order-dependent float accumulators, unfit for "
                 "cross-engine hash comparison), and argmin/argmax "
                 "(min_by/max_by) with a composite scalar key so ties break "
-                "deterministically in both engines.",
+                "deterministically in both engines. Also carries the "
+                "APPROXIMATE percentile scale path (percentile_approx, the "
+                "Greenwald-Khanna sketch: mergeable, bounded memory -- what "
+                "replaces exact percentile at 100 TB) under the same "
+                "in-query verified-approximation contract as the HLL row: "
+                "the sketch p50, whose rank error is <= 1/accuracy, must "
+                "land between the exact percentiles at 0.5 -/+ 2/accuracy, "
+                "and the oracle expects that flag to be 1.",
     tags=("aggregate", "quantile", "stats"),
 )
 def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,10 +293,18 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ships every value through the shuffle; isolating it in its own
     # (cheap, declarative) plan and broadcast-joining the |groups|-row
     # results is ~2.5x faster and scales the same way
+    # GK-sketch contract probes: percentile_approx(acc) has rank error
+    # <= n/acc, so the sketch's p50 (an actual data value) must sit between
+    # the exact interpolated percentiles at 0.5 -/+ 2/acc (the 2x margin
+    # absorbs the interpolation-index offset at small n)
+    acc = 100
     pct = q.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("p50_gk"),
+        F.percentile("value", F.lit(0.5 - 2.0 / acc)).alias("p50_lo"),
+        F.percentile("value", F.lit(0.5 + 2.0 / acc)).alias("p50_hi"),
     )
     s = q.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -322,6 +338,14 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_event",
         "min_value",
         "max_value",
+        F.when(
+            (F.col("p50_gk") >= F.col("p50_lo"))
+            & (F.col("p50_gk") <= F.col("p50_hi")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("p50_approx_ok"),
     )
 
 
