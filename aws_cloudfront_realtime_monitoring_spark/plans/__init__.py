@@ -55,6 +55,9 @@ PRIORITY = [
                                   # now flow through the oracle row
     "stats_profile",              # r03: + percentile_approx (GK sketch)
                                   # in-query rank-error contract
+    "stream_sliding_equiv",       # r03: new row (promoted pytest; slot
+                                  # from embedding_near_dup, whose blocked
+                                  # sibling carries the same contract)
     "dedup_clusters",             # r03: fused hook/flatten barriers
     "dedup_simhash",              # r03: localCheckpoint signature barrier
     "dedup_minhash_lsh",          # r03: localCheckpoint signature barrier

@@ -220,34 +220,16 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- all-pairs near-dup scan
 
-@register(
-    "embedding_near_dup",
-    oracle=f"""
-    WITH {QUANT_CTE_SQL},
-    ex AS (SELECT vec_id, unnest(qe) AS v,
-                  unnest(generate_series(1, len(qe))) AS i
-           FROM qn),
-    dots AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS dp
-      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-      GROUP BY 1, 2),
-    scored AS (
-      SELECT va, vb, {_PAIR_COS_SQL} AS cos
-      FROM (SELECT d.va, d.vb, d.dp, qa.nrm AS na, qb.nrm AS nb
-            FROM dots d
-            JOIN qn qa ON qa.vec_id = d.va
-            JOIN qn qb ON qb.vec_id = d.vb))
-    SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 6) AS cos6
-    FROM scored WHERE cos >= {NEAR_DUP_COS}
-    """,
-    description=f"Embedding-cosine near-duplicate pairs (cos >= "
-                f"{NEAR_DUP_COS}): all-pairs scan with integer-exact dots. "
-                "At 100 TB this brute-force pair scan is replaced by "
-                "bucketed pre-filtering (ann_topk_ivf's quantizer) -- kept "
-                "exact here as the ground-truth variant.",
-    tags=("similarity", "dedup"),
-)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= NEAR_DUP_COS):
+    all-pairs scan with integer-exact dots -- the quadratic GROUND-TRUTH
+    sibling of the ``embedding_near_dup_blocked`` registry row.
+
+    Not a registry entry (registry slot yielded to the streaming
+    sliding-window equivalence row in r03): the blocked variant carries
+    the identical output contract through the driver oracle, and
+    tests/test_similarity.py pins blocked == this exact scan pair-for-pair
+    and cosine-for-cosine, so the semantics stay double-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", qvec().alias("qe")).withColumn("nrm", qnorm("qe"))
     a = base.select(

@@ -93,6 +93,46 @@ def stream_hourly_bytes_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_equiv",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT event_type, value,
+             make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900
+                              - unnest(generate_series(0, 3))) * 900) * 1000000)
+               AS window_start
+      FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n,
+           {dsum_sql('value', 2)} AS sum_value
+    FROM expanded GROUP BY window_start, event_type
+    """,
+    description="Streaming==batch equivalence for SLIDING windows (1 h "
+                "length, 15 min slide): a real Structured Streaming query "
+                "expands every event into its 4 overlapping windows and "
+                "aggregates them statefully (complete mode, memory sink); "
+                "the final table must hash-match the batch expansion the "
+                "sliding_window_counts oracle computes with an explicit "
+                "series unnest. Closes the one streaming shape (overlapping "
+                "window state) the tumbling/dedup equivalence rows don't "
+                "cover; promoted from tests/test_streaming.py's "
+                "stream-equals-batch assertion.",
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    result, q = _run_to_completion(agg, "complete")
+    return _freeze(spark, result, q)
+
+
+@register(
     "stream_dedup_equiv",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n, {dsum_sql('value', 2)} AS sum_value

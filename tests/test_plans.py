@@ -127,10 +127,9 @@ _EXECUTING = {"dedup_clusters", "stream_hourly_bytes_equiv", "stream_dedup_equiv
 #:   (injectable now() / corpus count) with a non-equi or cross predicate —
 #:   effectively a filter, O(n x 1);
 #: - ann_topk_bruteforce: the deliberately-broadcast probe set;
-#: - embedding_near_dup: the documented quadratic ground-truth variant;
 #: - string_distance_pairs: bounded ~150-value domain.
 _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
-           "ann_topk_bruteforce", "embedding_near_dup", "string_distance_pairs"}
+           "ann_topk_bruteforce", "string_distance_pairs"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 

@@ -64,11 +64,14 @@ def test_blocked_near_dup_equals_all_pairs(spark, sf_dir):
     Catalyst result -- same pairs, same rounded cosines (block decomposition
     is a physical re-arrangement, not an approximation)."""
     from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        embedding_near_dup,
+    )
 
     reg = load_all()
     exact = {
         (r.vec_a, r.vec_b): r.cos6
-        for r in reg["embedding_near_dup"].build(spark, sf_dir).collect()
+        for r in embedding_near_dup(spark, sf_dir).collect()
     }
     blocked = {
         (r.vec_a, r.vec_b): r.cos6
