@@ -263,6 +263,35 @@ def test_kafka_source_options_reference_parity():
     assert tuned["startingOffsets"] == "earliest"
 
 
+def test_kinesis_source_options_reference_parity():
+    """Config-level parity with the reference's ACTUAL transport, the
+    Kinesis event-source mapping (template.yaml:26-33): per-shard
+    1000-record fetch cap (BatchSize is per shard -- one Lambda per
+    shard), LATEST start, replay-safe data-loss handling."""
+    import pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+        kinesis_source_options,
+    )
+
+    opts = kinesis_source_options("cf-log-stream", "us-east-1")
+    assert opts["kinesis.maxFetchRecordsPerShard"] == "1000"  # template.yaml:31
+    assert opts["kinesis.startingPosition"] == "LATEST"       # template.yaml:30
+    assert opts["kinesis.streamName"] == "cf-log-stream"
+    assert opts["kinesis.region"] == "us-east-1"
+    assert opts["kinesis.failOnDataLoss"] == "false"
+
+    tuned = kinesis_source_options(
+        "s", "eu-west-1", max_records_per_shard_per_trigger=500,
+        starting_position="trim_horizon",
+    )
+    assert tuned["kinesis.maxFetchRecordsPerShard"] == "500"
+    assert tuned["kinesis.startingPosition"] == "TRIM_HORIZON"
+
+    with pytest.raises(ValueError, match="startingPosition"):
+        kinesis_source_options("s", "r", starting_position="yesterday")
+
+
 def test_sliding_window_stream_equals_batch(spark, sf_dir):
     """Sliding windows (2h window, 1h slide) computed by a REAL streaming
     query in complete mode must equal the batch sliding-window aggregate
