@@ -31,15 +31,19 @@ outer round:
   On a cluster the barrier directory belongs on shared storage — which is
   exactly how production iterative jobs (GraphFrames CC, MLlib) persist
   interround state anyway.
-- **convergence** via ONE aggregate job per barrier: a self-join of the
-  label table computes both the label mass SUM(lbl) and a flatness
-  defect (count of nodes whose label's label is smaller). Labels only
-  ever decrease, so an unchanged mass across a full round is exactly the
-  global fixpoint, and defect == 0 is exactly "the forest is flat" — no
-  confirming extra jump is needed, and the driver only ever sees two
-  scalars per step. Typical round cost: 1 barrier write + 1 stats job
-  (the r1/r2 shape was 4-6 jobs/round: separate hook barrier, hook sum,
-  and a confirming flatten iteration).
+- **convergence for free, via observed metrics**: every job carries
+  ``Observation`` counters instead of running separate convergence
+  queries. The flatten barrier observes how many labels each of its two
+  jumps changed — labels only decrease and every label value is itself a
+  node, so lbl(lbl(n)) <= lbl(n) always, and "second jump changed
+  nothing" PROVES the written table is flat (no confirming pass). The
+  hook's localCheckpoint observes the root-update count — on flat labels
+  "hook changed nothing" means every edge joins equal labels, the global
+  fixpoint, so the final round costs exactly one job. The driver only
+  ever sees these counters. Typical round cost: 2 jobs (hook
+  checkpoint + flatten write); the r1/r2 shape was 4-6 jobs/round
+  (separate hook barrier, label-mass sum actions, and a confirming
+  flatten iteration).
 
 All joins are hash-partitioned equi-joins on node/label ids — AQE handles
 skew (a giant component's root is a hot key; AQE splits it).
@@ -51,8 +55,9 @@ import logging
 import os
 import shutil
 import tempfile
+import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
@@ -78,36 +83,90 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     own_tmp = checkpoint_dir is None
     step = 0
 
+    # Size post-shuffle partitions by DATA (AQE advisory bytes), not by
+    # core count, for the duration of the loop: with the default
+    # parallelismFirst=true AQE never coalesces below defaultParallelism,
+    # so every tiny inter-round label shuffle/write stays at >=32
+    # partitions and every micro-job schedules ~100 near-empty tasks --
+    # measured ~2x the whole operator's wall clock at sf0.1. Size-based
+    # coalescing gives 1 partition for kB-sized label tables and grows to
+    # hundreds at 1e9 nodes: exactly the scaling an iterative graph job
+    # wants. Restored on exit; per-query compile picks it up immediately.
+    _PFIRST = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    old_pfirst = spark.conf.get(_PFIRST, "true")
+    spark.conf.set(_PFIRST, "false")
+
     def barrier(df: DataFrame) -> DataFrame:
         nonlocal step
         step += 1
         path = os.path.join(tmp, f"step_{step}")
+        t0 = time.monotonic()
         df.write.mode("overwrite").parquet(path)
+        _LOG.info("cc barrier %d: %.2fs", step, time.monotonic() - t0)
         return spark.read.parquet(path)
 
-    def stats(df: DataFrame) -> tuple[int, int]:
-        """One job: (label mass, flatness defect) of a barriered label
-        table. Every label value is itself a node in the table (labels
-        are always copied from existing node ids), so the self-join on
-        lbl == node is lossless and the defect — how many nodes' labels
-        could still be compressed by a jump — is exact."""
-        row = (
-            df.alias("m")
-            .join(df.alias("p"), F.col("m.lbl") == F.col("p.node"))
-            .agg(
-                F.sum(F.col("m.lbl")).alias("mass"),
-                F.count(F.when(F.col("p.lbl") < F.col("m.lbl"), 1)).alias(
-                    "defect"
-                ),
+    def jump3_barrier(df: DataFrame) -> tuple[DataFrame, int]:
+        """ONE job: pointer-double three times (lbl <- lbl(lbl), each
+        applied to its own output — depth-8 coverage), write the label
+        table, and observe how many labels the LAST jump changed — no
+        separate convergence query.
+
+        ``chg_last == 0`` proves the RESULT is flat: labels only ever
+        decrease and every label value is itself a node in the table, so
+        lbl(lbl(n)) <= lbl(n) always, and a final jump that changed
+        nothing means lbl(lbl(n)) == lbl(n) for every n. Three chained
+        jumps make that final jump an identity for any forest of depth
+        <= 4 (the common post-hook shape), so a round's flatten is a
+        single write with its convergence proof built in. The self-join
+        fan-out only re-reads the barriered input (parquet files or
+        checkpoint blocks), never recomputes upstream work.
+        """
+        cur, prev_chg_col = df, None
+        for i in range(3):
+            keep = [F.col(f"m.{c}").alias(c) for c in cur.columns
+                    if c not in ("node", "lbl")]
+            cur = (
+                cur.alias("m")
+                .join(cur.select("node", "lbl").alias("p"),
+                      F.col("m.lbl") == F.col("p.node"))
+                .select(
+                    F.col("m.node").alias("node"),
+                    F.least(F.col("m.lbl"), F.col("p.lbl")).alias("lbl"),
+                    F.col("m.lbl").alias(f"lbl{i}"),
+                    *keep,
+                )
             )
-            .collect()[0]
-        )
-        return row["mass"], row["defect"]
+            prev_chg_col = f"lbl{i}"
+        obs = Observation()
+        out = cur.observe(
+            obs,
+            F.count(
+                F.when(F.col("lbl") < F.col(prev_chg_col), 1)
+            ).alias("chg_last"),
+        ).select("node", "lbl")
+        written = barrier(out)
+        return written, obs.get["chg_last"]
+
+    def flatten(df: DataFrame) -> DataFrame:
+        """Pointer-double until flat; the observed last-jump change count
+        terminates the loop with no confirming extra pass whenever the
+        forest depth fits one barrier's jump coverage."""
+        while True:
+            df, chg_last = jump3_barrier(df)
+            if chg_last == 0:
+                return df
 
     p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # hash-partition on the hook's join key at persist time: cached plans
+    # bypass AQE (canChangeCachedPlanOutputPartitioning=false), so without
+    # this the cache keeps the upstream join's doubled micro-partitions
+    # (measured 64 near-empty partitions at sf0.1) AND every hook re-join
+    # re-shuffles; with it, Catalyst sees the cached outputPartitioning
+    # and the per-round edges-side exchange disappears.
     edges = (
         p.union(p.select(F.col("b"), F.col("a")))
         .toDF("u", "v")
+        .repartition(F.col("u"))
         .persist()
     )
     # seed with min(self, direct neighbors) — one aggregation, no join;
@@ -117,16 +176,6 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .agg(F.min("v").alias("mn"))
         .select("node", F.least("node", "mn").alias("lbl"))
     )
-
-    def _jump(df: DataFrame) -> DataFrame:
-        return (
-            df.alias("m")
-            .join(df.alias("p"), F.col("m.lbl") == F.col("p.node"))
-            .select(
-                F.col("m.node").alias("node"),
-                F.least(F.col("m.lbl"), F.col("p.lbl")).alias("lbl"),
-            )
-        )
 
     def finish(result: DataFrame) -> DataFrame:
         if own_tmp:
@@ -139,12 +188,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         return result
 
     try:
-        prev_mass, defect = stats(labels)
+        # the seed is not generally flat (lbl(n) may itself point onward);
+        # establish the every-round invariant "labels flat at hook time"
+        labels = flatten(labels)
         for rnd in range(1, max_rounds + 1):
             # look up both endpoint labels, then hook each ROOT to the min
-            # of the two: (root_of_u <- lbl(v)) and (root_of_v <- lbl(u)).
-            # The hook is a lazy plan — it materializes only underneath
-            # the round's first double-jump, one write for hook+flatten.
+            # of the two: (root_of_u <- lbl(v)) and (root_of_v <- lbl(u))
             lu = (
                 edges.alias("e")
                 .join(labels.alias("x"), F.col("e.u") == F.col("x.node"))
@@ -161,18 +210,40 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 luv.select(F.col("lb").alias("node"), F.col("la").alias("lbl"))
             )
             upd = cand.groupBy("node").agg(F.min("lbl").alias("u_lbl"))
-            hooked = labels.join(upd, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("u_lbl"), F.col("lbl"))
-                ).alias("lbl"),
+            # materialize the hook ONCE in block-manager memory before the
+            # double-jump self-joins: composing it lazily under the jump
+            # fans the hook sub-plan out 4x, and AQE does not reliably
+            # reuse the duplicated exchanges (measured 4.3 s for a fanned
+            # round-1 barrier vs ~0.4 s unfanned). A single localCheckpoint
+            # per round has no parquet commit cost and no chained-
+            # checkpoint degradation (its parent is the previous round's
+            # parquet barrier, not another checkpoint). The observed
+            # update count doubles as the convergence test: on FLAT labels
+            # a hook that changes nothing means every edge already joins
+            # equal labels — the global fixpoint — so the round costs
+            # exactly one job when the answer is "done".
+            obs = Observation()
+            hooked = (
+                labels.join(upd, "node", "left")
+                .observe(
+                    obs,
+                    F.count(
+                        F.when(F.col("u_lbl") < F.col("lbl"), 1)
+                    ).alias("hchg"),
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("u_lbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
             )
-            labels = barrier(_jump(_jump(hooked)))
-            mass, defect = stats(labels)
-            while defect > 0:
-                labels = barrier(_jump(_jump(labels)))
-                mass, defect = stats(labels)
-            if mass == prev_mass:
+            t0 = time.monotonic()
+            hooked = hooked.localCheckpoint(eager=True)
+            hchg = obs.get["hchg"]
+            _LOG.info("cc hook lc: %.2fs (hchg=%d)",
+                      time.monotonic() - t0, hchg)
+            if hchg == 0:
                 _LOG.info(
                     "connected_components converged: %d hook rounds, "
                     "%d barrier writes",
@@ -180,11 +251,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                     step,
                 )
                 return finish(labels)
-            prev_mass = mass
+            labels = flatten(hooked)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} hook rounds"
         )
     finally:
+        spark.conf.set(_PFIRST, old_pfirst)
         edges.unpersist()
         if own_tmp:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -53,10 +53,51 @@ HEADLINE = [
 ]
 
 
+#: start-of-run 1-min load above this = a noisy neighbor is bursting; wait
+#: (bounded) for it to pass, and flag the run if it never does. r02's bench
+#: recorded a 4.3x phantom regression on an untouched query at load 8.4.
+MAX_START_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+#: how long to wait for the box to go quiet before benching anyway
+MAX_LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+#: a query whose min-of-3 is this much slower than the prior round's gets
+#: one extra min-of-3 before its number is recorded
+RERUN_FACTOR = 2.0
+
+
+def _wait_for_quiet_box() -> tuple[float, bool]:
+    """Block (bounded) until 1-min load drops under MAX_START_LOAD.
+    Returns (load_at_start_of_timing, still_loaded_flag)."""
+    deadline = time.time() + MAX_LOAD_WAIT_SEC
+    load = os.getloadavg()[0]
+    while load > MAX_START_LOAD and time.time() < deadline:
+        print(f"# load_avg {load:.1f} > {MAX_START_LOAD}: waiting for the "
+              "box to go quiet", file=sys.stderr)
+        time.sleep(30)
+        load = os.getloadavg()[0]
+    return load, load > MAX_START_LOAD
+
+
+def _prior_round_times() -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r*.json next to this script
+    (empty if none): the baseline for phantom-regression re-runs."""
+    here = Path(__file__).resolve().parent
+    prior = sorted(here.glob("BENCH_r*.json"))
+    if not prior:
+        return {}
+    try:
+        rec = json.loads(prior[-1].read_text())
+        return dict(rec.get("queries") or {})
+    except (json.JSONDecodeError, OSError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    load_start, load_flagged = _wait_for_quiet_box()
+    prior_times = _prior_round_times()
 
     registry = load_all()
     spark = get_spark("bench")
@@ -70,16 +111,9 @@ def main() -> None:
         load_table(spark, sf_dir, t)
     registry["ago_filter_count"].build(spark, sf_dir).collect()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        # one untimed warm-up: Python-worker spinup (pandas UDF queries) and
-        # first-touch file listing are process effects, not plan cost
-        registry[name].build(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        spark.catalog.clearCache()
+    def timed_runs(name: str, n_runs: int = 3) -> list[float]:
         per_run = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.time()
             # noop sink: forces full evaluation of every output column
             # without driver-side collection (count() would let Catalyst
@@ -91,13 +125,34 @@ def main() -> None:
             # drop persisted intermediates (e.g. minhash signatures) so one
             # query's cache does not occupy memory during the next
             spark.catalog.clearCache()
+        return per_run
+
+    times: dict[str, float] = {}
+    reran: list[str] = []
+    for name in HEADLINE:
+        # one untimed warm-up: Python-worker spinup (pandas UDF queries) and
+        # first-touch file listing are process effects, not plan cost
+        registry[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+        per_run = timed_runs(name)
+        # phantom-regression guard: a min-of-3 that is >2x the prior
+        # round's number is far more often a neighbor's CPU burst than a
+        # plan change -- give it one more min-of-3 before recording
+        prior = prior_times.get(name)
+        if prior and min(per_run) > RERUN_FACTOR * prior:
+            print(f"# {name}: {min(per_run):.2f}s vs prior {prior}s -- "
+                  "re-running before recording", file=sys.stderr)
+            per_run += timed_runs(name)
+            reran.append(name)
         # ContextCleaner only reclaims finished broadcasts/shuffles when the
         # driver JVM GCs; after 3 noop runs of a heavy query, nudge a GC so
         # leftover blocks don't tax the NEXT query's measurement
         if os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1":
             spark.sparkContext._jvm.System.gc()
-        # min of 3: single-JVM local mode has multi-second GC/JIT variance;
-        # the min is the reproducible cost of the plan itself
+        # min of runs: single-JVM local mode has multi-second GC/JIT
+        # variance; the min is the reproducible cost of the plan itself
         times[name] = round(min(per_run), 3)
         print(f"# {name}: {times[name]}s (runs: {[round(t, 2) for t in per_run]})",
               file=sys.stderr)
@@ -110,11 +165,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                # host 1-min load when the run finished: this container runs
-                # on a shared box and totals swing ~35% with neighbors'
-                # bursts; min-of-3 absorbs short spikes, this field lets a
-                # reader weigh cross-round comparisons
+                # host 1-min load at timing start / end: this container
+                # runs on a shared box and totals swing ~35% with
+                # neighbors' bursts; min-of-3 absorbs short spikes, these
+                # fields let a reader weigh cross-round comparisons
+                "load_avg_start": round(load_start, 2),
                 "load_avg": round(os.getloadavg()[0], 2),
+                # true when the box never went quiet inside the bounded
+                # wait -- treat round-over-round deltas as suspect
+                "load_flagged": load_flagged,
+                # queries that tripped the >2x-vs-prior-round guard and got
+                # an extra min-of-3 before their number was recorded
+                "reran": reran,
             }
         )
     )
