@@ -451,9 +451,11 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "log(component size); every step is a hash-partitioned "
                 "equi-join or aggregate, inter-round labels round-trip "
                 "through parquet (the production barrier for iterative "
-                "jobs), and the driver only ever sees a scalar label-mass "
-                "SUM (labels decrease monotonically, so an unchanged sum "
-                "IS the fixpoint). Output: every doc in >=1 pair, its "
+                "jobs), and convergence rides Observation counters on the "
+                "existing jobs (labels decrease monotonically: a hook "
+                "that changes no root on flat labels IS the fixpoint) -- "
+                "the driver sees only those counters, never data. "
+                "Output: every doc in >=1 pair, its "
                 "canonical representative (component-min doc_id), "
                 "component size, and a canonical flag -- the keep-list a "
                 "dedup pipeline actually consumes. Oracle: DuckDB "
