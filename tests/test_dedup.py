@@ -112,6 +112,20 @@ def test_dedup_clusters_properties(spark, sf_dir):
     assert n_canon == len(members)
 
 
+def test_connected_components_flat_star_early_exit(spark):
+    """A star graph whose seed labels are already the fixpoint must take the
+    observed-hook early exit (hchg == 0 in round 1) and still return exact
+    min-labels -- guards the convergence-proof path added in round 3."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(1, 5), (1, 7), (1, 9), (20, 21)]
+    df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    got = {r.node: r.lbl for r in connected_components(df).collect()}
+    assert got == {1: 1, 5: 1, 7: 1, 9: 1, 20: 20, 21: 20}
+
+
 def test_connected_components_random_graph_vs_union_find(spark):
     """The distributed CC operator must agree exactly with a plain Python
     union-find on a seeded random graph (chains, cliques, isolated pairs --
