@@ -81,11 +81,19 @@ def _prior_round_times() -> dict[str, float]:
     """Per-query seconds from the newest BENCH_r*.json next to this script
     (empty if none): the baseline for phantom-regression re-runs."""
     here = Path(__file__).resolve().parent
-    prior = sorted(here.glob("BENCH_r*.json"))
+
+    def round_no(p: Path) -> int:
+        m = re.search(r"BENCH_r(\d+)", p.name)
+        return int(m.group(1)) if m else -1
+
+    # numeric sort: lexicographic would put r10 before r2
+    prior = sorted(here.glob("BENCH_r*.json"), key=round_no)
     if not prior:
         return {}
     try:
         rec = json.loads(prior[-1].read_text())
+        # the driver wraps this script's JSON line under "parsed"
+        rec = rec.get("parsed", rec)
         return dict(rec.get("queries") or {})
     except (json.JSONDecodeError, OSError):
         return {}
