@@ -78,25 +78,24 @@ def _wait_for_quiet_box() -> tuple[float, bool]:
 
 
 def _prior_round_times() -> dict[str, float]:
-    """Per-query seconds from the newest BENCH_r*.json next to this script
-    (empty if none): the baseline for phantom-regression re-runs."""
+    """Per-query BEST (minimum) seconds across every BENCH_r*.json next to
+    this script (empty if none): the baseline for phantom-regression
+    re-runs. The min across rounds, not the latest round, because a noisy
+    prior round would otherwise mask a regression OR spuriously absolve
+    one -- the best-known time is the reproducible cost of the plan."""
     here = Path(__file__).resolve().parent
-
-    def round_no(p: Path) -> int:
-        m = re.search(r"BENCH_r(\d+)", p.name)
-        return int(m.group(1)) if m else -1
-
-    # numeric sort: lexicographic would put r10 before r2
-    prior = sorted(here.glob("BENCH_r*.json"), key=round_no)
-    if not prior:
-        return {}
-    try:
-        rec = json.loads(prior[-1].read_text())
+    best: dict[str, float] = {}
+    for p in here.glob("BENCH_r*.json"):
+        try:
+            rec = json.loads(p.read_text())
+        except (json.JSONDecodeError, OSError):
+            continue
         # the driver wraps this script's JSON line under "parsed"
         rec = rec.get("parsed", rec)
-        return dict(rec.get("queries") or {})
-    except (json.JSONDecodeError, OSError):
-        return {}
+        for name, sec in (rec.get("queries") or {}).items():
+            if isinstance(sec, (int, float)):
+                best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
 
 
 def main() -> None:
