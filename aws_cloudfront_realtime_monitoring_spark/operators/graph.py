@@ -169,13 +169,6 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .repartition(F.col("u"))
         .persist()
     )
-    # seed with min(self, direct neighbors) — one aggregation, no join;
-    # equivalent to (and cheaper than) running the first naive round
-    labels = barrier(
-        edges.groupBy(F.col("u").alias("node"))
-        .agg(F.min("v").alias("mn"))
-        .select("node", F.least("node", "mn").alias("lbl"))
-    )
 
     def finish(result: DataFrame) -> DataFrame:
         if own_tmp:
@@ -188,6 +181,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         return result
 
     try:
+        # seed with min(self, direct neighbors) — one aggregation, no
+        # join; equivalent to (and cheaper than) running the first naive
+        # round. Inside the try so the session conf, the cached edges and
+        # the temp dir are released even if the first job fails.
+        labels = barrier(
+            edges.groupBy(F.col("u").alias("node"))
+            .agg(F.min("v").alias("mn"))
+            .select("node", F.least("node", "mn").alias("lbl"))
+        )
         # the seed is not generally flat (lbl(n) may itself point onward);
         # establish the every-round invariant "labels flat at hook time"
         labels = flatten(labels)
