@@ -56,19 +56,33 @@ LAYOUT_CACHE_DIR = os.environ.get(
 _CACHE_MIN_BYTES = 100_000
 #: target file count == default local core count
 _CACHE_FILES = 32
+#: bump when _read_raw normalization changes so stale cached layouts rebuild
+#: (v2: TIMESTAMP_NTZ -> TIMESTAMP normalization)
+_LAYOUT_VERSION = 2
 
 
 def _read_raw(spark: SparkSession, src: str) -> DataFrame:
+    # The testdata's wall-clock timestamps are UTC instants; pin the session
+    # timezone so the NTZ->LTZ cast below (and every downstream date/epoch
+    # function) is deterministic regardless of host timezone, and matches the
+    # DuckDB oracle's naive-as-UTC reading of the same files.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(src)
-    # Nanosecond-precision parquet timestamps arrive as raw LongType nanos
-    # (spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType at
-    # microsecond precision -- the same truncation DuckDB applies.
     for f in df.schema.fields:
+        # Nanosecond-precision parquet timestamps arrive as raw LongType nanos
+        # (spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType at
+        # microsecond precision -- the same truncation DuckDB applies.
         if isinstance(f.dataType, T.LongType) and f.name in _NANO_TS_COLUMNS:
             # integer `div`: float division would lose precision above 2^53 ns
             df = df.withColumn(
                 f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
             )
+        # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ in
+        # Spark 4; normalize to TIMESTAMP so epoch functions (unix_micros) and
+        # streaming watermarks work. With the UTC session tz above the instant
+        # equals the stored wall clock -- exactly DuckDB's interpretation.
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 
@@ -97,7 +111,9 @@ def stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
 def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     cache = os.path.join(
-        LAYOUT_CACHE_DIR, sf_tag, f"{name}-{st.st_size}-{int(st.st_mtime)}"
+        LAYOUT_CACHE_DIR,
+        sf_tag,
+        f"{name}-v{_LAYOUT_VERSION}-{st.st_size}-{int(st.st_mtime)}",
     )
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         tmp = f"{cache}.tmp-{os.getpid()}"

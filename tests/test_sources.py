@@ -58,3 +58,40 @@ def test_partitioned_write_prunes_on_read(spark, wide_df):
             pruned.explain(True)
         assert "PartitionFilters" in buf.getvalue()
         assert pruned.count() == 20  # golden ts is hour 3 UTC
+
+
+def test_ntz_timestamps_normalized_to_instant(spark):
+    """Parquet timestamps written without isAdjustedToUTC read back as
+    TIMESTAMP_NTZ in Spark 4 (the driver's regenerated testdata does this);
+    the loader must normalize them to TIMESTAMP so epoch functions and
+    streaming watermarks resolve, interpreting the wall clock as UTC --
+    exactly how the DuckDB oracle reads the same file."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from aws_cloudfront_realtime_monitoring_spark.sources import tables
+
+    wall = datetime.datetime(2024, 1, 5, 12, 34, 56, 789000)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events.parquet")
+        spark.createDataFrame(
+            [(1, wall)],
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampNTZType()),
+                ]
+            ),
+        ).write.parquet(src)
+        assert isinstance(  # precondition: the file really reads back NTZ
+            spark.read.parquet(src).schema["ts"].dataType, T.TimestampNTZType
+        )
+        df = tables.load_table(spark, d, "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        [row] = df.select(F.unix_micros("ts").alias("us")).collect()
+        epoch_utc = int(
+            wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+        )
+        assert row.us == epoch_utc
