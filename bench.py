@@ -90,8 +90,11 @@ def _prior_round_times() -> dict[str, float]:
             rec = json.loads(p.read_text())
         except (json.JSONDecodeError, OSError):
             continue
-        # the driver wraps this script's JSON line under "parsed"
-        rec = rec.get("parsed", rec)
+        # the driver wraps this script's JSON line under "parsed" (null when
+        # that round's bench crashed before printing its line)
+        rec = rec.get("parsed") or rec
+        if not isinstance(rec, dict):
+            continue
         for name, sec in (rec.get("queries") or {}).items():
             if isinstance(sec, (int, float)):
                 best[name] = min(best.get(name, float("inf")), float(sec))
