@@ -105,24 +105,29 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         _LOG.info("cc barrier %d: %.2fs", step, time.monotonic() - t0)
         return spark.read.parquet(path)
 
-    def jump3_barrier(df: DataFrame) -> tuple[DataFrame, int]:
-        """ONE job: pointer-double three times (lbl <- lbl(lbl), each
-        applied to its own output — depth-8 coverage), write the label
-        table, and observe how many labels the LAST jump changed — no
-        separate convergence query.
+    def jump_barrier(df: DataFrame, jumps: int = 3) -> tuple[DataFrame, int]:
+        """ONE job: pointer-double ``jumps`` times (lbl <- lbl(lbl), each
+        applied to its own output), write the label table, and observe how
+        many labels the LAST jump changed — no separate convergence query.
 
         ``chg_last == 0`` proves the RESULT is flat: labels only ever
         decrease and every label value is itself a node in the table, so
         lbl(lbl(n)) <= lbl(n) always, and a final jump that changed
-        nothing means lbl(lbl(n)) == lbl(n) for every n. Three chained
-        jumps make that final jump an identity for any forest of depth
-        <= 4 (the common post-hook shape), so a round's flatten is a
-        single write with its convergence proof built in. The self-join
-        fan-out only re-reads the barriered input (parquet files or
-        checkpoint blocks), never recomputes upstream work.
+        nothing means lbl(lbl(n)) == lbl(n) for every n. Chained jumps
+        make that final jump an identity for any forest of depth <=
+        2**(jumps-1), so a flatten is usually a single write with its
+        convergence proof built in. An extra in-job jump is one more
+        shuffle of the (already partition-sized) label table; an extra
+        flatten PASS is a whole job plus a parquet round-trip of that
+        same table — so callers size ``jumps`` to the forest depth they
+        expect: 3 covers the bounded post-hook shape, 5 the unbounded
+        seed forest (measured: the sf0.1 seed needed two jumps=3 passes,
+        one jumps=5 pass). The self-join fan-out only re-reads the
+        barriered input (parquet files or checkpoint blocks), never
+        recomputes upstream work.
         """
         cur, prev_chg_col = df, None
-        for i in range(3):
+        for i in range(jumps):
             keep = [F.col(f"m.{c}").alias(c) for c in cur.columns
                     if c not in ("node", "lbl")]
             cur = (
@@ -147,12 +152,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         written = barrier(out)
         return written, obs.get["chg_last"]
 
-    def flatten(df: DataFrame) -> DataFrame:
+    def flatten(df: DataFrame, jumps: int = 3) -> DataFrame:
         """Pointer-double until flat; the observed last-jump change count
         terminates the loop with no confirming extra pass whenever the
         forest depth fits one barrier's jump coverage."""
         while True:
-            df, chg_last = jump3_barrier(df)
+            df, chg_last = jump_barrier(df, jumps)
             if chg_last == 0:
                 return df
 
@@ -191,8 +196,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             .select("node", F.least("node", "mn").alias("lbl"))
         )
         # the seed is not generally flat (lbl(n) may itself point onward);
-        # establish the every-round invariant "labels flat at hook time"
-        labels = flatten(labels)
+        # establish the every-round invariant "labels flat at hook time".
+        # jumps=5: the seed forest is the one whose depth the hook shape
+        # does not bound, and a deeper in-job jump chain is cheaper than a
+        # second flatten pass (see jump_barrier)
+        labels = flatten(labels, jumps=5)
         for rnd in range(1, max_rounds + 1):
             # look up both endpoint labels, then hook each ROOT to the min
             # of the two: (root_of_u <- lbl(v)) and (root_of_v <- lbl(u))
