@@ -62,6 +62,12 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
 
+#: label tables at or under this row count are broadcast into the jump and
+#: hook joins (2 bigint cols ~= 16 B/row -> ~32 MB at the threshold, well
+#: inside executor broadcast budgets). Above it, every join runs the plain
+#: hash-shuffle path unchanged.
+BROADCAST_MAX_NODES = 2_000_000
+
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
@@ -82,6 +88,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     tmp = checkpoint_dir or tempfile.mkdtemp(prefix="cc_labels_")
     own_tmp = checkpoint_dir is None
     step = 0
+    # join-strategy flag the nested helpers close over; decided from the
+    # observed node count right after the seed job
+    small_labels = False
 
     # Size post-shuffle partitions by DATA (AQE advisory bytes), not by
     # core count, for the duration of the loop: with the default
@@ -130,10 +139,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         for i in range(jumps):
             keep = [F.col(f"m.{c}").alias(c) for c in cur.columns
                     if c not in ("node", "lbl")]
+            parents = cur.select("node", "lbl").alias("p")
+            if small_labels:
+                parents = F.broadcast(parents)
             cur = (
                 cur.alias("m")
-                .join(cur.select("node", "lbl").alias("p"),
-                      F.col("m.lbl") == F.col("p.node"))
+                .join(parents, F.col("m.lbl") == F.col("p.node"))
                 .select(
                     F.col("m.node").alias("node"),
                     F.least(F.col("m.lbl"), F.col("p.lbl")).alias("lbl"),
@@ -189,12 +200,30 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # seed with min(self, direct neighbors) — one aggregation, no
         # join; equivalent to (and cheaper than) running the first naive
         # round. Inside the try so the session conf, the cached edges and
-        # the temp dir are released even if the first job fails.
+        # the temp dir are released even if the first job fails. The seed
+        # job also observes the node count — the one table statistic the
+        # rest of the loop needs for its join-strategy choice, gathered
+        # for free.
+        seed_obs = Observation()
         labels = barrier(
             edges.groupBy(F.col("u").alias("node"))
             .agg(F.min("v").alias("mn"))
             .select("node", F.least("node", "mn").alias("lbl"))
+            .observe(seed_obs, F.count(F.lit(1)).alias("n_nodes"))
         )
+        # Cost-based join strategy, decided once: the label relation has
+        # exactly n_nodes rows forever (monotone relabeling, never grows),
+        # so if it fits a broadcast now it always will. Broadcasting the
+        # parent/label side turns every jump self-join and hook lookup
+        # into a BroadcastHashJoin — the whole jump chain becomes ONE
+        # stage pipeline instead of jumps+1 AQE query stages, whose
+        # per-stage driver re-planning latency (~0.2-0.3 s each on
+        # partition-sized label tables) dominated the operator's local
+        # cost. Past the threshold the plain shuffle-join path runs
+        # unchanged — the same decision a CBO makes from table stats.
+        n_nodes = seed_obs.get["n_nodes"]
+        small_labels = n_nodes <= BROADCAST_MAX_NODES
+        _LOG.info("cc: %d nodes, broadcast_labels=%s", n_nodes, small_labels)
         # the seed is not generally flat (lbl(n) may itself point onward);
         # establish the every-round invariant "labels flat at hook time".
         # jumps=5: the seed forest is the one whose depth the hook shape
@@ -204,14 +233,20 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         for rnd in range(1, max_rounds + 1):
             # look up both endpoint labels, then hook each ROOT to the min
             # of the two: (root_of_u <- lbl(v)) and (root_of_v <- lbl(u))
+            lbl_x = labels.alias("x")
+            lbl_y = labels.alias("y")
+            if small_labels:
+                # broadcast the label lookup into the (big, cached) edge
+                # relation: no exchange on edges, no AQE stage per lookup
+                lbl_x, lbl_y = F.broadcast(lbl_x), F.broadcast(lbl_y)
             lu = (
                 edges.alias("e")
-                .join(labels.alias("x"), F.col("e.u") == F.col("x.node"))
+                .join(lbl_x, F.col("e.u") == F.col("x.node"))
                 .select(F.col("e.v").alias("v"), F.col("x.lbl").alias("la"))
             )
             luv = (
                 lu.alias("l")
-                .join(labels.alias("y"), F.col("l.v") == F.col("y.node"))
+                .join(lbl_y, F.col("l.v") == F.col("y.node"))
                 .select(F.col("l.la").alias("la"), F.col("y.lbl").alias("lb"))
             )
             cand = luv.select(
@@ -232,6 +267,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             # a hook that changes nothing means every edge already joins
             # equal labels — the global fixpoint — so the round costs
             # exactly one job when the answer is "done".
+            if small_labels:
+                # upd has at most one row per root (a subset of labels) —
+                # broadcast it into the left-outer update join
+                upd = F.broadcast(upd)
             obs = Observation()
             hooked = (
                 labels.join(upd, "node", "left")
