@@ -224,9 +224,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def perm_min(j: int) -> Column:
+        # F.expr, not Column composition: each python-lambda transform()
+        # costs ~10 py4j round-trips to convert; 16 permutations added
+        # ~1 s of driver-side latency per plan build. The SQL string
+        # parses JVM-side in one call with an identical analyzed plan.
         a, b = _PERMS[j]
-        return F.array_min(
-            F.transform("hm", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME))
+        return F.expr(
+            f"array_min(transform(hm, h -> ({a} * h + {b}) % {HASH_PRIME}))"
         ).alias(f"m{j}")
 
     # materialize the signature relation once: it feeds BOTH sides of the

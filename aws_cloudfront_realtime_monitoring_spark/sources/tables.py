@@ -138,8 +138,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+#: SparkContext id -> sf_dir its temp views currently point at
+_VIEWS_CURRENT: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` queries match the
-    DuckDB oracle's pre-registered view names."""
+    DuckDB oracle's pre-registered view names.
+
+    Memoized on the sf_dir the session's views CURRENTLY point at: temp
+    views live for the session, and re-loading all ten tables costs ~1.5 s
+    of driver-side file listing per call — paid by every spark.sql-based
+    query build otherwise. Switching sf_dir re-registers (the view
+    namespace is shared), so alternating directories stays correct."""
+    key, cur = id(spark.sparkContext), os.path.normpath(sf_dir)
+    if _VIEWS_CURRENT.get(key) == cur:
+        return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_CURRENT[key] = cur
