@@ -6,4 +6,4 @@ from .ingest import (  # noqa: F401
     write_foreach_batch_grouped,
     run_to_memory_sink,
 )
-from .stateful import running_totals_stream  # noqa: F401
+from .stateful import chunked_flush_stream, running_totals_stream  # noqa: F401

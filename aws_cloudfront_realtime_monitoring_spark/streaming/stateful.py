@@ -50,3 +50,103 @@ def running_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def chunked_flush_stream(
+    parsed: DataFrame,
+    group_col: str = "x_edge_location",
+    bytes_col: str = "sc_bytes",
+    chunk_size: int = 100,
+) -> DataFrame:
+    """Per-key buffered chunk flush via ``transformWithStateInPandas`` —
+    the reference's accumulate-then-flush write loop (lambda_function.py:
+    103-116 buffers records and flushes every 100) as a first-class keyed
+    streaming operator: one output row per COMPLETED chunk
+    ``(key, chunk_id, n_records, chunk_bytes)``, with partial chunks
+    carried in the state store across micro-batches (and across restarts —
+    state checkpoints with the query).
+
+    Uses the Spark 4 arbitrary-state API (``StatefulProcessor`` +
+    ``ValueState``) rather than ``applyInPandasWithState`` — the two APIs
+    cover the same operator class; this demonstrates the newer extension
+    point alongside :func:`running_totals_stream`'s older one. Arithmetic
+    over each pandas batch is vectorized (cumsum + reduce-at-boundaries),
+    not per-record Python. State per key is three BIGINTs — memory bounds
+    by key cardinality, never stream length.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        f"{group_col} STRING, chunk_id BIGINT, n_records BIGINT, "
+        "chunk_bytes BIGINT"
+    )
+
+    class _ChunkFlush(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._carry = handle.getValueState(
+                "carry", "pending BIGINT, pending_bytes BIGINT, chunks BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            carry = self._carry.get() or (0, 0, 0)
+            for pdf in rows:
+                out, carry = _cut_chunks(
+                    key[0], pdf[bytes_col], carry, chunk_size, group_col
+                )
+                if out is not None:
+                    yield out
+            self._carry.update(carry)
+
+        def close(self) -> None:
+            pass
+
+    return parsed.groupBy(group_col).transformWithStateInPandas(
+        _ChunkFlush(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="none",
+    )
+
+
+def _cut_chunks(
+    key: str,
+    bytes_series: pd.Series,
+    carry: tuple,
+    chunk_size: int,
+    group_col: str,
+) -> tuple[pd.DataFrame | None, tuple]:
+    """One pandas batch of a key's byte counts -> (completed-chunk frame or
+    None, new (pending, pending_bytes, chunks) carry). Vectorized: cumsum +
+    slice at chunk boundaries; pure function so the boundary arithmetic is
+    unit-testable without the streaming state server."""
+    import numpy as np
+
+    pending, pbytes, chunks = carry
+    vals = bytes_series.fillna(0).to_numpy(dtype="int64")
+    n = len(vals)
+    if n == 0:
+        return None, carry
+    cums = np.cumsum(vals) + pbytes
+    seen = pending + n
+    n_done = seen // chunk_size
+    if not n_done:
+        return None, (seen, int(cums[-1]), chunks)
+    # indices (within this batch) where a chunk completes
+    ends = np.arange(1, n_done + 1) * chunk_size - pending - 1
+    ebytes = cums[ends]
+    out = pd.DataFrame(
+        {
+            group_col: key,
+            "chunk_id": np.arange(chunks + 1, chunks + n_done + 1),
+            "n_records": chunk_size,
+            "chunk_bytes": np.diff(np.concatenate(([0], ebytes))),
+        }
+    )
+    return out, (
+        int(seen - n_done * chunk_size),
+        int(cums[-1] - ebytes[-1]),
+        chunks + int(n_done),
+    )

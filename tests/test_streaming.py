@@ -336,3 +336,96 @@ def test_sliding_window_stream_equals_batch(spark, sf_dir):
     )
     want = {(r.ws, r.event_type): r.n for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_chunked_flush_spans_micro_batches(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): chunk
+    boundaries must span micro-batch boundaries via the state store —
+    9 records for one key over three single-file batches with chunk_size=4
+    yield exactly chunks (4, 4) and a 1-record carry that never emits."""
+    # the transformWithState state-server protocol speaks protobuf; the
+    # operator is plain public-API Spark but cannot RUN without the lib
+    pytest.importorskip("google.protobuf")
+    from aws_cloudfront_realtime_monitoring_spark.streaming.stateful import (
+        chunked_flush_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        for b in range(3):
+            with open(os.path.join(d, f"b{b}.txt"), "w") as f:
+                for i in range(3):
+                    seq = b * 3 + i
+                    f.write(
+                        make_line(
+                            BASE_TS + seq * 60, f"req-c-{seq}", "E1", seq + 1
+                        )
+                        + "\n"
+                    )
+        # the transformWithState family requires the RocksDB state store
+        # (the default HDFS-backed provider does not implement its
+        # multi-state/timer layout); scoped to this query, then restored
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            parsed = stream_log_lines(spark, d, max_files_per_trigger=1)
+            chunks = chunked_flush_stream(parsed, chunk_size=4)
+            q = run_to_memory_sink(chunks, "chunks_out", output_mode="append")
+            try:
+                rows = spark.sql(
+                    "SELECT * FROM chunks_out ORDER BY chunk_id"
+                ).collect()
+            finally:
+                q.stop()
+        finally:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
+    got = [
+        (r.x_edge_location, r.chunk_id, r.n_records, r.chunk_bytes)
+        for r in rows
+    ]
+    # bytes are 1..9 per record: chunk1 = 1+2+3+4, chunk2 = 5+6+7+8; the
+    # 9th record stays pending in state
+    assert got == [("E1", 1, 4, 10), ("E1", 2, 4, 26)]
+
+
+def test_chunk_cut_arithmetic_pure():
+    """The chunk-boundary math behind chunked_flush_stream, driven directly
+    (the state-server transport needs protobuf, absent here; the arithmetic
+    is the part that can be wrong): carries accumulate across batches, every
+    completed chunk sums exactly chunk_size records' bytes, leftovers never
+    emit."""
+    import pandas as pd
+
+    from aws_cloudfront_realtime_monitoring_spark.streaming.stateful import (
+        _cut_chunks,
+    )
+
+    carry = (0, 0, 0)
+    frames = []
+    # 9 records with bytes 1..9, delivered 3 per batch, chunk_size=4
+    for b in range(3):
+        s = pd.Series([b * 3 + i + 1 for i in range(3)])
+        out, carry = _cut_chunks("E1", s, carry, 4, "loc")
+        if out is not None:
+            frames.append(out)
+    got = pd.concat(frames, ignore_index=True)
+    assert got["chunk_id"].tolist() == [1, 2]
+    assert got["chunk_bytes"].tolist() == [10, 26]  # 1+2+3+4, 5+6+7+8
+    assert got["n_records"].tolist() == [4, 4]
+    assert carry == (1, 9, 2)  # the 9th record (9 bytes) stays pending
+    # a batch bigger than several chunks flushes them all at once
+    out, carry = _cut_chunks("E1", pd.Series([1] * 11, dtype="int64"), carry, 4, "loc")
+    assert out["chunk_id"].tolist() == [3, 4, 5]
+    assert out["chunk_bytes"].tolist() == [9 + 1 + 1 + 1, 4, 4]
+    assert carry == (0, 0, 5)
+    # NULL bytes count as 0 (parser sentinel -> NULL)
+    out, carry = _cut_chunks("E1", pd.Series([None, 2, None, 5], dtype="float64"), carry, 4, "loc")
+    assert out["chunk_bytes"].tolist() == [7]
+    assert carry == (0, 0, 6)
