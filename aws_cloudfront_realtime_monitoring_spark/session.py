@@ -41,6 +41,9 @@ def get_spark(app_name: str = "aws_cloudfront_realtime_monitoring_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # the console progress bar interleaves \r fragments with tool stdout
+        # (oracle-gate / bench lines become unparseable); logs stay clean
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # one task per cached-layout file: testdata tables are tiny on disk
         # but CPU-heavy per byte (hashing/parsing), so default 128 MB splits

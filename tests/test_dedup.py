@@ -126,11 +126,26 @@ def test_connected_components_flat_star_early_exit(spark):
     assert got == {1: 1, 5: 1, 7: 1, 9: 1, 20: 20, 21: 20}
 
 
-def test_connected_components_random_graph_vs_union_find(spark):
+import pytest
+
+
+@pytest.mark.parametrize("broadcast_labels", [True, False])
+def test_connected_components_random_graph_vs_union_find(
+    spark, monkeypatch, broadcast_labels
+):
     """The distributed CC operator must agree exactly with a plain Python
     union-find on a seeded random graph (chains, cliques, isolated pairs --
-    shapes the planted corpus doesn't cover)."""
+    shapes the planted corpus doesn't cover). Parametrized over the label
+    join strategy: broadcast (what any local-scale graph takes) AND the
+    plain shuffle path (what a >2M-node graph takes at cluster scale --
+    no local dataset is big enough to select it naturally, so force the
+    threshold to 0 to keep the at-scale branch correctness-pinned)."""
     import random
+
+    from aws_cloudfront_realtime_monitoring_spark.operators import graph
+
+    if not broadcast_labels:
+        monkeypatch.setattr(graph, "BROADCAST_MAX_NODES", 0)
 
     from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
         connected_components,
