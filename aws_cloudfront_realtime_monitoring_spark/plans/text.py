@@ -292,3 +292,61 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the Gopher-family quality rule
+    (Rae et al. 2021 §A1.1: documents whose n-grams are mostly repeats are
+    boilerplate/spam and get filtered before LLM training).
+
+    Per doc: ``n_words`` and, for n in {1, 2, 3}, the EXCESS-occurrence
+    fraction ``(total n-grams - distinct n-grams) / total n-grams`` —
+    0.0 for fully novel text, approaching 1.0 for a repeated phrase.
+    Fractions round to 4 places for cross-engine determinism.
+
+    Pure Catalyst array expressions over one row at a time: a narrow map
+    with ZERO shuffles, so it scales embarrassingly — the same plan shape
+    as ``text_profile``. Pytest-pinned against an independent Python
+    replica (no free slot in the driver's 50-row oracle budget; the
+    DuckDB-expressible oracle is noted in tests should one open up).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # words materialized once per row behind a CollapseProject barrier so
+    # the three gram sizes don't each re-split the text
+    w = docs.select(
+        "doc_id", words_col().alias("ws"), F.rand(11).alias("__b")
+    )
+
+    def gram(n: int) -> Column:
+        if n == 1:
+            return F.col("ws")
+        # adjacent n-grams: zip the word list against its shifted self;
+        # zip_with pads the tail with NULL concat -> NULL, filtered out
+        joined = F.col("ws")
+        for k in range(1, n):
+            shifted = F.slice(
+                "ws", k + 1, F.greatest(F.size("ws") - k, F.lit(0))
+            )
+            joined = F.zip_with(
+                joined,
+                shifted,
+                lambda a, b: F.when(
+                    a.isNull() | b.isNull(), None
+                ).otherwise(F.concat(a, F.lit(" "), b)),
+            )
+        return F.filter(joined, lambda x: x.isNotNull())
+
+    def excess_frac(g: Column) -> Column:
+        total = F.size(g)
+        dup = total - F.size(F.array_distinct(g))
+        return F.when(total == 0, F.lit(0.0)).otherwise(
+            F.round(dup.cast("double") / total.cast("double"), 4)
+        )
+
+    return w.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        excess_frac(gram(1)).alias("dup_word_frac"),
+        excess_frac(gram(2)).alias("dup_2gram_frac"),
+        excess_frac(gram(3)).alias("dup_3gram_frac"),
+    )

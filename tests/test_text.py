@@ -86,3 +86,55 @@ def test_tfidf_idf_quantization_margin(spark):
             f"{sf_dir}: idf quantization margin {worst:.2e} too close to a "
             "boundary; the Spark/DuckDB hash contract may flip"
         )
+
+
+def test_text_repetition_vs_python_replica(spark, sf_dir):
+    """Gopher-style within-doc repetition stats must match an independent
+    Python implementation exactly (narrow-map operator outside the 50-row
+    oracle budget; the equivalent DuckDB oracle is
+    (len(l) - len(list_distinct(l))) / len(l) over the same gram lists
+    should a registry slot open)."""
+    import re
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        text_repetition,
+    )
+
+    got = {
+        r.doc_id: (r.n_words, r.dup_word_frac, r.dup_2gram_frac, r.dup_3gram_frac)
+        for r in text_repetition(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == len(docs) > 0
+
+    def frac(grams):
+        # HALF_UP like Spark's round() -- python round() is banker's and
+        # differs on exact ties (13/32 = 0.40625 -> 0.4063, not 0.4062)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if not grams:
+            return 0.0
+        v = Decimal((len(grams) - len(set(grams)))) / Decimal(len(grams))
+        return float(v.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    for d in docs:
+        ws = [w for w in re.split(r"\s+", d.text) if w != ""]
+        g2 = [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        g3 = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        assert got[d.doc_id] == (len(ws), frac(ws), frac(g2), frac(g3)), d.doc_id
+
+    # planted degenerate doc: one phrase repeated -> fractions near 1
+    planted = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham")], "doc_id BIGINT, text STRING"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        planted.write.parquet(os.path.join(tmp, "documents.parquet"))
+        [r] = text_repetition(spark, tmp).collect()
+    assert r.n_words == 8
+    assert r.dup_word_frac == 0.75      # 2 distinct of 8
+    assert r.dup_2gram_frac == round(5 / 7, 4)
+    assert r.dup_3gram_frac == round(4 / 6, 4)
