@@ -110,12 +110,21 @@ def stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
 
 def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    cache = os.path.join(
-        LAYOUT_CACHE_DIR,
-        sf_tag,
-        f"{name}-v{_LAYOUT_VERSION}-{st.st_size}-{int(st.st_mtime)}",
-    )
+    key = f"{name}-v{_LAYOUT_VERSION}-{st.st_size}-{int(st.st_mtime)}"
+    cache = os.path.join(LAYOUT_CACHE_DIR, sf_tag, key)
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        # a new key means the source (or the normalization version) changed:
+        # retire this table's stale layouts so the cache doesn't grow
+        # unboundedly across testdata regenerations. Safe at this moment --
+        # readers of the old layout were built against a source that no
+        # longer exists.
+        parent = os.path.dirname(cache)
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                # keep the current key AND its .tmp-* siblings (a concurrent
+                # writer racing on the same new key)
+                if d.startswith(f"{name}-") and not d.startswith(key):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         tmp = f"{cache}.tmp-{os.getpid()}"
         _read_raw(spark, src).repartition(_CACHE_FILES).write.mode(
             "overwrite"

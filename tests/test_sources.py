@@ -95,3 +95,37 @@ def test_ntz_timestamps_normalized_to_instant(spark):
             wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
         )
         assert row.us == epoch_utc
+
+
+def test_layout_cache_retires_stale_keys(spark):
+    """Re-materializing after the source file changes must remove the old
+    layout dir (the driver regenerates testdata between rounds; stale keys
+    would otherwise accumulate forever) while leaving other tables alone."""
+    import time as _time
+
+    from aws_cloudfront_realtime_monitoring_spark.sources import tables
+
+    with tempfile.TemporaryDirectory() as sf, tempfile.TemporaryDirectory() as cache:
+        old_cache_dir = tables.LAYOUT_CACHE_DIR
+        tables.LAYOUT_CACHE_DIR = cache
+        try:
+            df = spark.range(10).toDF("event_id")
+            df.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+            df.coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+            first = tables.stream_dir(spark, sf, "events")
+            other = tables.stream_dir(spark, sf, "orders")
+            assert os.path.isdir(first) and os.path.isdir(other)
+            # regenerate the source with different content/mtime -> new key
+            shutil_rm = __import__("shutil").rmtree
+            shutil_rm(os.path.join(sf, "events.parquet"))
+            _time.sleep(1.1)  # ensure a distinct mtime second
+            spark.range(20).toDF("event_id").coalesce(1).write.parquet(
+                os.path.join(sf, "events.parquet")
+            )
+            second = tables.stream_dir(spark, sf, "events")
+            assert second != first
+            assert not os.path.exists(first)  # stale layout retired
+            assert os.path.isdir(second)
+            assert os.path.isdir(other)  # other tables untouched
+        finally:
+            tables.LAYOUT_CACHE_DIR = old_cache_dir
