@@ -38,17 +38,18 @@ def decode_kinesis_payload(col: Column, charset: str = "UTF-8") -> Column:
     return F.decode(F.unbase64(col), charset)
 
 
-def _typed_token(toks: Column, i: int, typ: str) -> Column:
-    """One positional token -> typed value: trim (the reference strips every
-    token, lambda_function.py:81-93), ``-`` sentinel -> NULL (D2),
-    ANSI-safe cast (``try_cast``: malformed tokens become NULL, matching the
-    reference's PERMISSIVE intent rather than erroring).
+def _typed_token(toks: str, i: int, typ: str) -> Column:
+    """One positional token (of the array column named ``toks``) -> typed
+    value: trim (the reference strips every token, lambda_function.py:81-93),
+    ``-`` sentinel -> NULL (D2), ANSI-safe cast (``try_cast``: malformed
+    tokens become NULL, matching the reference's PERMISSIVE intent rather
+    than erroring).
 
-    ``F.get`` is OOB-safe (short/truncated lines yield NULLs, no ANSI
+    ``get()`` is OOB-safe (short/truncated lines yield NULLs, no ANSI
     error). Real CloudFront fields are URL-encoded, so edge whitespace
     beyond ASCII space does not occur on the wire.
     """
-    return F.expr(_typed_token_sql("__toks", i, typ))
+    return F.expr(_typed_token_sql(toks, i, typ))
 
 
 def _typed_token_sql(toks: str, i: int, typ: str) -> str:
@@ -138,7 +139,7 @@ def parse_log_lines(
     cols: list[Column] = []
     for i, (wire_name, typ) in enumerate(CF_FIELDS):
         col = storage_name(wire_name)
-        tok = _typed_token(F.col("__toks"), i, typ)
+        tok = _typed_token("__toks", i, typ)
         if wire_name == "timestamp":
             cols.append(F.timestamp_seconds(tok).alias(col))
         elif wire_name == "cs-headers" and parse_headers:
