@@ -33,9 +33,9 @@ outer round:
   interround state anyway.
 - **convergence for free, via observed metrics**: every job carries
   ``Observation`` counters instead of running separate convergence
-  queries. The flatten barrier observes how many labels each of its two
-  jumps changed — labels only decrease and every label value is itself a
-  node, so lbl(lbl(n)) <= lbl(n) always, and "second jump changed
+  queries. The flatten barrier observes how many labels its LAST chained
+  jump changed — labels only decrease and every label value is itself a
+  node, so lbl(lbl(n)) <= lbl(n) always, and "final jump changed
   nothing" PROVES the written table is flat (no confirming pass). The
   hook's localCheckpoint observes the root-update count — on flat labels
   "hook changed nothing" means every edge joins equal labels, the global
