@@ -350,3 +350,42 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         excess_frac(gram(2)).alias("dup_2gram_frac"),
         excess_frac(gram(3)).alias("dup_3gram_frac"),
     )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization for training corpora: NFKC (full-width forms,
+    ligatures, compatibility chars fold to canonical equivalents) +
+    casefold + whitespace collapse — the standard pre-dedup canonicalization
+    pass (and the textbook case FOR the Arrow path: Spark SQL has no
+    unicode-normalize builtin, so this is semantics Catalyst cannot
+    express, done as a vectorized pandas UDF rather than a per-row Python
+    UDF; pandas' .str.normalize is C-backed over Arrow batches).
+
+    Narrow map, zero shuffles. Pytest-pinned against an independent
+    ``unicodedata`` replica plus planted ligature/full-width/combining
+    cases (outside the 50-row oracle budget; DuckDB's nfc_normalize only
+    covers NFC, so an exact cross-engine oracle would weaken the op to
+    NFC anyway).
+    """
+    import pandas as pd
+
+    def _fold(s):
+        return (
+            s.str.normalize("NFKC")
+            .str.casefold()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+
+    # evaluated annotations set explicitly: this module's
+    # `from __future__ import annotations` would stringify inline hints,
+    # which pandas_udf's signature inference rejects
+    _fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfkc_fold = F.pandas_udf(_fold, "string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        nfkc_fold("text").alias("norm_text"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+    ).withColumn("n_chars_norm", F.length("norm_text").cast("bigint"))

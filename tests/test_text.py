@@ -138,3 +138,42 @@ def test_text_repetition_vs_python_replica(spark, sf_dir):
     assert r.dup_word_frac == 0.75      # 2 distinct of 8
     assert r.dup_2gram_frac == round(5 / 7, 4)
     assert r.dup_3gram_frac == round(4 / 6, 4)
+
+
+def test_text_normalize_vs_unicodedata_replica(spark, sf_dir):
+    """NFKC + casefold + whitespace collapse must match an independent
+    unicodedata implementation on the real corpus AND on planted unicode
+    edge cases (ligatures, full-width forms, combining accents)."""
+    import re
+    import unicodedata
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        text_normalize,
+    )
+
+    def replica(t):
+        return re.sub(r"\s+", " ", unicodedata.normalize("NFKC", t).casefold()).strip()
+
+    got = {r.doc_id: r.norm_text for r in text_normalize(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == len(docs) > 0
+    for d in docs:
+        assert got[d.doc_id] == replica(d.text), d.doc_id
+
+    planted = [
+        (1, "ﬁnal  Ｗｏｒｄ"),          # fi ligature + full-width letters
+        (2, "Café Ångström"),  # combining acute, ring
+        (3, "  MiXeD\tCase\n\nspace  "),
+        (4, "①② x²"),    # circled digits, superscript
+    ]
+    import os, tempfile
+    df = spark.createDataFrame(planted, "doc_id BIGINT, text STRING")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.doc_id: r.norm_text for r in text_normalize(spark, tmp).collect()}
+    for i, t in planted:
+        assert out[i] == replica(t), (i, out[i], replica(t))
+    assert out[1] == "final ｗｏｒｄ".replace("ｗｏｒｄ", "word")
+    assert out[4] == "12 x2"
