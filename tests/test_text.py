@@ -177,3 +177,65 @@ def test_text_normalize_vs_unicodedata_replica(spark, sf_dir):
         assert out[i] == replica(t), (i, out[i], replica(t))
     assert out[1] == "final ｗｏｒｄ".replace("ｗｏｒｄ", "word")
     assert out[4] == "12 x2"
+
+
+def test_training_pipeline_composition(spark):
+    """End-to-end composition of the training-data operators: unicode
+    normalization -> exact dedup over the NORMALIZED text (catching
+    case/width/ligature variants raw-byte hashing misses) -> repetition
+    quality filter -> token-budget shard packing. Each stage is verified
+    alone elsewhere; this pins that they compose — schemas line up and the
+    variant collapse actually happens."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
+        pack_shards,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        text_normalize,
+        text_repetition,
+    )
+
+    rows = [
+        (1, "The Quick Brown Fox"),
+        (2, "the quick brown fox"),        # case variant of 1
+        (3, "ｔｈｅ ｑｕｉｃｋ ｂｒｏｗｎ ｆｏｘ"),  # full-width variant of 1
+        (4, "an original document about sparks"),
+        (5, "spam spam spam spam spam spam"),   # repetition-filtered
+        (6, "another unique piece of text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        norm = text_normalize(spark, tmp).select("doc_id", "norm_text")
+        rep = text_repetition(spark, tmp).select(
+            "doc_id", "n_words", "dup_word_frac"
+        )
+        w = W.partitionBy("norm_text")
+        canon = (
+            norm.select(
+                "doc_id",
+                "norm_text",
+                F.when(
+                    F.col("doc_id") == F.min("doc_id").over(w), 1
+                ).otherwise(0).alias("is_canonical"),
+            )
+            .where(F.col("is_canonical") == 1)
+            .join(rep, "doc_id")
+            .where(F.col("dup_word_frac") <= 0.5)
+        )
+        kept = {r.doc_id: r.n_words for r in canon.collect()}
+        # 2 and 3 collapse into 1; 5 fails the repetition filter
+        assert set(kept) == {1, 4, 6}
+        packed = pack_shards(
+            canon.select("doc_id", F.col("n_words").alias("n_tokens")),
+            capacity=10,
+            n_groups=2,
+        )
+        out = packed.collect()
+        assert {r.doc_id for r in out} == {1, 4, 6}
+        assert all(r.shard_fill <= 10 and r.oversize == 0 for r in out)
