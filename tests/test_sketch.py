@@ -1,0 +1,53 @@
+"""Count-min sketch: estimates must respect both CMS bounds against exact
+counts, and partition-built sketches must merge to the whole-data answer."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aws_cloudfront_realtime_monitoring_spark.operators.sketch import (
+    build_count_min,
+)
+
+
+def test_count_min_bounds_vs_exact(spark, sf_dir):
+    """exact <= estimate <= exact + eps * N for every event_type (the
+    additive bound holds deterministically here: the value cardinality is
+    far below the sketch width, so the fixed-seed hash rows collide
+    rarely), and the sketch dimensions match ceil(e/eps) x ln-based depth."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eps = 0.001
+    cms = build_count_min(events, "event_type", eps=eps, confidence=0.99)
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    assert cms.total() == n_total
+    for v, n in exact.items():
+        est = cms.estimate(v)
+        assert n <= est <= n + eps * n_total, (v, n, est)
+    # a value never seen estimates at most eps * N (usually 0)
+    assert cms.estimate("no_such_event_type") <= eps * n_total
+    # Spark sizes w = ceil(2/eps) (tighter than the canonical e/eps)
+    assert cms.width == math.ceil(2 / eps)
+    assert cms.depth >= 1
+
+
+def test_count_min_merge_equals_whole(spark, sf_dir):
+    """Shard-parallel property: sketches built over disjoint halves and
+    merged give the same estimates as one sketch over everything (same
+    eps/confidence/seed -> identical hash functions -> counter arrays are
+    elementwise additive)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo = events.where(F.col("event_id") % 2 == 0)
+    hi = events.where(F.col("event_id") % 2 == 1)
+    whole = build_count_min(events, "event_type", eps=0.001)
+    merged = build_count_min(lo, "event_type", eps=0.001).merge(
+        build_count_min(hi, "event_type", eps=0.001)
+    )
+    assert merged.total() == whole.total()
+    for r in events.select("event_type").distinct().collect():
+        assert merged.estimate(r.event_type) == whole.estimate(r.event_type)
