@@ -1,0 +1,91 @@
+"""HLL distinct-count cube: range estimates from unioned per-hour sketches
+must match exact distinct counts within the sketch's error contract, and
+re-aggregated (daily) cubes must answer like the hourly cube they roll up."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aws_cloudfront_realtime_monitoring_spark.operators.hll_cube import (
+    DEFAULT_LG_K,
+    hourly_distinct_cube,
+    range_distinct,
+    reaggregate,
+)
+
+#: HLL relative standard error for lg_k registers
+RSD = 1.04 / math.sqrt(2**DEFAULT_LG_K)
+
+
+def _exact_distinct(events, start=None, end=None):
+    cond = F.lit(True)
+    if start is not None:
+        cond = cond & (F.date_trunc("hour", "ts") >= F.lit(start))
+    if end is not None:
+        cond = cond & (F.date_trunc("hour", "ts") <= F.lit(end))
+    return events.where(cond).select("user_id").distinct().count()
+
+
+def test_cube_range_estimates_within_contract(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cube = hourly_distinct_cube(events, "ts", "user_id").cache()
+    try:
+        # cube size == hour-bucket count: bounded state, not data volume
+        n_hours = events.select(F.date_trunc("hour", "ts")).distinct().count()
+        assert cube.count() == n_hours
+
+        # whole-range union vs exact (5-sigma, the registry HLL contract)
+        [whole] = range_distinct(cube).collect()
+        exact_all = _exact_distinct(events)
+        assert abs(whole.n_distinct - exact_all) <= max(5 * RSD * exact_all, 1)
+        assert whole.n_rows == events.count()
+
+        # a sub-range: pick the middle third of the hour buckets
+        hours = sorted(
+            r[0] for r in cube.select("bucket_start").collect()
+        )
+        start, end = hours[len(hours) // 3], hours[2 * len(hours) // 3]
+        [sub] = range_distinct(cube, start, end).collect()
+        exact_sub = _exact_distinct(events, start, end)
+        assert abs(sub.n_distinct - exact_sub) <= max(5 * RSD * exact_sub, 1)
+
+        # empty range degrades to zero rows, not an error
+        [none] = range_distinct(cube, end, start).collect()
+        assert none.n_rows == 0
+    finally:
+        cube.unpersist()
+
+
+def test_daily_reaggregation_matches_hourly(spark, sf_dir):
+    """hour -> day rollup is a sketch union: the daily cube's whole-range
+    answer must EQUAL the hourly cube's (same sketch state, just
+    pre-merged), and per-day estimates must satisfy the exact-count
+    contract."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = hourly_distinct_cube(events, "ts", "user_id").cache()
+    try:
+        daily = reaggregate(hourly, F.date_trunc("day", "bucket_start"))
+        n_days = events.select(F.date_trunc("day", "ts")).distinct().count()
+        assert daily.count() == n_days
+
+        [h] = range_distinct(hourly).collect()
+        [d] = range_distinct(daily).collect()
+        assert h.n_distinct == d.n_distinct
+        assert h.n_rows == d.n_rows
+
+        day_rows = daily.select(
+            "bucket_start",
+            F.hll_sketch_estimate("sketch").alias("est"),
+        ).collect()
+        for r in day_rows:
+            exact = (
+                events.where(F.date_trunc("day", "ts") == F.lit(r.bucket_start))
+                .select("user_id")
+                .distinct()
+                .count()
+            )
+            assert abs(r.est - exact) <= max(5 * RSD * exact, 1), r.bucket_start
+    finally:
+        hourly.unpersist()
