@@ -89,3 +89,49 @@ def test_daily_reaggregation_matches_hourly(spark, sf_dir):
             assert abs(r.est - exact) <= max(5 * RSD * exact, 1), r.bucket_start
     finally:
         hourly.unpersist()
+
+
+def test_streaming_cube_equals_batch(spark, sf_dir):
+    """The cube built by a real Structured Streaming query must estimate
+    identically to the batch cube: HLL register state depends only on the
+    SET of hashed inputs (order- and duplicate-insensitive), so per-bucket
+    estimates are exactly equal — the streaming ingest can maintain the
+    dashboard cube incrementally with no drift from the batch answer."""
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        stream_dir,
+    )
+
+    path = stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        stream.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(DEFAULT_LG_K)).alias("sketch"))
+        .select(
+            "bucket_start", F.hll_sketch_estimate("sketch").alias("est")
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_cube_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.bucket_start: r.est
+            for r in spark.table("hll_cube_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = hourly_distinct_cube(events, "ts", "user_id")
+    want = {
+        r.bucket_start: r.est
+        for r in batch.select(
+            "bucket_start", F.hll_sketch_estimate("sketch").alias("est")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
