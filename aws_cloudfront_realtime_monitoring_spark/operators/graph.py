@@ -23,14 +23,17 @@ outer round:
   double-jump, so each round writes exactly one label table (identical
   hook/jump sub-plans inside the composite are deduplicated by Spark's
   ReusedExchange, so the fan-out costs scans, not shuffles).
-- **materialization barrier**: every step round-trips the label relation
-  through parquet. This both truncates lineage AND keeps per-round cost
-  CONSTANT: repeated ``localCheckpoint``/``checkpoint`` chains measurably
-  degrade ~7x per round past ~8 iterations in local mode (block-manager
-  re-read path), while the parquet round-trip stayed flat for 60+ rounds.
-  On a cluster the barrier directory belongs on shared storage — which is
-  exactly how production iterative jobs (GraphFrames CC, MLlib) persist
-  interround state anyway.
+- **materialization barrier**: every step materializes the label relation
+  to truncate lineage. Two modes, chosen from the observed node count:
+  small label tables (the broadcast regime) use ``localCheckpoint``
+  barriers — no parquet commit + re-read latency — with a parquet write
+  every ``LC_CHAIN_MAX`` links, because repeated checkpoint chains
+  measurably degrade ~7x per round past ~8 iterations in local mode
+  (block-manager re-read path); large label tables always round-trip
+  through parquet, which stayed flat for 60+ rounds. On a cluster the
+  barrier directory belongs on shared storage — which is exactly how
+  production iterative jobs (GraphFrames CC, MLlib) persist interround
+  state anyway.
 - **convergence for free, via observed metrics**: every job carries
   ``Observation`` counters instead of running separate convergence
   queries. The flatten barrier observes how many labels its LAST chained
@@ -67,6 +70,13 @@ _LOG = logging.getLogger(__name__)
 #: inside executor broadcast budgets). Above it, every join runs the plain
 #: hash-shuffle path unchanged.
 BROADCAST_MAX_NODES = 2_000_000
+
+#: consecutive localCheckpoint barriers allowed before a parquet write
+#: truncates the chain: the measured ~7x-per-round degradation of repeated
+#: checkpoint chains starts past ~8 links (module docstring), so resetting
+#: every 6 keeps each barrier O(label table) while most rounds skip the
+#: parquet commit+re-read latency entirely
+LC_CHAIN_MAX = 6
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
@@ -105,12 +115,30 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     old_pfirst = spark.conf.get(_PFIRST, "true")
     spark.conf.set(_PFIRST, "false")
 
+    # localCheckpoint-vs-parquet bookkeeping: lc_streak counts consecutive
+    # checkpoint links since the last parquet truncation; last_lc records
+    # whether the CURRENT label table is block-manager-backed (so finish()
+    # can skip a redundant re-checkpoint before the temp dir is deleted)
+    lc_streak = 0
+    last_lc = False
+
     def barrier(df: DataFrame) -> DataFrame:
-        nonlocal step
+        nonlocal step, lc_streak, last_lc
         step += 1
-        path = os.path.join(tmp, f"step_{step}")
         t0 = time.monotonic()
+        if small_labels and lc_streak < LC_CHAIN_MAX:
+            # partition-sized label table: a localCheckpoint barrier has no
+            # parquet commit + re-read latency; the chain cap bounds the
+            # block-manager re-read degradation long chains exhibit
+            out = df.localCheckpoint(eager=True)
+            lc_streak += 1
+            last_lc = True
+            _LOG.info("cc barrier %d (lc): %.2fs", step, time.monotonic() - t0)
+            return out
+        path = os.path.join(tmp, f"step_{step}")
         df.write.mode("overwrite").parquet(path)
+        lc_streak = 0
+        last_lc = False
         _LOG.info("cc barrier %d: %.2fs", step, time.monotonic() - t0)
         return spark.read.parquet(path)
 
@@ -187,12 +215,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     )
 
     def finish(result: DataFrame) -> DataFrame:
-        if own_tmp:
+        if own_tmp and not last_lc:
             # the returned DataFrame must outlive the temp dir: re-anchor it
             # off the parquet files before they are deleted (localCheckpoint
             # stores MEMORY_AND_DISK — eviction cannot trigger a recompute
             # from the deleted path; one call has none of the repeated-
-            # checkpoint degradation the barrier avoids)
+            # checkpoint degradation the barrier avoids). An lc-barriered
+            # result is already block-manager-backed — nothing to re-anchor.
             result = result.localCheckpoint()
         return result
 
@@ -289,6 +318,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             )
             t0 = time.monotonic()
             hooked = hooked.localCheckpoint(eager=True)
+            lc_streak += 1  # the hook checkpoint is a link in the same chain
             hchg = obs.get["hchg"]
             _LOG.info("cc hook lc: %.2fs (hchg=%d)",
                       time.monotonic() - t0, hchg)
@@ -300,7 +330,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                     step,
                 )
                 return finish(labels)
-            labels = flatten(hooked)
+            # jumps=4: the measured sf0.1 round-1 forest needed two jumps=3
+            # passes (an extra full barrier); one more in-job jump is a
+            # single extra self-join of the partition-sized label table and
+            # folds that second pass into the first
+            labels = flatten(hooked, jumps=4)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} hook rounds"
         )
