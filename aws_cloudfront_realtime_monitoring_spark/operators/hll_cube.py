@@ -67,7 +67,11 @@ def range_distinct(
     if end is not None:
         ranged = ranged.where(F.col(bucket_col) <= F.lit(end))
     return ranged.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_distinct"),
+        # coalesce: hll_union_agg over ZERO rows is NULL; an empty range
+        # must still honor the documented BIGINT pair (0, 0)
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")), F.lit(0)
+        ).alias("n_distinct"),
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
     )
 

@@ -51,6 +51,11 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "text_repetition",            # r06: promoted from pytest-only (slot
+                                  # from ago_filter_count, subsumed by q1)
+    "hll_cube_range",             # r06: new 5-sigma in-query contract row
+                                  # (slot from narrow_unpivot_agg, subsumed
+                                  # by q1_narrow_form/strict_compat_narrow)
     "cf_parse_wire_roundtrip",    # r03: header K/V + names parse (A9/A10)
                                   # now flow through the oracle row
     "stats_profile",              # r03: + percentile_approx (GK sketch)

@@ -448,3 +448,69 @@ def window_frames_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(wv).cast("bigint").alias("drnk"),
         F.ntile(4).over(wq).cast("bigint").alias("quartile"),
     )
+
+
+#: hll_cube_range's query window (the events table spans Jan 2024); a
+#: half-open 7-day range so hour buckets nest exactly into day buckets
+HLL_CUBE_START = "2024-01-08 00:00:00"
+HLL_CUBE_END = "2024-01-15 00:00:00"
+
+
+@register(
+    "hll_cube_range",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events
+    WHERE ts >= TIMESTAMP '{HLL_CUBE_START}' AND ts < TIMESTAMP '{HLL_CUBE_END}'
+    GROUP BY 1
+    """,
+    description="Range dashboard query answered from the mergeable HLL "
+                "distinct-count cube (operators/hll_cube.py): one "
+                "DataSketches HLL sketch per hour bucket, rolled up to "
+                "days by sketch UNION (lossless re-aggregation -- the raw "
+                "rows are scanned once to build the cube, never per zoom "
+                "level; at scale the cube is the stored table and range "
+                "predicates prune its date partitions). A sketch estimate "
+                "cannot hash-match an oracle, so the query carries the "
+                "approx_distinct_ips contract: it joins the exact per-day "
+                "distinct count (broadcast) and emits within_bound = "
+                "(|estimate - exact| <= 5*rsd*exact, rsd=1.04/sqrt(2^lg_k)); "
+                "the DuckDB oracle recomputes the exact side and expects "
+                "the bound to hold.",
+    tags=("approx", "cube", "timeseries"),
+)
+def hll_cube_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hll_cube import (
+        DEFAULT_LG_K,
+        hourly_distinct_cube,
+        reaggregate,
+    )
+
+    events = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(HLL_CUBE_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(HLL_CUBE_END).cast("timestamp"))
+    )
+    cube = hourly_distinct_cube(events, "ts", "user_id")
+    daily = reaggregate(cube, F.date_trunc("day", F.col("bucket_start")), "day")
+    est = daily.select(
+        "day",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+    )
+    exact = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    rsd = 1.04 / (2 ** (DEFAULT_LG_K / 2.0))
+    bound = F.lit(5 * rsd) * F.col("exact_users")
+    return est.join(F.broadcast(exact), "day").select(
+        "day",
+        "n_rows",
+        "exact_users",
+        F.when(F.abs(F.col("approx_users") - F.col("exact_users")) <= bound, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("within_bound"),
+    )

@@ -294,22 +294,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rep_frac_sql(lst: str) -> str:
+    """DuckDB: 4-dp round-half-up excess fraction via exact integer
+    arithmetic (see ``text_repetition``'s determinism note)."""
+    return (
+        f"CASE WHEN len({lst}) = 0 THEN 0.0 ELSE "
+        f"((len({lst}) - len(list_distinct({lst}))) * 20000 + len({lst})) "
+        f"// (2 * len({lst})) / 10000.0 END"
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    g AS (
+      SELECT doc_id, ws,
+             list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1]) AS g2,
+             list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+      FROM w)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           {_rep_frac_sql('ws')} AS dup_word_frac,
+           {_rep_frac_sql('g2')} AS dup_2gram_frac,
+           {_rep_frac_sql('g3')} AS dup_3gram_frac
+    FROM g
+    """,
+    description="Within-document repetition profile -- the Gopher-family "
+                "quality rule (Rae et al. 2021 A1.1: documents whose "
+                "n-grams are mostly repeats are boilerplate/spam and get "
+                "filtered before LLM training). Per doc, for n in {1,2,3}: "
+                "the excess-occurrence fraction (total n-grams - distinct "
+                "n-grams) / total. Pure Catalyst array expressions, a "
+                "narrow map with ZERO shuffles -- the same plan shape as "
+                "text_profile. Fractions are 4-dp round-half-up computed "
+                "in exact BIGINT arithmetic then divided by 10000.0, so "
+                "both engines produce bit-identical doubles (no reliance "
+                "on either engine's float ROUND rule).",
+    tags=("text", "quality"),
+)
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition profile — the Gopher-family quality rule
-    (Rae et al. 2021 §A1.1: documents whose n-grams are mostly repeats are
-    boilerplate/spam and get filtered before LLM training).
-
-    Per doc: ``n_words`` and, for n in {1, 2, 3}, the EXCESS-occurrence
-    fraction ``(total n-grams - distinct n-grams) / total n-grams`` —
-    0.0 for fully novel text, approaching 1.0 for a repeated phrase.
-    Fractions round to 4 places for cross-engine determinism.
-
-    Pure Catalyst array expressions over one row at a time: a narrow map
-    with ZERO shuffles, so it scales embarrassingly — the same plan shape
-    as ``text_profile``. Pytest-pinned against an independent Python
-    replica (no free slot in the driver's 50-row oracle budget; the
-    DuckDB-expressible oracle is noted in tests should one open up).
-    """
+    """Promoted into the driver registry in r6 (previously pytest-only);
+    oracle: DuckDB builds the same adjacent n-gram lists with
+    list_transform over the word array."""
     docs = load_table(spark, sf_dir, "documents")
     # words materialized once per row behind a CollapseProject barrier so
     # the three gram sizes don't each re-split the text
@@ -337,10 +367,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.filter(joined, lambda x: x.isNotNull())
 
     def excess_frac(g: Column) -> Column:
-        total = F.size(g)
-        dup = total - F.size(F.array_distinct(g))
-        return F.when(total == 0, F.lit(0.0)).otherwise(
-            F.round(dup.cast("double") / total.cast("double"), 4)
+        # 4-dp round-half-up via exact integers: micro = (dup*20000 + total)
+        # div (2*total). Operands stay < 2^31, so the double division inside
+        # floor() is exact (an integer quotient divides exactly; a non-
+        # integer one sits >= 1/(2*total) from the boundary, far beyond one
+        # ulp). micro/10000.0 is then ONE correctly-rounded IEEE op on
+        # identical integers in both engines -> bit-identical doubles.
+        total = F.size(g).cast("bigint")
+        dup = total - F.size(F.array_distinct(g)).cast("bigint")
+        micro = F.floor((dup * 20000 + total) / (total * 2))
+        return F.when(total == F.lit(0), F.lit(0.0)).otherwise(
+            micro / F.lit(10000.0)
         )
 
     return w.select(

@@ -90,10 +90,10 @@ def test_tfidf_idf_quantization_margin(spark):
 
 def test_text_repetition_vs_python_replica(spark, sf_dir):
     """Gopher-style within-doc repetition stats must match an independent
-    Python implementation exactly (narrow-map operator outside the 50-row
-    oracle budget; the equivalent DuckDB oracle is
-    (len(l) - len(list_distinct(l))) / len(l) over the same gram lists
-    should a registry slot open)."""
+    Python implementation exactly (promoted into the driver registry in
+    r6 -- this replica is the second, engine-independent witness; the
+    fractions are 4-dp round-half-up via exact integer arithmetic, which
+    Decimal HALF_UP reproduces)."""
     import re
 
     from aws_cloudfront_realtime_monitoring_spark.plans.text import (
