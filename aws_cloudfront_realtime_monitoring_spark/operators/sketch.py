@@ -70,12 +70,25 @@ def build_count_min(
     deserialized sketch for driver-side point queries.
     """
     spark = df.sparkSession
+    # fail fast BEFORE the aggregate job: the handle deserializes via the
+    # py4j JVM gateway, which Spark Connect sessions do not expose (the
+    # rest of this package stays on public DataFrame APIs and is
+    # Connect-clean; this one driver-side model handle is the exception)
+    try:
+        jvm = spark.sparkContext._jvm
+    except Exception as exc:
+        raise NotImplementedError(
+            "build_count_min needs a classic (JVM-gateway) SparkSession to "
+            "deserialize the sketch handle; Spark Connect sessions expose "
+            "no sparkContext/_jvm. Run the aggregate yourself with "
+            "F.count_min_sketch(...) and decode the stable CountMinSketch "
+            "binary format driver-side if Connect support is required."
+        ) from exc
     raw = df.select(
         F.count_min_sketch(
             col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(int(seed))
         ).alias("sketch")
     ).head()[0]
-    jvm = spark.sparkContext._jvm
     return CountMinSketchHandle(
         jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(raw))
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, types as T
@@ -59,6 +60,9 @@ _CACHE_FILES = 32
 #: bump when _read_raw normalization changes so stale cached layouts rebuild
 #: (v2: TIMESTAMP_NTZ -> TIMESTAMP normalization)
 _LAYOUT_VERSION = 2
+#: stale-layout dirs younger than this are never deleted (another live
+#: process may have just written them)
+_RETIRE_GRACE_S = 15 * 60
 
 
 def _read_raw(spark: SparkSession, src: str) -> DataFrame:
@@ -115,16 +119,33 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         # a new key means the source (or the normalization version) changed:
         # retire this table's stale layouts so the cache doesn't grow
-        # unboundedly across testdata regenerations. Safe at this moment --
-        # readers of the old layout were built against a source that no
-        # longer exists.
+        # unboundedly across testdata regenerations. Deletion is deliberately
+        # conservative: only `{name}-v` keys (never another table's), only
+        # keys whose recorded source stat no longer matches the CURRENT
+        # source file (a concurrent process on a different-but-same-basename
+        # sf_dir, or a different _LAYOUT_VERSION over an unchanged source,
+        # records the same stat and is left alone), and only dirs untouched
+        # for _RETIRE_GRACE_S (a layout another live process just wrote or
+        # is mid-write keeps its files).
         parent = os.path.dirname(cache)
+        cur_stat = f"-{st.st_size}-{int(st.st_mtime)}"
         if os.path.isdir(parent):
+            now = time.time()
             for d in os.listdir(parent):
-                # keep the current key AND its .tmp-* siblings (a concurrent
-                # writer racing on the same new key)
-                if d.startswith(f"{name}-") and not d.startswith(key):
-                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                if not d.startswith(f"{name}-v") or d.startswith(key):
+                    # not this table's layout, or the current key / its
+                    # .tmp-* siblings (a concurrent writer racing on the
+                    # same new key)
+                    continue
+                if d.split(".tmp-")[0].endswith(cur_stat):
+                    continue  # same source bytes, other version: in use
+                path = os.path.join(parent, d)
+                try:
+                    if now - os.path.getmtime(path) < _RETIRE_GRACE_S:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
         tmp = f"{cache}.tmp-{os.getpid()}"
         _read_raw(spark, src).repartition(_CACHE_FILES).write.mode(
             "overwrite"
@@ -147,8 +168,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-#: SparkContext id -> sf_dir its temp views currently point at
-_VIEWS_CURRENT: dict[int, str] = {}
+#: (applicationId, context startTime) -> (sf_dir, source-stat signature)
+#: the session's temp views currently point at
+_VIEWS_CURRENT: dict[tuple[str, int], tuple[str, tuple]] = {}
+
+
+def _source_sig(sf_dir: str) -> tuple:
+    """(size, mtime) per table file — ten os.stat calls, microseconds,
+    vs the ~1.5 s re-registration they gate."""
+    out = []
+    for t in TABLES:
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+            out.append((t, st.st_size, int(st.st_mtime)))
+        except OSError:
+            out.append((t, -1, -1))
+    return tuple(out)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -159,8 +194,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     views live for the session, and re-loading all ten tables costs ~1.5 s
     of driver-side file listing per call — paid by every spark.sql-based
     query build otherwise. Switching sf_dir re-registers (the view
-    namespace is shared), so alternating directories stays correct."""
-    key, cur = id(spark.sparkContext), os.path.normpath(sf_dir)
+    namespace is shared), so alternating directories stays correct. The
+    memo keys on (applicationId, context startTime) — stable for a
+    context's lifetime, never reused by a successor the way ``id()`` can
+    be — and stores the source files' (size, mtime) signature, so a
+    testdata regeneration under a live session re-registers instead of
+    serving views bound to a retired layout."""
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime)
+    cur = (os.path.normpath(sf_dir), _source_sig(sf_dir))
     if _VIEWS_CURRENT.get(key) == cur:
         return
     for t in TABLES:

@@ -100,13 +100,17 @@ def test_ntz_timestamps_normalized_to_instant(spark):
 def test_layout_cache_retires_stale_keys(spark):
     """Re-materializing after the source file changes must remove the old
     layout dir (the driver regenerates testdata between rounds; stale keys
-    would otherwise accumulate forever) while leaving other tables alone."""
+    would otherwise accumulate forever) while leaving other tables alone.
+    Retirement is age-gated: a dir younger than _RETIRE_GRACE_S survives
+    (it may belong to another live process), so the prompt-deletion half
+    of the test runs with the grace period patched to zero."""
     import time as _time
 
     from aws_cloudfront_realtime_monitoring_spark.sources import tables
 
     with tempfile.TemporaryDirectory() as sf, tempfile.TemporaryDirectory() as cache:
         old_cache_dir = tables.LAYOUT_CACHE_DIR
+        old_grace = tables._RETIRE_GRACE_S
         tables.LAYOUT_CACHE_DIR = cache
         try:
             df = spark.range(10).toDF("event_id")
@@ -124,8 +128,23 @@ def test_layout_cache_retires_stale_keys(spark):
             )
             second = tables.stream_dir(spark, sf, "events")
             assert second != first
-            assert not os.path.exists(first)  # stale layout retired
-            assert os.path.isdir(second)
+            # within the grace window the old layout must SURVIVE (another
+            # live process may still be scanning it)
+            assert os.path.isdir(first)
+            # past the grace window (patched to zero) a re-materialization
+            # retires it; trigger one by regenerating again
+            tables._RETIRE_GRACE_S = 0
+            shutil_rm(os.path.join(sf, "events.parquet"))
+            _time.sleep(1.1)
+            spark.range(30).toDF("event_id").coalesce(1).write.parquet(
+                os.path.join(sf, "events.parquet")
+            )
+            third = tables.stream_dir(spark, sf, "events")
+            assert third not in (first, second)
+            assert not os.path.exists(first)   # stale layouts retired
+            assert not os.path.exists(second)
+            assert os.path.isdir(third)
             assert os.path.isdir(other)  # other tables untouched
         finally:
             tables.LAYOUT_CACHE_DIR = old_cache_dir
+            tables._RETIRE_GRACE_S = old_grace
