@@ -1,23 +1,32 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 
-Real image/audio decode libraries are not in this environment, so the decode
-step is STUBBED: ``decode_image_stub`` raises ``NotImplementedError`` when
-``strict=True`` and otherwise produces a deterministic fake derived from the
-payload bytes. Everything around the stub -- binary column handling, Arrow
-batch transfer, output schema, per-partition batching -- is real and is what
-matters for the Spark-side design: the pattern scales to 100 TB of media
-because each batch is processed independently (narrow map, no shuffle) and
-payload bytes never leave the executor.
+The decode step is REAL for uncompressed BMP payloads (pure-numpy header
+parse + pixel extraction -- no media library needed) and, when Pillow is
+present in the environment, for every format PIL opens (feature-flagged
+import; this build has no PIL). Payloads in any other format fall back to
+``fake_decode`` -- a deterministic metadata fake derived from payload
+bytes -- unless ``strict=True``, which raises instead. The Spark-side
+design is identical in all three cases and is what matters at 100 TB of
+media: binary column handling, Arrow batch transfer, a declared output
+schema, per-partition batching -- a narrow map with no shuffle, payload
+bytes never leaving the executor.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # feature flag: real general-format decode iff Pillow exists
+    from PIL import Image as _PILImage  # pragma: no cover (absent here)
+except ImportError:
+    _PILImage = None
 
 #: output schema of the decode step
 DECODE_SCHEMA = (
@@ -41,14 +50,84 @@ def fake_decode(doc_id: int, payload: bytes) -> dict:
     }
 
 
-def decode_image_stub(doc_id: int, payload: bytes, strict: bool = False) -> dict:
-    """Decode an image payload. STUB: real decoding (PIL/ffmpeg) is not
-    available in this environment."""
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for uncompressed 24-bit BMP: returns (width, height,
+    pixels[h, w, 3] uint8 in RGB, top-down row order). Raises ``ValueError``
+    on anything that is not a well-formed BI_RGB 24bpp BMP.
+
+    BMP is simple enough to decode exactly with numpy alone: a 14-byte file
+    header (magic ``BM``, pixel-array offset at byte 10), a BITMAPINFOHEADER
+    (width/height int32 LE at 18/22, bpp uint16 at 28, compression uint32 at
+    30), then bottom-up (or top-down if height < 0) pixel rows of BGR
+    triples, each row zero-padded to a 4-byte boundary."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pix_off + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    rows = np.frombuffer(payload, np.uint8, stride * height, pix_off)
+    bgr = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    rgb = bgr[:, :, ::-1]
+    return width, height, (rgb if top_down else rgb[::-1])
+
+
+def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
+    """Decode an image payload into the :data:`DECODE_SCHEMA` metadata row.
+
+    Uncompressed BMP decodes for real (header + pixel array,
+    :func:`decode_bmp_pixels`); other formats decode via Pillow when the
+    environment has it, else fall back to :func:`fake_decode` -- or raise
+    ``NotImplementedError`` under ``strict=True``."""
+    if payload[:2] == b"BM":
+        try:
+            width, height, _px = decode_bmp_pixels(payload)
+            return {
+                "doc_id": doc_id,
+                "n_bytes": len(payload),
+                "width": width,
+                "height": height,
+                "n_frames": 1,
+                "fmt": "bmp",
+            }
+        except ValueError:
+            # a "BM"-prefixed payload that is NOT a well-formed BMP (e.g.
+            # text bytes) is an unrecognized format, not an error: fall
+            # through to PIL/fake like any other payload; strict re-raises
+            if strict:
+                raise
+    if _PILImage is not None:  # pragma: no cover (PIL absent in this build)
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return {
+                "doc_id": doc_id,
+                "n_bytes": len(payload),
+                "width": im.width,
+                "height": im.height,
+                "n_frames": getattr(im, "n_frames", 1),
+                "fmt": (im.format or "unknown").lower(),
+            }
     if strict:
         raise NotImplementedError(
-            "real image decode requires PIL/ffmpeg, not present in this build"
+            "real decode of non-BMP formats requires Pillow/ffmpeg, not "
+            "present in this build"
         )
     return fake_decode(doc_id, payload)
+
+
+#: back-compat alias (pre-r6 name, when ALL formats were stubbed)
+decode_image_stub = decode_image
 
 
 def attach_payload(docs: DataFrame) -> DataFrame:
@@ -69,7 +148,7 @@ def decode_batches(docs_with_payload: DataFrame, batch_size_hint: int = 256) -> 
     def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                decode_image_stub(int(r.doc_id), bytes(r.payload))
+                decode_image(int(r.doc_id), bytes(r.payload))
                 for r in pdf.itertuples(index=False)
             ]
             yield pd.DataFrame(out)

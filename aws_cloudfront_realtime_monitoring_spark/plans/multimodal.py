@@ -1,8 +1,11 @@
 """Multimodal-column queries: binary payload + pandas-batch decode plumbing
 (operators.multimodal), verified end-to-end against an arithmetic oracle.
 
-The decode itself is a documented deterministic stub (no media libs in this
-environment); what these queries pin down is the Spark-side contract --
+The decoder is REAL for uncompressed BMP (pure-numpy, golden-bytes-tested
+in tests/test_multimodal.py) and PIL-backed when the environment has
+Pillow; this registry query feeds utf-8 TEXT payloads, which take the
+documented deterministic fake path -- so the oracle below replicates the
+fake's arithmetic, and what the row pins down is the Spark-side contract:
 binary column, Arrow batch shape, mapInPandas schema, downstream
 aggregability of the decoded metadata.
 """
@@ -38,7 +41,9 @@ from . import register
     FROM meta
     """,
     description="Full multimodal plumbing in one pass: binary payload -> "
-                "mapInPandas (Arrow-batched) decode stub -> typed metadata "
+                "mapInPandas (Arrow-batched) decode (real for BMP, "
+                "deterministic fake for these text payloads) -> typed "
+                "metadata "
                 "-> deterministic frame-sample plan (evenly spaced byte "
                 "offsets, pure Catalyst arithmetic over the decoded "
                 "metadata -- payload bytes never leave the decode batch). "
