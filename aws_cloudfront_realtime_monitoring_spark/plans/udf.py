@@ -114,7 +114,11 @@ def grouped_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Python UDTF (table function): one input row -> many output "
                 "rows (position, token). Registered and invoked via LATERAL "
-                "in Spark SQL.",
+                "in Spark SQL. API-capability row, NOT the tokenization "
+                "scale path: Python UDTFs evaluate row-at-a-time (PLANS.md's "
+                "one intentional ROWUDF flag); bulk tokenization belongs to "
+                "text_profile's Catalyst split/filter expressions, which "
+                "stay JVM-side and vectorized.",
     tags=("udf", "udtf", "sql-api"),
 )
 def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:

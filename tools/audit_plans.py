@@ -29,7 +29,11 @@ def main() -> None:
     print(f"Generated against `{sf_dir}`. Node counts from `explain('formatted')`'s")
     print("tree section (details section excluded). Broadcast = BroadcastHashJoin +")
     print("BroadcastNestedLoopJoin; flags: CART = CartesianProduct present,")
-    print("ROWUDF = row-at-a-time Python UDF (none expected; pandas/Arrow ops don't count).\n")
+    print("ROWUDF = row-at-a-time Python UDF (pandas/Arrow ops don't count).")
+    print("The ONE expected ROWUDF is udtf_tokenize: an API-capability row for")
+    print("Python UDTFs, which evaluate row-at-a-time by construction; it is")
+    print("intentionally NOT the tokenization scale path (text_profile's")
+    print("Catalyst expressions are). Any other ROWUDF is a regression.\n")
     print("| query | exchanges | bcast joins | smj/shj | windows | scans | pushed filters | flags |")
     print("|---|---|---|---|---|---|---|---|")
 
