@@ -51,6 +51,12 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "pii_redact",                 # r06: new curation row (slot from
+                                  # rank_orders_window, whose ranking
+                                  # coverage window_frames_ranking keeps)
+    "decontaminate",              # r06: new curation row (slot from
+                                  # lag_gap_analysis, whose lag mechanics
+                                  # sessionize keeps)
     "text_repetition",            # r06: promoted from pytest-only (slot
                                   # from ago_filter_count, subsumed by q1)
     "hll_cube_range",             # r06: new 5-sigma in-query contract row
@@ -93,9 +99,18 @@ def load_all() -> dict[str, Query]:
     registry so recently-changed/new verifications come first (see PRIORITY)."""
     from . import (  # noqa: F401
         core, relational, advanced, text, dedup, similarity, multimodal, udf,
-        streaming_equiv, sampling,
+        streaming_equiv, sampling, curation,
     )
     ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
     for n, q in REGISTRY.items():
         ordered.setdefault(n, q)
     return ordered
+
+
+def load_demoted() -> dict[str, Query]:
+    """Spark/oracle pairs that lost their slot in the <=50-entry driver
+    registry but keep the identical verification in the test suite."""
+    load_all()
+    from .core import DEMOTED as core_demoted
+    from .relational import DEMOTED as rel_demoted
+    return {**core_demoted, **rel_demoted}

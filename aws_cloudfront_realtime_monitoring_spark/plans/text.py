@@ -38,6 +38,26 @@ def words_col(col: str = "text") -> Column:
 _WORDS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
 
 
+def adjacent_grams(ws: Column, n: int) -> Column:
+    """Adjacent word n-grams of an already-split word array, as a new array
+    column — pure Catalyst (zip the list against its shifted selves), so
+    n-gram construction is a narrow map with no explode and no shuffle.
+    zip_with pads the tail with NULLs; NULL-concat grams are filtered out."""
+    if n == 1:
+        return ws
+    joined = ws
+    for k in range(1, n):
+        shifted = F.slice(ws, k + 1, F.greatest(F.size(ws) - k, F.lit(0)))
+        joined = F.zip_with(
+            joined,
+            shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(), None).otherwise(
+                F.concat(a, F.lit(" "), b)
+            ),
+        )
+    return F.filter(joined, lambda x: x.isNotNull())
+
+
 def _lang_score_over(words_expr: str, lang: str) -> str:
     """Stopword-hit count over an already-materialized word-list column."""
     arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -348,23 +368,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gram(n: int) -> Column:
-        if n == 1:
-            return F.col("ws")
-        # adjacent n-grams: zip the word list against its shifted self;
-        # zip_with pads the tail with NULL concat -> NULL, filtered out
-        joined = F.col("ws")
-        for k in range(1, n):
-            shifted = F.slice(
-                "ws", k + 1, F.greatest(F.size("ws") - k, F.lit(0))
-            )
-            joined = F.zip_with(
-                joined,
-                shifted,
-                lambda a, b: F.when(
-                    a.isNull() | b.isNull(), None
-                ).otherwise(F.concat(a, F.lit(" "), b)),
-            )
-        return F.filter(joined, lambda x: x.isNotNull())
+        return adjacent_grams(F.col("ws"), n)
 
     def excess_frac(g: Column) -> Column:
         # 4-dp round-half-up via exact integers: micro = (dup*20000 + total)

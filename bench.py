@@ -29,7 +29,6 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_region",
     "top_customers",
-    "rank_orders_window",
     "sessionize",
     "asof_join_latest_order",
     "grouping_analytics",
@@ -43,6 +42,8 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_fingerprint",
     "text_repetition",
+    "pii_redact",
+    "decontaminate",
     "hll_cube_range",
     "dedup_clusters",
     "sample_stratified",

@@ -1,0 +1,131 @@
+"""Unit tests for the curation operators (plans/curation.py): PII
+redaction edge cases on hand-built strings, and decontamination semantics
+(benchmark exclusion, flag threshold, overlap counting) on a hand-built
+corpus — independent of the registry oracle check, which covers the
+driver tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+from aws_cloudfront_realtime_monitoring_spark.plans.curation import (
+    DECON_FLAG_MIN,
+    DECON_MOD,
+    redact_pii,
+)
+
+REGISTRY = load_all()
+
+
+def _redact(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    return [r[0] for r in df.select(redact_pii(F.col("t"))).collect()]
+
+
+def test_redact_pii_handbuilt(spark):
+    got = _redact(
+        spark,
+        [
+            "mail a.b-c_9@sub.example.org now",
+            "call 555-123-4567 or 555-000-1111.",
+            "from 192.168.0.1 and 10.0.0.255",
+            "no pii here at all",
+            "edge 1234-567-8901 not a phone midword",
+            "a@b.co tiny tld ok",
+        ],
+    )
+    assert got[0] == "mail [EMAIL] now"
+    assert got[1] == "call [PHONE] or [PHONE]."
+    assert got[2] == "from [IP] and [IP]"
+    assert got[3] == "no pii here at all"
+    # \b rejects a 4-digit run fused to the area code: 1234-567-8901 has no
+    # word boundary between '1234' and a 3-digit prefix, but the tail
+    # '234-567-8901' does start at a digit boundary? No: \b needs a
+    # non-word/word transition; inside '1234' there is none, so no match.
+    assert got[4] == "edge 1234-567-8901 not a phone midword"
+    assert got[5] == "[EMAIL] tiny tld ok"
+
+
+def test_redact_order_email_before_ip(spark):
+    # a dotted-letter hostname with digits is eaten whole by the email
+    # pass (runs first); an IP-literal domain fails the \.[A-Za-z]{2,}
+    # tail, so its address part is still scrubbed by the IP pass — either
+    # way nothing sensitive survives
+    got = _redact(spark, ["mail me9@ns1.host9.example.net ok",
+                          "ping me x9@10.2.3.44 thanks"])
+    assert got[0] == "mail [EMAIL] ok"
+    assert got[1] == "ping me x9@[IP] thanks"
+
+
+def test_pii_redact_registry_paths(spark, sf_dir):
+    rows = (
+        REGISTRY["pii_redact"].build(spark, sf_dir)
+        .withColumn("touched",
+                    (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0)
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        # counts match what was planted
+        assert r.n_emails == (1 if r.doc_id % 2 == 1 else 0)
+        assert r.n_phones == (1 if r.doc_id % 4 == 0 else 0)
+        assert r.n_ips == (1 if r.doc_id % 3 == 0 else 0)
+        # redaction is complete: no raw planted PII survives
+        assert "@mail.example.com" not in r.redacted
+        assert " 555-" not in r.redacted
+        assert " 10." not in r.redacted
+    untouched = [r for r in rows if not r.touched]
+    assert untouched, "corpus must include documents with no PII planted"
+    assert all(r.doc_id % 2 == 0 and r.doc_id % 4 != 0 and r.doc_id % 3 != 0
+               for r in untouched)
+    assert by_id  # non-empty sanity
+
+
+def test_decontaminate_semantics(spark, sf_dir):
+    out = REGISTRY["decontaminate"].build(spark, sf_dir).collect()
+    assert out, "sf0.001 corpus must contain contaminated docs"
+    for r in out:
+        # benchmark members are never reported as contaminated corpus docs
+        assert r.doc_id % DECON_MOD != 0
+        assert r.shared_ngrams >= 1
+        assert r.flagged == (1 if r.shared_ngrams >= DECON_FLAG_MIN else 0)
+    # both flagged and below-threshold docs appear (the threshold is live)
+    flags = {r.flagged for r in out}
+    assert flags == {0, 1}
+
+
+def test_decontaminate_counts_distinct_overlap(spark):
+    # hand-built: doc 13 is the benchmark (id % 13 == 0); doc 1 repeats a
+    # benchmark 4-gram twice but must count it ONCE (distinct overlap);
+    # doc 2 shares nothing
+    bench_text = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (13, bench_text),
+            (1, "alpha beta gamma delta x alpha beta gamma delta"),
+            (2, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    from aws_cloudfront_realtime_monitoring_spark.plans.curation import DECON_N
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        adjacent_grams,
+        words_col,
+    )
+
+    g = docs.select(
+        "doc_id",
+        F.array_distinct(adjacent_grams(words_col(), DECON_N)).alias("gg"),
+    )
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    bn = g.where(is_bench).select(F.explode("gg").alias("ng")).distinct()
+    hits = (
+        g.where(~is_bench)
+        .select("doc_id", F.explode("gg").alias("ng"))
+        .join(F.broadcast(bn), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared"))
+        .collect()
+    )
+    assert {r.doc_id: r.shared for r in hits} == {1: 1}

@@ -13,9 +13,9 @@ import io
 
 import pytest
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
 
-REGISTRY = load_all()
+REGISTRY = {**load_all(), **load_demoted()}
 
 
 def plan_of(spark, sf_dir, name: str) -> str:

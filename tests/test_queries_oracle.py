@@ -12,13 +12,12 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 from check_oracles import canon, dtype_sig  # noqa: E402
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all
-from aws_cloudfront_realtime_monitoring_spark.plans.core import DEMOTED
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import TABLES
 
-# DEMOTED queries lost their driver slot in the r6 registry swap but keep
+# Demoted queries lost their driver slot in the r6 registry swaps but keep
 # the identical Spark-vs-DuckDB verification here
-REGISTRY = {**load_all(), **DEMOTED}
+REGISTRY = {**load_all(), **load_demoted()}
 
 
 @pytest.fixture(scope="module")
