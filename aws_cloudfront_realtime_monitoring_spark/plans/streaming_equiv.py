@@ -4,21 +4,27 @@ The reference's hot path is a stream (Kinesis -> Lambda -> Timestream,
 SURVEY.md EP1); its analytical results must agree with what a batch engine
 computes over the same records. These queries make that contract
 oracle-checkable: each runs a REAL Structured Streaming query (file-stream
-source over the fixture tables, memory sink, ``processAllAvailable``) to
+source over the fixture tables, foreachBatch parquet sink,
+``processAllAvailable``) to
 completion inside the builder, then returns the final result as a batch
 DataFrame. The DuckDB oracle is the equivalent batch SQL -- so the driver's
 hash compare proves the streaming pipeline (windowed aggregation / stateful
 dedup, watermarks, sink semantics) computes exactly the batch answer on
 bounded input.
 
-The final ``collect`` here is the equivalence HARNESS materializing a
-|groups|-sized result for comparison, not an operator: the streaming
-pipelines themselves are fully distributed (source partitions -> stateful
-shuffle on the group/dedup key -> sink).
+Materialization is scale-clean end to end: the stream drains through
+``foreachBatch`` into a parquet directory (complete-mode batches
+overwrite, so the final micro-batch leaves the final table; append-mode
+batches accumulate), and the returned DataFrame reads those files back.
+Nothing ever lands on the driver -- unlike a memory sink, whose store is
+driver-resident, this is the exact production sink shape at any scale
+(on a cluster the directory lives on shared storage).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,25 +47,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
-def _run_to_completion(df: DataFrame, output_mode: str) -> tuple[DataFrame, object]:
-    """Drain a bounded stream into a uniquely-named memory table."""
-    name = f"equiv_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
+def _run_to_parquet(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a bounded stream through ``foreachBatch`` into a parquet
+    directory and return the file-backed batch relation.
+
+    ``complete`` mode rewrites the whole result per micro-batch (overwrite
+    write), so the final batch leaves exactly the final table; ``append``
+    mode accumulates each batch's new rows. The result DataFrame is a
+    plain parquet scan — never a driver-side row copy — so the harness
+    itself holds at any result size."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"stream_equiv_{uuid.uuid4().hex[:12]}"
     )
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(path)
+
+    q = df.writeStream.foreachBatch(_write).outputMode(output_mode).start()
     q.processAllAvailable()
-    return df.sparkSession.table(name), q
-
-
-def _freeze(spark: SparkSession, result: DataFrame, q) -> DataFrame:
-    """Materialize the (small) final result and stop the stream so the
-    returned DataFrame is a stable batch relation."""
-    rows = result.collect()
     q.stop()
-    return spark.createDataFrame(rows, result.schema)
+    return df.sparkSession.read.parquet(path)
 
 
 @register(
@@ -74,7 +82,7 @@ def _freeze(spark: SparkSession, result: DataFrame, q) -> DataFrame:
     description="Streaming==batch equivalence for the flagship windowed "
                 "aggregation (A1/A16-A18 + B1/B6): a real Structured "
                 "Streaming query (file-stream source, tumbling 1 h "
-                "window(ts) per event_type, complete mode, memory sink) "
+                "window(ts) per event_type, complete mode, parquet sink) "
                 "runs to completion and must hash-match the batch SQL "
                 "aggregate over the same rows.",
     tags=("streaming", "window"),
@@ -88,8 +96,7 @@ def stream_hourly_bytes_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         )
     )
-    result, q = _run_to_completion(agg, "complete")
-    return _freeze(spark, result, q)
+    return _run_to_parquet(agg, "complete")
 
 
 @register(
@@ -108,7 +115,7 @@ def stream_hourly_bytes_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Streaming==batch equivalence for SLIDING windows (1 h "
                 "length, 15 min slide): a real Structured Streaming query "
                 "expands every event into its 4 overlapping windows and "
-                "aggregates them statefully (complete mode, memory sink); "
+                "aggregates them statefully (complete mode, parquet sink); "
                 "the final table must hash-match the batch expansion the "
                 "sliding_window_counts oracle computes with an explicit "
                 "series unnest. Closes the one streaming shape (overlapping "
@@ -128,8 +135,7 @@ def stream_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         )
     )
-    result, q = _run_to_completion(agg, "complete")
-    return _freeze(spark, result, q)
+    return _run_to_parquet(agg, "complete")
 
 
 @register(
@@ -155,8 +161,7 @@ def stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = duplicated.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_type", "value"
     )
-    result, q = _run_to_completion(deduped, "append")
-    agg = result.groupBy("event_type").agg(
+    survivors = _run_to_parquet(deduped, "append")
+    return survivors.groupBy("event_type").agg(
         F.count("*").alias("n"), dsum(F.col("value"), 2).alias("sum_value")
     )
-    return _freeze(spark, agg, q)
