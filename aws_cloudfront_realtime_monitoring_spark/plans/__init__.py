@@ -35,11 +35,19 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: Spark/oracle pairs verified by the test suite but deliberately kept OUT
+#: of the <=50-entry driver registry (the driver records correctness rows
+#: for the first 50 ``queries()`` entries only, so the registry is a
+#: budget). Same Query shape, same Spark-vs-DuckDB comparison in
+#: tests/test_queries_oracle.py -- just no driver slot.
+EXTRAS: dict[str, Query] = {}
+
 
 def register(name: str, oracle: str | None, description: str = "",
-             tags: tuple[str, ...] = ()):
+             tags: tuple[str, ...] = (), driver_slot: bool = True):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name, fn, oracle, description, tags)
+        target = REGISTRY if driver_slot else EXTRAS
+        target[name] = Query(name, fn, oracle, description, tags)
         return fn
     return deco
 
@@ -108,9 +116,10 @@ def load_all() -> dict[str, Query]:
 
 
 def load_demoted() -> dict[str, Query]:
-    """Spark/oracle pairs that lost their slot in the <=50-entry driver
-    registry but keep the identical verification in the test suite."""
+    """Spark/oracle pairs verified by the test suite outside the
+    <=50-entry driver registry: rows that lost their driver slot in a
+    registry swap (DEMOTED) plus rows born without one (EXTRAS)."""
     load_all()
     from .core import DEMOTED as core_demoted
     from .relational import DEMOTED as rel_demoted
-    return {**core_demoted, **rel_demoted}
+    return {**EXTRAS, **core_demoted, **rel_demoted}

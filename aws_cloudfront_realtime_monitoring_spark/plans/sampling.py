@@ -81,3 +81,84 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("bucket") < F.col("rate_per_mille"))
     )
+
+
+# ------------------------------------------------------ domain_mix_tokens
+
+#: target token budget per source domain (uniform default + overrides —
+#: the "data mixture" a training run specifies, e.g. upweight curated
+#: sources, cap web crawl)
+MIX_DEFAULT_BUDGET = 800
+MIX_BUDGET_OVERRIDES = {"src0": 400, "src1": 1200, "src2": 0}
+
+_TOKENS_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))"
+
+
+def _budget_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in MIX_BUDGET_OVERRIDES.items()
+    )
+    return f"CASE source {whens} ELSE {MIX_DEFAULT_BUDGET} END"
+
+
+def _budget_col() -> Column:
+    expr = None
+    for s, b in MIX_BUDGET_OVERRIDES.items():
+        branch = (F.col("source") == s, F.lit(b))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    return expr.otherwise(F.lit(MIX_DEFAULT_BUDGET))
+
+
+@register(
+    "domain_mix_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+             {h60_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    runn AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks)
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM runn
+    WHERE cum_tokens <= {_budget_case_sql()}
+    """,
+    description="Domain mixing to a per-source token budget -- the data-"
+                "mixture step of a training pipeline (cap web crawl, "
+                "upweight curated sources, zero out excluded ones). Docs "
+                "are taken per source in deterministic h60(doc_id) order "
+                "until the running token total fills that source's "
+                "budget: one window shuffle on source, reproducible "
+                "across engines/retries/partitionings (same guarantees "
+                "as sample_stratified), and the greedy prefix is "
+                "well-defined because the running sum is monotone. "
+                "Verified Spark-vs-DuckDB by the test suite outside the "
+                "50-row driver budget (driver_slot=False).",
+    tags=("sampling", "curation"),
+    driver_slot=False,
+)
+def domain_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(words_col()).cast("bigint").alias("n_tokens"),
+        h60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _budget_col())
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
