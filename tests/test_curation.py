@@ -95,6 +95,40 @@ def test_decontaminate_semantics(spark, sf_dir):
     assert flags == {0, 1}
 
 
+def test_redact_matches_python_re_on_fuzz(spark):
+    """Cross-engine regex parity: Java regex (Spark) must agree with
+    Python ``re`` (same backtracking family) on 300 seeded adversarial
+    strings mixing real PII shapes, near-misses, and junk — the RE2 side
+    is already pinned by the DuckDB oracle row at two scales, so together
+    the three engines triangulate the patterns' portable subset."""
+    import random
+    import re as pyre
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.curation import REDACTIONS
+
+    rng = random.Random(42)
+    frags = [
+        "a@b.co", "x.y-z_9@sub.do-main.org", "@nouser.com", "user@", "a@b",
+        "a@@b.com", "555-123-4567", "55-123-4567", "5551-123-4567",
+        "555-123-45678", "1.2.3.4", "999.999.999.999", "1.2.3.4.5",
+        "1.2.3", "..", "1-2-3", "word", "w0rd9", ".", "-", "@", " ",
+        "x 10.0.0.1y", "pre555-123-4567post", "a.b@c.d.ee",
+    ]
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 8)
+        texts.append("".join(rng.choice(frags + [" ", "  "]) for _ in range(n)))
+
+    def py_redact(s: str) -> str:
+        for pat, rep in REDACTIONS:
+            s = pyre.sub(pat, rep.replace("\\", "\\\\"), s)
+        return s
+
+    got = _redact(spark, texts)
+    for t, g in zip(texts, got):
+        assert g == py_redact(t), f"mismatch on {t!r}"
+
+
 def test_decontaminate_counts_distinct_overlap(spark):
     # hand-built: doc 13 is the benchmark (id % 13 == 0); doc 1 repeats a
     # benchmark 4-gram twice but must count it ONCE (distinct overlap);
