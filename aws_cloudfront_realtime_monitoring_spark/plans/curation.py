@@ -97,9 +97,10 @@ def _planted_col() -> Column:
     )
 
 
-@register(
-    "pii_redact",
-    oracle=f"""
+#: the pii_redact batch oracle — also the oracle for the streaming parity
+#: row (plans.streaming_equiv.stream_pii_redact_equiv), since a stateless
+#: narrow map must produce the identical relation either way
+PII_ORACLE_SQL = f"""
     WITH planted AS (
       SELECT doc_id, {_planted_sql()} AS pii_text FROM documents)
     SELECT doc_id,
@@ -114,7 +115,28 @@ def _planted_col() -> Column:
              '{PHONE_RE}', '[PHONE]', 'g'),
              '{IP_RE}', '[IP]', 'g') AS redacted
     FROM planted
-    """,
+    """
+
+
+def pii_projection(planted: DataFrame) -> DataFrame:
+    """The count+redact projection over a (doc_id, pii_text) relation —
+    shared by the batch row and the streaming parity row (identical
+    expressions in both execution modes)."""
+    return planted.select(
+        "doc_id",
+        F.regexp_count(F.col("pii_text"), F.lit(EMAIL_RE))
+        .cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("pii_text"), F.lit(PHONE_RE))
+        .cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("pii_text"), F.lit(IP_RE))
+        .cast("bigint").alias("n_ips"),
+        redact_pii(F.col("pii_text")).alias("redacted"),
+    )
+
+
+@register(
+    "pii_redact",
+    oracle=PII_ORACLE_SQL,
     description="PII scrub before training: count and redact emails / "
                 "phone numbers / IPv4 addresses with patterns valid in "
                 "both Java regex and RE2 (no backrefs/lookaround). Pure "
@@ -130,16 +152,7 @@ def _planted_col() -> Column:
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.select("doc_id", _planted_col().alias("pii_text"))
-    return planted.select(
-        "doc_id",
-        F.regexp_count(F.col("pii_text"), F.lit(EMAIL_RE))
-        .cast("bigint").alias("n_emails"),
-        F.regexp_count(F.col("pii_text"), F.lit(PHONE_RE))
-        .cast("bigint").alias("n_phones"),
-        F.regexp_count(F.col("pii_text"), F.lit(IP_RE))
-        .cast("bigint").alias("n_ips"),
-        redact_pii(F.col("pii_text")).alias("redacted"),
-    )
+    return pii_projection(planted)
 
 
 # ---------------------------------------------------------- decontaminate

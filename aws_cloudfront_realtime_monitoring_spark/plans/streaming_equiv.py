@@ -165,3 +165,35 @@ def stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("event_type").agg(
         F.count("*").alias("n"), dsum(F.col("value"), 2).alias("sum_value")
     )
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = stream_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+from .curation import PII_ORACLE_SQL, _planted_col, pii_projection  # noqa: E402
+
+
+@register(
+    "stream_pii_redact_equiv",
+    oracle=PII_ORACLE_SQL,
+    description="Streaming==batch equivalence for the curation hot path: "
+                "the pii_redact projection (plant + count + redact, a "
+                "stateless narrow map) runs unchanged inside a Structured "
+                "Streaming query (file-stream source over documents, "
+                "append mode, parquet sink) and must hash-match the batch "
+                "pii_redact oracle. Stateless transforms are the easy "
+                "case of stream/batch unification — this row pins that "
+                "the curation operators really are expression-only (no "
+                "hidden driver state, no per-batch nondeterminism). "
+                "Verified by the test suite outside the 50-row driver "
+                "budget (driver_slot=False).",
+    tags=("streaming", "curation"),
+    driver_slot=False,
+)
+def stream_pii_redact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _documents_stream(spark, sf_dir)
+    planted = stream.select("doc_id", _planted_col().alias("pii_text"))
+    return _run_to_parquet(pii_projection(planted), "append")
