@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h60, h60_sql
 from ..sources.tables import load_table
 from . import register
 from .text import _WORDS_SQL, adjacent_grams, words_col
@@ -225,5 +226,284 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared.alias("shared_ngrams"),
             F.when(shared >= DECON_FLAG_MIN, 1).otherwise(0)
             .cast("bigint").alias("flagged"),
+        )
+    )
+
+
+# ------------------------------------------------------ quality_filter_c4
+
+#: C4-style heuristic gate (Raffel et al. 2020, "Exploring the Limits of
+#: Transfer Learning", appendix C4 rules): terminal punctuation, >= 3
+#: sentences, no curly brace, no "lorem ipsum", word-count bounds.
+C4_MIN_SENTENCES = 3
+C4_MIN_WORDS = 10
+C4_MAX_WORDS = 100_000
+
+#: the synthetic corpus is unpunctuated word salad, so (as with
+#: pii_redact's planted PII) the row plants sentence structure / braces /
+#: lorem-ipsum deterministically from doc_id, identically in both engines:
+#: doc_id % 3 == 0 gains three punctuated sentences, % 5 == 0 a brace,
+#: % 7 == 0 a lorem-ipsum fragment -- so every rule fires on some rows and
+#: stays silent on others, all under the hash check.
+_C4_SENTS = " First sentence ends here. Second one too! Third, yes?"
+_C4_BRACE = " config { unbalanced"
+_C4_LOREM = " Lorem Ipsum dolor sit amet"
+
+
+def _c4_planted_sql() -> str:
+    return (
+        "text"
+        f" || CASE WHEN doc_id % 3 = 0 THEN '{_C4_SENTS}' ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN '{_C4_BRACE}' ELSE '' END"
+        f" || CASE WHEN doc_id % 7 = 0 THEN '{_C4_LOREM}' ELSE '' END"
+    )
+
+
+def _c4_planted_col() -> Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(_C4_SENTS)).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(_C4_BRACE)).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(_C4_LOREM)).otherwise(F.lit("")),
+    )
+
+
+_C4_WORDS_SQL = "list_filter(regexp_split_to_array(pt, '\\s+'), w -> w <> '')"
+
+
+@register(
+    "quality_filter_c4",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_c4_planted_sql()} AS pt FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(pt, '[.!?]')) AS BIGINT)
+               AS n_sentences,
+             CAST(len({_C4_WORDS_SQL}) AS BIGINT) AS n_words,
+             CAST(CASE WHEN contains(pt, '{{') THEN 1 ELSE 0 END AS BIGINT)
+               AS has_brace,
+             CAST(CASE WHEN contains(lower(pt), 'lorem ipsum') THEN 1
+                  ELSE 0 END AS BIGINT) AS has_lorem,
+             CAST(CASE WHEN right(rtrim(pt), 1) IN ('.', '!', '?') THEN 1
+                  ELSE 0 END AS BIGINT) AS ends_terminal
+      FROM p)
+    SELECT doc_id, n_sentences, n_words, has_brace, has_lorem,
+           ends_terminal,
+           CAST(CASE WHEN n_sentences >= {C4_MIN_SENTENCES}
+                      AND n_words BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS}
+                      AND has_brace = 0 AND has_lorem = 0
+                      AND ends_terminal = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+    description="C4-style heuristic quality gate (terminal punctuation, "
+                ">= 3 sentences, no '{', no 'lorem ipsum', word-count "
+                "bounds), reporting each rule's verdict plus the combined "
+                "keep bit. Pure narrow map -- regexp_count / contains / "
+                "split, zero shuffles, whole-stage codegen; at 100 TB this "
+                "is a pass-through filter stage. The unpunctuated "
+                "synthetic corpus gets doc_id-derived sentence/brace/"
+                "lorem plants (pii_redact pattern) so every rule branch "
+                "is exercised under the hash check.",
+    tags=("text", "curation", "quality"),
+    driver_slot=False,
+)
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select("doc_id", _c4_planted_col().alias("pt"))
+    pt = F.col("pt")
+    bit = lambda c: F.when(c, 1).otherwise(0).cast("bigint")  # noqa: E731
+    m = p.select(
+        "doc_id",
+        F.regexp_count(pt, F.lit("[.!?]")).cast("bigint").alias("n_sentences"),
+        F.size(words_col("pt")).cast("bigint").alias("n_words"),
+        bit(F.instr(pt, "{") > 0).alias("has_brace"),
+        bit(F.instr(F.lower(pt), "lorem ipsum") > 0).alias("has_lorem"),
+        bit(F.substring(F.rtrim(pt), -1, 1).isin(".", "!", "?"))
+        .alias("ends_terminal"),
+    )
+    return m.select(
+        "*",
+        bit(
+            (F.col("n_sentences") >= C4_MIN_SENTENCES)
+            & F.col("n_words").between(C4_MIN_WORDS, C4_MAX_WORDS)
+            & (F.col("has_brace") == 0)
+            & (F.col("has_lorem") == 0)
+            & (F.col("ends_terminal") == 1)
+        ).alias("keep"),
+    )
+
+
+# ------------------------------------------------------- unigram_logprob
+
+#: keep documents whose mean per-token unigram log-probability is above
+#: this (micro-units of natural log). The synthetic corpus draws from a
+#: ~30-word vocabulary, so per-doc means cluster near ln(1/30) ~ -3.4;
+#: -3.402 sits at the observed median so the keep bit splits the corpus
+#: and both branches are hash-checked. The standard perplexity-filter
+#: stage of a pre-training pipeline, with the corpus's own unigram
+#: distribution standing in for the external LM (KenLM-style models are
+#: not in this sandbox; the dataflow -- tiny broadcast model, two hash
+#: aggregates -- is identical).
+LP_KEEP_MIN_MICRO = -3_402_000
+
+_LWORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+
+
+@register(
+    "unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_LWORDS}) AS w FROM documents),
+    model AS (
+      SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_total FROM toks),
+    lp AS (
+      SELECT w,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / n_total) * 1e6 + 0.5)
+                  AS BIGINT) AS lp_micro
+      FROM model CROSS JOIN n)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+           CAST(CASE WHEN SUM(lp_micro) >= {LP_KEEP_MIN_MICRO} * COUNT(*)
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM toks JOIN lp USING (w)
+    GROUP BY doc_id
+    """,
+    description="Perplexity-proxy filter: per-document sum of unigram "
+                "log-probabilities under the corpus's own unigram LM, "
+                "with a keep bit on the mean-per-token threshold (the "
+                "KenLM-quality-filter dataflow with the corpus as its own "
+                "model). Two shuffles total: the vocabulary count "
+                "(map-side partial agg on the token) and the per-doc sum; "
+                "the fitted model BROADCASTS back onto the token stream "
+                "(vocabulary ~ 10^6 rows regardless of corpus size -- at "
+                "100 TB, truncate to top-V with an OOV floor, or swap in "
+                "the count-min sketch from operators.sketch, same plan "
+                "shape). Log-probs quantized to integer micro-units so "
+                "sums are exact BIGINTs; the keep test multiplies through "
+                "by the token count instead of dividing, staying in exact "
+                "integer arithmetic.",
+    tags=("text", "curation", "quality"),
+    driver_slot=False,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("w"),
+    )
+    model = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    n = toks.agg(F.count("*").alias("n_total"))
+    lp_micro = F.floor(
+        F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1e6 + 0.5
+    ).cast("bigint")
+    lp = model.crossJoin(F.broadcast(n)).select("w", lp_micro.alias("lp_micro"))
+    summed = F.sum("lp_micro").cast("bigint")
+    return (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            summed.alias("sum_lp_micro"),
+            F.when(summed >= F.lit(LP_KEEP_MIN_MICRO) * F.count("*"), 1)
+            .otherwise(0).cast("bigint").alias("keep"),
+        )
+    )
+
+
+# ----------------------------------------------------------- dedup_spans
+
+#: word n-gram length for the duplicated-span profile. Exact substring
+#: dedup (the suffix-array pass of Lee et al. 2022, "Deduplicating
+#: Training Data Makes Language Models Better") marks spans that recur
+#: verbatim anywhere in the corpus; the distributed analog fingerprints
+#: every adjacent SPAN_N-gram and marks grams seen in >= 2 documents.
+SPAN_N = 5
+#: docs with more than half their grams duplicated elsewhere are flagged
+SPAN_FLAG_MICRO = 500_000
+
+
+def _gram_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"ws[i+{k}]" if k else "ws[i]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len(ws) - {n - 2}), "
+        f"i -> {parts}))"
+    )
+
+
+@register(
+    "dedup_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    g AS (SELECT doc_id, {_gram_sql(SPAN_N)} AS gg FROM w),
+    t AS (SELECT doc_id, CAST(len(gg) AS BIGINT) AS n_grams FROM g),
+    ex AS (SELECT doc_id, {h60_sql('ng')} AS gh
+           FROM (SELECT doc_id, unnest(gg) AS ng FROM g)),
+    dup AS (SELECT gh FROM ex GROUP BY gh HAVING COUNT(*) >= 2),
+    dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams
+           FROM ex JOIN dup USING (gh) GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(dc.dup_grams, 0) AS dup_grams,
+           CAST(CASE WHEN t.n_grams = 0 THEN 0
+                ELSE COALESCE(dc.dup_grams, 0) * 1000000 // t.n_grams
+                END AS BIGINT) AS dup_frac_micro,
+           CAST(CASE WHEN t.n_grams > 0
+                      AND COALESCE(dc.dup_grams, 0) * 1000000
+                          >= {SPAN_FLAG_MICRO} * t.n_grams
+                THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM t LEFT JOIN dc USING (doc_id)
+    """,
+    description=f"Duplicated-span profile (the distributed analog of "
+                "suffix-array substring dedup, Lee et al. 2022): every "
+                f"adjacent word {SPAN_N}-gram is fingerprinted to a 60-bit "
+                "hash map-side (zip_with grams, NO explode-to-string "
+                "shuffle -- only int64 hashes ever shuffle); grams "
+                "appearing in >= 2 documents mark their spans duplicated, "
+                "and each doc reports its duplicated-gram fraction plus a "
+                "flag at >= 50%. Shuffle volume is one int64 per distinct "
+                "(doc, gram) -- at 100 TB add a winnowing stride "
+                "(text_fingerprint) to sample grams instead of keeping "
+                "all, same plan. The flag comparison multiplies through "
+                "by n_grams: exact integer arithmetic, no doubles.",
+    tags=("text", "curation", "dedup"),
+    driver_slot=False,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", words_col().alias("ws"))
+    g = w.select(
+        "doc_id",
+        F.array_distinct(adjacent_grams(F.col("ws"), SPAN_N)).alias("gg"),
+    )
+    t = g.select("doc_id", F.size("gg").cast("bigint").alias("n_grams"))
+    ex = g.select("doc_id", F.explode("gg").alias("ng")).select(
+        "doc_id", h60(F.col("ng")).alias("gh")
+    )
+    dup = ex.groupBy("gh").agg(F.count("*").alias("nd")).where(
+        F.col("nd") >= 2
+    ).select("gh")
+    dc = ex.join(dup, "gh").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dup_grams")
+    )
+    dg = F.coalesce(F.col("dup_grams"), F.lit(0).cast("bigint"))
+    return (
+        t.join(dc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            dg.alias("dup_grams"),
+            F.when(F.col("n_grams") == 0, 0)
+            .otherwise(F.expr("coalesce(dup_grams, 0) * 1000000 div n_grams"))
+            .cast("bigint").alias("dup_frac_micro"),
+            F.when(
+                (F.col("n_grams") > 0)
+                & (dg * 1_000_000 >= F.lit(SPAN_FLAG_MICRO) * F.col("n_grams")),
+                1,
+            ).otherwise(0).cast("bigint").alias("flagged"),
         )
     )

@@ -335,3 +335,87 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.groupBy("g1", "g2").applyInPandas(
         block_pair, "vec_a BIGINT, vec_b BIGINT, cos6 DOUBLE"
     )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+#: cosine threshold above which two same-bucket embeddings are semantic
+#: duplicates (SemDeDup, Abbas et al. 2023: cluster the embedding space,
+#: then drop all-but-one of each within-cluster near-duplicate group)
+SEMDEDUP_COS = 0.35
+
+
+@register(
+    "semdedup",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket, {_QVEC_SQL} AS qe
+               FROM embeddings),
+    qn AS (SELECT vec_id, bucket, qe,
+                  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nrm
+           FROM b),
+    ex AS (SELECT vec_id, bucket, unnest(qe) AS v,
+                  unnest(generate_series(1, len(qe))) AS i
+           FROM qn),
+    dots AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.v * b.v) AS dp
+      FROM ex a JOIN ex b ON a.i = b.i AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT b_id AS vec_id, a_id AS rep_cand, {_PAIR_COS_SQL} AS cos
+      FROM (SELECT d.a_id, d.b_id, d.dp, qa.nrm AS na, qb.nrm AS nb
+            FROM dots d
+            JOIN qn qa ON qa.vec_id = d.a_id
+            JOIN qn qb ON qb.vec_id = d.b_id)),
+    ranked AS (
+      SELECT vec_id, rep_cand, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rep_cand) AS rn
+      FROM scored WHERE cos >= {SEMDEDUP_COS})
+    SELECT vec_id, rep_cand AS rep_id, ROUND(cos, 6) AS cos6
+    FROM ranked WHERE rn = 1
+    """,
+    description=f"Semantic dedup over embeddings (the SemDeDup pipeline "
+                "stage): cluster the space with the deterministic "
+                f"{IVF_BITS}-bit sign-pattern quantizer, compare pairs "
+                "only WITHIN a cluster (equi-join on bucket -- "
+                "hash-partitionable, never all-pairs), and drop every "
+                f"vector with a smaller-id neighbor at cos >= "
+                f"{SEMDEDUP_COS}, reporting its smallest such "
+                "representative. The dominated-by-any-smaller-id rule is "
+                "a deterministic single-pass keep policy (transitive "
+                "chains collapse toward the smallest id; the kept set is "
+                "ids absent from this relation) -- for the "
+                "connected-component variant compose with "
+                "operators.graph. Integer-exact dots; cluster sizes "
+                "bound each join partition, trained k-means centroids "
+                "(operators.kmeans) swap in for the sign quantizer at "
+                "scale without changing the plan.",
+    tags=("similarity", "dedup", "curation"),
+    driver_slot=False,
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", _bucket_col().alias("bucket"), qvec().alias("qe")
+    ).withColumn("nrm", qnorm("qe"))
+    a = base.select(
+        F.col("vec_id").alias("a_id"), "bucket",
+        F.col("qe").alias("a_qe"), F.col("nrm").alias("a_nrm"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"), "bucket",
+        F.col("qe").alias("b_qe"), F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(b, "bucket").where(F.col("a_id") < F.col("b_id"))
+    scored = pairs.select(
+        F.col("b_id").alias("vec_id"),
+        F.col("a_id").alias("rep_cand"),
+        cosine(dot("a_qe", "b_qe"), F.col("a_nrm"), F.col("b_nrm")).alias("cos"),
+    ).where(F.col("cos") >= SEMDEDUP_COS)
+    w = W.partitionBy("vec_id").orderBy(F.asc("rep_cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("rep_cand").alias("rep_id"),
+                F.round("cos", 6).alias("cos6"))
+    )

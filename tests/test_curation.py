@@ -163,3 +163,79 @@ def test_decontaminate_counts_distinct_overlap(spark):
         .collect()
     )
     assert {r.doc_id: r.shared for r in hits} == {1: 1}
+
+
+# ------------------------- r6 EXTRAS: c4 / unigram logprob / span dedup
+
+def test_quality_filter_c4_branch_logic(spark, sf_dir):
+    """Each planted branch drives exactly the rule it targets, and the keep
+    bit is the conjunction (the oracle parity test checks Spark==DuckDB;
+    this pins that the rules mean what the docstring says)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.curation import (
+        C4_MIN_SENTENCES,
+        C4_MIN_WORDS,
+        quality_filter_c4,
+    )
+
+    rows = {r.doc_id: r for r in quality_filter_c4(spark, sf_dir).collect()}
+    for did, r in rows.items():
+        assert r.has_brace == (1 if did % 5 == 0 else 0)
+        assert r.has_lorem == (1 if did % 7 == 0 else 0)
+        # sentences / terminal punctuation only ever come from the % 3 plant
+        if did % 3 != 0:
+            assert r.n_sentences == 0 and r.ends_terminal == 0 and r.keep == 0
+        expected_keep = int(
+            r.n_sentences >= C4_MIN_SENTENCES
+            and r.n_words >= C4_MIN_WORDS
+            and r.has_brace == 0
+            and r.has_lorem == 0
+            and r.ends_terminal == 1
+        )
+        assert r.keep == expected_keep
+    kept = [d for d, r in rows.items() if r.keep]
+    assert kept, "no document passed the C4 gate"
+    assert all(d % 3 == 0 and d % 5 != 0 and d % 7 != 0 for d in kept)
+
+
+def test_unigram_logprob_accounting(spark, sf_dir):
+    """Token counts are conserved and the keep bit is the exact integer
+    threshold test; the corpus-median threshold splits the corpus."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.curation import (
+        LP_KEEP_MIN_MICRO,
+        unigram_logprob,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    out = unigram_logprob(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.select(
+        F.sum(F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                              lambda w: w != F.lit("")))).alias("n")
+    ).collect()[0].n
+    assert sum(r.n_tokens for r in out) == n_total
+    for r in out:
+        assert r.sum_lp_micro < 0
+        assert r.keep == int(r.sum_lp_micro >= LP_KEEP_MIN_MICRO * r.n_tokens)
+    keeps = {r.keep for r in out}
+    assert keeps == {0, 1}, "threshold did not split the corpus"
+
+
+def test_dedup_spans_verbatim_duplicates_fully_flagged(spark, sf_dir):
+    """The corpus's planted verbatim duplicates (the ones dedup_exact
+    groups) must come out with every gram duplicated; fraction and flag
+    stay mutually consistent everywhere."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.curation import (
+        SPAN_FLAG_MICRO,
+        dedup_spans,
+    )
+
+    out = dedup_spans(spark, sf_dir).collect()
+    assert all(0 <= r.dup_grams <= r.n_grams for r in out)
+    for r in out:
+        if r.n_grams:
+            assert r.flagged == int(
+                r.dup_grams * 1_000_000 >= SPAN_FLAG_MICRO * r.n_grams
+            )
+    assert max(r.dup_frac_micro for r in out) == 1_000_000, (
+        "verbatim duplicate docs should have 100% duplicated spans"
+    )

@@ -127,9 +127,11 @@ _EXECUTING = {"dedup_clusters", "stream_hourly_bytes_equiv", "stream_dedup_equiv
 #:   (injectable now() / corpus count) with a non-equi or cross predicate —
 #:   effectively a filter, O(n x 1);
 #: - ann_topk_bruteforce: the deliberately-broadcast probe set;
-#: - string_distance_pairs: bounded ~150-value domain.
+#: - string_distance_pairs: bounded ~150-value domain;
+#: - unigram_logprob: same ONE-ROW scalar broadcast as text_tfidf_topk
+#:   (the total token count attaches to the vocabulary model).
 _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
-           "ann_topk_bruteforce", "string_distance_pairs"}
+           "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 

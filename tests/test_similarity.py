@@ -99,3 +99,44 @@ def test_stratified_sample_is_deterministic_subset(spark, sf_dir):
         rate = STRATA_RATES.get(row.lang, DEFAULT_RATE)
         assert row.rate_per_mille == rate
         assert 0 <= row.bucket < rate
+
+
+def test_semdedup_dominance_rule(spark, sf_dir):
+    """Every dropped vector reports its SMALLEST same-bucket neighbor above
+    the threshold, and kept vectors (absent from the relation) have no
+    smaller-id neighbor at cos >= SEMDEDUP_COS in their bucket -- checked
+    against an independent numpy recomputation."""
+    import numpy as np
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        IVF_BITS,
+        QUANT,
+        SEMDEDUP_COS,
+        semdedup,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    out = {r.vec_id: r for r in semdedup(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    q = {i: np.round(v * QUANT) for i, v in vecs.items()}
+    bucket = {
+        i: sum((1 << d) for d in range(IVF_BITS) if v[d] >= 0)
+        for i, v in vecs.items()
+    }
+    expected = {}
+    for b_id in sorted(vecs):
+        for a_id in sorted(vecs):
+            if a_id >= b_id or bucket[a_id] != bucket[b_id]:
+                continue
+            cos = float(
+                q[a_id] @ q[b_id]
+                / np.sqrt(q[a_id] @ q[a_id])
+                / np.sqrt(q[b_id] @ q[b_id])
+            )
+            if cos >= SEMDEDUP_COS:
+                expected[b_id] = a_id  # first hit in ascending a_id = smallest
+                break
+    assert {i: r.rep_id for i, r in out.items()} == expected
+    assert all(r.rep_id < i for i, r in out.items())

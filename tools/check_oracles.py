@@ -62,10 +62,16 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
     from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 
-    registry = load_all()
+    # driver rows first; demoted/extra rows (same verification, no driver
+    # slot) are reachable too -- by explicit name, or all of them via --all
+    registry = dict(load_all())
+    for name, q in load_demoted().items():
+        registry.setdefault(name, q)
+    if "--all" in only:
+        only.discard("--all")
     spark = get_spark("check_oracles", cpus=8)
 
     con = duckdb.connect()
