@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH_PRIME, h60_sql, perm_params
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_views
 from . import register
 from .text import words_col
 
@@ -68,10 +68,6 @@ def shingles_col() -> Column:
         ),
     )
     return F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
-
-
-def h60_col(c: Column) -> Column:
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
 # ------------------------------------------------------------- exact dedup
@@ -210,80 +206,79 @@ def _band_sql(b: int) -> str:
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles_col().alias("sh")).where(F.size("sh") > 0)
-    # hash+mod ONCE into `hm`; every permutation then shares the identical
-    # md5 subtree, which project-level subexpression elimination dedupes
-    # (computing per-perm from raw shingles measured ~1.6x slower)
-    # __b (non-deterministic) blocks CollapseProject, so `hm` is evaluated
-    # once per row instead of being re-inlined into all 16 permutations
-    hm = sh.select(
-        "doc_id", "sh",
-        F.transform("sh", lambda s: h60_col(s) % F.lit(HASH_PRIME)).alias("hm"),
-        F.rand(42).alias("__b"),
-    )
+    """Two ``spark.sql`` statements (signatures, then band join + exact
+    verify) rather than Column composition: the shingle zip_with chain,
+    16 permutation transforms, and 4 band structs cost ~60 py4j
+    round-trips as Column objects (~0.5-0.7 s of driver latency per plan
+    build); one SQL string parses JVM-side with an identical analyzed
+    plan (the simhash rewrite below measured the same trade). Preserved
+    semantics from the Column version:
 
-    def perm_min(j: int) -> Column:
-        # F.expr, not Column composition: each python-lambda transform()
-        # costs ~10 py4j round-trips to convert; 16 permutations added
-        # ~1 s of driver-side latency per plan build. The SQL string
-        # parses JVM-side in one call with an identical analyzed plan.
-        a, b = _PERMS[j]
-        return F.expr(
-            f"array_min(transform(hm, h -> ({a} * h + {b}) % {HASH_PRIME}))"
-        ).alias(f"m{j}")
-
-    # materialize the signature relation once: it feeds BOTH sides of the
-    # band self-join -- without a barrier the 2M+ md5/perm chain is
-    # recomputed 4x. At cluster scale this is the standard materialize-
-    # signatures step of MinHash pipelines. localCheckpoint (lazy), not
-    # persist(): checkpoint blocks are reclaimed by the ContextCleaner as
-    # soon as this build's RDD is garbage-collected, so registry builds
-    # stay side-effect-free for the session (a .persist() here outlives
-    # the query -- the driver harness runs all 50 queries in one session
-    # with no clearCache hook between them).
-    sigs = hm.select(
-        "doc_id", "sh", *[perm_min(j) for j in range(MINHASH_K)]
-    ).localCheckpoint(eager=False)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                    )
-                ).alias("sig"),
-            )
-            for b in range(LSH_BANDS)
-        ]
+    - shingles via zip_with over shifted slices (HOF-lambda element_at
+      gets no CSE and re-splits the text per element, measured 10x
+      slower);
+    - hash+mod ONCE into ``hm``; the 16 permutations share that column,
+      and the non-deterministic ``__b = rand(42)`` in the inner
+      projection blocks CollapseProject from re-inlining the md5
+      transform into every permutation;
+    - the lazy localCheckpoint between the two statements materializes
+      the signature relation once for BOTH sides of the band self-join
+      (checkpoint blocks free on GC; persist() would leak for the
+      session)."""
+    register_views(spark, sf_dir)
+    perms = ", ".join(
+        f"array_min(transform(hm, h -> ({a} * h + {b}) % {HASH_PRIME})) AS m{j}"
+        for j, (a, b) in enumerate(_PERMS)
     )
-    bands = sigs.select("doc_id", "sh", F.explode(band_structs).alias("bs")).select(
-        "doc_id", "sh", "bs.band", "bs.sig"
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sigs = spark.sql(f"""
+        WITH wz AS (
+          SELECT doc_id, filter(split(text, '\\\\s+'), w -> w != '') AS w
+          FROM documents),
+        tri AS (
+          SELECT doc_id,
+                 zip_with(
+                   zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),
+                            (a, b) -> concat_ws(' ', a, b)),
+                   slice(w, 3, greatest(size(w) - 2, 0)),
+                   (ab, c) -> CASE WHEN c IS NULL THEN NULL
+                              ELSE concat(ab, ' ', c) END) AS tri
+          FROM wz),
+        shing AS (
+          SELECT doc_id, array_distinct(filter(tri, x -> x IS NOT NULL)) AS sh
+          FROM tri),
+        hm AS (
+          SELECT doc_id, sh,
+                 transform(sh, s ->
+                   CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+                     % {HASH_PRIME}) AS hm,
+                 rand(42) AS __b
+          FROM shing WHERE size(sh) > 0)
+        SELECT doc_id, sh, {perms} FROM hm
+    """).localCheckpoint(eager=False)
+    sigs.createOrReplaceTempView("minhash_sigs_tmp")
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, sh, {b} AS band, md5(concat_ws(',', {cols})) AS sig "
+        "FROM minhash_sigs_tmp".format(
+            b=b,
+            cols=", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
         )
-        .select(
-            F.col("a.doc_id").alias("i"),
-            F.col("b.doc_id").alias("j"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
-        .dropDuplicates(["i", "j"])
+        for b in range(LSH_BANDS)
     )
-    inter = F.size(F.array_intersect("sha", "shb"))
-    jac = inter / (F.size("sha") + F.size("shb") - inter)
-    return cand.where(jac >= JACCARD_THRESHOLD).select(
-        F.col("i").alias("doc_a"),
-        F.col("j").alias("doc_b"),
-        F.round(jac, 4).alias("jaccard"),
-    )
+    return spark.sql(f"""
+        WITH bands AS ({bands}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS i, a.sh AS sha, b.doc_id AS j, b.sh AS shb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT i, j,
+                 size(array_intersect(sha, shb))
+                   / (size(sha) + size(shb) - size(array_intersect(sha, shb)))
+                   AS jac
+          FROM cand)
+        SELECT i AS doc_a, j AS doc_b, ROUND(jac, 4) AS jaccard
+        FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+    """)
 
 
 # ---------------------------------------------------------------- SimHash
@@ -368,67 +363,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup pairs via pigeonhole-banded SimHash
-    (exact; shared by ``dedup_simhash`` and ``dedup_clusters``)."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.explode(words_col()).alias("word"))
-    h = w.select("doc_id", h60_col(F.col("word")).alias("h"))
-    # one F.expr per aggregate (and ONE for the 32-term signature sum):
-    # composing these Column-by-Column costs 6+ py4j socket round-trips per
-    # bit -- measured ~2.5 s of driver-side latency per plan build, paid on
-    # every dedup_simhash/dedup_clusters invocation; a SQL string parses
-    # JVM-side in a single call with an identical analyzed plan
-    votes = h.groupBy("doc_id").agg(
-        *[
-            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1)").alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    (exact; shared by ``dedup_simhash`` and ``dedup_clusters``).
+
+    Built as TWO ``spark.sql`` calls (signatures, then band join) instead
+    of Column-by-Column composition: the 32 vote aggregates + signature
+    sum + banding cost ~70 py4j round-trips as Column objects -- measured
+    1.3-1.7 s of driver-side plan-build latency per invocation, ~25% of
+    dedup_clusters' wall time -- while a SQL string parses JVM-side in one
+    call with an identical analyzed plan. The lazy localCheckpoint between
+    the two statements is load-bearing: the signature relation feeds both
+    sides of the band self-join, and the checkpoint stops the vote
+    aggregation from recomputing per side (blocks free themselves on GC;
+    a persist() here would leak cached blocks for the session -- see the
+    MinHash note)."""
+    register_views(spark, sf_dir)
+    votes = ", ".join(
+        f"SUM((shiftright(h, {j}) & 1) * 2 - 1) AS v{j}"
+        for j in range(SIMHASH_BITS)
     )
-    sig_expr = F.expr(
-        " + ".join(
-            f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(SIMHASH_BITS)
-        )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
     )
-    # lazy localCheckpoint: the signature relation feeds both sides of the
-    # band join; checkpoint blocks free themselves on GC (a persist() here
-    # would leak cached blocks for the session -- see the MinHash note)
-    sigs = votes.select(
-        "doc_id", sig_expr.cast("bigint").alias("sig")
-    ).localCheckpoint(eager=False)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright("sig", lo).bitwiseAND(F.lit((1 << n) - 1)).alias("bits"),
-            )
-            for i, (lo, n) in enumerate(SIMHASH_BANDS)
-        ]
+    sigs = spark.sql(f"""
+        WITH w AS (
+          SELECT doc_id, explode(filter(split(text, '\\\\s+'), w -> w != '')) AS word
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT) AS h
+          FROM w),
+        votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes
+    """).localCheckpoint(eager=False)
+    sigs.createOrReplaceTempView("simhash_sigs_tmp")
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS band, "
+        f"shiftright(sig, {lo}) & {(1 << n) - 1} AS bits FROM simhash_sigs_tmp"
+        for i, (lo, n) in enumerate(SIMHASH_BANDS)
     )
-    bands = sigs.select("doc_id", "sig", F.explode(band_structs).alias("bs")).select(
-        "doc_id", "sig", "bs.band", "bs.bits"
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("i"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.doc_id").alias("j"),
-            F.col("b.sig").alias("sb"),
-        )
-        .dropDuplicates(["i", "j"])
-    )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.where(hamming <= HAMMING_MAX).select(
-        F.col("i").alias("doc_a"),
-        F.col("j").alias("doc_b"),
-        hamming.cast("bigint").alias("hamming"),
-    )
+    return spark.sql(f"""
+        WITH bands AS ({bands}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS i, a.sig AS sa, b.doc_id AS j, b.sig AS sb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+        SELECT i AS doc_a, j AS doc_b,
+               CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(sa ^ sb) <= {HAMMING_MAX}
+    """)
 
 
 # ------------------------------------------------------- connected components
