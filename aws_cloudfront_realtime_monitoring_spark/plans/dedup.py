@@ -230,6 +230,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"array_min(transform(hm, h -> ({a} * h + {b}) % {HASH_PRIME})) AS m{j}"
         for j, (a, b) in enumerate(_PERMS)
     )
+    # band signatures computed BEFORE the checkpoint: the post-barrier band
+    # relation is a pure column unpivot (stack), so each join side is one
+    # scan of checkpoint blocks with no md5 recompute
+    band_sigs = ", ".join(
+        "md5(concat_ws(',', {cols})) AS s{b}".format(
+            b=b,
+            cols=", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    )
     sigs = spark.sql(f"""
         WITH wz AS (
           SELECT doc_id, filter(split(text, '\\\\s+'), w -> w != '') AS w
@@ -253,19 +263,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      % {HASH_PRIME}) AS hm,
                  rand(42) AS __b
           FROM shing WHERE size(sh) > 0)
-        SELECT doc_id, sh, {perms} FROM hm
+        SELECT doc_id, sh, {band_sigs}
+        FROM (SELECT doc_id, sh, {perms} FROM hm)
     """).localCheckpoint(eager=False)
     sigs.createOrReplaceTempView("minhash_sigs_tmp")
-    bands = " UNION ALL ".join(
-        "SELECT doc_id, sh, {b} AS band, md5(concat_ws(',', {cols})) AS sig "
-        "FROM minhash_sigs_tmp".format(
-            b=b,
-            cols=", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
-        )
-        for b in range(LSH_BANDS)
-    )
+    stack_args = ", ".join(f"{b}, s{b}" for b in range(LSH_BANDS))
     return spark.sql(f"""
-        WITH bands AS ({bands}),
+        WITH bands AS (
+          SELECT doc_id, sh, stack({LSH_BANDS}, {stack_args}) AS (band, sig)
+          FROM minhash_sigs_tmp),
         cand AS (
           SELECT DISTINCT a.doc_id AS i, a.sh AS sha, b.doc_id AS j, b.sh AS shb
           FROM bands a JOIN bands b
@@ -385,6 +391,12 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
+    # band bit-fields computed BEFORE the checkpoint; the post-barrier band
+    # relation is a stack() unpivot -- one checkpoint-block scan per side
+    band_bits = ", ".join(
+        f"shiftright(sig, {lo}) & {(1 << n) - 1} AS b{i}"
+        for i, (lo, n) in enumerate(SIMHASH_BANDS)
+    )
     sigs = spark.sql(f"""
         WITH w AS (
           SELECT doc_id, explode(filter(split(text, '\\\\s+'), w -> w != '')) AS word
@@ -394,16 +406,16 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT) AS h
           FROM w),
         votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
-        SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes
+        SELECT doc_id, sig, {band_bits}
+        FROM (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes)
     """).localCheckpoint(eager=False)
     sigs.createOrReplaceTempView("simhash_sigs_tmp")
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, sig, {i} AS band, "
-        f"shiftright(sig, {lo}) & {(1 << n) - 1} AS bits FROM simhash_sigs_tmp"
-        for i, (lo, n) in enumerate(SIMHASH_BANDS)
-    )
+    stack_args = ", ".join(f"{i}, b{i}" for i in range(len(SIMHASH_BANDS)))
     return spark.sql(f"""
-        WITH bands AS ({bands}),
+        WITH bands AS (
+          SELECT doc_id, sig, stack({len(SIMHASH_BANDS)}, {stack_args})
+                 AS (band, bits)
+          FROM simhash_sigs_tmp),
         cand AS (
           SELECT DISTINCT a.doc_id AS i, a.sig AS sa, b.doc_id AS j, b.sig AS sb
           FROM bands a JOIN bands b
