@@ -175,9 +175,10 @@ _G4_SQL = (
 )
 
 
-@register(
-    "decontaminate",
-    oracle=f"""
+#: the decontaminate batch oracle — shared with the streaming parity row
+#: (stream_decontaminate_equiv): a stream-static join + aggregation over
+#: bounded input must produce the identical relation
+DECON_ORACLE_SQL = f"""
     WITH w AS (
       SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
     g AS (
@@ -191,7 +192,32 @@ _G4_SQL = (
     FROM ex JOIN bn USING (ng)
     WHERE ex.doc_id % {DECON_MOD} <> 0
     GROUP BY ex.doc_id
-    """,
+    """
+
+
+def decon_grams(df: DataFrame) -> DataFrame:
+    """(doc_id, gg): distinct word DECON_N-grams of a documents relation —
+    a pure narrow map, valid on batch and streaming inputs alike."""
+    w = df.select("doc_id", words_col().alias("ws"))
+    return w.select(
+        "doc_id",
+        F.array_distinct(adjacent_grams(F.col("ws"), DECON_N)).alias("gg"),
+    )
+
+
+def decon_count(corpus_hits: DataFrame) -> DataFrame:
+    """Per-doc overlap count + flag over the matched (doc_id, ng) rows."""
+    shared = F.count("*").cast("bigint")
+    return corpus_hits.groupBy("doc_id").agg(
+        shared.alias("shared_ngrams"),
+        F.when(shared >= DECON_FLAG_MIN, 1).otherwise(0)
+        .cast("bigint").alias("flagged"),
+    )
+
+
+@register(
+    "decontaminate",
+    oracle=DECON_ORACLE_SQL,
     description="Benchmark decontamination: corpus docs sharing distinct "
                 "word 4-grams with a held-out benchmark set (docs with "
                 "doc_id % 13 == 0 stand in for an eval suite) are "
@@ -207,10 +233,7 @@ _G4_SQL = (
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", words_col().alias("ws"))
-    g = w.select(
-        "doc_id", F.array_distinct(adjacent_grams(F.col("ws"), DECON_N)).alias("gg")
-    )
+    g = decon_grams(docs)
     is_bench = F.col("doc_id") % DECON_MOD == 0
     bench_ngrams = (
         g.where(is_bench).select(F.explode("gg").alias("ng")).distinct()
@@ -218,16 +241,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = g.where(~is_bench).select(
         "doc_id", F.explode("gg").alias("ng")
     )
-    shared = F.count("*").cast("bigint")
-    return (
-        corpus.join(F.broadcast(bench_ngrams), "ng")
-        .groupBy("doc_id")
-        .agg(
-            shared.alias("shared_ngrams"),
-            F.when(shared >= DECON_FLAG_MIN, 1).otherwise(0)
-            .cast("bigint").alias("flagged"),
-        )
-    )
+    return decon_count(corpus.join(F.broadcast(bench_ngrams), "ng"))
 
 
 # ------------------------------------------------------ quality_filter_c4

@@ -197,3 +197,50 @@ def stream_pii_redact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _documents_stream(spark, sf_dir)
     planted = stream.select("doc_id", _planted_col().alias("pii_text"))
     return _run_to_parquet(pii_projection(planted), "append")
+
+
+from .curation import (  # noqa: E402
+    DECON_MOD,
+    DECON_ORACLE_SQL,
+    decon_count,
+    decon_grams,
+)
+
+
+@register(
+    "stream_decontaminate_equiv",
+    oracle=DECON_ORACLE_SQL,
+    description="Streaming==batch equivalence for the STREAM-STATIC join "
+                "shape: the corpus side of benchmark decontamination "
+                "arrives as a Structured Streaming file stream, the "
+                "benchmark n-gram set is a STATIC batch relation that "
+                "broadcasts into the stream (the production shape for "
+                "enriching a stream against a slowly-changing reference "
+                "table -- Spark re-plans the static side per micro-batch, "
+                "no stream-side state for the join itself), and the "
+                "per-doc overlap count runs as a complete-mode stateful "
+                "aggregation. Must hash-match the batch decontaminate "
+                "oracle. Verified by the test suite outside the 50-row "
+                "driver budget (driver_slot=False).",
+    tags=("streaming", "curation"),
+    driver_slot=False,
+)
+def stream_decontaminate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    # static side: the held-out benchmark n-gram set, from the batch reader
+    bench_ngrams = (
+        decon_grams(load_table(spark, sf_dir, "documents"))
+        .where(is_bench)
+        .select(F.explode("gg").alias("ng"))
+        .distinct()
+    )
+    # stream side: the corpus, replayed as a file stream
+    corpus = (
+        decon_grams(_documents_stream(spark, sf_dir))
+        .where(~is_bench)
+        .select("doc_id", F.explode("gg").alias("ng"))
+    )
+    hits = corpus.join(F.broadcast(bench_ngrams), "ng")
+    return _run_to_parquet(decon_count(hits), "complete")
