@@ -162,3 +162,70 @@ def domain_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= _budget_col())
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+# ------------------------------------------------ lang_temperature_sample
+
+#: temperature exponent for language-balanced sampling (the mT5/XLM-R
+#: mixing rule: sample language l with probability proportional to
+#: (n_l/N)^ALPHA, flattening the head and boosting the tail)
+TEMP_ALPHA = 0.7
+#: global budget: target the sample at half the corpus size
+TEMP_BUDGET_FRAC = 0.5
+
+#: the probability computation, written ONCE and used verbatim by both
+#: engines (identical expression order => identical IEEE doubles; the
+#: micro-quantized floor makes the compared value an exact BIGINT, the
+#: same discipline as text_tfidf_topk's idf)
+_TEMP_P_SQL = (
+    f"LEAST(1000000, CAST(floor({TEMP_BUDGET_FRAC} * n * (w / z) / n_l * 1e6"
+    " + 0.5) AS BIGINT))"
+)
+_TEMP_W_SQL = f"pow(CAST(n_l AS DOUBLE) / n, {TEMP_ALPHA})"
+
+
+def _temp_sql(h60_doc: str) -> str:
+    """The full temperature-sampling statement over ``documents``;
+    ``h60_doc`` is the engine's spelling of h60(doc_id) (the only
+    dialect-divergent fragment)."""
+    return f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_l) AS DOUBLE) AS n FROM counts),
+    w AS (SELECT lang, n_l, {_TEMP_W_SQL} AS w FROM counts CROSS JOIN tot),
+    z AS (SELECT SUM(w) AS z FROM w),
+    p AS (SELECT lang, {_TEMP_P_SQL} AS p_micro
+          FROM w CROSS JOIN z CROSS JOIN tot)
+    SELECT d.doc_id, d.lang, p.p_micro,
+           CAST(CASE WHEN {h60_doc} % 1000000 < p.p_micro
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM documents d JOIN p ON d.lang = p.lang
+    """
+
+
+@register(
+    "lang_temperature_sample",
+    oracle=_temp_sql(h60_sql("CAST(doc_id AS VARCHAR)")),
+    description=f"Language-balanced temperature sampling (the mT5/XLM-R "
+                f"mixing rule, alpha={TEMP_ALPHA}): per-language keep "
+                "probabilities proportional to (n_l/N)^alpha, scaled to a "
+                f"{TEMP_BUDGET_FRAC:.0%}-of-corpus budget and capped at 1 "
+                "(rare languages keep everything, the majority language "
+                "downsamples), membership decided by the deterministic "
+                "h60(doc_id) threshold. The language histogram is a "
+                "map-side-combined aggregate of ~10^2 rows that BROADCASTS "
+                "back onto the corpus; the keep decision is then a pure "
+                "narrow map -- reproducible across engines, retries, and "
+                "partitionings. Probabilities are micro-quantized BIGINTs "
+                "(identical formula text in both engines -> identical IEEE "
+                "doubles -> exact comparison under the hash check).",
+    tags=("sampling", "curation"),
+    driver_slot=False,
+)
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark_h60 = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+                 "16, 10) AS BIGINT)")
+    return spark.sql(_temp_sql(spark_h60))

@@ -32,3 +32,55 @@ def test_domain_mix_budgets_respected(spark, sf_dir):
         for prev, cur in zip(sorted(r.cum_tokens for r in rows),
                              sorted(rows, key=lambda r: r.cum_tokens)[1:]):
             assert cur.cum_tokens == prev + cur.n_tokens
+
+
+def test_lang_temperature_sample_caps_rare_language():
+    """On a corpus skewed enough, the rare language's keep probability
+    hits the cap (p_micro == 1e6: keep everything) while the majority
+    language downsamples below the budget fraction -- exercised via the
+    SAME SQL text the Spark builder runs, on a synthetic skewed corpus."""
+    import duckdb
+
+    from aws_cloudfront_realtime_monitoring_spark.functions.hashing import h60_sql
+    from aws_cloudfront_realtime_monitoring_spark.plans.sampling import _temp_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT i AS doc_id, CASE WHEN i < 990 THEN 'en' ELSE 'xx' END AS lang "
+        "FROM range(1000) t(i)"
+    )
+    df = con.execute(_temp_sql(h60_sql("CAST(doc_id AS VARCHAR)"))).df()
+    p = df.groupby("lang")["p_micro"].first()
+    assert p["xx"] == 1_000_000          # rare language: keep everything
+    assert p["en"] < 500_000             # majority: below the 50% budget
+    kept = df.groupby("lang")["kept"].sum()
+    assert kept["xx"] == 10              # cap means every rare doc survives
+
+
+def test_lang_temperature_sample_matches_reference_formula(spark, sf_dir):
+    """The per-language p_micro equals an independent numpy recomputation
+    of min(1, frac * N * (n_l/N)^a / (Z * n_l)) in micro-units."""
+    import math
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.sampling import (
+        TEMP_ALPHA,
+        TEMP_BUDGET_FRAC,
+        lang_temperature_sample,
+    )
+
+    rows = lang_temperature_sample(spark, sf_dir).collect()
+    n_l = {}
+    for r in rows:
+        n_l[r.lang] = n_l.get(r.lang, 0) + 1
+    n = float(sum(n_l.values()))
+    w = {l: (c / n) ** TEMP_ALPHA for l, c in n_l.items()}
+    z = sum(w.values())
+    for r in rows:
+        expect = min(
+            1_000_000,
+            int(math.floor(
+                TEMP_BUDGET_FRAC * n * (w[r.lang] / z) / n_l[r.lang] * 1e6 + 0.5
+            )),
+        )
+        assert r.p_micro == expect
