@@ -521,3 +521,91 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).cast("bigint").alias("flagged"),
         )
     )
+
+
+# ------------------------------------------------------ curation_pipeline
+
+#: token-count gate for the composed pipeline (the text_profile rule's
+#: length component)
+PIPE_MIN_TOKENS = 10
+PIPE_MAX_TOKENS = 1000
+
+
+def _pipeline_oracle() -> str:
+    from .sampling import _temp_sql
+    from ..functions.hashing import h60_sql as _h60
+
+    temp = _temp_sql(_h60("CAST(doc_id AS VARCHAR)"))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents),
+    canon AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                    THEN 1 ELSE 0 END AS c
+        FROM documents) WHERE c = 1),
+    contaminated AS (
+      SELECT doc_id FROM ({DECON_ORACLE_SQL}) WHERE flagged = 1),
+    sampled AS (
+      SELECT doc_id FROM ({temp}) WHERE kept = 1)
+    SELECT t.doc_id, t.lang, t.source, t.n_tokens
+    FROM tok t
+    JOIN canon USING (doc_id)
+    JOIN sampled USING (doc_id)
+    LEFT JOIN contaminated c ON c.doc_id = t.doc_id
+    WHERE c.doc_id IS NULL
+      AND t.doc_id % {DECON_MOD} <> 0
+      AND t.n_tokens BETWEEN {PIPE_MIN_TOKENS} AND {PIPE_MAX_TOKENS}
+    """
+
+
+@register(
+    "curation_pipeline",
+    oracle=_pipeline_oracle(),
+    description="The composed keep-list a training run actually consumes: "
+                "token-length gate AND exact-dedup canonical AND not "
+                "benchmark-contaminated (and not itself a benchmark doc) "
+                "AND surviving language-balanced temperature sampling -- "
+                "four independently-verified stages (text_profile's length "
+                "rule, dedup_exact, decontaminate, lang_temperature_sample) "
+                "composed into one relation and hash-checked end to end. "
+                "Composition cost is three doc_id hash-joins over "
+                "already-reduced keep-lists (each stage's filter runs "
+                "map-side before its join); at 100 TB the stages run as "
+                "one pipeline over a shared scan, and every stage's "
+                "individual scale argument (SCALE.md) carries over "
+                "unchanged.",
+    tags=("curation", "pipeline"),
+    driver_slot=False,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_exact
+    from .sampling import lang_temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source",
+        F.size(words_col()).cast("bigint").alias("n_tokens"),
+    )
+    canon = dedup_exact(spark, sf_dir).where(
+        F.col("is_canonical") == 1
+    ).select("doc_id")
+    contaminated = decontaminate(spark, sf_dir).where(
+        F.col("flagged") == 1
+    ).select("doc_id")
+    sampled = lang_temperature_sample(spark, sf_dir).where(
+        F.col("kept") == 1
+    ).select("doc_id")
+    return (
+        tok.join(canon, "doc_id")
+        .join(sampled, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .where(
+            (F.col("doc_id") % DECON_MOD != 0)
+            & F.col("n_tokens").between(PIPE_MIN_TOKENS, PIPE_MAX_TOKENS)
+        )
+        .select("doc_id", "lang", "source", "n_tokens")
+    )

@@ -129,9 +129,13 @@ _EXECUTING = {"dedup_clusters", "stream_hourly_bytes_equiv", "stream_dedup_equiv
 #: - ann_topk_bruteforce: the deliberately-broadcast probe set;
 #: - string_distance_pairs: bounded ~150-value domain;
 #: - unigram_logprob: same ONE-ROW scalar broadcast as text_tfidf_topk
-#:   (the total token count attaches to the vocabulary model).
+#:   (the total token count attaches to the vocabulary model);
+#: - lang_temperature_sample (and curation_pipeline, which embeds it):
+#:   ONE-ROW scalar broadcasts attaching the corpus total and the
+#:   normalizer Z to the ~10^2-row language histogram.
 _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
-           "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob"}
+           "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob",
+           "lang_temperature_sample", "curation_pipeline"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 
