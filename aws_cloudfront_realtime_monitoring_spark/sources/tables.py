@@ -199,12 +199,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     context's lifetime, never reused by a successor the way ``id()`` can
     be — and stores the source files' (size, mtime) signature, so a
     testdata regeneration under a live session re-registers instead of
-    serving views bound to a retired layout."""
+    serving views bound to a retired layout.
+
+    Tables absent from ``sf_dir`` are skipped (a partial layout — e.g. the
+    scale sweep's documents-only synthetic corpus — registers only what it
+    has; a query touching a missing view fails with TABLE_OR_VIEW_NOT_FOUND
+    instead of blocking registration of the tables that DO exist). The
+    stat signature distinguishes partial from full layouts, so switching
+    between them re-registers."""
     sc = spark.sparkContext
     key = (sc.applicationId, sc.startTime)
-    cur = (os.path.normpath(sf_dir), _source_sig(sf_dir))
+    sig = _source_sig(sf_dir)
+    cur = (os.path.normpath(sf_dir), sig)
     if _VIEWS_CURRENT.get(key) == cur:
         return
-    for t in TABLES:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    for (t, size, _mtime) in sig:
+        if size >= 0:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     _VIEWS_CURRENT[key] = cur
