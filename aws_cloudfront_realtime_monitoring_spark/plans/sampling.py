@@ -184,23 +184,40 @@ _TEMP_P_SQL = (
 _TEMP_W_SQL = f"pow(CAST(n_l AS DOUBLE) / n, {TEMP_ALPHA})"
 
 
-def _temp_sql(h60_doc: str) -> str:
-    """The full temperature-sampling statement over ``documents``;
-    ``h60_doc`` is the engine's spelling of h60(doc_id) (the only
-    dialect-divergent fragment)."""
+#: histogram statement (corpus scanned ONCE); Spark barriers its tiny
+#: result so the downstream probability algebra never re-derives it
+_TEMP_HIST_SQL = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY lang"
+)
+
+
+def _temp_p_sql(hist: str) -> str:
+    """Per-language keep probability from a (lang, n_l) histogram relation."""
     return f"""
-    WITH counts AS (
-      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
-    tot AS (SELECT CAST(SUM(n_l) AS DOUBLE) AS n FROM counts),
-    w AS (SELECT lang, n_l, {_TEMP_W_SQL} AS w FROM counts CROSS JOIN tot),
-    z AS (SELECT SUM(w) AS z FROM w),
-    p AS (SELECT lang, {_TEMP_P_SQL} AS p_micro
-          FROM w CROSS JOIN z CROSS JOIN tot)
+    WITH tot AS (SELECT CAST(SUM(n_l) AS DOUBLE) AS n FROM {hist}),
+    w AS (SELECT lang, n_l, {_TEMP_W_SQL} AS w FROM {hist} CROSS JOIN tot),
+    z AS (SELECT SUM(w) AS z FROM w)
+    SELECT lang, {_TEMP_P_SQL} AS p_micro
+    FROM w CROSS JOIN z CROSS JOIN tot
+    """
+
+
+def _temp_join_sql(p_rel: str, h60_doc: str) -> str:
+    """Corpus join + keep decision over a (lang, p_micro) relation."""
+    return f"""
     SELECT d.doc_id, d.lang, p.p_micro,
            CAST(CASE WHEN {h60_doc} % 1000000 < p.p_micro
                 THEN 1 ELSE 0 END AS BIGINT) AS kept
-    FROM documents d JOIN p ON d.lang = p.lang
+    FROM documents d JOIN ({p_rel}) p ON d.lang = p.lang
     """
+
+
+def _temp_sql(h60_doc: str) -> str:
+    """The full temperature-sampling statement (single-statement form, used
+    by the DuckDB oracle and oracle-composition callers); ``h60_doc`` is
+    the engine's spelling of h60(doc_id), the only dialect-divergent
+    fragment."""
+    return _temp_join_sql(_temp_p_sql(f"({_TEMP_HIST_SQL})"), h60_doc)
 
 
 @register(
@@ -226,6 +243,11 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir)
+    # barrier the ~10^2-row histogram: SQL CTE inlining would otherwise
+    # re-derive it for every downstream reference -- the plan audit showed
+    # SIX corpus scans for what needs exactly two (histogram + final join)
+    hist = spark.sql(_TEMP_HIST_SQL).localCheckpoint(eager=False)
+    hist.createOrReplaceTempView("lang_hist_tmp")
     spark_h60 = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
                  "16, 10) AS BIGINT)")
-    return spark.sql(_temp_sql(spark_h60))
+    return spark.sql(_temp_join_sql(_temp_p_sql("lang_hist_tmp"), spark_h60))
