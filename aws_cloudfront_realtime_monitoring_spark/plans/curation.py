@@ -372,7 +372,7 @@ _LWORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')
       SELECT doc_id, unnest({_LWORDS}) AS w FROM documents),
     model AS (
       SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
-    n AS (SELECT COUNT(*) AS n_total FROM toks),
+    n AS (SELECT SUM(cnt) AS n_total FROM model),
     lp AS (
       SELECT w,
              CAST(floor(ln(CAST(cnt AS DOUBLE) / n_total) * 1e6 + 0.5)
@@ -411,12 +411,19 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
         ).alias("w"),
     )
-    model = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    n = toks.agg(F.count("*").alias("n_total"))
+    # barrier the O(vocab) model (lazy localCheckpoint): it feeds both the
+    # corpus total and the broadcast lookup, and without it each reference
+    # re-runs the token-stream scan + aggregation (audit: 3 corpus scans
+    # where the operator needs 2 -- model build + scoring join)
+    model = toks.groupBy("w").agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint(eager=False)
+    # corpus total from the model, NOT a second token-stream scan
+    total = model.agg(F.sum("cnt").alias("n_total"))
     lp_micro = F.floor(
         F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1e6 + 0.5
     ).cast("bigint")
-    lp = model.crossJoin(F.broadcast(n)).select("w", lp_micro.alias("lp_micro"))
+    lp = model.crossJoin(F.broadcast(total)).select("w", lp_micro.alias("lp_micro"))
     summed = F.sum("lp_micro").cast("bigint")
     return (
         toks.join(F.broadcast(lp), "w")
@@ -494,14 +501,28 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(adjacent_grams(F.col("ws"), SPAN_N)).alias("gg"),
     )
-    t = g.select("doc_id", F.size("gg").cast("bigint").alias("n_grams"))
-    ex = g.select("doc_id", F.explode("gg").alias("ng")).select(
-        "doc_id", h60(F.col("ng")).alias("gh")
-    )
-    dup = ex.groupBy("gh").agg(F.count("*").alias("nd")).where(
+    # materialize the fingerprint stream ONCE (lazy localCheckpoint): it
+    # feeds three consumers (dup-gram counts, the hit join, per-doc
+    # totals), and without a barrier each re-runs the corpus scan +
+    # gram build -- 3 full scans for one operator. This is the standard
+    # "write the fingerprint table" step of substring dedup; blocks free
+    # on GC like the minhash/simhash signature barriers. explode_outer +
+    # the carried n_grams keep zero-gram docs (shorter than SPAN_N words)
+    # in the relation as a single NULL-hash row, so per-doc totals stay
+    # complete without a second corpus scan.
+    ex = g.select(
+        "doc_id",
+        F.size("gg").cast("bigint").alias("n_grams"),
+        F.explode_outer("gg").alias("ng"),
+    ).select(
+        "doc_id", "n_grams", h60(F.col("ng")).alias("gh")
+    ).localCheckpoint(eager=False)
+    t = ex.groupBy("doc_id").agg(F.max("n_grams").alias("n_grams"))
+    hits = ex.where(F.col("gh").isNotNull())
+    dup = hits.groupBy("gh").agg(F.count("*").alias("nd")).where(
         F.col("nd") >= 2
     ).select("gh")
-    dc = ex.join(dup, "gh").groupBy("doc_id").agg(
+    dc = hits.join(dup, "gh").groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("dup_grams")
     )
     dg = F.coalesce(F.col("dup_grams"), F.lit(0).cast("bigint"))
