@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60, h60_sql
 from ..sources.tables import load_table
 from . import register
-from .text import _WORDS_SQL, adjacent_grams, words_col
+from .text import _WORDS_SQL, WS_RE, WS_RE_DUCK, adjacent_grams, words_col
 
 # ------------------------------------------------------------- pii_redact
 
@@ -283,7 +283,7 @@ def _c4_planted_col() -> Column:
     )
 
 
-_C4_WORDS_SQL = "list_filter(regexp_split_to_array(pt, '\\s+'), w -> w <> '')"
+_C4_WORDS_SQL = f"list_filter(regexp_split_to_array(pt, '{WS_RE_DUCK}'), w -> w <> '')"
 
 
 @register(
@@ -362,7 +362,7 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: aggregates -- is identical).
 LP_KEEP_MIN_MICRO = -3_402_000
 
-_LWORDS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+_LWORDS = f"list_filter(regexp_split_to_array(lower(text), '{WS_RE_DUCK}'), w -> w <> '')"
 
 
 @register(
@@ -408,7 +408,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+            F.filter(F.split(F.lower("text"), WS_RE), lambda w: w != F.lit(""))
         ).alias("w"),
     )
     # barrier the O(vocab) model (lazy localCheckpoint): it feeds both the

@@ -30,11 +30,11 @@ from pyspark.sql import functions as F
 from ..functions.hashing import HASH_PRIME, h60_sql, perm_params
 from ..sources.tables import load_table, register_views
 from . import register
-from .text import words_col
+from .text import WS_RE_DUCK, WS_RE_SPARK_SQL, words_col
 
 # ---------------------------------------------------------------- shingles
 
-_WORDS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+_WORDS_SQL = f"list_filter(regexp_split_to_array(text, '{WS_RE_DUCK}'), w -> w <> '')"
 _SHINGLES_SQL = (
     "list_distinct(list_transform("
     "generate_series(1, greatest(len(words) - 2, 0)), "
@@ -242,7 +242,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = spark.sql(f"""
         WITH wz AS (
-          SELECT doc_id, filter(split(text, '\\\\s+'), w -> w != '') AS w
+          SELECT doc_id, filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != '') AS w
           FROM documents),
         tri AS (
           SELECT doc_id,
@@ -407,7 +407,7 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = spark.sql(f"""
         WITH w AS (
-          SELECT doc_id, explode(filter(split(text, '\\\\s+'), w -> w != '')) AS word
+          SELECT doc_id, explode(filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != '')) AS word
           FROM documents),
         h AS (
           SELECT doc_id,

@@ -91,7 +91,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_DEFAULT_BUDGET = 800
 MIX_BUDGET_OVERRIDES = {"src0": 400, "src1": 1200, "src2": 0}
 
-_TOKENS_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))"
+from .text import WS_RE_DUCK as _WS_DUCK
+
+_TOKENS_SQL = f"len(list_filter(regexp_split_to_array(text, '{_WS_DUCK}'), w -> w <> ''))"
 
 
 def _budget_case_sql() -> str:

@@ -31,11 +31,23 @@ STOPWORDS = {
 LANG_ORDER = ["en", "es", "fr", "de"]
 
 
+#: Whitespace split written to the Java-regex/RE2/Python common subset
+#: (the same discipline as curation's PII patterns): Java's \s includes
+#: \x0B (vertical tab) but RE2's does not, and Python's str.split() adds
+#: all of Unicode whitespace -- so a bare `\s+` silently diverges between
+#: Spark, the DuckDB oracle, and Python-replica tests on edge-case text.
+#: One character class, three spellings:
+WS_RE = "[ \\t\\n\\r\\f\\x0B]+"              # Column API (Java regex source)
+WS_RE_SPARK_SQL = "[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+"  # inside spark.sql literals
+WS_RE_DUCK = "[ \\t\\n\\r\\f\\x0b]+"         # inside DuckDB literals (no unescaping)
+WS_PY = "[ \t\n\r\f\x0b]+"                  # Python re replica spelling
+
+
 def words_col(col: str = "text") -> Column:
-    return F.filter(F.split(F.col(col), r"\s+"), lambda w: w != F.lit(""))
+    return F.filter(F.split(F.col(col), WS_RE), lambda w: w != F.lit(""))
 
 
-_WORDS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+_WORDS_SQL = f"list_filter(regexp_split_to_array(text, '{WS_RE_DUCK}'), w -> w <> '')"
 
 
 def adjacent_grams(ws: Column, n: int) -> Column:
@@ -161,7 +173,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: top-k terms kept per document in the TF-IDF ranking
 TFIDF_TOPK = 3
 
-_LWORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+_LWORDS_SQL = f"list_filter(regexp_split_to_array(lower(text), '{WS_RE_DUCK}'), w -> w <> '')"
 
 
 @register(
@@ -209,7 +221,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id",
         F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != F.lit(""))
+            F.filter(F.split(F.lower("text"), WS_RE), lambda w: w != F.lit(""))
         ).alias("term"),
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

@@ -105,7 +105,7 @@ def grouped_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_tokenize",
     oracle="""
     WITH w AS (SELECT doc_id,
-                      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+                      list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0b]+'), x -> x <> '') AS words
                FROM documents)
     SELECT doc_id,
            unnest(generate_series(1, len(words))) AS pos,
@@ -127,7 +127,14 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos BIGINT, token STRING")
     class Tokenize:
         def eval(self, text: str):
-            for i, tok in enumerate(t for t in text.split() if t):
+            import re as _re
+
+            # split on the Java/RE2/Python common whitespace subset, NOT
+            # str.split(): Python would also split on Unicode whitespace
+            # (NBSP, ideographic space) the SQL oracle's RE2 \s does not
+            for i, tok in enumerate(
+                t for t in _re.split("[ \t\n\r\f\x0b]+", text) if t
+            ):
                 yield i + 1, tok
 
     spark.udtf.register("tokenize_udtf", Tokenize)

@@ -239,3 +239,45 @@ def test_training_pipeline_composition(spark):
         out = packed.collect()
         assert {r.doc_id for r in out} == {1, 4, 6}
         assert all(r.shard_fill <= 10 and r.oversize == 0 for r in out)
+
+
+def test_words_split_cross_engine_fuzz(spark):
+    """The word splitter produces IDENTICAL tokens in Spark (Java regex),
+    DuckDB (RE2), and the Python replica spelling, including on the
+    whitespace edge cases where the engines' `\\s` classes disagree
+    (Java \\s has \\x0B, RE2's does not, Python str.split() adds Unicode
+    whitespace). Pins the WS_RE common-subset contract every word-based
+    oracle row relies on."""
+    import re
+
+    import duckdb
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        _WORDS_SQL,
+        WS_PY,
+        words_col,
+    )
+
+    rng = __import__("random").Random(42)
+    alphabet = list("abXY9.") + ["\t", "\n", "\r", "\f", "\x0b", " ",
+                                 "\xa0", "　", "汉"]
+    cases = ["", " ", "\x0b", "a\x0bb", "\xa0", "a\xa0 b\x0b\x0bc "]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+              for _ in range(60)]
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], ["i", "text"]
+    )
+    spark_words = {
+        r.i: r.ws for r in sdf.select("i", words_col().alias("ws")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        # run the exact oracle fragment with the text bound as a one-row relation
+        duck = con.execute(
+            f"SELECT {_WORDS_SQL} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        py = [w for w in re.split(WS_PY, t) if w != ""]
+        assert spark_words[i] == duck == py, (
+            repr(t), spark_words[i], duck, py
+        )
