@@ -173,6 +173,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: top-k terms kept per document in the TF-IDF ranking
 TFIDF_TOPK = 3
 
+#: lower() parity caveat: Spark lowercases with full Unicode semantics
+#: (U+0130 'İ' -> 'i' + combining dot, context-aware final sigma) while
+#: DuckDB's lower() applies simple mappings -- the two agree exactly on
+#: ASCII (pinned by tests/test_text.py::test_lower_cross_engine_ascii)
+#: and the synthetic corpus is ASCII. Multilingual case-folding is NOT
+#: this fragment's job: that is text_normalize (NFKC + casefold, Arrow
+#: pandas UDF), whose Python replica test carries the Unicode contract.
 _LWORDS_SQL = f"list_filter(regexp_split_to_array(lower(text), '{WS_RE_DUCK}'), w -> w <> '')"
 
 

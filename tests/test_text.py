@@ -281,3 +281,35 @@ def test_words_split_cross_engine_fuzz(spark):
         assert spark_words[i] == duck == py, (
             repr(t), spark_words[i], duck, py
         )
+
+
+def test_lower_cross_engine_ascii(spark):
+    """Spark and DuckDB lower() agree exactly on ASCII (the contract the
+    lower()-based oracle rows rely on) -- and the known Unicode
+    divergences (U+0130, final sigma) really do diverge, so if either
+    engine changes semantics this test flags the contract for review."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rng = __import__("random").Random(7)
+    ascii_cases = ["", "ABC", "MiXeD 123 .,!"] + [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 30)))
+        for _ in range(50)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ascii_cases)], ["i", "s"]
+    )
+    sres = {r.i: r.l for r in sdf.select("i", F.lower("s").alias("l")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(ascii_cases):
+        assert sres[i] == con.execute("SELECT lower(?)", [t]).fetchone()[0]
+
+    # the documented divergence set -- full-Unicode folding belongs to
+    # text_normalize, not to the SQL oracle surface
+    udf_rows = spark.createDataFrame(
+        [(0, "İstanbul"), (1, "ΣΟΦΟΣ")], ["i", "s"]
+    ).select("i", F.lower("s").alias("l")).collect()
+    duck = [con.execute("SELECT lower(?)", [t]).fetchone()[0]
+            for t in ("İstanbul", "ΣΟΦΟΣ")]
+    assert [r.l for r in sorted(udf_rows, key=lambda r: r.i)] != duck
