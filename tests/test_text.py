@@ -313,3 +313,41 @@ def test_lower_cross_engine_ascii(spark):
     duck = [con.execute("SELECT lower(?)", [t]).fetchone()[0]
             for t in ("İstanbul", "ΣΟΦΟΣ")]
     assert [r.l for r in sorted(udf_rows, key=lambda r: r.i)] != duck
+
+
+def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
+    """Every word of every document lands in at least one chunk, adjacent
+    chunks overlap by exactly CHUNK_OVERLAP (except a shorter final
+    window), and short documents produce exactly one chunk."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        CHUNK_OVERLAP,
+        CHUNK_WORDS,
+        chunk_documents,
+        words_col,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    stride = CHUNK_WORDS - CHUNK_OVERLAP
+    docs = {
+        r.doc_id: r.ws
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", words_col().alias("ws")).collect()
+    }
+    out = {}
+    for r in chunk_documents(spark, sf_dir).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+        assert r.chunk_words == len(r.chunk_text.split(" "))
+    for doc_id, ws in docs.items():
+        if not ws:
+            assert doc_id not in out
+            continue
+        chunks = [out[doc_id][i] for i in range(len(out[doc_id]))]
+        if len(ws) <= CHUNK_WORDS:
+            assert chunks == [ws]
+            continue
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert c[:CHUNK_OVERLAP] == rebuilt[-CHUNK_OVERLAP:]  # overlap
+            rebuilt.extend(c[CHUNK_OVERLAP:])
+        assert rebuilt == ws  # total coverage, order preserved
+        assert all(len(c) == CHUNK_WORDS for c in chunks[:-1])
