@@ -520,3 +520,111 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
         F.size(F.split("chunk_text", " ")).cast("bigint").alias("chunk_words"),
     )
+
+
+# ------------------------------------------------------------- bm25_topk
+
+#: Okapi BM25 parameters (the standard defaults) and the probe queries --
+#: retrieval over the corpus is how curation pipelines mine examples
+#: (near-benchmark text, topic seeds) at scale
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_B = "CAST(0.75 AS DOUBLE)"
+BM25_TOPK = 5
+BM25_QUERIES = [
+    ("q_join", ["join", "hash", "merge"]),
+    ("q_stream", ["stream", "window", "batch"]),
+    ("q_scan", ["table", "scan", "filter"]),
+]
+
+
+def _bm25_sql(split_expr: str, values_clause: str) -> str:
+    """One BM25 statement, shared by both engines: only the word-split
+    spelling and the VALUES syntax differ. Every scoring literal is CAST
+    to DOUBLE explicitly (DuckDB parses bare 1.2 as DECIMAL, which would
+    change intermediate types and rounding vs Spark); the per-term score
+    is quantized to micro-units BEFORE the per-doc sum, so the final
+    score is an exact BIGINT -- summation-order-free across engines and
+    partitionings (the text_tfidf_topk discipline)."""
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    term_score = (
+        f"ln((n_docs - df + {half}) / (df + {half}) + {one})"
+        f" * (tf * ({BM25_K1} + {one}))"
+        f" / (tf + {BM25_K1} * ({one} - {BM25_B} + {BM25_B} * dl / (total / n_docs)))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {split_expr} AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
+    q AS ({values_clause}),
+    tf AS (
+      SELECT t.doc_id, q.query_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks t JOIN q ON t.term = q.term
+      GROUP BY t.doc_id, q.query_id, t.term),
+    dfr AS (
+      SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY query_id, term),
+    scored AS (
+      SELECT tf.doc_id, tf.query_id,
+             CAST(floor(({term_score}) * 1e6 + {half}) AS BIGINT) AS s_micro
+      FROM tf
+      JOIN dfr ON dfr.query_id = tf.query_id AND dfr.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    agg AS (
+      SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score_micro,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+      FROM agg)
+    SELECT query_id, doc_id, score_micro, rnk
+    FROM ranked WHERE rnk <= {BM25_TOPK}
+    """
+
+
+def _bm25_values(dialect: str) -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
+    if dialect == "duck":
+        return f"SELECT * FROM (VALUES {rows}) v(query_id, term)"
+    return f"SELECT * FROM VALUES {rows} AS v(query_id, term)"
+
+
+@register(
+    "bm25_topk",
+    oracle=_bm25_sql(
+        "unnest(list_filter(regexp_split_to_array(lower(text), "
+        f"'{WS_RE_DUCK}'), w -> w <> ''))",
+        _bm25_values("duck"),
+    ),
+    description=f"Okapi BM25 ranked retrieval, top-{BM25_TOPK} documents "
+                f"per probe query (k1=1.2, b=0.75): the retrieval stage a "
+                "curation pipeline uses to mine examples at scale. The "
+                "tiny query term set joins the token stream map-side "
+                "(AQE broadcasts it), so tf exists only for query terms; "
+                "document lengths are a map-side-combined aggregate; "
+                "corpus stats attach as a one-row broadcast. Per-term "
+                "scores are micro-quantized BIGINTs summed exactly "
+                "(order-free across engines/partitionings); every scoring "
+                "literal is CAST to DOUBLE so Spark and DuckDB run "
+                "identical IEEE arithmetic. Verified by the test suite "
+                "outside the 50-row driver budget (driver_slot=False).",
+    tags=("text", "retrieval", "bm25"),
+    driver_slot=False,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    split_expr = (
+        f"explode(filter(split(lower(text), '{WS_RE_SPARK_SQL}'), "
+        "w -> w != ''))"
+    )
+    return spark.sql(_bm25_sql(split_expr, _bm25_values("spark")))

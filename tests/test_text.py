@@ -351,3 +351,54 @@ def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
             rebuilt.extend(c[CHUNK_OVERLAP:])
         assert rebuilt == ws  # total coverage, order preserved
         assert all(len(c) == CHUNK_WORDS for c in chunks[:-1])
+
+
+def test_bm25_matches_python_replica(spark, sf_dir):
+    """BM25 scores equal an independent Python implementation of the
+    Robertson idf / k1-b saturation formula (guards the formula itself --
+    the oracle row only proves Spark==DuckDB on shared SQL text)."""
+    import math
+    import re
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        WS_PY,
+        bm25_topk,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: [w for w in re.split(WS_PY, r.text.lower()) if w]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n_docs = float(len(docs))
+    total = float(sum(len(ws) for ws in docs.values()))
+    k1, b = 1.2, 0.75
+
+    expected = {}
+    for qid, terms in BM25_QUERIES:
+        tf = {}
+        for did, ws in docs.items():
+            for t in terms:
+                c = ws.count(t)
+                if c:
+                    tf[(did, t)] = c
+        df = {t: sum(1 for (d2, t2) in tf if t2 == t) for t in terms}
+        scores = {}
+        for (did, t), c in tf.items():
+            dl = len(docs[did])
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s = idf * (c * (k1 + 1.0)) / (
+                c + k1 * (1.0 - b + b * dl / (total / n_docs))
+            )
+            scores[did] = scores.get(did, 0) + int(math.floor(s * 1e6 + 0.5))
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+        for rnk, (did, sc) in enumerate(top, 1):
+            expected[(qid, did)] = (sc, rnk)
+
+    got = {
+        (r.query_id, r.doc_id): (r.score_micro, r.rnk)
+        for r in bm25_topk(spark, sf_dir).collect()
+    }
+    assert got == expected
