@@ -537,7 +537,8 @@ BM25_QUERIES = [
 ]
 
 
-def _bm25_sql(split_expr: str, values_clause: str) -> str:
+def _bm25_sql(split_expr: str, values_clause: str,
+              dl_rel: str | None = None) -> str:
     """One BM25 statement, shared by both engines: only the word-split
     spelling and the VALUES syntax differ. Every scoring literal is CAST
     to DOUBLE explicitly (DuckDB parses bare 1.2 as DECIMAL, which would
@@ -552,11 +553,21 @@ def _bm25_sql(split_expr: str, values_clause: str) -> str:
         f" * (tf * ({BM25_K1} + {one}))"
         f" / (tf + {BM25_K1} * ({one} - {BM25_B} + {BM25_B} * dl / (total / n_docs)))"
     )
+    # dl_rel: a pre-materialized (doc_id, dl) relation. Without it the
+    # dl CTE inlines into every reference and the corpus is re-scanned
+    # per consumer (audit: 4 scans); the Spark builder passes a
+    # checkpointed view so the plan scans the corpus exactly twice
+    # (once for lengths, once for the query-term tf).
+    dl_cte = (
+        f"dl AS (SELECT * FROM {dl_rel})"
+        if dl_rel
+        else "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl"
+             " FROM toks GROUP BY doc_id)"
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, {split_expr} AS term FROM documents),
-    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-           FROM toks GROUP BY doc_id),
+    {dl_cte},
     stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
                      CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
     q AS ({values_clause}),
@@ -627,4 +638,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"explode(filter(split(lower(text), '{WS_RE_SPARK_SQL}'), "
         "w -> w != ''))"
     )
-    return spark.sql(_bm25_sql(split_expr, _bm25_values("spark")))
+    dl = spark.sql(f"""
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM (SELECT doc_id, {split_expr} AS term FROM documents)
+        GROUP BY doc_id
+    """).localCheckpoint(eager=False)
+    dl.createOrReplaceTempView("bm25_dl_tmp")
+    return spark.sql(
+        _bm25_sql(split_expr, _bm25_values("spark"), dl_rel="bm25_dl_tmp")
+    )
