@@ -132,10 +132,12 @@ _EXECUTING = {"dedup_clusters", "stream_hourly_bytes_equiv", "stream_dedup_equiv
 #:   (the total token count attaches to the vocabulary model);
 #: - lang_temperature_sample (and curation_pipeline, which embeds it):
 #:   ONE-ROW scalar broadcasts attaching the corpus total and the
-#:   normalizer Z to the ~10^2-row language histogram.
+#:   normalizer Z to the ~10^2-row language histogram;
+#: - bm25_topk: the ONE-ROW corpus-stats relation (n_docs, total tokens)
+#:   cross-joins into the scoring projection.
 _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob",
-           "lang_temperature_sample", "curation_pipeline"}
+           "lang_temperature_sample", "curation_pipeline", "bm25_topk"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 
