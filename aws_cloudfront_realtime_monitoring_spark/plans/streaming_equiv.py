@@ -244,3 +244,54 @@ def stream_decontaminate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = corpus.join(F.broadcast(bench_ngrams), "ng")
     return _run_to_parquet(decon_count(hits), "complete")
+
+
+@register(
+    "stream_session_equiv",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    description="Streaming==batch equivalence for MERGING session-window "
+                "state -- the one streaming state shape the other "
+                "equivalence rows don't cover (tumbling/sliding windows "
+                "keep fixed keys; session windows must merge adjacent "
+                "state as late-but-in-watermark events bridge gaps). A "
+                "real Structured Streaming query (file stream, "
+                "session_window(ts, 30 min) per user with a watermark, "
+                "append mode, parquet sink) runs to completion and must "
+                "hash-match the batch lag+cumsum sessionization oracle "
+                "-- the same oracle as the batch session_window_agg row, "
+                "proving stream and batch agree WITH each other, not "
+                "just each with its own oracle. Verified by the test "
+                "suite outside the 50-row driver budget "
+                "(driver_slot=False).",
+    tags=("streaming", "session"),
+    driver_slot=False,
+)
+def stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "24 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+    # complete mode: append would withhold sessions still inside the
+    # watermark at end-of-stream (the bounded-replay analog of "not yet
+    # finalized"); complete emits the full merged state each batch, so
+    # the final batch IS the batch answer
+    return _run_to_parquet(agg, "complete")
