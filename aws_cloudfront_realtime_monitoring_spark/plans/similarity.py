@@ -419,3 +419,49 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("rep_cand").alias("rep_id"),
                 F.round("cos", 6).alias("cos6"))
     )
+
+
+def semdedup_kmeans(spark: SparkSession, sf_dir: str, k: int = 16):
+    """SemDeDup with TRAINED clusters: the same
+    dominated-by-any-smaller-id rule as the ``semdedup`` registry row,
+    but clustered by k-means centroids (operators/kmeans.py) instead of
+    the sign-pattern quantizer -- the production configuration, where
+    cluster count is chosen ~ sqrt(N) (or larger) so within-cluster pair
+    work stays bounded.
+
+    Returns ``(dropped, n_iters)``: the dropped relation has the
+    identical (vec_id, rep_id, cos6) schema as ``semdedup``. Not a
+    registry row -- iterative model training is outside the SQL-oracle
+    contract (the k-means precedent); pytest pins it against an
+    independent numpy replica over the trained assignments."""
+    from ..operators.kmeans import fit_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _centroids, assigns, n_iters = fit_kmeans(emb, k=k)
+    base = (
+        emb.select("vec_id", qvec().alias("qe"))
+        .withColumn("nrm", qnorm("qe"))
+        .join(assigns.select("vec_id", "cluster"), "vec_id")
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"), "cluster",
+        F.col("qe").alias("a_qe"), F.col("nrm").alias("a_nrm"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"), "cluster",
+        F.col("qe").alias("b_qe"), F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(b, "cluster").where(F.col("a_id") < F.col("b_id"))
+    scored = pairs.select(
+        F.col("b_id").alias("vec_id"),
+        F.col("a_id").alias("rep_cand"),
+        cosine(dot("a_qe", "b_qe"), F.col("a_nrm"), F.col("b_nrm")).alias("cos"),
+    ).where(F.col("cos") >= SEMDEDUP_COS)
+    w = W.partitionBy("vec_id").orderBy(F.asc("rep_cand"))
+    dropped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("rep_cand").alias("rep_id"),
+                F.round("cos", 6).alias("cos6"))
+    )
+    return dropped, n_iters

@@ -140,3 +140,43 @@ def test_semdedup_dominance_rule(spark, sf_dir):
                 break
     assert {i: r.rep_id for i, r in out.items()} == expected
     assert all(r.rep_id < i for i, r in out.items())
+
+
+def test_semdedup_kmeans_matches_replica(spark, sf_dir):
+    """The trained-centroid SemDeDup variant applies the identical
+    dominance rule within k-means clusters: checked against a numpy
+    recomputation over the fitted assignments (the k-means fit itself is
+    bit-exact-pinned vs numpy in test_kmeans)."""
+    import numpy as np
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import fit_kmeans
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        QUANT,
+        SEMDEDUP_COS,
+        semdedup_kmeans,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    dropped, n_iters = semdedup_kmeans(spark, sf_dir, k=8)
+    assert n_iters >= 1
+    out = {r.vec_id: r.rep_id for r in dropped.collect()}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _c, assigns, _n = fit_kmeans(emb, k=8)
+    cluster = {r.vec_id: r.cluster for r in assigns.collect()}
+    vecs = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * QUANT)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    expected = {}
+    for b_id in sorted(vecs):
+        for a_id in sorted(vecs):
+            if a_id >= b_id or cluster[a_id] != cluster[b_id]:
+                continue
+            q_a, q_b = vecs[a_id], vecs[b_id]
+            cos = float(q_a @ q_b / np.sqrt(q_a @ q_a) / np.sqrt(q_b @ q_b))
+            if cos >= SEMDEDUP_COS:
+                expected[b_id] = a_id
+                break
+    assert out == expected
+    assert expected, "k-means SemDeDup found no duplicates -- test is vacuous"
