@@ -84,3 +84,41 @@ def test_lang_temperature_sample_matches_reference_formula(spark, sf_dir):
             )),
         )
         assert r.p_micro == expect
+
+
+def test_curriculum_stages_are_balanced_rank_quartiles(spark, sf_dir):
+    """Stages are monotone in score, every stage is nonempty, the quartile
+    boundary rule matches an independent Python recomputation, and ties
+    always share a stage."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.sampling import (
+        CURRICULUM_STAGES,
+        curriculum_stages,
+    )
+
+    rows = curriculum_stages(spark, sf_dir).collect()
+    n = len(rows)
+    scores = sorted(r.score for r in rows)
+    k = CURRICULUM_STAGES
+    # independent boundary computation: smallest score whose cumulative
+    # count reaches q/k of the corpus
+    bounds = []
+    for q in (1, 2, 3):
+        cum = 0
+        seen = {}
+        for s in scores:
+            seen[s] = seen.get(s, 0) + 1
+        cum = 0
+        for s in sorted(seen):
+            cum += seen[s]
+            if cum * k >= q * n:
+                bounds.append(s)
+                break
+    by_score = {}
+    for r in rows:
+        expected = sum(1 for b in bounds if r.score > b)
+        assert r.stage == expected
+        by_score.setdefault(r.score, set()).add(r.stage)
+    assert all(len(v) == 1 for v in by_score.values())  # ties share a stage
+    stages = {r.stage for r in rows}
+    assert stages == set(range(k)) or max(stages) < k  # nonempty prefix
+    assert len(stages) >= 2, "staging is vacuous on this corpus"
