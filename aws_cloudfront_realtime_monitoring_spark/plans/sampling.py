@@ -262,19 +262,29 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURRICULUM_STAGES = 4
 
 
-def _curriculum_sql(split_len_expr: str) -> str:
+def _curriculum_sql(split_len_expr: str, hist_rel: str | None = None) -> str:
     """Stage assignment via exact rank-quantile boundaries, identical in
     both engines. No global row_number (a single-partition window at
     scale): boundaries come from the cumulative histogram of the TINY
     score domain (~10^2 distinct token counts), then broadcast back as
     `stage = count of boundaries strictly below my score`. Ties share a
-    stage by construction -- deterministic under any partitioning."""
+    stage by construction -- deterministic under any partitioning.
+
+    ``hist_rel``: a pre-materialized (score, c) histogram. Without it the
+    hist CTE inlines into each consumer and the corpus re-scans per
+    reference (audit: 4 scans); the Spark builder passes a checkpointed
+    view so the corpus scans exactly twice (histogram + final map)."""
     k = CURRICULUM_STAGES
+    hist_cte = (
+        f"hist AS (SELECT * FROM {hist_rel})"
+        if hist_rel
+        else "hist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c"
+             " FROM scored GROUP BY score)"
+    )
     return f"""
     WITH scored AS (
       SELECT doc_id, CAST({split_len_expr} AS BIGINT) AS score FROM documents),
-    hist AS (
-      SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY score),
+    {hist_cte},
     cum AS (
       SELECT score, SUM(c) OVER (ORDER BY score
                                  ROWS UNBOUNDED PRECEDING) AS cum_c
@@ -319,6 +329,11 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     from .text import WS_RE_SPARK_SQL
 
-    return spark.sql(_curriculum_sql(
-        f"size(filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != ''))"
-    ))
+    score = f"size(filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != ''))"
+    hist = spark.sql(f"""
+        SELECT CAST({score} AS BIGINT) AS score,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    """).localCheckpoint(eager=False)
+    hist.createOrReplaceTempView("curriculum_hist_tmp")
+    return spark.sql(_curriculum_sql(score, hist_rel="curriculum_hist_tmp"))
