@@ -59,6 +59,16 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "curation_pipeline",          # r6b: promoted composition keep-list
+                                  # (slot from sessionize, whose lag+cumsum
+                                  # mechanics ARE the oracle of
+                                  # session_window_agg + stream_session_equiv)
+    "bm25_topk",                  # r6b: promoted retrieval row (slot from
+                                  # sliding_window_counts, subsumed by
+                                  # stream_sliding_equiv's identical oracle)
+    "semdedup",                   # r6b: promoted semantic dedup (slot from
+                                  # semi_anti_membership, whose semi/anti
+                                  # coverage subquery_shapes keeps)
     "pii_redact",                 # r06: new curation row (slot from
                                   # rank_orders_window, whose ranking
                                   # coverage window_frames_ranking keeps)
@@ -98,7 +108,6 @@ PRIORITY = [
     "text_fingerprint",           # rolling-hash rewrite in r02
     "grouping_analytics",         # merged query
     "scalar_functions",           # merged query
-    "semi_anti_membership",       # merged query
 ]
 
 

@@ -37,6 +37,7 @@ from .core import dsum, dsum_sql
                 "window() generates the expansion; the oracle replicates it "
                 "with an explicit series unnest.",
     tags=("window", "sliding"),
+    driver_slot=False,  # r6 demotion: subsumed by stream_sliding_equiv (identical sliding-window oracle, plus the streaming run)
 )
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

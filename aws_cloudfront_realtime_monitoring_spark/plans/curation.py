@@ -598,9 +598,10 @@ def _pipeline_oracle() -> str:
                 "map-side before its join); at 100 TB the stages run as "
                 "one pipeline over a shared scan, and every stage's "
                 "individual scale argument (SCALE.md) carries over "
-                "unchanged.",
+                "unchanged. Promoted to a driver-oracle row in r6 (slot "
+                "from sessionize, whose lag+cumsum mechanics remain the "
+                "oracle of both session-window rows).",
     tags=("curation", "pipeline"),
-    driver_slot=False,
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_exact

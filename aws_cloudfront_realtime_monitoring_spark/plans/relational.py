@@ -166,6 +166,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tagged result. Semi/anti joins keep the build side "
                 "de-duplicated -- the shuffle carries distinct keys only.",
     tags=("join", "semi", "anti"),
+    driver_slot=False,  # r6 demotion: semi/anti coverage also driver-checked via subquery_shapes (IN/EXISTS rewrite to the same joins)
 )
 def semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
@@ -282,6 +283,7 @@ DEMOTED: dict[str, Query] = {
                 "running sum window idiom. Single shuffle on user_id reused "
                 "by both windows (same partitioning).",
     tags=("window", "session"),
+    driver_slot=False,  # r6 demotion: lag+cumsum mechanics are the oracle of session_window_agg AND stream_session_equiv
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")

@@ -389,9 +389,11 @@ SEMDEDUP_COS = 0.35
                 "operators.graph. Integer-exact dots; cluster sizes "
                 "bound each join partition, trained k-means centroids "
                 "(operators.kmeans) swap in for the sign quantizer at "
-                "scale without changing the plan.",
+                "scale without changing the plan (semdedup_kmeans, "
+                "numpy-replica-pinned). Promoted to a driver-oracle row "
+                "in r6 (slot from semi_anti_membership, whose semi/anti "
+                "coverage subquery_shapes keeps).",
     tags=("similarity", "dedup", "curation"),
-    driver_slot=False,
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -625,10 +625,10 @@ def _bm25_values(dialect: str) -> str:
                 "scores are micro-quantized BIGINTs summed exactly "
                 "(order-free across engines/partitionings); every scoring "
                 "literal is CAST to DOUBLE so Spark and DuckDB run "
-                "identical IEEE arithmetic. Verified by the test suite "
-                "outside the 50-row driver budget (driver_slot=False).",
+                "identical IEEE arithmetic. Promoted to a driver-oracle "
+                "row in r6 (slot from sliding_window_counts, subsumed by "
+                "stream_sliding_equiv's identical oracle).",
     tags=("text", "retrieval", "bm25"),
-    driver_slot=False,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views

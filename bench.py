@@ -19,7 +19,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 
 HEADLINE = [
@@ -114,7 +114,9 @@ def main() -> None:
     load_start, load_flagged = _wait_for_quiet_box()
     prior_times = _prior_round_times()
 
-    registry = load_all()
+    # headline names stay stable across registry swaps so totals remain
+    # round-over-round comparable: resolve demoted rows too
+    registry = {**load_demoted(), **load_all()}
     spark = get_spark("bench")
 
     # warm the JVM/codegen path once so per-query numbers measure the

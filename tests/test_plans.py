@@ -134,10 +134,13 @@ _EXECUTING = {"dedup_clusters", "stream_hourly_bytes_equiv", "stream_dedup_equiv
 #:   ONE-ROW scalar broadcasts attaching the corpus total and the
 #:   normalizer Z to the ~10^2-row language histogram;
 #: - bm25_topk: the ONE-ROW corpus-stats relation (n_docs, total tokens)
-#:   cross-joins into the scoring projection.
+#:   cross-joins into the scoring projection;
+#: - curriculum_stages: the <= 3-row quartile-boundary relation joins the
+#:   corpus on a non-equi comparison (stage = count of boundaries below).
 _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob",
-           "lang_temperature_sample", "curation_pipeline", "bm25_topk"}
+           "lang_temperature_sample", "curation_pipeline", "bm25_topk",
+           "curriculum_stages"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 
