@@ -19,7 +19,7 @@ Determinism rules used throughout (so hashes match across engines):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
