@@ -400,15 +400,24 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", _bucket_col().alias("bucket"), qvec().alias("qe")
     ).withColumn("nrm", qnorm("qe"))
+    return _dominance_dedup(base, "bucket")
+
+
+def _dominance_dedup(base: DataFrame, key_col: str) -> DataFrame:
+    """Within-cluster dominated-by-any-smaller-id dedup over a
+    (vec_id, {key_col}, qe, nrm) relation -- the single implementation
+    behind both the sign-pattern registry row and the trained-centroid
+    variant (the dominance rule and cos6 contract must never diverge
+    between them)."""
     a = base.select(
-        F.col("vec_id").alias("a_id"), "bucket",
+        F.col("vec_id").alias("a_id"), key_col,
         F.col("qe").alias("a_qe"), F.col("nrm").alias("a_nrm"),
     )
     b = base.select(
-        F.col("vec_id").alias("b_id"), "bucket",
+        F.col("vec_id").alias("b_id"), key_col,
         F.col("qe").alias("b_qe"), F.col("nrm").alias("b_nrm"),
     )
-    pairs = a.join(b, "bucket").where(F.col("a_id") < F.col("b_id"))
+    pairs = a.join(b, key_col).where(F.col("a_id") < F.col("b_id"))
     scored = pairs.select(
         F.col("b_id").alias("vec_id"),
         F.col("a_id").alias("rep_cand"),
@@ -445,25 +454,4 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str, k: int = 16):
         .withColumn("nrm", qnorm("qe"))
         .join(assigns.select("vec_id", "cluster"), "vec_id")
     )
-    a = base.select(
-        F.col("vec_id").alias("a_id"), "cluster",
-        F.col("qe").alias("a_qe"), F.col("nrm").alias("a_nrm"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("b_id"), "cluster",
-        F.col("qe").alias("b_qe"), F.col("nrm").alias("b_nrm"),
-    )
-    pairs = a.join(b, "cluster").where(F.col("a_id") < F.col("b_id"))
-    scored = pairs.select(
-        F.col("b_id").alias("vec_id"),
-        F.col("a_id").alias("rep_cand"),
-        cosine(dot("a_qe", "b_qe"), F.col("a_nrm"), F.col("b_nrm")).alias("cos"),
-    ).where(F.col("cos") >= SEMDEDUP_COS)
-    w = W.partitionBy("vec_id").orderBy(F.asc("rep_cand"))
-    dropped = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("rep_cand").alias("rep_id"),
-                F.round("cos", 6).alias("cos6"))
-    )
-    return dropped, n_iters
+    return _dominance_dedup(base, "cluster"), n_iters

@@ -270,7 +270,9 @@ def stream_decontaminate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "state as late-but-in-watermark events bridge gaps). A "
                 "real Structured Streaming query (file stream, "
                 "session_window(ts, 30 min) per user with a watermark, "
-                "append mode, parquet sink) runs to completion and must "
+                "COMPLETE mode -- append would withhold sessions still "
+                "inside the watermark at end-of-stream -- parquet sink) "
+                "runs to completion and must "
                 "hash-match the batch lag+cumsum sessionization oracle "
                 "-- the same oracle as the batch session_window_agg row, "
                 "proving stream and batch agree WITH each other, not "

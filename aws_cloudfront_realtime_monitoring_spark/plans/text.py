@@ -624,7 +624,10 @@ def _bm25_values(dialect: str) -> str:
                 "scores are micro-quantized BIGINTs summed exactly "
                 "(order-free across engines/partitionings); every scoring "
                 "literal is CAST to DOUBLE so Spark and DuckDB run "
-                "identical IEEE arithmetic. Promoted to a driver-oracle "
+                "identical IEEE arithmetic. Corpus size N counts TOKENIZED "
+                "documents (a zero-token doc can neither match a query "
+                "nor be retrieved, and its length would skew avgdl). "
+                "Promoted to a driver-oracle "
                 "row in r6 (slot from sliding_window_counts, subsumed by "
                 "stream_sliding_equiv's identical oracle).",
     tags=("text", "retrieval", "bm25"),

@@ -119,9 +119,11 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     assert lo <= row.approx <= hi
 
 
-#: queries whose builders EXECUTE work (iterative loops, streaming runs) --
-#: explain() would run them; audited by tools/audit_plans.py instead
-_EXECUTING = {"dedup_clusters", "stream_hourly_bytes_equiv", "stream_dedup_equiv"}
+#: queries whose builders EXECUTE work (iterative loops, and every
+#: stream_* equivalence row runs its streaming query inside build()) --
+#: explain() would run them end-to-end and then audit only the sink
+#: read-back scan; audited by tools/audit_plans.py instead
+_EXECUTING = {"dedup_clusters"} | {n for n in REGISTRY if n.startswith("stream_")}
 #: accepted BroadcastNestedLoopJoin surfaces:
 #: - q1/ago_filter_count/text_tfidf_topk: a ONE-ROW scalar broadcast
 #:   (injectable now() / corpus count) with a non-equi or cross predicate —

@@ -120,5 +120,7 @@ def test_curriculum_stages_are_balanced_rank_quartiles(spark, sf_dir):
         by_score.setdefault(r.score, set()).add(r.stage)
     assert all(len(v) == 1 for v in by_score.values())  # ties share a stage
     stages = {r.stage for r in rows}
-    assert stages == set(range(k)) or max(stages) < k  # nonempty prefix
+    # stages must form a contiguous prefix 0..max (no gaps: a skewed corpus
+    # can collapse stages, but it cannot skip one under the boundary rule)
+    assert stages == set(range(max(stages) + 1))
     assert len(stages) >= 2, "staging is vacuous on this corpus"
