@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH_PRIME, h60_sql, perm_params
 from ..sources.tables import load_table, register_views
-from . import register
+from . import REGISTRY, register
 from .text import WS_RE_DUCK, WS_RE_SPARK_SQL, words_col
 
 # ---------------------------------------------------------------- shingles
@@ -493,4 +493,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("is_canonical"),
         )
+    )
+
+
+# ------------------------------------------------------- dedup_lsh_recall
+
+def _lsh_recall_oracle() -> str:
+    lsh = REGISTRY["dedup_minhash_lsh"].oracle
+    exact = REGISTRY["dedup_ngram_jaccard"].oracle
+    return f"""
+    WITH lsh AS (SELECT doc_a, doc_b FROM ({lsh})),
+    exact AS (SELECT doc_a, doc_b FROM ({exact})),
+    joined AS (
+      SELECT COALESCE(l.doc_a, e.doc_a) AS doc_a,
+             CASE WHEN l.doc_a IS NOT NULL AND e.doc_a IS NOT NULL
+                    THEN 'both'
+                  WHEN l.doc_a IS NOT NULL THEN 'lsh_only'
+                  ELSE 'exact_only' END AS category
+      FROM lsh l FULL OUTER JOIN exact e
+        ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+    SELECT category, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM joined GROUP BY category
+    """
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=_lsh_recall_oracle(),
+    description="Recall audit of the MinHash-LSH scale path against the "
+                "exact n-gram-Jaccard ground truth: a FULL OUTER JOIN of "
+                "the two pair relations counts pairs found by both, by "
+                "LSH only, and by the exact path only -- quantifying the "
+                "probabilistic-recall trade the LSH row documents, as a "
+                "driver-checkable relation rather than prose. A "
+                "'lsh_only' row is STRUCTURALLY impossible -- every LSH "
+                "candidate passes the same exact-Jaccard verify the "
+                "ground-truth path uses -- so its appearance indicates a "
+                "verification bug (pytest-pinned); 'exact_only' counts "
+                "pairs the banding missed. Runs the "
+                "two audited sibling plans (each with its signature "
+                "barrier) plus one join on the tiny pair sets; at 100 TB "
+                "this is the standard sampled-recall validation job a "
+                "pipeline runs before trusting its LSH parameters. "
+                "Verified by the test suite outside the 50-row driver "
+                "budget (driver_slot=False).",
+    tags=("dedup", "minhash", "validation"),
+    driver_slot=False,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("e_a"), F.col("doc_b").alias("e_b")
+    )
+    joined = lsh.join(
+        exact,
+        (F.col("doc_a") == F.col("e_a")) & (F.col("doc_b") == F.col("e_b")),
+        "full_outer",
+    )
+    category = (
+        F.when(F.col("doc_a").isNotNull() & F.col("e_a").isNotNull(), "both")
+        .when(F.col("doc_a").isNotNull(), "lsh_only")
+        .otherwise("exact_only")
+    )
+    return joined.select(category.alias("category")).groupBy("category").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
     )

@@ -190,3 +190,21 @@ def test_connected_components_random_graph_vs_union_find(
     df = spark.createDataFrame(sorted(edges), "doc_a BIGINT, doc_b BIGINT")
     got = {r.node: r.lbl for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_lsh_recall_audit_invariants(spark, sf_dir):
+    """'lsh_only' can never appear (LSH candidates pass the same exact
+    verify as the ground truth); on this corpus the banding achieves
+    full recall, so the audit is a single 'both' row equal to the exact
+    pair count."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.dedup import (
+        dedup_lsh_recall,
+        dedup_ngram_jaccard,
+    )
+
+    rows = {r.category: r.n_pairs for r in dedup_lsh_recall(spark, sf_dir).collect()}
+    assert "lsh_only" not in rows, "LSH emitted a pair the exact verify rejects"
+    n_exact = dedup_ngram_jaccard(spark, sf_dir).count()
+    assert rows.get("both", 0) + rows.get("exact_only", 0) == n_exact
+    # planted near-dups share full bands: banding loses nothing here
+    assert rows.get("exact_only", 0) == 0
