@@ -297,3 +297,61 @@ def stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finalized"); complete emits the full merged state each batch, so
     # the final batch IS the batch answer
     return _run_to_parquet(agg, "complete")
+
+
+from . import EXTRAS  # noqa: E402
+from .text import CHUNK_WORDS  # noqa: E402
+
+
+@register(
+    "stream_chunk_equiv",
+    oracle=None,  # set below: reuse the batch chunk_documents oracle
+    description="Streaming==batch equivalence for a GENERATOR transform: "
+                "context-window chunking (array slices + posexplode -- "
+                "one input row fans out to many output rows) runs "
+                "unchanged inside a Structured Streaming query (file "
+                "stream over documents, append mode, parquet sink) and "
+                "must hash-match the batch chunk_documents oracle. "
+                "Stateless row-fan-out is the remaining stateless shape "
+                "after the pii map parity row: no state, no watermark, "
+                "exactly-once via the sink commit protocol. Verified by "
+                "the test suite outside the 50-row driver budget "
+                "(driver_slot=False).",
+    tags=("streaming", "curation", "chunking"),
+    driver_slot=False,
+)
+def stream_chunk_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import WS_RE, _STRIDE
+
+    stream = _documents_stream(spark, sf_dir)
+    w = stream.select(
+        "doc_id",
+        F.filter(F.split("text", WS_RE), lambda x: x != F.lit("")).alias("ws"),
+    ).where(F.size("ws") > 0)
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.ceil((F.size("ws") - F.lit(CHUNK_WORDS)).cast("double") / _STRIDE)
+            .cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS), " "
+        ),
+    )
+    ex = w.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    out = ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).cast("bigint").alias("chunk_words"),
+    )
+    return _run_to_parquet(out, "append")
+
+
+# the streaming run must match the identical batch oracle (text.py loads
+# before this module in plans.load_all, so the batch row is registered)
+EXTRAS["stream_chunk_equiv"].oracle = EXTRAS["chunk_documents"].oracle
