@@ -97,3 +97,37 @@ def test_packing_property_random_token_sizes(spark):
                 assert len(members) == 1 and members[0].n_tokens > cap, name
             else:
                 assert total <= cap, name
+
+
+def test_chunk_then_pack_end_to_end(spark, sf_dir):
+    """The full training-example pipeline: chunk_documents' windows feed
+    pack_shards as (chunk_key, chunk_words) -- every chunk lands in
+    exactly one shard, no shard exceeds the token budget, and the fill
+    accounting is conserved."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.packing import pack_shards
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        CHUNK_WORDS,
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(spark, sf_dir).select(
+        # a stable scalar key per chunk (doc_id is not unique across chunks)
+        (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_words").alias("n_tokens"),
+    )
+    capacity = CHUNK_WORDS * 4  # four full windows per shard
+    packed = pack_shards(chunks, capacity=capacity, n_groups=8)
+    rows = packed.collect()
+    assert len(rows) == chunks.count()           # every chunk assigned once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    fills = {}
+    for r in rows:
+        assert not r.oversize                     # chunk_words <= capacity always
+        fills.setdefault((r.pack_group, r.shard_id), 0)
+        fills[(r.pack_group, r.shard_id)] += r.n_tokens
+    assert all(f <= capacity for f in fills.values())
+    # FFD on full-width windows packs tightly: most shards hold 4 windows
+    full = sum(1 for f in fills.values() if f >= capacity - CHUNK_WORDS)
+    assert full >= len(fills) * 0.5
