@@ -505,8 +505,7 @@ def _lsh_recall_oracle() -> str:
     WITH lsh AS (SELECT doc_a, doc_b FROM ({lsh})),
     exact AS (SELECT doc_a, doc_b FROM ({exact})),
     joined AS (
-      SELECT COALESCE(l.doc_a, e.doc_a) AS doc_a,
-             CASE WHEN l.doc_a IS NOT NULL AND e.doc_a IS NOT NULL
+      SELECT CASE WHEN l.doc_a IS NOT NULL AND e.doc_a IS NOT NULL
                     THEN 'both'
                   WHEN l.doc_a IS NOT NULL THEN 'lsh_only'
                   ELSE 'exact_only' END AS category

@@ -300,7 +300,6 @@ def stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from . import EXTRAS  # noqa: E402
-from .text import CHUNK_WORDS  # noqa: E402
 
 
 @register(
@@ -313,43 +312,23 @@ from .text import CHUNK_WORDS  # noqa: E402
                 "stream over documents, append mode, parquet sink) and "
                 "must hash-match the batch chunk_documents oracle. "
                 "Stateless row-fan-out is the remaining stateless shape "
-                "after the pii map parity row: no state, no watermark, "
-                "exactly-once via the sink commit protocol. Verified by "
+                "after the pii map parity row: no state, no watermark "
+                "(the equivalence harness replays bounded input; the "
+                "production exactly-once sink is streaming/ingest.py's "
+                "checkpointed writeStream -- foreachBatch here is "
+                "at-least-once under retry, fine for a deterministic "
+                "bounded replay). Verified by "
                 "the test suite outside the 50-row driver budget "
                 "(driver_slot=False).",
     tags=("streaming", "curation", "chunking"),
     driver_slot=False,
 )
 def stream_chunk_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import WS_RE, _STRIDE
+    from .text import chunk_projection
 
-    stream = _documents_stream(spark, sf_dir)
-    w = stream.select(
-        "doc_id",
-        F.filter(F.split("text", WS_RE), lambda x: x != F.lit("")).alias("ws"),
-    ).where(F.size("ws") > 0)
-    n_chunks = (
-        F.lit(1)
-        + F.greatest(
-            F.ceil((F.size("ws") - F.lit(CHUNK_WORDS)).cast("double") / _STRIDE)
-            .cast("bigint"),
-            F.lit(0).cast("bigint"),
-        )
+    return _run_to_parquet(
+        chunk_projection(_documents_stream(spark, sf_dir)), "append"
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.array_join(
-            F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS), " "
-        ),
-    )
-    ex = w.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
-    out = ex.select(
-        "doc_id",
-        F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        "chunk_text",
-        F.size(F.split("chunk_text", " ")).cast("bigint").alias("chunk_words"),
-    )
-    return _run_to_parquet(out, "append")
 
 
 # the streaming run must match the identical batch oracle (text.py loads

@@ -461,6 +461,34 @@ CHUNK_OVERLAP = 8
 _STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
 
 
+def chunk_projection(docs: DataFrame) -> DataFrame:
+    """The chunking transform over any (doc_id, text) relation -- shared
+    by the batch row and the streaming parity row (identical expressions
+    in both execution modes, so the two can never drift)."""
+    w = docs.select("doc_id", words_col().alias("ws")).where(F.size("ws") > 0)
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.ceil((F.size("ws") - F.lit(CHUNK_WORDS)).cast("double") / _STRIDE)
+            .cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS), " "
+        ),
+    )
+    ex = w.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).cast("bigint").alias("chunk_words"),
+    )
+
+
 @register(
     "chunk_documents",
     oracle=f"""
@@ -496,29 +524,7 @@ _STRIDE = CHUNK_WORDS - CHUNK_OVERLAP
     driver_slot=False,
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", words_col().alias("ws")).where(F.size("ws") > 0)
-    n_chunks = (
-        F.lit(1)
-        + F.greatest(
-            F.ceil((F.size("ws") - F.lit(CHUNK_WORDS)).cast("double") / _STRIDE)
-            .cast("bigint"),
-            F.lit(0).cast("bigint"),
-        )
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.array_join(
-            F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS), " "
-        ),
-    )
-    ex = w.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
-    return ex.select(
-        "doc_id",
-        F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        "chunk_text",
-        F.size(F.split("chunk_text", " ")).cast("bigint").alias("chunk_words"),
-    )
+    return chunk_projection(load_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------------------------- bm25_topk
