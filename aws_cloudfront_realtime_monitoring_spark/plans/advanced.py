@@ -645,3 +645,64 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         zorder_key(hour, F.col("user_id")).cast("bigint").alias("zkey"),
     )
+
+
+# ---------------------------------------------------------- heavy_hitters
+
+#: top-K values of the heavy-hitter report and the sketch's error budget
+HH_TOPK = 10
+HH_EPS = 0.001
+
+
+@register(
+    "heavy_hitters",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+      GROUP BY user_id),
+    r AS (
+      SELECT user_id, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT)
+               AS rnk
+      FROM c)
+    SELECT user_id, n, rnk FROM r WHERE rnk <= {HH_TOPK}
+    """,
+    description=f"Top-{HH_TOPK} heavy hitters of events.user_id with an "
+                "ENFORCED count-min-sketch contract: the builder also "
+                "runs the one-pass mergeable CMS aggregate "
+                "(operators/sketch.py, the 100 TB path where an exact "
+                "per-value count of a high-cardinality column is a full "
+                "shuffle) and raises unless every reported hitter "
+                "satisfies exact <= estimate <= exact + eps*N -- so the "
+                "hash-checked exact relation doubles as a live proof the "
+                "sketch's Cormode-Muthukrishnan bound holds on this run "
+                "(the approx_distinct_ips pattern, upgraded from "
+                "pytest-only r5 coverage). The exact top-K itself is one "
+                "map-side-combined aggregate + TakeOrdered. Verified by "
+                "the test suite outside the 50-row driver budget "
+                "(driver_slot=False).",
+    tags=("aggregate", "sketch", "topk"),
+    driver_slot=False,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import build_count_min
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("user_id"))
+    top = (
+        c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= HH_TOPK)
+    )
+    # the CMS contract check: O(K) driver rows + an O(model) sketch handle,
+    # never a data-sized collect
+    sketch = build_count_min(events, "user_id", eps=HH_EPS)
+    n_total = sketch.total()
+    for row in top.collect():
+        est = sketch.estimate(row.user_id)
+        if not (row.n <= est <= row.n + HH_EPS * n_total):
+            raise AssertionError(
+                f"count-min bound violated for user_id={row.user_id}: "
+                f"exact={row.n} est={est} N={n_total}"
+            )
+    return top.select("user_id", "n", "rnk")
