@@ -706,3 +706,77 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"exact={row.n} est={est} N={n_total}"
             )
     return top.select("user_id", "n", "rnk")
+
+
+# ------------------------------------------------------- skew operators
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2))) AS DOUBLE)
+             AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Two-phase salted aggregation (operators/skew.py) proven "
+                "lossless through the driver oracle: the partial "
+                "(key, salt) -> final (key) decomposition over lineitem "
+                "must hash-match the plain GROUP BY -- upgrading the "
+                "skew operator from pytest-identity-only coverage. The "
+                "salt spreads a hot key over n_salts reducers; decimal "
+                "sums stay exact through both phases, so the rewrite is "
+                "bit-lossless, not approximately equal. Verified by the "
+                "test suite outside the 50-row driver budget "
+                "(driver_slot=False).",
+    tags=("aggregate", "skew"),
+    driver_slot=False,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "q_dec", F.round("l_quantity", 2).cast("decimal(28,2)")
+    )
+    out = two_phase_agg(
+        li, "l_returnflag",
+        {"n": "count:", "qty": "sum:q_dec"},
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="Salted equi-join (operators/skew.py) proven lossless "
+                "through the driver oracle: the large side salts "
+                "deterministically, the small side replicates n_salts "
+                "times, the join runs on (key, salt), and the aggregated "
+                "result must hash-match the plain join -- the layout "
+                "change cannot alter semantics. For streaming or "
+                "AQE-unavailable paths where runtime skew splitting "
+                "cannot help. Verified by the test suite outside the "
+                "50-row driver budget (driver_slot=False).",
+    tags=("join", "skew"),
+    driver_slot=False,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, "o_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
