@@ -253,12 +253,20 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         n_nodes = seed_obs.get["n_nodes"]
         small_labels = n_nodes <= BROADCAST_MAX_NODES
         _LOG.info("cc: %d nodes, broadcast_labels=%s", n_nodes, small_labels)
-        # the seed is not generally flat (lbl(n) may itself point onward);
-        # establish the every-round invariant "labels flat at hook time".
-        # jumps=5: the seed forest is the one whose depth the hook shape
-        # does not bound, and a deeper in-job jump chain is cheaper than a
-        # second flatten pass (see jump_barrier)
-        labels = flatten(labels, jumps=5)
+        # The seed is not generally flat (lbl(n) may itself point onward),
+        # but NO pre-flatten pass runs: hooking is label-propagation-
+        # correct on any labeling (labels only decrease and always name a
+        # node of the same component), and the convergence proof still
+        # holds in round 1 without flatness -- if the hook changes nothing
+        # on SEED labels, every edge joins equal labels, so each
+        # component's label is constant; that constant c satisfies
+        # lbl(c) = c and c = lbl(min_node) <= min_node, hence c IS the
+        # component minimum and the seed labeling is already flat and
+        # final. Folding the old jumps=5 seed flatten into round 1's
+        # post-hook flatten removes one whole barrier from the round
+        # floor (r7; the per-round breakdown lives in SCALE.md). Round 1
+        # flattens with jumps=5 because it faces the unbounded seed-forest
+        # depth composed with the hook; later rounds keep jumps=4.
         for rnd in range(1, max_rounds + 1):
             # look up both endpoint labels, then hook each ROOT to the min
             # of the two: (root_of_u <- lbl(v)) and (root_of_v <- lbl(u))
@@ -330,11 +338,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                     step,
                 )
                 return finish(labels)
-            # jumps=4: the measured sf0.1 round-1 forest needed two jumps=3
-            # passes (an extra full barrier); one more in-job jump is a
-            # single extra self-join of the partition-sized label table and
-            # folds that second pass into the first
-            labels = flatten(hooked, jumps=4)
+            # jumps=4 (5 in round 1): the measured sf0.1 round-1 forest
+            # needed two jumps=3 passes (an extra full barrier); one more
+            # in-job jump is a single extra self-join of the partition-
+            # sized label table and folds that second pass into the
+            # first. Round 1 carries the un-pre-flattened seed forest's
+            # depth composed with the hook, so it gets the deeper chain.
+            labels = flatten(hooked, jumps=5 if rnd == 1 else 4)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} hook rounds"
         )

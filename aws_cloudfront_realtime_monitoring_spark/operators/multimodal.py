@@ -2,9 +2,11 @@
 metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 
 The decode step is REAL for uncompressed BMP payloads (pure-numpy header
-parse + pixel extraction -- no media library needed) and, when Pillow is
-present in the environment, for every format PIL opens (feature-flagged
-import; this build has no PIL). Payloads in any other format fall back to
+parse + pixel extraction -- no media library needed), for non-interlaced
+8-bit PNG (stdlib zlib inflate + the five standard scanline predictors,
+CRC-verified chunks) and, when Pillow is present in the environment, for
+every format PIL opens (feature-flagged import; this build has no PIL).
+Payloads in any other format fall back to
 ``fake_decode`` -- a deterministic metadata fake derived from payload
 bytes -- unless ``strict=True``, which raises instead. The Spark-side
 design is identical in all three cases and is what matters at 100 TB of
@@ -16,6 +18,7 @@ bytes never leaving the executor.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -82,13 +85,108 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, (rgb if top_down else rgb[::-1])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: 8-bit color types we decode: type -> channel count (palette type 3 would
+#: need a PLTE lookup; 16-bit depths and Adam7 interlace are declined)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for non-interlaced 8-bit-depth PNG (grayscale, RGB,
+    gray+alpha, RGBA): returns (width, height, pixels[h, w, channels]
+    uint8). Raises ``ValueError`` on anything malformed or outside that
+    profile (palette, 16-bit, Adam7 interlace).
+
+    Needs only stdlib ``zlib`` + numpy: an 8-byte signature, then chunks of
+    (length BE32, type, data, CRC32 over type+data); IHDR carries
+    width/height/bit-depth/color-type/interlace, the concatenated IDAT data
+    is one zlib stream of scanlines, each ``1 filter byte + width*channels``
+    bytes, defiltered per the five standard predictors (None/Sub/Up/
+    Average/Paeth) against the row above and the pixel ``channels`` bytes
+    to the left."""
+    if len(payload) < len(_PNG_SIG) + 12 or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat or not ended:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color})"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes, "
+            f"expected {(stride + 1) * height}"
+        )
+    lines = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), np.uint16)  # u16: filter math mod 256
+    prev = np.zeros(stride, np.uint16)
+    for y in range(height):
+        f, row = lines[y, 0], lines[y, 1:].astype(np.uint16)
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0  # left
+                b = prev[x]  # up
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (int(a) + int(b)) >> 1
+                else:
+                    c = prev[x - ch] if x >= ch else 0  # up-left
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f} on row {y}")
+        out[y] = cur
+        prev = cur
+    return width, height, out.astype(np.uint8).reshape(height, width, ch)
+
+
 def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
     """Decode an image payload into the :data:`DECODE_SCHEMA` metadata row.
 
-    Uncompressed BMP decodes for real (header + pixel array,
-    :func:`decode_bmp_pixels`); other formats decode via Pillow when the
-    environment has it, else fall back to :func:`fake_decode` -- or raise
-    ``NotImplementedError`` under ``strict=True``."""
+    Uncompressed BMP (:func:`decode_bmp_pixels`) and non-interlaced 8-bit
+    PNG (:func:`decode_png_pixels`, stdlib zlib + numpy) decode for real;
+    other formats decode via Pillow when the environment has it, else fall
+    back to :func:`fake_decode` -- or raise ``NotImplementedError`` under
+    ``strict=True``."""
     if payload[:2] == b"BM":
         try:
             width, height, _px = decode_bmp_pixels(payload)
@@ -104,6 +202,22 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             # a "BM"-prefixed payload that is NOT a well-formed BMP (e.g.
             # text bytes) is an unrecognized format, not an error: fall
             # through to PIL/fake like any other payload; strict re-raises
+            if strict:
+                raise
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            width, height, _px = decode_png_pixels(payload)
+            return {
+                "doc_id": doc_id,
+                "n_bytes": len(payload),
+                "width": width,
+                "height": height,
+                "n_frames": 1,
+                "fmt": "png",
+            }
+        except ValueError:
+            # signature-prefixed but malformed / outside the decodable
+            # profile (palette, 16-bit, interlaced): same contract as BMP
             if strict:
                 raise
     if _PILImage is not None:  # pragma: no cover (PIL absent in this build)

@@ -24,6 +24,8 @@ state (operators/kmeans.py), it is a bounded-size model artifact
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,4 +93,90 @@ def build_count_min(
     ).head()[0]
     return CountMinSketchHandle(
         jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(raw))
+    )
+
+
+# -------------------------------------------------- relational CMS
+#
+# The driver-handle form above answers point queries on the DRIVER; the
+# relational form below keeps the whole sketch lifecycle inside the engine
+# (build -> store -> estimate are all DataFrame ops, fully lazy), so a
+# query can carry its own enforced accuracy contract without a
+# plan-build-time collect (ADVICE r6: builders should not execute jobs).
+# The sketch IS a relation of (d, bucket, cnt) rows -- bounded by the
+# model size d*w, never by data volume -- exactly the shape you would
+# persist as a sketch table at 100 TB and broadcast back for estimates.
+
+def cms_width(eps: float) -> int:
+    """Spark's convention: w = ceil(2/eps) counters per row."""
+    return int(math.ceil(2.0 / eps))
+
+
+def cms_depth(confidence: float) -> int:
+    """d = ceil(ln(1/(1-confidence))) independent hash rows."""
+    return int(math.ceil(math.log(1.0 / (1.0 - confidence))))
+
+
+def _cms_bucket(value_col, depth_col, width: int, seed: int):
+    """Bucket of ``value`` under hash row ``depth``: xxhash64 seeded per
+    row via the hashed-in depth term (d distinct hash functions)."""
+    return F.pmod(
+        F.xxhash64(value_col.cast("string"), depth_col + F.lit(seed)),
+        F.lit(width),
+    )
+
+
+def count_min_relation(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the sketch as a ``(d, bucket, cnt)`` relation.
+
+    One narrow pass over ``df``: each value fans out to its ``d`` hash
+    rows (map-side combine collapses the fan-out to at most ``d*w`` rows
+    per partition before the shuffle), then a bounded ``d*w``-row
+    aggregate. ``SUM(cnt) WHERE d = 0`` recovers the stream length N.
+    """
+    w, d = cms_width(eps), cms_depth(confidence)
+    return (
+        df.select(F.col(col).alias("_v"))
+        .select("_v", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("d"))
+        .groupBy("d", _cms_bucket(F.col("_v"), F.col("d"), w, seed).alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    keys: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    carry: tuple = (),
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``:
+    ``est = min over d of cnt[h_d(key)]`` (missing bucket = 0). The sketch
+    relation broadcasts (model-sized, <= d*w rows); the keys never
+    shuffle. ``carry`` columns of ``keys`` (functionally dependent on the
+    key) ride along via FIRST so the caller needs no re-join against a
+    recomputed ``keys`` plan. Returns ``(key_col, *carry, cms_est)``.
+    Lazy end to end."""
+    w, d = cms_width(eps), cms_depth(confidence)
+    probes = keys.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c) for c in carry],
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("d"),
+    ).withColumn("bucket", _cms_bucket(F.col("_k"), F.col("d"), w, seed))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("_k")
+        .agg(
+            *[F.first(c).alias(c) for c in carry],
+            F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"),
+        )
+        .withColumnRenamed("_k", key_col)
     )

@@ -528,14 +528,19 @@ def hll_cube_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                3600)) * 1000000) AS grid_ts
       FROM (SELECT DISTINCT event_type FROM events)),
     merged AS (
-      SELECT event_type, grid_ts AS t, NULL::DOUBLE AS v, 1 AS is_grid
+      -- tie = event_id (grid rows: -1 sentinel) totalizes the LOCF order:
+      -- without it two observations sharing (event_type, ts) would make
+      -- LAST_VALUE ... IGNORE NULLS engine/partitioning-dependent
+      SELECT event_type, grid_ts AS t, NULL::DOUBLE AS v, 1 AS is_grid,
+             CAST(-1 AS BIGINT) AS tie
       FROM hours
       UNION ALL
-      SELECT event_type, ts AS t, value AS v, 0 AS is_grid FROM events),
+      SELECT event_type, ts AS t, value AS v, 0 AS is_grid, event_id AS tie
+      FROM events),
     filled AS (
       SELECT event_type, t, is_grid,
              LAST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
-               OVER (PARTITION BY event_type ORDER BY t, is_grid
+               OVER (PARTITION BY event_type ORDER BY t, is_grid, tie
                      ROWS UNBOUNDED PRECEDING) AS locf_v
       FROM merged)
     SELECT event_type, t AS grid_ts,
@@ -573,15 +578,20 @@ def interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "t",
             F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid"),
+            F.lit(-1).cast("bigint").alias("tie"),
         )
     )
     pts = events.select(
         "event_type", F.col("ts").alias("t"),
         F.col("value").alias("v"), F.lit(0).alias("is_grid"),
+        F.col("event_id").alias("tie"),
     )
+    # event_id tiebreak (grid sentinel -1) makes the LOCF order total --
+    # duplicate (event_type, ts) observations would otherwise leave
+    # LAST_VALUE engine/partitioning-dependent (ADVICE r6)
     wf = (
         W.partitionBy("event_type")
-        .orderBy(F.col("t").asc(), F.col("is_grid").asc())
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc(), F.col("tie").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     locf = F.last(
@@ -665,27 +675,30 @@ HH_EPS = 0.001
              CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT)
                AS rnk
       FROM c)
-    SELECT user_id, n, rnk FROM r WHERE rnk <= {HH_TOPK}
+    SELECT user_id, n, rnk, CAST(1 AS BIGINT) AS within_bound
+    FROM r WHERE rnk <= {HH_TOPK}
     """,
     description=f"Top-{HH_TOPK} heavy hitters of events.user_id with an "
-                "ENFORCED count-min-sketch contract: the builder also "
-                "runs the one-pass mergeable CMS aggregate "
-                "(operators/sketch.py, the 100 TB path where an exact "
+                "ENFORCED count-min-sketch contract, fully in-query (the "
+                "hll_cube_range pattern): the plan also builds the CMS as "
+                "a (d, bucket, cnt) RELATION (operators/sketch.py "
+                "count_min_relation -- the 100 TB path where an exact "
                 "per-value count of a high-cardinality column is a full "
-                "shuffle) and raises unless every reported hitter "
-                "satisfies exact <= estimate <= exact + eps*N -- so the "
-                "hash-checked exact relation doubles as a live proof the "
-                "sketch's Cormode-Muthukrishnan bound holds on this run "
-                "(the approx_distinct_ips pattern, upgraded from "
-                "pytest-only r5 coverage). The exact top-K itself is one "
-                "map-side-combined aggregate + TakeOrdered. Verified by "
-                "the test suite outside the 50-row driver budget "
-                "(driver_slot=False).",
+                "shuffle; the relation is model-sized, d*w rows), "
+                "broadcasts it back for point estimates, and emits "
+                "within_bound = (exact <= estimate <= exact + eps*N) as "
+                "a hash-checked column the DuckDB oracle expects to be "
+                "1 -- so the Cormode-Muthukrishnan bound is proven on "
+                "every execution with NO plan-build-time job (ADVICE r6: "
+                "the previous form collect()ed in build()). The exact "
+                "top-K itself is one map-side-combined aggregate + "
+                "TakeOrdered. Verified by the test suite outside the "
+                "50-row driver budget (driver_slot=False).",
     tags=("aggregate", "sketch", "topk"),
     driver_slot=False,
 )
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import build_count_min
+    from ..operators.sketch import cms_point_estimates, count_min_relation
 
     events = load_table(spark, sf_dir, "events")
     c = events.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
@@ -694,18 +707,31 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= HH_TOPK)
     )
-    # the CMS contract check: O(K) driver rows + an O(model) sketch handle,
-    # never a data-sized collect
-    sketch = build_count_min(events, "user_id", eps=HH_EPS)
-    n_total = sketch.total()
-    for row in top.collect():
-        est = sketch.estimate(row.user_id)
-        if not (row.n <= est <= row.n + HH_EPS * n_total):
-            raise AssertionError(
-                f"count-min bound violated for user_id={row.user_id}: "
-                f"exact={row.n} est={est} N={n_total}"
+    sketch = count_min_relation(events, "user_id", eps=HH_EPS)
+    # stream length N recovered from the sketch itself (SUM of one hash
+    # row) -- a one-row broadcast, the sanctioned scalar-NLJ shape
+    n_total = sketch.where(F.col("d") == 0).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    est = cms_point_estimates(
+        top, "user_id", sketch, eps=HH_EPS, carry=("n", "rnk")
+    )
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            "n",
+            "rnk",
+            F.when(
+                (F.col("n") <= F.col("cms_est"))
+                & (F.col("cms_est") <= F.col("n") + F.lit(HH_EPS) * F.col("n_total")),
+                1,
             )
-    return top.select("user_id", "n", "rnk")
+            .otherwise(0)
+            .cast("bigint")
+            .alias("within_bound"),
+        )
+    )
 
 
 # ------------------------------------------------------- skew operators

@@ -1,13 +1,15 @@
 """Multimodal-column queries: binary payload + pandas-batch decode plumbing
 (operators.multimodal), verified end-to-end against an arithmetic oracle.
 
-The decoder is REAL for uncompressed BMP (pure-numpy, golden-bytes-tested
-in tests/test_multimodal.py) and PIL-backed when the environment has
-Pillow; this registry query feeds utf-8 TEXT payloads, which take the
-documented deterministic fake path -- so the oracle below replicates the
-fake's arithmetic, and what the row pins down is the Spark-side contract:
-binary column, Arrow batch shape, mapInPandas schema, downstream
-aggregability of the decoded metadata.
+The decoder is REAL for uncompressed BMP and non-interlaced 8-bit PNG
+(pure numpy + stdlib zlib, golden-bytes-tested in
+tests/test_multimodal.py, which also drives this pipeline shape over
+actual PNG payloads) and PIL-backed when the environment has Pillow; this
+registry query feeds utf-8 TEXT payloads, which take the documented
+deterministic fake path -- so the oracle below replicates the fake's
+arithmetic, and what the row pins down is the Spark-side contract: binary
+column, Arrow batch shape, mapInPandas schema, downstream aggregability
+of the decoded metadata.
 """
 
 from __future__ import annotations

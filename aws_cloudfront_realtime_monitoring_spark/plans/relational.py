@@ -262,6 +262,10 @@ DEMOTED: dict[str, Query] = {
     "sessionize",
     oracle="""
     WITH flagged AS (
+      -- strict > = end-INCLUSIVE merge (an exact-gap event stays in the
+      -- same session), matching Spark's native session_window rule so all
+      -- three session rows share one boundary semantics; pinned by
+      -- tests/test_session_boundary.py
       SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER w IS NULL

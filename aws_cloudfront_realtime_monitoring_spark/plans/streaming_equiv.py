@@ -250,6 +250,10 @@ def stream_decontaminate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_equiv",
     oracle="""
     WITH flagged AS (
+      -- strict > matches Spark's merge rule: an event exactly `gap` after
+      -- its predecessor is MERGED into the same session (sessions merge
+      -- while next_start <= current_end, end-INCLUSIVE; pinned empirically
+      -- by tests/test_session_boundary.py)
       SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session

@@ -216,4 +216,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for (t, size, _mtime) in sig:
         if size >= 0:
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        else:
+            # a previously registered view must not survive a switch to a
+            # layout that lacks the table — otherwise a query on the missing
+            # table silently reads the PREVIOUS sf_dir's data instead of
+            # failing with TABLE_OR_VIEW_NOT_FOUND as documented above
+            spark.catalog.dropTempView(t)
     _VIEWS_CURRENT[key] = cur

@@ -118,3 +118,158 @@ def test_frame_offsets_bounds(spark, sf_dir):
         assert len(r.frame_offsets) == 4
         assert all(0 <= o < r.n_bytes for o in r.frame_offsets)
         assert r.frame_offsets == sorted(r.frame_offsets)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(pixels: np.ndarray, filters=None, color_type=None) -> bytes:
+    """Hand-build a PNG from a [h, w, c] uint8 array -- an independent
+    golden-bytes encoder (chunk layout + filter predictors written from the
+    PNG spec, not from the decoder under test). ``filters`` chooses the
+    per-row filter type (default: None filter everywhere)."""
+    import zlib as _z
+
+    h, w, c = pixels.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[c] if color_type is None else color_type
+    filters = filters or [0] * h
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    flat = pixels.reshape(h, w * c).astype(np.int32)
+    lines = []
+    for y, f in enumerate(filters):
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * c, np.int32)
+        left = np.concatenate([np.zeros(c, np.int32), row[:-c]]) if w * c > c \
+            else np.zeros(w * c, np.int32)
+        upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]]) if w * c > c \
+            else np.zeros(w * c, np.int32)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = row - pred
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+    idat = _z.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decodes_for_real_all_filters_and_channels():
+    """Golden-bytes check: hand-built PNGs decode to their exact pixel
+    arrays across every standard filter type (None/Sub/Up/Average/Paeth)
+    and every 8-bit color type (gray, gray+alpha, RGB, RGBA) -- the decode
+    step is not a stub for this format."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    rng = np.random.RandomState(13)
+    for c in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(6, 4, c), dtype=np.uint8)
+        for filters in ([0] * 6, [1] * 6, [2] * 6, [3] * 6, [4] * 6,
+                        [0, 1, 2, 3, 4, 1]):
+            w, h, got = decode_png_pixels(_make_png(px, filters=filters))
+            assert (w, h) == (4, 6)
+            np.testing.assert_array_equal(got, px)
+    meta = decode_image(3, _make_png(px), strict=True)
+    assert meta == {
+        "doc_id": 3, "n_bytes": len(_make_png(px)), "width": 4, "height": 6,
+        "n_frames": 1, "fmt": "png",
+    }
+
+
+def test_png_rejects_malformed_and_unsupported():
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    good = _make_png(px)
+    with pytest.raises(ValueError):
+        decode_png_pixels(good[:-6])                       # truncated
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF                                    # corrupt IEND CRC
+    with pytest.raises(ValueError):
+        decode_png_pixels(bytes(bad_crc))
+    with pytest.raises(ValueError):                        # palette type
+        decode_png_pixels(_make_png(px, color_type=3))
+    # interlace flag flipped on (re-CRC'd so only interlace is wrong)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 1)
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + good[len(b"\x89PNG\r\n\x1a\n") + 25:]
+    )
+    with pytest.raises(ValueError):
+        decode_png_pixels(interlaced)
+    # strict decode_image surfaces the rejection; non-strict falls back
+    with pytest.raises(ValueError):
+        decode_image(1, bytes(bad_crc), strict=True)
+    assert decode_image(1, bytes(bad_crc))["fmt"] in ("jpeg", "png", "webp")
+
+
+def test_png_payloads_through_mapinpandas(spark):
+    """The SAME mapInPandas contract carries real PNG bytes end-to-end:
+    fmt/width/height come from actual chunk parsing + inflate, mixed in
+    the same batch with BMP and fake-fallback payloads."""
+    rng = np.random.RandomState(17)
+    rows = [
+        (0, bytearray(_make_png(
+            rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8),
+            filters=[4, 3, 2, 1, 0],
+        ))),
+        (1, bytearray(_make_png(
+            rng.randint(0, 256, size=(8, 2, 4), dtype=np.uint8)))),
+        (2, bytearray(_make_bmp(
+            rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)))),
+        (3, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = {r.doc_id: r for r in decode_batches(df).collect()}
+    assert (got[0].fmt, got[0].width, got[0].height) == ("png", 7, 5)
+    assert (got[1].fmt, got[1].width, got[1].height) == ("png", 2, 8)
+    assert got[2].fmt == "bmp"
+    assert got[3].fmt in ("jpeg", "png", "webp")  # documented fake fallback
+
+
+def test_pipeline_shape_over_real_png_payloads(spark):
+    """The multimodal_pipeline flow (decode -> frame-sample plan) over REAL
+    PNG binaries: metadata comes from actual chunk parsing, and the
+    downstream Catalyst arithmetic consumes it unchanged -- the pipeline is
+    format-agnostic once the decode step emits the declared schema."""
+    rng = np.random.RandomState(23)
+    rows = [
+        (int(i), bytearray(_make_png(
+            rng.randint(0, 256, size=(4 + i, 5 + i, 3), dtype=np.uint8),
+            filters=[(i + y) % 5 for y in range(4 + i)],
+        )))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    decoded = decode_batches(df)
+    out = {r.doc_id: r for r in frame_sample_offsets(decoded).collect()}
+    meta = {r.doc_id: r for r in decoded.collect()}
+    for i in range(4):
+        assert meta[i].fmt == "png"
+        assert (meta[i].width, meta[i].height) == (5 + i, 4 + i)
+        assert len(out[i].frame_offsets) == 4
+        assert all(0 <= o < meta[i].n_bytes for o in out[i].frame_offsets)

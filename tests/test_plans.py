@@ -138,11 +138,13 @@ _EXECUTING = {"dedup_clusters"} | {n for n in REGISTRY if n.startswith("stream_"
 #: - bm25_topk: the ONE-ROW corpus-stats relation (n_docs, total tokens)
 #:   cross-joins into the scoring projection;
 #: - curriculum_stages: the <= 3-row quartile-boundary relation joins the
-#:   corpus on a non-equi comparison (stage = count of boundaries below).
+#:   corpus on a non-equi comparison (stage = count of boundaries below);
+#: - heavy_hitters: the ONE-ROW stream-length N (recovered from the CMS
+#:   relation) cross-joins the K=10 hitters for the in-query bound check.
 _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob",
            "lang_temperature_sample", "curation_pipeline", "bm25_topk",
-           "curriculum_stages"}
+           "curriculum_stages", "heavy_hitters"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 

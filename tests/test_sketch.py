@@ -51,3 +51,38 @@ def test_count_min_merge_equals_whole(spark, sf_dir):
     assert merged.total() == whole.total()
     for r in events.select("event_type").distinct().collect():
         assert merged.estimate(r.event_type) == whole.estimate(r.event_type)
+
+
+def test_count_min_relation_bounds_vs_exact(spark, sf_dir):
+    """The RELATIONAL sketch (count_min_relation + cms_point_estimates --
+    the fully-lazy form heavy_hitters' in-query contract uses) respects
+    both CMS bounds against exact counts for EVERY user_id, entirely
+    in-engine: the assertion columns are computed by the same join the
+    query plan uses, and the driver only sees the violation count."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.sketch import (
+        cms_depth,
+        cms_point_estimates,
+        cms_width,
+        count_min_relation,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eps = 0.001
+    sk = count_min_relation(events, "user_id", eps=eps, confidence=0.99)
+    # the sketch relation is model-sized: at most d*w rows
+    assert sk.count() <= cms_depth(0.99) * cms_width(eps)
+    exact = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    est = cms_point_estimates(exact, "user_id", sk, eps=eps, carry=("n",))
+    n_total = events.count()
+    # SUM over one hash row recovers the stream length
+    n_from_sketch = sk.where(F.col("d") == 0).agg(F.sum("cnt")).head()[0]
+    assert n_from_sketch == n_total
+    bad = est.where(
+        (F.col("cms_est") < F.col("n"))
+        | (F.col("cms_est") > F.col("n") + eps * n_total)
+    ).count()
+    assert bad == 0
+    # a key never seen estimates at most eps * N
+    ghost = spark.range(1).select(F.lit(-987654321).alias("user_id"))
+    ghost_est = cms_point_estimates(ghost, "user_id", sk, eps=eps).head()
+    assert ghost_est.cms_est <= eps * n_total

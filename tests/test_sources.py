@@ -148,3 +148,37 @@ def test_layout_cache_retires_stale_keys(spark):
         finally:
             tables.LAYOUT_CACHE_DIR = old_cache_dir
             tables._RETIRE_GRACE_S = old_grace
+
+
+def test_register_views_drops_views_missing_from_new_layout(spark):
+    """Switching a live session from a full layout to a partial one (the
+    scale sweep's documents-only dir) must DROP the views for tables the
+    new layout lacks -- otherwise a query on a missing table silently
+    reads the previous sf_dir's data instead of failing with
+    TABLE_OR_VIEW_NOT_FOUND as documented (ADVICE r6, medium)."""
+    from pyspark.errors import AnalysisException
+
+    from aws_cloudfront_realtime_monitoring_spark.sources import tables
+
+    with tempfile.TemporaryDirectory() as full, tempfile.TemporaryDirectory() as part:
+        spark.range(5).toDF("event_id").coalesce(1).write.parquet(
+            os.path.join(full, "events.parquet")
+        )
+        spark.range(7).toDF("o_orderkey").coalesce(1).write.parquet(
+            os.path.join(full, "orders.parquet")
+        )
+        spark.range(9).toDF("o_orderkey").coalesce(1).write.parquet(
+            os.path.join(part, "orders.parquet")
+        )
+        tables.register_views(spark, full)
+        assert spark.sql("SELECT COUNT(*) AS n FROM events").head().n == 5
+        tables.register_views(spark, part)
+        assert spark.sql("SELECT COUNT(*) AS n FROM orders").head().n == 9
+        try:
+            spark.sql("SELECT COUNT(*) FROM events").collect()
+            raise AssertionError("stale `events` view survived the switch")
+        except AnalysisException:
+            pass  # TABLE_OR_VIEW_NOT_FOUND, as documented
+        # switching back re-registers everything
+        tables.register_views(spark, full)
+        assert spark.sql("SELECT COUNT(*) AS n FROM events").head().n == 5
