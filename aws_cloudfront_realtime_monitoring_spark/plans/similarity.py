@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import register
+from . import REGISTRY, register
 
 QUANT = 1_000_000
 N_QUERIES = 5     # vec_id < 5 are the probe vectors
@@ -144,6 +144,17 @@ _BUCKET_SQL = " + ".join(
     for d in range(IVF_BITS)
 )
 
+#: multi-probe radius: a probe searches its own bucket plus every bucket
+#: within this Hamming distance of it (1 -> 1 + IVF_BITS = 7 of 64
+#: buckets, ~11% of the corpus). Radius 0 (probe-own-bucket-only) had
+#: MEASURED recall@3 = 0/15 on the testdata (the ann_ivf_recall audit
+#: row caught it): sign-LSH bits agree on a near-neighbor with
+#: probability 1 - theta/pi < 1 per bit, so demanding all 6 match
+#: discards most true neighbors. Radius 1 measured 5/15 at sf0.01 --
+#: the standard multi-probe trade (Lv et al., VLDB'07): more recall per
+#: probe WITHOUT growing the index.
+IVF_PROBE_HAMMING = 1
+
 
 def _bucket_col() -> Column:
     out = None
@@ -151,6 +162,14 @@ def _bucket_col() -> Column:
         term = F.when(F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)).otherwise(0)
         out = term if out is None else out + term
     return out
+
+
+def _probe_masks() -> list[int]:
+    """XOR masks enumerating the Hamming-<=IVF_PROBE_HAMMING ball."""
+    masks = [0]
+    if IVF_PROBE_HAMMING >= 1:
+        masks += [1 << d for d in range(IVF_BITS)]
+    return masks
 
 
 @register(
@@ -166,7 +185,9 @@ def _bucket_col() -> Column:
            FROM qn),
     dots AS (
       SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.v * b.v) AS dp
-      FROM ex a JOIN ex b ON a.i = b.i AND a.bucket = b.bucket
+      FROM ex a JOIN ex b ON a.i = b.i
+                         AND bit_count(xor(a.bucket, b.bucket))
+                               <= {IVF_PROBE_HAMMING}
                          AND b.vec_id <> a.vec_id
       WHERE a.vec_id < {N_QUERIES}
       GROUP BY 1, 2),
@@ -185,9 +206,17 @@ def _bucket_col() -> Column:
     FROM ranked WHERE rnk <= 3
     """,
     description=f"IVF/LSH-bucketed ANN: {IVF_BITS}-bit sign-pattern coarse "
-                "quantizer; probes search only their own bucket (equi-join "
-                "on bucket -> hash-partitionable, ~1/64 of corpus touched "
-                "per probe at scale). Approximate recall by design.",
+                "quantizer with MULTI-PROBE (each probe searches its own "
+                "bucket plus the Hamming-1 ball: the probe side explodes "
+                f"to {IVF_BITS + 1} bucket codes and the corpus side "
+                "stays an equi-join on bucket -> hash-partitionable, "
+                f"~{IVF_BITS + 1}/64 of corpus touched per probe at "
+                "scale). Approximate recall by design; single-probe "
+                "measured recall@3 = 0 on this data (sign bits agree "
+                "per-bit with prob 1 - theta/pi), which the "
+                "ann_ivf_recall audit row quantifies -- multi-probe is "
+                "the standard fix that buys recall without growing the "
+                "index.",
     tags=("similarity", "ann", "ivf"),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,9 +230,22 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qe").alias("qqe"),
         F.col("nrm").alias("qnrm"),
     )
+    # multi-probe expansion happens on the SMALL probe side: each probe
+    # fans out to its Hamming-ball bucket codes and the (huge) corpus
+    # side still joins on its single stored bucket -- the equi-join
+    # stays hash-partitionable and every candidate pair appears exactly
+    # once (distinct XOR masks produce distinct probe buckets)
+    probes = queries.select(
+        "query_id", "qqe", "qnrm",
+        F.explode(F.array(*[F.lit(m) for m in _probe_masks()])).alias("mask"),
+        "qbucket",
+    ).select(
+        "query_id", "qqe", "qnrm",
+        F.col("qbucket").bitwiseXOR(F.col("mask")).alias("pbucket"),
+    )
     pairs = base.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = pairs.select(
         "query_id",
@@ -455,3 +497,85 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str, k: int = 16):
         .join(assigns.select("vec_id", "cluster"), "vec_id")
     )
     return _dominance_dedup(base, "cluster"), n_iters
+
+
+# ------------------------------------------------------ ann_ivf_recall
+
+def _ann_recall_oracle() -> str:
+    ivf = REGISTRY["ann_topk_ivf"].oracle
+    exact = REGISTRY["ann_topk_bruteforce"].oracle
+    return f"""
+    WITH ivf AS (SELECT query_id, cand_id FROM ({ivf}) WHERE rnk <= 3),
+    exact AS (SELECT query_id, cand_id FROM ({exact}) WHERE rnk <= 3),
+    joined AS (
+      SELECT COALESCE(i.query_id, e.query_id) AS query_id,
+             CASE WHEN i.cand_id IS NOT NULL AND e.cand_id IS NOT NULL
+                    THEN 1 ELSE 0 END AS is_both,
+             CASE WHEN i.cand_id IS NOT NULL AND e.cand_id IS NULL
+                    THEN 1 ELSE 0 END AS is_ivf_only,
+             CASE WHEN e.cand_id IS NOT NULL AND i.cand_id IS NULL
+                    THEN 1 ELSE 0 END AS is_exact_only
+      FROM ivf i FULL OUTER JOIN exact e
+        ON i.query_id = e.query_id AND i.cand_id = e.cand_id)
+    SELECT query_id,
+           CAST(SUM(is_both) AS BIGINT) AS n_both,
+           CAST(SUM(is_ivf_only) AS BIGINT) AS n_ivf_only,
+           CAST(SUM(is_exact_only) AS BIGINT) AS n_exact_only
+    FROM joined GROUP BY query_id
+    """
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_ann_recall_oracle(),
+    description="Recall audit of the IVF scale path against the "
+                "brute-force ground truth, per probe: a FULL OUTER JOIN "
+                "of the two top-3 relations on (query_id, cand_id) "
+                "counts neighbors found by both, by IVF only, and by "
+                "exact only -- quantifying the ~1/2^bits bucket trade "
+                "the IVF row documents (a probe only sees its own "
+                "sign-pattern bucket, so recall@3 = n_both / 3) as a "
+                "driver-checkable relation rather than prose, the "
+                "dedup_lsh_recall pattern applied to the vector path. "
+                "An 'ivf_only' neighbor at a rank where the exact side "
+                "has none is impossible (IVF scores a subset of the "
+                "same exact cosine scores), but ivf_only+exact_only "
+                "pairs appear whenever the bucket filter pushes a true "
+                "neighbor out of IVF's top-3 -- those rows ARE the "
+                "recall loss. Runs the two audited sibling plans plus "
+                "one join on K*N_QUERIES rows; at 100 TB this is the "
+                "sampled-recall validation job a pipeline runs before "
+                "trusting its quantizer. Verified by the test suite "
+                "outside the 50-row driver budget (driver_slot=False).",
+    tags=("similarity", "ann", "validation"),
+    driver_slot=False,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = ann_topk_ivf(spark, sf_dir).where(F.col("rnk") <= 3).select(
+        F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c")
+    )
+    exact = ann_topk_bruteforce(spark, sf_dir).where(F.col("rnk") <= 3).select(
+        F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c")
+    )
+    joined = ivf.join(
+        exact,
+        (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
+        "full_outer",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("i_q"), F.col("e_q")).alias("query_id"),
+            (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
+            .cast("int").alias("is_both"),
+            (F.col("i_c").isNotNull() & F.col("e_c").isNull())
+            .cast("int").alias("is_ivf_only"),
+            (F.col("e_c").isNotNull() & F.col("i_c").isNull())
+            .cast("int").alias("is_exact_only"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("is_both").cast("bigint").alias("n_both"),
+            F.sum("is_ivf_only").cast("bigint").alias("n_ivf_only"),
+            F.sum("is_exact_only").cast("bigint").alias("n_exact_only"),
+        )
+    )

@@ -140,11 +140,13 @@ _EXECUTING = {"dedup_clusters"} | {n for n in REGISTRY if n.startswith("stream_"
 #: - curriculum_stages: the <= 3-row quartile-boundary relation joins the
 #:   corpus on a non-equi comparison (stage = count of boundaries below);
 #: - heavy_hitters: the ONE-ROW stream-length N (recovered from the CMS
-#:   relation) cross-joins the K=10 hitters for the in-query bound check.
+#:   relation) cross-joins the K=10 hitters for the in-query bound check;
+#: - ann_ivf_recall: embeds ann_topk_bruteforce (its ground-truth side),
+#:   inheriting that row's deliberately-broadcast probe set.
 _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob",
            "lang_temperature_sample", "curation_pipeline", "bm25_topk",
-           "curriculum_stages", "heavy_hitters"}
+           "curriculum_stages", "heavy_hitters", "ann_ivf_recall"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 
