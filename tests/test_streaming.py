@@ -485,3 +485,75 @@ def test_chunk_cut_batch_split_invariance():
         ) == sum(vals)
 
     check()
+
+
+def _soak_state_rows(spark, replay_root, build_query, n_batches):
+    """Run a stream over ``n_batches`` single-file micro-batches and
+    return the per-batch ``numRowsTotal`` of its state operator (empty
+    batches excluded)."""
+    q = build_query()
+    try:
+        q.processAllAvailable()
+        rows = []
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if ops and p.get("numInputRows", 0) > 0:
+                rows.append(ops[0]["numRowsTotal"])
+        return rows
+    finally:
+        q.stop()
+
+
+@pytest.mark.parametrize("shape", ["window", "dedup", "session"])
+def test_streaming_state_plateaus_across_watermark_horizons(spark, shape):
+    """State-size soak (SCALE.md's 'state bounded by key cardinality x
+    watermark horizon, never stream length' claim, measured): drive each
+    stateful stream shape over 18 micro-batches whose event time spans
+    6x the 1 h watermark horizon and assert from StreamingQueryProgress
+    that state ROWS PLATEAU -- the last-third maximum must not exceed
+    the middle-third maximum (watermark eviction keeps up), and the
+    final state must stay far below total input rows (no unbounded
+    accumulation)."""
+    n_batches, step_s, per_batch = 18, 2400, 20  # 40 min apart, 6 h span
+    with tempfile.TemporaryDirectory() as d, tempfile.TemporaryDirectory() as ck:
+        for b in range(n_batches):
+            with open(os.path.join(d, f"b{b:03d}.txt"), "w") as f:
+                for i in range(per_batch):
+                    ts = BASE_TS + b * step_s + i * 10
+                    f.write(
+                        make_line(ts, f"req-{b}-{i}", f"EDGE{i % 5}", 100)
+                        + "\n"
+                    )
+        parsed = stream_log_lines(spark, d)  # maxFilesPerTrigger=1
+        if shape == "window":
+            out = hourly_bytes_stream(parsed, watermark="1 hour")
+        elif shape == "dedup":
+            out = dedup_stream(parsed, watermark="1 hour")
+        else:
+            out = (
+                parsed.withWatermark("timestamp", "1 hour")
+                .groupBy(
+                    F.session_window("timestamp", "30 minutes"),
+                    F.col("x_edge_location"),
+                )
+                .count()
+            )
+
+        def build():
+            return (
+                out.writeStream.format("noop")
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .start()
+            )
+
+        state_rows = _soak_state_rows(spark, d, build, n_batches)
+        assert len(state_rows) >= 12  # the soak really spanned many batches
+        third = len(state_rows) // 3
+        mid = max(state_rows[third:2 * third])
+        late = max(state_rows[2 * third:])
+        total_input = n_batches * per_batch
+        # plateau: eviction keeps up once the first horizon has passed
+        assert late <= mid, (shape, state_rows)
+        # bounded: state never approaches stream length
+        assert max(state_rows) < total_input / 2, (shape, state_rows)

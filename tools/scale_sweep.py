@@ -45,7 +45,11 @@ from aws_cloudfront_realtime_monitoring_spark.plans import load_all
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
 
-QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters"]
+#: the r5 dedup sweep set plus the r6 curation family (r7): every op that
+#: scans only the documents table, plus semdedup over the embeddings table
+QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+           "bm25_topk", "decontaminate", "unigram_logprob", "dedup_spans",
+           "curation_pipeline", "semdedup"]
 SWEEP_DIR = REPO / ".scale_sweep"
 
 
@@ -56,10 +60,17 @@ def build_scaled_documents(spark, base_sf_dir: str, copies: int) -> str:
     path, skips the layout cache; we pre-partition it ourselves)."""
     out_dir = SWEEP_DIR / f"sf0.1x{copies}"
     table = out_dir / "documents.parquet"
-    if (table / "_SUCCESS").exists():
+    # key the cache on the SOURCE file's stat: the driver regenerates
+    # testdata between rounds, and a stale scaled corpus would silently
+    # measure last round's data (the tables.py layout-cache policy)
+    src = os.stat(os.path.join(base_sf_dir, "documents.parquet"))
+    stamp = out_dir / f".src-{src.st_size}-{int(src.st_mtime)}"
+    if (table / "_SUCCESS").exists() and stamp.exists():
         return str(out_dir)
-    if table.exists():
-        shutil.rmtree(table)
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stamp.touch()
     base = load_table(spark, base_sf_dir, "documents")
     n = base.count()
     parts = []
@@ -84,6 +95,52 @@ def build_scaled_documents(spark, base_sf_dir: str, copies: int) -> str:
     return str(out_dir)
 
 
+def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
+    """Materialize a ``copies``-fold embeddings table in the sweep dir.
+
+    The word-salt analog for vectors is a per-copy SIGNED ROTATION of the
+    dimensions (rotate by the copy index, flip signs by a deterministic
+    per-(copy, dim) bit): an orthogonal transform, so every WITHIN-copy
+    cosine -- and therefore the within-copy near-dup/cluster structure --
+    is preserved bit-identically, while cross-copy pairs decorrelate to
+    random-vector cosines. A verbatim self-union would instead create
+    copies^2 exact-duplicate pairs (cos = 1), a data-distribution change,
+    not a scale-up."""
+    out_dir = SWEEP_DIR / f"sf0.1x{copies}"
+    table = out_dir / "embeddings.parquet"
+    src = os.stat(os.path.join(base_sf_dir, "embeddings.parquet"))
+    stamp = out_dir / f".esrc-{src.st_size}-{int(src.st_mtime)}"
+    if (table / "_SUCCESS").exists() and stamp.exists():
+        return
+    if table.exists():
+        shutil.rmtree(table)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stamp.touch()
+    base = load_table(spark, base_sf_dir, "embeddings")
+    dim = len(base.select("embedding").head()[0])
+    parts = []
+    for i in range(copies):
+        rotated = F.array(*[
+            (F.element_at("embedding", (j + i) % dim + 1)
+             * F.lit(1.0 if (i * 1_000_003 + j * 7919) % 2 == 0 else -1.0)
+             ).cast("float")
+            for j in range(dim)
+        ])
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionAll(p)
+    scaled.repartition(32).write.mode("overwrite").parquet(str(table))
+    print(f"# built {table}: {copies}x embeddings (signed-rotation copies)",
+          file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -91,7 +148,9 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("scale_sweep")
-    registry = load_all()
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_demoted
+
+    registry = {**load_demoted(), **load_all()}
 
     scales = [
         ("sf0.01", "/root/testdata/sf0.01"),
@@ -99,6 +158,7 @@ def main() -> None:
         (f"~sf{args.copies / 10:g}",
          build_scaled_documents(spark, "/root/testdata/sf0.1", args.copies)),
     ]
+    build_scaled_embeddings(spark, "/root/testdata/sf0.1", args.copies)
 
     # untimed warm-up at the smallest scale: the signature/flatten plans are
     # codegen-heavy and the JIT keeps improving them for several executions
