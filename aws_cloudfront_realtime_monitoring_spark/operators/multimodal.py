@@ -86,16 +86,18 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: 8-bit color types we decode: type -> channel count (palette type 3 would
-#: need a PLTE lookup; 16-bit depths and Adam7 interlace are declined)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: 8-bit color types we decode: type -> SCANLINE channel count (palette
+#: type 3 carries one index byte per pixel and expands through PLTE after
+#: defiltering; 16-bit depths and Adam7 interlace are declined)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for non-interlaced 8-bit-depth PNG (grayscale, RGB,
-    gray+alpha, RGBA): returns (width, height, pixels[h, w, channels]
-    uint8). Raises ``ValueError`` on anything malformed or outside that
-    profile (palette, 16-bit, Adam7 interlace).
+    gray+alpha, RGBA, and 8-bit palette with optional tRNS alpha): returns
+    (width, height, pixels[h, w, channels] uint8; palette expands to RGB,
+    or RGBA when tRNS is present). Raises ``ValueError`` on anything
+    malformed or outside that profile (16-bit depths, Adam7 interlace).
 
     Needs only stdlib ``zlib`` + numpy: an 8-byte signature, then chunks of
     (length BE32, type, data, CRC32 over type+data); IHDR carries
@@ -107,6 +109,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     if len(payload) < len(_PNG_SIG) + 12 or payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    plte, trns = None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -118,6 +121,10 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -176,7 +183,28 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"invalid PNG filter type {f} on row {y}")
         out[y] = cur
         prev = cur
-    return width, height, out.astype(np.uint8).reshape(height, width, ch)
+    px = out.astype(np.uint8).reshape(height, width, ch)
+    if color == 3:
+        # palette expansion: PLTE is RGB triples; optional tRNS supplies
+        # per-entry alpha (entries past its length are opaque)
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.max() >= len(pal):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"({len(pal)} entries)"
+            )
+        rgb = pal[idx]
+        if trns is None:
+            return width, height, rgb
+        alpha = np.full(len(pal), 255, np.uint8)
+        alpha[: min(len(trns), len(pal))] = np.frombuffer(
+            trns[: len(pal)], np.uint8
+        )
+        return width, height, np.dstack([rgb, alpha[idx]])
+    return width, height, px
 
 
 def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:

@@ -211,8 +211,8 @@ def test_png_rejects_malformed_and_unsupported():
     bad_crc[-5] ^= 0xFF                                    # corrupt IEND CRC
     with pytest.raises(ValueError):
         decode_png_pixels(bytes(bad_crc))
-    with pytest.raises(ValueError):                        # palette type
-        decode_png_pixels(_make_png(px, color_type=3))
+    with pytest.raises(ValueError):  # palette IHDR w/o PLTE (and 3x the
+        decode_png_pixels(_make_png(px, color_type=3))  # expected bytes)
     # interlace flag flipped on (re-CRC'd so only interlace is wrong)
     ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 1)
     interlaced = (
@@ -273,3 +273,55 @@ def test_pipeline_shape_over_real_png_payloads(spark):
         assert (meta[i].width, meta[i].height) == (5 + i, 4 + i)
         assert len(out[i].frame_offsets) == 4
         assert all(0 <= o < meta[i].n_bytes for o in out[i].frame_offsets)
+
+
+def _make_palette_png(idx: np.ndarray, palette: np.ndarray,
+                      trns: bytes | None = None) -> bytes:
+    """Hand-build an 8-bit palette PNG from an index map [h, w] and an
+    RGB palette [n, 3] (independent encoder, written from the spec)."""
+    import zlib as _z
+
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].astype(np.uint8).tobytes()
+                   for y in range(h))
+    chunks = _png_chunk(b"IHDR", ihdr)
+    chunks += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        chunks += _png_chunk(b"tRNS", trns)
+    chunks += _png_chunk(b"IDAT", _z.compress(raw))
+    chunks += _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + chunks
+
+
+def test_png_palette_decodes_through_plte_and_trns():
+    """Golden-bytes: 8-bit palette PNGs expand to the exact palette RGB
+    (RGBA with tRNS; entries past the tRNS length are opaque), and
+    out-of-range indices are rejected rather than mis-decoded."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    rng = np.random.RandomState(29)
+    pal = rng.randint(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.randint(0, 5, size=(4, 6), dtype=np.uint8)
+    w, h, got = decode_png_pixels(_make_palette_png(idx, pal))
+    assert (w, h) == (6, 4)
+    np.testing.assert_array_equal(got, pal[idx])
+    # tRNS covering 2 of 5 entries: those get its alpha, the rest 255
+    w, h, got = decode_png_pixels(
+        _make_palette_png(idx, pal, trns=bytes([10, 200]))
+    )
+    assert got.shape == (4, 6, 4)
+    np.testing.assert_array_equal(got[:, :, :3], pal[idx])
+    alpha = np.full(5, 255, np.uint8)
+    alpha[0], alpha[1] = 10, 200
+    np.testing.assert_array_equal(got[:, :, 3], alpha[idx])
+    # an index beyond the palette must raise, not wrap
+    bad = idx.copy()
+    bad[0, 0] = 7
+    with pytest.raises(ValueError):
+        decode_png_pixels(_make_palette_png(bad, pal))
+    # and the metadata path reports palette PNGs like any other
+    meta = decode_image(4, _make_palette_png(idx, pal), strict=True)
+    assert (meta["fmt"], meta["width"], meta["height"]) == ("png", 6, 4)
