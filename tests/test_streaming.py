@@ -517,13 +517,20 @@ def test_streaming_state_plateaus_across_watermark_horizons(spark, shape):
     n_batches, step_s, per_batch = 18, 2400, 20  # 40 min apart, 6 h span
     with tempfile.TemporaryDirectory() as d, tempfile.TemporaryDirectory() as ck:
         for b in range(n_batches):
-            with open(os.path.join(d, f"b{b:03d}.txt"), "w") as f:
+            path = os.path.join(d, f"b{b:03d}.txt")
+            with open(path, "w") as f:
                 for i in range(per_batch):
                     ts = BASE_TS + b * step_s + i * 10
                     f.write(
                         make_line(ts, f"req-{b}-{i}", f"EDGE{i % 5}", 100)
                         + "\n"
                     )
+            # the file source processes files in MODIFICATION-TIME order;
+            # 18 files written within one clock tick tie, and a tie broken
+            # against event-time order jumps the watermark ahead of unread
+            # batches (late-dropping them and randomizing eviction) --
+            # pin strictly ascending mtimes so replay order IS event order
+            os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
         parsed = stream_log_lines(spark, d)  # maxFilesPerTrigger=1
         if shape == "window":
             out = hourly_bytes_stream(parsed, watermark="1 hour")
