@@ -338,3 +338,70 @@ def stream_chunk_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streaming run must match the identical batch oracle (text.py loads
 # before this module in plans.load_all, so the batch row is registered)
 EXTRAS["stream_chunk_equiv"].oracle = EXTRAS["chunk_documents"].oracle
+
+
+@register(
+    "stream_stream_join_equiv",
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS view_id,
+           a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    """,
+    description="Streaming==batch equivalence for a STREAM-STREAM "
+                "interval join -- the one stateful shape the windowed/"
+                "session/dedup equivalence rows don't cover (both sides "
+                "buffer rows in state; the event-time bound plus the "
+                "watermarks is what lets either side's state be evicted, "
+                "Spark's stream-stream join contract). Two file-stream "
+                "replays of events (clicks vs views), each with a 24 h "
+                "watermark, joined on user_id within [click_ts, "
+                "click_ts + 1 h) in append mode through the parquet "
+                "sink; the joined pairs must hash-match the batch "
+                "self-join oracle. At scale this is click-attribution: "
+                "state per side is bounded by the watermark horizon x "
+                "arrival rate, never stream length (the soak test's "
+                "claim, applied to join state). Verified by the test "
+                "suite outside the 50-row driver budget "
+                "(driver_slot=False).",
+    tags=("streaming", "join"),
+    driver_slot=False,
+)
+def stream_stream_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "24 hours")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "24 hours")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts"))
+        & (F.col("view_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    return _run_to_parquet(joined, "append")
