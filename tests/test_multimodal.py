@@ -325,3 +325,36 @@ def test_png_palette_decodes_through_plte_and_trns():
     # and the metadata path reports palette PNGs like any other
     meta = decode_image(4, _make_palette_png(idx, pal), strict=True)
     assert (meta["fmt"], meta["width"], meta["height"]) == ("png", 6, 4)
+
+
+def test_png_roundtrip_property():
+    """Property: ANY uint8 image (1-4 channels, 1x1 up to 9x7) encoded
+    with ANY per-row filter choice decodes back bit-exactly. Catches
+    boundary cases the fixed golden images cannot (1-pixel rows, width <
+    one pixel's bytes, alternating filters)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 7).flatmap(lambda h: st.tuples(
+            st.just(h),
+            st.integers(1, 9),
+            st.integers(1, 4),
+            st.lists(st.integers(0, 4), min_size=h, max_size=h),
+            st.integers(0, 2**32 - 1),
+        ))
+    )
+    def check(args):
+        h, w, c, filters, seed = args
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        got_w, got_h, got = decode_png_pixels(_make_png(px, filters=filters))
+        assert (got_w, got_h) == (w, h)
+        np.testing.assert_array_equal(got, px)
+
+    check()
