@@ -4,9 +4,11 @@ metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 The decode step is REAL for uncompressed BMP payloads (pure-numpy header
 parse + pixel extraction -- no media library needed), for non-interlaced
 8-bit PNG (stdlib zlib inflate + the five standard scanline predictors,
-CRC-verified chunks) and, when Pillow is present in the environment, for
-every format PIL opens (feature-flagged import; this build has no PIL).
-Payloads in any other format fall back to
+palette/tRNS expansion, CRC-verified chunks), for baseline sequential
+JPEG (operators/jpeg.py: Huffman entropy decode + dequant + IDCT +
+chroma upsample, pure numpy) and, when Pillow is present in the
+environment, for every format PIL opens (feature-flagged import; this
+build has no PIL). Payloads in any other format fall back to
 ``fake_decode`` -- a deterministic metadata fake derived from payload
 bytes -- unless ``strict=True``, which raises instead. The Spark-side
 design is identical in all three cases and is what matters at 100 TB of
@@ -210,11 +212,12 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
 def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
     """Decode an image payload into the :data:`DECODE_SCHEMA` metadata row.
 
-    Uncompressed BMP (:func:`decode_bmp_pixels`) and non-interlaced 8-bit
-    PNG (:func:`decode_png_pixels`, stdlib zlib + numpy) decode for real;
-    other formats decode via Pillow when the environment has it, else fall
-    back to :func:`fake_decode` -- or raise ``NotImplementedError`` under
-    ``strict=True``."""
+    Uncompressed BMP (:func:`decode_bmp_pixels`), non-interlaced 8-bit
+    PNG (:func:`decode_png_pixels`, stdlib zlib + numpy), and baseline
+    sequential JPEG (:func:`operators.jpeg.decode_jpeg_pixels`) decode
+    for real; other formats decode via Pillow when the environment has
+    it, else fall back to :func:`fake_decode` -- or raise
+    ``NotImplementedError`` under ``strict=True``."""
     if payload[:2] == b"BM":
         try:
             width, height, _px = decode_bmp_pixels(payload)
@@ -245,7 +248,25 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             }
         except ValueError:
             # signature-prefixed but malformed / outside the decodable
-            # profile (palette, 16-bit, interlaced): same contract as BMP
+            # profile (16-bit, interlaced): same contract as BMP
+            if strict:
+                raise
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        try:
+            width, height, _px = decode_jpeg_pixels(payload)
+            return {
+                "doc_id": doc_id,
+                "n_bytes": len(payload),
+                "width": width,
+                "height": height,
+                "n_frames": 1,
+                "fmt": "jpeg",
+            }
+        except ValueError:
+            # SOI-prefixed but malformed / non-baseline (progressive,
+            # arithmetic, 12-bit): fall through to PIL/fake, strict raises
             if strict:
                 raise
     if _PILImage is not None:  # pragma: no cover (PIL absent in this build)
