@@ -1,0 +1,108 @@
+"""WAV decode + audio features: golden bytes written by stdlib ``wave``
+(an independent encoder), decoded by the numpy parser; features pinned
+against direct numpy computation; mapInPandas e2e."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from aws_cloudfront_realtime_monitoring_spark.operators.audio import (
+    audio_feature_batches,
+    decode_wav,
+    wav_features,
+)
+
+
+def _make_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """Encode [n, ch] float in [-1, 1] via the STDLIB wave module — an
+    encoder this repo did not write."""
+    n, ch = samples.shape
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(ch)
+        wv.setsampwidth(bits // 8)
+        wv.setframerate(rate)
+        if bits == 16:
+            ints = np.clip(np.round(samples * 32768.0), -32768, 32767)
+            wv.writeframes(ints.astype("<i2").tobytes())
+        else:
+            ints = np.clip(np.round(samples * 128.0 + 128.0), 0, 255)
+            wv.writeframes(ints.astype(np.uint8).tobytes())
+    return buf.getvalue()
+
+
+def test_wav_16bit_roundtrips_bit_exact():
+    rng = np.random.RandomState(47)
+    orig = (rng.randint(-32768, 32768, size=(500, 2)) / 32768.0)
+    blob = _make_wav(orig, rate=16000)
+    rate, ch, got = decode_wav(blob)
+    assert (rate, ch) == (16000, 2)
+    # both sides quantize to the same int16 grid -> bit-exact equality
+    np.testing.assert_array_equal(
+        np.round(got * 32768.0), np.clip(np.round(orig * 32768.0), -32768, 32767)
+    )
+
+
+def test_wav_8bit_unsigned_decodes():
+    t = np.linspace(0, 1, 800)[:, None]
+    orig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, ch, got = decode_wav(_make_wav(orig, rate=8000, bits=8))
+    assert (rate, ch) == (8000, 1)
+    assert np.abs(got - orig).max() <= 1 / 127  # 8-bit quantization step
+
+
+def test_wav_features_match_numpy_reference():
+    rng = np.random.RandomState(53)
+    orig = rng.uniform(-0.8, 0.8, size=(2000, 1))
+    blob = _make_wav(orig, rate=8000)
+    row = wav_features(5, blob)
+    _rate, _ch, mono2d = decode_wav(blob)
+    mono = mono2d.mean(axis=1)
+    assert row["doc_id"] == 5 and row["fmt"] == "wav"
+    assert row["n_samples"] == 2000
+    assert row["duration_ms"] == 250
+    assert row["rms_micro"] == round(float(np.sqrt((mono**2).mean())) * 1e6)
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    assert row["zcr_micro"] == round(zcr * 1e6)
+    # a pure DC clip has zero crossings; silence has zero RMS
+    dc = wav_features(6, _make_wav(np.full((100, 1), 0.5), 8000))
+    assert dc["zcr_micro"] == 0
+    silent = wav_features(7, _make_wav(np.zeros((100, 1)), 8000))
+    assert silent["rms_micro"] == 0
+
+
+def test_wav_rejects_malformed_and_compressed():
+    blob = _make_wav(np.zeros((64, 1)), 8000)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(blob[:40])  # truncated data chunk
+    # flip the fmt tag to 3 (IEEE float): declined, not mis-decoded
+    i = blob.index(b"fmt ") + 8
+    non_pcm = blob[:i] + struct.pack("<H", 3) + blob[i + 2:]
+    with pytest.raises(ValueError):
+        decode_wav(non_pcm)
+
+
+def test_audio_features_through_mapinpandas(spark):
+    rng = np.random.RandomState(59)
+    rows = [
+        (int(i), bytearray(_make_wav(
+            rng.uniform(-0.5, 0.5, size=(400 + 100 * i, 1 + i % 2)),
+            rate=8000 * (1 + i),
+        )))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = {r.doc_id: r for r in audio_feature_batches(df).collect()}
+    for i in range(3):
+        assert got[i].fmt == "wav"
+        assert got[i].sample_rate == 8000 * (1 + i)
+        assert got[i].n_channels == 1 + i % 2
+        assert got[i].n_samples == 400 + 100 * i
+        assert got[i].rms_micro > 0
