@@ -251,6 +251,23 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             # profile (16-bit, interlaced): same contract as BMP
             if strict:
                 raise
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        try:
+            width, height, n_frames, _px = decode_gif(payload)
+            return {
+                "doc_id": doc_id,
+                "n_bytes": len(payload),
+                "width": width,
+                "height": height,
+                # the one format whose frame count is real DATA (animation)
+                "n_frames": n_frames,
+                "fmt": "gif",
+            }
+        except ValueError:
+            if strict:
+                raise
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_pixels
 
