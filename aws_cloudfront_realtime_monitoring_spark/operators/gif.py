@@ -100,6 +100,22 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """REAL decoder for GIF87a/89a: returns (width, height, n_frames,
     first_frame[h, w, 3] uint8 RGB on the logical screen). Raises
     ``ValueError`` on malformed data."""
+    width, height, n_frames, screens = _decode_frames(payload, keep=1)
+    return width, height, n_frames, screens[0]
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[np.ndarray]]:
+    """Decode up to ``max_frames`` COMPOSITED animation frames: each
+    frame draws onto the running logical screen (the baseline
+    draw-on-previous disposal), so frame k is what a viewer sees at step
+    k. Returns (width, height, [screen[h, w, 3] uint8, ...])."""
+    width, height, _n, screens = _decode_frames(payload, keep=max_frames or 2**31)
+    return width, height, screens
+
+
+def _decode_frames(payload: bytes, keep: int):
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     width, height = struct.unpack_from("<HH", payload, 6)
@@ -114,6 +130,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 3 * n
     n_frames = 0
     screen = None
+    screens: list[np.ndarray] = []
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -160,9 +177,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 screen = np.zeros((height, width, 3), np.uint8)
                 if gct is not None and bg < len(gct):
                     screen[:, :] = gct[bg]
+            if n_frames <= keep:
+                # composite onto the running screen (draw-on-previous)
                 screen[top : top + ih, left : left + iw] = ct[idx]
+                screens.append(screen.copy())
         else:
             raise ValueError(f"unknown GIF block {block:#x}")
-    if n_frames == 0 or screen is None:
+    if n_frames == 0 or not screens:
         raise ValueError("GIF contains no image data")
-    return width, height, n_frames, screen
+    return width, height, n_frames, screens

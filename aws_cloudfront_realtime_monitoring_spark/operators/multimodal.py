@@ -346,3 +346,49 @@ def frame_sample_offsets(decoded: DataFrame, n_samples: int = 4) -> DataFrame:
         lambda i: F.least(i * step, F.col("n_bytes") - 1),
     )
     return decoded.select("doc_id", "n_bytes", offsets.alias("frame_offsets"))
+
+
+#: output schema of REAL animation frame sampling (GIF): one row per
+#: sampled frame with exact integer mean channels
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id BIGINT, frame_idx BIGINT, n_frames BIGINT, width BIGINT, "
+    "height BIGINT, mean_r BIGINT, mean_g BIGINT, mean_b BIGINT"
+)
+
+
+def sample_animation_frames(
+    docs_with_payload: DataFrame, n_samples: int = 4
+) -> DataFrame:
+    """REAL video-style frame sampling: decode up to ``n_samples``
+    evenly-spaced COMPOSITED frames from each animated GIF payload and
+    emit one feature row per frame (frame_sample_offsets is the
+    byte-offset stand-in for containers this sandbox cannot decode; this
+    is the genuine article for the format it can). One input row fans
+    out to <= n_samples output rows -- a generator-shaped narrow map,
+    same Arrow contract as decode_batches."""
+    from .gif import decode_gif_frames
+
+    def frames_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, screens = decode_gif_frames(bytes(r.payload))
+                n = len(screens)
+                k = min(n_samples, n)
+                picks = sorted(
+                    {round(i * (n - 1) / (k - 1)) for i in range(k)}
+                    if k > 1 else {0}
+                )
+                for fi in picks:
+                    mr, mg, mb = (
+                        screens[fi].reshape(-1, 3).mean(axis=0).round()
+                    )
+                    rows.append({
+                        "doc_id": int(r.doc_id), "frame_idx": fi,
+                        "n_frames": n, "width": w, "height": h,
+                        "mean_r": int(mr), "mean_g": int(mg),
+                        "mean_b": int(mb),
+                    })
+            yield pd.DataFrame(rows)
+
+    return docs_with_payload.mapInPandas(frames_iter, FRAME_SAMPLE_SCHEMA)

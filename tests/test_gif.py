@@ -187,3 +187,57 @@ def test_gif_through_decode_image_and_mapinpandas(spark):
     )
     [row] = decode_batches(df).collect()
     assert (row.fmt, row.width, row.height, row.n_frames) == ("gif", 9, 7, 4)
+
+
+def test_gif_frame_compositing_and_sampling(spark):
+    """Multi-frame compositing is exact (later frames draw over the
+    running screen) and the REAL frame-sampling op emits evenly-spaced
+    frames whose mean colors match numpy computed on the composited
+    screens."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.gif import (
+        decode_gif_frames,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        sample_animation_frames,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 250], [90, 90, 90]],
+                   np.uint8)
+    # frame 1 fills the 4x4 screen with color 0; later frames paint
+    # sub-rects -- compositing must keep the untouched background
+    f1 = np.zeros((4, 4), np.uint8)
+    f2 = np.full((2, 2), 1, np.uint8)
+    f3 = np.full((1, 4), 2, np.uint8)
+    f4 = np.full((4, 1), 3, np.uint8)
+    blob = _make_gif(
+        [_frame(f1), _frame(f2, left=2, top=2), _frame(f3, top=0),
+         _frame(f4, left=0)],
+        pal, 4, 4, with_ext=True,
+    )
+    w, h, screens = decode_gif_frames(blob)
+    assert (w, h, len(screens)) == (4, 4, 4)
+    expect = np.zeros((4, 4, 3), np.uint8)
+    expect[:, :] = pal[0]
+    np.testing.assert_array_equal(screens[0], expect)
+    expect[2:4, 2:4] = pal[1]
+    np.testing.assert_array_equal(screens[1], expect)
+    expect[0, :] = pal[2]
+    np.testing.assert_array_equal(screens[2], expect)
+    expect[:, 0] = pal[3]
+    np.testing.assert_array_equal(screens[3], expect)
+    # max_frames truncates the composite list but still counts all
+    _w, _h, two = decode_gif_frames(blob, max_frames=2)
+    assert len(two) == 2
+
+    df = spark.createDataFrame(
+        [(9, bytearray(blob))], "doc_id BIGINT, payload BINARY"
+    )
+    got = sorted(
+        sample_animation_frames(df, n_samples=3).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 2, 3]  # evenly spaced of 4
+    for r in got:
+        mr, mg, mb = screens[r.frame_idx].reshape(-1, 3).mean(0).round()
+        assert (r.mean_r, r.mean_g, r.mean_b) == (int(mr), int(mg), int(mb))
+        assert (r.n_frames, r.width, r.height) == (4, 4, 4)
