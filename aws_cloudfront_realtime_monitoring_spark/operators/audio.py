@@ -37,6 +37,14 @@ AUDIO_SCHEMA = (
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    try:
+        return _decode_wav(payload)
+    except (struct.error, IndexError, TypeError) as exc:
+        # corrupt bytes surface as ValueError only (fallback contract)
+        raise ValueError(f"malformed WAV: {exc}") from exc
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for PCM WAV: returns (sample_rate, n_channels,
     samples[n_frames, n_channels] float64 in [-1, 1]). Raises
     ``ValueError`` on malformed RIFF or non-PCM encodings."""
@@ -104,16 +112,34 @@ def wav_features(doc_id: int, payload: bytes) -> dict:
     }
 
 
-def audio_feature_batches(docs_with_payload: DataFrame) -> DataFrame:
+def audio_feature_batches(
+    docs_with_payload: DataFrame, skip_invalid: bool = True
+) -> DataFrame:
     """Arrow-batched feature extraction (the image decode_batches shape):
     per-batch pandas processing, bounded memory, declared schema, no
-    driver involvement. Input: (doc_id BIGINT, payload BINARY)."""
+    driver involvement. Input: (doc_id BIGINT, payload BINARY).
+
+    ``skip_invalid`` (default): undecodable payloads are DROPPED instead
+    of failing the task -- the production curation behavior for corrupt
+    records at 100 TB (count them via an input-vs-output row diff);
+    ``skip_invalid=False`` propagates the ValueError for strict runs."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame([
-                wav_features(int(r.doc_id), bytes(r.payload))
-                for r in pdf.itertuples(index=False)
-            ])
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    rows.append(wav_features(int(r.doc_id), bytes(r.payload)))
+                except ValueError:
+                    if not skip_invalid:
+                        raise
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sample_rate", "n_channels",
+                    "n_samples", "duration_ms", "rms_micro", "zcr_micro",
+                    "fmt",
+                ],
+            )
 
     return docs_with_payload.mapInPandas(feats, AUDIO_SCHEMA)

@@ -20,6 +20,10 @@ import struct
 
 import numpy as np
 
+#: decompression-bomb cap shared by the media decoders: a fuzzed header
+#: claiming 65535 x 65535 would otherwise allocate gigabytes per payload
+MAX_PIXELS = 1 << 26
+
 #: GIF interlace passes: (start row, step)
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -116,11 +120,22 @@ def decode_gif_frames(
 
 
 def _decode_frames(payload: bytes, keep: int):
+    try:
+        return _decode_frames_impl(payload, keep)
+    except (struct.error, IndexError, TypeError) as exc:
+        # fuzzed/corrupt bytes must surface as ValueError only (the
+        # mapInPandas fallback contract), never crash an executor task
+        raise ValueError(f"malformed GIF: {exc}") from exc
+
+
+def _decode_frames_impl(payload: bytes, keep: int):
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     width, height = struct.unpack_from("<HH", payload, 6)
     if width <= 0 or height <= 0:
         raise ValueError("degenerate GIF dimensions")
+    if width * height > MAX_PIXELS:
+        raise ValueError("GIF dimensions exceed the decode cap")
     packed, bg = payload[10], payload[11]
     pos = 13
     gct = None

@@ -70,8 +70,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG entropy data truncated at marker")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -136,7 +140,17 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for baseline sequential JPEG: returns (width, height,
     pixels[h, w, 1 or 3] uint8 — grayscale or RGB). Raises ``ValueError``
     on malformed input or non-baseline variants (progressive SOF2,
-    arithmetic coding, 12-bit, CMYK)."""
+    arithmetic coding, 12-bit, CMYK) — ONLY ValueError, whatever the
+    corruption (struct/index errors from fuzzed bytes are remapped), so a
+    malformed payload can never kill an executor task instead of taking
+    the documented fallback."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, TypeError) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -211,6 +225,10 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
     h, w, comps = frame
     if h <= 0 or w <= 0:
         raise ValueError("degenerate JPEG dimensions")
+    from .gif import MAX_PIXELS
+
+    if h * w > MAX_PIXELS:
+        raise ValueError("JPEG dimensions exceed the decode cap")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -265,7 +283,8 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
 
 def _expect_rst(br: _BitReader, data: bytes) -> None:
     br.align()
-    if data[br.pos] != 0xFF or not (0xD0 <= data[br.pos + 1] <= 0xD7):
+    if (br.pos + 1 >= len(data) or data[br.pos] != 0xFF
+            or not (0xD0 <= data[br.pos + 1] <= 0xD7)):
         raise ValueError("expected JPEG restart marker")
     br.pos += 2
 

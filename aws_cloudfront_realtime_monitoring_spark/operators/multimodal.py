@@ -56,6 +56,14 @@ def fake_decode(doc_id: int, payload: bytes) -> dict:
 
 
 def decode_bmp_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    try:
+        return _decode_bmp(payload)
+    except (struct.error, IndexError, TypeError) as exc:
+        # corrupt bytes surface as ValueError only (fallback contract)
+        raise ValueError(f"malformed BMP: {exc}") from exc
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for uncompressed 24-bit BMP: returns (width, height,
     pixels[h, w, 3] uint8 in RGB, top-down row order). Raises ``ValueError``
     on anything that is not a well-formed BI_RGB 24bpp BMP.
@@ -77,6 +85,10 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     height = abs(height)
     if width <= 0 or height <= 0:
         raise ValueError("degenerate BMP dimensions")
+    from .gif import MAX_PIXELS
+
+    if width * height > MAX_PIXELS:
+        raise ValueError("BMP dimensions exceed the decode cap")
     stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     need = pix_off + stride * height
     if len(payload) < need:
@@ -95,6 +107,14 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    try:
+        return _decode_png(payload)
+    except (struct.error, IndexError, TypeError) as exc:
+        # corrupt bytes surface as ValueError only (fallback contract)
+        raise ValueError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for non-interlaced 8-bit-depth PNG (grayscale, RGB,
     gray+alpha, RGBA, and 8-bit palette with optional tRNS alpha): returns
     (width, height, pixels[h, w, channels] uint8; palette expands to RGB,
@@ -140,6 +160,10 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     )
     if width <= 0 or height <= 0:
         raise ValueError("degenerate PNG dimensions")
+    from .gif import MAX_PIXELS
+
+    if width * height > MAX_PIXELS:
+        raise ValueError("PNG dimensions exceed the decode cap")
     if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color})"

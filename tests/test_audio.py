@@ -106,3 +106,29 @@ def test_audio_features_through_mapinpandas(spark):
         assert got[i].n_channels == 1 + i % 2
         assert got[i].n_samples == 400 + 100 * i
         assert got[i].rms_micro > 0
+
+
+def test_audio_batches_skip_corrupt_payloads(spark):
+    """A corrupt record must not kill the task: skip_invalid drops it
+    (the input-vs-output diff counts them), strict mode raises; and
+    decode_wav maps ANY malformed bytes to ValueError only."""
+    good = _make_wav(np.zeros((64, 1)), 8000)
+    rows = [(1, bytearray(good)), (2, bytearray(b"RIFFgarbageWAVE\x00\x01")),
+            (3, bytearray(good))]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = audio_feature_batches(df).collect()
+    assert sorted(r.doc_id for r in got) == [1, 3]
+    with pytest.raises(Exception):  # strict surfaces the failure
+        audio_feature_batches(df, skip_invalid=False).collect()
+    # fuzz: mutations of a valid WAV either decode or raise ValueError
+    rng = np.random.RandomState(101)
+    for _ in range(200):
+        blob = bytearray(good)
+        for _f in range(rng.randint(0, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if rng.rand() < 0.5:
+            blob = blob[: rng.randint(2, len(blob))]
+        try:
+            decode_wav(bytes(blob))
+        except ValueError:
+            pass  # the only permitted failure mode

@@ -358,3 +358,53 @@ def test_png_roundtrip_property():
         np.testing.assert_array_equal(got, px)
 
     check()
+
+
+def test_decoders_never_crash_on_mutated_payloads():
+    """Production contract under corrupt data: decode_image(strict=False)
+    must NEVER raise for any bytes -- every decoder maps malformed input
+    (truncations, bit flips, garbage) to ValueError internally and the
+    fallback engages. Hypothesis mutates valid payloads of every format
+    plus pure garbage; one surviving non-ValueError would kill a 100 TB
+    executor task instead of skipping one bad record."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tests.test_gif import _frame as _gif_frame
+    from tests.test_gif import _make_gif
+    from tests.test_jpeg import make_jpeg
+
+    rng = np.random.RandomState(97)
+    px3 = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    pal = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    seeds = [
+        _make_bmp(px3),
+        _make_png(px3),
+        make_jpeg(px3),
+        _make_gif([_gif_frame(rng.randint(0, 4, (6, 5), dtype=np.uint8))],
+                  pal, 5, 6),
+    ]
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(0, len(seeds) - 1),
+        st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+            min_size=0, max_size=8,
+        ),
+        st.integers(0, 10_000),
+        st.booleans(),
+    )
+    def check(which, flips, cut, truncate):
+        blob = bytearray(seeds[which])
+        for pos, val in flips:
+            blob[pos % len(blob)] = val
+        if truncate:
+            blob = blob[: max(2, cut % (len(blob) + 1))]
+        meta = decode_image(1, bytes(blob))  # must not raise, period
+        assert set(meta) == {
+            "doc_id", "n_bytes", "width", "height", "n_frames", "fmt"
+        }
+        assert meta["n_bytes"] == len(blob)
+
+    check()
