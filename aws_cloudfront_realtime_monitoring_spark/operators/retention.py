@@ -68,3 +68,50 @@ def read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
             "(fully retired sink)"
         )
     return spark.read.option("basePath", sink_dir).parquet(*paths)
+
+
+def compact_partition(
+    spark: SparkSession,
+    partition_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """OPTIMIZE-style small-file compaction of one partition directory:
+    rewrite its parquet files into ``ceil(total_bytes / target)`` files
+    and atomically swap the directory. Returns (files_before,
+    files_after).
+
+    A streaming sink writes one file per (micro-batch x task) -- at 1000
+    executors x 10 s triggers that is millions of kB-sized files per day,
+    and every later scan pays per-file open cost (the classic small-file
+    problem). Compaction is the standard maintenance job (Delta OPTIMIZE,
+    Iceberg rewrite_data_files): read the partition once, write it back
+    at the target file size via one round-robin repartition, swap. Rows
+    are preserved exactly (pytest-pinned); only the physical file layout
+    changes. Run per partition so a failure affects one partition and the
+    swap stays atomic at the directory level (rename); table formats get
+    transactional swaps for free.
+
+    NOTE: like drop_partitions_older_than, a streaming sink's
+    ``_spark_metadata`` log still lists the old files; read a compacted
+    sink through :func:`read_sink`.
+    """
+    import glob
+
+    files = sorted(glob.glob(os.path.join(partition_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {partition_dir!r}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(partition_dir)
+    tmp = partition_dir.rstrip("/") + f".compact-{os.getpid()}"
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = partition_dir.rstrip("/") + f".old-{os.getpid()}"
+    os.rename(partition_dir, old)
+    try:
+        os.rename(tmp, partition_dir)
+    except OSError:
+        os.rename(old, partition_dir)  # restore on failed swap
+        raise
+    shutil.rmtree(old)
+    after = len(glob.glob(os.path.join(partition_dir, "*.parquet")))
+    return len(files), after

@@ -564,3 +564,39 @@ def test_streaming_state_plateaus_across_watermark_horizons(spark, shape):
         assert late <= mid, (shape, state_rows)
         # bounded: state never approaches stream length
         assert max(state_rows) < total_input / 2, (shape, state_rows)
+
+
+def test_compact_partition_preserves_rows_and_shrinks_files(spark):
+    """OPTIMIZE-style compaction: a partition of many tiny files rewrites
+    to few target-sized files with the exact same rows (order-insensitive
+    multiset equality), atomically."""
+    import glob
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        compact_partition,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        part = os.path.join(d, "event_date=2024-01-01")
+        # 16 one-row-ish files: the streaming-sink small-file shape
+        spark.range(320).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS k"
+        ).repartition(16).write.parquet(part)
+        before_files = glob.glob(os.path.join(part, "*.parquet"))
+        assert len(before_files) == 16
+        before_rows = sorted(
+            (r.id, r.k) for r in spark.read.parquet(part).collect()
+        )
+        n_before, n_after = compact_partition(
+            spark, part, target_file_bytes=10**9
+        )
+        assert (n_before, n_after) == (16, 1)
+        after_rows = sorted(
+            (r.id, r.k) for r in spark.read.parquet(part).collect()
+        )
+        assert after_rows == before_rows
+        # missing partition fails loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            compact_partition(spark, os.path.join(d, "nope"))
