@@ -108,27 +108,53 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, n_frames, screens[0]
 
 
+def count_gif_frames(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) by walking the block structure only --
+    no LZW decode, no pixel buffers; the cheap first pass of two-pass
+    frame sampling."""
+    width, height, n_frames, _screens = _decode_frames(
+        payload, keep=set(), count_only=True
+    )
+    return width, height, n_frames
+
+
 def decode_gif_frames(
-    payload: bytes, max_frames: int | None = None
+    payload: bytes, max_frames: int | None = None,
+    keep_indices: set | None = None,
 ) -> tuple[int, int, list[np.ndarray]]:
-    """Decode up to ``max_frames`` COMPOSITED animation frames: each
-    frame draws onto the running logical screen (the baseline
-    draw-on-previous disposal), so frame k is what a viewer sees at step
-    k. Returns (width, height, [screen[h, w, 3] uint8, ...])."""
-    width, height, _n, screens = _decode_frames(payload, keep=max_frames or 2**31)
+    """Decode COMPOSITED animation frames: each frame draws onto the
+    running logical screen (the baseline draw-on-previous disposal), so
+    frame k is what a viewer sees at step k. Returns (width, height,
+    [screen[h, w, 3] uint8, ...]).
+
+    Memory contract: only the REQUESTED frames are retained --
+    ``max_frames`` keeps the first k, ``keep_indices`` keeps an explicit
+    index set (the frame-sampling path: count first, then fetch the
+    picks) -- while every frame still composites through one reused
+    screen buffer, so peak memory is one screen plus the kept copies,
+    never n_frames x frame_size (a 100-frame GIF near the MAX_PIXELS cap
+    would otherwise hold gigabytes)."""
+    if keep_indices is not None:
+        keep = keep_indices
+    elif max_frames is None:
+        keep = 2**31
+    else:
+        keep = max_frames  # 0 is a real bound, not "unlimited"
+    width, height, _n, screens = _decode_frames(payload, keep=keep)
     return width, height, screens
 
 
-def _decode_frames(payload: bytes, keep: int):
+def _decode_frames(payload: bytes, keep, count_only: bool = False):
     try:
-        return _decode_frames_impl(payload, keep)
+        return _decode_frames_impl(payload, keep, count_only)
     except (struct.error, IndexError, TypeError) as exc:
         # fuzzed/corrupt bytes must surface as ValueError only (the
         # mapInPandas fallback contract), never crash an executor task
         raise ValueError(f"malformed GIF: {exc}") from exc
 
 
-def _decode_frames_impl(payload: bytes, keep: int):
+def _decode_frames_impl(payload: bytes, keep, count_only: bool):
+    wanted = keep if isinstance(keep, (set, frozenset)) else None
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     width, height = struct.unpack_from("<HH", payload, 6)
@@ -174,6 +200,9 @@ def _decode_frames_impl(payload: bytes, keep: int):
             lzw, pos = _sub_blocks(payload, pos + 1)
             if iw <= 0 or ih <= 0 or left + iw > width or top + ih > height:
                 raise ValueError("GIF frame exceeds logical screen")
+            n_frames += 1
+            if count_only:
+                continue  # block walk only: no LZW, no pixel buffers
             idx = np.frombuffer(
                 _lzw_decode(lzw, min_code, iw * ih), np.uint8
             ).reshape(ih, iw)
@@ -187,17 +216,18 @@ def _decode_frames_impl(payload: bytes, keep: int):
                 idx = ordered
             if idx.max(initial=0) >= len(ct):
                 raise ValueError("GIF pixel index beyond color table")
-            n_frames += 1
             if n_frames == 1:
                 screen = np.zeros((height, width, 3), np.uint8)
                 if gct is not None and bg < len(gct):
                     screen[:, :] = gct[bg]
-            if n_frames <= keep:
-                # composite onto the running screen (draw-on-previous)
-                screen[top : top + ih, left : left + iw] = ct[idx]
+            # EVERY frame composites onto the one reused screen buffer
+            # (rendering is cumulative); only requested frames are copied
+            screen[top : top + ih, left : left + iw] = ct[idx]
+            if (n_frames - 1 in wanted) if wanted is not None                     else (n_frames <= keep):
                 screens.append(screen.copy())
         else:
             raise ValueError(f"unknown GIF block {block:#x}")
-    if n_frames == 0 or not screens:
+    if n_frames == 0 or (not screens and not count_only
+                         and (wanted is None or wanted)):
         raise ValueError("GIF contains no image data")
     return width, height, n_frames, screens

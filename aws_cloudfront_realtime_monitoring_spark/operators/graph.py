@@ -256,17 +256,24 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # The seed is not generally flat (lbl(n) may itself point onward),
         # but NO pre-flatten pass runs: hooking is label-propagation-
         # correct on any labeling (labels only decrease and always name a
-        # node of the same component), and the convergence proof still
-        # holds in round 1 without flatness -- if the hook changes nothing
-        # on SEED labels, every edge joins equal labels, so each
-        # component's label is constant; that constant c satisfies
-        # lbl(c) = c and c = lbl(min_node) <= min_node, hence c IS the
-        # component minimum and the seed labeling is already flat and
-        # final. Folding the old jumps=5 seed flatten into round 1's
-        # post-hook flatten removes one whole barrier from the round
-        # floor (r7; the per-round breakdown lives in SCALE.md). Round 1
-        # flattens with jumps=5 because it faces the unbounded seed-forest
-        # depth composed with the hook; later rounds keep jumps=4.
+        # node of the same component), so folding the old standalone
+        # jumps=5 seed flatten into round 1's post-hook flatten removes a
+        # whole barrier from the round floor (r7; breakdown in SCALE.md).
+        # CAVEAT that makes the hchg==0 test round-1-special: "hook
+        # changed nothing" proves the global fixpoint ONLY on FLAT labels
+        # (where it implies every edge joins equal labels). On a non-flat
+        # seed the hook targets label VALUES, not endpoints, and can be a
+        # no-op while the labeling is still wrong -- e.g. the ascending
+        # chain 1-2-3 seeds as {1:1, 2:1, 3:2}: both hook targets already
+        # hold their minimum, hchg==0, yet node 3 is mislabeled. So a
+        # round-1 hchg==0 FLATTENS and continues to round 2 (whose hook
+        # runs on flat labels and re-tests soundly) instead of returning;
+        # any graph that does hook in round 1 -- the normal case -- pays
+        # nothing for the caveat. Rounds >= 2 always hook flat labels
+        # (flatten() postcondition), where the early exit is sound.
+        # Round 1 flattens with jumps=5 because it faces the unbounded
+        # seed-forest depth composed with the hook; later rounds keep
+        # jumps=4.
         for rnd in range(1, max_rounds + 1):
             # look up both endpoint labels, then hook each ROOT to the min
             # of the two: (root_of_u <- lbl(v)) and (root_of_v <- lbl(u))
@@ -331,6 +338,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             _LOG.info("cc hook lc: %.2fs (hchg=%d)",
                       time.monotonic() - t0, hchg)
             if hchg == 0:
+                if rnd == 1:
+                    # see the caveat above: the seed labels were never
+                    # flattened, so this is not yet proof of the fixpoint.
+                    # Flatten and let round 2's hook re-test on flat labels.
+                    labels = flatten(labels, jumps=5)
+                    continue
                 _LOG.info(
                     "connected_components converged: %d hook rounds, "
                     "%d barrier writes",

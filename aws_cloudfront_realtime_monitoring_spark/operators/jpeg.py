@@ -271,7 +271,9 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
         p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        gray = np.clip(full[0] + 128, 0, 255)
+        # round like the RGB path: truncation would drift 1 LSB low on
+        # coefficients landing epsilon under the true integer
+        gray = np.clip(np.round(full[0] + 128), 0, 255)
         return w, h, gray.astype(np.uint8)[:, :, None]
     y, cb, cr = full[0] + 128, full[1], full[2]
     r = y + 1.402 * cr

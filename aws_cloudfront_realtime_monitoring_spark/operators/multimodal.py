@@ -380,8 +380,15 @@ FRAME_SAMPLE_SCHEMA = (
 )
 
 
+_FRAME_SAMPLE_COLS = [
+    "doc_id", "frame_idx", "n_frames", "width", "height",
+    "mean_r", "mean_g", "mean_b",
+]
+
+
 def sample_animation_frames(
-    docs_with_payload: DataFrame, n_samples: int = 4
+    docs_with_payload: DataFrame, n_samples: int = 4,
+    skip_invalid: bool = True,
 ) -> DataFrame:
     """REAL video-style frame sampling: decode up to ``n_samples``
     evenly-spaced COMPOSITED frames from each animated GIF payload and
@@ -389,30 +396,45 @@ def sample_animation_frames(
     byte-offset stand-in for containers this sandbox cannot decode; this
     is the genuine article for the format it can). One input row fans
     out to <= n_samples output rows -- a generator-shaped narrow map,
-    same Arrow contract as decode_batches."""
-    from .gif import decode_gif_frames
+    same Arrow contract as decode_batches.
+
+    Two passes per payload keep memory bounded at one screen plus the
+    picked copies: a block-walk counts frames (no LZW, no buffers), then
+    only the evenly-spaced picks are retained while compositing.
+    ``skip_invalid`` (default) drops undecodable payloads instead of
+    failing the task -- the audio_feature_batches corrupt-record
+    contract; ``skip_invalid=False`` propagates the ValueError."""
+    from .gif import count_gif_frames, decode_gif_frames
 
     def frames_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                w, h, screens = decode_gif_frames(bytes(r.payload))
-                n = len(screens)
-                k = min(n_samples, n)
-                picks = sorted(
-                    {round(i * (n - 1) / (k - 1)) for i in range(k)}
-                    if k > 1 else {0}
-                )
-                for fi in picks:
-                    mr, mg, mb = (
-                        screens[fi].reshape(-1, 3).mean(axis=0).round()
+                payload = bytes(r.payload)
+                try:
+                    w, h, n = count_gif_frames(payload)
+                    k = min(n_samples, n)
+                    picks = sorted(
+                        {round(i * (n - 1) / (k - 1)) for i in range(k)}
+                        if k > 1 else ({0} if k == 1 else set())
                     )
+                    _w, _h, screens = decode_gif_frames(
+                        payload, keep_indices=set(picks)
+                    )
+                except ValueError:
+                    if skip_invalid:
+                        continue
+                    raise
+                for fi, screen in zip(picks, screens):
+                    mr, mg, mb = screen.reshape(-1, 3).mean(axis=0).round()
                     rows.append({
                         "doc_id": int(r.doc_id), "frame_idx": fi,
                         "n_frames": n, "width": w, "height": h,
                         "mean_r": int(mr), "mean_g": int(mg),
                         "mean_b": int(mb),
                     })
-            yield pd.DataFrame(rows)
+            # explicit columns: an all-skipped batch must still match
+            # FRAME_SAMPLE_SCHEMA
+            yield pd.DataFrame(rows, columns=_FRAME_SAMPLE_COLS)
 
     return docs_with_payload.mapInPandas(frames_iter, FRAME_SAMPLE_SCHEMA)

@@ -213,3 +213,27 @@ def test_lsh_recall_audit_invariants(spark, sf_dir):
     # than pinning zero -- a recall collapse is what this audit exists to
     # catch, not the occasional boundary pair.
     assert missed * 20 <= n_exact, f"LSH recall below 95%: {both}/{n_exact}"
+
+
+def test_connected_components_ascending_chain_no_hook_round1(spark):
+    """Regression (r7 code review): on an ASCENDING chain the seed labels
+    {1:1, 2:1, 3:2, ...} make round 1's hook a no-op (every hook target
+    already holds its minimum) while the labeling is still wrong -- the
+    round-1 hchg==0 early exit must NOT trust it. The fold that removed
+    the standalone seed flatten originally returned here, splitting one
+    chain into multiple components."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
+        connected_components,
+    )
+    for n in (3, 4, 7):
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+        )
+        got = {r.node: r.lbl for r in connected_components(df).collect()}
+        assert got == {i: 1 for i in range(1, n + 1)}, (n, got)
+    # descending chain and a fork, same exit path
+    df = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 9), (9, 8)], ["doc_a", "doc_b"]
+    )
+    got = {r.node: r.lbl for r in connected_components(df).collect()}
+    assert got == {3: 3, 4: 3, 5: 3, 8: 3, 9: 3}

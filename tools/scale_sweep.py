@@ -109,7 +109,8 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
     out_dir = SWEEP_DIR / f"sf0.1x{copies}"
     table = out_dir / "embeddings.parquet"
     src = os.stat(os.path.join(base_sf_dir, "embeddings.parquet"))
-    stamp = out_dir / f".esrc-{src.st_size}-{int(src.st_mtime)}"
+    # v2: per-(copy, dim) hashed sign bits replaced the parity form
+    stamp = out_dir / f".esrc-v2-{src.st_size}-{int(src.st_mtime)}"
     if (table / "_SUCCESS").exists() and stamp.exists():
         return
     if table.exists():
@@ -118,12 +119,25 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
     stamp.touch()
     base = load_table(spark, base_sf_dir, "embeddings")
     dim = len(base.select("embedding").head()[0])
+    # beyond dim copies the rotation offsets repeat; refuse rather than
+    # silently emit bit-identical copies (copies^2 cos=1 pairs -- the
+    # distribution change this construction exists to avoid)
+    if copies > dim:
+        raise ValueError(f"copies={copies} exceeds embedding dim {dim}")
+
+    def _sign(i: int, j: int) -> float:
+        # genuinely per-(copy, dim) bit: parity of the hashed pair. The
+        # r6 form parity(i*odd + j*odd) collapsed to parity(i + j) -- a
+        # constant GLOBAL sign per copy pair, no per-dim decorrelation.
+        h = (i * 2654435761 + j * 40503) & 0xFFFFFFFF
+        h ^= h >> 16
+        return 1.0 if bin(h).count("1") % 2 == 0 else -1.0
+
     parts = []
     for i in range(copies):
         rotated = F.array(*[
             (F.element_at("embedding", (j + i) % dim + 1)
-             * F.lit(1.0 if (i * 1_000_003 + j * 7919) % 2 == 0 else -1.0)
-             ).cast("float")
+             * F.lit(_sign(i, j))).cast("float")
             for j in range(dim)
         ])
         parts.append(
