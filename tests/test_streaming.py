@@ -504,7 +504,7 @@ def _soak_state_rows(spark, replay_root, build_query, n_batches):
         q.stop()
 
 
-@pytest.mark.parametrize("shape", ["window", "dedup", "session"])
+@pytest.mark.parametrize("shape", ["window", "dedup", "session", "join"])
 def test_streaming_state_plateaus_across_watermark_horizons(spark, shape):
     """State-size soak (SCALE.md's 'state bounded by key cardinality x
     watermark horizon, never stream length' claim, measured): drive each
@@ -536,6 +536,33 @@ def test_streaming_state_plateaus_across_watermark_horizons(spark, shape):
             out = hourly_bytes_stream(parsed, watermark="1 hour")
         elif shape == "dedup":
             out = dedup_stream(parsed, watermark="1 hour")
+        elif shape == "join":
+            # stream-stream interval self-join: BOTH sides buffer rows in
+            # state; the event-time bound + watermarks must evict them
+            left = (
+                stream_log_lines(spark, d)
+                .select(
+                    F.col("x_edge_request_id").alias("lid"),
+                    F.col("x_edge_location").alias("lloc"),
+                    F.col("timestamp").alias("lts"),
+                )
+                .withWatermark("lts", "1 hour")
+            )
+            right = (
+                stream_log_lines(spark, d)
+                .select(
+                    F.col("x_edge_location").alias("rloc"),
+                    F.col("timestamp").alias("rts"),
+                )
+                .withWatermark("rts", "1 hour")
+            )
+            out = left.join(
+                right,
+                (F.col("lloc") == F.col("rloc"))
+                & (F.col("rts") >= F.col("lts"))
+                & (F.col("rts") < F.col("lts") + F.expr("INTERVAL 30 MINUTES")),
+                "inner",
+            )
         else:
             out = (
                 parsed.withWatermark("timestamp", "1 hour")
