@@ -241,3 +241,35 @@ def test_gif_frame_compositing_and_sampling(spark):
         mr, mg, mb = screens[r.frame_idx].reshape(-1, 3).mean(0).round()
         assert (r.mean_r, r.mean_g, r.mean_b) == (int(mr), int(mg), int(mb))
         assert (r.n_frames, r.width, r.height) == (4, 4, 4)
+
+
+def test_gif_roundtrip_property():
+    """Property: ANY palette image (1x1 up to 9x8, palette of 2-64
+    colors, interlaced or not, any min-code-size within spec) encodes
+    and decodes back bit-exactly. Catches LZW boundary cases the fixed
+    goldens cannot (single-pixel images, palette-sized alphabets, code
+    widths straddling sub-block boundaries)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 8).flatmap(lambda h: st.tuples(
+            st.just(h),
+            st.integers(1, 9),
+            st.integers(2, 64),
+            st.booleans(),
+            st.integers(0, 2**32 - 1),
+        ))
+    )
+    def check(args):
+        h, w, ncol, interlace, seed = args
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.randint(0, ncol, size=(h, w), dtype=np.uint8)
+        blob = _make_gif([_frame(idx, interlace=interlace)], pal, w, h)
+        gw, gh, n, px = decode_gif(blob)
+        assert (gw, gh, n) == (w, h, 1)
+        np.testing.assert_array_equal(px, pal[idx])
+
+    check()
