@@ -227,7 +227,6 @@ def _decode_frames_impl(payload: bytes, keep, count_only: bool):
                 screens.append(screen.copy())
         else:
             raise ValueError(f"unknown GIF block {block:#x}")
-    if n_frames == 0 or (not screens and not count_only
-                         and (wanted is None or wanted)):
+    if n_frames == 0:
         raise ValueError("GIF contains no image data")
     return width, height, n_frames, screens

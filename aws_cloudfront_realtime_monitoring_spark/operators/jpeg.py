@@ -197,7 +197,14 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 15, tq))
+                hs, vs = samp >> 4, samp & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    # a fuzzed 0 factor would divide-by-zero in the MCU
+                    # arithmetic -- outside the ValueError-only contract
+                    raise ValueError(
+                        f"invalid JPEG sampling factors {hs}x{vs}"
+                    )
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

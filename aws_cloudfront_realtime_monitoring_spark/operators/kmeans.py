@@ -62,7 +62,13 @@ def assign_clusters(qvecs: DataFrame, centroids: list[list[int]],
     out = qvecs
     for j, d in enumerate(dists):
         out = out.withColumn(f"__d{j}", d)
-    dmin = F.least(*[F.col(f"__d{j}") for j in range(len(centroids))])
+    # F.least needs >= 2 columns; a single centroid is a valid degenerate
+    # quantizer (everything in cluster 0)
+    dmin = (
+        F.least(*[F.col(f"__d{j}") for j in range(len(centroids))])
+        if len(centroids) > 1
+        else F.col("__d0")
+    )
     cluster = F.when(F.col("__d0") == dmin, 0)
     for j in range(1, len(centroids)):
         cluster = cluster.when(F.col(f"__d{j}") == dmin, j)
@@ -98,7 +104,7 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
         id_col, quantize(F.col(vec_col)).alias("qv")
     ).persist()
     dim = qvecs.select(F.size("qv")).first()[0]
-    centroids = init_centroids(qvecs, k)
+    centroids = init_centroids(qvecs, k, vec_col="qv", id_col=id_col)
     n_iters = 0
     for _ in range(max_iters):
         n_iters += 1

@@ -352,7 +352,12 @@ def decode_batches(docs_with_payload: DataFrame, batch_size_hint: int = 256) -> 
     def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                decode_image(int(r.doc_id), bytes(r.payload))
+                # NULL payloads (ingest gaps) take the fake-fallback path
+                # via empty bytes instead of TypeError-killing the task
+                decode_image(
+                    int(r.doc_id),
+                    bytes(r.payload) if r.payload is not None else b"",
+                )
                 for r in pdf.itertuples(index=False)
             ]
             yield pd.DataFrame(out)

@@ -52,9 +52,18 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
     """
 
     def pack_group(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
+        # The iterator form delivers ONE group as MULTIPLE Arrow batches
+        # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k).
+        # Packing is a whole-group computation: concatenate first, or
+        # every batch would restart shard ids and fills -- colliding
+        # shard_ids and silently over-filling shards for any group past
+        # one batch (r7 code-review finding, regression-tested with a
+        # tiny batch size). Whole-group memory is the design bound
+        # already: group size ~ corpus/P, P = n_groups.
+        batches = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not batches:
+            return
+        for pdf in [pd.concat(batches, ignore_index=True)]:
             group = int(pdf["pack_group"].iloc[0])
             pdf = pdf.sort_values(
                 ["n_tokens", "doc_id"], ascending=[False, True]

@@ -161,10 +161,12 @@ def cms_point_estimates(
     """Point-frequency estimates for every row of ``keys``:
     ``est = min over d of cnt[h_d(key)]`` (missing bucket = 0). The sketch
     relation broadcasts (model-sized, <= d*w rows); the keys never
-    shuffle. ``carry`` columns of ``keys`` (functionally dependent on the
-    key) ride along via FIRST so the caller needs no re-join against a
-    recomputed ``keys`` plan. Returns ``(key_col, *carry, cms_est)``.
-    Lazy end to end."""
+    shuffle. ``carry`` columns of ``keys`` ride along so the caller needs
+    no re-join against a recomputed ``keys`` plan. Grouping is on
+    (key, *carry), so distinct (key, carry) input rows each produce an
+    output row -- duplicate key values with IDENTICAL carry collapse to
+    one row (estimates are per-key, so nothing is lost). Returns
+    ``(key_col, *carry, cms_est)``. Lazy end to end."""
     w, d = cms_width(eps), cms_depth(confidence)
     probes = keys.select(
         F.col(key_col).alias("_k"),
@@ -173,10 +175,7 @@ def cms_point_estimates(
     ).withColumn("bucket", _cms_bucket(F.col("_k"), F.col("d"), w, seed))
     return (
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
-        .groupBy("_k")
-        .agg(
-            *[F.first(c).alias(c) for c in carry],
-            F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"),
-        )
+        .groupBy("_k", *carry)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
         .withColumnRenamed("_k", key_col)
     )

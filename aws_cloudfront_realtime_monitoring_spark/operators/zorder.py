@@ -37,8 +37,14 @@ _MASK = (1 << ZBITS) - 1
 
 def zorder_key(a: Column, b: Column) -> Column:
     """Morton interleave of two non-negative ints quantized to ZBITS bits:
-    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1."""
-    a, b = a.bitwiseAND(F.lit(_MASK)), b.bitwiseAND(F.lit(_MASK))
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
+
+    Inputs cast to BIGINT first: shiftleft keeps the input column's type,
+    so an IntegerType ``b`` would overflow at bit 15 (1 << 31 = INT_MIN,
+    a negative Morton key that breaks the layout sort -- r7 code-review
+    finding, pinned by the int-column round-trip test)."""
+    a = a.cast("long").bitwiseAND(F.lit(_MASK))
+    b = b.cast("long").bitwiseAND(F.lit(_MASK))
     out = F.lit(0).cast("long")
     for i in range(ZBITS):
         out = (
@@ -57,8 +63,13 @@ def zorder_key_sql(a: str, b: str) -> str:
     # `+` binds tighter than `<<`, so `x << 0 + y << 1` would parse as
     # `x << (0 + y) << 1` -- an overflow, not an interleave
     for i in range(ZBITS):
-        terms.append(f"((((({a}) & {_MASK}) >> {i}) & 1) << {2 * i})")
-        terms.append(f"((((({b}) & {_MASK}) >> {i}) & 1) << {2 * i + 1})")
+        # CAST ... AS BIGINT mirrors the Column variant's overflow guard
+        terms.append(
+            f"((((CAST(({a}) AS BIGINT) & {_MASK}) >> {i}) & 1) << {2 * i})"
+        )
+        terms.append(
+            f"((((CAST(({b}) AS BIGINT) & {_MASK}) >> {i}) & 1) << {2 * i + 1})"
+        )
     return "(" + " + ".join(terms) + ")"
 
 

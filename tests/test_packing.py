@@ -131,3 +131,34 @@ def test_chunk_then_pack_end_to_end(spark, sf_dir):
     # FFD on full-width windows packs tightly: most shards hold 4 windows
     full = sum(1 for f in fills.values() if f >= capacity - CHUNK_WORDS)
     assert full >= len(fills) * 0.5
+
+
+def test_packing_correct_across_arrow_batches(spark):
+    """Regression (r7 code review): the iterator form of applyInPandas
+    splits one pack group into multiple Arrow batches; packing must see
+    the WHOLE group or shard ids collide across batches and shards
+    silently exceed capacity. Force tiny batches and assert the global
+    invariants hold."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
+        pack_shards,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        docs = spark.createDataFrame(
+            [(i, 60) for i in range(40)], "doc_id BIGINT, n_tokens BIGINT"
+        )
+        out = pack_shards(docs, capacity=100, n_groups=2).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(out) == 40
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for sid, rows in by_shard.items():
+        total = sum(r.n_tokens for r in rows)
+        assert total <= 100, (sid, total)  # capacity respected globally
+        assert all(r.shard_fill == total for r in rows)
+    # 40 docs x 60 tokens, 1 per 100-token shard -> exactly 40 shards
+    assert len(by_shard) == 40

@@ -62,3 +62,41 @@ def test_zorder_layout_tightens_second_dimension(spark):
     # a-only layout leaves every partition spanning ~the full b range; the
     # Morton layout's top 3 partition bits split b into quarters
     assert z_span * 2 <= a_span, (z_span, a_span)
+
+
+def test_zorder_key_integer_columns_no_overflow(spark):
+    """Regression (r7 code review): shiftleft keeps the input type, so
+    INT columns overflowed at bit 15 (1 << 31 = INT_MIN) and produced
+    negative Morton keys. The cast-to-long guard must make INT and LONG
+    inputs agree, and keys must stay non-negative and invertible."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.zorder import (
+        zorder_decode,
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    rows = [(0, 32768), (32768, 0), (65535, 65535), (12345, 54321)]
+    df_int = spark.createDataFrame(rows, "a INT, b INT")
+    df_long = spark.createDataFrame(rows, "a LONG, b LONG")
+    got_int = [
+        r.z for r in df_int.select(
+            zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    ]
+    got_long = [
+        r.z for r in df_long.select(
+            zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    ]
+    assert got_int == got_long
+    for (a, b), z in zip(rows, got_int):
+        assert z >= 0
+        assert zorder_decode(z) == (a, b)
+    # the SQL spelling agrees on INT columns too
+    df_int.createOrReplaceTempView("zo_int")
+    got_sql = [
+        r.z for r in spark.sql(
+            f"SELECT CAST({zorder_key_sql('a', 'b')} AS BIGINT) AS z FROM zo_int"
+        ).collect()
+    ]
+    assert got_sql == got_int
