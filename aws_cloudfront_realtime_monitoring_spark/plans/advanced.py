@@ -132,25 +132,31 @@ def derivative_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(epoch(TIMESTAMP '2024-01-04 00:00:00')) AS BIGINT),
                3600)) * 1000000) AS grid_ts
       FROM (SELECT DISTINCT event_type FROM events)),
-    pts AS (SELECT event_type, ts, value FROM events),
+    pts AS (SELECT event_type, ts, value, event_id FROM events),
     merged AS (
-      SELECT event_type, grid_ts AS t, NULL::DOUBLE AS v, 1 AS is_grid
+      -- tie = event_id (grid rows: -1) totalizes the lookup order, the
+      -- same hazard the LOCF sibling fixed (ADVICE r6): duplicate
+      -- (event_type, ts) observations would otherwise make prev/next
+      -- engine/partitioning-dependent
+      SELECT event_type, grid_ts AS t, NULL::DOUBLE AS v, 1 AS is_grid,
+             CAST(-1 AS BIGINT) AS tie
       FROM hours
       UNION ALL
-      SELECT event_type, ts AS t, value AS v, 0 AS is_grid FROM pts),
+      SELECT event_type, ts AS t, value AS v, 0 AS is_grid, event_id AS tie
+      FROM pts),
     filled AS (
       SELECT event_type, t, v, is_grid,
              LAST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
-               OVER (PARTITION BY event_type ORDER BY t, is_grid
+               OVER (PARTITION BY event_type ORDER BY t, is_grid, tie
                      ROWS UNBOUNDED PRECEDING) AS prev_v,
              LAST_VALUE(CASE WHEN is_grid = 0 THEN epoch_us(t) END IGNORE NULLS)
-               OVER (PARTITION BY event_type ORDER BY t, is_grid
+               OVER (PARTITION BY event_type ORDER BY t, is_grid, tie
                      ROWS UNBOUNDED PRECEDING) AS prev_t,
              FIRST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
-               OVER (PARTITION BY event_type ORDER BY t, is_grid
+               OVER (PARTITION BY event_type ORDER BY t, is_grid, tie
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
              FIRST_VALUE(CASE WHEN is_grid = 0 THEN epoch_us(t) END IGNORE NULLS)
-               OVER (PARTITION BY event_type ORDER BY t, is_grid
+               OVER (PARTITION BY event_type ORDER BY t, is_grid, tie
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
       FROM merged)
     SELECT event_type, t AS grid_ts,
@@ -182,10 +188,13 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("t"),
         )
-        .select("event_type", "t", F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid"))
+        .select("event_type", "t", F.lit(None).cast("double").alias("v"),
+                F.lit(1).alias("is_grid"),
+                F.lit(-1).cast("bigint").alias("tie"))
     )
     pts = events.select(
-        "event_type", F.col("ts").alias("t"), F.col("value").alias("v"), F.lit(0).alias("is_grid")
+        "event_type", F.col("ts").alias("t"), F.col("value").alias("v"),
+        F.lit(0).alias("is_grid"), F.col("event_id").alias("tie"),
     )
     merged = grid.unionByName(pts)
     # BOTH lookups use GROWING frames (unboundedPreceding..current): Spark's
@@ -194,14 +203,17 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The "next point" is found with the ordering reversed instead (same
     # result; a real point exactly at a grid instant lands in `prev` with
     # interpolation weight 0, so exclusion from `next` is immaterial).
+    # event_id tiebreak (grid sentinel -1) totalizes both lookup orders
+    # (r7 review: the LOCF sibling's ADVICE fix, applied here too)
     wf = (
         W.partitionBy("event_type")
-        .orderBy(F.col("t").asc(), F.col("is_grid").asc())
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc(), F.col("tie").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     wr = (
         W.partitionBy("event_type")
-        .orderBy(F.col("t").desc(), F.col("is_grid").desc())
+        .orderBy(F.col("t").desc(), F.col("is_grid").desc(),
+                 F.col("tie").desc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     real_v = F.when(F.col("is_grid") == 0, F.col("v"))
@@ -798,7 +810,14 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join
 
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # keep o_orderkey in the projection: the salt hashes the large
+    # side's ROW, and a key-only projection would make it constant per
+    # key -- a degenerate no-op salting that can't spread a hot key
+    # (r7 review); with the row-unique orderkey the hot key's rows
+    # really fan out over n_salts reducers
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )

@@ -30,11 +30,13 @@ from pyspark.sql import functions as F
 from ..functions.hashing import HASH_PRIME, h60_sql, perm_params
 from ..sources.tables import load_table, register_views
 from . import REGISTRY, register
-from .text import WS_RE_DUCK, WS_RE_SPARK_SQL, words_col
+from .text import _WORDS_SQL, WS_RE_DUCK, WS_RE_SPARK_SQL, words_col
 
 # ---------------------------------------------------------------- shingles
 
-_WORDS_SQL = f"list_filter(regexp_split_to_array(text, '{WS_RE_DUCK}'), w -> w <> '')"
+# the word-split oracle fragment is canonical in text.py (imported above):
+# the whitespace class encodes the Java/RE2 \x0b contract and must never
+# fork between the text and dedup oracles
 _SHINGLES_SQL = (
     "list_distinct(list_transform("
     "generate_series(1, greatest(len(words) - 2, 0)), "

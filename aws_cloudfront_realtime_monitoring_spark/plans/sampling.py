@@ -15,6 +15,20 @@ h60 hash of the row id: a row is in the sample iff
 The same construction is what a 100 TB pipeline wants: the sample decision
 rides with the row (any executor can evaluate it), and upstream operators
 can push it down to the scan.
+
+Micro-quantization caveat (applies here and to the ln/idf scores in
+plans/text.py): the ``floor(f(x) * 1e6 + 0.5)`` discipline is bit-exact
+across engines only for +,-,*,/,sqrt, where IEEE 754 mandates correct
+rounding. ``pow`` and ``ln`` are library functions (Java Math is 1-ulp
+accurate, libm is correctly rounded), so a value landing within ~1 ulp of
+a .5 micro-unit boundary could quantize to adjacent integers on the two
+engines. The exposure is one double per (language|term), not per row,
+and a boundary hit needs the function value within ~2^-52 relative of an
+exact .5e-6 grid point -- never observed across the fixture sweeps, and a
+hit would surface loudly as a driver hash mismatch, not silently. The
+fully-robust alternative (rational-only scoring) would forfeit the
+mT5/BM25 formulas' standard form; this trade is documented rather than
+hidden.
 """
 
 from __future__ import annotations

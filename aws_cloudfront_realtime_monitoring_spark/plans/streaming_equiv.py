@@ -23,7 +23,9 @@ driver-resident, this is the exact production sink shape at any scale
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -32,10 +34,11 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import stream_dir
 from . import register
-from .core import dsum, dsum_sql
+from .core import _BIN_1H_SQL, dsum, dsum_sql
 
-#: shared DuckDB fragment: epoch-aligned 1h bucket as naive TIMESTAMP
-_BIN_1H = "make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) * 1000000)"
+#: epoch-aligned 1h bucket -- canonical in core.py, shared so the batch
+#: and streaming oracles can never drift apart
+_BIN_1H = _BIN_1H_SQL
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +62,10 @@ def _run_to_parquet(df: DataFrame, output_mode: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), f"stream_equiv_{uuid.uuid4().hex[:12]}"
     )
+    # the returned DataFrame pins these files for the caller's lifetime;
+    # reclaim them at process exit so repeated runs don't grow /tmp
+    # without bound (r7 review)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def _write(batch_df: DataFrame, _batch_id: int) -> None:

@@ -96,8 +96,10 @@ def _langid_case_sql() -> str:
     s AS (
       SELECT doc_id, lang, n_chars, n_bpe_tokens, n_punct,
              len(words) AS n_ws_tokens,
-             CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
-               AS sum_word_len,
+             -- COALESCE: list_sum([]) is NULL in DuckDB but F.aggregate's
+             -- 0-init gives 0 in Spark for a zero-token document
+             CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+                  AS BIGINT) AS sum_word_len,
              {", ".join(f"{_lang_score_over('words', l)} AS s_{l}" for l in LANG_ORDER)}
       FROM w)
     SELECT doc_id, lang AS labeled_lang, n_chars, n_ws_tokens, n_bpe_tokens,

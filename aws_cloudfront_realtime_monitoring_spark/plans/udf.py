@@ -18,6 +18,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..sources.tables import load_table
 from . import register
+from .text import WS_RE_DUCK
 
 
 def make_scaled_score():
@@ -103,9 +104,9 @@ def grouped_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf_tokenize",
-    oracle="""
+    oracle=f"""
     WITH w AS (SELECT doc_id,
-                      list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0b]+'), x -> x <> '') AS words
+                      list_filter(regexp_split_to_array(text, '{WS_RE_DUCK}'), x -> x <> '') AS words
                FROM documents)
     SELECT doc_id,
            unnest(generate_series(1, len(words))) AS pos,
@@ -129,6 +130,8 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             import re as _re
 
+            if text is None:
+                return  # NULL text: zero rows, like the oracle
             # split on the Java/RE2/Python common whitespace subset, NOT
             # str.split(): Python would also split on Unicode whitespace
             # (NBSP, ideographic space) the SQL oracle's RE2 \s does not
