@@ -47,7 +47,12 @@ def bin_(time_col: Column | str, interval: str) -> Column:
     secs = _interval_seconds(interval)
     c = F.col(time_col) if isinstance(time_col, str) else time_col
     epoch = F.unix_timestamp(c)
-    return F.timestamp_seconds((epoch - (epoch % F.lit(secs)))).alias("binned_time")
+    # pmod, not %: Java % rounds toward zero, so a pre-1970 timestamp
+    # would bin UP into the next bucket instead of flooring (r7 review;
+    # DuckDB's // and date_trunc both floor)
+    return F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(secs))).alias(
+        "binned_time"
+    )
 
 
 def ago(interval: str, now: Column | datetime | str | None = None) -> Column:
@@ -63,7 +68,14 @@ def ago(interval: str, now: Column | datetime | str | None = None) -> Column:
         now_col = now
     else:
         now_col = F.lit(now).cast("timestamp")
-    return F.timestamp_seconds(F.unix_timestamp(now_col) - F.lit(secs))
+    # micros, not unix_timestamp: the parser keeps millisecond precision
+    # (D3), and a seconds-truncated cutoff would shift the boundary by up
+    # to 1 s against the ms-precision data (r7 review)
+    return F.timestamp_micros(
+        # the micros constant is computed in Python: two INT literals
+        # multiplied in-plan would overflow 32-bit under ANSI for >35 min
+        F.unix_micros(now_col) - F.lit(secs * 1_000_000).cast("long")
+    )
 
 
 def create_time_series(time_col: Column | str, value_col: Column | str) -> Column:
@@ -105,7 +117,12 @@ def expand_macros(
             "$__timeFilter",
             f"{time_col} BETWEEN timestamp '{time_from}' AND timestamp '{time_to}'",
         )
-    # Timestream's ``"$__database"."$__table"`` becomes a bare view name when
-    # database is empty.
-    out = out.replace('""."', '"').replace('"."', ".").replace('"', "")
+    # Timestream's ``"$__database"."$__table"`` becomes a bare view name
+    # when database is empty -- strip quotes ONLY around the expanded
+    # db/table tokens, not globally (a global strip corrupted any
+    # double-quoted literal elsewhere in the query, r7 review)
+    if database:
+        out = out.replace(f'"{database}"."{table}"', f"{database}.{table}")
+    else:
+        out = out.replace(f'""."{table}"', table).replace(f'"{table}"', table)
     return out

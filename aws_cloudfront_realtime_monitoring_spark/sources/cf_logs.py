@@ -124,13 +124,15 @@ def parse_log_lines(
         )
         lines = lines.where(bucket < int(sample_fraction * 1_000_000))
 
-    # Tokenize ONCE into an array column behind a non-deterministic barrier:
-    # without it, CollapseProject inlines the split() into all 40 field
-    # expressions and the line is re-split 40x per row (measured 10x slower;
-    # the from_csv expression path is also ~3.5x slower than this shape).
+    # Tokenize ONCE into an array column. CollapseProject does NOT inline
+    # the split() into the 40 field expressions: its many-references rule
+    # keeps a non-cheap expression referenced more than once in its own
+    # projection (verified on the optimized plan: one line-split with or
+    # without the rand() "CSE barrier" this select used to carry -- the
+    # barrier was dead weight and is gone, r7 review; the from_csv
+    # expression path remains ~3.5x slower than this shape).
     toks_df = lines.select(
         F.split(F.col(value_col), "\t", -1).alias("__toks"),
-        F.rand(sample_seed).alias("__cse_barrier"),
     )
 
     # Positional schema apply + cast (A5-A8) + rename (A12) + timestamp

@@ -132,12 +132,18 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
         if os.path.isdir(parent):
             now = time.time()
             for d in os.listdir(parent):
-                if not d.startswith(f"{name}-v") or d.startswith(key):
-                    # not this table's layout, or the current key / its
-                    # .tmp-* siblings (a concurrent writer racing on the
-                    # same new key)
+                if not d.startswith(f"{name}-v") or d == key:
+                    # not this table's layout, or the current layout itself
                     continue
-                if d.split(".tmp-")[0].endswith(cur_stat):
+                if d.startswith(key + ".tmp-"):
+                    # a writer racing on the SAME new key: the age gate
+                    # below spares a live one and reclaims a crashed
+                    # one's leak (the old exact-prefix skip leaked those
+                    # forever, and its startswith(key) form also wrongly
+                    # spared stale keys whose stat string-extends the
+                    # current one -- r7 review)
+                    pass
+                elif d.split(".tmp-")[0].endswith(cur_stat):
                     continue  # same source bytes, other version: in use
                 path = os.path.join(parent, d)
                 try:

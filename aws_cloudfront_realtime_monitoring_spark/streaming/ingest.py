@@ -151,11 +151,8 @@ def stream_kinesis_lines(
     """
     opts = kinesis_source_options(stream_name, region)
     opts.update({k: str(v) for k, v in option_overrides.items()})
-    reader = spark.readStream.format("aws-kinesis")
-    for k, v in opts.items():
-        reader = reader.option(k, v)
-    lines = reader.load().select(F.decode(F.col("data"), charset).alias("value"))
-    return parse_log_lines(lines, sample_fraction=sample_fraction)
+    return _connector_lines(spark, "aws-kinesis", opts, "data",
+                            charset, sample_fraction)
 
 
 def stream_kafka_lines(
@@ -178,10 +175,27 @@ def stream_kafka_lines(
     """
     opts = kafka_source_options(bootstrap_servers, topic)
     opts.update({k: str(v) for k, v in option_overrides.items()})
-    reader = spark.readStream.format("kafka")
+    return _connector_lines(spark, "kafka", opts, "value",
+                            charset, sample_fraction)
+
+
+def _connector_lines(
+    spark: SparkSession,
+    source_format: str,
+    opts: dict[str, str],
+    data_col: str,
+    charset: str,
+    sample_fraction: float | None,
+) -> DataFrame:
+    """Shared connector -> parsed-stream path (Kafka and Kinesis differ
+    only in format name and payload column; one code path so a decode or
+    option fix can never silently miss one of them, r7 review)."""
+    reader = spark.readStream.format(source_format)
     for k, v in opts.items():
         reader = reader.option(k, v)
-    lines = reader.load().select(F.decode(F.col("value"), charset).alias("value"))
+    lines = reader.load().select(
+        F.decode(F.col(data_col), charset).alias("value")
+    )
     return parse_log_lines(lines, sample_fraction=sample_fraction)
 
 

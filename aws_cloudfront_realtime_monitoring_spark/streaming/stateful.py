@@ -39,7 +39,9 @@ def running_totals_stream(
         n, total = state.get if state.exists else (0, 0)
         for pdf in batches:
             n += len(pdf)
-            total += int(pdf[bytes_col].fillna(0).sum())
+            # astype first: a nullable column arrives as float64 and a
+            # float reduction loses integer exactness past 2^53
+            total += int(pdf[bytes_col].fillna(0).astype('int64').sum())
         state.update((n, total))
         yield pd.DataFrame([{group_col: key[0], "n": n, "total_bytes": total}])
 
