@@ -124,6 +124,16 @@ def load_all() -> dict[str, Query]:
     return ordered
 
 
+def load_full():
+    """Every oracle-verified query: the 50 driver rows plus the
+    demoted/extra rows (driver rows win name conflicts). The one merge
+    spelling the tools share -- bench, check_oracles, audit_plans, and
+    the scale sweep previously hand-rolled it four ways (r7 review)."""
+    full = dict(load_demoted())
+    full.update(load_all())
+    return full
+
+
 def load_demoted() -> dict[str, Query]:
     """Spark/oracle pairs verified by the test suite outside the
     <=50-entry driver registry: rows that lost their driver slot in a

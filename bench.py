@@ -19,7 +19,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
+from aws_cloudfront_realtime_monitoring_spark.plans import load_full
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 
 HEADLINE = [
@@ -86,12 +86,15 @@ def _wait_for_quiet_box() -> tuple[float, bool]:
     return load, load > MAX_START_LOAD
 
 
-def _prior_round_times() -> dict[str, float]:
+def _prior_round_times(sf: float | None) -> dict[str, float]:
     """Per-query BEST (minimum) seconds across every BENCH_r*.json next to
-    this script (empty if none): the baseline for phantom-regression
-    re-runs. The min across rounds, not the latest round, because a noisy
-    prior round would otherwise mask a regression OR spuriously absolve
-    one -- the best-known time is the reproducible cost of the plan."""
+    this script recorded AT THE SAME scale factor (empty if none): the
+    baseline for phantom-regression re-runs. The min across rounds, not
+    the latest round, because a noisy prior round would otherwise mask a
+    regression OR spuriously absolve one -- the best-known time is the
+    reproducible cost of the plan. The sf filter keeps a run at another
+    scale from mis-arming the drift guard in both directions (r7
+    review)."""
     here = Path(__file__).resolve().parent
     best: dict[str, float] = {}
     for p in here.glob("BENCH_r*.json"):
@@ -102,7 +105,7 @@ def _prior_round_times() -> dict[str, float]:
         # the driver wraps this script's JSON line under "parsed" (null when
         # that round's bench crashed before printing its line)
         rec = rec.get("parsed") or rec
-        if not isinstance(rec, dict):
+        if not isinstance(rec, dict) or rec.get("sf") != sf:
             continue
         for name, sec in (rec.get("queries") or {}).items():
             if isinstance(sec, (int, float)):
@@ -116,12 +119,18 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     load_start, load_flagged = _wait_for_quiet_box()
-    prior_times = _prior_round_times()
+    prior_times = _prior_round_times(sf)
 
     # headline names stay stable across registry swaps so totals remain
     # round-over-round comparable: resolve demoted rows too
-    registry = {**load_demoted(), **load_all()}
+    registry = load_full()
     spark = get_spark("bench")
+    # ship the package to executor Python workers so pandas-UDF rows run
+    # regardless of the launch cwd (closures pickle module functions by
+    # reference; __spark_entry__ owns the zip-and-addPyFile logic)
+    import __spark_entry__
+
+    __spark_entry__._ship_package(spark)
 
     # warm the JVM/codegen path once so per-query numbers measure the
     # queries, not session bring-up; also materialize every table's layout

@@ -19,14 +19,12 @@ sys.path.insert(0, "/root/repo")
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-    from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
     from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 
     # driver rows plus the demoted/extra rows (same verification in the
     # test suite, no driver slot) -- the audit guards every plan we ship
-    registry = dict(load_all())
-    for _n, _q in load_demoted().items():
-        registry.setdefault(_n, _q)
+    registry = load_full()
     spark = get_spark("audit_plans", cpus=4)
 
     print("# PLANS — physical-plan audit of every registry query\n")

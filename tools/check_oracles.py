@@ -3,6 +3,11 @@ on Spark AND its DuckDB oracle over the same parquet tables, compare row
 count, column names, and an order-insensitive value multiset.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+
+With no query names, EVERY oracle-verified row is checked -- driver rows
+AND the demoted/extra rows (strictly more than the driver's 50-row gate;
+a demoted failure still means a broken oracle pair even though it holds
+no driver slot). Pass names to check a subset.
 """
 
 from __future__ import annotations
@@ -23,6 +28,8 @@ def normalize_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):
+            return repr(v)  # int(inf) would raise and abort the gate
         if v == int(v) and abs(v) < 2**53:
             return str(int(v))
         return repr(v)
@@ -62,17 +69,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
     from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 
-    # driver rows first; demoted/extra rows (same verification, no driver
-    # slot) are reachable too -- by explicit name, or all of them via --all
-    registry = dict(load_all())
-    for name, q in load_demoted().items():
-        registry.setdefault(name, q)
-    if "--all" in only:
-        only.discard("--all")
+    registry = load_full()
+    only.discard("--all")  # legacy no-op flag: the default already checks all
     spark = get_spark("check_oracles", cpus=8)
+    # ship the package to executor Python workers: pandas-UDF closures
+    # pickle module functions by reference, so a run from another cwd
+    # would otherwise die with ModuleNotFoundError mid-gate
+    import __spark_entry__
+
+    __spark_entry__._ship_package(spark)
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "

@@ -61,8 +61,11 @@ def footer_overlap(layout_dir: str, hour_lo_ts, hour_hi_ts,
             # pyarrow returns tz-aware datetimes for MICROS-with-UTC
             ts_min = ts_st.min.replace(tzinfo=None)
             ts_max = ts_st.max.replace(tzinfo=None)
+            # strict < on the upper edge matches the measured predicate
+            # ts < hi: a row group whose min sits exactly on the boundary
+            # is skippable by every stats-pruning reader (r7 review)
             ts_ok = (not use_ts) or (
-                ts_min <= hour_hi_ts and ts_max >= hour_lo_ts)
+                ts_min < hour_hi_ts and ts_max >= hour_lo_ts)
             u_ok = (not use_user) or (
                 u_st.min <= USER_LO + USER_N - 1 and u_st.max >= USER_LO)
             if ts_ok and u_ok:

@@ -41,7 +41,6 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
 
@@ -54,6 +53,8 @@ SWEEP_DIR = REPO / ".scale_sweep"
 
 
 def build_scaled_documents(spark, base_sf_dir: str, copies: int) -> str:
+    if copies > 999:
+        raise ValueError("copies > 999 exceeds the fixed-width salt")
     """Materialize a word-salted ``copies``-fold documents table; returns the
     sf_dir-shaped directory containing ``documents.parquet`` (a parquet
     DIRECTORY -- ``load_table`` reads it as-is and, being a small-stat dir
@@ -64,7 +65,8 @@ def build_scaled_documents(spark, base_sf_dir: str, copies: int) -> str:
     # testdata between rounds, and a stale scaled corpus would silently
     # measure last round's data (the tables.py layout-cache policy)
     src = os.stat(os.path.join(base_sf_dir, "documents.parquet"))
-    stamp = out_dir / f".src-{src.st_size}-{int(src.st_mtime)}"
+    # v2: fixed-width word salt (collision-free past 10 copies)
+    stamp = out_dir / f".src-v2-{src.st_size}-{int(src.st_mtime)}"
     if (table / "_SUCCESS").exists() and stamp.exists():
         return str(out_dir)
     if out_dir.exists():
@@ -80,7 +82,12 @@ def build_scaled_documents(spark, base_sf_dir: str, copies: int) -> str:
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
                 # salt every word with the copy index: per-copy dup structure
                 # preserved, cross-copy shingles/word-hashes disjoint
-                F.regexp_replace("text", r"(\S+)", r"$1" + str(i)).alias("text"),
+                # fixed-width salt: equal-length suffixes are collision-
+                # free across copies (str(i) was not prefix-free past
+                # copies=10: 'foo'+'11' == 'foo1'+'1' -- r7 review; the
+                # recorded 10-copy sweeps used single-digit salts, which
+                # ARE uniform width, so their numbers stand)
+                F.regexp_replace("text", r"(\S+)", r"$1" + f"{i:03d}").alias("text"),
                 "lang",
                 "source",
             )
@@ -162,9 +169,12 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("scale_sweep")
-    from aws_cloudfront_realtime_monitoring_spark.plans import load_demoted
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
 
-    registry = {**load_demoted(), **load_all()}
+    registry = load_full()
+    import __spark_entry__
+
+    __spark_entry__._ship_package(spark)
 
     scales = [
         ("sf0.01", "/root/testdata/sf0.01"),
@@ -204,7 +214,7 @@ def main() -> None:
     # markdown table for SCALE.md
     labels = [lbl for lbl, _ in scales]
     print("| Query | " + " | ".join(f"{l} ({rows[l]} docs)" for l in labels)
-          + " | 10x ratio |")
+          + f" | {args.copies}x ratio |")
     print("|---|" + "---|" * (len(labels) + 1))
     for name in QUERIES:
         r = results[name]
