@@ -81,7 +81,6 @@ def test_fuzzed_lines_roundtrip(spark, records):
         .collect()
     )
     assert len(rows) == len(records)
-    by_line = {to_wire_line(r): r for r in records}
     # re-derive expected per parsed row via its reconstructed key fields
     for row in rows:
         matches = [

@@ -13,9 +13,9 @@ import io
 
 import pytest
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted, load_full
 
-REGISTRY = {**load_all(), **load_demoted()}
+REGISTRY = load_full()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:

@@ -12,12 +12,12 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 from check_oracles import canon, dtype_sig  # noqa: E402
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted, load_full
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import TABLES
 
 # Demoted queries lost their driver slot in the r6 registry swaps but keep
 # the identical Spark-vs-DuckDB verification here
-REGISTRY = {**load_all(), **load_demoted()}
+REGISTRY = load_full()
 
 
 @pytest.fixture(scope="module")

@@ -40,6 +40,9 @@ def test_bruteforce_topk_matches_numpy(spark, sf_dir):
     got = {}
     for r in df.collect():
         got.setdefault(r.query_id, []).append((r.rnk, r.cand_id))
+    # completeness first: an empty/partial result must fail loudly, not
+    # skip the loop body (r7 review)
+    assert set(got) == set(range(N_QUERIES))
     expected = _numpy_topk(sf_dir, spark)
     for qi, pairs in got.items():
         assert [c for _, c in sorted(pairs)] == expected[qi]

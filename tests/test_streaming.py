@@ -456,9 +456,9 @@ def test_chunk_cut_batch_split_invariance():
             if out is not None:
                 frames.append(out)
         if not frames:
-            return [], carry[:1]
+            return [], carry
         cat = pd.concat(frames, ignore_index=True)
-        return list(zip(cat["chunk_id"], cat["chunk_bytes"])), carry[:1]
+        return list(zip(cat["chunk_id"], cat["chunk_bytes"])), carry
 
     @settings(max_examples=200, deadline=None)
     @given(
@@ -476,21 +476,19 @@ def test_chunk_cut_batch_split_invariance():
         split, carry_split = run(vals, cuts, chunk_size)
         assert split == whole
         assert carry_split == carry_whole
-        # completeness: every record lands in exactly one chunk or the carry
-        assert sum(n for _, n in whole) + carry_whole[0] * 0 >= 0
         assert len(whole) == len(vals) // chunk_size
         assert carry_whole[0] == len(vals) % chunk_size
-        assert sum(b for _, b in whole) + (
-            sum(vals) - sum(b for _, b in whole)
-        ) == sum(vals)
+        # BYTE conservation: every record's bytes land in exactly one
+        # flushed chunk or the pending carry (the old spelling was an
+        # algebraic tautology that could not fail -- r7 review)
+        assert sum(b for _, b in whole) + carry_whole[1] == sum(vals)
 
     check()
 
 
-def _soak_state_rows(spark, replay_root, build_query, n_batches):
-    """Run a stream over ``n_batches`` single-file micro-batches and
-    return the per-batch ``numRowsTotal`` of its state operator (empty
-    batches excluded)."""
+def _soak_state_rows(build_query):
+    """Start the stream, run it to completion, and return the per-batch
+    ``numRowsTotal`` of its state operator (empty batches excluded)."""
     q = build_query()
     try:
         q.processAllAvailable()
@@ -581,7 +579,7 @@ def test_streaming_state_plateaus_across_watermark_horizons(spark, shape):
                 .start()
             )
 
-        state_rows = _soak_state_rows(spark, d, build, n_batches)
+        state_rows = _soak_state_rows(build)
         assert len(state_rows) >= 12  # the soak really spanned many batches
         third = len(state_rows) // 3
         mid = max(state_rows[third:2 * third])
