@@ -128,8 +128,12 @@ def audio_feature_batches(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                # NULL payloads -> empty bytes (decode_wav raises
+                # ValueError, honoring the skip_invalid contract);
+                # bytes(None) would TypeError past the handler
+                payload = bytes(r.payload) if r.payload is not None else b""
                 try:
-                    rows.append(wav_features(int(r.doc_id), bytes(r.payload)))
+                    rows.append(wav_features(int(r.doc_id), payload))
                 except ValueError:
                     if not skip_invalid:
                         raise

@@ -123,9 +123,13 @@ def decode_gif_frames(
     keep_indices: set | None = None,
 ) -> tuple[int, int, list[np.ndarray]]:
     """Decode COMPOSITED animation frames: each frame draws onto the
-    running logical screen (the baseline draw-on-previous disposal), so
-    frame k is what a viewer sees at step k. Returns (width, height,
-    [screen[h, w, 3] uint8, ...]).
+    running logical screen honoring the Graphic Control Extension --
+    transparent pixels (GCE transparency flag + index) leave the
+    underlying screen untouched (the common GIF89a transparency-delta
+    encoding), and disposal methods 2 (restore to background) and 3
+    (restore to previous) are applied to the frame's rectangle before
+    the next frame draws -- so frame k is what a viewer sees at step k.
+    Returns (width, height, [screen[h, w, 3] uint8, ...]).
 
     Memory contract: only the REQUESTED frames are retained --
     ``max_frames`` keeps the first k, ``keep_indices`` keeps an explicit
@@ -169,9 +173,11 @@ def _decode_frames_impl(payload: bytes, keep, count_only: bool):
         n = 2 ** ((packed & 0x07) + 1)
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    bg_fill = gct[bg] if gct is not None and bg < len(gct) else None
     n_frames = 0
     screen = None
     screens: list[np.ndarray] = []
+    gce: tuple[int, int | None] | None = None  # (disposal, transparent idx)
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -180,7 +186,16 @@ def _decode_frames_impl(payload: bytes, keep, count_only: bool):
         if block == 0x21:  # extension: label byte + sub-block chain
             if pos >= len(payload):
                 raise ValueError("truncated GIF extension")
-            _data, pos = _sub_blocks(payload, pos + 1)
+            label = payload[pos]
+            data, pos = _sub_blocks(payload, pos + 1)
+            if label == 0xF9 and len(data) >= 4:
+                # Graphic Control Extension: packed byte carries the
+                # disposal method (bits 2-4) and transparency flag
+                # (bit 0); byte 3 is the transparent color index.
+                # Applies to the NEXT image descriptor only.
+                disposal = (data[0] >> 2) & 0x07
+                t_idx = data[3] if data[0] & 0x01 else None
+                gce = (disposal, t_idx)
         elif block == 0x2C:  # image descriptor
             if pos + 9 > len(payload):
                 raise ValueError("truncated GIF image descriptor")
@@ -201,6 +216,8 @@ def _decode_frames_impl(payload: bytes, keep, count_only: bool):
             if iw <= 0 or ih <= 0 or left + iw > width or top + ih > height:
                 raise ValueError("GIF frame exceeds logical screen")
             n_frames += 1
+            disposal, t_idx = gce if gce is not None else (0, None)
+            gce = None  # a GCE governs exactly one image descriptor
             if count_only:
                 continue  # block walk only: no LZW, no pixel buffers
             idx = np.frombuffer(
@@ -218,13 +235,27 @@ def _decode_frames_impl(payload: bytes, keep, count_only: bool):
                 raise ValueError("GIF pixel index beyond color table")
             if n_frames == 1:
                 screen = np.zeros((height, width, 3), np.uint8)
-                if gct is not None and bg < len(gct):
-                    screen[:, :] = gct[bg]
-            # EVERY frame composites onto the one reused screen buffer
-            # (rendering is cumulative); only requested frames are copied
-            screen[top : top + ih, left : left + iw] = ct[idx]
+                if bg_fill is not None:
+                    screen[:, :] = bg_fill
+            # EVERY frame composites onto the one reused screen buffer;
+            # transparent pixels leave the underlying screen (GIF89a
+            # transparency-delta animation); only requested frames copy
+            region = screen[top : top + ih, left : left + iw]
+            if disposal == 3:
+                saved = region.copy()  # restore-to-previous needs it
+            if t_idx is not None:
+                opaque = idx != t_idx
+                region[opaque] = ct[idx][opaque]
+            else:
+                region[:, :] = ct[idx]
             if (n_frames - 1 in wanted) if wanted is not None                     else (n_frames <= keep):
                 screens.append(screen.copy())
+            # disposal applies AFTER the frame is displayed, before the
+            # next frame draws (T.81-analog: GIF89a spec section 23)
+            if disposal == 2:  # restore the rect to background
+                region[:, :] = bg_fill if bg_fill is not None else 0
+            elif disposal == 3:  # restore the rect to prior content
+                region[:, :] = saved
         else:
             raise ValueError(f"unknown GIF block {block:#x}")
     if n_frames == 0:

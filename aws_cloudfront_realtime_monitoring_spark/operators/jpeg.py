@@ -236,6 +236,18 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
 
     if h * w > MAX_PIXELS:
         raise ValueError("JPEG dimensions exceed the decode cap")
+    if len(scan_tables) == 1:
+        # T.81 A.2 / B.2.3: a scan with ONE component is non-interleaved
+        # -- the MCU is a single 8x8 data unit and the grid is
+        # ceil(w/8) x ceil(h/8) REGARDLESS of the SOF sampling factors
+        # (grayscale files from color-to-gray encoders commonly keep a
+        # 2x2 declaration; interleaved geometry would misdecode them).
+        if len(comps) != 1:
+            # one scan of a multi-component frame = multi-scan
+            # sequential file; we decode single-scan baseline only
+            raise ValueError("multi-scan sequential JPEG unsupported")
+        cid0, _hs0, _vs0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))

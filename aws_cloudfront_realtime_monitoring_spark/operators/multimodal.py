@@ -415,7 +415,11 @@ def sample_animation_frames(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload)
+                # NULL payloads (ingest gaps) -> empty bytes, which
+                # count_gif_frames rejects with ValueError and the
+                # skip_invalid path drops; bytes(None) would TypeError
+                # past the ValueError-only handler and kill the task
+                payload = bytes(r.payload) if r.payload is not None else b""
                 try:
                     w, h, n = count_gif_frames(payload)
                     k = min(n_samples, n)

@@ -77,8 +77,8 @@ def compact_partition(
 ) -> tuple[int, int]:
     """OPTIMIZE-style small-file compaction of one partition directory:
     rewrite its parquet files into ``ceil(total_bytes / target)`` files
-    and atomically swap the directory. Returns (files_before,
-    files_after).
+    and swap the directory (two renames; see the atomicity note below).
+    Returns (files_before, files_after).
 
     A streaming sink writes one file per (micro-batch x task) -- at 1000
     executors x 10 s triggers that is millions of kB-sized files per day,
@@ -87,9 +87,20 @@ def compact_partition(
     Iceberg rewrite_data_files): read the partition once, write it back
     at the target file size via one round-robin repartition, swap. Rows
     are preserved exactly (pytest-pinned); only the physical file layout
-    changes. Run per partition so a failure affects one partition and the
-    swap stays atomic at the directory level (rename); table formats get
-    transactional swaps for free.
+    changes. Run per partition so a failure affects one partition; table
+    formats get transactional swaps for free.
+
+    The swap is NOT atomic: it is two ``os.rename`` calls, and between
+    them the partition directory is briefly absent (a plain filesystem
+    has no two-directory exchange short of ``renameat2(RENAME_EXCHANGE)``,
+    which Python does not expose portably). Concurrent readers in that
+    window see a missing partition and should retry. Crash recovery IS
+    handled: the tmp/old names are deterministic (``.compact-tmp`` /
+    ``.compact-old``), and on entry this function repairs any leftover
+    state from a crashed prior run -- a stranded ``.compact-old`` with no
+    live partition is renamed back into place; a stale ``.compact-tmp``
+    or an already-swapped ``.compact-old`` is removed -- so no data is
+    ever stranded without a recovery path.
 
     NOTE: like drop_partitions_older_than, a streaming sink's
     ``_spark_metadata`` log still lists the old files; read a compacted
@@ -97,15 +108,28 @@ def compact_partition(
     """
     import glob
 
+    partition_dir = partition_dir.rstrip("/")
+    tmp = partition_dir + ".compact-tmp"
+    old = partition_dir + ".compact-old"
+    # Recover from a crashed prior run (deterministic names make the
+    # leftover state identifiable).
+    if os.path.isdir(old) and not os.path.isdir(partition_dir):
+        # crashed between the two renames: the original is in .compact-old
+        os.rename(old, partition_dir)
+    if os.path.isdir(old):
+        # crashed after a successful swap, before cleanup
+        shutil.rmtree(old)
+    if os.path.isdir(tmp):
+        # crashed mid-write or pre-swap; the tmp contents are untrusted
+        shutil.rmtree(tmp)
+
     files = sorted(glob.glob(os.path.join(partition_dir, "*.parquet")))
     if not files:
         raise ValueError(f"no parquet files under {partition_dir!r}")
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(partition_dir)
-    tmp = partition_dir.rstrip("/") + f".compact-{os.getpid()}"
     df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
-    old = partition_dir.rstrip("/") + f".old-{os.getpid()}"
     os.rename(partition_dir, old)
     try:
         os.rename(tmp, partition_dir)

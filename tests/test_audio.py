@@ -132,3 +132,14 @@ def test_audio_batches_skip_corrupt_payloads(spark):
             decode_wav(bytes(blob))
         except ValueError:
             pass  # the only permitted failure mode
+
+
+def test_audio_batches_null_payload_skipped(spark):
+    """A NULL payload must be dropped by skip_invalid, not
+    TypeError-kill the task (bytes(None) is not a ValueError)."""
+    good = _make_wav(np.zeros((64, 1)), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, None)], "doc_id BIGINT, payload BINARY"
+    )
+    got = audio_feature_batches(df).collect()
+    assert sorted(r.doc_id for r in got) == [1]

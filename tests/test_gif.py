@@ -273,3 +273,94 @@ def test_gif_roundtrip_property():
         np.testing.assert_array_equal(px, pal[idx])
 
     check()
+
+
+def _gce(disposal: int = 0, t_idx: int | None = None) -> bytes:
+    """Graphic Control Extension bytes (GIF89a section 23)."""
+    packed = ((disposal & 7) << 2) | (1 if t_idx is not None else 0)
+    return b"\x21\xf9\x04" + bytes([packed, 0, 0, t_idx or 0]) + b"\x00"
+
+
+def test_gif_gce_transparency_leaves_underlying_screen():
+    """Transparency-delta animation (the common GIF89a encoding): pixels
+    equal to the GCE transparent index must NOT overwrite the running
+    screen with a palette color."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.gif import (
+        decode_gif_frames,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 250], [90, 90, 90]],
+                   np.uint8)
+    f1 = np.zeros((4, 4), np.uint8)  # fill with color 0
+    f2 = np.array([[1, 3], [3, 1]], np.uint8)  # 3 = transparent index
+    blob = _make_gif(
+        [_frame(f1), _gce(t_idx=3) + _frame(f2, left=1, top=1)], pal, 4, 4
+    )
+    w, h, screens = decode_gif_frames(blob)
+    assert (w, h, len(screens)) == (4, 4, 2)
+    expect = np.zeros((4, 4, 3), np.uint8)
+    expect[:, :] = pal[0]
+    np.testing.assert_array_equal(screens[0], expect)
+    expect[1, 1] = pal[1]
+    expect[2, 2] = pal[1]
+    # (1,2) and (2,1) were transparent: underlying pal[0] survives
+    np.testing.assert_array_equal(screens[1], expect)
+
+
+def test_gif_gce_disposal_background_and_previous():
+    """Disposal 2 restores the frame's rect to the background color,
+    disposal 3 restores it to the pre-frame content, both BEFORE the
+    next frame draws."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.gif import (
+        decode_gif_frames,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 250], [90, 90, 90]],
+                   np.uint8)
+    fill = _frame(np.full((4, 4), 1, np.uint8))
+    rect = np.full((2, 2), 2, np.uint8)
+    dot = _frame(np.full((1, 1), 3, np.uint8), left=3, top=3)
+
+    # disposal 2: rect area -> background (index 0 in _make_gif)
+    blob = _make_gif(
+        [fill, _gce(disposal=2) + _frame(rect, left=0, top=0), dot],
+        pal, 4, 4,
+    )
+    _w, _h, screens = decode_gif_frames(blob)
+    expect = np.zeros((4, 4, 3), np.uint8)
+    expect[:, :] = pal[1]
+    expect[0:2, 0:2] = pal[2]
+    np.testing.assert_array_equal(screens[1], expect)  # rect shown at k=2
+    expect[0:2, 0:2] = pal[0]  # then restored to background
+    expect[3, 3] = pal[3]
+    np.testing.assert_array_equal(screens[2], expect)
+
+    # disposal 3: rect area -> previous content (pal[1] from the fill)
+    blob = _make_gif(
+        [fill, _gce(disposal=3) + _frame(rect, left=1, top=1), dot],
+        pal, 4, 4,
+    )
+    _w, _h, screens = decode_gif_frames(blob)
+    expect = np.zeros((4, 4, 3), np.uint8)
+    expect[:, :] = pal[1]
+    expect[1:3, 1:3] = pal[2]
+    np.testing.assert_array_equal(screens[1], expect)
+    expect[1:3, 1:3] = pal[1]  # restored to what was under the frame
+    expect[3, 3] = pal[3]
+    np.testing.assert_array_equal(screens[2], expect)
+
+
+def test_animation_frames_null_payload_skipped(spark):
+    """A NULL payload (ingest gap) must be dropped by skip_invalid, not
+    TypeError-kill the task (bytes(None) is not a ValueError)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        sample_animation_frames,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 0]], np.uint8)
+    blob = _make_gif([_frame(np.zeros((2, 2), np.uint8))], pal, 2, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, None)], "doc_id BIGINT, payload BINARY"
+    )
+    got = sample_animation_frames(df).collect()
+    assert {r.doc_id for r in got} == {1}

@@ -270,3 +270,22 @@ def test_jpeg_through_decode_image_and_mapinpandas(spark):
     )
     [row] = decode_batches(df).collect()
     assert (row.fmt, row.width, row.height) == ("jpeg", 14, 10)
+
+
+def test_jpeg_grayscale_ignores_declared_sampling_factors():
+    """T.81 A.2: a scan with ONE component is non-interleaved -- the MCU
+    is a single 8x8 data unit and the grid is ceil(w/8) x ceil(h/8)
+    regardless of the SOF sampling factors. Color-to-gray encoders
+    commonly keep a 2x2 declaration; interleaved geometry would
+    misdecode such files."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(50, 200, size=(20, 13, 1), dtype=np.uint8)
+    blob = bytearray(make_jpeg(px))
+    i = blob.find(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) [id samp tq]...
+    assert blob[i + 9] == 1 and blob[i + 11] == 0x11
+    blob[i + 11] = 0x22  # declare 2x2 sampling factors
+    w, h, got = decode_jpeg_pixels(bytes(blob))
+    w0, h0, ref = decode_jpeg_pixels(make_jpeg(px))
+    assert (w, h) == (w0, h0) == (13, 20)
+    np.testing.assert_array_equal(got, ref)

@@ -625,3 +625,32 @@ def test_compact_partition_preserves_rows_and_shrinks_files(spark):
 
         with _pytest.raises(ValueError):
             compact_partition(spark, os.path.join(d, "nope"))
+
+
+def test_compact_partition_recovers_crashed_swap(spark):
+    """Crash-recovery contract: deterministic tmp/old names let a later
+    run repair any state a crashed compaction left behind -- a stranded
+    .compact-old with no live partition is restored, stale .compact-tmp
+    and already-swapped .compact-old are removed."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        compact_partition,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        part = os.path.join(d, "event_date=2024-01-02")
+        spark.range(50).write.parquet(part)
+        rows = sorted(r.id for r in spark.read.parquet(part).collect())
+        # simulate a crash between the two renames: partition absent,
+        # original stranded in .compact-old, stale tmp lying around
+        os.rename(part, part + ".compact-old")
+        os.makedirs(part + ".compact-tmp")
+        _nb, n_after = compact_partition(spark, part, target_file_bytes=10**9)
+        assert n_after == 1
+        assert sorted(r.id for r in spark.read.parquet(part).collect()) == rows
+        assert not os.path.exists(part + ".compact-old")
+        assert not os.path.exists(part + ".compact-tmp")
+        # a leftover .old AFTER a successful swap is cleaned on entry
+        os.makedirs(part + ".compact-old")
+        compact_partition(spark, part, target_file_bytes=10**9)
+        assert not os.path.exists(part + ".compact-old")
+        assert sorted(r.id for r in spark.read.parquet(part).collect()) == rows
