@@ -59,6 +59,14 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "ann_ivf_recall",             # r8: promoted recall-audit row (found
+                                  # the r7 recall-0 bug; slot from
+                                  # ann_topk_ivf, which runs in full as
+                                  # this row's IVF side)
+    "stream_stream_join_equiv",   # r8: promoted stream-stream interval
+                                  # join (slot from q1_narrow_form, whose
+                                  # B3/B4/B5 strict_compat_narrow +
+                                  # pivot_status_by_priority keep)
     "curation_pipeline",          # r6b: promoted composition keep-list
                                   # (slot from sessionize, whose lag+cumsum
                                   # mechanics ARE the oracle of

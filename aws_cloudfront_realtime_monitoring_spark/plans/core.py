@@ -263,8 +263,15 @@ def grafana_macro_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(A14), filter measure_name IN (B3), conditional-aggregate "
                 "un-pivot SUM(CASE WHEN ...) (B4/B5), bin+group (B1/B6). "
                 "Catalyst collapses the melt+filter back to a wide scan -- "
-                "the narrow view costs nothing when queried this way.",
+                "the narrow view costs nothing when queried this way. "
+                "Demoted in the r8 registry swap (slot went to "
+                "stream_stream_join_equiv): the B3 IN-list is also "
+                "driver-checked by q1_hourly_measure_by_dim, the A14 "
+                "melt + B4/B5 un-pivot by strict_compat_narrow, pivoting "
+                "by pivot_status_by_priority; the pytest suite keeps "
+                "running this row's own Spark-vs-DuckDB comparison.",
     tags=("tier-b", "narrow"),
+    driver_slot=False,
 )
 def q1_narrow_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

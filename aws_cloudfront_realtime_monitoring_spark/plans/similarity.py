@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from . import REGISTRY, register
+from . import EXTRAS, REGISTRY, register
 
 QUANT = 1_000_000
 N_QUERIES = 5     # vec_id < 5 are the probe vectors
@@ -216,8 +216,13 @@ def _probe_masks() -> list[int]:
                 "per-bit with prob 1 - theta/pi), which the "
                 "ann_ivf_recall audit row quantifies -- multi-probe is "
                 "the standard fix that buys recall without growing the "
-                "index.",
+                "index. Demoted in the r8 registry swap: this exact plan "
+                "runs IN FULL as the IVF side of ann_ivf_recall (which "
+                "took the driver slot), so its driver coverage is "
+                "strictly subsumed; the pytest suite keeps running this "
+                "row's own Spark-vs-DuckDB comparison.",
     tags=("similarity", "ann", "ivf"),
+    driver_slot=False,
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -502,7 +507,9 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str, k: int = 16):
 # ------------------------------------------------------ ann_ivf_recall
 
 def _ann_recall_oracle() -> str:
-    ivf = REGISTRY["ann_topk_ivf"].oracle
+    # ann_topk_ivf lost its driver slot in the r8 swap (EXTRAS);
+    # the brute-force ground truth keeps its driver row
+    ivf = EXTRAS["ann_topk_ivf"].oracle
     exact = REGISTRY["ann_topk_bruteforce"].oracle
     return f"""
     WITH ivf AS (SELECT query_id, cand_id FROM ({ivf}) WHERE rnk <= 3),
@@ -545,10 +552,12 @@ def _ann_recall_oracle() -> str:
                 "recall loss. Runs the two audited sibling plans plus "
                 "one join on K*N_QUERIES rows; at 100 TB this is the "
                 "sampled-recall validation job a pipeline runs before "
-                "trusting its quantizer. Verified by the test suite "
-                "outside the 50-row driver budget (driver_slot=False).",
+                "trusting its quantizer. Promoted to a driver slot in "
+                "the r8 registry swap (this row found and fixed the "
+                "single-probe recall-0 bug in r7, the strongest kind of "
+                "verification row); its slot came from ann_topk_ivf, "
+                "which runs in full as this row's IVF side.",
     tags=("similarity", "ann", "validation"),
-    driver_slot=False,
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann_topk_ivf(spark, sf_dir).where(F.col("rnk") <= 3).select(

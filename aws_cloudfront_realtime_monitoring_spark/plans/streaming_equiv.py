@@ -372,11 +372,12 @@ EXTRAS["stream_chunk_equiv"].oracle = EXTRAS["chunk_documents"].oracle
                 "self-join oracle. At scale this is click-attribution: "
                 "state per side is bounded by the watermark horizon x "
                 "arrival rate, never stream length (the soak test's "
-                "claim, applied to join state). Verified by the test "
-                "suite outside the 50-row driver budget "
-                "(driver_slot=False).",
+                "claim, applied to join state). Promoted to a driver "
+                "slot in the r8 registry swap (the only stateful "
+                "stream-stream shape in the registry); its slot came "
+                "from q1_narrow_form, whose B3/B4/B5 coverage "
+                "strict_compat_narrow + pivot_status_by_priority keep.",
     tags=("streaming", "join"),
-    driver_slot=False,
 )
 def stream_stream_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (

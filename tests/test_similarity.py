@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_full
 from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
     N_QUERIES,
     QUANT,
@@ -51,7 +51,7 @@ def test_bruteforce_topk_matches_numpy(spark, sf_dir):
 def test_ivf_results_subset_of_bruteforce_candidates(spark, sf_dir):
     """IVF searches the probe's Hamming-1 bucket ball only: its hits must
     be valid vectors ranked consistently (rnk 1..3, descending cosine)."""
-    df = REGISTRY["ann_topk_ivf"].build(spark, sf_dir).collect()
+    df = load_full()["ann_topk_ivf"].build(spark, sf_dir).collect()
     by_q = {}
     for r in df:
         by_q.setdefault(r.query_id, []).append(r)
@@ -204,9 +204,7 @@ def test_ann_ivf_recall_audit_and_multiprobe_floor(spark, sf_dir):
         qvec,
     )
 
-    from aws_cloudfront_realtime_monitoring_spark.plans import load_demoted
-
-    audit = load_demoted()["ann_ivf_recall"].build(spark, sf_dir).collect()
+    audit = load_full()["ann_ivf_recall"].build(spark, sf_dir).collect()
     assert {r.query_id for r in audit} == set(range(N_QUERIES))
     for r in audit:
         # per probe: both + exact_only = |exact top-3|, both + ivf_only =
