@@ -49,6 +49,15 @@ from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
 QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
            "bm25_topk", "decontaminate", "unigram_logprob", "dedup_spans",
            "curation_pipeline", "semdedup"]
+
+#: the r8 relational/headline sweep set (VERDICT r7 item #1): the flagship
+#: Q1 + wire-parse paths and the window/join/interpolate/stats/HLL family,
+#: over the salted events/orders corpus
+RELATIONAL_QUERIES = [
+    "q1_hourly_measure_by_dim", "cf_parse_wire_roundtrip", "sessionize",
+    "asof_join_latest_order", "window_frames_ranking",
+    "interpolate_linear_fill", "stats_profile", "hll_cube_range",
+]
 SWEEP_DIR = REPO / ".scale_sweep"
 
 
@@ -162,11 +171,86 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
           file=sys.stderr)
 
 
+def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> None:
+    """Materialize ``copies``-fold events + orders tables in the sweep dir.
+
+    The word-salt discipline applied to the relational family -- each
+    copy ``i`` must neither merge with nor tie against the others, while
+    its INTERNAL structure (sessions, window frames, as-of matches,
+    per-series interpolation points) stays bit-identical:
+
+    - ``user_id``/``o_custkey`` += i * 1e5 (above o_custkey's 15k max,
+      small enough that stats_profile's SUM(user_id^2) moment stays
+      within int64 -- a 1e8 offset overflowed it): disjoint key spaces, so
+      sessions, per-user windows, and as-of joins never merge across
+      copies (a verbatim self-union would 10x every user's row count --
+      a distribution change, not a scale-up);
+    - ``event_type`` gets a fixed-width copy suffix: series-keyed ops
+      (interpolate's per-type grid, stats' per-type groups) see 10x MORE
+      series of unchanged density -- how dimension cardinality actually
+      grows at scale -- instead of 10x denser series that would serialize
+      into 5 partitions;
+    - ``ts``/``o_orderdate`` += i ms: breaks cross-copy exact sort ties
+      (10x tie multiplicity would change window/sort behavior) while
+      leaving hour bins, the ago(24h) horizon, and 30-min session gaps
+      unchanged -- the time RANGE stays fixed, so time-windowed queries
+      hold 10x the rows: a traffic scale-up, not a history stretch;
+    - ``event_id``/``o_orderkey`` += i * 1e9: globally unique tiebreaks.
+    """
+    if copies > 999:
+        raise ValueError("copies > 999 exceeds the fixed-width salt")
+    out_dir = SWEEP_DIR / f"sf0.1x{copies}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for name, key_col, id_col, t_col in (
+        ("events", "user_id", "event_id", "ts"),
+        ("orders", "o_custkey", "o_orderkey", "o_orderdate"),
+    ):
+        table = out_dir / f"{name}.parquet"
+        src = os.stat(os.path.join(base_sf_dir, f"{name}.parquet"))
+        stamp = out_dir / f".{name}src-v1-{src.st_size}-{int(src.st_mtime)}"
+        if (table / "_SUCCESS").exists() and stamp.exists():
+            continue
+        if table.exists():
+            shutil.rmtree(table)
+        stamp.touch()
+        base = load_table(spark, base_sf_dir, name)
+        parts = []
+        for i in range(copies):
+            sel = []
+            for c in base.columns:
+                if c == key_col:
+                    sel.append((F.col(c) + F.lit(i * 100_000)).alias(c))
+                elif c == id_col:
+                    sel.append((F.col(c) + F.lit(i * 1_000_000_000)).alias(c))
+                elif c == t_col:
+                    sel.append(
+                        F.timestamp_micros(
+                            F.unix_micros(F.col(c)) + F.lit(i * 1000)
+                        ).alias(c)
+                    )
+                elif c == "event_type":
+                    sel.append(F.concat(F.col(c), F.lit(f"{i:03d}")).alias(c))
+                else:
+                    sel.append(F.col(c))
+            parts.append(base.select(*sel))
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionAll(p)
+        scaled.repartition(32).write.mode("overwrite").parquet(str(table))
+        print(f"# built {table}: {copies}x salted {name}", file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--family", choices=["dedup", "relational"],
+                    default="dedup",
+                    help="dedup/curation (documents+embeddings corpus) or "
+                         "relational/headline (events+orders corpus)")
     args = ap.parse_args()
+    queries = QUERIES if args.family == "dedup" else RELATIONAL_QUERIES
+    count_table = "documents" if args.family == "dedup" else "events"
 
     spark = get_spark("scale_sweep")
     from aws_cloudfront_realtime_monitoring_spark.plans import load_full
@@ -176,19 +260,25 @@ def main() -> None:
 
     __spark_entry__._ship_package(spark)
 
+    if args.family == "dedup":
+        scaled_dir = build_scaled_documents(
+            spark, "/root/testdata/sf0.1", args.copies
+        )
+        build_scaled_embeddings(spark, "/root/testdata/sf0.1", args.copies)
+    else:
+        scaled_dir = str(SWEEP_DIR / f"sf0.1x{args.copies}")
+        build_scaled_events_orders(spark, "/root/testdata/sf0.1", args.copies)
     scales = [
         ("sf0.01", "/root/testdata/sf0.01"),
         ("sf0.1", "/root/testdata/sf0.1"),
-        (f"~sf{args.copies / 10:g}",
-         build_scaled_documents(spark, "/root/testdata/sf0.1", args.copies)),
+        (f"~sf{args.copies / 10:g}", scaled_dir),
     ]
-    build_scaled_embeddings(spark, "/root/testdata/sf0.1", args.copies)
 
     # untimed warm-up at the smallest scale: the signature/flatten plans are
     # codegen-heavy and the JIT keeps improving them for several executions
     # (measured: cold 7.6 s -> warm 1.0 s for minhash at sf0.1); without this
     # the small-scale cells measure JVM warm-up, not the query
-    for name in QUERIES:
+    for name in queries:
         registry[name].build(spark, scales[0][1]).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -197,8 +287,8 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     rows: dict[str, int] = {}
     for label, sf_dir in scales:
-        rows[label] = load_table(spark, sf_dir, "documents").count()
-        for name in QUERIES:
+        rows[label] = load_table(spark, sf_dir, count_table).count()
+        for name in queries:
             runs = []
             for _ in range(args.runs):
                 t0 = time.time()
@@ -213,10 +303,10 @@ def main() -> None:
 
     # markdown table for SCALE.md
     labels = [lbl for lbl, _ in scales]
-    print("| Query | " + " | ".join(f"{l} ({rows[l]} docs)" for l in labels)
+    print("| Query | " + " | ".join(f"{l} ({rows[l]} rows)" for l in labels)
           + f" | {args.copies}x ratio |")
     print("|---|" + "---|" * (len(labels) + 1))
-    for name in QUERIES:
+    for name in queries:
         r = results[name]
         ratio = r[labels[2]] / r[labels[1]]
         print("| " + name + " | "
