@@ -1,23 +1,32 @@
-"""Baseline JPEG (JFIF) decoder in pure numpy + stdlib — no codec library.
+"""JPEG (JFIF) decoder in pure numpy + stdlib — no codec library.
 
 Completes the real-decode set of the multimodal contract
 (``operators/multimodal.py``: BMP, PNG) with the most common payload
-format a media pipeline actually ingests. Scope: baseline sequential DCT,
-8-bit precision, Huffman entropy coding, grayscale or YCbCr with 4:4:4 /
-4:2:2 / 4:2:0 sampling, restart markers. Progressive, arithmetic-coded,
-12-bit, and CMYK variants raise ``ValueError`` (the multimodal layer
-falls back to Pillow-if-present or the documented fake, exactly like the
-other decoders' unsupported profiles).
+format a media pipeline actually ingests. Scope: baseline sequential DCT
+(SOF0/1) and PROGRESSIVE DCT (SOF2, spectral selection + successive
+approximation per T.81 Annex G), 8-bit precision, Huffman entropy
+coding, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+markers. Arithmetic-coded, 12-bit, and CMYK variants raise
+``ValueError`` (the multimodal layer falls back to Pillow-if-present or
+the documented fake, exactly like the other decoders' unsupported
+profiles).
 
 Structure (ITU-T T.81):
-- markers: SOI, DQT (quant tables), SOF0 (dims, components, sampling
-  factors), DHT (Huffman tables), DRI (restart interval), SOS, EOI;
+- markers: SOI, DQT (quant tables), SOF0/SOF2 (dims, components,
+  sampling factors), DHT (Huffman tables), DRI (restart interval), SOS,
+  EOI;
 - the entropy-coded segment is a bitstream with 0xFF00 byte stuffing and
   optional RSTn markers that reset DC predictors on MCU boundaries;
-- each MCU interleaves one 8x8 block per component per sampling factor;
-  blocks decode as (Huffman DC diff, run-length AC), de-zigzag,
-  dequantize, IDCT (an 8x8 cosine-basis matrix product), +128 level
-  shift;
+- sequential: each MCU interleaves one 8x8 block per component per
+  sampling factor; blocks decode as (Huffman DC diff, run-length AC),
+  de-zigzag, dequantize, IDCT (an 8x8 cosine-basis matrix product),
+  +128 level shift;
+- progressive: many scans, each delivering one spectral band
+  (``Ss..Se``) of one bit-plane slice (``Ah/Al``) of the coefficients —
+  DC first/refinement scans (interleaved or single-component), AC
+  first scans with EOB-run codes, AC refinement scans with buffered
+  correction bits (the G.1.2.3 skip algorithm); coefficients accumulate
+  in per-component arrays and dequantize + IDCT once at EOI;
 - chroma upsamples by sample replication; YCbCr -> RGB by the JFIF
   equations.
 
@@ -137,13 +146,13 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decoder for baseline sequential JPEG: returns (width, height,
-    pixels[h, w, 1 or 3] uint8 — grayscale or RGB). Raises ``ValueError``
-    on malformed input or non-baseline variants (progressive SOF2,
-    arithmetic coding, 12-bit, CMYK) — ONLY ValueError, whatever the
-    corruption (struct/index errors from fuzzed bytes are remapped), so a
-    malformed payload can never kill an executor task instead of taking
-    the documented fallback."""
+    """REAL decoder for baseline-sequential AND progressive JPEG:
+    returns (width, height, pixels[h, w, 1 or 3] uint8 — grayscale or
+    RGB). Raises ``ValueError`` on malformed input or unsupported
+    variants (arithmetic coding, 12-bit, CMYK, hierarchical) — ONLY
+    ValueError, whatever the corruption (struct/index errors from fuzzed
+    bytes are remapped), so a malformed payload can never kill an
+    executor task instead of taking the documented fallback."""
     try:
         return _decode_jpeg(payload)
     except (struct.error, IndexError, TypeError) as exc:
@@ -158,13 +167,23 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None  # (height, width, [(comp_id, h_samp, v_samp, qt_id)])
+    progressive = False
+    prog: _ProgState | None = None
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker sync at byte {pos}")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if prog is not None and prog.n_scans > 0:
+                return _finalize_progressive(prog, qt)
             raise ValueError("JPEG ended before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            # TEM / stray RSTn / fill byte: no length field
+            pos += 1 if marker == 0xFF else 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seg_len]
         if len(seg) != seg_len - 2:
@@ -188,10 +207,13 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 table = _Huff(counts, seg[s + 17 : s + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 s += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG frame headers")
+            progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
-                raise ValueError(f"{prec}-bit JPEG not baseline")
+                raise ValueError(f"{prec}-bit JPEG unsupported")
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
             comps = []
@@ -206,24 +228,41 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     )
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                prog = _ProgState(h, w, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/arithmetic JPEG not baseline")
+            raise ValueError("lossless/arithmetic/hierarchical JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS header")
             scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tabs >> 4, tabs & 15)
-            return _decode_scan(
-                payload, pos + 2 + seg_len, frame, scan_tables,
-                qt, huff_dc, huff_ac, restart_interval,
+                scan_comps.append(cid)
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seg_len, frame, scan_tables,
+                    qt, huff_dc, huff_ac, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seg_len, prog, scan_comps, scan_tables,
+                huff_dc, huff_ac, restart_interval, ss, se, ah, al,
             )
+            continue
         pos += 2 + seg_len
+    if prog is not None and prog.n_scans > 0:
+        # missing EOI but scans decoded: tolerate truncated-tail files
+        return _finalize_progressive(prog, qt)
     raise ValueError("JPEG has no SOS segment")
 
 
@@ -283,7 +322,13 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    # upsample to full resolution by sample replication, crop, color-convert
+    return _assemble(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble(planes, comps, h, w, hmax, vmax):
+    """Upsample component planes to full resolution by sample
+    replication, crop, level-shift and color-convert (shared by the
+    sequential and progressive paths)."""
     full = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -300,6 +345,249 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
     b = y + 1.772 * cb
     rgb = np.clip(np.dstack([r, g, b]).round(), 0, 255)
     return w, h, rgb.astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+class _ProgState:
+    """Coefficient state accumulated across progressive scans: one
+    int32[(blocks_y, blocks_x, 64)] array per component, indexed in
+    ZIGZAG order (the natural index for spectral-band operations);
+    de-zigzag happens once at finalize."""
+
+    def __init__(self, h: int, w: int, comps):
+        if h <= 0 or w <= 0:
+            raise ValueError("degenerate JPEG dimensions")
+        from .gif import MAX_PIXELS
+
+        if h * w > MAX_PIXELS:
+            raise ValueError("JPEG dimensions exceed the decode cap")
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.coefs: dict[int, np.ndarray] = {}
+        #: per-component TRUE block grid (T.81 A.1.1 component dims);
+        #: non-interleaved scans cover exactly this, not the MCU-padded
+        #: grid
+        self.nblocks: dict[int, tuple[int, int]] = {}
+        for cid, hs, vs, _tq in comps:
+            self.coefs[cid] = np.zeros(
+                (self.mcus_y * vs, self.mcus_x * hs, 64), np.int32
+            )
+            cw = -(-(w * hs) // self.hmax)
+            ch = -(-(h * vs) // self.vmax)
+            self.nblocks[cid] = (-(-ch // 8), -(-cw // 8))
+        self.n_scans = 0
+
+
+def _decode_progressive_scan(data, pos, prog, scan_comps, scan_tables,
+                             huff_dc, huff_ac, restart_interval,
+                             ss, se, ah, al) -> int:
+    """Decode one progressive scan into ``prog``; returns the byte
+    position of the next marker after the entropy-coded data."""
+    prog.n_scans += 1
+    if prog.n_scans > 512:
+        # a legal file needs far fewer; a fuzzed one must not loop
+        raise ValueError("too many JPEG scans")
+    if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+        raise ValueError("invalid JPEG progressive scan parameters")
+    known = {c[0] for c in prog.comps}
+    for cid in scan_comps:
+        if cid not in known:
+            raise ValueError("JPEG scan references unknown component")
+    br = _BitReader(data, pos)
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG DC scan with nonzero Se")
+            _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,
+                            restart_interval, ah, al)
+        else:
+            if len(scan_comps) != 1:
+                raise ValueError("JPEG AC scan must be single-component")
+            _decode_prog_ac(br, prog, scan_comps[0], scan_tables, huff_ac,
+                            restart_interval, ss, se, ah, al)
+    except _MarkerHit as exc:
+        raise ValueError(
+            f"JPEG scan data ended early (marker {exc.marker:#x})"
+        ) from exc
+    # skip pad bits / fill bytes to the next real marker
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2  # stray trailing restart marker
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,
+                    restart_interval, ah, al):
+    comps = [c for c in prog.comps if c[0] in scan_comps]
+    pred = {cid: 0 for cid in scan_comps}
+    tables = {}
+    if ah == 0:
+        for cid in scan_comps:
+            tbl = huff_dc.get(scan_tables[cid][0])
+            if tbl is None:
+                raise ValueError("JPEG references missing table")
+            tables[cid] = tbl
+    if len(comps) > 1:  # interleaved: MCU order, hs x vs blocks each
+        units = prog.mcus_y * prog.mcus_x
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                _expect_rst(br, br.data)
+                pred = {cid: 0 for cid in pred}
+            my, mx = divmod(u, prog.mcus_x)
+            for cid, hs, vs, _tq in comps:
+                for by in range(vs):
+                    for bx in range(hs):
+                        _dc_unit(br, prog.coefs[cid], my * vs + by,
+                                 mx * hs + bx, tables.get(cid), pred,
+                                 cid, ah, al)
+    else:  # single component: non-interleaved, true component grid
+        cid, hs, vs, _tq = comps[0]
+        nby, nbx = prog.nblocks[cid]
+        for u in range(nby * nbx):
+            if restart_interval and u and u % restart_interval == 0:
+                _expect_rst(br, br.data)
+                pred = {cid: 0 for cid in pred}
+            by, bx = divmod(u, nbx)
+            _dc_unit(br, prog.coefs[cid], by, bx, tables.get(cid), pred,
+                     cid, ah, al)
+
+
+def _dc_unit(br, arr, by, bx, tbl, pred, cid, ah, al):
+    if ah == 0:  # first DC scan: diff coding, point transform <<Al
+        s = tbl.decode(br)
+        if s > 11:
+            raise ValueError("invalid JPEG DC magnitude")
+        pred[cid] += _extend(br.read(s), s)
+        arr[by, bx, 0] = pred[cid] << al
+    elif br.read(1):  # refinement: one bit, ORed at position Al
+        # two's-complement OR appends the magnitude bit for either sign
+        arr[by, bx, 0] |= np.int32(1 << al)
+
+
+def _decode_prog_ac(br, prog, cid, scan_tables, huff_ac, restart_interval,
+                    ss, se, ah, al):
+    tbl = huff_ac.get(scan_tables[cid][1])
+    if tbl is None:
+        raise ValueError("JPEG references missing table")
+    nby, nbx = prog.nblocks[cid]
+    arr = prog.coefs[cid]
+    eob_run = 0
+    for u in range(nby * nbx):
+        if restart_interval and u and u % restart_interval == 0:
+            _expect_rst(br, br.data)
+            eob_run = 0
+        by, bx = divmod(u, nbx)
+        block = arr[by, bx]
+        if ah == 0:
+            eob_run = _ac_first(br, tbl, block, ss, se, al, eob_run)
+        else:
+            eob_run = _ac_refine(br, tbl, block, ss, se, al, eob_run)
+
+
+def _ac_first(br, tbl, block, ss, se, al, eob_run) -> int:
+    """First AC scan for one block (T.81 G.1.2.2): run-length coding
+    within the band, EOBn codes carry a run of all-zero-band blocks."""
+    if eob_run > 0:
+        return eob_run - 1
+    k = ss
+    while k <= se:
+        rs = tbl.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + extra blocks ends here
+                eob_run = (1 << r) - 1
+                if r:
+                    eob_run += br.read(r)
+                return eob_run
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        block[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, tbl, block, ss, se, al, eob_run) -> int:
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as +-1<<Al; every already-nonzero coefficient
+    passed over consumes one correction bit; zero-history coefficients
+    count toward the run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eob_run == 0:
+        while k <= se:
+            rs = tbl.decode(br)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eob_run = 1 << r
+                    if r:
+                        eob_run += br.read(r)
+                    break
+                # r == 15: ZRL -- skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement magnitude")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    # correction bit for a nonzero-history coefficient
+                    if br.read(1) and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eob_run > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            c = int(block[k])
+            if c != 0 and br.read(1) and (c & p1) == 0:
+                block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eob_run -= 1
+    return eob_run
+
+
+def _finalize_progressive(prog: _ProgState, qt) -> tuple[int, int, np.ndarray]:
+    """Dequantize + de-zigzag + batched IDCT of the accumulated
+    coefficients, then the shared assemble tail."""
+    planes = {}
+    for cid, hs, vs, tq in prog.comps:
+        q = qt.get(tq)
+        if q is None:
+            raise ValueError("JPEG references missing quant table")
+        arr = prog.coefs[cid]  # (by, bx, 64) zigzag order
+        deq = arr.astype(np.int64) * q[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq
+        nby, nbx = arr.shape[0], arr.shape[1]
+        blocks = nat.reshape(nby * nbx, 8, 8).astype(np.float64)
+        pix = np.einsum("xu,nuv,yv->nxy", _IDCT_M, blocks, _IDCT_M)
+        planes[cid] = (
+            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+    return _assemble(planes, prog.comps, prog.h, prog.w, prog.hmax,
+                     prog.vmax)
 
 
 def _expect_rst(br: _BitReader, data: bytes) -> None:

@@ -306,8 +306,10 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
                 "fmt": "jpeg",
             }
         except ValueError:
-            # SOI-prefixed but malformed / non-baseline (progressive,
-            # arithmetic, 12-bit): fall through to PIL/fake, strict raises
+            # SOI-prefixed but malformed / outside the decodable profile
+            # (arithmetic-coded, 12-bit, CMYK -- baseline AND progressive
+            # both decode for real): fall through to PIL/fake, strict
+            # raises
             if strict:
                 raise
     if _PILImage is not None:  # pragma: no cover (PIL absent in this build)

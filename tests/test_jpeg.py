@@ -108,13 +108,11 @@ def _dht(tc: int, th: int, lengths: list[int], symbols: list[int]) -> bytes:
     return _seg(0xC4, bytes([tc << 4 | th] + counts + symbols))
 
 
-def make_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1,
-              restart: int = 0) -> bytes:
-    """Encode an [h, w, 1|3] uint8 array as baseline JFIF. ``quant``:
-    uniform quantization step; ``subsample`` 2 = 4:2:0 chroma;
-    ``restart``: insert RSTn every N MCUs (0 = none)."""
+def _prep_planes(pixels: np.ndarray, subsample: int):
+    """Color-convert, chroma-downsample, and pad the component planes to
+    the MCU grid (shared by the baseline and progressive encoders).
+    Returns (planes, sampling, mcus_x, mcus_y)."""
     h, w, nc = pixels.shape
-    q = np.full(64, quant, np.int32)
     px = pixels.astype(np.float64)
     if nc == 3:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
@@ -144,6 +142,17 @@ def make_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1,
         plane = np.pad(plane, ((0, th - plane.shape[0]),
                                (0, tw - plane.shape[1])), mode="edge")
         planes.append(plane)
+    return planes, sampling, mcus_x, mcus_y
+
+
+def make_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1,
+              restart: int = 0) -> bytes:
+    """Encode an [h, w, 1|3] uint8 array as baseline JFIF. ``quant``:
+    uniform quantization step; ``subsample`` 2 = 4:2:0 chroma;
+    ``restart``: insert RSTn every N MCUs (0 = none)."""
+    h, w, nc = pixels.shape
+    q = np.full(64, quant, np.int32)
+    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample)
 
     bw = _BitWriter()
     preds = [[0] for _ in planes]
@@ -289,3 +298,346 @@ def test_jpeg_grayscale_ignores_declared_sampling_factors():
     w0, h0, ref = decode_jpeg_pixels(make_jpeg(px))
     assert (w, h) == (w0, h0) == (13, 20)
     np.testing.assert_array_equal(got, ref)
+
+
+# --------------------------------------------------- progressive (SOF2)
+
+#: progressive AC table: the baseline symbols plus the EOBn codes
+#: (r<<4, r = 0..14) used by spectral-selection / successive-
+#: approximation scans; uniform length 8 (176 < 255 codes, valid)
+_PROG_AC_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _pac_code(sym: int) -> tuple[int, int]:
+    return _PROG_AC_SYMBOLS.index(sym), 8
+
+
+def _block_coefs(planes, sampling, q):
+    """Quantized ZIGZAG-order coefficient blocks per component on the
+    MCU-padded grid: int32[(nby, nbx, 64)]."""
+    out = []
+    for plane, (_hs, _vs) in zip(planes, sampling):
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((nby, nbx, 64), np.int32)
+        for by in range(nby):
+            for bx in range(nbx):
+                arr[by, bx] = _fdct_quant(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+                ).reshape(64)[_ZIGZAG]
+        out.append(arr)
+    return out
+
+
+def _enc_dc_scan(coefs, comps_idx, sampling, mcus_x, mcus_y, true_grids,
+                 ah, al, restart=0) -> bytes:
+    """DC scan (T.81 G.1.2.1): first pass (Ah=0) diff-codes the
+    point-transformed DC; refinement emits bit Al of the two's-complement
+    value. Interleaved MCU order for multi-component scans, true
+    component grid otherwise."""
+    data = bytearray()
+    bw = _BitWriter()
+    preds = {ci: 0 for ci in comps_idx}
+
+    def emit_unit(ci, by, bx):
+        zz0 = int(coefs[ci][by, bx, 0])
+        if ah == 0:
+            v = zz0 >> al  # arithmetic shift = the DC point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            s, mag = _magnitude(diff)
+            c, n = _dc_code(s)
+            bw.write(c, n)
+            bw.write(mag, s)
+        else:
+            bw.write((zz0 >> al) & 1, 1)
+
+    if len(comps_idx) > 1:
+        for u in range(mcus_y * mcus_x):
+            if restart and u and u % restart == 0:
+                data += bw.flush()
+                bw = _BitWriter()
+                data += bytes([0xFF, 0xD0 + ((u // restart - 1) % 8)])
+                preds = {ci: 0 for ci in preds}
+            my, mx = divmod(u, mcus_x)
+            for ci in comps_idx:
+                hs, vs = sampling[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        emit_unit(ci, my * vs + by, mx * hs + bx)
+    else:
+        ci = comps_idx[0]
+        nby, nbx = true_grids[ci]
+        for u in range(nby * nbx):
+            if restart and u and u % restart == 0:
+                data += bw.flush()
+                bw = _BitWriter()
+                data += bytes([0xFF, 0xD0 + ((u // restart - 1) % 8)])
+                preds = {ci: 0 for ci in preds}
+            by, bx = divmod(u, nbx)
+            emit_unit(ci, by, bx)
+    data += bw.flush()
+    return bytes(data)
+
+
+def _enc_ac_first(arr, true_grid, ss, se, al) -> bytes:
+    """First AC scan (T.81 G.1.2.2): in-band run-length coding with EOBn
+    run codes across all-zero-band blocks."""
+    bw = _BitWriter()
+    eob_run = 0
+
+    def flush_eob():
+        nonlocal eob_run
+        if eob_run:
+            r = eob_run.bit_length() - 1
+            c, n = _pac_code(r << 4)
+            bw.write(c, n)
+            if r:
+                bw.write(eob_run - (1 << r), r)
+            eob_run = 0
+
+    nby, nbx = true_grid
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = arr[by, bx]
+            vals = []
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                a = abs(c) >> al  # magnitude point transform
+                vals.append(a if c >= 0 else -a)
+            if not any(vals):
+                eob_run += 1
+                if eob_run == 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for v in vals:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, n = _pac_code(0xF0)
+                    bw.write(c, n)
+                    run -= 16
+                s, mag = _magnitude(v)
+                c, n = _pac_code((run << 4) | s)
+                bw.write(c, n)
+                bw.write(mag, s)
+                run = 0
+            if run:
+                eob_run += 1  # trailing zeros: this block ends in EOB
+    flush_eob()
+    return bw.flush()
+
+
+def _enc_ac_refine(arr, true_grid, ss, se, al) -> bytes:
+    """AC refinement scan (T.81 G.1.2.3, the libjpeg-documented
+    algorithm): newly-nonzero coefficients emit (r<<4)|1 + sign;
+    already-nonzero coefficients passed over contribute buffered
+    correction bits; all-zero tails merge into EOB runs whose buffered
+    bits follow the EOBn symbol."""
+    bw = _BitWriter()
+    eob_run = 0
+    be_bits: list[int] = []  # correction bits deferred across the run
+
+    def flush_eob():
+        nonlocal eob_run, be_bits
+        if eob_run:
+            r = eob_run.bit_length() - 1
+            c, n = _pac_code(r << 4)
+            bw.write(c, n)
+            if r:
+                bw.write(eob_run - (1 << r), r)
+            for b in be_bits:
+                bw.write(b, 1)
+            be_bits = []
+            eob_run = 0
+
+    nby, nbx = true_grid
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = arr[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = -1  # index of the LAST newly-nonzero coefficient
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i
+            r = 0
+            br_bits: list[int] = []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob()
+                    c, n = _pac_code(0xF0)
+                    bw.write(c, n)
+                    r -= 16
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                if a > 1:  # history coefficient: next lower bit
+                    br_bits.append(a & 1)
+                    continue
+                flush_eob()
+                c, n = _pac_code((r << 4) | 1)
+                bw.write(c, n)
+                bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eob_run += 1
+                be_bits.extend(br_bits)
+                if eob_run == 32767:
+                    flush_eob()
+    flush_eob()
+    return bw.flush()
+
+
+def make_progressive_jpeg(pixels: np.ndarray, quant: int = 1,
+                          subsample: int = 1, restart: int = 0) -> bytes:
+    """Encode an [h, w, 1|3] uint8 array as PROGRESSIVE JFIF (SOF2) with
+    both spectral selection and successive approximation, written from
+    T.81 Annex G independently of the decoder under test. The scan
+    script refines every coefficient to Al=0, so the decoded image must
+    EXACTLY equal the baseline encoding of the same pixels. ``restart``
+    inserts RSTn every N MCUs in the first DC scan (DRI is reset to 0
+    before the AC scans)."""
+    h, w, nc = pixels.shape
+    q = np.full(64, quant, np.int32)
+    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample)
+    coefs = _block_coefs(planes, sampling, q)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    true_grids = []
+    for hs, vs in sampling:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        true_grids.append((-(-ch // 8), -(-cw // 8)))
+
+    if nc == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),            # DC first, Al=1
+            ([0], 1, 5, 0, 1), ([0], 6, 63, 0, 1),   # luma AC bands
+            ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),  # chroma AC
+            ([0], 1, 5, 1, 0), ([0], 6, 63, 1, 0),   # luma AC refine
+            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),  # chroma AC refine
+            ([0, 1, 2], 0, 0, 1, 0),            # DC refine to Al=0
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 1, 63, 1, 0),
+            ([0], 0, 0, 1, 0),
+        ]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    out += _dht(0, 0, [4] * 12, list(range(12)))
+    out += _dht(1, 0, [8] * len(_PROG_AC_SYMBOLS), list(_PROG_AC_SYMBOLS))
+
+    first_dc = True
+    for comps_idx, ss, se, ah, al in script:
+        if restart and first_dc and ss == 0 and ah == 0:
+            out += _seg(0xDD, struct.pack(">H", restart))
+        sos = bytes([len(comps_idx)])
+        for ci in comps_idx:
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        if ss == 0:
+            out += _enc_dc_scan(coefs, comps_idx, sampling, mcus_x,
+                                mcus_y, true_grids, ah, al,
+                                restart if (first_dc and ah == 0) else 0)
+            if restart and first_dc and ah == 0:
+                out += _seg(0xDD, struct.pack(">H", 0))  # DRI off again
+            first_dc = False
+        else:
+            ci = comps_idx[0]
+            if ah == 0:
+                out += _enc_ac_first(coefs[ci], true_grids[ci], ss, se, al)
+            else:
+                out += _enc_ac_refine(coefs[ci], true_grids[ci], ss, se, al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_color_444_matches_baseline_exactly():
+    """The fully-refined progressive stream carries the same quantized
+    coefficients as the baseline stream of the same pixels, so the two
+    decodes must be bit-identical."""
+    rng = np.random.RandomState(41)
+    px = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    wp, hp, prog = decode_jpeg_pixels(make_progressive_jpeg(px))
+    wb, hb, base = decode_jpeg_pixels(make_jpeg(px))
+    assert (wp, hp) == (wb, hb) == (17, 24)
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_jpeg_grayscale_matches_baseline_exactly():
+    rng = np.random.RandomState(43)
+    px = rng.randint(0, 256, size=(20, 13, 1), dtype=np.uint8)
+    _w, _h, prog = decode_jpeg_pixels(make_progressive_jpeg(px))
+    _w, _h, base = decode_jpeg_pixels(make_jpeg(px))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_jpeg_420_subsampled_matches_baseline():
+    """4:2:0: the DC scan is interleaved on the MCU grid while the AC
+    scans are non-interleaved on each component's TRUE grid (ceil of the
+    scaled dims) -- the geometry split that distinguishes progressive
+    from sequential decoding."""
+    rng = np.random.RandomState(47)
+    px = rng.randint(0, 256, size=(21, 18, 3), dtype=np.uint8)
+    _w, _h, prog = decode_jpeg_pixels(
+        make_progressive_jpeg(px, quant=2, subsample=2)
+    )
+    _w, _h, base = decode_jpeg_pixels(make_jpeg(px, quant=2, subsample=2))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_jpeg_restart_markers():
+    """RSTn inside a progressive DC scan resets the predictors; the DRI
+    toggle between scans must be honored."""
+    rng = np.random.RandomState(53)
+    px = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    _w, _h, with_rst = decode_jpeg_pixels(
+        make_progressive_jpeg(px, restart=2)
+    )
+    _w, _h, without = decode_jpeg_pixels(make_progressive_jpeg(px))
+    np.testing.assert_array_equal(with_rst, without)
+
+
+def test_progressive_jpeg_rejects_malformed_and_fuzz():
+    """Mutations of a valid progressive stream either decode or raise
+    ValueError -- never anything else (the executor-task contract)."""
+    rng = np.random.RandomState(59)
+    px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = make_progressive_jpeg(px)
+    # AC scan with more than one component is illegal
+    with pytest.raises(ValueError):
+        # hand-build: reuse the good headers, splice a 2-component AC SOS
+        bad = bytearray(good)
+        i = bad.find(b"\xff\xda")
+        bad[i:] = _seg(0xDA, bytes([2, 1, 0, 2, 0, 1, 63, 0])) + b"\x00" * 8
+        decode_jpeg_pixels(bytes(bad))
+    for _ in range(300):
+        blob = bytearray(good)
+        for _f in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if rng.rand() < 0.5:
+            blob = blob[: rng.randint(2, len(blob))]
+        try:
+            _w, _h, pix = decode_jpeg_pixels(bytes(blob))
+            assert pix.dtype == np.uint8
+        except ValueError:
+            pass
