@@ -29,6 +29,9 @@ _REGISTRY = load_all()
 
 _PKG_ZIP: str | None = None
 
+#: Connect sessions (by session_id) the package zip was already shipped to
+_SHIPPED_CONNECT_SESSIONS: set = set()
+
 
 def _ship_package(spark: SparkSession) -> None:
     """Make the package importable on executor Python workers regardless of
@@ -39,11 +42,10 @@ def _ship_package(spark: SparkSession) -> None:
     themselves; a harness that starts its SparkSession from another working
     directory would otherwise fail every UDF query with
     ModuleNotFoundError. ``addPyFile`` ships a zip of the package and puts
-    it on every worker's sys.path (idempotent per SparkContext)."""
+    it on every worker's sys.path (idempotent per SparkContext); under
+    Spark Connect (no ``sparkContext``) the equivalent is
+    ``spark.addArtifacts(..., pyfile=True)`` (idempotent per session)."""
     global _PKG_ZIP
-    sc = spark.sparkContext
-    if getattr(sc, "_acrm_pkg_shipped", False):
-        return
     if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
         root = Path(__file__).resolve().parent
         fd, zpath = tempfile.mkstemp(prefix="acrm_spark_pkg_", suffix=".zip")
@@ -52,6 +54,17 @@ def _ship_package(spark: SparkSession) -> None:
             for p in sorted((root / "aws_cloudfront_realtime_monitoring_spark").rglob("*.py")):
                 z.write(p, p.relative_to(root))
         _PKG_ZIP = zpath
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Spark Connect client: ship via the artifact API
+        sid = getattr(spark, "session_id", None) or id(spark)
+        if sid in _SHIPPED_CONNECT_SESSIONS:
+            return
+        spark.addArtifacts(_PKG_ZIP, pyfile=True)
+        _SHIPPED_CONNECT_SESSIONS.add(sid)
+        return
+    if getattr(sc, "_acrm_pkg_shipped", False):
+        return
     sc.addPyFile(_PKG_ZIP)
     sc._acrm_pkg_shipped = True
 

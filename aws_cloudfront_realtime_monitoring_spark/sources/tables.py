@@ -213,8 +213,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     instead of blocking registration of the tables that DO exist). The
     stat signature distinguishes partial from full layouts, so switching
     between them re-registers."""
-    sc = spark.sparkContext
-    key = (sc.applicationId, sc.startTime)
+    try:
+        sc = spark.sparkContext
+        key = (sc.applicationId, sc.startTime)
+    except Exception:
+        # Spark Connect: no sparkContext. The client session_id is unique
+        # per connect session (a UUID, never reused the way id() can be).
+        key = ("connect", getattr(spark, "session_id", None) or id(spark))
     sig = _source_sig(sf_dir)
     cur = (os.path.normpath(sf_dir), sig)
     if _VIEWS_CURRENT.get(key) == cur:

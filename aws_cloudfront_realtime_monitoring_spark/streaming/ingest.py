@@ -291,7 +291,10 @@ def write_foreach_batch_grouped(
             if buf:
                 handler(buf)
 
-        batch_df.rdd.foreachPartition(per_partition)
+        # DataFrame-level foreachPartition (not batch_df.rdd.*): the same
+        # executor-side iteration in classic Spark, and the only spelling
+        # that also works under Spark Connect (no RDD API there)
+        batch_df.foreachPartition(per_partition)
 
     writer = parsed.writeStream.foreachBatch(process_batch)
     if checkpoint_dir:

@@ -1,0 +1,133 @@
+"""Spark Connect compatibility audit (CONNECT.md's enforcement half).
+
+A 100 TB deployment in 2026 plausibly runs Spark Connect, where the
+client has no ``sparkContext``, no ``_jvm`` py4j gateway, and no RDD
+API. Two checks keep the registry build paths Connect-clean:
+
+1. a SOURCE AUDIT: no classic-only token (``.rdd``, ``._jvm``,
+   ``sparkContext``, ``addPyFile``) appears in package source outside
+   the explicitly documented guard/fallback sites inventoried in
+   CONNECT.md -- adding a new classic-only touch fails this test until
+   it is either rewritten or guarded and added to the inventory;
+2. a CLIENT-SURFACE check: every Connect-dependent DataFrame/session
+   API this package leans on (``localCheckpoint``, ``observe``,
+   ``foreachPartition``, ``mapInPandas``, ``applyInPandas``,
+   ``unpivot``, ``addArtifacts``) is actually defined by the INSTALLED
+   pyspark Connect client (parsed from source -- the client cannot be
+   imported here because grpcio is absent, which is also why no live
+   Connect e2e runs in this sandbox).
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from pathlib import Path
+
+import pyspark
+import pytest
+
+PKG = Path(__file__).resolve().parent.parent / "aws_cloudfront_realtime_monitoring_spark"
+
+#: documented classic-only sites (file -> token -> expected count).
+#: Each is either GUARDED (raises NotImplementedError on Connect) or has
+#: a Connect FALLBACK in a try/except -- see CONNECT.md for the table.
+ALLOWED = {
+    "operators/sketch.py": {
+        # guarded: fails fast with NotImplementedError + workaround text
+        "sparkContext": 2,  # the guarded access + the error message
+        "._jvm": 1,
+    },
+    "sources/tables.py": {
+        # try/except fallback to the Connect session_id memo key
+        "sparkContext": 1,
+    },
+    "session.py": {
+        # get_spark builds a LOCAL classic session by construction (the
+        # test/bench harness entry); a Connect deployment brings its own
+        # session and never calls it
+        "sparkContext": 1,
+    },
+}
+
+TOKENS = [".rdd", "._jvm", "sparkContext", "addPyFile"]
+
+
+def _count(text: str, token: str) -> int:
+    if token == ".rdd":
+        # attribute access only, not words like "rdd" in prose
+        return len(re.findall(r"\.rdd\b", text))
+    return text.count(token)
+
+
+def test_no_undocumented_classic_only_api_touches():
+    found: dict[str, dict[str, int]] = {}
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        text = "\n".join(
+            ln for ln in path.read_text().splitlines()
+            if not ln.lstrip().startswith("#")
+        )
+        counts = {}
+        for token in TOKENS:
+            n = _count(text, token)
+            if n:
+                counts[token] = n
+        if counts:
+            found[rel] = counts
+    for rel, counts in found.items():
+        allowed = ALLOWED.get(rel, {})
+        for token, n in counts.items():
+            assert n <= allowed.get(token, 0), (
+                f"{rel} uses classic-only {token!r} x{n} but CONNECT.md "
+                f"documents {allowed.get(token, 0)} -- guard it or add a "
+                "Connect fallback, then update the inventory"
+            )
+    # the inventory must not go stale in the other direction either
+    for rel, allowed in ALLOWED.items():
+        for token, n in allowed.items():
+            assert found.get(rel, {}).get(token, 0) == n, (
+                f"CONNECT.md inventory says {rel} has {n}x {token!r}; "
+                f"source has {found.get(rel, {}).get(token, 0)}"
+            )
+
+
+#: DataFrame methods the registry build paths / streaming layer call that
+#: only EXIST at the client when the Connect client implements them
+NEEDED_DF_METHODS = [
+    "localCheckpoint",   # plans/{dedup,sampling,text,curation}, graph.py
+    "observe",           # operators/graph.py convergence counters
+    "foreachPartition",  # streaming/ingest.py buffered_flush
+    "mapInPandas",       # multimodal / text_normalize
+    "unpivot",           # narrow melt
+    "hint",              # skew tools
+]
+
+
+def _class_methods(src_path: Path, class_name: str) -> set[str]:
+    tree = ast.parse(src_path.read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == class_name:
+            return {
+                n.name for n in node.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            }
+    return set()
+
+
+def test_connect_client_implements_what_the_plans_use():
+    connect_dir = Path(pyspark.__file__).parent / "sql" / "connect"
+    if not connect_dir.exists():  # pragma: no cover
+        pytest.skip("installed pyspark has no Connect client sources")
+    df_methods = _class_methods(connect_dir / "dataframe.py", "DataFrame")
+    missing = [m for m in NEEDED_DF_METHODS if m not in df_methods]
+    assert not missing, f"Connect DataFrame lacks {missing}"
+    # applyInPandas (grouped UDAF, shard packing) lives on GroupedData
+    grp = _class_methods(connect_dir / "group.py", "GroupedData")
+    assert "applyInPandas" in grp and "applyInPandasWithState" in grp
+    sess_methods = _class_methods(connect_dir / "session.py", "SparkSession")
+    assert "addArtifacts" in sess_methods  # _ship_package's Connect path
+    # Observation exists as a Connect-side class (graph.py's counters)
+    assert (connect_dir / "observation.py").exists()
+    obs = _class_methods(connect_dir / "observation.py", "Observation")
+    assert "get" in obs or "_result" in obs or obs, "no Connect Observation"
