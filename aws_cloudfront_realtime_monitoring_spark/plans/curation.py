@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60, h60_sql
 from ..sources.tables import load_table
 from . import register
-from .text import _WORDS_SQL, WS_RE, WS_RE_DUCK, adjacent_grams, words_col
+from .text import (_WORDS_SQL, WS_RE, WS_RE_DUCK, WS_RE_SPARK_SQL,
+                   adjacent_grams, words_col)
 
 # ------------------------------------------------------------- pii_redact
 
@@ -232,6 +233,48 @@ def decon_count(corpus_hits: DataFrame) -> DataFrame:
     tags=("text", "curation", "dedup"),
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_decon_spark_sql())
+
+
+def _decon_spark_sql() -> str:
+    """Spark-SQL spelling of decontaminate_df: the Column form cost
+    ~1,300 py4j round-trips per plan build (the zip_with/slice n-gram
+    chain -- tools/measure_build_split.py); one spark.sql call costs
+    ~20. The n-gram expression mirrors text.adjacent_grams exactly
+    (zip against shifted selves, NULL-concat grams filtered)."""
+    ws = f"filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != '')"
+    joined = "ws"
+    for k in range(1, DECON_N):
+        shifted = f"slice(ws, {k + 1}, greatest(size(ws) - {k}, 0))"
+        joined = (
+            f"zip_with({joined}, {shifted}, (a, b) -> "
+            "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+            "ELSE concat(a, ' ', b) END)"
+        )
+    gg = f"array_distinct(filter({joined}, x -> x IS NOT NULL))"
+    return f"""
+    WITH w AS (SELECT doc_id, {ws} AS ws FROM documents),
+    g AS (SELECT doc_id, {gg} AS gg FROM w),
+    ex AS (SELECT doc_id, explode(gg) AS ng FROM g),
+    bn AS (SELECT DISTINCT ng FROM ex WHERE doc_id % {DECON_MOD} = 0)
+    SELECT /*+ BROADCAST(bn) */ ex.doc_id,
+           CAST(count(*) AS BIGINT) AS shared_ngrams,
+           CAST(CASE WHEN count(*) >= {DECON_FLAG_MIN} THEN 1 ELSE 0 END
+                AS BIGINT) AS flagged
+    FROM ex JOIN bn USING (ng)
+    WHERE ex.doc_id % {DECON_MOD} != 0
+    GROUP BY ex.doc_id
+    """
+
+
+def decontaminate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-composition form (the r6-r7 build), kept as the SQL
+    build's pinned-equal replica (tests/test_curation.py); its
+    decon_grams/decon_count internals also serve the stream-static
+    parity row, whose input is a streaming frame no view can express."""
     docs = load_table(spark, sf_dir, "documents")
     g = decon_grams(docs)
     is_bench = F.col("doc_id") % DECON_MOD == 0

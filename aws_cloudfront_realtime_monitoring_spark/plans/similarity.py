@@ -81,6 +81,41 @@ _PAIR_COS_SQL = (
     "CAST(dp AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE))"
 )
 
+# ---- Spark-SQL spellings of the same expressions (the ANN builders are
+# SQL-string builds as of r8: the Column-composition forms cost ~3,000
+# py4j round-trips per plan build, ~0.6 s of pure driver chatter at any
+# data scale -- measured in tools/measure_build_split.py -- while one
+# spark.sql call costs ~20; the DataFrame forms remain below, suffixed
+# _df, pinned bit-identical by tests/test_similarity.py)
+
+_QVEC_SPARK = (
+    f"transform(embedding, x -> "
+    f"CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}, 0) AS BIGINT))"
+)
+
+#: same term order as _bucket_col: sum of when(e[d] >= 0, 1<<d)
+_BUCKET_SPARK = " + ".join(
+    f"(CASE WHEN element_at(embedding, {d + 1}) >= 0 "
+    f"THEN {1 << d} ELSE 0 END)"
+    for d in range(IVF_BITS)
+)
+
+
+def _qnorm_sql(col: str) -> str:
+    return (f"aggregate({col}, CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x * x)")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+
+def _cos_sql(dp: str, na: str, nb: str) -> str:
+    # the cosine() op order exactly: dot / sqrt(na) / sqrt(nb)
+    return (f"CAST({dp} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE)) "
+            f"/ sqrt(CAST({nb} AS DOUBLE))")
+
 
 # ----------------------------------------------------- brute-force top-k
 
@@ -116,6 +151,39 @@ _PAIR_COS_SQL = (
     tags=("similarity", "ann"),
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_bf_spark_sql())
+
+
+def _bf_spark_sql() -> str:
+    """Spark-SQL spelling of ann_topk_bruteforce_df (same plan: broadcast
+    probe set x corpus BNLJ, integer-exact dots, window rank)."""
+    return f"""
+    WITH qn AS (SELECT vec_id, {_QVEC_SPARK} AS qe FROM embeddings),
+    qnn AS (SELECT vec_id, qe, {_qnorm_sql('qe')} AS nrm FROM qn),
+    probes AS (
+      SELECT vec_id AS query_id, qe AS qqe, nrm AS qnrm
+      FROM qnn WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT /*+ BROADCAST(p) */
+             p.query_id, b.vec_id AS cand_id,
+             {_cos_sql(_dot_sql('p.qqe', 'b.qe'), 'p.qnrm', 'b.nrm')} AS cos
+      FROM qnn b JOIN probes p ON b.vec_id != p.query_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+def ann_topk_bruteforce_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-composition form (the r1-r7 build), kept as the SQL
+    build's pinned-equal replica (tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", qvec().alias("qe")).withColumn("nrm", qnorm("qe"))
     queries = base.where(F.col("vec_id") < N_QUERIES).select(
@@ -225,6 +293,46 @@ def _probe_masks() -> list[int]:
     driver_slot=False,
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ivf_spark_sql())
+
+
+def _ivf_spark_sql() -> str:
+    """Spark-SQL spelling of ann_topk_ivf_df (same plan: probe-side
+    Hamming-ball explode, broadcast probes, bucket equi-join)."""
+    masks = ", ".join(str(m) for m in _probe_masks())
+    return f"""
+    WITH qn AS (
+      SELECT vec_id, {_BUCKET_SPARK} AS bucket, {_QVEC_SPARK} AS qe
+      FROM embeddings),
+    qnn AS (SELECT vec_id, bucket, qe, {_qnorm_sql('qe')} AS nrm FROM qn),
+    probes AS (
+      SELECT query_id, qqe, qnrm, qbucket ^ mask AS pbucket
+      FROM (SELECT vec_id AS query_id, qe AS qqe, nrm AS qnrm,
+                   bucket AS qbucket
+            FROM qnn WHERE vec_id < {N_QUERIES})
+      LATERAL VIEW explode(array({masks})) m AS mask),
+    scored AS (
+      SELECT /*+ BROADCAST(p) */
+             p.query_id, b.vec_id AS cand_id,
+             {_cos_sql(_dot_sql('p.qqe', 'b.qe'), 'p.qnrm', 'b.nrm')} AS cos
+      FROM qnn b JOIN probes p
+        ON b.bucket = p.pbucket AND b.vec_id != p.query_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
+    FROM ranked WHERE rnk <= 3
+    """
+
+
+def ann_topk_ivf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-composition form (the r1-r7 build), kept as the SQL
+    build's pinned-equal replica (tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", _bucket_col().alias("bucket"), qvec().alias("qe")
@@ -560,10 +668,38 @@ def _ann_recall_oracle() -> str:
     tags=("similarity", "ann", "validation"),
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ivf = ann_topk_ivf(spark, sf_dir).where(F.col("rnk") <= 3).select(
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+    WITH ivf AS (
+      SELECT query_id AS i_q, cand_id AS i_c
+      FROM ({_ivf_spark_sql()}) WHERE rnk <= 3),
+    exact AS (
+      SELECT query_id AS e_q, cand_id AS e_c
+      FROM ({_bf_spark_sql()}) WHERE rnk <= 3),
+    joined AS (
+      SELECT COALESCE(i_q, e_q) AS query_id,
+             CAST(i_c IS NOT NULL AND e_c IS NOT NULL AS INT) AS is_both,
+             CAST(i_c IS NOT NULL AND e_c IS NULL AS INT) AS is_ivf_only,
+             CAST(e_c IS NOT NULL AND i_c IS NULL AS INT) AS is_exact_only
+      FROM ivf FULL OUTER JOIN exact
+        ON i_q = e_q AND i_c = e_c)
+    SELECT query_id,
+           CAST(SUM(is_both) AS BIGINT) AS n_both,
+           CAST(SUM(is_ivf_only) AS BIGINT) AS n_ivf_only,
+           CAST(SUM(is_exact_only) AS BIGINT) AS n_exact_only
+    FROM joined GROUP BY query_id
+    """)
+
+
+def ann_ivf_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-composition form (the r1-r7 build), kept as the SQL
+    build's pinned-equal replica (tests/test_similarity.py)."""
+    ivf = ann_topk_ivf_df(spark, sf_dir).where(F.col("rnk") <= 3).select(
         F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c")
     )
-    exact = ann_topk_bruteforce(spark, sf_dir).where(F.col("rnk") <= 3).select(
+    exact = ann_topk_bruteforce_df(spark, sf_dir).where(F.col("rnk") <= 3).select(
         F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c")
     )
     joined = ivf.join(

@@ -247,3 +247,18 @@ def test_ann_ivf_recall_audit_and_multiprobe_floor(spark, sf_dir):
         {(r.query_id, r.cand_id) for r in single.collect()} & exact3
     )
     assert multiprobe_recall > single_recall
+
+
+def test_sql_builds_match_dataframe_replicas(spark, sf_dir):
+    """The r8 SQL-string rewrites of the three ANN builders (a plan-BUILD
+    optimization: ~3,000 py4j round-trips -> ~20) must stay bit-identical
+    to the Column-composition replicas they replaced -- same IEEE op
+    order, same ranks, same rounding."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import similarity as S
+
+    for name in ["ann_topk_bruteforce", "ann_topk_ivf", "ann_ivf_recall"]:
+        got = sorted(tuple(r) for r in getattr(S, name)(spark, sf_dir).collect())
+        ref = sorted(
+            tuple(r) for r in getattr(S, name + "_df")(spark, sf_dir).collect()
+        )
+        assert got == ref, name
