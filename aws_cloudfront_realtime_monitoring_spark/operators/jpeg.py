@@ -155,7 +155,10 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     executor task instead of taking the documented fallback."""
     try:
         return _decode_jpeg(payload)
-    except (struct.error, IndexError, TypeError) as exc:
+    except (struct.error, IndexError, TypeError, OverflowError) as exc:
+        # OverflowError: numpy >= 2.0 raises it on out-of-range int32
+        # assignment (1.x wraps with a deprecation warning); a crafted
+        # DC-predictor stream must stay inside the ValueError contract
         raise ValueError(f"malformed JPEG: {exc}") from exc
 
 
@@ -349,6 +352,23 @@ def _assemble(planes, comps, h, w, hmax, vmax):
 
 # ------------------------------------------------- progressive (SOF2)
 
+#: scan-count cap: a legal progression needs ~10 scans (1-2 DC + a few
+#: AC bands + refinements per component); 64 is generous headroom
+_PROG_MAX_SCANS = 64
+
+#: progressive pixel cap, stricter than the shared MAX_PIXELS: decode
+#: work is scans x blocks (EOB runs decouple it from payload bytes) and
+#: finalize holds all coefficients at once, so the hostile-input work
+#: and memory ceilings are (cap/64) x _PROG_MAX_SCANS block visits and
+#: ~(cap x 8 B x ncomp) -- ~16.7M px keeps both in the tens-of-seconds
+#: / hundreds-of-MB range; larger progressive payloads decline to the
+#: documented PIL/fake fallback
+def _prog_max_pixels() -> int:
+    from .gif import MAX_PIXELS
+
+    return MAX_PIXELS >> 2
+
+
 class _ProgState:
     """Coefficient state accumulated across progressive scans: one
     int32[(blocks_y, blocks_x, 64)] array per component, indexed in
@@ -358,10 +378,10 @@ class _ProgState:
     def __init__(self, h: int, w: int, comps):
         if h <= 0 or w <= 0:
             raise ValueError("degenerate JPEG dimensions")
-        from .gif import MAX_PIXELS
-
-        if h * w > MAX_PIXELS:
-            raise ValueError("JPEG dimensions exceed the decode cap")
+        if h * w > _prog_max_pixels():
+            raise ValueError(
+                "JPEG dimensions exceed the progressive decode cap"
+            )
         self.h, self.w, self.comps = h, w, comps
         self.hmax = max(c[1] for c in comps)
         self.vmax = max(c[2] for c in comps)
@@ -388,8 +408,12 @@ def _decode_progressive_scan(data, pos, prog, scan_comps, scan_tables,
     """Decode one progressive scan into ``prog``; returns the byte
     position of the next marker after the entropy-coded data."""
     prog.n_scans += 1
-    if prog.n_scans > 512:
-        # a legal file needs far fewer; a fuzzed one must not loop
+    if prog.n_scans > _PROG_MAX_SCANS:
+        # a legal encoder emits ~10 scans; the cap bounds total decode
+        # work at scans x blocks (EOB-run codes cost O(1) bits per
+        # covered block, so per-scan work is NOT bounded by payload
+        # size -- without this cap a few-KB payload could drive
+        # hundreds of millions of block visits)
         raise ValueError("too many JPEG scans")
     if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
         raise ValueError("invalid JPEG progressive scan parameters")
@@ -467,7 +491,14 @@ def _dc_unit(br, arr, by, bx, tbl, pred, cid, ah, al):
         if s > 11:
             raise ValueError("invalid JPEG DC magnitude")
         pred[cid] += _extend(br.read(s), s)
-        arr[by, bx, 0] = pred[cid] << al
+        v = pred[cid] << al
+        if not -(1 << 26) <= v <= (1 << 26):
+            # a legal 8-bit DC is |coef| <= 2047 and Al <= 13, so
+            # |v| < 2^24; a crafted run of max diffs walks pred
+            # arbitrarily high and would overflow the int32 store
+            # (numpy 2.x raises OverflowError, escaping ValueError)
+            raise ValueError("JPEG DC predictor out of range")
+        arr[by, bx, 0] = v
     elif br.read(1):  # refinement: one bit, ORed at position Al
         # two's-complement OR appends the magnitude bit for either sign
         arr[by, bx, 0] |= np.int32(1 << al)
@@ -604,6 +635,10 @@ def _decode_block(br, dc_t, ac_t, q, pred, cid) -> np.ndarray:
     if s > 11:
         raise ValueError("invalid JPEG DC magnitude")
     pred[cid] += _extend(br.read(s), s)
+    if not -(1 << 26) <= pred[cid] <= (1 << 26):
+        # legal |DC| <= 2047; a crafted max-diff run would overflow the
+        # int32 store (OverflowError on numpy 2.x, escaping ValueError)
+        raise ValueError("JPEG DC predictor out of range")
     coef[0] = pred[cid]
     k = 1
     while k < 64:

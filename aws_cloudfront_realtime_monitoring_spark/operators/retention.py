@@ -100,7 +100,10 @@ def compact_partition(
     state from a crashed prior run -- a stranded ``.compact-old`` with no
     live partition is renamed back into place; a stale ``.compact-tmp``
     or an already-swapped ``.compact-old`` is removed -- so no data is
-    ever stranded without a recovery path.
+    ever stranded without a recovery path. A pid lockfile
+    (``.compact-lock``) keeps recovery and a LIVE concurrent run from
+    racing: a second invocation while the holder is alive raises
+    ``ValueError``; a lock left by a dead process is reclaimed.
 
     NOTE: like drop_partitions_older_than, a streaming sink's
     ``_spark_metadata`` log still lists the old files; read a compacted
@@ -111,8 +114,54 @@ def compact_partition(
     partition_dir = partition_dir.rstrip("/")
     tmp = partition_dir + ".compact-tmp"
     old = partition_dir + ".compact-old"
+    lock = partition_dir + ".compact-lock"
+    # Deterministic names let a later run repair a CRASHED one -- but
+    # they would also let a concurrent retry destroy a LIVE run's
+    # scratch state (rmtree its tmp mid-write, "recover" .compact-old
+    # out from under its swap). A pid lockfile arbitrates: recovery and
+    # compaction only proceed when no live process holds the lock
+    # (compaction is a same-host maintenance job in this layout; table
+    # formats replace all of this with transactional commits).
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            holder = int(open(lock).read().strip() or "0")
+        except (OSError, ValueError):
+            holder = 0
+        alive = False
+        if holder > 0:
+            try:
+                os.kill(holder, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True  # process exists, owned by another user
+        if alive:
+            raise ValueError(
+                f"compaction of {partition_dir!r} already in progress "
+                f"(pid {holder})"
+            )
+        os.unlink(lock)  # stale lock from a dead process
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    try:
+        return _compact_locked(spark, partition_dir, tmp, old,
+                               target_file_bytes)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _compact_locked(spark, partition_dir, tmp, old, target_file_bytes):
+    import glob
+
     # Recover from a crashed prior run (deterministic names make the
-    # leftover state identifiable).
+    # leftover state identifiable; the lock guarantees it is dead).
     if os.path.isdir(old) and not os.path.isdir(partition_dir):
         # crashed between the two renames: the original is in .compact-old
         os.rename(old, partition_dir)

@@ -641,3 +641,55 @@ def test_progressive_jpeg_rejects_malformed_and_fuzz():
             assert pix.dtype == np.uint8
         except ValueError:
             pass
+
+
+def test_progressive_dc_predictor_overflow_is_valueerror():
+    """A crafted DC-first scan (Al=13, run of maximal +2047 diffs) walks
+    the predictor past int32 range; the decoder must reject it with
+    ValueError, not let numpy's OverflowError (2.x) escape the
+    executor-task contract."""
+    bw = _BitWriter()
+    for _ in range(36):  # 48x48 grayscale = 36 blocks
+        c, n = _dc_code(11)
+        bw.write(c, n)
+        bw.write((1 << 11) - 1, 11)  # +2047 every block
+    data = bw.flush()
+    q = np.full(64, 1, np.int32)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", 48, 48)
+                + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, [4] * 12, list(range(12)))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x0D]))  # Ss=Se=0, Al=13
+    out += data + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(out))
+
+
+def test_progressive_work_bounds():
+    """Hostile-input work bounds: the scan cap (64) and the stricter
+    progressive pixel cap both reject with ValueError -- EOB-run codes
+    decouple per-scan work from payload bytes, so without these a
+    few-KB payload could drive ~1e8 block visits."""
+    rng = np.random.RandomState(61)
+    px = rng.randint(0, 256, size=(16, 16, 1), dtype=np.uint8)
+    good = make_progressive_jpeg(px)
+    # splice the AC-first scan (2nd SOS) 70 extra times before EOI
+    first = good.find(b"\xff\xda")
+    second = good.find(b"\xff\xda", first + 2)
+    third = good.find(b"\xff\xda", second + 2)
+    scan = good[second:third]
+    bombed = good[:third] + scan * 70 + good[third:]
+    with pytest.raises(ValueError, match="too many JPEG scans"):
+        decode_jpeg_pixels(bombed)
+    # progressive pixel cap is stricter than the shared MAX_PIXELS
+    q = np.full(64, 1, np.int32)
+    big = bytearray(b"\xff\xd8")
+    big += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
+    big += _seg(0xC2, bytes([8]) + struct.pack(">HH", 8192, 8192)
+                + bytes([1, 1, 0x11, 0]))
+    big += _dht(0, 0, [4] * 12, list(range(12)))
+    big += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    big += b"\x00" * 64 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="progressive decode cap"):
+        decode_jpeg_pixels(bytes(big))

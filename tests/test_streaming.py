@@ -654,3 +654,32 @@ def test_compact_partition_recovers_crashed_swap(spark):
         compact_partition(spark, part, target_file_bytes=10**9)
         assert not os.path.exists(part + ".compact-old")
         assert sorted(r.id for r in spark.read.parquet(part).collect()) == rows
+
+
+def test_compact_partition_lock_blocks_concurrent_run(spark):
+    """The pid lockfile keeps a retry from destroying a LIVE run's
+    scratch state: a lock held by a live process raises, a lock from a
+    dead process is reclaimed and compaction proceeds."""
+    import subprocess
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        compact_partition,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        part = os.path.join(d, "event_date=2024-01-04")
+        spark.range(30).write.parquet(part)
+        lock = part + ".compact-lock"
+        # live holder (this very process) -> refused
+        with open(lock, "w") as f:
+            f.write(str(os.getpid()))
+        with pytest.raises(ValueError, match="already in progress"):
+            compact_partition(spark, part, target_file_bytes=10**9)
+        # dead holder -> lock reclaimed, compaction proceeds
+        child = subprocess.Popen(["true"])
+        child.wait()
+        with open(lock, "w") as f:
+            f.write(str(child.pid))
+        _nb, n_after = compact_partition(spark, part, target_file_bytes=10**9)
+        assert n_after == 1
+        assert not os.path.exists(lock)

@@ -29,6 +29,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from bench import _wait_for_quiet_box  # the shared load gate
+
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 
 #: the widest plans by PLANS.md exchange/broadcast count, plus the
@@ -50,6 +52,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
+    load, still_loaded = _wait_for_quiet_box()
+    print(f"# start load: {load:.2f} (flagged: {still_loaded})",
+          file=sys.stderr)
     spark = get_spark("build_split")
     from aws_cloudfront_realtime_monitoring_spark.plans import load_full
     import __spark_entry__

@@ -44,14 +44,9 @@ from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
 
 
-def wait_for_quiet(max_wait: int = 300, threshold: float = 4.0) -> float:
-    t0 = time.time()
-    while time.time() - t0 < max_wait:
-        load = os.getloadavg()[0]
-        if load < threshold:
-            return load
-        time.sleep(10)
-    return os.getloadavg()[0]
+# the ONE load-gate implementation lives in bench.py; duplicating it
+# forked the constants once already (r8 review)
+from bench import _wait_for_quiet_box  # noqa: E402
 
 
 def build_replay_dir(spark, sf_dir: str, out_dir: str, n_files: int) -> int:
@@ -134,8 +129,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
-    load = wait_for_quiet()
-    print(f"# start load: {load:.2f}", file=sys.stderr)
+    load, still_loaded = _wait_for_quiet_box()
+    print(f"# start load: {load:.2f} (flagged: {still_loaded})", file=sys.stderr)
     spark = get_spark("stream_throughput")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 

@@ -41,6 +41,8 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F
 
+from bench import _wait_for_quiet_box  # the shared load gate
+
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
 
@@ -249,6 +251,9 @@ def main() -> None:
                     help="dedup/curation (documents+embeddings corpus) or "
                          "relational/headline (events+orders corpus)")
     args = ap.parse_args()
+    load, still_loaded = _wait_for_quiet_box()
+    print(f"# start load: {load:.2f} (flagged: {still_loaded})",
+          file=sys.stderr)
     queries = QUERIES if args.family == "dedup" else RELATIONAL_QUERIES
     count_table = "documents" if args.family == "dedup" else "events"
 
