@@ -227,6 +227,15 @@ def dedup_stream(parsed: DataFrame, watermark: str = "24 hours") -> DataFrame:
     )
 
 
+def with_time_partitions(parsed: DataFrame) -> DataFrame:
+    """Attach the D6 partition columns (event_date, event_hour) -- the
+    ONE spelling of the sink layout derivation, shared by the production
+    sink below and the throughput measurement tool."""
+    return parsed.withColumn(
+        "event_date", F.to_date("timestamp")
+    ).withColumn("event_hour", F.hour("timestamp"))
+
+
 def write_partitioned_parquet(
     parsed: DataFrame, out_dir: str, checkpoint_dir: str, trigger_seconds: int = 10
 ):
@@ -236,9 +245,7 @@ def write_partitioned_parquet(
     pruning for the time-range queries (README.md:109) and makes retention
     a partition drop (template.yaml:203-205 semantics).
     """
-    with_parts = parsed.withColumn(
-        "event_date", F.to_date("timestamp")
-    ).withColumn("event_hour", F.hour("timestamp"))
+    with_parts = with_time_partitions(parsed)
     return (
         with_parts.writeStream.format("parquet")
         .option("path", out_dir)

@@ -39,6 +39,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))  # for the scale_sweep builder
 
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
@@ -95,9 +96,11 @@ def timed_drain(spark, replay_dir: str, work: str,
     ckpt = os.path.join(work, "ckpt")
     t0 = time.time()
     if partitioned:
-        with_parts = parsed.withColumn(
-            "event_date", F.to_date("timestamp")
-        ).withColumn("event_hour", F.hour("timestamp"))
+        from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+            with_time_partitions,
+        )
+
+        with_parts = with_time_partitions(parsed)
         writer = (
             with_parts.repartition(F.col("event_date"), F.col("event_hour"))
             .writeStream.format("parquet")
@@ -135,9 +138,15 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     corpora = [("sf0.1", "/root/testdata/sf0.1")]
-    sweep = REPO / ".scale_sweep" / "sf0.1x10"
-    if (sweep / "events.parquet" / "_SUCCESS").exists():
-        corpora.append(("~sf1", str(sweep)))
+    # the scaled corpus comes from the sweep BUILDER, whose source-stat
+    # stamps rebuild it when testdata regenerated -- a bare _SUCCESS
+    # check would silently measure last round's stale corpus (r8 review)
+    from scale_sweep import build_scaled_events_orders
+
+    corpora.append(
+        ("~sf1",
+         build_scaled_events_orders(spark, "/root/testdata/sf0.1", 10))
+    )
 
     results = {}
     tmp_root = tempfile.mkdtemp(prefix="stream_tp_")

@@ -80,8 +80,14 @@ def build_scaled_documents(spark, base_sf_dir: str, copies: int) -> str:
     stamp = out_dir / f".src-v2-{src.st_size}-{int(src.st_mtime)}"
     if (table / "_SUCCESS").exists() and stamp.exists():
         return str(out_dir)
-    if out_dir.exists():
-        shutil.rmtree(out_dir)
+    # wipe only THIS table's artifacts: the dir is shared with the
+    # relational corpus (events/orders), which a documents rebuild must
+    # not destroy (r8 review); retire superseded stamps so a source
+    # stat that ever reverts cannot resurrect an old corpus
+    if table.exists():
+        shutil.rmtree(table)
+    for old_stamp in out_dir.glob(".src-v*"):
+        old_stamp.unlink()
     out_dir.mkdir(parents=True, exist_ok=True)
     stamp.touch()
     base = load_table(spark, base_sf_dir, "documents")
@@ -133,6 +139,8 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
         return
     if table.exists():
         shutil.rmtree(table)
+    for old_stamp in out_dir.glob(".esrc-v*"):
+        old_stamp.unlink()
     out_dir.mkdir(parents=True, exist_ok=True)
     stamp.touch()
     base = load_table(spark, base_sf_dir, "embeddings")
@@ -173,7 +181,7 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
           file=sys.stderr)
 
 
-def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> None:
+def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> str:
     """Materialize ``copies``-fold events + orders tables in the sweep dir.
 
     The word-salt discipline applied to the relational family -- each
@@ -198,9 +206,21 @@ def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> None:
       unchanged -- the time RANGE stays fixed, so time-windowed queries
       hold 10x the rows: a traffic scale-up, not a history stretch;
     - ``event_id``/``o_orderkey`` += i * 1e9: globally unique tiebreaks.
+
+    One cell-level caveat, documented rather than hidden: the salted
+    event_type no longer matches _synth_wire_lines' literal
+    _TYPE_STATUS map, so cf_parse_wire_roundtrip's final tiny GROUP BY
+    collapses to the ELSE-500 status for the scaled corpus (both
+    engines treat it identically -- correctness holds; the measured
+    per-row parse work, which dominates that row, is unchanged).
     """
-    if copies > 999:
-        raise ValueError("copies > 999 exceeds the fixed-width salt")
+    if copies > 215:
+        # beyond ~215 copies, stats_profile's SUM(user_id^2) moment
+        # exceeds int64 (20k rows x (2.15e7)^2 ~ 9.3e18 > 2^63) and
+        # Spark's non-ANSI sum would wrap SILENTLY -- refuse instead
+        raise ValueError(
+            "copies > 215 overflows int64 in the SUM(user_id^2) moment"
+        )
     out_dir = SWEEP_DIR / f"sf0.1x{copies}"
     out_dir.mkdir(parents=True, exist_ok=True)
     for name, key_col, id_col, t_col in (
@@ -214,6 +234,8 @@ def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> None:
             continue
         if table.exists():
             shutil.rmtree(table)
+        for old_stamp in out_dir.glob(f".{name}src-v*"):
+            old_stamp.unlink()
         stamp.touch()
         base = load_table(spark, base_sf_dir, name)
         parts = []
@@ -240,6 +262,7 @@ def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> None:
             scaled = scaled.unionAll(p)
         scaled.repartition(32).write.mode("overwrite").parquet(str(table))
         print(f"# built {table}: {copies}x salted {name}", file=sys.stderr)
+    return str(out_dir)
 
 
 def main() -> None:
@@ -271,8 +294,9 @@ def main() -> None:
         )
         build_scaled_embeddings(spark, "/root/testdata/sf0.1", args.copies)
     else:
-        scaled_dir = str(SWEEP_DIR / f"sf0.1x{args.copies}")
-        build_scaled_events_orders(spark, "/root/testdata/sf0.1", args.copies)
+        scaled_dir = build_scaled_events_orders(
+            spark, "/root/testdata/sf0.1", args.copies
+        )
     scales = [
         ("sf0.01", "/root/testdata/sf0.01"),
         ("sf0.1", "/root/testdata/sf0.1"),
