@@ -128,9 +128,13 @@ def audio_feature_batches(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                # NULL payloads -> empty bytes (decode_wav raises
-                # ValueError, honoring the skip_invalid contract);
-                # bytes(None) would TypeError past the handler
+                # NULL payloads/doc_ids take the skip_invalid path
+                # explicitly (bytes(None) would TypeError past the
+                # handler; int(NaN) raised ValueError only by accident)
+                if pd.isna(r.doc_id):
+                    if skip_invalid:
+                        continue
+                    raise ValueError("NULL doc_id in audio batch")
                 payload = bytes(r.payload) if r.payload is not None else b""
                 try:
                     rows.append(wav_features(int(r.doc_id), payload))

@@ -20,9 +20,9 @@ import struct
 
 import numpy as np
 
-#: decompression-bomb cap shared by the media decoders: a fuzzed header
-#: claiming 65535 x 65535 would otherwise allocate gigabytes per payload
-MAX_PIXELS = 1 << 26
+# the shared decompression-bomb cap now lives at the package level
+# (it is format-neutral); re-exported here for the existing importers
+from . import MAX_PIXELS  # noqa: F401
 
 #: GIF interlace passes: (start row, step)
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -159,6 +159,15 @@ def _decode_frames(payload: bytes, keep, count_only: bool = False):
 
 def _decode_frames_impl(payload: bytes, keep, count_only: bool):
     wanted = keep if isinstance(keep, (set, frozenset)) else None
+    # frames AFTER the last requested index cannot affect any retained
+    # screen (compositing only looks backward), so their pixel work
+    # (LZW + composite) is skipped entirely -- decode_gif's keep=1 on a
+    # 100-frame file costs ONE frame decode + a block walk, not 100
+    # (r8 review); frames up to the last kept index still composite
+    if wanted is not None:
+        last_wanted = max(wanted) if wanted else -1
+    else:
+        last_wanted = keep - 1
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     width, height = struct.unpack_from("<HH", payload, 6)
@@ -218,7 +227,7 @@ def _decode_frames_impl(payload: bytes, keep, count_only: bool):
             n_frames += 1
             disposal, t_idx = gce if gce is not None else (0, None)
             gce = None  # a GCE governs exactly one image descriptor
-            if count_only:
+            if count_only or n_frames - 1 > last_wanted:
                 continue  # block walk only: no LZW, no pixel buffers
             idx = np.frombuffer(
                 _lzw_decode(lzw, min_code, iw * ih), np.uint8

@@ -364,9 +364,9 @@ _PROG_MAX_SCANS = 64
 #: / hundreds-of-MB range; larger progressive payloads decline to the
 #: documented PIL/fake fallback
 def _prog_max_pixels() -> int:
-    from .gif import MAX_PIXELS
+    from . import SLOW_PATH_MAX_PIXELS
 
-    return MAX_PIXELS >> 2
+    return SLOW_PATH_MAX_PIXELS
 
 
 class _ProgState:

@@ -51,7 +51,8 @@ def fake_decode(doc_id: int, payload: bytes) -> dict:
         "width": (n * 7919) % 624 + 16,
         "height": (n * 104729) % 464 + 16,
         "n_frames": n % 24 + 1,
-        "fmt": ("jpeg", "png", "webp")[doc_id % 3],
+        # NULL doc_id rows (ingest gaps) still get a deterministic fmt
+        "fmt": ("jpeg", "png", "webp")[(doc_id or 0) % 3],
     }
 
 
@@ -160,9 +161,13 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     )
     if width <= 0 or height <= 0:
         raise ValueError("degenerate PNG dimensions")
-    from .gif import MAX_PIXELS
+    from . import SLOW_PATH_MAX_PIXELS
 
-    if width * height > MAX_PIXELS:
+    # the stricter slow-path cap (not the shared MAX_PIXELS): Average /
+    # Paeth defiltering is per-pixel Python, so the hostile-input CPU
+    # ceiling must stay at tens of seconds per payload, the same
+    # rationale as the progressive-JPEG scan cap
+    if width * height > SLOW_PATH_MAX_PIXELS:
         raise ValueError("PNG dimensions exceed the decode cap")
     if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
         raise ValueError(
@@ -190,21 +195,34 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             cur = row
         elif f == 2:  # Up
             cur = (row + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
-            cur = np.zeros(stride, np.uint16)
+        elif f == 1:  # Sub: per-channel prefix sum mod 256, vectorized
+            # cur[x] = (row[x] + cur[x-ch]) mod 256 == cumsum along the
+            # pixel axis mod 256 (int64 headroom: 8k rows x 255 < 2^21)
+            cur = (
+                row.reshape(width, ch).astype(np.int64).cumsum(0) & 0xFF
+            ).reshape(stride).astype(np.uint16)
+        elif f in (3, 4):  # Average / Paeth: inherently left-sequential;
+            # pure-int list loop (numpy scalar indexing is ~10x slower
+            # per element than Python-int arithmetic -- r8 review)
+            rl = row.tolist()
+            pl = prev.tolist()
+            cl = [0] * stride
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0  # left
-                b = prev[x]  # up
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (int(a) + int(b)) >> 1
+                a = cl[x - ch] if x >= ch else 0  # left
+                b = pl[x]  # up
+                if f == 3:
+                    pred = (a + b) >> 1
                 else:
-                    c = prev[x - ch] if x >= ch else 0  # up-left
-                    p = int(a) + int(b) - int(c)
-                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (row[x] + pred) & 0xFF
+                    c = pl[x - ch] if x >= ch else 0  # up-left
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                cl[x] = (rl[x] + pred) & 0xFF
+            cur = np.array(cl, np.uint16)
         else:
             raise ValueError(f"invalid PNG filter type {f} on row {y}")
         out[y] = cur
@@ -343,8 +361,11 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
 
-def decode_batches(docs_with_payload: DataFrame, batch_size_hint: int = 256) -> DataFrame:
-    """Run the (stubbed) decoder over Arrow batches via ``mapInPandas``.
+def decode_batches(docs_with_payload: DataFrame) -> DataFrame:
+    """Run the media decoder over Arrow batches via ``mapInPandas``
+    (REAL decode for BMP/PNG/JPEG/GIF, deterministic fake for the rest;
+    batch sizing is Spark's ``arrow.maxRecordsPerBatch``, not a
+    parameter here).
 
     The iterator shape is the real pattern for media pipelines: per-batch
     pandas processing, bounded memory, no driver involvement, output schema
@@ -354,10 +375,13 @@ def decode_batches(docs_with_payload: DataFrame, batch_size_hint: int = 256) -> 
     def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                # NULL payloads (ingest gaps) take the fake-fallback path
-                # via empty bytes instead of TypeError-killing the task
+                # NULL payloads/doc_ids (ingest gaps) stay inside the
+                # row contract -- empty bytes take the fake-fallback
+                # path, a NULL id propagates as NULL -- instead of
+                # TypeError/ValueError-killing the task (NULL int64
+                # arrives as pandas NaN, where int() raises)
                 decode_image(
-                    int(r.doc_id),
+                    None if pd.isna(r.doc_id) else int(r.doc_id),
                     bytes(r.payload) if r.payload is not None else b"",
                 )
                 for r in pdf.itertuples(index=False)
@@ -367,16 +391,25 @@ def decode_batches(docs_with_payload: DataFrame, batch_size_hint: int = 256) -> 
     return docs_with_payload.mapInPandas(decode_iter, DECODE_SCHEMA)
 
 
+def frame_offset_expr(n_samples: int = 4):
+    """THE evenly-spaced byte-offset expression over ``n_bytes`` --
+    shared by frame_sample_offsets and the registry pipeline row so the
+    sampling arithmetic has one spelling (r8 review)."""
+    step = F.greatest(F.expr("n_bytes div %d" % n_samples), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_samples - 1)),
+        lambda i: F.least(i * step, F.col("n_bytes") - 1),
+    )
+
+
 def frame_sample_offsets(decoded: DataFrame, n_samples: int = 4) -> DataFrame:
     """Deterministic frame-sampling plan: evenly spaced byte offsets per
     payload (stand-in for video frame sampling). Pure Catalyst arithmetic --
     the sampling plan is computable without touching payload bytes."""
-    step = F.greatest(F.expr("n_bytes div %d" % n_samples), F.lit(1))
-    offsets = F.transform(
-        F.sequence(F.lit(0), F.lit(n_samples - 1)),
-        lambda i: F.least(i * step, F.col("n_bytes") - 1),
+    return decoded.select(
+        "doc_id", "n_bytes",
+        frame_offset_expr(n_samples).alias("frame_offsets"),
     )
-    return decoded.select("doc_id", "n_bytes", offsets.alias("frame_offsets"))
 
 
 #: output schema of REAL animation frame sampling (GIF): one row per
@@ -417,10 +450,15 @@ def sample_animation_frames(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                # NULL payloads (ingest gaps) -> empty bytes, which
-                # count_gif_frames rejects with ValueError and the
-                # skip_invalid path drops; bytes(None) would TypeError
-                # past the ValueError-only handler and kill the task
+                # NULL payloads/doc_ids (ingest gaps) take the
+                # skip_invalid path -- bytes(None)/int(NaN) would raise
+                # TypeError/ValueError OUTSIDE the handler and kill the
+                # whole task (an output row cannot be attributed to a
+                # NULL id, so dropping is the only coherent shape here)
+                if pd.isna(r.doc_id):
+                    if skip_invalid:
+                        continue
+                    raise ValueError("NULL doc_id in animation batch")
                 payload = bytes(r.payload) if r.payload is not None else b""
                 try:
                     w, h, n = count_gif_frames(payload)

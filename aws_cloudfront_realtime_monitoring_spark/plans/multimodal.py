@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_payload, decode_batches
+from ..operators.multimodal import (
+    attach_payload,
+    decode_batches,
+    frame_offset_expr,
+)
 from ..sources.tables import load_table
 from . import register
 
@@ -57,13 +61,8 @@ from . import register
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_batches(attach_payload(docs))
-    n_samples = 4
-    step = F.greatest(F.expr(f"n_bytes div {n_samples}"), F.lit(1))
-    offsets = F.transform(
-        F.sequence(F.lit(0), F.lit(n_samples - 1)),
-        lambda i: F.least(i * step, F.col("n_bytes") - 1),
-    )
+    # the ONE offsets spelling (operators.multimodal.frame_offset_expr)
     return decoded.select(
         "doc_id", "n_bytes", "width", "height", "n_frames", "fmt",
-        F.array_join(offsets, ";").alias("offsets_str"),
+        F.array_join(frame_offset_expr(4), ";").alias("offsets_str"),
     )

@@ -143,3 +143,13 @@ def test_audio_batches_null_payload_skipped(spark):
     )
     got = audio_feature_batches(df).collect()
     assert sorted(r.doc_id for r in got) == [1]
+
+
+def test_audio_null_doc_id_skipped(spark):
+    good = _make_wav(np.zeros((64, 1)), 8000)
+    df = spark.createDataFrame(
+        [(None, bytearray(good)), (3, bytearray(good))],
+        "doc_id BIGINT, payload BINARY",
+    )
+    got = audio_feature_batches(df).collect()
+    assert [r.doc_id for r in got] == [3]

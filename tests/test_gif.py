@@ -364,3 +364,26 @@ def test_animation_frames_null_payload_skipped(spark):
     )
     got = sample_animation_frames(df).collect()
     assert {r.doc_id for r in got} == {1}
+
+
+def test_gif_frames_beyond_last_kept_are_not_decoded():
+    """decode_gif (keep=1) on a multi-frame file must not pay LZW +
+    composite for frames after the first: a frame with CORRUPT LZW data
+    past the kept index still counts (block walk) without raising,
+    while requesting that frame decodes it and fails."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 0]], np.uint8)
+    f1 = _frame(np.zeros((2, 2), np.uint8))
+    # structurally valid frame whose LZW payload is garbage
+    bad = (b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+           + b"\x02" + bytes([3, 0xFF, 0xFF, 0xFF]) + b"\x00")
+    blob = _make_gif([f1, bad], pal, 2, 2)
+    w, h, n, first = decode_gif(blob)  # frame 2 never decodes
+    assert (w, h, n) == (2, 2, 2)
+    np.testing.assert_array_equal(first[0, 0], pal[0])
+    with pytest.raises(ValueError):  # decoding frame 2 surfaces the rot
+        decode_gif_frames(blob, keep_indices={1})

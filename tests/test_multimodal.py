@@ -408,3 +408,24 @@ def test_decoders_never_crash_on_mutated_payloads():
         assert meta["n_bytes"] == len(blob)
 
     check()
+
+
+def test_null_doc_id_rows_stay_inside_the_contract(spark):
+    """NULL int64 doc_ids arrive in pandas as NaN, where int() raises
+    ValueError OUTSIDE the payload try-block; every batch surface must
+    honor its contract anyway -- decode_batches keeps the row with a
+    NULL id, the dropping surfaces skip it under skip_invalid."""
+    df = spark.createDataFrame(
+        [(None, bytearray(b"not media")), (7, bytearray(b"also not"))],
+        "doc_id BIGINT, payload BINARY",
+    )
+    rows = decode_batches(df).collect()
+    assert len(rows) == 2
+    assert sorted([r.doc_id for r in rows], key=lambda x: (x is None, x)) \
+        == [7, None]
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        sample_animation_frames,
+    )
+
+    assert sample_animation_frames(df).collect() == []  # dropped, no crash
