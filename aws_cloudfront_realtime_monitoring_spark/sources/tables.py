@@ -114,7 +114,9 @@ def stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
 
 def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    key = f"{name}-v{_LAYOUT_VERSION}-{st.st_size}-{int(st.st_mtime)}"
+    # st_mtime_ns, not whole seconds: a same-size rewrite landing in
+    # the same second must not serve the previous corpus (r8 review)
+    key = f"{name}-v{_LAYOUT_VERSION}-{st.st_size}-{st.st_mtime_ns}"
     cache = os.path.join(LAYOUT_CACHE_DIR, sf_tag, key)
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         # a new key means the source (or the normalization version) changed:
@@ -128,21 +130,27 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
         # for _RETIRE_GRACE_S (a layout another live process just wrote or
         # is mid-write keeps its files).
         parent = os.path.dirname(cache)
-        cur_stat = f"-{st.st_size}-{int(st.st_mtime)}"
+        cur_stat = f"-{st.st_size}-{st.st_mtime_ns}"
         if os.path.isdir(parent):
             now = time.time()
             for d in os.listdir(parent):
                 if not d.startswith(f"{name}-v") or d == key:
                     # not this table's layout, or the current layout itself
                     continue
-                if d.startswith(key + ".tmp-"):
-                    # a writer racing on the SAME new key: the age gate
-                    # below spares a live one and reclaims a crashed
-                    # one's leak (the old exact-prefix skip leaked those
-                    # forever, and its startswith(key) form also wrongly
-                    # spared stale keys whose stat string-extends the
-                    # current one -- r7 review)
-                    pass
+                if ".tmp-" in d:
+                    # another writer's scratch: the top-dir mtime goes
+                    # STALE during a long Spark write (only job start
+                    # touches it), so the age gate alone would rmtree a
+                    # live >15-min write (r8 review). The pid suffix
+                    # settles liveness; only a dead writer's leak falls
+                    # through to the age gate.
+                    try:
+                        os.kill(int(d.rsplit(".tmp-", 1)[1]), 0)
+                        continue  # live writer: never touch
+                    except (ValueError, ProcessLookupError):
+                        pass  # crashed or unparseable: reclaimable
+                    except PermissionError:
+                        continue  # alive under another uid
                 elif d.split(".tmp-")[0].endswith(cur_stat):
                     continue  # same source bytes, other version: in use
                 path = os.path.join(parent, d)
@@ -158,8 +166,13 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
         ).parquet(tmp)
         try:
             os.rename(tmp, cache)
-        except OSError:  # lost a concurrent race: the cache now exists
+        except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+                # NOT a lost race (the winner's cache would exist):
+                # surface the real failure instead of returning a path
+                # that does not exist (r8 review)
+                raise
     return cache
 
 
@@ -186,7 +199,7 @@ def _source_sig(sf_dir: str) -> tuple:
     for t in TABLES:
         try:
             st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
-            out.append((t, st.st_size, int(st.st_mtime)))
+            out.append((t, st.st_size, st.st_mtime_ns))
         except OSError:
             out.append((t, -1, -1))
     return tuple(out)

@@ -44,7 +44,11 @@ def stream_log_lines(
     ``format('kinesis')``/``format('kafka')`` with ``maxOffsetsPerTrigger``.
     """
     reader = spark.readStream.format("text")
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger < 1:
+            # a falsy 0 used to silently DISABLE the cap (None is the
+            # documented disable value) -- error instead (r8 review)
+            raise ValueError("max_files_per_trigger must be >= 1 or None")
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     lines = reader.load(watch_dir)
     return parse_log_lines(lines, sample_fraction=sample_fraction)
@@ -138,6 +142,9 @@ def stream_kinesis_lines(
     region: str,
     charset: str = "UTF-8",
     sample_fraction: float | None = None,
+    max_records_per_shard_per_trigger: int = KAFKA_DEFAULTS[
+        "max_records_per_trigger"],
+    starting_position: str = "LATEST",
     **option_overrides,
 ) -> DataFrame:
     """Kinesis -> parsed typed stream: the production drop-in matching the
@@ -149,10 +156,34 @@ def stream_kinesis_lines(
     Requires the aws-kinesis connector on the classpath at .load() time
     (not bundled in this sandbox; config parity is covered by tests).
     """
-    opts = kinesis_source_options(stream_name, region)
+    opts = kinesis_source_options(
+        stream_name, region, max_records_per_shard_per_trigger,
+        starting_position,
+    )
+    for k in option_overrides:
+        # connectors silently IGNORE unrecognized options, so a mis-named
+        # override (e.g. the builder's own parameter spelling) would
+        # leave the default silently in force (r8 review)
+        if not k.startswith("kinesis."):
+            raise ValueError(
+                f"unknown Kinesis option {k!r}: raw connector options "
+                "start with 'kinesis.'; tuning knobs are named "
+                "parameters of this function"
+            )
     opts.update({k: str(v) for k, v in option_overrides.items()})
     return _connector_lines(spark, "aws-kinesis", opts, "data",
                             charset, sample_fraction)
+
+
+#: raw Kafka source options without the "kafka." client-config prefix
+#: (the documented structured-streaming option surface)
+_KAFKA_OPTION_KEYS = {
+    "subscribe", "subscribePattern", "assign", "startingOffsets",
+    "endingOffsets", "startingTimestamp", "endingTimestamp",
+    "maxOffsetsPerTrigger", "minOffsetsPerTrigger", "maxTriggerDelay",
+    "failOnDataLoss", "includeHeaders", "groupIdPrefix",
+    "startingOffsetsByTimestamp", "endingOffsetsByTimestamp",
+}
 
 
 def stream_kafka_lines(
@@ -161,6 +192,8 @@ def stream_kafka_lines(
     topic: str,
     charset: str = "UTF-8",
     sample_fraction: float | None = None,
+    max_records_per_trigger: int = KAFKA_DEFAULTS["max_records_per_trigger"],
+    starting_position: str = KAFKA_DEFAULTS["starting_position"],
     **option_overrides,
 ) -> DataFrame:
     """Kafka -> parsed typed stream: the production drop-in for the
@@ -173,7 +206,17 @@ def stream_kafka_lines(
     Requires the spark-sql-kafka connector on the classpath at .load() time
     (not bundled in this sandbox; config parity is covered by tests).
     """
-    opts = kafka_source_options(bootstrap_servers, topic)
+    opts = kafka_source_options(
+        bootstrap_servers, topic, max_records_per_trigger, starting_position
+    )
+    for k in option_overrides:
+        # same silent-ignore trap as the Kinesis wrapper (r8 review)
+        if not (k.startswith("kafka.") or k in _KAFKA_OPTION_KEYS):
+            raise ValueError(
+                f"unknown Kafka option {k!r}: raw client configs start "
+                "with 'kafka.'; source options are the documented set; "
+                "tuning knobs are named parameters of this function"
+            )
     opts.update({k: str(v) for k, v in option_overrides.items()})
     return _connector_lines(spark, "kafka", opts, "value",
                             charset, sample_fraction)
@@ -221,10 +264,18 @@ def hourly_bytes_stream(parsed: DataFrame, watermark: str = "24 hours") -> DataF
 def dedup_stream(parsed: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Streaming dedup on the request id (FIXTURES.md: ~1% duplicated):
     ``dropDuplicatesWithinWatermark`` keeps state only within the watermark
-    horizon -- bounded memory at any scale."""
-    return parsed.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+    horizon -- bounded memory at any scale.
+
+    Rows whose request id parsed to NULL (the ``-`` sentinel / truncated
+    lines, D2) PASS THROUGH un-deduped: dropDuplicates treats NULL keys
+    as equal, so deduping them would collapse every distinct id-less
+    record within the horizon into one survivor (r8 review)."""
+    watermarked = parsed.withWatermark("timestamp", watermark)
+    with_id = watermarked.where(F.col("x_edge_request_id").isNotNull())
+    no_id = watermarked.where(F.col("x_edge_request_id").isNull())
+    return with_id.dropDuplicatesWithinWatermark(
         ["x_edge_request_id"]
-    )
+    ).unionByName(no_id)
 
 
 def with_time_partitions(parsed: DataFrame) -> DataFrame:

@@ -127,6 +127,20 @@ def _cut_chunks(
     import numpy as np
 
     pending, pbytes, chunks = carry
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    if pending >= chunk_size:
+        # a checkpointed carry can only satisfy pending < chunk_size for
+        # the SIZE IT WAS BUILT WITH; restarting the query with a smaller
+        # chunk_size would make the boundary arithmetic index negatively
+        # (wrong chunk bytes via wraparound, or IndexError) -- fail loud
+        # instead of corrupting the state store (r8 review)
+        raise ValueError(
+            f"carried pending={pending} >= chunk_size={chunk_size}: the "
+            "query was restarted with a smaller chunk_size than its "
+            "checkpoint was built with; keep chunk_size stable across "
+            "restarts"
+        )
     vals = bytes_series.fillna(0).to_numpy(dtype="int64")
     n = len(vals)
     if n == 0:

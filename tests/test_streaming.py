@@ -683,3 +683,81 @@ def test_compact_partition_lock_blocks_concurrent_run(spark):
         _nb, n_after = compact_partition(spark, part, target_file_bytes=10**9)
         assert n_after == 1
         assert not os.path.exists(lock)
+
+
+def test_connector_wrappers_reject_misnamed_overrides(spark):
+    """Connectors silently ignore unrecognized options, so a mis-named
+    override (e.g. the builder's own parameter spelling passed as a raw
+    key) must raise instead of leaving the default silently in force;
+    the real tuning knobs are named wrapper parameters that reach the
+    validated builders."""
+    from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+        kafka_source_options,
+        kinesis_source_options,
+        stream_kafka_lines,
+        stream_kinesis_lines,
+    )
+
+    with pytest.raises(ValueError, match="unknown Kinesis option"):
+        stream_kinesis_lines(spark, "s", "us-east-1",
+                             startingPosition="TRIM_HORIZON")
+    with pytest.raises(ValueError, match="unknown Kafka option"):
+        stream_kafka_lines(spark, "b:9092", "t", max_records=500)
+    # the named knobs flow through to the validated builders
+    assert kinesis_source_options("s", "r", 500, "trim_horizon")[
+        "kinesis.startingPosition"] == "TRIM_HORIZON"
+    assert kafka_source_options("b", "t", 500)["maxOffsetsPerTrigger"] == "500"
+    with pytest.raises(ValueError):
+        kinesis_source_options("s", "r", starting_position="nonsense")
+
+
+def test_dedup_stream_passes_null_request_ids_through(spark, replay_dir):
+    """NULL request ids (the '-' sentinel) must not dedup against each
+    other: dropDuplicates treats NULL keys as equal, which would keep
+    ONE id-less record per watermark horizon and drop the rest."""
+    from aws_cloudfront_realtime_monitoring_spark.sources.cf_logs import to_wire_line
+    from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+        dedup_stream,
+    )
+
+    lines = []
+    for i in range(4):
+        row = {"timestamp": f"{1704100000 + i}.000", "sc-bytes": str(10 + i),
+               "c-ip": f"1.2.3.{i}", "sc-status": "200"}
+        if i < 2:
+            row["x-edge-request-id"] = "SAME-ID"  # real duplicates: collapse
+        # i >= 2: no request id -> parser NULL -> must pass through
+        lines.append(to_wire_line(row))
+    d = os.path.join(replay_dir, "null_dedup")
+    os.makedirs(d)
+    with open(os.path.join(d, "f0.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    parsed = stream_log_lines(spark, d)
+    out = dedup_stream(parsed)
+    q = (out.writeStream.format("memory").queryName("null_dedup_t")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT c_ip, x_edge_request_id FROM null_dedup_t").collect()
+    finally:
+        q.stop()
+    ids = sorted((r.c_ip, r.x_edge_request_id) for r in rows)
+    # the two SAME-ID rows collapse to one; both NULL-id rows survive
+    assert len([r for r in ids if r[1] == "SAME-ID"]) == 1
+    assert len([r for r in ids if r[1] is None]) == 2
+
+
+def test_cut_chunks_rejects_stale_or_degenerate_chunk_size():
+    """A checkpointed carry only satisfies pending < chunk_size for the
+    size it was built with; a restart with a smaller chunk_size must
+    fail loudly instead of emitting wraparound-corrupted chunks."""
+    import pandas as pd
+
+    from aws_cloudfront_realtime_monitoring_spark.streaming.stateful import (
+        _cut_chunks,
+    )
+
+    with pytest.raises(ValueError, match="pending=7 >= chunk_size=4"):
+        _cut_chunks("k", pd.Series([1, 1, 1]), (7, 70, 2), 4, "g")
+    with pytest.raises(ValueError, match="chunk_size"):
+        _cut_chunks("k", pd.Series([1]), (0, 0, 0), 0, "g")
