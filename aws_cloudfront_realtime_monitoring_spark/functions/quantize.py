@@ -1,0 +1,22 @@
+"""THE embedding quantization convention (one spelling, r8 review):
+floats scale by 1e6 and round half-away-from-zero to exact int64, so dot
+products and norms are exact integer sums in Spark, DuckDB, and numpy
+alike -- the bit-compatibility contract the ANN/kmeans/semdedup paths
+rely on. plans.similarity and operators.kmeans both import from here;
+editing the scale or rounding in one place updates every consumer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def qvec(col: Column | str = "embedding") -> Column:
+    """float array -> exact int64 array (round half away from zero,
+    matching both engines' ROUND)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint")
+    )

@@ -108,6 +108,18 @@ def expand_macros(
     expands to a BETWEEN predicate over the dashboard's time range (injectable
     for determinism, D5). The expanded text is plain Spark SQL.
     """
+    # resolve the QUOTED macro forms first, while the tokens are still
+    # unambiguous -- any post-substitution quote stripping could touch a
+    # user's double-quoted string literal that happens to equal the
+    # table name (r8 review)
+    qualified = '"$__database"."$__table"'
+    sql = sql.replace(
+        qualified, f"{database}.{table}" if database else table
+    )
+    sql = sql.replace('"$__table"', table)
+    sql = sql.replace(
+        '"$__database"', f'"{database}"' if database else ""
+    )
     out = sql.replace("$__database", database).replace("$__table", table)
     out = out.replace("$__measure", f"'{measure}'")
     if "$__timeFilter" in out:
@@ -117,12 +129,4 @@ def expand_macros(
             "$__timeFilter",
             f"{time_col} BETWEEN timestamp '{time_from}' AND timestamp '{time_to}'",
         )
-    # Timestream's ``"$__database"."$__table"`` becomes a bare view name
-    # when database is empty -- strip quotes ONLY around the expanded
-    # db/table tokens, not globally (a global strip corrupted any
-    # double-quoted literal elsewhere in the query, r7 review)
-    if database:
-        out = out.replace(f'"{database}"."{table}"', f"{database}.{table}")
-    else:
-        out = out.replace(f'""."{table}"', table).replace(f'"{table}"', table)
     return out

@@ -30,15 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
-
-#: quantization scale shared with plans.similarity
-QUANT = 1_000_000
-
-
-def quantize(col: Column) -> Column:
-    """float array -> exact int64 array (round half away from zero, matching
-    both engines' ROUND)."""
-    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint"))
+from ..functions.quantize import QUANT, qvec as quantize  # noqa: F401
 
 
 def _sq_dist(vec: Column, centroid: list[int]) -> Column:
@@ -103,7 +95,10 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     qvecs = vectors.select(
         id_col, quantize(F.col(vec_col)).alias("qv")
     ).persist()
-    dim = qvecs.select(F.size("qv")).first()[0]
+    head = qvecs.select(F.size("qv")).first()
+    if head is None:
+        raise ValueError("fit_kmeans: vectors DataFrame is empty")
+    dim = head[0]
     centroids = init_centroids(qvecs, k, vec_col="qv", id_col=id_col)
     n_iters = 0
     for _ in range(max_iters):

@@ -35,6 +35,59 @@ from ..functions.hashing import h60
 #: per-group shard-id namespace; no group ever packs more shards than this
 MAX_SHARDS = 1_000_000
 
+
+class _FirstFitTree:
+    """Leftmost-shard-with-capacity index: a growable segment tree whose
+    leaves hold each open shard's REMAINING capacity and whose inner
+    nodes hold subtree maxima, so one placement costs O(log shards)
+    instead of a linear probe over every open shard (the naive loop is
+    O(docs x shards) -- quadratic per group; r8 review). Assignments are
+    IDENTICAL to naive first-fit: the descent always takes the leftmost
+    leaf whose remaining capacity fits."""
+
+    def __init__(self) -> None:
+        self.cap = 1
+        self.tree = [-1, -1]  # 1-indexed; leaves at [cap, 2*cap)
+        self.n = 0
+
+    def _grow(self) -> None:
+        old_leaves = self.tree[self.cap : 2 * self.cap]
+        self.cap *= 2
+        self.tree = [-1] * (2 * self.cap)
+        self.tree[self.cap : self.cap + len(old_leaves)] = old_leaves
+        for i in range(self.cap - 1, 0, -1):
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+
+    def open(self, remaining: int) -> int:
+        """Append a shard with the given remaining capacity (may be
+        negative for oversize shards: they then never match a fit)."""
+        if self.n == self.cap:
+            self._grow()
+        i = self.cap + self.n
+        self.n += 1
+        self.tree[i] = remaining
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+        return self.n - 1
+
+    def place(self, need: int) -> int:
+        """First-fit: index of the LEFTMOST shard with remaining >= need
+        (capacity deducted), or -1 if none fits."""
+        if self.tree[1] < need:
+            return -1
+        i = 1
+        while i < self.cap:
+            i = 2 * i if self.tree[2 * i] >= need else 2 * i + 1
+        j = i - self.cap
+        self.tree[i] -= need
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+        return j
+
 PACKED_SCHEMA = (
     "doc_id BIGINT, n_tokens BIGINT, pack_group INT, shard_id BIGINT, "
     "shard_fill BIGINT, oversize INT"
@@ -68,25 +121,28 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
             pdf = pdf.sort_values(
                 ["n_tokens", "doc_id"], ascending=[False, True]
             )
-            # first-fit-decreasing over open shards
+            # first-fit-decreasing over open shards (segment-tree
+            # leftmost-fit: O(docs log shards), same assignments as the
+            # naive probe -- property-pinned in tests)
             fills: list[int] = []
             assign: list[int] = []
             oversize: list[int] = []
+            tree = _FirstFitTree()
             for tok in pdf["n_tokens"]:
                 tok = int(tok)
                 if tok > capacity:
+                    tree.open(capacity - tok)  # negative: never fits more
                     fills.append(tok)
                     assign.append(len(fills) - 1)
                     oversize.append(1)
                     continue
-                for j, fill in enumerate(fills):
-                    if fill + tok <= capacity:
-                        fills[j] = fill + tok
-                        assign.append(j)
-                        break
-                else:
+                j = tree.place(tok)
+                if j < 0:
+                    j = tree.open(capacity - tok)
                     fills.append(tok)
-                    assign.append(len(fills) - 1)
+                else:
+                    fills[j] += tok
+                assign.append(j)
                 oversize.append(0)
             if len(fills) > MAX_SHARDS:
                 raise ValueError(
@@ -107,6 +163,19 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
             )
             yield out
 
+    from pyspark.sql import types as T
+
+    id_type = docs_with_tokens.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # PACKED_SCHEMA pins doc_id BIGINT; a string id would otherwise
+        # die deep inside Arrow conversion with an opaque executor-side
+        # schema mismatch (r8 review)
+        raise ValueError(
+            f"id_col {id_col!r} must be an integral type for the "
+            f"PACKED_SCHEMA doc_id BIGINT contract (got {id_type})"
+        )
     tagged = docs_with_tokens.select(
         F.col(id_col).alias("doc_id"),
         F.col(tokens_col).cast("bigint").alias("n_tokens"),

@@ -49,7 +49,15 @@ def salted_join(
             "replicated n_salts times (use a plain join or AQE skew "
             "handling for those)"
         )
-    salt: Column = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(n_salts))
+    # row-POSITION salt, not a content hash: identical hot-key rows all
+    # hash to ONE salt value -- zero spread in exactly the pathological
+    # case this operator exists for -- and F.hash rejects map columns
+    # (r8 review). monotonically_increasing_id is per-row-unique for a
+    # deterministic input split; any salt assignment is correct (the
+    # small side replicates across every salt).
+    salt: Column = F.pmod(
+        F.hash(F.monotonically_increasing_id()), F.lit(n_salts)
+    )
     salted_large = large.withColumn("__salt", salt)
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -89,6 +97,9 @@ def two_phase_agg(
             final_aggs.append(F.max(p).alias(out_col))
         else:
             raise ValueError(f"non-decomposable aggregate: {spec!r}")
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    # row-position salt (see salted_join): content hashes collapse for
+    # identical hot-key rows; any assignment is correct under the
+    # partial-then-final decomposition
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)

@@ -22,10 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.quantize import QUANT, qvec  # noqa: F401 (re-export)
 from ..sources.tables import load_table
 from . import EXTRAS, REGISTRY, register
 
-QUANT = 1_000_000
 N_QUERIES = 5     # vec_id < 5 are the probe vectors
 TOP_K = 5
 IVF_BITS = 6
@@ -47,12 +47,6 @@ QUANT_CTE_SQL = f"""
                   CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nrm
            FROM q)
 """
-
-
-def qvec(col: str = "embedding") -> Column:
-    return F.transform(
-        col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint")
-    )
 
 
 def qnorm(qe: Column | str) -> Column:

@@ -162,3 +162,62 @@ def test_packing_correct_across_arrow_batches(spark):
         assert all(r.shard_fill == total for r in rows)
     # 40 docs x 60 tokens, 1 per 100-token shard -> exactly 40 shards
     assert len(by_shard) == 40
+
+
+def test_first_fit_tree_matches_naive_probe():
+    """The segment-tree leftmost-fit must produce assignments IDENTICAL
+    to the naive linear first-fit probe, on random workloads including
+    oversize docs."""
+    import numpy as np
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
+        _FirstFitTree,
+    )
+
+    rng = np.random.RandomState(17)
+    for trial in range(30):
+        capacity = int(rng.randint(50, 500))
+        toks = rng.randint(1, int(capacity * 1.3), size=rng.randint(1, 400))
+        toks = sorted((int(t) for t in toks), reverse=True)
+        # naive reference
+        fills_n, assign_n = [], []
+        for tok in toks:
+            if tok > capacity:
+                fills_n.append(tok)
+                assign_n.append(len(fills_n) - 1)
+                continue
+            for j, fill in enumerate(fills_n):
+                if fill + tok <= capacity:
+                    fills_n[j] = fill + tok
+                    assign_n.append(j)
+                    break
+            else:
+                fills_n.append(tok)
+                assign_n.append(len(fills_n) - 1)
+        # tree under test
+        fills_t, assign_t = [], []
+        tree = _FirstFitTree()
+        for tok in toks:
+            if tok > capacity:
+                tree.open(capacity - tok)
+                fills_t.append(tok)
+                assign_t.append(len(fills_t) - 1)
+                continue
+            j = tree.place(tok)
+            if j < 0:
+                j = tree.open(capacity - tok)
+                fills_t.append(tok)
+            else:
+                fills_t[j] += tok
+            assign_t.append(j)
+        assert assign_t == assign_n and fills_t == fills_n, (trial, capacity)
+
+
+def test_pack_shards_rejects_non_integral_ids(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 5)], "doc_uri STRING, n_tokens BIGINT"
+    )
+    with pytest.raises(ValueError, match="integral type"):
+        pack_shards(df, 10, id_col="doc_uri")

@@ -61,3 +61,30 @@ def test_salted_join_rejects_outer_joins(spark, sf_dir):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with pytest.raises(ValueError, match="salted_join does not support"):
             salted_join(orders, cust, "o_custkey", n_salts=4, how=how)
+
+
+def test_salt_spreads_identical_hot_key_rows(spark):
+    """A content-hash salt collapses identical rows onto ONE salt value,
+    defeating the operator in exactly the pathological case it exists
+    for; the row-position salt must spread them."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.skew import (
+        two_phase_agg,
+    )
+
+    # 2000 IDENTICAL rows of one hot key (plus a cold key)
+    hot = spark.range(2000).selectExpr("'hot' AS k", "1 AS v")
+    cold = spark.range(3).selectExpr("'cold' AS k", "2 AS v")
+    df = hot.union(cold)
+    out = {r.k: (r.n, r.s) for r in two_phase_agg(
+        df, "k", {"n": "count:", "s": "sum:v"}, n_salts=8
+    ).collect()}
+    assert out == {"hot": (2000, 2000), "cold": (3, 6)}
+    # spread check: the partial phase must see >1 salt for the hot key
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8)),
+    )
+    n_salts_hot = salted.where("k = 'hot'").select("__salt").distinct().count()
+    assert n_salts_hot > 1, "identical rows landed on one salt"

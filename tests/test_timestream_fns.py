@@ -71,3 +71,23 @@ def test_expand_macros():
     assert "m = 'sc_bytes'" in sql
     with pytest.raises(ValueError):
         expand_macros("SELECT 1 WHERE $__timeFilter")
+
+
+def test_expand_macros_preserves_quoted_string_literals():
+    """The quoted macro forms resolve BEFORE substitution, so a user's
+    double-quoted literal that happens to equal the table name must
+    survive untouched (a global post-hoc quote strip corrupted it)."""
+    from aws_cloudfront_realtime_monitoring_spark.functions.timestream import (
+        expand_macros,
+    )
+
+    out = expand_macros(
+        'SELECT * FROM "$__database"."$__table" WHERE kind = "events"',
+        table="events",
+    )
+    assert 'FROM events' in out
+    assert '"events"' in out  # the literal predicate survives
+    out2 = expand_macros(
+        'SELECT * FROM "$__database"."$__table"', database="db", table="t"
+    )
+    assert "FROM db.t" in out2
