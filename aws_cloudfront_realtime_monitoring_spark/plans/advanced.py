@@ -122,6 +122,45 @@ def derivative_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grid_union(events, start: str, end: str):
+    """Shared hourly-grid union idiom for the interpolation family
+    (one spelling; the r6 tiebreak fix previously had to be applied to
+    two verbatim copies -- r8 review): per-series hourly grid rows
+    (is_grid=1, tie sentinel -1) unioned with the real observations
+    (is_grid=0, tie=event_id), plus the forward GROWING window whose
+    (t, is_grid, tie) order is total. Returns (merged, wf)."""
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("timestamp"),
+                    F.lit(end).cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("t"),
+        )
+        .select(
+            "event_type", "t",
+            F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid"),
+            F.lit(-1).cast("bigint").alias("tie"),
+        )
+    )
+    pts = events.select(
+        "event_type", F.col("ts").alias("t"),
+        F.col("value").alias("v"), F.lit(0).alias("is_grid"),
+        F.col("event_id").alias("tie"),
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc(), F.col("tie").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return grid.unionByName(pts), wf
+
+
 @register(
     "interpolate_linear_fill",
     oracle="""
@@ -175,28 +214,8 @@ def derivative_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    grid = (
-        events.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence(
-                    F.lit("2024-01-02 00:00:00").cast("timestamp"),
-                    F.lit("2024-01-04 00:00:00").cast("timestamp"),
-                    F.expr("INTERVAL 1 HOUR"),
-                )
-            ).alias("t"),
-        )
-        .select("event_type", "t", F.lit(None).cast("double").alias("v"),
-                F.lit(1).alias("is_grid"),
-                F.lit(-1).cast("bigint").alias("tie"))
-    )
-    pts = events.select(
-        "event_type", F.col("ts").alias("t"), F.col("value").alias("v"),
-        F.lit(0).alias("is_grid"), F.col("event_id").alias("tie"),
-    )
-    merged = grid.unionByName(pts)
+    merged, wf = _grid_union(events, "2024-01-02 00:00:00",
+                             "2024-01-04 00:00:00")
     # BOTH lookups use GROWING frames (unboundedPreceding..current): Spark's
     # shrinking-frame processor (current..unboundedFollowing) recomputes the
     # aggregate per row -- O(n^2) per partition, measured 75 s at sf0.1.
@@ -205,11 +224,6 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolation weight 0, so exclusion from `next` is immaterial).
     # event_id tiebreak (grid sentinel -1) totalizes both lookup orders
     # (r7 review: the LOCF sibling's ADVICE fix, applied here too)
-    wf = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("t").asc(), F.col("is_grid").asc(), F.col("tie").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
     wr = (
         W.partitionBy("event_type")
         .orderBy(F.col("t").desc(), F.col("is_grid").desc(),
@@ -260,8 +274,8 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(x) AS sx, SUM(x * x) AS sxx,
                  SUM(y) AS sy, SUM(y * y) AS syy,
                  SUM(x * y) AS sxy,
-                 min_by(event_id, x * 10000000 + event_id) AS min_event,
-                 max_by(event_id, x * 10000000 + event_id) AS max_event,
+                 min_by(event_id, x * 8589934592 + event_id) AS min_event,
+                 max_by(event_id, x * 8589934592 + event_id) AS max_event,
                  MIN(value) AS min_value, MAX(value) AS max_value
           FROM q GROUP BY event_type)
     SELECT event_type, n, p50, p90, p99,
@@ -300,7 +314,10 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
         F.col("user_id").alias("y"),
     )
-    key = F.col("x") * 10_000_000 + F.col("event_id")
+    # 2^33 multiplier: injective while event_id < 2^33 (the old 1e7
+    # collided past sf~1, making min_by/max_by ties engine-dependent --
+    # r8 review); x <= ~1e6 keeps the key far inside int64
+    key = F.col("x") * 8_589_934_592 + F.col("event_id")
     # percentile keeps ALL values in its partial-aggregation buffers, which
     # forces the whole mixed aggregate onto the slow object-hash path and
     # ships every value through the shuffle; isolating it in its own
@@ -367,7 +384,7 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
       AND o_custkey IN (SELECT c_custkey FROM customer
                         WHERE c_mktsegment = 'BUILDING')
       AND EXISTS (SELECT 1 FROM lineitem
@@ -376,7 +393,12 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Subquery shapes through the SQL API: uncorrelated scalar "
                 "subquery, IN-subquery, correlated EXISTS -- Catalyst "
-                "rewrites them to broadcast/semi joins.",
+                "rewrites them to broadcast/semi joins. The scalar "
+                "threshold is an exact decimal SUM divided once (one IEEE "
+                "op): a plain AVG(double) accumulates in partition order "
+                "and its low-order bits differ across engines, so a row "
+                "landing within ~1e-9 of the mean could flip the count "
+                "(r8 review; latent with current fixtures).",
     tags=("sql-api", "subquery", "join"),
 )
 def subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +407,7 @@ def subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority, COUNT(*) AS n
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
           AND o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'BUILDING')
           AND EXISTS (SELECT 1 FROM lineitem
@@ -574,44 +596,14 @@ def hll_cube_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    grid = (
-        events.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence(
-                    F.lit("2023-12-31 20:00:00").cast("timestamp"),
-                    F.lit("2024-01-04 00:00:00").cast("timestamp"),
-                    F.expr("INTERVAL 1 HOUR"),
-                )
-            ).alias("t"),
-        )
-        .select(
-            "event_type", "t",
-            F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid"),
-            F.lit(-1).cast("bigint").alias("tie"),
-        )
-    )
-    pts = events.select(
-        "event_type", F.col("ts").alias("t"),
-        F.col("value").alias("v"), F.lit(0).alias("is_grid"),
-        F.col("event_id").alias("tie"),
-    )
-    # event_id tiebreak (grid sentinel -1) makes the LOCF order total --
-    # duplicate (event_type, ts) observations would otherwise leave
-    # LAST_VALUE engine/partitioning-dependent (ADVICE r6)
-    wf = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("t").asc(), F.col("is_grid").asc(), F.col("tie").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    merged, wf = _grid_union(events, "2023-12-31 20:00:00",
+                             "2024-01-04 00:00:00")
     locf = F.last(
         F.when(F.col("is_grid") == 0, F.col("v")), ignorenulls=True
     ).over(wf)
     locf4 = F.round(F.col("locf_v"), 4)
     return (
-        grid.unionByName(pts)
+        merged
         .select("event_type", "t", "is_grid", locf.alias("locf_v"))
         .where(F.col("is_grid") == 1)
         .select(
@@ -660,7 +652,10 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.zorder import zorder_key
 
     events = load_table(spark, sf_dir, "events")
-    hour = F.expr("unix_timestamp(ts) div 3600")
+    # floor division (the oracle's //), not `div` (truncates toward
+    # zero): a pre-1970 ts would otherwise produce hour_idx 0 vs -1 and
+    # feed a negative hour into the bit interleave (r8 review)
+    hour = F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)")
     return events.select(
         "event_id",
         hour.cast("bigint").alias("hour_idx"),

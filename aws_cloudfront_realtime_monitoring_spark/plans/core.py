@@ -43,10 +43,6 @@ def money(col: Column | str, prec: int = 14, scale: int = 2) -> Column:
     return c.cast(f"decimal({prec},{scale})")
 
 
-def money_sql(expr: str, prec: int = 14, scale: int = 2) -> str:
-    return f"CAST({expr} AS DECIMAL({prec},{scale}))"
-
-
 def with_now(df: DataFrame, events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Attach the dataset's max timestamp as ``__now`` via a broadcast
     1-row cross join -- the injectable "now" (D5) without a driver-side
@@ -61,7 +57,10 @@ _BIN_1H_SQL = "make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
 
 def _bin_1h(col: Column) -> Column:
     epoch = F.unix_timestamp(col)
-    return F.timestamp_seconds(epoch - (epoch % F.lit(3600)))
+    # pmod, not %: Java % rounds toward zero, so a pre-1970 timestamp
+    # would bin UP while the DuckDB oracle's // floors (the same hazard
+    # functions.timestream.bin_ fixed in r7 -- this duplicate missed it)
+    return F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(3600)))
 
 
 @register(
@@ -105,6 +104,7 @@ def q1_hourly_measure_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS series
     FROM events
     WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-06 00:00:00'
+      AND value IS NOT NULL
     GROUP BY event_type
     """,
     description="Q2 (README.md:127-135): CREATE_TIME_SERIES per dimension -- "
@@ -128,6 +128,11 @@ def q2_create_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.where(
             F.col("ts").between("2024-01-05 00:00:00", "2024-01-06 00:00:00")
+            # NULL values diverge cross-engine (concat_ws skips the NULL
+            # FIELD; DuckDB's || absorbs the whole element) -- exclude
+            # them identically on both sides (r8 review; latent, the
+            # fixtures carry no NULL values)
+            & F.col("value").isNotNull()
         )
         .groupBy("event_type")
         .agg(F.count("*").alias("n_points"), series.alias("series"))
@@ -229,7 +234,12 @@ GROUP BY event_type
     tags=("tier-b",),
 )
 def grafana_macro_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    from ..sources.tables import register_views
+
+    # the memoized registrar, not a bare createOrReplaceTempView: the
+    # bare call bypassed (and desynced) the _VIEWS_CURRENT memo every
+    # other SQL-API plan shares (r8 review)
+    register_views(spark, sf_dir)
     sql = expand_macros(
         GRAFANA_TEMPLATE.format(sum_sql=dsum_sql("value", 2)),
         table="events",
@@ -290,7 +300,10 @@ def q1_narrow_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         narrow.where(F.col("measure_name").isin("value"))
         .groupBy(
-            F.timestamp_seconds(epoch - (epoch % F.lit(3600))).alias("binned_time"),
+            # pmod: floor semantics for pre-1970 ts (see _bin_1h)
+            F.timestamp_seconds(
+                epoch - F.pmod(epoch, F.lit(3600))
+            ).alias("binned_time"),
             F.col("event_type"),
         )
         .agg(
@@ -359,8 +372,16 @@ def _synth_wire_lines(events: DataFrame, ts_int_math: bool = False) -> DataFrame
         "cs-headers": headers_tok,
         "cs-header-names": F.url_encode(F.lit("Host\nX-B\nX-Tag\nbadentry\n")),
     }
+    # coalesce each field: concat_ws SKIPS null inputs, so a NULL source
+    # column would silently DROP its token and left-shift every later
+    # field -- the '-' sentinel is the wire contract for absent values
+    # (r8 review; latent, the fixtures carry no NULLs)
     line = F.concat_ws(
-        "\t", *[field_exprs.get(name, F.lit("-")) for name, _ in CF_FIELDS]
+        "\t",
+        *[
+            F.coalesce(field_exprs.get(name, F.lit("-")), F.lit("-"))
+            for name, _ in CF_FIELDS
+        ],
     )
     return events.select(line.alias("value"))
 

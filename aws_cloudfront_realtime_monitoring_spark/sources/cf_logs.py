@@ -122,7 +122,7 @@ def parse_log_lines(
         bucket = F.pmod(
             F.hash(F.col(value_col), F.lit(sample_seed)), F.lit(1_000_000)
         )
-        lines = lines.where(bucket < int(sample_fraction * 1_000_000))
+        lines = lines.where(bucket < round(sample_fraction * 1_000_000))
 
     # Tokenize ONCE into an array column. CollapseProject does NOT inline
     # the split() into the 40 field expressions: its many-references rule

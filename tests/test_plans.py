@@ -165,3 +165,39 @@ def test_no_cartesian_or_rowudf_in_any_registry_plan(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in p, f"{name}: NLJ"
         if name not in _ROWUDF_OK:
             assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+
+
+def test_bin_1h_floors_pre_epoch_timestamps(spark):
+    """Java % rounds toward zero, so pre-1970 timestamps would bin UP
+    while the DuckDB oracle floors with // -- the r7 bin_ fix applied to
+    the _bin_1h duplicate (r8 review)."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.core import _bin_1h
+
+    df = spark.sql("SELECT timestamp'1969-12-31 23:58:20' AS ts")
+    got = df.select(_bin_1h(F.col("ts")).alias("b")).first().b
+    assert str(got) == "1969-12-31 23:00:00"
+
+
+def test_synth_wire_lines_renders_null_columns_as_sentinel(spark):
+    """concat_ws SKIPS null inputs: a NULL source column must render the
+    '-' sentinel instead of silently dropping its token and left-shifting
+    every later field (r8 review)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.core import _synth_wire_lines
+    from aws_cloudfront_realtime_monitoring_spark.schema import CF_FIELDS
+
+    df = spark.sql("""
+        SELECT CAST(1 AS BIGINT) AS event_id,
+               timestamp'2024-01-02 03:04:05' AS ts,
+               CAST(NULL AS BIGINT) AS user_id,
+               'click' AS event_type,
+               CAST(NULL AS DOUBLE) AS value,
+               CAST(NULL AS STRING) AS props
+    """)
+    line = _synth_wire_lines(df).first().value
+    toks = line.split("\t")
+    assert len(toks) == len(CF_FIELDS), toks
+    # cs-user-agent (props) renders the sentinel, not a dropped token
+    names = [n for n, _ in CF_FIELDS]
+    assert toks[names.index("cs-user-agent")] == "-"
