@@ -35,6 +35,13 @@ def h60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+def h60_spark_sql(expr: str) -> str:
+    """Same hash as :func:`h60`, as a Spark-SQL string fragment (for the
+    SQL-string plan builds). Previously hand-spelled in three modules --
+    a fourth place for the engines to silently fork (r8 review)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def mod_hash(h: Column, a: int, b: int) -> Column:
     """Universal-hash permutation of a pre-hashed value (Spark side)."""
     return (F.lit(a) * (h % F.lit(HASH_PRIME)) + F.lit(b)) % F.lit(HASH_PRIME)

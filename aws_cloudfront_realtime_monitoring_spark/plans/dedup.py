@@ -27,10 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HASH_PRIME, h60_sql, perm_params
+from ..functions.hashing import (HASH_PRIME, h60_spark_sql, h60_sql,
+                                 mod_hash_sql, perm_params)
 from ..sources.tables import load_table, register_views
 from . import REGISTRY, register
-from .text import _WORDS_SQL, WS_RE_DUCK, WS_RE_SPARK_SQL, words_col
+from .text import _WORDS_SQL, WS_RE_SPARK_SQL, words_col
 
 # ---------------------------------------------------------------- shingles
 
@@ -117,21 +118,34 @@ JACCARD_THRESHOLD = 0.6
       SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
-    SELECT i AS doc_a, j AS doc_b,
-           ROUND(c::DOUBLE / (ca.n + cb.n - c), 4) AS jaccard
-    FROM inter
-    JOIN cnt ca ON ca.doc_id = i
-    JOIN cnt cb ON cb.doc_id = j
-    WHERE c::DOUBLE / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+    SELECT doc_a, doc_b, (20000 * c + u) // (2 * u) AS jaccard_bp
+    FROM (SELECT i AS doc_a, j AS doc_b, c, ca.n + cb.n - c AS u
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = i
+          JOIN cnt cb ON cb.doc_id = j)
+    WHERE c * 10 >= u * 6
     """,
     description="Exact word-3gram Jaccard near-dup pairs (>= 0.6) via "
                 "shingle explode + equi-join -- the ground-truth path that "
-                "minhash_lsh approximates.",
+                "minhash_lsh approximates. The similarity is reported in "
+                "integer BASIS POINTS, round-half-up of 1e4*|I|/|U| "
+                "computed entirely in int64 ((20000c+u) div 2u), and the "
+                "threshold compares 10c >= 6u exactly: ROUND(double, 4) "
+                "diverges between engines on tie-adjacent rationals "
+                "(measured: 481/800 rounds to .6013 in Spark, .6012 in "
+                "DuckDB -- r8 review), and a planted pair landing on one "
+                "would fail the hash gate despite correct dedup logic.",
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles_col().alias("sh"))
+    # lazy barrier: without it the shingle expression re-evaluates per
+    # consumer branch (cnt x2 + both self-join sides = up to 4 corpus
+    # re-shingles; the signature-relation pattern the MinHash/SimHash
+    # siblings already use -- r8 review)
+    sh = docs.select(
+        "doc_id", shingles_col().alias("sh")
+    ).localCheckpoint(eager=False)
     cnt = sh.select("doc_id", F.size("sh").alias("n"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -141,15 +155,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c"))
+    u = F.col("ca.n") + F.col("cb.n") - F.col("c")
     return (
         inter.join(ca, F.col("i") == F.col("ca.doc_id"))
         .join(cb, F.col("j") == F.col("cb.doc_id"))
-        .where(jac >= JACCARD_THRESHOLD)
+        # 10c >= 6u == c/u >= 0.6, exact in int64 (see the description)
+        .where(F.col("c") * 10 >= u * 6)
+        .withColumn("u", u)
         .select(
             F.col("i").alias("doc_a"),
             F.col("j").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            # round-half-up basis points, all-integer arithmetic
+            F.expr("(20000 * c + u) div (2 * u)").alias("jaccard_bp"),
         )
     )
 
@@ -164,7 +181,7 @@ _PERMS = perm_params(MINHASH_K)
 
 def _minhash_sigs_sql() -> str:
     mins = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a} * (h % {HASH_PRIME}) + {b}) % {HASH_PRIME})) AS m{j}"
+        f"list_min(list_transform(hs, h -> {mod_hash_sql('h', a, b)})) AS m{j}"
         for j, (a, b) in enumerate(_PERMS)
     )
     return f"""
@@ -192,13 +209,13 @@ def _band_sql(b: int) -> str:
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
     verified AS (
       SELECT i, j,
-             len(list_intersect(sa.sh, sb.sh))::DOUBLE
-               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+             len(list_intersect(sa.sh, sb.sh)) AS c,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS u
       FROM cand
       JOIN shingled sa ON sa.doc_id = i
       JOIN shingled sb ON sb.doc_id = j)
-    SELECT i AS doc_a, j AS doc_b, ROUND(jac, 4) AS jaccard
-    FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+    SELECT i AS doc_a, j AS doc_b, (20000 * c + u) // (2 * u) AS jaccard_bp
+    FROM verified WHERE c * 10 >= u * 6
     """,
     description=f"MinHash({MINHASH_K} perms) + LSH ({LSH_BANDS} bands x "
                 f"{LSH_ROWS} rows) candidate generation, exact-Jaccard "
@@ -261,7 +278,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         hm AS (
           SELECT doc_id, sh,
                  transform(sh, s ->
-                   CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+                   {h60_spark_sql('s')}
                      % {HASH_PRIME}) AS hm,
                  rand(42) AS __b
           FROM shing WHERE size(sh) > 0)
@@ -285,15 +302,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         verified AS (
+          -- BIGINT up front: size() is INT and 20000*c would wrap int32
+          -- silently (non-ANSI) past c ~ 1e5 shingles at scale
           SELECT i, j,
-                 size(array_intersect(sa.sh, sb.sh))
-                   / (size(sa.sh) + size(sb.sh)
-                      - size(array_intersect(sa.sh, sb.sh))) AS jac
+                 CAST(size(array_intersect(sa.sh, sb.sh)) AS BIGINT) AS c,
+                 CAST(size(sa.sh) + size(sb.sh)
+                   - size(array_intersect(sa.sh, sb.sh)) AS BIGINT) AS u
           FROM cand
           JOIN minhash_sigs_tmp sa ON sa.doc_id = i
           JOIN minhash_sigs_tmp sb ON sb.doc_id = j)
-        SELECT i AS doc_a, j AS doc_b, ROUND(jac, 4) AS jaccard
-        FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+        SELECT i AS doc_a, j AS doc_b,
+               (20000 * c + u) div (2 * u) AS jaccard_bp
+        FROM verified WHERE c * 10 >= u * 6
     """)
 
 
@@ -413,7 +433,7 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents),
         h AS (
           SELECT doc_id,
-                 CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT) AS h
+                 {h60_spark_sql('word')} AS h
           FROM w),
         votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
         SELECT doc_id, sig, {band_bits}

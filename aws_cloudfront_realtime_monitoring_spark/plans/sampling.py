@@ -47,19 +47,27 @@ STRATA_RATES = {"en": 250, "es": 500, "fr": 500, "de": 750, "zh": 750}
 DEFAULT_RATE = 100
 
 
+def _case_sql(col: str, mapping: dict, default) -> str:
+    """dict -> CASE expression (the one spelling; _case_col is its
+    Column twin -- previously two copy-pasted pairs, r8 review)."""
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in mapping.items())
+    return f"CASE {col} {whens} ELSE {default} END"
+
+
+def _case_col(col: str, mapping: dict, default) -> Column:
+    expr = None
+    for k, v in mapping.items():
+        branch = (F.col(col) == k, F.lit(v))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    return expr.otherwise(F.lit(default))
+
+
 def _rate_case_sql() -> str:
-    whens = " ".join(
-        f"WHEN '{lang}' THEN {rate}" for lang, rate in STRATA_RATES.items()
-    )
-    return f"CASE lang {whens} ELSE {DEFAULT_RATE} END"
+    return _case_sql("lang", STRATA_RATES, DEFAULT_RATE)
 
 
 def _rate_col() -> Column:
-    expr = None
-    for lang, rate in STRATA_RATES.items():
-        branch = (F.col("lang") == lang, F.lit(rate))
-        expr = F.when(*branch) if expr is None else expr.when(*branch)
-    return expr.otherwise(F.lit(DEFAULT_RATE))
+    return _case_col("lang", STRATA_RATES, DEFAULT_RATE)
 
 
 @register(
@@ -111,18 +119,11 @@ _TOKENS_SQL = f"len(list_filter(regexp_split_to_array(text, '{_WS_DUCK}'), w -> 
 
 
 def _budget_case_sql() -> str:
-    whens = " ".join(
-        f"WHEN '{s}' THEN {b}" for s, b in MIX_BUDGET_OVERRIDES.items()
-    )
-    return f"CASE source {whens} ELSE {MIX_DEFAULT_BUDGET} END"
+    return _case_sql("source", MIX_BUDGET_OVERRIDES, MIX_DEFAULT_BUDGET)
 
 
 def _budget_col() -> Column:
-    expr = None
-    for s, b in MIX_BUDGET_OVERRIDES.items():
-        branch = (F.col("source") == s, F.lit(b))
-        expr = F.when(*branch) if expr is None else expr.when(*branch)
-    return expr.otherwise(F.lit(MIX_DEFAULT_BUDGET))
+    return _case_col("source", MIX_BUDGET_OVERRIDES, MIX_DEFAULT_BUDGET)
 
 
 @register(
@@ -194,10 +195,21 @@ TEMP_BUDGET_FRAC = 0.5
 #: micro-quantized floor makes the compared value an exact BIGINT, the
 #: same discipline as text_tfidf_topk's idf)
 _TEMP_P_SQL = (
-    f"LEAST(1000000, CAST(floor({TEMP_BUDGET_FRAC} * n * (w / z) / n_l * 1e6"
-    " + 0.5) AS BIGINT))"
+    f"LEAST(1000000, CAST(floor({TEMP_BUDGET_FRAC} * n"
+    " * (CAST(w_micro AS DOUBLE) / CAST(z_micro AS DOUBLE))"
+    " / n_l * 1e6 + 0.5) AS BIGINT))"
 )
-_TEMP_W_SQL = f"pow(CAST(n_l AS DOUBLE) / n, {TEMP_ALPHA})"
+#: per-language weight, micro-quantized to BIGINT at 1e12 BEFORE the
+#: normalizer sum: SUM over raw doubles is summation-order-dependent
+#: (measured: the 120 orders of the sf0.1 weights produce 3 distinct z
+#: doubles), and both engines' aggregation orders are unspecified -- an
+#: ulp of z near a .5 boundary would flip p_micro (r8 review). Integer
+#: sums are order-free; the quantization error (1e-12 per weight) is
+#: ~1e6 times smaller than the p_micro resolution.
+_TEMP_W_SQL = (
+    f"CAST(floor(pow(CAST(n_l AS DOUBLE) / n, {TEMP_ALPHA}) * 1e12 + 0.5)"
+    " AS BIGINT)"
+)
 
 
 #: histogram statement (corpus scanned ONCE); Spark barriers its tiny
@@ -211,8 +223,9 @@ def _temp_p_sql(hist: str) -> str:
     """Per-language keep probability from a (lang, n_l) histogram relation."""
     return f"""
     WITH tot AS (SELECT CAST(SUM(n_l) AS DOUBLE) AS n FROM {hist}),
-    w AS (SELECT lang, n_l, {_TEMP_W_SQL} AS w FROM {hist} CROSS JOIN tot),
-    z AS (SELECT SUM(w) AS z FROM w)
+    w AS (SELECT lang, n_l, {_TEMP_W_SQL} AS w_micro
+          FROM {hist} CROSS JOIN tot),
+    z AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS z_micro FROM w)
     SELECT lang, {_TEMP_P_SQL} AS p_micro
     FROM w CROSS JOIN z CROSS JOIN tot
     """
@@ -264,8 +277,9 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SIX corpus scans for what needs exactly two (histogram + final join)
     hist = spark.sql(_TEMP_HIST_SQL).localCheckpoint(eager=False)
     hist.createOrReplaceTempView("lang_hist_tmp")
-    spark_h60 = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
-                 "16, 10) AS BIGINT)")
+    from ..functions.hashing import h60_spark_sql
+
+    spark_h60 = h60_spark_sql("CAST(doc_id AS STRING)")
     return spark.sql(_temp_join_sql(_temp_p_sql("lang_hist_tmp"), spark_h60))
 
 
@@ -289,6 +303,10 @@ def _curriculum_sql(split_len_expr: str, hist_rel: str | None = None) -> str:
     reference (audit: 4 scans); the Spark builder passes a checkpointed
     view so the corpus scans exactly twice (histogram + final map)."""
     k = CURRICULUM_STAGES
+    quarts_rows = " UNION ALL ".join(
+        f"SELECT {q} AS q" if q == 1 else f"SELECT {q}"
+        for q in range(1, k)
+    )
     hist_cte = (
         f"hist AS (SELECT * FROM {hist_rel})"
         if hist_rel
@@ -307,7 +325,10 @@ def _curriculum_sql(split_len_expr: str, hist_rel: str | None = None) -> str:
     bounds AS (
       SELECT q, MIN(score) AS boundary
       FROM cum CROSS JOIN n,
-           (SELECT 1 AS q UNION ALL SELECT 2 UNION ALL SELECT 3) quarts
+           -- stage boundaries 1..k-1 derived from the constant
+           -- (a frozen 1..3 list silently kept producing QUARTILE
+           -- boundaries for any other CURRICULUM_STAGES, r8 review)
+           ({quarts_rows}) quarts
       WHERE cum_c * {k} >= q * n_total
       GROUP BY q)
     SELECT s.doc_id, s.score,

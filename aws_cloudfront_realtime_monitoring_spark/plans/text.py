@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from . import register
 
-#: BPE-ish token pattern: letter runs, digit runs, single non-alnum glyphs
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: BPE-ish token pattern: letter runs, digit runs, single non-alnum
+#: glyphs. The whitespace class is spelled EXPLICITLY (same discipline
+#: as WS_RE below): a bare \s is Java's class in Spark (includes \x0B)
+#: but RE2's in the DuckDB oracle (excludes it), so a vertical tab in a
+#: document would make n_bpe_tokens diverge across engines (r8 review).
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
 
 STOPWORDS = {
     "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "a"],

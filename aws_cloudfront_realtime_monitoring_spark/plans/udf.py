@@ -134,9 +134,15 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return  # NULL text: zero rows, like the oracle
             # split on the Java/RE2/Python common whitespace subset, NOT
             # str.split(): Python would also split on Unicode whitespace
-            # (NBSP, ideographic space) the SQL oracle's RE2 \s does not
+            # (NBSP, ideographic space) the SQL oracle's RE2 \s does not.
+            # WS_PY is text.py's canonical Python spelling of that class
+            # (a hand-typed fourth copy could silently fork -- r8 review);
+            # absolute import: eval runs on executors, where the shipped
+            # package resolves by its top-level name
+            from aws_cloudfront_realtime_monitoring_spark.plans.text import WS_PY
+
             for i, tok in enumerate(
-                t for t in _re.split("[ \t\n\r\f\x0b]+", text) if t
+                t for t in _re.split(WS_PY, text) if t
             ):
                 yield i + 1, tok
 

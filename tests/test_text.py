@@ -408,3 +408,28 @@ def test_bm25_matches_python_replica(spark, sf_dir):
         for r in bm25_topk(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_bpe_tokens_agree_on_vertical_tab(spark):
+    """BPE_RE spells its whitespace class explicitly: a bare \\s is
+    Java's class in Spark (includes \\x0B) but RE2's in DuckDB (excludes
+    it), so a vertical tab made n_bpe_tokens diverge (r8 review)."""
+    import duckdb
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import BPE_RE
+
+    from pyspark.sql import functions as F
+
+    text = "a\x0bb c"
+    # the Column API, exactly as text_profile builds it (a spark.sql
+    # literal would C-escape the backslashes differently)
+    spark_n = (
+        spark.createDataFrame([(text,)], "text STRING")
+        .select(F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n"))
+        .first()
+        .n
+    )
+    duck_n = duckdb.sql(
+        f"SELECT len(regexp_extract_all('{text}', '{BPE_RE}')) AS n"
+    ).fetchone()[0]
+    assert spark_n == duck_n == 3  # 'a', 'b', 'c'; \x0B is whitespace
