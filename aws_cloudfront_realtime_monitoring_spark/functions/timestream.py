@@ -93,6 +93,22 @@ def create_time_series(time_col: Column | str, value_col: Column | str) -> Colum
     )
 
 
+def sec_mmm_sql(ts_expr: str) -> str:
+    """Spark-SQL fragment rendering a timestamp as ``sec.mmm`` (epoch
+    seconds, dot, zero-padded milliseconds) with FLOOR semantics in pure
+    integer arithmetic -- THE one spelling, shared by the strict-compat
+    narrow dimension and the wire-line synthesizer (two hand-spelled
+    copies used trunc-toward-zero `div`/%, which render garbage like
+    '0.-50' for pre-1970 timestamps while the DuckDB oracles floor --
+    r8 review). pmod keeps the millisecond field in [0, 999] for either
+    sign; the seconds field floors like the oracle's //."""
+    us = f"unix_micros({ts_expr})"
+    return (
+        f"concat(CAST(({us} - pmod({us}, 1000000)) div 1000000 AS STRING),"
+        f" '.', lpad(CAST(pmod({us}, 1000000) div 1000 AS STRING), 3, '0'))"
+    )
+
+
 def expand_macros(
     sql: str,
     database: str = "",

@@ -57,15 +57,9 @@ def to_narrow(
 
     extra_dims = []
     if strict_compat:
-        ts_dim = F.concat(
-            F.expr(f"unix_micros(`{time_col}`) div 1000000").cast("string"),
-            F.lit("."),
-            F.lpad(
-                F.expr(f"(unix_micros(`{time_col}`) div 1000) % 1000").cast("string"),
-                3,
-                "0",
-            ),
-        )
+        from ..functions.timestream import sec_mmm_sql
+
+        ts_dim = F.expr(sec_mmm_sql(f"`{time_col}`"))
         extra_dims.append(ts_dim.alias("timestamp"))
 
     # unpivot produces (dims..., measure_name, measure_value); ids keep every

@@ -335,11 +335,9 @@ def _synth_wire_lines(events: DataFrame, ts_int_math: bool = False) -> DataFrame
         F.lit("500"),
     )
     if ts_int_math:
-        ts_tok = F.concat(
-            F.expr("unix_micros(ts) div 1000000").cast("string"),
-            F.lit("."),
-            F.lpad(F.expr("(unix_micros(ts) div 1000) % 1000").cast("string"), 3, "0"),
-        )
+        from ..functions.timestream import sec_mmm_sql
+
+        ts_tok = F.expr(sec_mmm_sql("ts"))
     else:
         ts_tok = F.format_string(
             "%.3f", F.unix_micros("ts").cast("double") / F.lit(1_000_000.0)
@@ -452,7 +450,8 @@ def cf_parse_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_dash_referer,
            COUNT(DISTINCT
              ((epoch_us(ts) // 1000000)::VARCHAR || '.' ||
-              lpad(((epoch_us(ts) // 1000) % 1000)::VARCHAR, 3, '0'))) AS n_ts_dims,
+              lpad(((epoch_us(ts) - (epoch_us(ts) // 1000000) * 1000000)
+                    // 1000)::VARCHAR, 3, '0'))) AS n_ts_dims,
            MIN(make_timestamp((epoch_us(ts) // 1000000) * 1000000)) AS min_time,
            MAX(make_timestamp((epoch_us(ts) // 1000000) * 1000000)) AS max_time
     FROM events GROUP BY 1

@@ -270,6 +270,26 @@ def _decon_spark_sql() -> str:
     """
 
 
+def decon_bench_ngrams(g: DataFrame) -> DataFrame:
+    """Distinct benchmark n-grams of a decon_grams relation (the
+    broadcast side) -- shared by the batch replica and the stream-static
+    parity row so the split/explode assembly cannot drift (r8 review)."""
+    return (
+        g.where(F.col("doc_id") % DECON_MOD == 0)
+        .select(F.explode("gg").alias("ng"))
+        .distinct()
+    )
+
+
+def decon_corpus_hits(g: DataFrame, bench_ngrams: DataFrame) -> DataFrame:
+    """Matched (doc_id, ng) rows of the non-benchmark corpus against the
+    broadcast benchmark set -- the input decon_count aggregates."""
+    corpus = g.where(~(F.col("doc_id") % DECON_MOD == 0)).select(
+        "doc_id", F.explode("gg").alias("ng")
+    )
+    return corpus.join(F.broadcast(bench_ngrams), "ng")
+
+
 def decontaminate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-composition form (the r6-r7 build), kept as the SQL
     build's pinned-equal replica (tests/test_curation.py); its
@@ -277,14 +297,7 @@ def decontaminate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity row, whose input is a streaming frame no view can express."""
     docs = load_table(spark, sf_dir, "documents")
     g = decon_grams(docs)
-    is_bench = F.col("doc_id") % DECON_MOD == 0
-    bench_ngrams = (
-        g.where(is_bench).select(F.explode("gg").alias("ng")).distinct()
-    )
-    corpus = g.where(~is_bench).select(
-        "doc_id", F.explode("gg").alias("ng")
-    )
-    return decon_count(corpus.join(F.broadcast(bench_ngrams), "ng"))
+    return decon_count(decon_corpus_hits(g, decon_bench_ngrams(g)))
 
 
 # ------------------------------------------------------ quality_filter_c4
@@ -442,7 +455,14 @@ _LWORDS = f"list_filter(regexp_split_to_array(lower(text), '{WS_RE_DUCK}'), w ->
                 "shape). Log-probs quantized to integer micro-units so "
                 "sums are exact BIGINTs; the keep test multiplies through "
                 "by the token count instead of dividing, staying in exact "
-                "integer arithmetic.",
+                "integer arithmetic. Known residual (r8 review): the "
+                "quantization floors ln(p)*1e6+0.5 from each engine's "
+                "libm (JVM Math.log is 1-ulp-accurate, glibc correctly "
+                "rounded), so a word landing within ~1 ulp of a .5 "
+                "boundary could differ by one micro-unit -- ~1e-9 per "
+                "word, unbounded only in principle; unlike summation "
+                "order this cannot be closed client-side without "
+                "reimplementing ln.",
     tags=("text", "curation", "quality"),
     driver_slot=False,
 )

@@ -200,8 +200,15 @@ def rank_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lag_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.round(
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1_000_000.0, 1
+    diff_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    # round-half-up DECISECONDS in integer arithmetic, then ONE shared
+    # division: ROUND(double, 1) disagrees between engines on decimal
+    # ties (Spark HALF_UP on the shortest repr vs DuckDB scaling the
+    # binary value -- 2.65 s rounds to 2.7 vs 2.6; r8 review). diff_us
+    # is non-negative within the ordered stream, so floor == half-up.
+    gap = (
+        F.floor((diff_us + F.lit(50_000)) / F.lit(100_000)).cast("double")
+        / F.lit(10.0)
     )
     return (
         events.withColumn("gap_s", gap)
@@ -246,7 +253,10 @@ DEMOTED: dict[str, Query] = {
                {dsum_sql('gap_s', 1)} AS sum_gap_s
         FROM (
           SELECT user_id, ts,
-                 ROUND(epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 1) AS gap_s
+                 CAST(((epoch_us(ts)
+                        - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                       + 50000) // 100000 AS DOUBLE) / 10 AS gap_s
           FROM events)
         WHERE gap_s IS NOT NULL
         GROUP BY user_id

@@ -45,9 +45,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream replay of the events table: schema from the batch
     reader, data from the multi-file layout dir (a streaming source lists a
     directory, exactly like a production landing zone)."""
-    path = stream_dir(spark, sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    return _table_stream(spark, sf_dir, "events")
 
 
 def _run_to_parquet(df: DataFrame, output_mode: str) -> DataFrame:
@@ -72,9 +70,18 @@ def _run_to_parquet(df: DataFrame, output_mode: str) -> DataFrame:
         batch_df.write.mode(write_mode).parquet(path)
 
     q = df.writeStream.foreachBatch(_write).outputMode(output_mode).start()
-    q.processAllAvailable()
-    q.stop()
-    return df.sparkSession.read.parquet(path)
+    try:
+        q.processAllAvailable()
+    finally:
+        # always stop: a failing micro-batch would otherwise leak a
+        # running query (and its file-source listing state) into every
+        # later equivalence row of the session (r8 review)
+        q.stop()
+    # explicit schema: a legitimately EMPTY result writes only _SUCCESS,
+    # and a schema-less read.parquet would fail with
+    # UNABLE_TO_INFER_SCHEMA instead of returning the empty relation the
+    # batch oracle would also produce (r8 review)
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 @register(
@@ -174,13 +181,32 @@ def stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = stream_dir(spark, sf_dir, "documents")
-    schema = spark.read.parquet(path).schema
+def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-stream reader over a table's layout dir (one spelling; the
+    per-table copies and their redundant schema reads were drift bait --
+    r8 review). The schema comes from one cached batch read per path."""
+    path = stream_dir(spark, sf_dir, name)
+    schema = _STREAM_SCHEMAS.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _STREAM_SCHEMAS[path] = schema
     return spark.readStream.schema(schema).parquet(path)
 
 
-from .curation import PII_ORACLE_SQL, _planted_col, pii_projection  # noqa: E402
+_STREAM_SCHEMAS: dict = {}
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _table_stream(spark, sf_dir, "documents")
+
+
+from .curation import (  # noqa: E402
+    PII_ORACLE_SQL,
+    _planted_col,
+    decon_bench_ngrams,
+    decon_corpus_hits,
+    pii_projection,
+)
 
 
 @register(
@@ -235,21 +261,16 @@ from .curation import (  # noqa: E402
 def stream_decontaminate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
-    is_bench = F.col("doc_id") % DECON_MOD == 0
-    # static side: the held-out benchmark n-gram set, from the batch reader
-    bench_ngrams = (
+    # the SAME bench/corpus/join assembly as the batch replica (shared
+    # projections, so the two can never drift -- the pii/chunk rows'
+    # discipline, applied here in r8); only the corpus INPUT differs:
+    # a file stream instead of the batch reader
+    bench_ngrams = decon_bench_ngrams(
         decon_grams(load_table(spark, sf_dir, "documents"))
-        .where(is_bench)
-        .select(F.explode("gg").alias("ng"))
-        .distinct()
     )
-    # stream side: the corpus, replayed as a file stream
-    corpus = (
-        decon_grams(_documents_stream(spark, sf_dir))
-        .where(~is_bench)
-        .select("doc_id", F.explode("gg").alias("ng"))
+    hits = decon_corpus_hits(
+        decon_grams(_documents_stream(spark, sf_dir)), bench_ngrams
     )
-    hits = corpus.join(F.broadcast(bench_ngrams), "ng")
     return _run_to_parquet(decon_count(hits), "complete")
 
 

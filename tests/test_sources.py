@@ -182,3 +182,21 @@ def test_register_views_drops_views_missing_from_new_layout(spark):
         # switching back re-registers everything
         tables.register_views(spark, full)
         assert spark.sql("SELECT COUNT(*) AS n FROM events").head().n == 5
+
+
+def test_strict_compat_ts_dim_floors_pre_epoch(spark):
+    """The sec.mmm dimension renderer floors for either sign: the old
+    trunc `div`/% spelling rendered '0.-50'-style garbage for pre-1970
+    timestamps while the DuckDB oracle floors (r8 review)."""
+    from aws_cloudfront_realtime_monitoring_spark.functions.timestream import (
+        sec_mmm_sql,
+    )
+
+    df = spark.sql(
+        "SELECT timestamp'1969-12-31 23:59:59.5' AS ts "
+        "UNION ALL SELECT timestamp'2024-01-02 03:04:05.678'"
+    )
+    got = sorted(
+        r.d for r in df.selectExpr(f"{sec_mmm_sql('ts')} AS d").collect()
+    )
+    assert got == ["-1.500", "1704164645.678"]
