@@ -130,4 +130,4 @@ def test_connect_client_implements_what_the_plans_use():
     # Observation exists as a Connect-side class (graph.py's counters)
     assert (connect_dir / "observation.py").exists()
     obs = _class_methods(connect_dir / "observation.py", "Observation")
-    assert "get" in obs or "_result" in obs or obs, "no Connect Observation"
+    assert "get" in obs or "_result" in obs, "no usable Connect Observation"

@@ -19,9 +19,11 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     exact = _pairs(REGISTRY["dedup_ngram_jaccard"].build(spark, sf_dir))
     lsh = _pairs(REGISTRY["dedup_minhash_lsh"].build(spark, sf_dir))
     assert lsh <= exact  # no false positives (exact verification)
-    if exact:
-        recall = len(lsh & exact) / len(exact)
-        assert recall >= 0.9, f"LSH recall {recall} too low"
+    # a regenerated corpus that stops planting near-dup pairs must fail
+    # loudly, not turn the recall surface vacuous (r8 tests review)
+    assert exact, "corpus plants no exact n-gram Jaccard pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low"
 
 
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
@@ -30,8 +32,8 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
     exact = _pairs(REGISTRY["dedup_ngram_jaccard"].build(spark, sf_dir))
     sim = REGISTRY["dedup_simhash"].build(spark, sf_dir)
     zero = {(r.doc_a, r.doc_b) for r in sim.collect() if r.hamming == 0}
-    if exact:
-        assert zero & exact, "no overlap between SimHash-0 and exact near-dups"
+    assert exact, "corpus plants no exact n-gram Jaccard pairs"
+    assert zero & exact, "no overlap between SimHash-0 and exact near-dups"
 
 
 def test_exact_dedup_partitions_consistent(spark, sf_dir):

@@ -9,10 +9,14 @@ import struct
 import numpy as np
 import pytest
 
-from aws_cloudfront_realtime_monitoring_spark.operators.gif import (
-    _INTERLACE_PASSES,
-    decode_gif,
-)
+from aws_cloudfront_realtime_monitoring_spark.operators.gif import decode_gif
+
+#: GIF89a Appendix E interlace passes, spelled HERE from the spec (NOT
+#: imported from the decoder): pass 1 every 8th row from row 0, pass 2
+#: every 8th from row 4, pass 3 every 4th from row 2, pass 4 every 2nd
+#: from row 1.  Importing the decoder's table would self-cancel a wrong
+#: table in both encoder and decoder.
+_SPEC_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
@@ -73,7 +77,7 @@ def _frame(idx: np.ndarray, left: int = 0, top: int = 0,
     h, w = idx.shape
     if interlace:
         rows = []
-        for start, step in _INTERLACE_PASSES:
+        for start, step in _SPEC_INTERLACE:
             rows.extend(range(start, h, step))
         idx = idx[rows]
     mc = min_code if min_code is not None else max(2, int(idx.max()).bit_length())

@@ -10,10 +10,38 @@ import numpy as np
 import pytest
 
 from aws_cloudfront_realtime_monitoring_spark.operators.jpeg import (
-    _IDCT_M,
-    _ZIGZAG,
     decode_jpeg_pixels,
 )
+
+
+def _spec_zigzag() -> np.ndarray:
+    """Zigzag scan order derived HERE from T.81's geometric rule (walk
+    the anti-diagonals y+x = d, alternating direction, starting up-right
+    from (0,0)) -- NOT imported from the decoder.  A transcription typo
+    in the decoder's hardcoded table would break the roundtrip against
+    this independent derivation instead of self-cancelling."""
+    order = []
+    for d in range(15):
+        ys = list(range(max(0, d - 7), min(7, d) + 1))
+        if d % 2 == 0:  # even diagonals run up-right: y descending
+            ys.reverse()
+        order.extend(y * 8 + (d - y) for y in ys)
+    return np.array(order)
+
+
+_ZIGZAG = _spec_zigzag()
+
+#: forward-DCT basis from T.81 A.3.3's own formula (C(u)/2 *
+#: cos((2x+1)u pi/16), C(0)=1/sqrt(2)), spelled independently of the
+#: decoder's IDCT matrix: coef = _FDCT @ block @ _FDCT.T
+_FDCT = np.array([
+    [
+        (np.sqrt(0.125) if u == 0 else 0.5)
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
 
 # encoder Huffman design: uniform-length canonical tables (valid per
 # T.81, just inefficient). DC: 12 symbols at length 4; AC: the 162
@@ -63,7 +91,7 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
-    coef = _IDCT_M.T @ block @ _IDCT_M
+    coef = _FDCT @ block @ _FDCT.T
     return np.round(coef / q.reshape(8, 8)).astype(np.int32)
 
 

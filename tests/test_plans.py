@@ -13,7 +13,7 @@ import io
 
 import pytest
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted, load_full
+from aws_cloudfront_realtime_monitoring_spark.plans import load_full
 
 REGISTRY = load_full()
 

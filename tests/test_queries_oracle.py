@@ -12,7 +12,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 from check_oracles import canon, dtype_sig  # noqa: E402
 
-from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_demoted, load_full
+from aws_cloudfront_realtime_monitoring_spark.plans import load_all, load_full
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import TABLES
 
 # Demoted queries lost their driver slot in the r6 registry swaps but keep
@@ -45,6 +45,17 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     )
     assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} != {len(orows)}"
     assert srows == orows, f"{name}: value mismatch"
+
+
+def test_driver_slot_budget():
+    """The driver records correctness rows for the FIRST 50 queries()
+    entries only (plans/__init__.py); a 51st driver_slot registration
+    would silently lose its driver verification row (the r01 UDF-trio
+    positions 50-52 hit exactly this).  Fail loudly instead."""
+    assert len(load_all()) <= 50, (
+        f"driver registry has {len(load_all())} rows; the driver only "
+        "verifies the first 50 -- demote something (driver_slot=False)"
+    )
 
 
 def test_entry_smoke(spark):

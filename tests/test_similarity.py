@@ -48,18 +48,55 @@ def test_bruteforce_topk_matches_numpy(spark, sf_dir):
         assert [c for _, c in sorted(pairs)] == expected[qi]
 
 
-def test_ivf_results_subset_of_bruteforce_candidates(spark, sf_dir):
-    """IVF searches the probe's Hamming-1 bucket ball only: its hits must
-    be valid vectors ranked consistently (rnk 1..3, descending cosine)."""
-    df = load_full()["ann_topk_ivf"].build(spark, sf_dir).collect()
-    by_q = {}
-    for r in df:
-        by_q.setdefault(r.query_id, []).append(r)
-    for q, rows in by_q.items():
+def test_ivf_matches_numpy_ball_topk(spark, sf_dir):
+    """IVF result == an independent numpy replay of the documented
+    semantics: sign-bit bucket over the first IVF_BITS dims, candidate
+    ball = Hamming <= IVF_PROBE_HAMMING, cosine top-k with (-cos,
+    cand_id) tiebreak.  (The previous spelling asserted only rnk
+    contiguity + cos6 monotonicity -- properties the builder's own
+    ROW_NUMBER guarantees for ANY output, so a wrong-bucket or
+    wrong-score builder still passed.)"""
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        IVF_BITS,
+        IVF_PROBE_HAMMING,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.round(
+        np.array([r.embedding for r in emb], dtype=np.float64) * QUANT
+    )
+    norms = (mat * mat).sum(axis=1)
+    buckets = {
+        int(i): sum(1 << d for d in range(IVF_BITS) if v[d] >= 0)
+        for i, v in zip(ids, np.array([r.embedding for r in emb]))
+    }
+    expected = {}
+    for qi in range(N_QUERIES):
+        q = mat[ids == qi][0]
+        qn = (q * q).sum()
+        cand = [
+            (float((mat[j] @ q) / np.sqrt(norms[j]) / np.sqrt(qn)), int(ids[j]))
+            for j in range(len(ids))
+            if ids[j] != qi
+            and bin(buckets[int(ids[j])] ^ buckets[qi]).count("1")
+            <= IVF_PROBE_HAMMING
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expected[qi] = cand[:3]  # the IVF row returns rnk <= 3
+
+    got = {}
+    for r in load_full()["ann_topk_ivf"].build(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(r)
+    assert set(got) == {qi for qi, c in expected.items() if c}
+    for qi, rows in got.items():
         rows.sort(key=lambda r: r.rnk)
         assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
-        cos = [r.cos6 for r in rows]
-        assert cos == sorted(cos, reverse=True)
+        assert [r.cand_id for r in rows] == [c for _, c in expected[qi]]
+        for r, (cos, _) in zip(rows, expected[qi]):
+            assert abs(r.cos6 - round(cos, 6)) <= 2e-6
 
 
 def test_blocked_near_dup_equals_all_pairs(spark, sf_dir):

@@ -43,21 +43,37 @@ def test_roundtrip_format(spark, wide_df, fmt):
 def test_partitioned_write_prunes_on_read(spark, wide_df):
     with tempfile.TemporaryDirectory() as d:
         out = os.path.join(d, "part")
+        # two partition values (hour 3 + a copy shifted to hour 4), so a
+        # broken pruning path that scans everything yields count 40 != 20
+        two_hours = wide_df.unionByName(
+            wide_df.withColumn(
+                "timestamp", F.col("timestamp") + F.expr("INTERVAL 1 HOUR")
+            )
+        )
         (
-            wide_df.withColumn("event_hour", F.hour("timestamp"))
+            two_hours.withColumn("event_hour", F.hour("timestamp"))
             .write.mode("overwrite")
             .partitionBy("event_hour")
             .parquet(out)
         )
         pruned = spark.read.parquet(out).where(F.col("event_hour") == 3)
-        # partition pruning visible in the plan: only hour=3 dirs scanned
-        import contextlib, io
+        # pruning visible in the plan: the predicate must sit INSIDE the
+        # scan's PartitionFilters list ("PartitionFilters: [...]" prints
+        # for any partitioned scan, pruned or not, so bare presence of
+        # the label proves nothing)
+        import contextlib, io, re
 
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             pruned.explain(True)
-        assert "PartitionFilters" in buf.getvalue()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+        assert m is not None, "no FileSourceScan with partition filters"
+        assert "event_hour" in m.group(1), (
+            "event_hour predicate not pushed as a partition filter: "
+            + m.group(0)
+        )
         assert pruned.count() == 20  # golden ts is hour 3 UTC
+        assert spark.read.parquet(out).count() == 40  # fixture really spans 2 hours
 
 
 def test_ntz_timestamps_normalized_to_instant(spark):
