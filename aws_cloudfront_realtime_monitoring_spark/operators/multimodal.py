@@ -4,17 +4,21 @@ metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 The decode step is REAL for uncompressed BMP payloads (pure-numpy header
 parse + pixel extraction -- no media library needed), for non-interlaced
 8-bit PNG (stdlib zlib inflate + the five standard scanline predictors,
-palette/tRNS expansion, CRC-verified chunks), for baseline sequential
-JPEG (operators/jpeg.py: Huffman entropy decode + dequant + IDCT +
-chroma upsample, pure numpy) and, when Pillow is present in the
-environment, for every format PIL opens (feature-flagged import; this
-build has no PIL). Payloads in any other format fall back to
-``fake_decode`` -- a deterministic metadata fake derived from payload
-bytes -- unless ``strict=True``, which raises instead. The Spark-side
-design is identical in all three cases and is what matters at 100 TB of
-media: binary column handling, Arrow batch transfer, a declared output
-schema, per-partition batching -- a narrow map with no shuffle, payload
-bytes never leaving the executor.
+palette/tRNS expansion, CRC-verified chunks), for baseline AND
+progressive JPEG (operators/jpeg.py: Huffman entropy decode + dequant +
+IDCT + chroma upsample, pure numpy), for GIF87a/89a incl. animation
+(operators/gif.py), for lossless WebP/VP8L (operators/webp.py: prefix
+codes, color cache, LZ77, all four transforms), and, when Pillow is
+present in the environment, for every format PIL opens (feature-flagged
+import; this build has no PIL). Lossy WebP (VP8/VP8X) decodes REAL
+header metadata (dims + animation frame count) with pixels out of
+scope. Payloads in any other format fall back to ``fake_decode`` -- a
+deterministic metadata fake derived from payload bytes -- unless
+``strict=True``, which raises instead. The Spark-side design is
+identical in all cases and is what matters at 100 TB of media: binary
+column handling, Arrow batch transfer, a declared output schema,
+per-partition batching -- a narrow map with no shuffle, payload bytes
+never leaving the executor.
 """
 
 from __future__ import annotations
@@ -255,10 +259,13 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
     """Decode an image payload into the :data:`DECODE_SCHEMA` metadata row.
 
     Uncompressed BMP (:func:`decode_bmp_pixels`), non-interlaced 8-bit
-    PNG (:func:`decode_png_pixels`, stdlib zlib + numpy), and baseline
-    sequential JPEG (:func:`operators.jpeg.decode_jpeg_pixels`) decode
-    for real; other formats decode via Pillow when the environment has
-    it, else fall back to :func:`fake_decode` -- or raise
+    PNG (:func:`decode_png_pixels`, stdlib zlib + numpy), baseline and
+    progressive JPEG (:func:`operators.jpeg.decode_jpeg_pixels`),
+    GIF87a/89a (:func:`operators.gif.decode_gif`) and lossless
+    WebP/VP8L (:func:`operators.webp.decode_webp`) decode for real;
+    lossy WebP decodes real header metadata (dims + frame count).
+    Other formats decode via Pillow when the environment has it, else
+    fall back to :func:`fake_decode` -- or raise
     ``NotImplementedError`` under ``strict=True``."""
     if payload[:2] == b"BM":
         try:
@@ -330,6 +337,25 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             # raises
             if strict:
                 raise
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        try:
+            width, height, n_frames, _px, _codec = decode_webp(payload)
+            return {
+                "doc_id": doc_id,
+                "n_bytes": len(payload),
+                # VP8L: real pixels; VP8/VP8X: real spec-parsed header
+                # metadata (dims + ANMF frame count), pixels out of scope
+                "width": width,
+                "height": height,
+                "n_frames": n_frames,
+                "fmt": "webp",
+            }
+        except ValueError:
+            # RIFF-prefixed but malformed: same contract as the others
+            if strict:
+                raise
     if _PILImage is not None:  # pragma: no cover (PIL absent in this build)
         import io
 
@@ -363,7 +389,8 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 def decode_batches(docs_with_payload: DataFrame) -> DataFrame:
     """Run the media decoder over Arrow batches via ``mapInPandas``
-    (REAL decode for BMP/PNG/JPEG/GIF, deterministic fake for the rest;
+    (REAL decode for BMP/PNG/JPEG/GIF/WebP, deterministic fake for the
+    rest;
     batch sizing is Spark's ``arrow.maxRecordsPerBatch``, not a
     parameter here).
 

@@ -1,0 +1,670 @@
+"""WebP decoder in pure Python + numpy -- closes the last fake media
+path (reference parity note: the reference Lambda treats payloads as
+opaque bytes, lambda_function.py:60-128; media decode is part of this
+repo's multimodal curation surface, not the reference's).
+
+Scope, written from the public container / bitstream specifications
+(RIFF container spec + "WebP Lossless Bitstream Specification"):
+
+- **VP8L (lossless) decodes REAL pixels** -- the full bitstream:
+  LSB-first bit reader, simple and normal prefix codes (code-length
+  codes with the 16/17/18 repeat symbols and the ``max_symbol`` early
+  stop), color cache, LZ77 backward references including the 120-entry
+  close-neighbor plane map, meta prefix groups (entropy image), and all
+  four transforms (predictor, color, subtract-green, color-indexing
+  with sub-byte bundling).
+- **VP8 (lossy) and VP8X (extended) decode REAL header metadata** --
+  keyframe / canvas dimensions and the animation frame count (ANMF
+  chunks) come from the spec-defined header fields; their pixel data
+  (boolean-arithmetic DCT for VP8, frame compositing for animations)
+  is out of scope and signalled by ``pixels=None``.
+
+Malformed data raises ``ValueError`` -- the same contract as the
+sibling decoders (the ``mapInPandas`` skip_invalid fallback path).
+Per-payload Python executed inside Arrow-batched workers; a narrow
+map, nothing driver-side.  Because every VP8L pixel costs Python-side
+bit reads (unlike PNG, where only defiltering is Python), the whole
+decode is bounded by the stricter ``SLOW_PATH_MAX_PIXELS`` cap.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import MAX_PIXELS, SLOW_PATH_MAX_PIXELS
+
+#: code-length-code transmission order (spec section on normal codes)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+#: LZ77 length alphabet size (prefix symbols 256..279 of the green code)
+_NUM_LENGTH_CODES = 24
+#: distance alphabet size
+_NUM_DIST_CODES = 40
+#: distance codes 1..120 address a close-neighbor (dx, dy) window
+_NUM_PLANE_CODES = 120
+
+
+def _make_plane_map() -> list[tuple[int, int]]:
+    """The spec's 120-entry distance-code -> (dx, dy) neighbor table,
+    generated from its construction rule: all offsets with dy in 0..7
+    (dx 1..8 on the current row, dx -7..8 above), sorted by squared
+    Euclidean distance, ties broken by larger dy then larger dx.  The
+    first 40 entries are spot-pinned against the spec table verbatim in
+    tests/test_webp.py so a rule error cannot self-cancel."""
+    pts = [(dx, 0) for dx in range(1, 9)]
+    pts += [(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)]
+    pts.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return pts
+
+
+_PLANE_MAP = _make_plane_map()
+
+
+class _Bits:
+    """LSB-first bit reader over the VP8L stream (post-signature)."""
+
+    __slots__ = ("data", "i", "acc", "nacc")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.i = 0
+        self.acc = 0
+        self.nacc = 0
+
+    def read(self, n: int) -> int:
+        while self.nacc < n:
+            if self.i >= len(self.data):
+                raise ValueError("VP8L bitstream truncated")
+            self.acc |= self.data[self.i] << self.nacc
+            self.i += 1
+            self.nacc += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nacc -= n
+        return v
+
+
+class _Prefix:
+    """Canonical prefix code, DEFLATE bit order (the first bit read is
+    the most significant bit of the canonical code).  A code with a
+    single used symbol reads zero bits per symbol (the simple-code
+    num_symbols=1 form); any other code must be complete (Kraft sum
+    exactly 1) or the stream is rejected."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(nz) == 1:
+            self.table = None
+            self.single = nz[0][1]
+            return
+        self.single = -1
+        max_len = max(ln for ln, _ in nz)
+        if max_len > 15:
+            raise ValueError("VP8L prefix code length beyond 15")
+        bl_count = [0] * (max_len + 1)
+        for ln, _ in nz:
+            bl_count[ln] += 1
+        kraft = sum(c << (max_len - ln) for ln, c in enumerate(bl_count) if ln)
+        if kraft != 1 << max_len:
+            raise ValueError("VP8L prefix code is not complete")
+        code = 0
+        next_code = [0] * (max_len + 1)
+        for ln in range(1, max_len + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        table: dict[tuple[int, int], int] = {}
+        for sym, ln in enumerate(lengths):
+            if ln:
+                table[(ln, next_code[ln])] = sym
+                next_code[ln] += 1
+        self.table = table
+
+    def read(self, br: _Bits) -> int:
+        if self.table is None:
+            return self.single
+        code = 0
+        ln = 0
+        while ln < 15:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            sym = self.table.get((ln, code), -1)
+            if sym >= 0:
+                return sym
+        raise ValueError("VP8L prefix code walk exceeded 15 bits")
+
+
+def _read_code_lengths(
+    br: _Bits, cl: _Prefix, alphabet_size: int
+) -> list[int]:
+    """Symbol code lengths via the code-length code: literals 0..15,
+    16 = repeat previous nonzero (2 extra bits, offset 3), 17/18 =
+    zero runs (3/7 extra bits, offsets 3/11), with the optional
+    max_symbol early stop."""
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl.read(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev = code_len
+        else:
+            if code_len == 16:
+                repeat, fill = 3 + br.read(2), prev
+            elif code_len == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L code-length repeat overruns alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return lengths
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    if br.read(1):  # simple code: 1 or 2 symbols stored verbatim
+        num_symbols = br.read(1) + 1
+        first = br.read(8) if br.read(1) else br.read(1)
+        syms = [first]
+        if num_symbols == 2:
+            syms.append(br.read(8))
+        if len(set(syms)) != len(syms):
+            raise ValueError("VP8L simple code repeats a symbol")
+        if any(s >= alphabet_size for s in syms):
+            raise ValueError("VP8L simple code symbol beyond alphabet")
+        lengths = [0] * alphabet_size
+        for s in syms:
+            lengths[s] = 1
+        return _Prefix(lengths)
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl = _Prefix(cl_lengths)
+    return _Prefix(_read_code_lengths(br, cl, alphabet_size))
+
+
+def _prefix_value(br: _Bits, prefix: int) -> int:
+    """LZ77 length/distance prefix decoding: symbols 0..3 map to 1..4;
+    beyond that each symbol covers a power-of-two range with extra
+    bits."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _plane_to_dist(code: int, xsize: int) -> int:
+    if code < 1:
+        raise ValueError("VP8L distance code 0")
+    if code > _NUM_PLANE_CODES:
+        return code - _NUM_PLANE_CODES
+    dx, dy = _PLANE_MAP[code - 1]
+    dist = dy * xsize + dx
+    return dist if dist >= 1 else 1
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _read_prefix_group(br: _Bits, cache_size: int) -> tuple:
+    """The five prefix codes of one meta group: green (literals +
+    length prefixes + cache indices), red, blue, alpha, distance."""
+    green = _read_prefix_code(br, 256 + _NUM_LENGTH_CODES + cache_size)
+    red = _read_prefix_code(br, 256)
+    blue = _read_prefix_code(br, 256)
+    alpha = _read_prefix_code(br, 256)
+    dist = _read_prefix_code(br, _NUM_DIST_CODES)
+    return green, red, blue, alpha, dist
+
+
+def _decode_pixels(
+    br: _Bits,
+    xsize: int,
+    ysize: int,
+    groups: list[tuple],
+    meta,
+    meta_bits: int,
+    cache_bits: int,
+) -> list[int]:
+    total = xsize * ysize
+    out = [0] * total
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    pos = 0
+    g = groups[0]
+    meta_w = 0 if meta is None else meta.shape[1]
+    while pos < total:
+        if meta is not None:
+            y, x = divmod(pos, xsize)
+            g = groups[meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]]
+        green, red, blue, alpha, dist_code = g
+        sym = green.read(br)
+        if sym < 256:
+            r = red.read(br)
+            b = blue.read(br)
+            a = alpha.read(br)
+            px = (a << 24) | (r << 16) | (sym << 8) | b
+            out[pos] = px
+            pos += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+        elif sym < 256 + _NUM_LENGTH_CODES:
+            length = _prefix_value(br, sym - 256)
+            dist = _plane_to_dist(_prefix_value(br, dist_code.read(br)), xsize)
+            if dist > pos:
+                raise ValueError("VP8L backward reference before image start")
+            if pos + length > total:
+                raise ValueError("VP8L backward reference overruns image")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            out[pos] = cache[sym - 256 - _NUM_LENGTH_CODES]
+            pos += 1
+    return out
+
+
+def _decode_image_stream(
+    br: _Bits, xsize: int, ysize: int, is_level0: bool
+) -> np.ndarray:
+    """One spatially-coded image; the level-0 (main) image may carry
+    transforms and a meta prefix image, sub-images may not.  Returns
+    the (ysize', xsize') uint32 ARGB array AFTER inverse transforms
+    (xsize' is the pre-bundling width for color-indexed images)."""
+    transforms: list[tuple] = []
+    if is_level0:
+        seen: set[int] = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("VP8L transform repeated")
+            seen.add(ttype)
+            if ttype in (0, 1):  # predictor / color: tiled sub-image
+                size_bits = br.read(3) + 2
+                sub = _decode_image_stream(
+                    br,
+                    _subsample(xsize, size_bits),
+                    _subsample(ysize, size_bits),
+                    False,
+                )
+                transforms.append((ttype, size_bits, sub))
+            elif ttype == 2:  # subtract green: no data
+                transforms.append((2, None, None))
+            else:  # color indexing: palette + sub-byte bundling
+                n_colors = br.read(8) + 1
+                pal_img = _decode_image_stream(br, n_colors, 1, False)
+                # palette entries are delta-coded componentwise mod 256
+                raw = pal_img.reshape(-1).astype(np.uint32)
+                comps = [
+                    np.cumsum((raw >> s) & 0xFF, dtype=np.uint32) & 0xFF
+                    for s in (24, 16, 8, 0)
+                ]
+                palette = (
+                    (comps[0] << 24) | (comps[1] << 16)
+                    | (comps[2] << 8) | comps[3]
+                )
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, width_bits, (palette, xsize)))
+                if width_bits:
+                    xsize = _subsample(xsize, width_bits)
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L color cache bits {cache_bits} out of range")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_level0 and br.read(1):  # meta prefix image
+        meta_bits = br.read(3) + 2
+        sub = _decode_image_stream(
+            br,
+            _subsample(xsize, meta_bits),
+            _subsample(ysize, meta_bits),
+            False,
+        )
+        meta2d = ((sub >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta2d.max()) + 1
+        meta = _MetaIndex(meta2d)
+    groups = [
+        _read_prefix_group(br, (1 << cache_bits) if cache_bits else 0)
+        for _ in range(n_groups)
+    ]
+    pixels = _decode_pixels(br, xsize, ysize, groups, meta, meta_bits, cache_bits)
+    arr = np.array(pixels, np.uint32).reshape(ysize, xsize)
+    for ttype, size_bits, data in reversed(transforms):
+        if ttype == 0:
+            arr = _inverse_predictor(arr, size_bits, data)
+        elif ttype == 1:
+            arr = _inverse_color_transform(arr, size_bits, data)
+        elif ttype == 2:
+            arr = _inverse_subtract_green(arr)
+        else:
+            arr = _inverse_color_index(arr, size_bits, *data)
+    return arr
+
+
+class _MetaIndex:
+    """Flattened meta-image lookup (kept row-major so the pixel loop
+    indexes a python list, not per-element numpy scalars)."""
+
+    __slots__ = ("flat", "shape")
+
+    def __init__(self, arr2d: np.ndarray) -> None:
+        self.flat = arr2d.reshape(-1).tolist()
+        self.shape = arr2d.shape
+
+    def __getitem__(self, i: int) -> int:
+        return self.flat[i]
+
+
+def _inverse_subtract_green(arr: np.ndarray) -> np.ndarray:
+    g = (arr >> 8) & 0xFF
+    r = (((arr >> 16) & 0xFF) + g) & 0xFF
+    b = ((arr & 0xFF) + g) & 0xFF
+    return (arr & np.uint32(0xFF00FF00)) | (r << 16) | b
+
+
+def _s8(x: np.ndarray) -> np.ndarray:
+    """Reinterpret a 0..255 integer array as signed int8 values."""
+    x = x.astype(np.int32)
+    return ((x + 128) & 0xFF) - 128
+
+
+def _expand_tiles(sub: np.ndarray, size_bits: int, h: int, w: int) -> np.ndarray:
+    """Repeat each tile value over its (1<<size_bits)^2 block, cropped
+    to the image rectangle."""
+    rep = 1 << size_bits
+    return np.repeat(np.repeat(sub, rep, axis=0), rep, axis=1)[:h, :w]
+
+
+def _inverse_color_transform(
+    arr: np.ndarray, size_bits: int, sub: np.ndarray
+) -> np.ndarray:
+    h, w = arr.shape
+    g2r = _s8(_expand_tiles(sub & 0xFF, size_bits, h, w))
+    g2b = _s8(_expand_tiles((sub >> 8) & 0xFF, size_bits, h, w))
+    r2b = _s8(_expand_tiles((sub >> 16) & 0xFF, size_bits, h, w))
+    green = (arr >> 8) & 0xFF
+    red = ((arr >> 16) & 0xFF).astype(np.int32)
+    blue = (arr & 0xFF).astype(np.int32)
+    sg = _s8(green)
+    new_red = (red + ((g2r * sg) >> 5)) & 0xFF
+    blue = blue + ((g2b * sg) >> 5)
+    blue = (blue + ((r2b * _s8(new_red)) >> 5)) & 0xFF
+    return (
+        (arr & np.uint32(0xFF00FF00))
+        | (new_red.astype(np.uint32) << 16)
+        | blue.astype(np.uint32)
+    )
+
+
+def _inverse_color_index(
+    arr: np.ndarray, width_bits: int, palette: np.ndarray, orig_w: int
+) -> np.ndarray:
+    h = arr.shape[0]
+    if width_bits == 0:
+        idx = (arr >> 8) & 0xFF
+    else:
+        per = 1 << width_bits
+        bits = 8 >> width_bits
+        g = (arr >> 8) & 0xFF
+        parts = [(g >> (bits * k)) & ((1 << bits) - 1) for k in range(per)]
+        idx = np.stack(parts, axis=2).reshape(h, -1)[:, :orig_w]
+    # out-of-range indices decode as 0x00000000 per the spec
+    safe = np.minimum(idx, len(palette) - 1)
+    return np.where(idx < len(palette), palette[safe], np.uint32(0))
+
+
+def _avg2(a: int, b: int) -> int:
+    """Per-byte (a + b) >> 1 on packed ARGB without cross-byte carry."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _bytes4(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _pack4(a: int, r: int, g: int, b: int) -> int:
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _select(left: int, top: int, topleft: int) -> int:
+    l4, t4, tl4 = _bytes4(left), _bytes4(top), _bytes4(topleft)
+    # manhattan distance of each candidate to the gradient estimate
+    p_l = sum(abs(t4[i] - tl4[i]) for i in range(4))
+    p_t = sum(abs(l4[i] - tl4[i]) for i in range(4))
+    return left if p_l < p_t else top
+
+
+def _clamp_add_sub_full(left: int, top: int, topleft: int) -> int:
+    l4, t4, tl4 = _bytes4(left), _bytes4(top), _bytes4(topleft)
+    return _pack4(*(_clamp(l4[i] + t4[i] - tl4[i]) for i in range(4)))
+
+
+def _clamp_add_sub_half(left: int, top: int, topleft: int) -> int:
+    av, tl4 = _bytes4(_avg2(left, top)), _bytes4(topleft)
+    out = []
+    for i in range(4):
+        d = av[i] - tl4[i]
+        # C's / 2 truncates toward zero (negative deltas round up)
+        out.append(_clamp(av[i] + (d // 2 if d >= 0 else -((-d) // 2))))
+    return _pack4(*out)
+
+
+def _inverse_predictor(
+    arr: np.ndarray, size_bits: int, sub: np.ndarray
+) -> np.ndarray:
+    """Sequential scan-order reconstruction: each pixel adds (per byte,
+    mod 256) a prediction computed from already-reconstructed
+    neighbors.  Spec edge rules: (0,0) predicts 0xff000000, the top row
+    predicts L, the left column predicts T, and TR on the rightmost
+    column is the current row's leftmost pixel."""
+    h, w = arr.shape
+    modes = ((sub >> 8) & 0xFF).astype(np.int64).reshape(-1).tolist()
+    sub_w = sub.shape[1]
+    px = arr.reshape(-1).tolist()
+    for y in range(h):
+        row = y * w
+        mrow = (y >> size_bits) * sub_w
+        for x in range(w):
+            i = row + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else px[i - 1]
+            elif x == 0:
+                pred = px[i - w]
+            else:
+                mode = modes[mrow + (x >> size_bits)]
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = px[i - 1]
+                elif mode == 2:
+                    pred = px[i - w]
+                elif mode == 3:
+                    pred = px[i - w + 1] if x + 1 < w else px[row]
+                elif mode == 4:
+                    pred = px[i - w - 1]
+                elif mode == 5:
+                    tr = px[i - w + 1] if x + 1 < w else px[row]
+                    pred = _avg2(_avg2(px[i - 1], tr), px[i - w])
+                elif mode == 6:
+                    pred = _avg2(px[i - 1], px[i - w - 1])
+                elif mode == 7:
+                    pred = _avg2(px[i - 1], px[i - w])
+                elif mode == 8:
+                    pred = _avg2(px[i - w - 1], px[i - w])
+                elif mode == 9:
+                    tr = px[i - w + 1] if x + 1 < w else px[row]
+                    pred = _avg2(px[i - w], tr)
+                elif mode == 10:
+                    tr = px[i - w + 1] if x + 1 < w else px[row]
+                    pred = _avg2(
+                        _avg2(px[i - 1], px[i - w - 1]), _avg2(px[i - w], tr)
+                    )
+                elif mode == 11:
+                    pred = _select(px[i - 1], px[i - w], px[i - w - 1])
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(
+                        px[i - 1], px[i - w], px[i - w - 1]
+                    )
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(
+                        px[i - 1], px[i - w], px[i - w - 1]
+                    )
+                else:
+                    raise ValueError(f"VP8L predictor mode {mode} undefined")
+            v = px[i]
+            # per-byte add mod 256: alternating masks stop carries
+            px[i] = (
+                (((v & 0x00FF00FF) + (pred & 0x00FF00FF)) & 0x00FF00FF)
+                | (((v & 0xFF00FF00) + (pred & 0xFF00FF00)) & 0xFF00FF00)
+            ) & 0xFFFFFFFF
+    return np.array(px, np.uint32).reshape(h, w)
+
+
+def decode_vp8l_pixels(data: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for a VP8L chunk payload: returns (width, height,
+    rgba[h, w, 4] uint8).  Raises ``ValueError`` on malformed data or
+    outside the slow-path pixel cap."""
+    try:
+        return _decode_vp8l(data)
+    except (IndexError, OverflowError) as exc:
+        raise ValueError(f"malformed VP8L: {exc}") from exc
+
+
+def _decode_vp8l(data: bytes) -> tuple[int, int, np.ndarray]:
+    if not data or data[0] != 0x2F:
+        raise ValueError("missing VP8L signature byte")
+    br = _Bits(data[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha_is_used hint: informational only
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    # every pixel costs Python-side bit reads: the stricter cap applies
+    if width * height > SLOW_PATH_MAX_PIXELS:
+        raise ValueError("VP8L dimensions exceed the decode cap")
+    arr = _decode_image_stream(br, width, height, True)
+    if arr.shape != (height, width):
+        raise ValueError("VP8L decoded shape mismatch")
+    rgba = np.dstack(
+        [
+            (arr >> 16) & 0xFF,
+            (arr >> 8) & 0xFF,
+            arr & 0xFF,
+            (arr >> 24) & 0xFF,
+        ]
+    ).astype(np.uint8)
+    return width, height, rgba
+
+
+def _vp8_dimensions(body: bytes) -> tuple[int, int]:
+    """Lossy VP8 keyframe dimensions from the uncompressed frame header
+    (3-byte frame tag, 3-byte start code 9D 01 2A, two 16-bit fields
+    whose low 14 bits are width/height)."""
+    if len(body) < 10:
+        raise ValueError("truncated VP8 frame header")
+    if body[0] & 0x01:
+        raise ValueError("VP8 stream does not start with a key frame")
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    width = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+    height = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+    if width == 0 or height == 0:
+        raise ValueError("degenerate VP8 dimensions")
+    return width, height
+
+
+def decode_webp(
+    payload: bytes,
+) -> tuple[int, int, int, np.ndarray | None, str]:
+    """Decode a WebP container: returns (width, height, n_frames,
+    rgba_or_None, codec) where codec is 'vp8l', 'vp8' or 'vp8x'.
+    Pixels are real for VP8L; VP8/VP8X return spec-parsed header
+    metadata with ``None`` pixels (documented scope)."""
+    if (
+        len(payload) < 21
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+    ):
+        raise ValueError("not a WebP payload")
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size < 4:
+        raise ValueError("WebP RIFF size too small")
+    end = min(len(payload), 8 + riff_size)
+    chunks: list[tuple[bytes, bytes]] = []
+    pos = 12
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        chunks.append((tag, body))
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+    if not chunks:
+        raise ValueError("WebP container has no chunks")
+    tag, body = chunks[0]
+    if tag == b"VP8L":
+        width, height, rgba = decode_vp8l_pixels(body)
+        return width, height, 1, rgba, "vp8l"
+    if tag == b"VP8 ":
+        width, height = _vp8_dimensions(body)
+        return width, height, 1, None, "vp8"
+    if tag == b"VP8X":
+        if len(body) < 10:
+            raise ValueError("truncated VP8X chunk")
+        width = 1 + int.from_bytes(body[4:7], "little")
+        height = 1 + int.from_bytes(body[7:10], "little")
+        if width * height > MAX_PIXELS:
+            raise ValueError("VP8X canvas exceeds the decode cap")
+        n_frames = sum(1 for t, _ in chunks if t == b"ANMF") or 1
+        rgba = None
+        for t, b in chunks[1:]:
+            # a still VP8X (alpha/ICC/EXIF wrapper) carries one image
+            # chunk at the top level; decode it when it is lossless
+            if t == b"VP8L":
+                _w, _h, rgba = decode_vp8l_pixels(b)
+                break
+            if t == b"VP8 ":
+                break
+        return width, height, n_frames, rgba, "vp8x"
+    raise ValueError(f"WebP leading chunk {tag!r} is not an image")
