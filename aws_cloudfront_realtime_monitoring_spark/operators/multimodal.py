@@ -56,7 +56,10 @@ def fake_decode(doc_id: int, payload: bytes) -> dict:
         "height": (n * 104729) % 464 + 16,
         "n_frames": n % 24 + 1,
         # NULL doc_id rows (ingest gaps) still get a deterministic fmt
-        "fmt": ("jpeg", "png", "webp")[(doc_id or 0) % 3],
+        # 'fake-' prefixed so fabricated rows can never be confused
+        # with the real decoders' fmt values (all of jpeg/png/webp are
+        # REAL decode paths now)
+        "fmt": ("fake-jpeg", "fake-png", "fake-webp")[(doc_id or 0) % 3],
     }
 
 

@@ -635,7 +635,9 @@ def decode_webp(
     while pos + 8 <= end:
         tag = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8 : pos + 8 + size]
+        # bound the body by the declared RIFF extent, not the payload
+        # length: a chunk may not consume bytes outside the container
+        body = payload[pos + 8 : min(pos + 8 + size, end)]
         if len(body) < size:
             raise ValueError("truncated WebP chunk")
         chunks.append((tag, body))
@@ -662,7 +664,14 @@ def decode_webp(
             # a still VP8X (alpha/ICC/EXIF wrapper) carries one image
             # chunk at the top level; decode it when it is lossless
             if t == b"VP8L":
-                _w, _h, rgba = decode_vp8l_pixels(b)
+                in_w, in_h, rgba = decode_vp8l_pixels(b)
+                # the returned dims must describe the returned pixels:
+                # a still image whose frame disagrees with the declared
+                # canvas is malformed, not silently mismatched
+                if (in_w, in_h) != (width, height):
+                    raise ValueError(
+                        "VP8X still frame dims disagree with the canvas"
+                    )
                 break
             if t == b"VP8 ":
                 break

@@ -1,15 +1,17 @@
 """Multimodal-column queries: binary payload + pandas-batch decode plumbing
 (operators.multimodal), verified end-to-end against an arithmetic oracle.
 
-The decoder is REAL for uncompressed BMP and non-interlaced 8-bit PNG
-(pure numpy + stdlib zlib, golden-bytes-tested in
-tests/test_multimodal.py, which also drives this pipeline shape over
-actual PNG payloads) and PIL-backed when the environment has Pillow; this
-registry query feeds utf-8 TEXT payloads, which take the documented
-deterministic fake path -- so the oracle below replicates the fake's
-arithmetic, and what the row pins down is the Spark-side contract: binary
-column, Arrow batch shape, mapInPandas schema, downstream aggregability
-of the decoded metadata.
+The decoder is REAL for BMP, non-interlaced 8-bit PNG, baseline +
+progressive JPEG, GIF (incl. animation) and lossless WebP/VP8L (pure
+numpy + stdlib zlib, each golden-bytes-tested against independent
+spec-written encoders in tests/test_{multimodal,jpeg,gif,webp}.py) and
+PIL-backed when the environment has Pillow; this registry query feeds
+utf-8 TEXT payloads, which take the documented deterministic fake path
+(fmt values 'fake-*' so fabricated rows can never be confused with real
+decodes) -- so the oracle below replicates the fake's arithmetic, and
+what the row pins down is the Spark-side contract: binary column, Arrow
+batch shape, mapInPandas schema, downstream aggregability of the decoded
+metadata.
 """
 
 from __future__ import annotations
@@ -35,8 +37,8 @@ from . import register
              (octet_length(encode(text)) * 7919) % 624 + 16 AS width,
              (octet_length(encode(text)) * 104729) % 464 + 16 AS height,
              octet_length(encode(text)) % 24 + 1 AS n_frames,
-             CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-                             ELSE 'webp' END AS fmt
+             CASE doc_id % 3 WHEN 0 THEN 'fake-jpeg' WHEN 1 THEN 'fake-png'
+                             ELSE 'fake-webp' END AS fmt
       FROM documents)
     SELECT doc_id, n_bytes, width, height, n_frames, fmt,
            least(0 * greatest(n_bytes // 4, 1), n_bytes - 1)

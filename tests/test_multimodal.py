@@ -46,7 +46,7 @@ def test_strict_decode_raises_for_undectable_formats():
     with pytest.raises(ValueError):
         decode_image(1, b"BMnot really a bitmap", strict=True)
     meta = decode_image(1, b"BMnot really a bitmap")
-    assert meta["fmt"] in ("jpeg", "png", "webp")  # fake fallback
+    assert meta["fmt"] in ("fake-jpeg", "fake-png", "fake-webp")  # fake fallback
 
 
 def test_bmp_decodes_for_real():
@@ -224,7 +224,7 @@ def test_png_rejects_malformed_and_unsupported():
     # strict decode_image surfaces the rejection; non-strict falls back
     with pytest.raises(ValueError):
         decode_image(1, bytes(bad_crc), strict=True)
-    assert decode_image(1, bytes(bad_crc))["fmt"] in ("jpeg", "png", "webp")
+    assert decode_image(1, bytes(bad_crc))["fmt"] in ("fake-jpeg", "fake-png", "fake-webp")
 
 
 def test_png_payloads_through_mapinpandas(spark):
@@ -248,7 +248,7 @@ def test_png_payloads_through_mapinpandas(spark):
     assert (got[0].fmt, got[0].width, got[0].height) == ("png", 7, 5)
     assert (got[1].fmt, got[1].width, got[1].height) == ("png", 2, 8)
     assert got[2].fmt == "bmp"
-    assert got[3].fmt in ("jpeg", "png", "webp")  # documented fake fallback
+    assert got[3].fmt in ("fake-jpeg", "fake-png", "fake-webp")  # documented fake fallback
 
 
 def test_pipeline_shape_over_real_png_payloads(spark):

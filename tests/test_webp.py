@@ -182,6 +182,19 @@ def _ckey(px: int, cache_bits: int) -> int:
     return ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
 
 
+def _dist_code(d: int, w: int) -> int:
+    """Map a pixel distance to its wire code: distance 1 goes through
+    the spec's close-neighbor plane code, everything else through the
+    direct (distance + 120) form -- so every LZ77 roundtrip exercises
+    BOTH decoder branches.  The plane code is resolved against the
+    SPEC-TRANSCRIBED table literals (not the decoder's generated map)
+    so the decoder's plane-code usage -- index base, dy*xsize+dx
+    arithmetic -- cannot self-cancel."""
+    if d == 1:
+        return _SPEC_PLANE_40.index((1, 0)) + 1
+    return d + 120
+
+
 # -------------------------------------------------- spatial image body
 
 
@@ -275,7 +288,7 @@ def _encode_spatial(
         elif op[1] == "copy":
             p, _e, _b = _to_prefix(op[2])
             green_f[grp][256 + p] = green_f[grp].get(256 + p, 0) + 1
-            dp, _e2, _b2 = _to_prefix(op[3] + 120)
+            dp, _e2, _b2 = _to_prefix(_dist_code(op[3], w))
             dist_f[grp][dp] = dist_f[grp].get(dp, 0) + 1
         else:
             s = 280 + op[2]
@@ -302,7 +315,7 @@ def _encode_spatial(
             p, extra, ebits = _to_prefix(op[2])
             bw.put_code(*green[256 + p])
             bw.put(extra, ebits)
-            dp, extra2, ebits2 = _to_prefix(op[3] + 120)
+            dp, extra2, ebits2 = _to_prefix(_dist_code(op[3], w))
             bw.put_code(*dist[dp])
             bw.put(extra2, ebits2)
         else:
@@ -620,7 +633,29 @@ def test_vp8l_lz77_runs_roundtrip():
     kinds = {op[1] for op in ops}
     assert "copy" in kinds
     dists = {op[3] for op in ops if op[1] == "copy"}
+    # distance 1 rides the close-neighbor plane code (see _dist_code),
+    # distance 24 the direct distance+120 form: both decoder branches ran
     assert 1 in dists and 24 in dists
+
+
+def test_plane_to_dist_spec_arithmetic():
+    """Direct pins of the plane-code mapping against the transcribed
+    spec table: dist = dy * xsize + dx, clamped to 1, with codes above
+    120 meaning distance - 120."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.webp import (
+        _plane_to_dist,
+    )
+
+    assert _plane_to_dist(1, 100) == 100  # (0, 1): one row up
+    assert _plane_to_dist(2, 100) == 1  # (1, 0): previous pixel
+    assert _plane_to_dist(3, 100) == 101  # (1, 1)
+    assert _plane_to_dist(4, 100) == 99  # (-1, 1)
+    assert _plane_to_dist(4, 1) == 1  # (-1, 1) on a 1-wide image: clamp
+    assert _plane_to_dist(40, 7) == 5  # (5, 0), table entry 40
+    assert _plane_to_dist(121, 7) == 1  # first direct code
+    assert _plane_to_dist(320, 7) == 200
+    with pytest.raises(ValueError):
+        _plane_to_dist(0, 7)
 
 
 def test_vp8l_color_cache_roundtrip():
@@ -833,6 +868,47 @@ def test_webp_container_vp8l_and_lossy_and_vp8x():
     blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
     w, h, n, px, codec = decode_webp(blob)
     assert (w, h, n, px, codec) == (100, 50, 3, None, "vp8x")
+
+
+def test_webp_vp8x_still_image_decodes_and_checks_canvas():
+    rng = np.random.RandomState(97)
+    rgba = rng.randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    data, _ = _encode_vp8l(rgba)
+
+    def _vp8x_blob(canvas_w: int, canvas_h: int) -> bytes:
+        vp8x = bytes([0x02, 0, 0, 0]) + (canvas_w - 1).to_bytes(
+            3, "little"
+        ) + (canvas_h - 1).to_bytes(3, "little")
+        chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        chunks += b"VP8L" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+    # a still VP8X (e.g. an EXIF/ICC wrapper) decodes the inner VP8L
+    w, h, n, px, codec = decode_webp(_vp8x_blob(6, 4))
+    assert (w, h, n, codec) == (6, 4, 1, "vp8x")
+    np.testing.assert_array_equal(px, rgba)
+    # a frame that disagrees with the declared canvas is malformed --
+    # the returned dims must always describe the returned pixels
+    with pytest.raises(ValueError):
+        decode_webp(_vp8x_blob(100, 50))
+
+
+def test_webp_chunk_may_not_cross_riff_boundary():
+    """A chunk whose declared size runs past the RIFF extent must be
+    rejected even when trailing non-container bytes could 'satisfy'
+    the slice."""
+    rng = np.random.RandomState(101)
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    data, _ = _encode_vp8l(rgba)
+    blob = bytearray(_wrap_riff(data))
+    # shrink the declared RIFF size so the VP8L chunk crosses the
+    # boundary, then append trailing garbage beyond it
+    struct.pack_into("<I", blob, 4, len(blob) - 8 - 4)
+    blob += b"\xee" * 8
+    with pytest.raises(ValueError):
+        decode_webp(bytes(blob))
 
 
 def test_webp_container_rejects():
