@@ -613,13 +613,23 @@ def _vp8_dimensions(body: bytes) -> tuple[int, int]:
     return width, height
 
 
-def decode_webp(
-    payload: bytes,
-) -> tuple[int, int, int, np.ndarray | None, str]:
-    """Decode a WebP container: returns (width, height, n_frames,
-    rgba_or_None, codec) where codec is 'vp8l', 'vp8' or 'vp8x'.
-    Pixels are real for VP8L; VP8/VP8X return spec-parsed header
-    metadata with ``None`` pixels (documented scope)."""
+def _subchunks(data: bytes) -> list[tuple[bytes, bytes]]:
+    """Walk a sequence of even-padded RIFF chunks (container payload
+    after the WEBP fourcc, or ANMF frame data)."""
+    chunks: list[tuple[bytes, bytes]] = []
+    pos = 0
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        chunks.append((tag, body))
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+    return chunks
+
+
+def _riff_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
     if (
         len(payload) < 21
         or payload[:4] != b"RIFF"
@@ -629,21 +639,23 @@ def decode_webp(
     riff_size = struct.unpack_from("<I", payload, 4)[0]
     if riff_size < 4:
         raise ValueError("WebP RIFF size too small")
+    # bound the walk by the declared RIFF extent, not the payload
+    # length: a chunk may not consume bytes outside the container
     end = min(len(payload), 8 + riff_size)
-    chunks: list[tuple[bytes, bytes]] = []
-    pos = 12
-    while pos + 8 <= end:
-        tag = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        # bound the body by the declared RIFF extent, not the payload
-        # length: a chunk may not consume bytes outside the container
-        body = payload[pos + 8 : min(pos + 8 + size, end)]
-        if len(body) < size:
-            raise ValueError("truncated WebP chunk")
-        chunks.append((tag, body))
-        pos += 8 + size + (size & 1)  # chunks are even-padded
+    chunks = _subchunks(payload[12:end])
     if not chunks:
         raise ValueError("WebP container has no chunks")
+    return chunks
+
+
+def decode_webp(
+    payload: bytes,
+) -> tuple[int, int, int, np.ndarray | None, str]:
+    """Decode a WebP container: returns (width, height, n_frames,
+    rgba_or_None, codec) where codec is 'vp8l', 'vp8' or 'vp8x'.
+    Pixels are real for VP8L; VP8/VP8X return spec-parsed header
+    metadata with ``None`` pixels (documented scope)."""
+    chunks = _riff_chunks(payload)
     tag, body = chunks[0]
     if tag == b"VP8L":
         width, height, rgba = decode_vp8l_pixels(body)
@@ -677,3 +689,134 @@ def decode_webp(
                 break
         return width, height, n_frames, rgba, "vp8x"
     raise ValueError(f"WebP leading chunk {tag!r} is not an image")
+
+
+def count_webp_frames(payload: bytes) -> tuple[int, int, int]:
+    """(canvas width, height, n_frames) by walking the chunk structure
+    only -- no pixel decode; the cheap first pass of two-pass frame
+    sampling (the GIF analog is :func:`gif.count_gif_frames`)."""
+    chunks = _riff_chunks(payload)
+    tag, body = chunks[0]
+    if tag == b"VP8L":
+        if not body or body[0] != 0x2F:
+            raise ValueError("missing VP8L signature byte")
+        br = _Bits(body[1:])
+        return br.read(14) + 1, br.read(14) + 1, 1
+    if tag == b"VP8 ":
+        width, height = _vp8_dimensions(body)
+        return width, height, 1
+    if tag == b"VP8X":
+        if len(body) < 10:
+            raise ValueError("truncated VP8X chunk")
+        width = 1 + int.from_bytes(body[4:7], "little")
+        height = 1 + int.from_bytes(body[7:10], "little")
+        return width, height, sum(1 for t, _ in chunks if t == b"ANMF") or 1
+    raise ValueError(f"WebP leading chunk {tag!r} is not an image")
+
+
+def _blend_over(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Source-over alpha compositing per the extended-format spec's
+    blending formula, in exact integer arithmetic (floor of the
+    rational): a = aS + aD*(255-aS)/255; rgb = (rgbS*aS*255 +
+    rgbD*aD*(255-aS)) / (255*a), 0 where a == 0."""
+    a_s = src[..., 3].astype(np.int64)
+    a_d = dst[..., 3].astype(np.int64)
+    inv = 255 - a_s
+    a_out = a_s * 255 + a_d * inv  # scaled by 255
+    rgb_num = (
+        src[..., :3].astype(np.int64) * (a_s * 255)[..., None]
+        + dst[..., :3].astype(np.int64) * (a_d * inv)[..., None]
+    )
+    safe = np.maximum(a_out, 1)
+    out = np.empty_like(src)
+    out[..., :3] = np.where(
+        a_out[..., None] > 0, rgb_num // safe[..., None], 0
+    ).astype(np.uint8)
+    out[..., 3] = (a_out // 255).astype(np.uint8)
+    return out
+
+
+def decode_webp_frames(
+    payload: bytes, keep_indices: set | None = None
+) -> tuple[int, int, int, list[np.ndarray]]:
+    """Decode COMPOSITED animation frames of an extended (VP8X + ANMF)
+    WebP whose frames are VP8L-coded: each frame draws onto the running
+    canvas at its (2-pixel-unit) offset, honoring the per-frame
+    blending flag (bit 1: 1 = overwrite, 0 = source-over alpha blend)
+    and disposal flag (bit 0: 1 = restore the frame rectangle to the
+    ANIM background color) -- so frame k is what a viewer sees at step
+    k.  Returns (width, height, n_frames, [canvas[h, w, 4] uint8 for
+    each kept index]).  Lossy (VP8-coded) frames raise ``ValueError``
+    (documented scope).  Frames after the last kept index are counted
+    but never pixel-decoded -- same memory/CPU contract as the GIF
+    sibling."""
+    chunks = _riff_chunks(payload)
+    tag, body = chunks[0]
+    if tag == b"VP8L":  # a still image is its own single frame
+        width, height, rgba = decode_vp8l_pixels(body)
+        keep = keep_indices if keep_indices is not None else {0}
+        return width, height, 1, [rgba] if 0 in keep else []
+    if tag != b"VP8X":
+        raise ValueError("WebP payload has no decodable frames")
+    if len(body) < 10:
+        raise ValueError("truncated VP8X chunk")
+    width = 1 + int.from_bytes(body[4:7], "little")
+    height = 1 + int.from_bytes(body[7:10], "little")
+    if width * height > SLOW_PATH_MAX_PIXELS:
+        raise ValueError("WebP canvas exceeds the decode cap")
+    frames = [b for t, b in chunks if t == b"ANMF"]
+    if not frames:
+        # a still VP8X: delegate to the single-image path
+        w, h, n, rgba, _codec = decode_webp(payload)
+        if rgba is None:
+            raise ValueError("still VP8X carries no lossless image")
+        keep = keep_indices if keep_indices is not None else {0}
+        return w, h, 1, [rgba] if 0 in keep else []
+    keep = keep_indices if keep_indices is not None else set(range(len(frames)))
+    last_wanted = max(keep) if keep else -1
+    # canvas starts as the ANIM background color (BGRA bytes), else
+    # transparent black
+    bg = np.zeros(4, np.uint8)
+    for t, b in chunks:
+        if t == b"ANIM":
+            if len(b) < 6:
+                raise ValueError("truncated ANIM chunk")
+            bg = np.array([b[2], b[1], b[0], b[3]], np.uint8)  # BGRA->RGBA
+            break
+    canvas = np.tile(bg, (height, width, 1))
+    screens: list[np.ndarray] = []
+    for idx, fb in enumerate(frames):
+        if idx > last_wanted:
+            break  # later frames cannot affect any retained screen
+        if len(fb) < 16:
+            raise ValueError("truncated ANMF header")
+        fx = int.from_bytes(fb[0:3], "little") * 2
+        fy = int.from_bytes(fb[3:6], "little") * 2
+        fw = 1 + int.from_bytes(fb[6:9], "little")
+        fh = 1 + int.from_bytes(fb[9:12], "little")
+        flags = fb[15]
+        if fx + fw > width or fy + fh > height:
+            raise ValueError("ANMF frame exceeds the canvas")
+        rgba = None
+        for t, b in _subchunks(fb[16:]):
+            if t == b"VP8L":
+                fw_d, fh_d, rgba = decode_vp8l_pixels(b)
+                if (fw_d, fh_d) != (fw, fh):
+                    raise ValueError("ANMF frame dims disagree with header")
+                break
+            if t == b"VP8 ":
+                raise ValueError(
+                    "lossy (VP8) animation frames are out of decode scope"
+                )
+        if rgba is None:
+            raise ValueError("ANMF frame carries no image chunk")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02:  # no-blend: overwrite the rectangle
+            region[:, :] = rgba
+        else:
+            region[:, :] = _blend_over(rgba, region)
+        if idx in keep:
+            screens.append(canvas.copy())
+        if flags & 0x01:  # dispose to background before the next frame
+            region[:, :] = bg
+    return width, height, len(frames), screens
