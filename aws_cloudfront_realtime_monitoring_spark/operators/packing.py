@@ -130,6 +130,16 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
             tree = _FirstFitTree()
             for tok in pdf["n_tokens"]:
                 tok = int(tok)
+                if tok < 0:
+                    # A negative need would match the tree's -1 sentinel on
+                    # UNOPENED leaves and return an index past self.n
+                    # (IndexError deep in a task); surface the schema
+                    # violation instead, like the id-type contract below.
+                    raise ValueError(
+                        f"pack_group {group}: negative token count {tok} "
+                        f"(doc_id {int(pdf['doc_id'].iloc[len(assign)])}); "
+                        "n_tokens must be >= 0"
+                    )
                 if tok > capacity:
                     tree.open(capacity - tok)  # negative: never fits more
                     fills.append(tok)

@@ -122,31 +122,7 @@ def compact_partition(
     # compaction only proceed when no live process holds the lock
     # (compaction is a same-host maintenance job in this layout; table
     # formats replace all of this with transactional commits).
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        try:
-            holder = int(open(lock).read().strip() or "0")
-        except (OSError, ValueError):
-            holder = 0
-        alive = False
-        if holder > 0:
-            try:
-                os.kill(holder, 0)
-                alive = True
-            except ProcessLookupError:
-                alive = False
-            except PermissionError:
-                alive = True  # process exists, owned by another user
-        if alive:
-            raise ValueError(
-                f"compaction of {partition_dir!r} already in progress "
-                f"(pid {holder})"
-            )
-        os.unlink(lock)  # stale lock from a dead process
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.write(fd, str(os.getpid()).encode())
-    os.close(fd)
+    _acquire_compact_lock(lock, partition_dir)
     try:
         return _compact_locked(spark, partition_dir, tmp, old,
                                target_file_bytes)
@@ -155,6 +131,70 @@ def compact_partition(
             os.unlink(lock)
         except OSError:
             pass
+
+
+def _acquire_compact_lock(lock: str, partition_dir: str) -> None:
+    """Take the pid lockfile, or raise ``ValueError`` if a live process
+    holds it.
+
+    The pid is written to a private temp name FIRST and published with one
+    ``os.link`` -- the lock name never exists without its pid inside, so a
+    concurrent invocation can never read an empty lock, parse holder=0,
+    and unlink a LIVE holder (the create-then-write race of the previous
+    ``O_EXCL`` + ``os.write`` sequence). Reclaiming a dead holder's lock is
+    also race-safe: any number of waiters may race the ``unlink`` (only one
+    wins, the rest see ``FileNotFoundError``) and all then retry the
+    ``link``, where again exactly one wins.
+    """
+    import threading
+    import time
+
+    # pid alone is NOT unique within a process: two threads would share the
+    # temp name, truncate/unlink each other's pid file mid-acquire, and die
+    # on FileNotFoundError instead of one clean refusal (caught by the r9
+    # verify drive).
+    tmp_lock = f"{lock}.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp_lock, "w") as f:
+        f.write(str(os.getpid()))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        for _ in range(20):
+            try:
+                os.link(tmp_lock, lock)
+                return
+            except FileExistsError:
+                pass
+            try:
+                holder = int(open(lock).read().strip() or "0")
+            except FileNotFoundError:
+                continue  # released between link and read; retry the link
+            except (OSError, ValueError):
+                holder = 0
+            alive = False
+            if holder > 0:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # process exists, owned by another user
+            if alive:
+                raise ValueError(
+                    f"compaction of {partition_dir!r} already in progress "
+                    f"(pid {holder})"
+                )
+            try:
+                os.unlink(lock)  # dead holder; one racer wins the unlink
+            except FileNotFoundError:
+                pass
+            time.sleep(0.05)
+        raise ValueError(
+            f"could not acquire compaction lock {lock!r} after 20 attempts"
+        )
+    finally:
+        os.unlink(tmp_lock)
 
 
 def _compact_locked(spark, partition_dir, tmp, old, target_file_bytes):

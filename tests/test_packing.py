@@ -221,3 +221,17 @@ def test_pack_shards_rejects_non_integral_ids(spark):
     )
     with pytest.raises(ValueError, match="integral type"):
         pack_shards(df, 10, id_col="doc_uri")
+
+
+def test_pack_shards_rejects_negative_tokens(spark):
+    """A negative token count would match the segment tree's -1 sentinel
+    on UNOPENED leaves and index past the open-shard list (IndexError
+    deep in an executor task); it must surface as a schema violation
+    instead (r9 advice)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, -3), (3, 7)], "doc_id BIGINT, n_tokens BIGINT"
+    )
+    with pytest.raises(Exception, match="negative token count"):
+        pack_shards(df, 10, n_groups=1).collect()

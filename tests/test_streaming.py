@@ -761,3 +761,86 @@ def test_cut_chunks_rejects_stale_or_degenerate_chunk_size():
         _cut_chunks("k", pd.Series([1, 1, 1]), (7, 70, 2), 4, "g")
     with pytest.raises(ValueError, match="chunk_size"):
         _cut_chunks("k", pd.Series([1]), (0, 0, 0), 0, "g")
+
+
+def test_compact_lock_never_visible_without_pid():
+    """The lock is published by os.link of a pre-written temp file, so the
+    lock name NEVER exists with empty content -- the old O_EXCL-then-write
+    sequence had a window where a concurrent invocation read an empty
+    lock, parsed holder=0, and unlinked the LIVE holder (r9 advice)."""
+    import tempfile as _tf
+    import threading
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        _acquire_compact_lock,
+    )
+
+    with _tf.TemporaryDirectory() as d:
+        lock = os.path.join(d, "p.compact-lock")
+        stop = threading.Event()
+        empties = []
+
+        def poll():
+            while not stop.is_set():
+                try:
+                    if open(lock).read().strip() == "":
+                        empties.append(1)
+                except FileNotFoundError:
+                    pass
+
+        t = threading.Thread(target=poll)
+        t.start()
+        try:
+            for _ in range(200):
+                _acquire_compact_lock(lock, "p")
+                assert open(lock).read().strip() == str(os.getpid())
+                os.unlink(lock)
+        finally:
+            stop.set()
+            t.join()
+        assert not empties, f"lock observed empty {len(empties)} times"
+        # held by a live pid (ourselves) -> a second acquire refuses
+        # rather than reclaiming
+        _acquire_compact_lock(lock, "p")
+        with pytest.raises(ValueError, match="already in progress"):
+            _acquire_compact_lock(lock, "p")
+        os.unlink(lock)
+
+
+def test_compact_partition_concurrent_threads_one_winner(spark):
+    """Six same-process threads race one partition: exactly one compacts,
+    the rest refuse CLEANLY ("already in progress"), and no lock or temp
+    file survives. Pins the r9 verify-drive bug where the temp-lock name
+    was keyed on pid alone, so sibling threads truncated/unlinked each
+    other's temp file and crashed with FileNotFoundError."""
+    import glob as _glob
+    import threading
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        compact_partition,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        part = os.path.join(d, "event_date=2024-01-05")
+        spark.range(200).repartition(4).write.parquet(part)
+        results = []
+
+        def run():
+            try:
+                results.append(compact_partition(spark, part,
+                                                 target_file_bytes=10**9))
+            except ValueError as e:
+                results.append(str(e))
+
+        ts = [threading.Thread(target=run) for _ in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wins = [r for r in results if isinstance(r, tuple)]
+        refusals = [r for r in results
+                    if isinstance(r, str) and "already in progress" in r]
+        assert len(wins) == 1 and len(refusals) == 5, results
+        assert not os.path.exists(part + ".compact-lock")
+        assert not _glob.glob(part + ".compact-lock.*")
+        assert spark.read.parquet(part).count() == 200
