@@ -73,10 +73,18 @@ RERUN_FACTOR = 1.3
 ALWAYS_RERUN = {"cf_parse_wire_roundtrip"}
 
 
-def _wait_for_quiet_box() -> tuple[float, bool]:
-    """Block (bounded) until 1-min load drops under MAX_START_LOAD.
-    Returns (load_at_start_of_timing, still_loaded_flag)."""
-    deadline = time.time() + MAX_LOAD_WAIT_SEC
+#: total extra seconds the run may spend on MID-RUN quiet-box waits (the
+#: start gate has its own MAX_LOAD_WAIT_SEC). Bounded so 29 queries cannot
+#: stall for hours on a box that never goes quiet.
+MID_RUN_WAIT_BUDGET_SEC = int(
+    os.environ.get("SPARK_GRAFT_BENCH_MIDRUN_WAIT", "600")
+)
+
+
+def _wait_for_quiet_box(max_wait: int = MAX_LOAD_WAIT_SEC) -> tuple[float, bool]:
+    """Block (bounded by ``max_wait``) until 1-min load drops under
+    MAX_START_LOAD. Returns (load_at_start_of_timing, still_loaded_flag)."""
+    deadline = time.time() + max_wait
     load = os.getloadavg()[0]
     while load > MAX_START_LOAD and time.time() < deadline:
         print(f"# load_avg {load:.1f} > {MAX_START_LOAD}: waiting for the "
@@ -84,6 +92,73 @@ def _wait_for_quiet_box() -> tuple[float, bool]:
         time.sleep(30)
         load = os.getloadavg()[0]
     return load, load > MAX_START_LOAD
+
+
+#: mid-run neighbor-burst threshold, in CORES of external CPU (host busy
+#: minus our own process tree). Load average cannot arbitrate mid-run: our
+#: own local[32] jobs legitimately push 1-min load far past any threshold,
+#: so a loadavg-based mid-run gate would re-run every heavy query on a
+#: QUIET box. External cores is self-load-free by construction.
+MAX_EXTERNAL_CORES = float(
+    os.environ.get("SPARK_GRAFT_BENCH_MAX_EXT_CORES", "4.0")
+)
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _busy_jiffies() -> int:
+    """Host-wide non-idle jiffies from /proc/stat (all cpus, summed)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def _tree_jiffies() -> int:
+    """CPU jiffies consumed by THIS process and every live descendant
+    (the py4j JVM, its executor Python workers), plus each one's reaped
+    children (cutime/cstime) so short-lived workers are not lost."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced a process exit
+        rest = s[s.rindex(")") + 2:].split()  # comm may contain spaces
+        procs[int(d)] = (
+            int(rest[1]),  # ppid
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+        )
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _t) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+            stack.extend(kids.get(p, []))
+    return total
+
+
+class _ExternalCpu:
+    """External-cores sampler: cores of CPU used by processes OUTSIDE our
+    process tree since the previous sample."""
+
+    def __init__(self) -> None:
+        self._busy = _busy_jiffies()
+        self._ours = _tree_jiffies()
+        self._t = time.time()
+
+    def sample(self) -> float:
+        busy, ours, t = _busy_jiffies(), _tree_jiffies(), time.time()
+        dt = max(t - self._t, 1e-3)
+        ext = max(0, (busy - self._busy) - (ours - self._ours)) / _CLK_TCK / dt
+        self._busy, self._ours, self._t = busy, ours, t
+        return ext
 
 
 def _prior_round_times(sf: float | None) -> dict[str, float]:
@@ -141,8 +216,15 @@ def main() -> None:
         load_table(spark, sf_dir, t)
     registry["q2_create_time_series"].build(spark, sf_dir).collect()
 
-    def timed_runs(name: str, n_runs: int = 3) -> list[float]:
+    ext_cpu = _ExternalCpu()
+
+    def timed_runs(name: str, n_runs: int = 3) -> tuple[list[float], float]:
+        """min-of-N timing; also returns the MAX external-cores figure
+        sampled across the runs, so a neighbor burst that lands mid-query
+        (invisible to the start-only gate -- r8 recorded a phantom +5%
+        that way) is detected per query, not discovered after the round."""
         per_run = []
+        ext_max = ext_cpu.sample()  # close out the idle gap before run 1
         for _ in range(n_runs):
             t0 = time.time()
             # noop sink: forces full evaluation of every output column
@@ -152,12 +234,32 @@ def main() -> None:
                 "overwrite"
             ).save()
             per_run.append(time.time() - t0)
+            ext_max = max(ext_max, ext_cpu.sample())
             # drop persisted intermediates (e.g. minhash signatures) so one
             # query's cache does not occupy memory during the next
             spark.catalog.clearCache()
-        return per_run
+        return per_run, ext_max
+
+    wait_budget = float(MID_RUN_WAIT_BUDGET_SEC)
+
+    def quiet_down() -> None:
+        """Mid-run pause until the NEIGHBORS are quiet, drawing on the
+        shared budget (no-op once the budget is spent). Samples external
+        cores over 10 s windows while we sit idle."""
+        nonlocal wait_budget
+        while wait_budget > 0:
+            t0 = time.time()
+            time.sleep(10)
+            ext = ext_cpu.sample()
+            wait_budget -= time.time() - t0
+            if ext <= MAX_EXTERNAL_CORES:
+                return
+            print(f"# external load {ext:.1f} cores > {MAX_EXTERNAL_CORES}:"
+                  f" waiting ({wait_budget:.0f}s budget left)",
+                  file=sys.stderr)
 
     times: dict[str, float] = {}
+    query_ext_cores: dict[str, float] = {}
     reran: list[str] = []
     for name in HEADLINE:
         # one untimed warm-up: Python-worker spinup (pandas UDF queries) and
@@ -166,20 +268,34 @@ def main() -> None:
             "overwrite"
         ).save()
         spark.catalog.clearCache()
-        per_run = timed_runs(name)
-        # phantom-regression guard: a min-of-3 that drifts past
-        # RERUN_FACTOR x the best prior round is far more often a
-        # neighbor's CPU burst than a plan change -- give it one more
-        # min-of-3 before recording (the flagship always gets it)
+        per_run, ext_max = timed_runs(name)
+        # re-run triggers, most-specific first: the flagship always gets an
+        # extra min-of-3; a min that drifts past RERUN_FACTOR x the best
+        # prior round is far more often a neighbor's CPU burst than a plan
+        # change; and a neighbor burst OBSERVED during the runs taints
+        # them even when no prior exists to drift against
         prior = prior_times.get(name)
+        rerun_reason = None
         if name in ALWAYS_RERUN:
-            per_run += timed_runs(name)
-            reran.append(name)
+            rerun_reason = "flagship"
         elif prior and min(per_run) > RERUN_FACTOR * prior:
-            print(f"# {name}: {min(per_run):.2f}s vs prior {prior}s -- "
-                  "re-running before recording", file=sys.stderr)
-            per_run += timed_runs(name)
+            rerun_reason = f"drift vs prior {prior}s"
+        elif ext_max > MAX_EXTERNAL_CORES:
+            rerun_reason = f"neighbor burst {ext_max:.1f} ext cores"
+        if rerun_reason:
+            if rerun_reason != "flagship":
+                print(f"# {name}: {min(per_run):.2f}s ({rerun_reason}) -- "
+                      "re-running before recording", file=sys.stderr)
+            if ext_max > MAX_EXTERNAL_CORES:
+                # pause (bounded) so the extra min-of-3 actually measures a
+                # quiet box; if the budget runs dry the extra runs still
+                # happen -- the min can only improve the number
+                quiet_down()
+            extra, extra_ext = timed_runs(name)
+            per_run += extra
+            ext_max = max(ext_max, extra_ext)
             reran.append(name)
+        query_ext_cores[name] = round(ext_max, 2)
         # ContextCleaner only reclaims finished broadcasts/shuffles when the
         # driver JVM GCs; after 3 noop runs of a heavy query, nudge a GC so
         # leftover blocks don't tax the NEXT query's measurement
@@ -209,8 +325,17 @@ def main() -> None:
                 # wait -- treat round-over-round deltas as suspect
                 "load_flagged": load_flagged,
                 # queries that got an extra min-of-3 before recording
-                # (drift guard tripped, or ALWAYS_RERUN flagship)
+                # (flagship, drift guard, or a mid-run neighbor burst)
                 "reran": reran,
+                # max EXTERNAL cores (host busy CPU minus our own process
+                # tree) sampled across each query's timed runs -- the
+                # per-query burst detector; > MAX_EXTERNAL_CORES means that
+                # query was re-run after a bounded quiet-down pause
+                "query_ext_cores": query_ext_cores,
+                # mid-run quiet-box wait budget left (of
+                # SPARK_GRAFT_BENCH_MIDRUN_WAIT); 0 = neighbors stayed
+                # noisy past the budget and later re-runs raced them
+                "midrun_wait_left_sec": round(max(wait_budget, 0.0), 1),
             }
         )
     )
