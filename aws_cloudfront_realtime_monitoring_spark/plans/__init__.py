@@ -59,6 +59,15 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "stream_session_equiv",       # r9: promoted MERGING session-window
+                                  # streaming equivalence (slot from
+                                  # derivative_rate, whose lag-window
+                                  # machinery interpolate_linear_fill +
+                                  # window_frames_ranking keep)
+    "dedup_lsh_recall",           # r9: promoted LSH recall audit (slot
+                                  # from udtf_tokenize, an API-capability
+                                  # row kept pass-x; audits earn driver
+                                  # slots, as ann_ivf_recall proved)
     "ann_ivf_recall",             # r8: promoted recall-audit row (found
                                   # the r7 recall-0 bug; slot from
                                   # ann_topk_ivf, which runs in full as
@@ -107,7 +116,6 @@ PRIORITY = [
     "revenue_by_region",          # agg-below-join rewrite in r02
     "pandas_udf_scalar",          # no driver row in r01 (position 50)
     "grouped_udaf_applyinpandas",  # no driver row in r01 (position 51)
-    "udtf_tokenize",              # no driver row in r01 (position 52)
     "approx_distinct_ips",        # oracle contract new in r02
     "strict_compat_narrow",       # new in r02
     "stream_hourly_bytes_equiv",  # new in r02

@@ -101,8 +101,14 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     description="Timestream DERIVATIVE-style rate of change per series: "
-                "lag-based dv/dt, aggregated exactly (rounded-decimal sum).",
+                "lag-based dv/dt, aggregated exactly (rounded-decimal sum). "
+                "Demoted from the driver registry r9 (slot to "
+                "stream_session_equiv): its lag-window machinery is covered "
+                "by interpolate_linear_fill + window_frames_ranking driver "
+                "rows; the identical hash check still runs in the test "
+                "suite (driver_slot=False).",
     tags=("window", "timeseries"),
+    driver_slot=False,
 )
 def derivative_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

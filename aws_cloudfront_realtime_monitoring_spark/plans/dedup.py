@@ -556,10 +556,10 @@ def _lsh_recall_oracle() -> str:
                 "barrier) plus one join on the tiny pair sets; at 100 TB "
                 "this is the standard sampled-recall validation job a "
                 "pipeline runs before trusting its LSH parameters. "
-                "Verified by the test suite outside the 50-row driver "
-                "budget (driver_slot=False).",
+                "Promoted to the driver registry r9 (slot from "
+                "udtf_tokenize): audit rows earn driver slots, as "
+                "ann_ivf_recall proved in r8.",
     tags=("dedup", "minhash", "validation"),
-    driver_slot=False,
 )
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")

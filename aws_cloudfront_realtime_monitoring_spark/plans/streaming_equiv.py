@@ -308,11 +308,10 @@ def stream_decontaminate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hash-match the batch lag+cumsum sessionization oracle "
                 "-- the same oracle as the batch session_window_agg row, "
                 "proving stream and batch agree WITH each other, not "
-                "just each with its own oracle. Verified by the test "
-                "suite outside the 50-row driver budget "
-                "(driver_slot=False).",
+                "just each with its own oracle. Promoted to the driver "
+                "registry r9 (slot from derivative_rate): the one "
+                "stateful-shape family that had no driver row.",
     tags=("streaming", "session"),
-    driver_slot=False,
 )
 def stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)

@@ -119,8 +119,12 @@ def grouped_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "scale path: Python UDTFs evaluate row-at-a-time (PLANS.md's "
                 "one intentional ROWUDF flag); bulk tokenization belongs to "
                 "text_profile's Catalyst split/filter expressions, which "
-                "stay JVM-side and vectorized.",
+                "stay JVM-side and vectorized. Demoted from the driver "
+                "registry r9 (slot to dedup_lsh_recall): an API-capability "
+                "row, not a semantics row; the identical hash check still "
+                "runs in the test suite (driver_slot=False).",
     tags=("udf", "udtf", "sql-api"),
+    driver_slot=False,
 )
 def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
