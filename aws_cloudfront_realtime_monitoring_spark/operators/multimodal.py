@@ -8,11 +8,12 @@ palette/tRNS expansion, CRC-verified chunks), for baseline AND
 progressive JPEG (operators/jpeg.py: Huffman entropy decode + dequant +
 IDCT + chroma upsample, pure numpy), for GIF87a/89a incl. animation
 (operators/gif.py), for lossless WebP/VP8L (operators/webp.py: prefix
-codes, color cache, LZ77, all four transforms), and, when Pillow is
-present in the environment, for every format PIL opens (feature-flagged
-import; this build has no PIL). Lossy WebP (VP8/VP8X) decodes REAL
-header metadata (dims + animation frame count) with pixels out of
-scope. Payloads in any other format fall back to ``fake_decode`` -- a
+codes, color cache, LZ77, all four transforms), for lossy WebP/VP8 key
+frames (operators/vp8.py: boolean arithmetic decoder, intra
+prediction, IDCT, in-loop deblocking -- bit-exact vs libwebp in YUV,
+r9), and, when Pillow is present in the environment, for every format
+PIL opens (feature-flagged import; this build has no PIL). Payloads in
+any other format fall back to ``fake_decode`` -- a
 deterministic metadata fake derived from payload bytes -- unless
 ``strict=True``, which raises instead. The Spark-side design is
 identical in all cases and is what matters at 100 TB of media: binary
@@ -264,9 +265,9 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
     Uncompressed BMP (:func:`decode_bmp_pixels`), non-interlaced 8-bit
     PNG (:func:`decode_png_pixels`, stdlib zlib + numpy), baseline and
     progressive JPEG (:func:`operators.jpeg.decode_jpeg_pixels`),
-    GIF87a/89a (:func:`operators.gif.decode_gif`) and lossless
-    WebP/VP8L (:func:`operators.webp.decode_webp`) decode for real;
-    lossy WebP decodes real header metadata (dims + frame count).
+    GIF87a/89a (:func:`operators.gif.decode_gif`) and WebP -- lossless
+    VP8L and lossy VP8 key frames alike
+    (:func:`operators.webp.decode_webp`) -- decode for real.
     Other formats decode via Pillow when the environment has it, else
     fall back to :func:`fake_decode` -- or raise
     ``NotImplementedError`` under ``strict=True``."""
@@ -348,8 +349,10 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             return {
                 "doc_id": doc_id,
                 "n_bytes": len(payload),
-                # VP8L: real pixels; VP8/VP8X: real spec-parsed header
-                # metadata (dims + ANMF frame count), pixels out of scope
+                # VP8L and VP8 stills: real pixels (VP8 key-frame
+                # decoder added r9, bit-exact vs libwebp in YUV);
+                # animated VP8X: real header metadata + composited
+                # frames via sample_webp_frames
                 "width": width,
                 "height": height,
                 "n_frames": n_frames,

@@ -13,11 +13,14 @@ Scope, written from the public container / bitstream specifications
   close-neighbor plane map, meta prefix groups (entropy image), and all
   four transforms (predictor, color, subtract-green, color-indexing
   with sub-byte bundling).
-- **VP8 (lossy) and VP8X (extended) decode REAL header metadata** --
-  keyframe / canvas dimensions and the animation frame count (ANMF
-  chunks) come from the spec-defined header fields; their pixel data
-  (boolean-arithmetic DCT for VP8, frame compositing for animations)
-  is out of scope and signalled by ``pixels=None``.
+- **VP8 (lossy) decodes REAL pixels too** (as of r9): the full
+  key-frame path lives in :mod:`vp8` (boolean arithmetic decoder,
+  token/coefficient decoding, intra prediction, IDCT/IWHT, in-loop
+  deblocking), validated BIT-EXACTLY in YUV space against the system
+  libwebp decoder; the RGB conversion is a documented BT.601 +
+  nearest-upsample simplification. VP8X canvases decode their wrapped
+  still image (lossless or lossy); an ALPH plane is out of scope
+  (lossy pixels come back fully opaque).
 
 Malformed data raises ``ValueError`` -- the same contract as the
 sibling decoders (the ``mapInPandas`` skip_invalid fallback path).
@@ -653,16 +656,19 @@ def decode_webp(
 ) -> tuple[int, int, int, np.ndarray | None, str]:
     """Decode a WebP container: returns (width, height, n_frames,
     rgba_or_None, codec) where codec is 'vp8l', 'vp8' or 'vp8x'.
-    Pixels are real for VP8L; VP8/VP8X return spec-parsed header
-    metadata with ``None`` pixels (documented scope)."""
+    Pixels are real for VP8L and VP8 stills; a VP8X container decodes
+    its wrapped still image (``None`` only for animated canvases,
+    whose frames come from :func:`sample_webp_frames`)."""
     chunks = _riff_chunks(payload)
     tag, body = chunks[0]
     if tag == b"VP8L":
         width, height, rgba = decode_vp8l_pixels(body)
         return width, height, 1, rgba, "vp8l"
     if tag == b"VP8 ":
-        width, height = _vp8_dimensions(body)
-        return width, height, 1, None, "vp8"
+        from .vp8 import decode_vp8_pixels
+
+        width, height, rgba = decode_vp8_pixels(body)
+        return width, height, 1, rgba, "vp8"
     if tag == b"VP8X":
         if len(body) < 10:
             raise ValueError("truncated VP8X chunk")
@@ -674,9 +680,15 @@ def decode_webp(
         rgba = None
         for t, b in chunks[1:]:
             # a still VP8X (alpha/ICC/EXIF wrapper) carries one image
-            # chunk at the top level; decode it when it is lossless
-            if t == b"VP8L":
-                in_w, in_h, rgba = decode_vp8l_pixels(b)
+            # chunk at the top level; decode it (any ALPH plane is out
+            # of scope: lossy pixels come back fully opaque, documented)
+            if t in (b"VP8L", b"VP8 "):
+                if t == b"VP8L":
+                    in_w, in_h, rgba = decode_vp8l_pixels(b)
+                else:
+                    from .vp8 import decode_vp8_pixels
+
+                    in_w, in_h, rgba = decode_vp8_pixels(b)
                 # the returned dims must describe the returned pixels:
                 # a still image whose frame disagrees with the declared
                 # canvas is malformed, not silently mismatched
@@ -684,8 +696,6 @@ def decode_webp(
                     raise ValueError(
                         "VP8X still frame dims disagree with the canvas"
                     )
-                break
-            if t == b"VP8 ":
                 break
         return width, height, n_frames, rgba, "vp8x"
     raise ValueError(f"WebP leading chunk {tag!r} is not an image")
@@ -769,7 +779,7 @@ def decode_webp_frames(
         # a still VP8X: delegate to the single-image path
         w, h, n, rgba, _codec = decode_webp(payload)
         if rgba is None:
-            raise ValueError("still VP8X carries no lossless image")
+            raise ValueError("still VP8X carries no image chunk")
         keep = keep_indices if keep_indices is not None else {0}
         return w, h, 1, [rgba] if 0 in keep else []
     keep = keep_indices if keep_indices is not None else set(range(len(frames)))
@@ -799,15 +809,16 @@ def decode_webp_frames(
             raise ValueError("ANMF frame exceeds the canvas")
         rgba = None
         for t, b in _subchunks(fb[16:]):
-            if t == b"VP8L":
-                fw_d, fh_d, rgba = decode_vp8l_pixels(b)
+            if t in (b"VP8L", b"VP8 "):
+                if t == b"VP8L":
+                    fw_d, fh_d, rgba = decode_vp8l_pixels(b)
+                else:
+                    from .vp8 import decode_vp8_pixels
+
+                    fw_d, fh_d, rgba = decode_vp8_pixels(b)
                 if (fw_d, fh_d) != (fw, fh):
                     raise ValueError("ANMF frame dims disagree with header")
                 break
-            if t == b"VP8 ":
-                raise ValueError(
-                    "lossy (VP8) animation frames are out of decode scope"
-                )
         if rgba is None:
             raise ValueError("ANMF frame carries no image chunk")
         region = canvas[fy : fy + fh, fx : fx + fw]

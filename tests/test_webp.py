@@ -855,9 +855,16 @@ def test_webp_container_vp8l_and_lossy_and_vp8x():
     assert (w, h, n, codec) == (5, 7, 1, "vp8l")
     np.testing.assert_array_equal(px, rgba)
 
-    # lossy VP8: REAL header dims, pixels out of scope (None)
-    w, h, n, px, codec = decode_webp(_wrap_riff(_vp8_lossy_chunk(320, 240), b"VP8 "))
-    assert (w, h, n, px, codec) == (320, 240, 1, None, "vp8")
+    # lossy VP8: REAL pixels as of r9 (key-frame decoder, operators/vp8.py)
+    from test_vp8 import build_frame
+
+    body = build_frame(1, 1, [[0] * 16])  # all-B_DC 16x16 key frame
+    w, h, n, px, codec = decode_webp(_wrap_riff(body, b"VP8 "))
+    assert (w, h, n, codec) == (16, 16, 1, "vp8")
+    assert px is not None and px.shape == (16, 16, 4)
+    # chained B_DC over the 127/129 spec borders -> a near-flat gray
+    assert px[..., 0].min() >= 120 and px[..., 0].max() <= 140
+    assert len(np.unique(px[..., 0])) <= 3
 
     # VP8X animation: canvas dims from the header, ANMF chunks counted
     vp8x = bytes([0x02, 0, 0, 0]) + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")

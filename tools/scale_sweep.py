@@ -145,11 +145,6 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
     stamp.touch()
     base = load_table(spark, base_sf_dir, "embeddings")
     dim = len(base.select("embedding").head()[0])
-    # beyond dim copies the rotation offsets repeat; refuse rather than
-    # silently emit bit-identical copies (copies^2 cos=1 pairs -- the
-    # distribution change this construction exists to avoid)
-    if copies > dim:
-        raise ValueError(f"copies={copies} exceeds embedding dim {dim}")
 
     def _sign(i: int, j: int) -> float:
         # genuinely per-(copy, dim) bit: parity of the hashed pair. The
@@ -158,6 +153,29 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
         h = (i * 2654435761 + j * 40503) & 0xFFFFFFFF
         h ^= h >> 16
         return 1.0 if bin(h).count("1") % 2 == 0 else -1.0
+
+    # Past dim copies the rotation offsets repeat (copies i and i+dim
+    # share an offset), but the per-(copy, dim) sign patterns still
+    # decorrelate them: for same-offset copies the cross-copy cosine is
+    # sum_j s_ij * s_i'j * e_j^2 / ||e||^2, and with independent-looking
+    # hashed sign bits that is a +-e_j^2 random walk -- mean 0, std
+    # ~1/sqrt(dim), i.e. random-vector cosines, same as the rotated
+    # pairs. The former copies<=dim refusal predated the v2 hashed
+    # signs (the parity form WAS degenerate); what must now hold is
+    # that no two same-offset copies share a sign pattern (else those
+    # two copies are bit-identical: copies^2 cos=1 pairs, the
+    # distribution change this construction exists to avoid). Checked
+    # explicitly -- a hash collision refuses rather than corrupts.
+    by_offset: dict[int, dict[tuple, int]] = {}
+    for i in range(copies):
+        pat = tuple(_sign(i, j) for j in range(dim))
+        prev = by_offset.setdefault(i % dim, {}).setdefault(pat, i)
+        if prev != i:
+            raise ValueError(
+                f"copies {prev} and {i} share rotation offset {i % dim} "
+                "AND sign pattern -- they would be bit-identical; change "
+                "the sign hash or the copy count"
+            )
 
     parts = []
     for i in range(copies):
