@@ -141,11 +141,19 @@ def _acquire_compact_lock(lock: str, partition_dir: str) -> None:
     ``os.link`` -- the lock name never exists without its pid inside, so a
     concurrent invocation can never read an empty lock, parse holder=0,
     and unlink a LIVE holder (the create-then-write race of the previous
-    ``O_EXCL`` + ``os.write`` sequence). Reclaiming a dead holder's lock is
-    also race-safe: any number of waiters may race the ``unlink`` (only one
-    wins, the rest see ``FileNotFoundError``) and all then retry the
-    ``link``, where again exactly one wins.
+    ``O_EXCL`` + ``os.write`` sequence). Reclaiming a dead holder's lock
+    serializes on a permanent sidecar ``flock`` (``<lock>.guard``): without
+    it, waiter B could read a dead holder, waiter C meanwhile reclaim and
+    publish its own LIVE lock, and B's unlink would then delete C's live
+    lock (two concurrent compactions). With the guard held, the
+    read-verify-unlink sequence is atomic against other reclaimers, and a
+    live lock can only appear via ``os.link`` -- which requires the name to
+    be absent, impossible while the guard holder has just observed it
+    present and nobody else may unlink it. The guard file itself is never
+    unlinked (unlinking it would re-open the classic flock-on-removed-file
+    race), so an empty ``.guard`` sidecar per partition is expected.
     """
+    import fcntl
     import threading
     import time
 
@@ -165,30 +173,38 @@ def _acquire_compact_lock(lock: str, partition_dir: str) -> None:
                 return
             except FileExistsError:
                 pass
+            # read-verify-unlink under the reclaim guard (see docstring):
+            # flock is per-fd, so a fresh os.open per attempt serializes
+            # same-process threads as well as other processes
+            guard_fd = os.open(lock + ".guard", os.O_CREAT | os.O_RDWR, 0o644)
             try:
-                holder = int(open(lock).read().strip() or "0")
-            except FileNotFoundError:
-                continue  # released between link and read; retry the link
-            except (OSError, ValueError):
-                holder = 0
-            alive = False
-            if holder > 0:
+                fcntl.flock(guard_fd, fcntl.LOCK_EX)
                 try:
-                    os.kill(holder, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True  # process exists, owned by another user
-            if alive:
-                raise ValueError(
-                    f"compaction of {partition_dir!r} already in progress "
-                    f"(pid {holder})"
-                )
-            try:
-                os.unlink(lock)  # dead holder; one racer wins the unlink
-            except FileNotFoundError:
-                pass
+                    holder = int(open(lock).read().strip() or "0")
+                except FileNotFoundError:
+                    continue  # released between link and read; retry the link
+                except (OSError, ValueError):
+                    holder = 0
+                alive = False
+                if holder > 0:
+                    try:
+                        os.kill(holder, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True  # process exists, owned by another user
+                if alive:
+                    raise ValueError(
+                        f"compaction of {partition_dir!r} already in "
+                        f"progress (pid {holder})"
+                    )
+                try:
+                    os.unlink(lock)  # dead holder; guard makes this safe
+                except FileNotFoundError:
+                    pass
+            finally:
+                os.close(guard_fd)
             time.sleep(0.05)
         raise ValueError(
             f"could not acquire compaction lock {lock!r} after 20 attempts"

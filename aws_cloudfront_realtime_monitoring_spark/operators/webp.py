@@ -750,16 +750,16 @@ def decode_webp_frames(
     payload: bytes, keep_indices: set | None = None
 ) -> tuple[int, int, int, list[np.ndarray]]:
     """Decode COMPOSITED animation frames of an extended (VP8X + ANMF)
-    WebP whose frames are VP8L-coded: each frame draws onto the running
+    WebP: each frame draws onto the running
     canvas at its (2-pixel-unit) offset, honoring the per-frame
     blending flag (bit 1: 1 = overwrite, 0 = source-over alpha blend)
     and disposal flag (bit 0: 1 = restore the frame rectangle to the
     ANIM background color) -- so frame k is what a viewer sees at step
     k.  Returns (width, height, n_frames, [canvas[h, w, 4] uint8 for
-    each kept index]).  Lossy (VP8-coded) frames raise ``ValueError``
-    (documented scope).  Frames after the last kept index are counted
-    but never pixel-decoded -- same memory/CPU contract as the GIF
-    sibling."""
+    each kept index]).  Both VP8L-coded (lossless) and VP8-coded
+    (lossy key-frame) ANMF payloads decode real pixels.  Frames after
+    the last kept index are counted but never pixel-decoded -- same
+    memory/CPU contract as the GIF sibling."""
     chunks = _riff_chunks(payload)
     tag, body = chunks[0]
     if tag == b"VP8L":  # a still image is its own single frame

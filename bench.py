@@ -224,7 +224,12 @@ def main() -> None:
         (invisible to the start-only gate -- r8 recorded a phantom +5%
         that way) is detected per query, not discovered after the round."""
         per_run = []
-        ext_max = ext_cpu.sample()  # close out the idle gap before run 1
+        # close out the idle/warm-up gap for its baseline-RESET side effect
+        # only: a neighbor burst that ended before the timed window must not
+        # count toward this query's max (it would cause spurious re-runs and
+        # overstate query_ext_cores), so start the max at 0
+        ext_cpu.sample()
+        ext_max = 0.0
         for _ in range(n_runs):
             t0 = time.time()
             # noop sink: forces full evaluation of every output column

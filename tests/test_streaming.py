@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -807,6 +808,71 @@ def test_compact_lock_never_visible_without_pid():
         os.unlink(lock)
 
 
+def test_compact_lock_reclaim_respects_live_replacement():
+    """Dead-holder reclaim must not delete a lock that was REPLACED by a
+    LIVE holder between its read and its unlink (r9 advice TOCTOU: waiter
+    B reads a dead pid, waiter C reclaims and publishes its own live
+    lock, B's unlink then deletes C's live lock -- two compactions). The
+    fix serializes read-verify-unlink on the permanent .guard flock; this
+    test holds the guard, stages exactly that replacement while a
+    reclaimer is parked on the flock, and asserts the reclaimer REFUSES
+    and the live lock survives."""
+    import fcntl
+    import subprocess
+    import tempfile as _tf
+    import threading
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        _acquire_compact_lock,
+    )
+
+    with _tf.TemporaryDirectory() as d:
+        lock = os.path.join(d, "p.compact-lock")
+        child = subprocess.Popen(["true"])
+        child.wait()
+        with open(lock, "w") as f:
+            f.write(str(child.pid))  # a dead holder, ripe for reclaim
+        # hold the reclaim guard so the racing acquirer parks right where
+        # the TOCTOU window used to be (after link fails, before its read)
+        guard_fd = os.open(lock + ".guard", os.O_CREAT | os.O_RDWR, 0o644)
+        fcntl.flock(guard_fd, fcntl.LOCK_EX)
+        errs: list[BaseException] = []
+        done = threading.Event()
+
+        def acquire():
+            try:
+                _acquire_compact_lock(lock, "p")
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+            finally:
+                done.set()
+
+        t = threading.Thread(target=acquire)
+        t.start()
+        try:
+            # while the reclaimer is blocked on the guard, replace the dead
+            # lock with a LIVE one (ours) -- the exact interleave from the
+            # advice, made deterministic
+            time.sleep(0.3)
+            assert not done.is_set(), "reclaimer should be parked on guard"
+            os.unlink(lock)
+            tmp = lock + ".staged"
+            with open(tmp, "w") as f:
+                f.write(str(os.getpid()))
+            os.link(tmp, lock)
+            os.unlink(tmp)
+        finally:
+            os.close(guard_fd)  # release the guard
+        t.join(timeout=30)
+        assert done.is_set()
+        # the reclaimer observed the live replacement and refused -- it did
+        # NOT unlink the live lock
+        assert len(errs) == 1 and isinstance(errs[0], ValueError), errs
+        assert "already in progress" in str(errs[0])
+        assert open(lock).read().strip() == str(os.getpid())
+        os.unlink(lock)
+
+
 def test_compact_partition_concurrent_threads_one_winner(spark):
     """Six same-process threads race one partition: exactly one compacts,
     the rest refuse CLEANLY ("already in progress"), and no lock or temp
@@ -842,5 +908,9 @@ def test_compact_partition_concurrent_threads_one_winner(spark):
                     if isinstance(r, str) and "already in progress" in r]
         assert len(wins) == 1 and len(refusals) == 5, results
         assert not os.path.exists(part + ".compact-lock")
-        assert not _glob.glob(part + ".compact-lock.*")
+        # the permanent .guard flock sidecar is the ONLY allowed survivor
+        # (unlinking it would re-open the flock-on-removed-file race)
+        leftovers = [p for p in _glob.glob(part + ".compact-lock.*")
+                     if not p.endswith(".guard")]
+        assert not leftovers, leftovers
         assert spark.read.parquet(part).count() == 200

@@ -32,6 +32,7 @@ from __future__ import annotations
 import ctypes.util
 import re
 import struct
+import subprocess
 import sys
 from pathlib import Path
 
@@ -121,12 +122,41 @@ def emit(tables: dict[str, object]) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _resolve_soname(name: str) -> str | None:
+    """Resolve a bare soname (e.g. ``libwebp.so.7``) to an absolute path
+    portably: dlopen it and read the mapped path back from
+    /proc/self/maps (Linux), falling back to ``ldconfig -p``. No distro
+    directory is assumed."""
+    try:
+        ctypes.CDLL(name)
+        with open("/proc/self/maps") as f:
+            for line in f:
+                path = line.split(None, 5)[-1].strip()
+                if path.startswith("/") and Path(path).name.startswith(name):
+                    return path
+    except OSError:
+        pass
+    try:
+        out = subprocess.run(
+            ["ldconfig", "-p"], capture_output=True, text=True, check=False
+        ).stdout
+        for line in out.splitlines():
+            if name in line and "=>" in line:
+                return line.split("=>", 1)[1].strip()
+    except OSError:
+        pass
+    return None
+
+
 def main() -> None:
     lib = sys.argv[1] if len(sys.argv) > 1 else ctypes.util.find_library("webp")
     if lib and not lib.startswith("/"):
-        lib = f"/lib/x86_64-linux-gnu/{lib}"
+        lib = _resolve_soname(lib)
     if not lib or not Path(lib).exists():
-        raise SystemExit("libwebp not found; pass the .so path explicitly")
+        raise SystemExit(
+            "libwebp not found; pass the .so path explicitly: "
+            "python tools/extract_vp8_tables.py /path/to/libwebp.so"
+        )
     data = Path(lib).read_bytes()
     tables = extract(data)
     OUT.write_text(emit(tables))
