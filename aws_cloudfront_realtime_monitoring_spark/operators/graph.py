@@ -2,9 +2,18 @@
 primitive behind ``plans.dedup.dedup_clusters`` and any pair-to-group
 rollup (near-dup canonicalization, entity resolution, session stitching).
 
-Algorithm: star contraction — root-level hooking + pointer-doubling
-compression (the Shiloach-Vishkin / large-star-small-star family). Per
-outer round:
+Algorithm: TWO-PHASE star contraction (the Kiveris et al. "Connected
+Components in MapReduce and Beyond" shape). Phase 1 — one distributed
+seed round labels every node min(self, neighbors). Phase 2, common case
+— when the CONTRACTED label graph (distinct cross-label pairs) fits the
+same ~2M-row broadcast budget as the label table, a driver union-find
+finishes it exactly and one broadcast join applies the root map: total
+cost is two jobs and one barrier, with the driver touching only
+model-state-sized data (the same O(small) contract as the kmeans
+centroid collect). Phase 2, fallback — oversized contracted graphs (or
+> BROADCAST_MAX_NODES node sets) run the distributed loop: root-level
+hooking + pointer-doubling compression (the Shiloach-Vishkin /
+large-star-small-star family). Per outer round:
 
 - **hook (at the roots)**: for every edge (u, v), the ROOTS of u's and v's
   label trees adopt ``min(lbl(u), lbl(v)``) — two equi-joins to look up
@@ -77,6 +86,97 @@ BROADCAST_MAX_NODES = 2_000_000
 #: every 6 keeps each barrier O(label table) while most rounds skip the
 #: parquet commit+re-read latency entirely
 LC_CHAIN_MAX = 6
+
+
+#: contracted label-graph edge cap for the driver union-find finish --
+#: the same two-bigint-columns sizing argument as BROADCAST_MAX_NODES
+#: (~32 MB at the cap), and the same CBO-style role: under it the local
+#: finish is model-state-sized driver work, over it the distributed loop
+#: runs unchanged.
+LOCAL_FINISH_MAX_EDGES = 2_000_000
+
+
+def _local_finish(spark, edges: DataFrame, labels: DataFrame) -> DataFrame | None:
+    """Two-phase local finish: contract ``edges`` to the label graph
+    (distinct cross-label pairs under the seed labeling) and, when the
+    contracted graph fits ``LOCAL_FINISH_MAX_EDGES``, union-find it on
+    the driver and broadcast-apply the root map. Returns the final
+    (node, lbl) labeling, or ``None`` when the contracted graph exceeds
+    the cap (caller falls back to the distributed hook/flatten loop).
+
+    Exactness: contraction preserves connectivity between seed groups
+    (the quotient of a connected graph is connected), so components of
+    the contracted graph are precisely the remaining merge work; and the
+    component minimum survives because every label IS a node id of the
+    same component, with the true minimum m always labeled lbl(m) == m
+    (its seed min over itself and its larger neighbors). A group with no
+    cross-label edge is a whole component already labeled by its min.
+
+    The ``limit(cap+1)`` probe makes the size test one bounded job: if
+    the distinct relation holds <= cap rows, the probe result IS the
+    complete contracted edge set; a cap+1-th row proves oversize without
+    counting the rest. The driver-side rows are model-state-sized by
+    construction -- the same O(small) contract as the kmeans centroid
+    collect (operators/kmeans.py), not a data collect.
+    """
+    lbl_x = F.broadcast(labels.select("node", "lbl").alias("x"))
+    lbl_y = F.broadcast(labels.select("node", "lbl").alias("y"))
+    probe = (
+        edges.alias("e")
+        .join(lbl_x, F.col("e.u") == F.col("x.node"))
+        .join(lbl_y, F.col("e.v") == F.col("y.node"))
+        .select(F.col("x.lbl").alias("la"), F.col("y.lbl").alias("lb"))
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            F.least("la", "lb").alias("a"), F.greatest("la", "lb").alias("b")
+        )
+        .distinct()
+        .limit(LOCAL_FINISH_MAX_EDGES + 1)
+        .toPandas()
+    )
+    if len(probe) > LOCAL_FINISH_MAX_EDGES:
+        return None
+    if not len(probe):
+        # every edge joins equal labels: adjacent nodes share labels, so
+        # each component is uniformly labeled -- and that constant label
+        # is the component min (see docstring). Already done.
+        return labels
+    pair_list = list(zip(probe["a"].tolist(), probe["b"].tolist()))
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while x != r:  # path compression
+            parent[x], x = r, parent.get(x, r)
+        return r
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min-root union keeps component minima
+    vals = {v for ab in pair_list for v in ab}
+    mapping = [(v, find(v)) for v in sorted(vals)]
+    mapping = [(old, new) for old, new in mapping if old != new]
+    if not mapping:
+        return labels
+    from pyspark.sql import types as T
+
+    lt = labels.schema["lbl"].dataType
+    map_df = spark.createDataFrame(
+        mapping,
+        T.StructType(
+            [T.StructField("old_lbl", lt), T.StructField("new_lbl", lt)]
+        ),
+    )
+    return (
+        labels.join(
+            F.broadcast(map_df), F.col("lbl") == F.col("old_lbl"), "left"
+        )
+        .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+    )
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
@@ -253,6 +353,29 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         n_nodes = seed_obs.get["n_nodes"]
         small_labels = n_nodes <= BROADCAST_MAX_NODES
         _LOG.info("cc: %d nodes, broadcast_labels=%s", n_nodes, small_labels)
+        if small_labels:
+            # Two-phase finish (the Kiveris et al. "CC in MapReduce and
+            # Beyond" local-finish pattern): contract edges to the LABEL
+            # graph -- distinct (lbl(u), lbl(v)) pairs with differing
+            # labels. Contraction preserves connectivity between seed
+            # groups, so exact components of the contracted graph ARE the
+            # remaining merge work. When that contracted edge set fits the
+            # same broadcast budget as the labels, a driver union-find
+            # (model-state-sized data, same O(small) contract as the
+            # kmeans centroid collect) finishes it exactly, and ONE
+            # broadcast join applies the root map -- replacing the whole
+            # hook/flatten loop (2 jobs + 1-2 barriers per round) with a
+            # single job and zero extra barriers. Oversized contracted
+            # graphs (dense cross-group edge structure) fall through to
+            # the unchanged logarithmic loop below, which also remains the
+            # only path for > BROADCAST_MAX_NODES graphs.
+            done = _local_finish(spark, edges, labels)
+            if done is not None:
+                _LOG.info(
+                    "connected_components converged: local finish, "
+                    "%d barrier writes", step,
+                )
+                return finish(done)
         # The seed is not generally flat (lbl(n) may itself point onward),
         # but NO pre-flatten pass runs: hooking is label-propagation-
         # correct on any labeling (labels only decrease and always name a

@@ -480,17 +480,22 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.cluster_rep = s.cluster_rep
     """,
     description="Near-dup CLUSTERS from the pigeonhole-banded SimHash "
-                "pairs: connected components by star contraction "
-                "(operators/graph.py) -- ROOT-level hooking (each label-"
-                "tree root adopts the min of neighboring trees' roots) + "
-                "pointer-doubling flattening, so outer rounds grow with "
-                "log(component size); every step is a hash-partitioned "
-                "equi-join or aggregate, inter-round labels round-trip "
-                "through parquet (the production barrier for iterative "
-                "jobs), and convergence rides Observation counters on the "
-                "existing jobs (labels decrease monotonically: a hook "
-                "that changes no root on flat labels IS the fixpoint) -- "
-                "the driver sees only those counters, never data. "
+                "pairs: TWO-PHASE connected components "
+                "(operators/graph.py, the Kiveris et al. local-finish "
+                "shape, r10): one distributed seed round labels each "
+                "node min(self, neighbors), then the CONTRACTED label "
+                "graph -- provably the remaining merge work -- is "
+                "finished by a driver union-find when it fits the same "
+                "~2M-row broadcast budget as the label table (model-"
+                "state-sized data, the kmeans-centroid contract), with "
+                "one broadcast join applying the root map: 2 jobs + 1 "
+                "barrier total. Oversized contracted graphs and >2M-node "
+                "sets fall back to the unchanged distributed loop: ROOT-"
+                "level hooking + pointer-doubling flattening, log-"
+                "(component-size) rounds of hash-partitioned equi-joins "
+                "with parquet/localCheckpoint barriers and Observation-"
+                "counter convergence (no driver data). All three paths "
+                "are pinned equal to a union-find oracle in pytest. "
                 "Output: every doc in >=1 pair, its "
                 "canonical representative (component-min doc_id), "
                 "component size, and a canonical flag -- the keep-list a "

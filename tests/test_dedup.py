@@ -115,9 +115,11 @@ def test_dedup_clusters_properties(spark, sf_dir):
 
 
 def test_connected_components_flat_star_early_exit(spark):
-    """A star graph whose seed labels are already the fixpoint must take the
-    observed-hook early exit (hchg == 0 in round 1) and still return exact
-    min-labels -- guards the convergence-proof path added in round 3."""
+    """A star graph whose seed labels are already the fixpoint must exit
+    without merge work and still return exact min-labels. As of r10 this
+    pins the local finish's EMPTY-contracted-graph branch (every edge
+    joins equal seed labels => the labeling is proven done); before r10
+    it pinned the loop's observed-hook early exit."""
     from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
         connected_components,
     )
@@ -128,25 +130,54 @@ def test_connected_components_flat_star_early_exit(spark):
     assert got == {1: 1, 5: 1, 7: 1, 9: 1, 20: 20, 21: 20}
 
 
+def test_connected_components_local_finish_ascending_chain(spark):
+    """Ascending chains through the LOCAL-FINISH path: the seed labeling
+    {1:1, 2:1, 3:2, ...} is non-flat, so the driver union-find must merge
+    the contracted label pairs ((1,2), (2,3), ...) transitively -- the
+    same shape that broke the loop's round-1 early exit (r7). Also pins
+    the mixed case: one non-flat chain plus one already-flat component in
+    a single probe."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
+        connected_components,
+    )
+
+    for n in (3, 4, 7):
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+        )
+        got = {r.node: r.lbl for r in connected_components(df).collect()}
+        assert got == {i: 1 for i in range(1, n + 1)}, (n, got)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (50, 60), (50, 70)], ["doc_a", "doc_b"]
+    )
+    got = {r.node: r.lbl for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 60: 50, 70: 50}
+
+
 import pytest
 
 
-@pytest.mark.parametrize("broadcast_labels", [True, False])
+@pytest.mark.parametrize("path", ["local_finish", "broadcast_loop", "shuffle_loop"])
 def test_connected_components_random_graph_vs_union_find(
-    spark, monkeypatch, broadcast_labels
+    spark, monkeypatch, path
 ):
     """The distributed CC operator must agree exactly with a plain Python
     union-find on a seeded random graph (chains, cliques, isolated pairs --
-    shapes the planted corpus doesn't cover). Parametrized over the label
-    join strategy: broadcast (what any local-scale graph takes) AND the
-    plain shuffle path (what a >2M-node graph takes at cluster scale --
-    no local dataset is big enough to select it naturally, so force the
-    threshold to 0 to keep the at-scale branch correctness-pinned)."""
+    shapes the planted corpus doesn't cover). Parametrized over all THREE
+    execution paths: the two-phase driver local finish (what any
+    local-scale graph takes, r10), the broadcast-label hook/flatten loop
+    (a <=2M-node graph whose CONTRACTED edge set overflows the local
+    cap), and the plain shuffle loop (a >2M-node graph at cluster scale)
+    -- no local dataset is big enough to select the last two naturally,
+    so the thresholds are forced to 0 to keep the at-scale branches
+    correctness-pinned."""
     import random
 
     from aws_cloudfront_realtime_monitoring_spark.operators import graph
 
-    if not broadcast_labels:
+    if path == "broadcast_loop":
+        monkeypatch.setattr(graph, "LOCAL_FINISH_MAX_EDGES", 0)
+    elif path == "shuffle_loop":
         monkeypatch.setattr(graph, "BROADCAST_MAX_NODES", 0)
 
     from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
@@ -217,16 +248,21 @@ def test_lsh_recall_audit_invariants(spark, sf_dir):
     assert missed * 20 <= n_exact, f"LSH recall below 95%: {both}/{n_exact}"
 
 
-def test_connected_components_ascending_chain_no_hook_round1(spark):
+def test_connected_components_ascending_chain_no_hook_round1(spark, monkeypatch):
     """Regression (r7 code review): on an ASCENDING chain the seed labels
     {1:1, 2:1, 3:2, ...} make round 1's hook a no-op (every hook target
     already holds its minimum) while the labeling is still wrong -- the
     round-1 hchg==0 early exit must NOT trust it. The fold that removed
     the standalone seed flatten originally returned here, splitting one
-    chain into multiple components."""
+    chain into multiple components. Forces the loop path (the r10 local
+    finish would otherwise absorb these tiny graphs before the caveat
+    branch is reached)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators import graph
     from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
         connected_components,
     )
+
+    monkeypatch.setattr(graph, "LOCAL_FINISH_MAX_EDGES", 0)
     for n in (3, 4, 7):
         df = spark.createDataFrame(
             [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
