@@ -59,6 +59,13 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "skew_salted_join",           # r10: promoted salted-join losslessness
+                                  # (slot from pivot_status_by_priority,
+                                  # whose B4 conditional-agg coverage
+                                  # strict_compat_narrow + q1_narrow_form
+                                  # keep): skew is the classic 100x-scale
+                                  # failure mode and the skew family had
+                                  # no driver row
     "stream_session_equiv",       # r9: promoted MERGING session-window
                                   # streaming equivalence (slot from
                                   # derivative_rate, whose lag-window

@@ -803,10 +803,11 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "result must hash-match the plain join -- the layout "
                 "change cannot alter semantics. For streaming or "
                 "AQE-unavailable paths where runtime skew splitting "
-                "cannot help. Verified by the test suite outside the "
-                "50-row driver budget (driver_slot=False).",
+                "cannot help. Promoted to the driver registry r10 (slot "
+                "from pivot_status_by_priority): skew is the classic "
+                "100x-scale failure mode and the skew family had no "
+                "driver row.",
     tags=("join", "skew"),
-    driver_slot=False,
 )
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join

@@ -617,8 +617,14 @@ def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY o_orderpriority
     """,
     description="Pivot (narrow->wide conditional aggregation) -- the same "
-                "CASE WHEN un-pivot shape as the reference's Q1 (B4).",
+                "CASE WHEN un-pivot shape as the reference's Q1 (B4). "
+                "Demoted r10 (slot to skew_salted_join): B4's conditional-"
+                "aggregate coverage is also held by strict_compat_narrow "
+                "and q1_narrow_form under driver rows; the identical "
+                "Spark-vs-DuckDB hash check keeps running in the pytest "
+                "suite (driver_slot=False).",
     tags=("aggregate", "pivot"),
+    driver_slot=False,
 )
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
