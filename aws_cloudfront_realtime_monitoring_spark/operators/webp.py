@@ -19,8 +19,10 @@ Scope, written from the public container / bitstream specifications
   deblocking), validated BIT-EXACTLY in YUV space against the system
   libwebp decoder; the RGB conversion is a documented BT.601 +
   nearest-upsample simplification. VP8X canvases decode their wrapped
-  still image (lossless or lossy); an ALPH plane is out of scope
-  (lossy pixels come back fully opaque).
+  still image (lossless or lossy), and an ALPH chunk accompanying a
+  lossy still or animation frame decodes to a REAL alpha plane (r10):
+  raw or headless-VP8L-compressed per the container spec, with all
+  three pre-compression filters inverted.
 
 Malformed data raises ``ValueError`` -- the same contract as the
 sibling decoders (the ``mapInPandas`` skip_invalid fallback path).
@@ -651,6 +653,73 @@ def _riff_chunks(payload: bytes) -> list[tuple[bytes, bytes]]:
     return chunks
 
 
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH pre-compression filter (container spec 'Alpha'
+    section): 1 = horizontal (pred = left; row starts predict from the
+    pixel above; origin predicts 0), 2 = vertical (pred = above; the
+    first row falls back to horizontal), 3 = gradient (pred =
+    clip(left + above - above_left, 0..255); first row horizontal,
+    row starts predict from above). All sums are mod 256."""
+    h, w = plane.shape
+    p = plane.astype(np.int64)
+    if method == 1:
+        p[0] = np.cumsum(p[0]) & 0xFF
+        for y in range(1, h):
+            row = p[y]
+            row[0] = (row[0] + p[y - 1, 0]) & 0xFF
+            # left-dependency chain: a cumsum from the row start IS the
+            # mod-256 horizontal unfilter for the rest of the row
+            row[1:] = (np.cumsum(row[1:]) + row[0]) & 0xFF
+    elif method == 2:
+        p[0] = np.cumsum(p[0]) & 0xFF
+        p[1:] = np.cumsum(p, axis=0)[1:] & 0xFF
+    else:  # gradient
+        p[0] = np.cumsum(p[0]) & 0xFF
+        for y in range(1, h):
+            row, above = p[y], p[y - 1]
+            row[0] = (row[0] + above[0]) & 0xFF
+            for x in range(1, w):
+                g = row[x - 1] + above[x] - above[x - 1]
+                pred = 0 if g < 0 else (255 if g > 255 else g)
+                row[x] = (row[x] + pred) & 0xFF
+    return p.astype(np.uint8)
+
+
+def _decode_alpha_plane(body: bytes, width: int, height: int) -> np.ndarray:
+    """Decode an ALPH chunk to an (height, width) uint8 alpha plane
+    (container spec 'Alpha' section). Header byte: 2 reserved bits, 2
+    preprocessing bits (informational -- level reduction happens at
+    encode time, nothing to invert), 2 filtering bits, 2 compression
+    bits. Compression 0 = raw width*height bytes row-major; 1 = a
+    HEADLESS VP8L stream (no signature or dimension header -- dims come
+    from the frame) whose GREEN channel carries the alpha values; the
+    existing level-0 image-stream decoder handles it, transforms and
+    all. Filtering is inverted after decompression."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    filt = (body[0] >> 2) & 0x3
+    comp = body[0] & 0x3
+    data = body[1:]
+    if comp == 0:
+        if len(data) < width * height:
+            raise ValueError("raw ALPH plane truncated")
+        plane = (
+            np.frombuffer(data[: width * height], np.uint8)
+            .reshape(height, width)
+            .copy()
+        )
+    elif comp == 1:
+        arr = _decode_image_stream(_Bits(data), width, height, True)
+        if arr.shape != (height, width):
+            raise ValueError("ALPH lossless plane dims disagree with frame")
+        plane = ((arr >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError(f"ALPH compression method {comp} undefined")
+    if filt:
+        plane = _unfilter_alpha(plane, filt)
+    return plane
+
+
 def decode_webp(
     payload: bytes,
 ) -> tuple[int, int, int, np.ndarray | None, str]:
@@ -678,10 +747,13 @@ def decode_webp(
             raise ValueError("VP8X canvas exceeds the decode cap")
         n_frames = sum(1 for t, _ in chunks if t == b"ANMF") or 1
         rgba = None
+        alph = next((b for t, b in chunks[1:] if t == b"ALPH"), None)
         for t, b in chunks[1:]:
             # a still VP8X (alpha/ICC/EXIF wrapper) carries one image
-            # chunk at the top level; decode it (any ALPH plane is out
-            # of scope: lossy pixels come back fully opaque, documented)
+            # chunk at the top level; decode it, compositing a real
+            # ALPH plane onto lossy pixels (r10; a lossless chunk
+            # carries its own alpha, so ALPH is ignored for VP8L per
+            # the container spec)
             if t in (b"VP8L", b"VP8 "):
                 if t == b"VP8L":
                     in_w, in_h, rgba = decode_vp8l_pixels(b)
@@ -689,6 +761,9 @@ def decode_webp(
                     from .vp8 import decode_vp8_pixels
 
                     in_w, in_h, rgba = decode_vp8_pixels(b)
+                    if alph is not None:
+                        rgba = rgba.copy()
+                        rgba[..., 3] = _decode_alpha_plane(alph, in_w, in_h)
                 # the returned dims must describe the returned pixels:
                 # a still image whose frame disagrees with the declared
                 # canvas is malformed, not silently mismatched
@@ -808,7 +883,9 @@ def decode_webp_frames(
         if fx + fw > width or fy + fh > height:
             raise ValueError("ANMF frame exceeds the canvas")
         rgba = None
-        for t, b in _subchunks(fb[16:]):
+        sub = list(_subchunks(fb[16:]))
+        frame_alph = next((b for t, b in sub if t == b"ALPH"), None)
+        for t, b in sub:
             if t in (b"VP8L", b"VP8 "):
                 if t == b"VP8L":
                     fw_d, fh_d, rgba = decode_vp8l_pixels(b)
@@ -816,6 +893,15 @@ def decode_webp_frames(
                     from .vp8 import decode_vp8_pixels
 
                     fw_d, fh_d, rgba = decode_vp8_pixels(b)
+                    if frame_alph is not None:
+                        # real per-frame alpha (r10): without it the
+                        # compositor would blend lossy frames at
+                        # alpha=255 and silently diverge wherever a
+                        # frame carries transparency
+                        rgba = rgba.copy()
+                        rgba[..., 3] = _decode_alpha_plane(
+                            frame_alph, fw_d, fh_d
+                        )
                 if (fw_d, fh_d) != (fw, fh):
                     raise ValueError("ANMF frame dims disagree with header")
                 break

@@ -107,10 +107,16 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
 
 def _busy_jiffies() -> int:
-    """Host-wide non-idle jiffies from /proc/stat (all cpus, summed)."""
+    """Host-wide non-idle jiffies from /proc/stat (all cpus, summed).
+    Fields: user nice system idle iowait irq softirq steal guest
+    guest_nice -- user/nice already INCLUDE guest/guest_nice, so the
+    guest columns must not be summed again (they'd double-count VM
+    time); idle and iowait are not busy. Steal stays in: on a shared
+    box, hypervisor-stolen time IS a noisy neighbor."""
     with open("/proc/stat") as f:
         vals = [int(x) for x in f.readline().split()[1:]]
-    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    guest = sum(vals[8:10])  # absent columns -> empty slice -> 0
+    return sum(vals) - vals[3] - vals[4] - guest
 
 
 def _tree_jiffies() -> int:

@@ -175,7 +175,7 @@ def _bmode_probs(above, left):
 
 
 def build_frame(mb_w, mb_h, bmodes_per_mb, y_dcs_per_mb=None, uvmode=0,
-                qi=40, filter_level=0):
+                qi=40, filter_level=0, filter_simple=False):
     """A valid single-partition key frame with default probabilities,
     B_PRED macroblocks with the given 4x4 modes, and optional DC-only
     Y residuals (raw token values in -4..4; None = all MBs skipped)."""
@@ -183,7 +183,7 @@ def build_frame(mb_w, mb_h, bmodes_per_mb, y_dcs_per_mb=None, uvmode=0,
     e.literal(1, 0)  # color space
     e.literal(1, 0)  # clamping
     e.put(128, 0)  # segmentation off
-    e.literal(1, 0)  # normal filter
+    e.literal(1, 1 if filter_simple else 0)  # filter type
     e.literal(6, filter_level)
     e.literal(3, 0)  # sharpness
     e.put(128, 0)  # lf deltas off
@@ -276,7 +276,10 @@ def build_frame(mb_w, mb_h, bmodes_per_mb, y_dcs_per_mb=None, uvmode=0,
         part2 = b"\x00" * 8
 
     width, height = mb_w * 16, mb_h * 16
-    tag = (3 << 1) | (1 << 4) | (len(part1) << 5)
+    # version 1 = bilinear + SIMPLE loop filter per RFC 6386 9.1's table,
+    # keeping the fixture self-consistent with the simple-filter bit
+    version = 1 if filter_simple else 3
+    tag = (version << 1) | (1 << 4) | (len(part1) << 5)
     body = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     body += b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
     return body + part1 + part2
@@ -353,6 +356,56 @@ def test_handcrafted_dc_tokens_roundtrip():
         blk = P[by : by + 4, bx : bx + 4].astype(np.int32) + delta
         P[by : by + 4, bx : bx + 4] = np.clip(blk, 0, 255).astype(np.uint8)
     assert np.array_equal(y, P[1:17, 1:17])
+
+
+def test_handcrafted_simple_filter_vs_independent_replica():
+    """The simple in-loop filter path (h.filter_simple) was never
+    exercised before r10 (r9 advice): build_frame hardcoded the normal-
+    filter bit and libwebp's encoder default emits the normal filter, so
+    the differential suite could not cover it. Decode the same DC-step
+    frame with the filter off and with the SIMPLE filter at level 63,
+    and require the filtered output to equal an independent test-local
+    implementation of RFC 6386 section 15.1 applied to the unfiltered
+    plane in the decoder's mandated edge order (per MB: vertical inner
+    edges left-to-right, then horizontal top-to-bottom; Y plane only)."""
+    dcs = [3, -4, 2, -1, 0, 1, 0, -2, 4, 0, -3, 0, 1, -1, 2, -4]
+    kw = dict(y_dcs_per_mb=[dcs], qi=100)
+    _, _, y0, u0, v0 = m.decode_vp8_yuv(build_frame(1, 1, [[0] * 16], **kw))
+    _, _, y1, u1, v1 = m.decode_vp8_yuv(
+        build_frame(1, 1, [[0] * 16], filter_level=63, filter_simple=True,
+                    **kw)
+    )
+    # the simple filter touches ONLY luma (RFC 15: chroma unfiltered)
+    assert np.array_equal(u0, u1) and np.array_equal(v0, v1)
+    assert not np.array_equal(y0, y1), "level-63 filter must change pixels"
+
+    level = 63
+    i_limit = level  # sharpness 0
+    sub_e = level * 2 + i_limit  # inner-edge limit; single MB: no MB edges
+
+    def c8(v):
+        return -128 if v < -128 else (127 if v > 127 else v)
+
+    def line(p1, p0, q0, q1, edge_limit):
+        """RFC 6386 15.1 simple_segment, written independently of the
+        decoder's helpers; returns (new_p0, new_q0)."""
+        if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 > edge_limit:
+            return p0, q0
+        a = c8(c8(p1 - q1) + 3 * (q0 - p0))
+        f = c8(a + 4) >> 3
+        e = c8(a + 3) >> 3
+        return c8(p0 + e), c8(q0 - f)
+
+    ys = y0.astype(np.int32) - 128
+    for x in (4, 8, 12):
+        for r in range(16):
+            p1, p0, q0, q1 = (int(ys[r, x - 2 + k]) for k in range(4))
+            ys[r, x - 1], ys[r, x] = line(p1, p0, q0, q1, sub_e)
+    for yy in (4, 8, 12):
+        for col in range(16):
+            p1, p0, q0, q1 = (int(ys[yy - 2 + k, col]) for k in range(4))
+            ys[yy - 1, col], ys[yy, col] = line(p1, p0, q0, q1, sub_e)
+    assert np.array_equal(y1, (ys + 128).astype(np.uint8))
 
 
 # --------------------------------------------------------------------------

@@ -962,3 +962,217 @@ def test_webp_through_decode_image_and_mapinpandas(spark):
     )
     [row] = decode_batches(df).collect()
     assert (row.fmt, row.width, row.height, row.n_frames) == ("webp", 8, 6, 1)
+
+
+# ---------------------------------------------------------------- ALPH
+# (r10: real alpha planes for lossy VP8X stills and ANMF frames)
+
+
+def _forward_alpha_filter(plane: np.ndarray, method: int) -> np.ndarray:
+    """Independent FORWARD ALPH filter (container spec 'Alpha' section;
+    residual = value - prediction, mod 256) -- written from the spec,
+    not from the decoder's inverse, so the pair cannot self-cancel."""
+    h, w = plane.shape
+    p = plane.astype(np.int32)
+    out = np.zeros_like(p)
+    for y in range(h):
+        for x in range(w):
+            if method == 0:
+                pred = 0
+            elif method == 1:  # horizontal; row start predicts above
+                pred = p[y, x - 1] if x else (p[y - 1, 0] if y else 0)
+            elif method == 2:  # vertical; first row falls back horizontal
+                pred = p[y - 1, x] if y else (p[y, x - 1] if x else 0)
+            else:  # gradient
+                if y == 0:
+                    pred = p[0, x - 1] if x else 0
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                else:
+                    g = int(p[y, x - 1]) + int(p[y - 1, x]) - int(p[y - 1, x - 1])
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[y, x] = (p[y, x] - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _alpha_test_plane(w: int, h: int) -> np.ndarray:
+    ys, xs = np.mgrid[0:h, 0:w]
+    plane = ((xs * 7 + ys * 13) % 256).astype(np.uint8)
+    plane[: h // 2, : w // 2] = 0  # a fully transparent quadrant
+    return plane
+
+
+def _vp8x_alpha_still(w: int, h: int, alph_body: bytes,
+                      image_tag: bytes, image_body: bytes) -> bytes:
+    vp8x = bytes([0x10, 0, 0, 0])  # alpha flag
+    vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    for tag, body in ((b"ALPH", alph_body), (image_tag, image_body)):
+        chunks += tag + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_alph_raw_with_every_filter_roundtrip(filt):
+    """Raw (compression 0) ALPH planes under all four pre-compression
+    filters decode back to the exact plane, composited onto a REAL
+    handcrafted VP8 key frame inside a VP8X still."""
+    from tests.test_vp8 import build_frame
+
+    w = h = 16
+    plane = _alpha_test_plane(w, h)
+    alph = bytes([filt << 2]) + _forward_alpha_filter(plane, filt).tobytes()
+    vp8 = build_frame(1, 1, [[0] * 16])
+    blob = _vp8x_alpha_still(w, h, alph, b"VP8 ", vp8)
+    gw, gh, n, rgba, codec = decode_webp(blob)
+    assert (gw, gh, n, codec) == (w, h, 1, "vp8x")
+    assert np.array_equal(rgba[..., 3], plane), f"filter {filt}"
+    # RGB channels come from the VP8 frame, untouched by ALPH
+    ref = decode_webp(_vp8x_alpha_still(w, h, bytes([0]) + b"\xff" * (w * h),
+                                        b"VP8 ", vp8))[3]
+    assert np.array_equal(rgba[..., :3], ref[..., :3])
+
+
+def test_alph_headless_vp8l_compression():
+    """Compression method 1: the ALPH payload is a HEADLESS VP8L stream
+    whose green channel carries alpha -- built with the independent
+    spec-written encoder's spatial stage (no signature/dims header)."""
+    from tests.test_vp8 import build_frame
+
+    w = h = 16
+    plane = _alpha_test_plane(w, h)
+    px = [[int(v) << 8 for v in row] for row in plane]  # green channel
+    bw = _BW()
+    bw.put(0, 1)  # no transforms (a level-0 stream begins with that bit)
+    _encode_spatial(bw, px, True)
+    alph = bytes([1]) + bw.getvalue()
+    vp8 = build_frame(1, 1, [[0] * 16])
+    blob = _vp8x_alpha_still(w, h, alph, b"VP8 ", vp8)
+    _, _, _, rgba, _ = decode_webp(blob)
+    assert np.array_equal(rgba[..., 3], plane)
+
+
+def test_alph_ignored_for_lossless_still():
+    """A lossless (VP8L) still carries its own alpha; an ALPH chunk in
+    the same VP8X container must be ignored per the container spec."""
+    rng = np.random.RandomState(5)
+    rgba = rng.randint(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    data, _ = _encode_vp8l(rgba)
+    alph = bytes([0]) + b"\x00" * 64  # would zero the alpha if applied
+    blob = _vp8x_alpha_still(8, 8, alph, b"VP8L", data)
+    _, _, _, got, _ = decode_webp(blob)
+    assert np.array_equal(got[..., 3], rgba[..., 3])
+
+
+def test_alph_malformed_rejected():
+    from aws_cloudfront_realtime_monitoring_spark.operators.webp import (
+        _decode_alpha_plane,
+    )
+
+    with pytest.raises(ValueError, match="empty ALPH"):
+        _decode_alpha_plane(b"", 4, 4)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_alpha_plane(bytes([0]) + b"\x00" * 7, 4, 4)
+    with pytest.raises(ValueError, match="undefined"):
+        _decode_alpha_plane(bytes([2]) + b"\x00" * 16, 4, 4)
+
+
+def test_alph_animation_frames_composite_real_alpha():
+    """An ANMF frame whose subchunks are ALPH + VP8 composites with the
+    DECODED alpha: a no-blend frame lands the plane verbatim in the
+    canvas, and a source-over second frame with alpha=0 leaves the
+    first frame's pixels visible (the pre-r10 behavior blended lossy
+    frames at alpha=255, overwriting them)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.webp import (
+        decode_webp_frames,
+    )
+    from tests.test_vp8 import build_frame
+
+    w = h = 16
+    plane = _alpha_test_plane(w, h)
+    vp8 = build_frame(1, 1, [[0] * 16])
+
+    def anmf(alph_body, flags):
+        sub = b"ALPH" + struct.pack("<I", len(alph_body)) + alph_body
+        if len(alph_body) % 2:
+            sub += b"\x00"
+        sub += b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+        if len(vp8) % 2:
+            sub += b"\x00"
+        head = (0).to_bytes(3, "little") * 2  # fx, fy
+        head += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        head += (100).to_bytes(3, "little") + bytes([flags])
+        return head + sub
+
+    vp8x = bytes([0x12, 0, 0, 0])  # alpha + animation flags
+    vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    anim = struct.pack("<I", 0) + struct.pack("<H", 0)  # bg, loop
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    f1 = anmf(bytes([0]) + plane.tobytes(), 0x02)  # no-blend
+    f2 = anmf(bytes([0]) + b"\x00" * (w * h), 0x00)  # alpha-0, blend
+    for f in (f1, f2):
+        chunks += b"ANMF" + struct.pack("<I", len(f)) + f
+        if len(f) % 2:
+            chunks += b"\x00"
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    gw, gh, n, screens = decode_webp_frames(blob)
+    assert (gw, gh, n) == (w, h, 2)
+    assert np.array_equal(screens[0][..., 3], plane)
+    # frame 2 contributes nothing VISIBLE where its alpha is 0: alpha is
+    # unchanged and every pixel that remains visible keeps frame 1's RGB
+    # (where BOTH alphas are 0 the spec blend forces RGB to 0 -- an
+    # invisible, legitimate change)
+    assert np.array_equal(screens[1][..., 3], plane)
+    vis = plane > 0
+    assert np.array_equal(screens[1][vis], screens[0][vis])
+
+
+def test_alpha_plane_differential_vs_libwebp():
+    """Lossy-with-alpha through the REAL encoder: libwebp wraps VP8 +
+    ALPH (lossless-compressed by default) in VP8X; our decoded alpha
+    channel must match libwebp's own RGBA decode BIT-EXACTLY (alpha
+    passes through no colorspace math, unlike the RGB channels whose
+    upsampler differs by documented design)."""
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("webp")
+    if not name:
+        pytest.skip("libwebp shared library not present")
+    lib = ctypes.CDLL(name)
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    rng = np.random.RandomState(7)
+    for w, h in [(16, 16), (33, 29), (7, 3), (50, 50)]:
+        img = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+        ys, xs = np.mgrid[0:h, 0:w]
+        img[..., 3] = ((xs * 255) // max(w - 1, 1)).astype(np.uint8)
+        img[: h // 2, : w // 2, 3] = 0
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGBA(img.tobytes(), w, h, w * 4, 75.0,
+                               ctypes.byref(out))
+        assert n > 0
+        payload = ctypes.string_at(out, n)
+        lib.WebPFree(out)
+        assert b"ALPH" in payload, "encoder did not emit an alpha chunk"
+        W, H = ctypes.c_int(), ctypes.c_int()
+        rp = lib.WebPDecodeRGBA(payload, len(payload),
+                                ctypes.byref(W), ctypes.byref(H))
+        assert rp
+        ref = np.ctypeslib.as_array(rp, shape=(H.value, W.value, 4)).copy()
+        lib.WebPFree(rp)
+        gw, gh, nf, rgba, codec = decode_webp(payload)
+        assert (gw, gh, nf, codec) == (w, h, 1, "vp8x")
+        assert np.array_equal(rgba[..., 3], ref[..., 3]), (w, h)
