@@ -172,6 +172,11 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     frame = None  # (height, width, [(comp_id, h_samp, v_samp, qt_id)])
     progressive = False
     prog: _ProgState | None = None
+    # multi-scan SEQUENTIAL state (scans covering component subsets of a
+    # SOF0/1 frame): reuses the progressive coefficient-accumulator and
+    # finalize; seq_done tracks delivered components (each exactly once)
+    seq: _ProgState | None = None
+    seq_done: set[int] = set()
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -180,6 +185,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         if marker == 0xD9:  # EOI
             if prog is not None and prog.n_scans > 0:
                 return _finalize_progressive(prog, qt)
+            if seq is not None:
+                if seq_done != {c[0] for c in frame[2]}:
+                    raise ValueError(
+                        "sequential JPEG ended with undelivered components"
+                    )
+                return _finalize_progressive(seq, qt)
             raise ValueError("JPEG ended before scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
             # TEM / stray RSTn / fill byte: no length field
@@ -251,10 +262,32 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 scan_tables[cid] = (tabs >> 4, tabs & 15)
                 scan_comps.append(cid)
             if not progressive:
-                return _decode_scan(
-                    payload, pos + 2 + seg_len, frame, scan_tables,
-                    qt, huff_dc, huff_ac, restart_interval,
+                if seq is None and set(scan_comps) == {
+                    c[0] for c in frame[2]
+                }:
+                    # single-scan file (the common case): one-pass decode
+                    return _decode_scan(
+                        payload, pos + 2 + seg_len, frame, scan_tables,
+                        qt, huff_dc, huff_ac, restart_interval,
+                    )
+                # MULTI-SCAN sequential (r10): each scan delivers the
+                # full 64 coefficients for a SUBSET of components --
+                # accumulate into the shared coefficient state and
+                # finalize at EOI, exactly like progressive
+                if seq is None:
+                    seq = _ProgState(*frame)
+                for cid in scan_comps:
+                    if cid in seq_done:
+                        raise ValueError(
+                            "JPEG component delivered by two sequential "
+                            "scans"
+                        )
+                    seq_done.add(cid)
+                pos = _decode_sequential_scan(
+                    payload, pos + 2 + seg_len, seq, scan_comps,
+                    scan_tables, huff_dc, huff_ac, restart_interval,
                 )
+                continue
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
             pos = _decode_progressive_scan(
@@ -266,6 +299,9 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     if prog is not None and prog.n_scans > 0:
         # missing EOI but scans decoded: tolerate truncated-tail files
         return _finalize_progressive(prog, qt)
+    if seq is not None and seq_done == {c[0] for c in frame[2]}:
+        # every component's scan arrived; only the EOI byte is missing
+        return _finalize_progressive(seq, qt)
     raise ValueError("JPEG has no SOS segment")
 
 
@@ -278,16 +314,15 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
 
     if h * w > MAX_PIXELS:
         raise ValueError("JPEG dimensions exceed the decode cap")
-    if len(scan_tables) == 1:
+    if len(comps) == 1:
         # T.81 A.2 / B.2.3: a scan with ONE component is non-interleaved
         # -- the MCU is a single 8x8 data unit and the grid is
         # ceil(w/8) x ceil(h/8) REGARDLESS of the SOF sampling factors
         # (grayscale files from color-to-gray encoders commonly keep a
         # 2x2 declaration; interleaved geometry would misdecode them).
-        if len(comps) != 1:
-            # one scan of a multi-component frame = multi-scan
-            # sequential file; we decode single-scan baseline only
-            raise ValueError("multi-scan sequential JPEG unsupported")
+        # (Scans covering a strict SUBSET of a multi-component frame
+        # never reach here: _decode_jpeg routes them to the multi-scan
+        # sequential path.)
         cid0, _hs0, _vs0, tq0 = comps[0]
         comps = [(cid0, 1, 1, tq0)]
     hmax = max(c[1] for c in comps)
@@ -437,8 +472,13 @@ def _decode_progressive_scan(data, pos, prog, scan_comps, scan_tables,
         raise ValueError(
             f"JPEG scan data ended early (marker {exc.marker:#x})"
         ) from exc
-    # skip pad bits / fill bytes to the next real marker
-    p = br.pos
+    return _skip_to_marker(data, br.pos)
+
+
+def _skip_to_marker(data: bytes, p: int) -> int:
+    """Skip pad bits / fill bytes / stray trailing restart markers to
+    the next real marker after a scan's entropy-coded data (shared by
+    the progressive and multi-scan sequential paths)."""
     while p + 1 < len(data):
         if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
             if 0xD0 <= data[p + 1] <= 0xD7:
@@ -447,6 +487,89 @@ def _decode_progressive_scan(data, pos, prog, scan_comps, scan_tables,
             return p
         p += 1
     return len(data)
+
+
+def _decode_sequential_scan(data, pos, seq, scan_comps, scan_tables,
+                            huff_dc, huff_ac, restart_interval) -> int:
+    """One scan of a MULTI-SCAN sequential (SOF0/1) file: each block of
+    the scan's components delivers its full 64 coefficients (DC diff +
+    AC run-length, T.81 F.2.2), stored at zigzag indices in the shared
+    coefficient state for the common finalize. Geometry follows the
+    progressive DC rules: an interleaved subset walks the frame MCU
+    grid with hs x vs blocks per component, a single-component scan is
+    non-interleaved over the TRUE component block grid. Returns the
+    byte position of the next marker."""
+    seq.n_scans += 1
+    if seq.n_scans > _PROG_MAX_SCANS:
+        raise ValueError("too many JPEG scans")
+    comps = [c for c in seq.comps if c[0] in scan_comps]
+    if len(comps) != len(scan_comps):
+        raise ValueError("JPEG scan references unknown component")
+    tables = {}
+    for cid in scan_comps:
+        dc_t = huff_dc.get(scan_tables[cid][0])
+        ac_t = huff_ac.get(scan_tables[cid][1])
+        if dc_t is None or ac_t is None:
+            raise ValueError("JPEG references missing table")
+        tables[cid] = (dc_t, ac_t)
+    pred = {cid: 0 for cid in scan_comps}
+    br = _BitReader(data, pos)
+    try:
+        if len(comps) > 1:  # interleaved subset: frame MCU order
+            for u in range(seq.mcus_y * seq.mcus_x):
+                if restart_interval and u and u % restart_interval == 0:
+                    _expect_rst(br, br.data)
+                    pred = {cid: 0 for cid in pred}
+                my, mx = divmod(u, seq.mcus_x)
+                for cid, hs, vs, _tq in comps:
+                    dc_t, ac_t = tables[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            _seq_unit(br, seq.coefs[cid], my * vs + by,
+                                      mx * hs + bx, dc_t, ac_t, pred, cid)
+        else:  # single component: non-interleaved, true component grid
+            cid, _hs, _vs, _tq = comps[0]
+            dc_t, ac_t = tables[cid]
+            nby, nbx = seq.nblocks[cid]
+            for u in range(nby * nbx):
+                if restart_interval and u and u % restart_interval == 0:
+                    _expect_rst(br, br.data)
+                    pred = {cid: 0 for cid in pred}
+                by, bx = divmod(u, nbx)
+                _seq_unit(br, seq.coefs[cid], by, bx, dc_t, ac_t, pred, cid)
+    except _MarkerHit as exc:
+        raise ValueError(
+            f"JPEG scan data ended early (marker {exc.marker:#x})"
+        ) from exc
+    return _skip_to_marker(data, br.pos)
+
+
+def _seq_unit(br, arr, by, bx, dc_t, ac_t, pred, cid):
+    """Full 64-coefficient decode of one sequential data unit (T.81
+    F.2.2.1-F.2.2.2) into the zigzag-ordered coefficient store."""
+    s = dc_t.decode(br)
+    if s > 11:
+        raise ValueError("invalid JPEG DC magnitude")
+    pred[cid] += _extend(br.read(s), s)
+    if not -(1 << 26) <= pred[cid] <= (1 << 26):
+        # same crafted-stream overflow guard as the progressive DC path
+        raise ValueError("JPEG DC predictor out of range")
+    block = arr[by, bx]
+    block[0] = pred[cid]
+    k = 1
+    while k <= 63:
+        rs = ac_t.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break  # EOB
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        block[k] = _extend(br.read(s), s)
+        k += 1
 
 
 def _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,

@@ -721,3 +721,157 @@ def test_progressive_work_bounds():
     big += b"\x00" * 64 + b"\xff\xd9"
     with pytest.raises(ValueError, match="progressive decode cap"):
         decode_jpeg_pixels(bytes(big))
+
+
+# ------------------------------------------- multi-scan SEQUENTIAL (r10)
+
+
+def make_multiscan_jpeg(pixels: np.ndarray, quant: int = 1,
+                        subsample: int = 1, restart: int = 0,
+                        split=None) -> bytes:
+    """Encode an [h, w, 3] uint8 array as baseline-SEQUENTIAL JFIF with
+    MULTIPLE scans. ``split``: component-id groups per scan (default one
+    scan per component, the common transcoder shape); a group with >1
+    ids is interleaved over the frame MCU grid, a single-id group is
+    non-interleaved over that component's TRUE block grid (T.81 A.2)."""
+    h, w, nc = pixels.shape
+    q = np.full(64, quant, np.int32)
+    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    split = split if split is not None else [[ci + 1] for ci in range(nc)]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += _seg(0xC0, sof)
+    out += _dht(0, 0, [4] * 12, list(range(12)))
+    out += _dht(1, 0, [8] * len(_AC_SYMBOLS), list(_AC_SYMBOLS))
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+
+    for group in split:
+        sos = bytes([len(group)])
+        for cid in group:
+            sos += bytes([cid, 0x00])
+        sos += bytes([0, 63, 0])
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        data = bytearray()
+        preds = {cid: [0] for cid in group}
+        rst_i = 0
+        unit = 0
+
+        def maybe_restart():
+            nonlocal bw, preds, rst_i
+            if restart and unit and unit % restart == 0:
+                data.extend(bw.flush())
+                bw = _BitWriter()
+                data.extend(bytes([0xFF, 0xD0 + (rst_i % 8)]))
+                rst_i += 1
+                preds = {cid: [0] for cid in group}
+
+        if len(group) > 1:  # interleaved subset: frame MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for cid in group:
+                        ci = cid - 1
+                        hs, vs = sampling[ci]
+                        blocks = [
+                            planes[ci][(my * vs + by) * 8:(my * vs + by) * 8 + 8,
+                                       (mx * hs + bx) * 8:(mx * hs + bx) * 8 + 8]
+                            for by in range(vs) for bx in range(hs)
+                        ]
+                        _encode_blocks(bw, blocks, q, preds[cid])
+                    unit += 1
+        else:  # non-interleaved: the component's true block grid
+            cid = group[0]
+            ci = cid - 1
+            hs, vs = sampling[ci]
+            cw = -(-(w * hs) // hmax)  # true component dims (T.81 A.1.1)
+            ch = -(-(h * vs) // vmax)
+            nbx = -(-cw // 8)
+            nby = -(-ch // 8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    maybe_restart()
+                    _encode_blocks(
+                        bw,
+                        [planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]],
+                        q, preds[cid],
+                    )
+                    unit += 1
+        data.extend(bw.flush())
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multiscan_per_component_matches_single_scan_exactly():
+    """One scan per component (the common multi-scan transcoder shape),
+    4:4:4: identical coefficients flow through the accumulate+finalize
+    path, so the decode must equal the single-scan baseline EXACTLY."""
+    rng = np.random.RandomState(43)
+    px = rng.randint(60, 200, size=(24, 17, 3), dtype=np.uint8)
+    base = decode_jpeg_pixels(make_jpeg(px))
+    multi = decode_jpeg_pixels(make_multiscan_jpeg(px))
+    assert base[0:2] == multi[0:2]
+    assert np.array_equal(base[2], multi[2])
+
+
+def test_multiscan_interleaved_subset_matches_single_scan():
+    """A scan interleaving components 1+2 followed by a component-3
+    scan: the subset MCU geometry must agree with the baseline."""
+    rng = np.random.RandomState(47)
+    px = rng.randint(60, 200, size=(16, 16, 3), dtype=np.uint8)
+    base = decode_jpeg_pixels(make_jpeg(px))
+    multi = decode_jpeg_pixels(make_multiscan_jpeg(px, split=[[1, 2], [3]]))
+    assert np.array_equal(base[2], multi[2])
+
+
+def test_multiscan_420_subsampled_matches_single_scan():
+    """4:2:0 per-component scans: the luma scan is NON-INTERLEAVED over
+    its true (non-MCU-padded) block grid while carrying 2x2 sampling
+    factors -- the exact geometry the single-scan fast path never
+    exercises."""
+    yy, xx = np.mgrid[0:32, 0:24]
+    px = np.dstack([
+        (96 + xx * 2).astype(np.uint8),
+        (96 + yy).astype(np.uint8),
+        (128 + (xx + yy) // 2).astype(np.uint8),
+    ])
+    base = decode_jpeg_pixels(make_jpeg(px, subsample=2))
+    multi = decode_jpeg_pixels(make_multiscan_jpeg(px, subsample=2))
+    assert np.array_equal(base[2], multi[2])
+
+
+def test_multiscan_restart_markers():
+    rng = np.random.RandomState(53)
+    px = rng.randint(60, 200, size=(24, 24, 3), dtype=np.uint8)
+    base = decode_jpeg_pixels(make_jpeg(px, quant=2))
+    multi = decode_jpeg_pixels(
+        make_multiscan_jpeg(px, quant=2, restart=2)
+    )
+    assert np.array_equal(base[2], multi[2])
+
+
+def test_multiscan_malformed_rejected():
+    """The sequential multi-scan contract: a component delivered twice,
+    or EOI before every component arrived, is malformed (T.81: each
+    component appears in exactly one sequential scan)."""
+    rng = np.random.RandomState(59)
+    px = rng.randint(60, 200, size=(16, 16, 3), dtype=np.uint8)
+    ok = make_multiscan_jpeg(px)
+    # duplicate: replay the first scan twice via split
+    dup = make_multiscan_jpeg(px, split=[[1], [1], [2], [3]])
+    with pytest.raises(ValueError, match="two sequential scans"):
+        decode_jpeg_pixels(dup)
+    # truncate: drop everything after the second scan's data, add EOI
+    # (cheap structural truncation: cut at the last SOS marker)
+    last_sos = ok.rfind(b"\xff\xda")
+    trunc = ok[:last_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="undelivered"):
+        decode_jpeg_pixels(trunc)
