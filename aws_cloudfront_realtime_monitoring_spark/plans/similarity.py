@@ -218,9 +218,9 @@ _BUCKET_SQL = " + ".join(
 IVF_PROBE_HAMMING = 1
 
 
-def _bucket_col() -> Column:
+def _bucket_col(bits: int = IVF_BITS) -> Column:
     out = None
-    for d in range(IVF_BITS):
+    for d in range(bits):
         term = F.when(F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)).otherwise(0)
         out = term if out is None else out + term
     return out
@@ -493,12 +493,57 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: then drop all-but-one of each within-cluster near-duplicate group)
 SEMDEDUP_COS = 0.35
 
+#: semdedup's bucket BIT COUNT scales with the corpus so within-bucket
+#: pair work stays LINEAR: B = max(IVF_BITS, #{j < MAX_BITS :
+#: TARGET_BUCKET * 2^j < N}) -- i.e. the smallest B with 2^B >=
+#: N / TARGET_BUCKET, computed with integer comparisons so Spark and
+#: DuckDB can never diverge on a log2 ulp. The r10 ~sf10 sweep caught
+#: the previous FIXED 2^6-bucket config going quadratic (262x wall at
+#: 100x vectors: constant bucket count => bucket size ~ N => in-bucket
+#: pairs ~ N^2); with bucket count ~ N/32 the expected in-bucket pair
+#: count is ~16N. Unchanged at sf0.01/sf0.1 (B stays 6 below 2049
+#: vectors), so the driver-oracle rows' results are identical.
+SEMDEDUP_TARGET_BUCKET = 32
+SEMDEDUP_MAX_BITS = 24
+
+
+def _semdedup_bits(n: int) -> int:
+    return max(
+        IVF_BITS,
+        sum(
+            1
+            for j in range(SEMDEDUP_MAX_BITS)
+            if (SEMDEDUP_TARGET_BUCKET << j) < n
+        ),
+    )
+
+
+#: dynamic-width sign-pattern bucket for the oracle: bit d participates
+#: only when d < p.nbits (p = the params CTE computing the same formula
+#: as :func:`_semdedup_bits`); out-of-range list indexes yield NULL ->
+#: the ELSE 0 arm, matching Spark's null-safe element_at
+_SEMDEDUP_BUCKET_SQL = "(" + " + ".join(
+    f"(CASE WHEN {d} < p.nbits AND embedding[{d + 1}] >= 0"
+    f" THEN {1 << d} ELSE 0 END)"
+    for d in range(SEMDEDUP_MAX_BITS)
+) + ")"
+
+_SEMDEDUP_PARAMS_SQL = (
+    "SELECT GREATEST(" + str(IVF_BITS) + ", "
+    + " + ".join(
+        f"(CASE WHEN cnt > {SEMDEDUP_TARGET_BUCKET << j} THEN 1 ELSE 0 END)"
+        for j in range(SEMDEDUP_MAX_BITS)
+    )
+    + ") AS nbits FROM (SELECT COUNT(*) AS cnt FROM embeddings)"
+)
+
 
 @register(
     "semdedup",
     oracle=f"""
-    WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket, {_QVEC_SQL} AS qe
-               FROM embeddings),
+    WITH params AS ({_SEMDEDUP_PARAMS_SQL}),
+    b AS (SELECT vec_id, {_SEMDEDUP_BUCKET_SQL} AS bucket, {_QVEC_SQL} AS qe
+               FROM embeddings, params p),
     qn AS (SELECT vec_id, bucket, qe,
                   CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nrm
            FROM b),
@@ -523,22 +568,27 @@ SEMDEDUP_COS = 0.35
     SELECT vec_id, rep_cand AS rep_id, ROUND(cos, 6) AS cos6
     FROM ranked WHERE rn = 1
     """,
-    description=f"Semantic dedup over embeddings (the SemDeDup pipeline "
+    description="Semantic dedup over embeddings (the SemDeDup pipeline "
                 "stage): cluster the space with the deterministic "
-                f"{IVF_BITS}-bit sign-pattern quantizer, compare pairs "
-                "only WITHIN a cluster (equi-join on bucket -- "
-                "hash-partitionable, never all-pairs), and drop every "
-                f"vector with a smaller-id neighbor at cos >= "
-                f"{SEMDEDUP_COS}, reporting its smallest such "
-                "representative. The dominated-by-any-smaller-id rule is "
-                "a deterministic single-pass keep policy (transitive "
-                "chains collapse toward the smallest id; the kept set is "
-                "ids absent from this relation) -- for the "
-                "connected-component variant compose with "
+                "sign-pattern quantizer whose BIT COUNT scales with the "
+                f"corpus (max({IVF_BITS}, bits for ~"
+                f"{SEMDEDUP_TARGET_BUCKET}-vector buckets), integer-"
+                "exact in both engines -- r10: the fixed-bucket config "
+                "measured quadratic at the ~sf10 sweep, 262x wall at "
+                "100x vectors; scaled buckets keep in-bucket pair work "
+                "linear), compare pairs only WITHIN a cluster "
+                "(equi-join on bucket -- hash-partitionable, never "
+                "all-pairs), and drop every vector with a smaller-id "
+                f"neighbor at cos >= {SEMDEDUP_COS}, reporting its "
+                "smallest such representative. The dominated-by-any-"
+                "smaller-id rule is a deterministic single-pass keep "
+                "policy (transitive chains collapse toward the smallest "
+                "id; the kept set is ids absent from this relation) -- "
+                "for the connected-component variant compose with "
                 "operators.graph. Integer-exact dots; cluster sizes "
                 "bound each join partition, trained k-means centroids "
-                "(operators.kmeans) swap in for the sign quantizer at "
-                "scale without changing the plan (semdedup_kmeans, "
+                "(operators.kmeans) remain the swap-in for corpora "
+                "whose sign-pattern buckets skew (semdedup_kmeans, "
                 "numpy-replica-pinned). Promoted to a driver-oracle row "
                 "in r6 (slot from semi_anti_membership, whose semi/anti "
                 "coverage subquery_shapes keeps).",
@@ -546,8 +596,12 @@ SEMDEDUP_COS = 0.35
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # one metadata-cheap count sizes the quantizer (parquet row counts
+    # come from footer statistics); the same integer formula runs in
+    # the oracle's params CTE, so the bucketings are identical
+    nbits = _semdedup_bits(emb.count())
     base = emb.select(
-        "vec_id", _bucket_col().alias("bucket"), qvec().alias("qe")
+        "vec_id", _bucket_col(nbits).alias("bucket"), qvec().alias("qe")
     ).withColumn("nrm", qnorm("qe"))
     return _dominance_dedup(base, "bucket")
 
