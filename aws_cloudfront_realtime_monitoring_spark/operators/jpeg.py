@@ -5,11 +5,16 @@ Completes the real-decode set of the multimodal contract
 format a media pipeline actually ingests. Scope: baseline sequential DCT
 (SOF0/1) and PROGRESSIVE DCT (SOF2, spectral selection + successive
 approximation per T.81 Annex G), 8-bit precision, Huffman entropy
-coding, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
-markers. Arithmetic-coded, 12-bit, and CMYK variants raise
-``ValueError`` (the multimodal layer falls back to Pillow-if-present or
-the documented fake, exactly like the other decoders' unsupported
-profiles).
+coding, grayscale / YCbCr / RGB (Adobe transform 0 or R,G,B component
+ids) with 4:4:4 / 4:2:2 / 4:2:0 sampling, 4-component CMYK and YCCK
+(Adobe APP14 transform resolved by the same heuristics libjpeg's
+jdmaster documents: Adobe present -> its transform byte and inverted
+ink convention; absent -> component-id sniff for 3 channels, direct
+ink CMYK for 4), restart markers. All color spaces convert to RGB (or
+stay single-channel grayscale) on output. Arithmetic-coded, 12-bit,
+lossless and hierarchical variants raise ``ValueError`` (the
+multimodal layer falls back to Pillow-if-present or the documented
+fake, exactly like the other decoders' unsupported profiles).
 
 Structure (ITU-T T.81):
 - markers: SOI, DQT (quant tables), SOF0/SOF2 (dims, components,
@@ -148,8 +153,9 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for baseline-sequential AND progressive JPEG:
     returns (width, height, pixels[h, w, 1 or 3] uint8 — grayscale or
-    RGB). Raises ``ValueError`` on malformed input or unsupported
-    variants (arithmetic coding, 12-bit, CMYK, hierarchical) — ONLY
+    RGB; CMYK/YCCK inputs convert to RGB). Raises ``ValueError`` on
+    malformed input or unsupported
+    variants (arithmetic coding, 12-bit, hierarchical) — ONLY
     ValueError, whatever the corruption (struct/index errors from fuzzed
     bytes are remapped), so a malformed payload can never kill an
     executor task instead of taking the documented fallback."""
@@ -177,6 +183,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     # finalize; seq_done tracks delivered components (each exactly once)
     seq: _ProgState | None = None
     seq_done: set[int] = set()
+    adobe: int | None = None  # APP14 color-transform byte, if present
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -184,13 +191,15 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             if prog is not None and prog.n_scans > 0:
-                return _finalize_progressive(prog, qt)
+                return _finalize_progressive(
+                    prog, qt, _resolve_color(frame[2], adobe))
             if seq is not None:
                 if seq_done != {c[0] for c in frame[2]}:
                     raise ValueError(
                         "sequential JPEG ended with undelivered components"
                     )
-                return _finalize_progressive(seq, qt)
+                return _finalize_progressive(
+                    seq, qt, _resolve_color(frame[2], adobe))
             raise ValueError("JPEG ended before scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
             # TEM / stray RSTn / fill byte: no length field
@@ -228,7 +237,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG unsupported")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
             comps = []
             for c in range(ncomp):
@@ -249,6 +258,9 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("lossless/arithmetic/hierarchical JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14 Adobe: version(2) flags0(2) flags1(2) transform(1)
+            adobe = seg[11]
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -269,6 +281,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     return _decode_scan(
                         payload, pos + 2 + seg_len, frame, scan_tables,
                         qt, huff_dc, huff_ac, restart_interval,
+                        _resolve_color(frame[2], adobe),
                     )
                 # MULTI-SCAN sequential (r10): each scan delivers the
                 # full 64 coefficients for a SUBSET of components --
@@ -298,15 +311,41 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 2 + seg_len
     if prog is not None and prog.n_scans > 0:
         # missing EOI but scans decoded: tolerate truncated-tail files
-        return _finalize_progressive(prog, qt)
+        return _finalize_progressive(
+            prog, qt, _resolve_color(frame[2], adobe))
     if seq is not None and seq_done == {c[0] for c in frame[2]}:
         # every component's scan arrived; only the EOI byte is missing
-        return _finalize_progressive(seq, qt)
+        return _finalize_progressive(
+            seq, qt, _resolve_color(frame[2], adobe))
     raise ValueError("JPEG has no SOS segment")
 
 
+def _resolve_color(comps, adobe: int | None) -> str:
+    """Resolve the output color interpretation from the component set
+    and the Adobe APP14 transform byte — the same precedence libjpeg's
+    jdmaster logic documents (re-derived, not copied): an Adobe marker
+    is authoritative (transform 0 = no transform, 1 = YCbCr, 2 = YCCK;
+    Adobe files also store CMYK/YCCK ink INVERTED); without one, three
+    components sniff the literal 'R','G','B' component ids some
+    encoders write, and four components are direct-ink CMYK."""
+    n = len(comps)
+    if n == 1:
+        return "gray"
+    if n == 3:
+        if adobe is not None:
+            return "rgb" if adobe == 0 else "ycbcr"
+        if [c[0] for c in comps] == [0x52, 0x47, 0x42]:  # 'R','G','B'
+            return "rgb"
+        return "ycbcr"
+    if adobe is not None:
+        # transform 0 = no transform (CMYK); anything else defaults to
+        # YCCK, the documented libjpeg fallback for 4 channels
+        return "cmyk-inv" if adobe == 0 else "ycck"
+    return "cmyk"
+
+
 def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
-                 restart_interval):
+                 restart_interval, color):
     h, w, comps = frame
     if h <= 0 or w <= 0:
         raise ValueError("degenerate JPEG dimensions")
@@ -360,23 +399,51 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    return _assemble(planes, comps, h, w, hmax, vmax)
+    return _assemble(planes, comps, h, w, hmax, vmax, color)
 
 
-def _assemble(planes, comps, h, w, hmax, vmax):
+def _assemble(planes, comps, h, w, hmax, vmax, color):
     """Upsample component planes to full resolution by sample
     replication, crop, level-shift and color-convert (shared by the
-    sequential and progressive paths)."""
+    sequential and progressive paths). ``color`` is the resolved
+    interpretation from ``_resolve_color``; every multi-channel space
+    lands in RGB."""
     full = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
         p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
         full.append(p[:h, :w])
-    if len(full) == 1:
+    if color == "gray":
         # round like the RGB path: truncation would drift 1 LSB low on
         # coefficients landing epsilon under the true integer
         gray = np.clip(np.round(full[0] + 128), 0, 255)
         return w, h, gray.astype(np.uint8)[:, :, None]
+    if color == "rgb":
+        # Adobe transform 0 / R,G,B component ids: samples ARE R,G,B
+        rgb = np.clip(np.round(np.dstack(full) + 128), 0, 255)
+        return w, h, rgb.astype(np.uint8)
+    if color in ("cmyk", "cmyk-inv", "ycck"):
+        if color == "ycck":
+            # Adobe YCCK: the inverted C,M,Y went through the forward
+            # JFIF matrix at encode; invert it to recover the STORED
+            # (inverted) ink channels, K passes through untouched
+            yl, cb, cr = full[0] + 128, full[1], full[2]
+            c = yl + 1.402 * cr
+            m = yl - 0.344136 * cb - 0.714136 * cr
+            ye = yl + 1.772 * cb
+        else:
+            c, m, ye = full[0] + 128, full[1] + 128, full[2] + 128
+        k = full[3] + 128
+        c, m, ye, k = (np.clip(ch, 0, 255) for ch in (c, m, ye, k))
+        if color == "cmyk":
+            # no Adobe marker: samples are ink coverage directly; the
+            # Adobe spaces ("cmyk-inv"/"ycck") store 255-ink, which the
+            # multiply below already expects
+            c, m, ye, k = 255.0 - c, 255.0 - m, 255.0 - ye, 255.0 - k
+        # R = (255-C_ink)(255-K_ink)/255 on ink values == stored*k/255
+        # on Adobe-inverted values
+        rgb = np.dstack([c * k, m * k, ye * k]) / 255.0
+        return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = full[0] + 128, full[1], full[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -721,7 +788,8 @@ def _ac_refine(br, tbl, block, ss, se, al, eob_run) -> int:
     return eob_run
 
 
-def _finalize_progressive(prog: _ProgState, qt) -> tuple[int, int, np.ndarray]:
+def _finalize_progressive(prog: _ProgState, qt,
+                          color) -> tuple[int, int, np.ndarray]:
     """Dequantize + de-zigzag + batched IDCT of the accumulated
     coefficients, then the shared assemble tail."""
     planes = {}
@@ -741,7 +809,7 @@ def _finalize_progressive(prog: _ProgState, qt) -> tuple[int, int, np.ndarray]:
             .reshape(nby * 8, nbx * 8)
         )
     return _assemble(planes, prog.comps, prog.h, prog.w, prog.hmax,
-                     prog.vmax)
+                     prog.vmax, color)
 
 
 def _expect_rst(br: _BitReader, data: bytes) -> None:

@@ -136,13 +136,17 @@ def _dht(tc: int, th: int, lengths: list[int], symbols: list[int]) -> bytes:
     return _seg(0xC4, bytes([tc << 4 | th] + counts + symbols))
 
 
-def _prep_planes(pixels: np.ndarray, subsample: int):
+def _prep_planes(pixels: np.ndarray, subsample: int, space: str = "auto"):
     """Color-convert, chroma-downsample, and pad the component planes to
     the MCU grid (shared by the baseline and progressive encoders).
+    ``space`` "auto": 3 channels go through the forward JFIF matrix
+    (YCbCr), 1 and 4 channels encode raw; "raw": every channel encodes
+    as its stored sample minus the 128 level shift (how CMYK planes and
+    Adobe transform-0 RGB land in a file).
     Returns (planes, sampling, mcus_x, mcus_y)."""
     h, w, nc = pixels.shape
     px = pixels.astype(np.float64)
-    if nc == 3:
+    if nc == 3 and space == "auto":
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         comps_full = [
             0.299 * r + 0.587 * g + 0.114 * b - 128.0,
@@ -151,8 +155,8 @@ def _prep_planes(pixels: np.ndarray, subsample: int):
         ]
         sampling = [(subsample, subsample), (1, 1), (1, 1)]
     else:
-        comps_full = [px[:, :, 0] - 128.0]
-        sampling = [(1, 1)]
+        comps_full = [px[:, :, ci] - 128.0 for ci in range(nc)]
+        sampling = [(1, 1)] * nc
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
     mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -173,14 +177,23 @@ def _prep_planes(pixels: np.ndarray, subsample: int):
     return planes, sampling, mcus_x, mcus_y
 
 
+def _app14(transform: int) -> bytes:
+    """Adobe APP14 segment: 'Adobe' + version + flags0/1 + transform."""
+    return _seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform))
+
+
 def make_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1,
-              restart: int = 0) -> bytes:
-    """Encode an [h, w, 1|3] uint8 array as baseline JFIF. ``quant``:
+              restart: int = 0, app14: int | None = None,
+              space: str = "auto", comp_ids: list[int] | None = None) -> bytes:
+    """Encode an [h, w, 1|3|4] uint8 array as baseline JFIF. ``quant``:
     uniform quantization step; ``subsample`` 2 = 4:2:0 chroma;
-    ``restart``: insert RSTn every N MCUs (0 = none)."""
+    ``restart``: insert RSTn every N MCUs (0 = none); ``app14``: write
+    an Adobe APP14 segment with that transform byte; ``space``: see
+    ``_prep_planes``; ``comp_ids``: SOF/SOS component ids (default
+    1..nc)."""
     h, w, nc = pixels.shape
     q = np.full(64, quant, np.int32)
-    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample)
+    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample, space)
 
     bw = _BitWriter()
     preds = [[0] for _ in planes]
@@ -204,12 +217,15 @@ def make_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1,
             mcu_count += 1
     data += bw.flush()
 
+    ids = comp_ids if comp_ids is not None else [ci + 1 for ci in range(nc)]
     out = bytearray(b"\xff\xd8")
+    if app14 is not None:
+        out += _app14(app14)
     out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci, (hs, vs) in enumerate(sampling):
         out_q = 0
-        sof += bytes([ci + 1, (hs << 4) | vs, out_q])
+        sof += bytes([ids[ci], (hs << 4) | vs, out_q])
     out += _seg(0xC0, sof)
     out += _dht(0, 0, [4] * 12, list(range(12)))
     out += _dht(1, 0, [8] * len(_AC_SYMBOLS), list(_AC_SYMBOLS))
@@ -217,7 +233,7 @@ def make_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1,
         out += _seg(0xDD, struct.pack(">H", restart))
     sos = bytes([nc])
     for ci in range(nc):
-        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([ids[ci], 0x00])  # DC table 0, AC table 0
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
     out += data
@@ -728,20 +744,24 @@ def test_progressive_work_bounds():
 
 def make_multiscan_jpeg(pixels: np.ndarray, quant: int = 1,
                         subsample: int = 1, restart: int = 0,
-                        split=None) -> bytes:
-    """Encode an [h, w, 3] uint8 array as baseline-SEQUENTIAL JFIF with
+                        split=None, app14: int | None = None,
+                        space: str = "auto") -> bytes:
+    """Encode an [h, w, 3|4] uint8 array as baseline-SEQUENTIAL JFIF with
     MULTIPLE scans. ``split``: component-id groups per scan (default one
     scan per component, the common transcoder shape); a group with >1
     ids is interleaved over the frame MCU grid, a single-id group is
-    non-interleaved over that component's TRUE block grid (T.81 A.2)."""
+    non-interleaved over that component's TRUE block grid (T.81 A.2).
+    ``app14``/``space``: as in ``make_jpeg``."""
     h, w, nc = pixels.shape
     q = np.full(64, quant, np.int32)
-    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample)
+    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample, space)
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
     split = split if split is not None else [[ci + 1] for ci in range(nc)]
 
     out = bytearray(b"\xff\xd8")
+    if app14 is not None:
+        out += _app14(app14)
     out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci, (hs, vs) in enumerate(sampling):
@@ -875,3 +895,106 @@ def test_multiscan_malformed_rejected():
     trunc = ok[:last_sos] + b"\xff\xd9"
     with pytest.raises(ValueError, match="undelivered"):
         decode_jpeg_pixels(trunc)
+
+
+# ------------------------------------------------ color spaces (r10):
+# Adobe APP14 CMYK / YCCK / transform-0 RGB + the R,G,B component-id
+# sniff -- golden bytes still come from the independent encoder above;
+# every expected image is computed HERE from the original planes by the
+# documented conversion, never from the decoder.
+
+
+def test_jpeg_adobe_cmyk_roundtrip():
+    """4-component + APP14 transform 0: stored samples are INVERTED ink
+    (the Adobe convention), so RGB = stored_cmy * stored_k / 255."""
+    rng = np.random.RandomState(61)
+    px = rng.randint(80, 176, size=(16, 16, 4), dtype=np.uint8)
+    w, h, got = decode_jpeg_pixels(make_jpeg(px, app14=0))
+    assert (w, h, got.shape[2]) == (16, 16, 3)
+    s = px.astype(np.float64)
+    want = np.clip(np.round(s[:, :, :3] * s[:, :, 3:4] / 255.0), 0, 255)
+    err = np.abs(got.astype(int) - want.astype(int))
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+
+def test_jpeg_cmyk_without_adobe_is_direct_ink():
+    """4-component with NO Adobe marker: samples are ink coverage
+    directly (libjpeg's no-marker default), so the SAME stored bytes
+    must decode to the complementary image of the Adobe-marked file:
+    RGB = (255-C)(255-K)/255."""
+    rng = np.random.RandomState(67)
+    px = rng.randint(80, 176, size=(16, 16, 4), dtype=np.uint8)
+    w, h, got = decode_jpeg_pixels(make_jpeg(px))
+    assert (w, h, got.shape[2]) == (16, 16, 3)
+    s = 255.0 - px.astype(np.float64)
+    want = np.clip(np.round(s[:, :, :3] * s[:, :, 3:4] / 255.0), 0, 255)
+    err = np.abs(got.astype(int) - want.astype(int))
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+
+def test_jpeg_adobe_ycck_roundtrip():
+    """APP14 transform 2 (YCCK): the inverted C,M,Y went through the
+    forward JFIF matrix at encode time; the decoder must invert the
+    matrix, then combine with K exactly like Adobe CMYK. The YCC planes
+    are computed HERE with the forward matrix, stored as (Y, Cb+128,
+    Cr+128, K) raw planes, and the expected RGB comes from the ORIGINAL
+    c,m,y,k -- pinning the decoder's full inverse path."""
+    rng = np.random.RandomState(71)
+    cmyk = rng.randint(80, 176, size=(16, 16, 4), dtype=np.uint8)
+    c, m, y = (cmyk[:, :, i].astype(np.float64) for i in range(3))
+    stored = np.dstack([
+        0.299 * c + 0.587 * m + 0.114 * y,
+        128.0 - 0.168736 * c - 0.331264 * m + 0.5 * y,
+        128.0 + 0.5 * c - 0.418688 * m - 0.081312 * y,
+        cmyk[:, :, 3].astype(np.float64),
+    ])
+    stored = np.clip(np.round(stored), 0, 255).astype(np.uint8)
+    w, h, got = decode_jpeg_pixels(make_jpeg(stored, app14=2))
+    assert (w, h, got.shape[2]) == (16, 16, 3)
+    s = cmyk.astype(np.float64)
+    want = np.clip(np.round(s[:, :, :3] * s[:, :, 3:4] / 255.0), 0, 255)
+    err = np.abs(got.astype(int) - want.astype(int))
+    # codec rounding + two matrix round-trips of rounding
+    assert err.max() <= 10 and err.mean() <= 2.5
+
+
+def test_jpeg_adobe_rgb_transform0():
+    """3 components + APP14 transform 0: samples ARE R,G,B -- no matrix
+    may be applied."""
+    rng = np.random.RandomState(73)
+    px = rng.randint(60, 200, size=(16, 16, 3), dtype=np.uint8)
+    w, h, got = decode_jpeg_pixels(make_jpeg(px, app14=0, space="raw"))
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert err.max() <= 4 and err.mean() <= 1.0
+
+
+def test_jpeg_rgb_component_id_sniff():
+    """Without APP14, literal 'R','G','B' component ids mean RGB (the
+    libjpeg sniff); the SAME entropy data under default ids 1,2,3 must
+    instead take the JFIF YCbCr default and decode DIFFERENTLY -- the
+    control that proves the sniff gates the conversion."""
+    rng = np.random.RandomState(79)
+    px = rng.randint(60, 200, size=(16, 16, 3), dtype=np.uint8)
+    rgb_ids = make_jpeg(px, space="raw", comp_ids=[0x52, 0x47, 0x42])
+    w, h, got = decode_jpeg_pixels(rgb_ids)
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert err.max() <= 4 and err.mean() <= 1.0
+    default_ids = make_jpeg(px, space="raw")
+    _, _, ycc = decode_jpeg_pixels(default_ids)
+    assert not np.array_equal(got, ycc)
+
+
+def test_multiscan_cmyk_matches_single_scan_exactly():
+    """4-component Adobe CMYK through the multi-scan ACCUMULATE+FINALIZE
+    path must equal the single-scan decode bit for bit (identical
+    coefficients, same color tail)."""
+    rng = np.random.RandomState(83)
+    px = rng.randint(80, 176, size=(16, 16, 4), dtype=np.uint8)
+    base = decode_jpeg_pixels(make_jpeg(px, app14=0))
+    multi = decode_jpeg_pixels(make_multiscan_jpeg(px, app14=0))
+    assert np.array_equal(base[2], multi[2])
+    # interleaved-subset split: (C,M) together then (Y), (K)
+    mixed = decode_jpeg_pixels(
+        make_multiscan_jpeg(px, app14=0, split=[[1, 2], [3], [4]])
+    )
+    assert np.array_equal(base[2], mixed[2])
