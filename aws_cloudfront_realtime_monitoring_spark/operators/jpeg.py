@@ -10,11 +10,14 @@ ids) with 4:4:4 / 4:2:2 / 4:2:0 sampling, 4-component CMYK and YCCK
 (Adobe APP14 transform resolved by the same heuristics libjpeg's
 jdmaster documents: Adobe present -> its transform byte and inverted
 ink convention; absent -> component-id sniff for 3 channels, direct
-ink CMYK for 4), restart markers. All color spaces convert to RGB (or
-stay single-channel grayscale) on output. Arithmetic-coded, 12-bit,
-lossless and hierarchical variants raise ``ValueError`` (the
-multimodal layer falls back to Pillow-if-present or the documented
-fake, exactly like the other decoders' unsupported profiles).
+ink CMYK for 4), restart markers, and LOSSLESS predictive coding
+(SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16 bit
+precision scaled to the 8-bit output, exact roundtrip). All color
+spaces convert to RGB (or stay single-channel grayscale) on output.
+Arithmetic-coded, 12-bit DCT, and hierarchical variants raise
+``ValueError`` (the multimodal layer falls back to Pillow-if-present
+or the documented fake, exactly like the other decoders' unsupported
+profiles).
 
 Structure (ITU-T T.81):
 - markers: SOI, DQT (quant tables), SOF0/SOF2 (dims, components,
@@ -151,11 +154,12 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decoder for baseline-sequential AND progressive JPEG:
+    """REAL decoder for baseline-sequential, progressive AND lossless
+    JPEG:
     returns (width, height, pixels[h, w, 1 or 3] uint8 — grayscale or
     RGB; CMYK/YCCK inputs convert to RGB). Raises ``ValueError`` on
     malformed input or unsupported
-    variants (arithmetic coding, 12-bit, hierarchical) — ONLY
+    variants (arithmetic coding, 12-bit DCT, hierarchical) — ONLY
     ValueError, whatever the corruption (struct/index errors from fuzzed
     bytes are remapped), so a malformed payload can never kill an
     executor task instead of taking the documented fallback."""
@@ -183,6 +187,11 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     # finalize; seq_done tracks delivered components (each exactly once)
     seq: _ProgState | None = None
     seq_done: set[int] = set()
+    # LOSSLESS (SOF3, r10): predictive sample planes accumulate across
+    # scans exactly like the sequential coefficient state
+    lossless = False
+    loss: _LosslessState | None = None
+    loss_done: set[int] = set()
     adobe: int | None = None  # APP14 color-transform byte, if present
     pos = 2
     while pos + 2 <= len(payload):
@@ -200,6 +209,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     )
                 return _finalize_progressive(
                     seq, qt, _resolve_color(frame[2], adobe))
+            if loss is not None:
+                if loss_done != {c[0] for c in frame[2]}:
+                    raise ValueError(
+                        "lossless JPEG ended with undelivered components"
+                    )
+                return _finalize_lossless(loss, adobe)
             raise ValueError("JPEG ended before scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
             # TEM / stray RSTn / fill byte: no length field
@@ -230,14 +245,22 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 table = _Huff(counts, seg[s + 17 : s + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
             if frame is not None:
                 raise ValueError("multiple JPEG frame headers")
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if prec != 8:
+            if lossless:
+                # T.81 B.2.2: lossless precision is 2-16 bits
+                if not (2 <= prec <= 16):
+                    raise ValueError(f"{prec}-bit lossless JPEG invalid")
+                if ncomp not in (1, 3):
+                    raise ValueError(
+                        f"{ncomp}-component lossless JPEG unsupported")
+            elif prec != 8:
                 raise ValueError(f"{prec}-bit JPEG unsupported")
-            if ncomp not in (1, 3, 4):
+            elif ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
             comps = []
             for c in range(ncomp):
@@ -249,13 +272,20 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     raise ValueError(
                         f"invalid JPEG sampling factors {hs}x{vs}"
                     )
+                if lossless and (hs, vs) != (1, 1):
+                    # subsampling is meaningless for predictive lossless
+                    # and essentially unseen in real files
+                    raise ValueError("subsampled lossless JPEG unsupported")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
             if progressive:
                 prog = _ProgState(h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if lossless:
+                loss = _LosslessState(h, w, comps, prec)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("lossless/arithmetic/hierarchical JPEG unsupported")
+            raise ValueError(
+                "differential/arithmetic/hierarchical JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
@@ -273,6 +303,21 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tabs >> 4, tabs & 15)
                 scan_comps.append(cid)
+            if lossless:
+                # T.81 H: Ss carries the predictor selector, Al the
+                # point transform; Se/Ah are zero
+                pred_sel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 15
+                for cid in scan_comps:
+                    if cid in loss_done:
+                        raise ValueError(
+                            "lossless JPEG component delivered twice")
+                    loss_done.add(cid)
+                pos = _decode_lossless_scan(
+                    payload, pos + 2 + seg_len, loss, scan_comps,
+                    scan_tables, huff_dc, restart_interval, pred_sel, pt,
+                )
+                continue
             if not progressive:
                 if seq is None and set(scan_comps) == {
                     c[0] for c in frame[2]
@@ -317,6 +362,8 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         # every component's scan arrived; only the EOI byte is missing
         return _finalize_progressive(
             seq, qt, _resolve_color(frame[2], adobe))
+    if loss is not None and loss_done == {c[0] for c in frame[2]}:
+        return _finalize_lossless(loss, adobe)
     raise ValueError("JPEG has no SOS segment")
 
 
@@ -810,6 +857,131 @@ def _finalize_progressive(prog: _ProgState, qt,
         )
     return _assemble(planes, prog.comps, prog.h, prog.w, prog.hmax,
                      prog.vmax, color)
+
+
+# ------------------------------------------------- lossless (SOF3)
+
+
+class _LosslessState:
+    """Accumulated sample planes of a lossless (SOF3) frame -- the
+    analog of ``_ProgState`` for predictive coding (T.81 Annex H)."""
+
+    def __init__(self, h: int, w: int, comps, prec: int):
+        from .gif import MAX_PIXELS
+
+        if h <= 0 or w <= 0:
+            raise ValueError("degenerate JPEG dimensions")
+        if h * w > MAX_PIXELS:
+            raise ValueError("JPEG dimensions exceed the decode cap")
+        self.h, self.w, self.comps, self.prec = h, w, comps, prec
+        self.planes = {c[0]: np.zeros((h, w), np.int32) for c in comps}
+        self.pt: dict[int, int] = {}  # point transform, per scan
+
+
+def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
+                          huff_dc, restart_interval, pred_sel, pt) -> int:
+    """One lossless (SOF3) scan per T.81 Annex H: samples raster-scan
+    in MCU order (one sample per scan component per MCU -- sampling
+    factors are all 1x1 by the SOF gate), each coded as a Huffman
+    SSSS magnitude category from a DC table + that many raw bits
+    (category 16 means +32768 with no bits, H.2), reconstructed as
+    ``(prediction + diff) mod 2^16``. Prediction (H.1.2.1): the very
+    first sample -- and the first after every restart -- predicts from
+    the default ``2^(P-Pt-1)``; the rest of the first line uses Ra
+    (left), the first column uses Rb (above), and interior samples use
+    the scan's selected predictor 1-7. Returns the byte position of
+    the next marker."""
+    if not (1 <= pred_sel <= 7):
+        raise ValueError("invalid lossless JPEG predictor")
+    if pt >= loss.prec:
+        raise ValueError("lossless JPEG point transform >= precision")
+    known = {c[0] for c in loss.comps}
+    tables = {}
+    for cid in scan_comps:
+        if cid not in known:
+            raise ValueError("JPEG scan references unknown component")
+        loss.pt[cid] = pt
+        t = huff_dc.get(scan_tables[cid][0])
+        if t is None:
+            raise ValueError("JPEG references missing table")
+        tables[cid] = t
+    default = 1 << (loss.prec - pt - 1)
+    br = _BitReader(data, pos)
+    fresh = dict.fromkeys(scan_comps, True)  # scan start / post-RST
+    mcu = 0
+    try:
+        for y in range(loss.h):
+            for x in range(loss.w):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    _expect_rst(br, data)
+                    fresh = dict.fromkeys(scan_comps, True)
+                for cid in scan_comps:
+                    plane = loss.planes[cid]
+                    if fresh[cid]:
+                        px = default
+                        fresh[cid] = False
+                    elif y == 0:
+                        px = int(plane[0, x - 1])
+                    elif x == 0:
+                        px = int(plane[y - 1, 0])
+                    else:
+                        ra = int(plane[y, x - 1])
+                        rb = int(plane[y - 1, x])
+                        rc = int(plane[y - 1, x - 1])
+                        if pred_sel == 1:
+                            px = ra
+                        elif pred_sel == 2:
+                            px = rb
+                        elif pred_sel == 3:
+                            px = rc
+                        elif pred_sel == 4:
+                            px = ra + rb - rc
+                        elif pred_sel == 5:
+                            px = ra + ((rb - rc) >> 1)
+                        elif pred_sel == 6:
+                            px = rb + ((ra - rc) >> 1)
+                        else:
+                            px = (ra + rb) >> 1
+                    s = tables[cid].decode(br)
+                    if s > 16:
+                        raise ValueError("invalid lossless JPEG magnitude")
+                    diff = 32768 if s == 16 else _extend(br.read(s), s)
+                    plane[y, x] = (px + diff) & 0xFFFF
+                mcu += 1
+    except _MarkerHit as exc:
+        raise ValueError(
+            f"JPEG scan data ended early (marker {exc.marker:#x})"
+        ) from exc
+    return _skip_to_marker(data, br.pos)
+
+
+def _finalize_lossless(loss: _LosslessState,
+                       adobe: int | None) -> tuple[int, int, np.ndarray]:
+    """Undo the point transform and scale to the 8-bit output contract.
+    Lossless color: samples are ABSOLUTE (no -128 level shift), and
+    3-component files default to literal RGB channels -- the JFIF
+    YCbCr convention belongs to the DCT modes, and real lossless
+    payloads (DNG, medical) store channels directly -- unless an Adobe
+    APP14 transform byte of 1 explicitly says YCbCr."""
+    chans = [
+        (loss.planes[cid].astype(np.int64)
+         << loss.pt.get(cid, 0)).astype(np.float64)
+        for cid, *_ in loss.comps
+    ]
+    prec = loss.prec
+    if len(chans) == 3 and adobe == 1:
+        half = float(1 << (prec - 1))  # chroma centers at 2^(P-1)
+        y, cb, cr = chans[0], chans[1] - half, chans[2] - half
+        chans = [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ]
+    out = np.dstack(chans)
+    if prec != 8:  # map full-scale 2^P - 1 to 255
+        out = out * (255.0 / float((1 << prec) - 1))
+    return (loss.w, loss.h,
+            np.clip(np.round(out), 0, 255).astype(np.uint8))
 
 
 def _expect_rst(br: _BitReader, data: bytes) -> None:

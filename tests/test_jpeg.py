@@ -998,3 +998,221 @@ def test_multiscan_cmyk_matches_single_scan_exactly():
         make_multiscan_jpeg(px, app14=0, split=[[1, 2], [3], [4]])
     )
     assert np.array_equal(base[2], mixed[2])
+
+
+# ------------------------------------------------ lossless (SOF3, r10):
+# golden bytes from an independent predictive encoder written from T.81
+# Annex H (prediction rules, SSSS categories, mod-2^16 differences --
+# spelled here from the spec text, not from the decoder under test).
+
+
+def _dc_code5(sym: int) -> tuple[int, int]:
+    return sym, 5  # canonical code == symbol index at uniform length 5
+
+
+def _lossless_predict(plane, y, x, predictor, default, fresh):
+    """Prediction per H.1.2.1, written independently of the decoder:
+    ``fresh`` marks the first sample after scan start / restart."""
+    if fresh:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra, rb, rc = (int(plane[y, x - 1]), int(plane[y - 1, x]),
+                  int(plane[y - 1, x - 1]))
+    return {
+        1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+        5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+        7: (ra + rb) >> 1,
+    }[predictor]
+
+
+def make_lossless_jpeg(pixels: np.ndarray, predictor: int = 4,
+                       pt: int = 0, prec: int = 8, restart: int = 0,
+                       split=None, app14: int | None = None) -> bytes:
+    """Encode an [h, w, nc] integer array (values < 2^prec) as lossless
+    JFIF (SOF3). ``split``: component-id groups per scan (default ONE
+    interleaved scan over all components); ``pt``: point transform
+    (samples are shifted right pt bits before prediction/coding)."""
+    h, w, nc = pixels.shape
+    planes = [(pixels[:, :, ci].astype(np.int64) >> pt) for ci in range(nc)]
+    default = 1 << (prec - pt - 1)
+    split = split if split is not None else [list(range(1, nc + 1))]
+
+    out = bytearray(b"\xff\xd8")
+    if app14 is not None:
+        out += _app14(app14)
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    out += _dht(0, 0, [5] * 17, list(range(17)))
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+
+    for group in split:
+        sos = bytes([len(group)])
+        for cid in group:
+            sos += bytes([cid, 0x00])
+        sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah=0,Al=pt
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        data = bytearray()
+        fresh = {cid: True for cid in group}
+        rst_i = 0
+        mcu = 0
+        for y in range(h):
+            for x in range(w):
+                if restart and mcu and mcu % restart == 0:
+                    data += bw.flush()
+                    bw = _BitWriter()
+                    data += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                    rst_i += 1
+                    fresh = {cid: True for cid in group}
+                for cid in group:
+                    plane = planes[cid - 1]
+                    px = _lossless_predict(plane, y, x, predictor,
+                                           default, fresh[cid])
+                    fresh[cid] = False
+                    v = (int(plane[y, x]) - px) & 0xFFFF
+                    if v > 32768:
+                        v -= 65536
+                    if v == 32768:  # H.2: category 16, no extra bits
+                        code, n = _dc_code5(16)
+                        bw.write(code, n)
+                    else:
+                        s, mag = _magnitude(v)
+                        code, n = _dc_code5(s)
+                        bw.write(code, n)
+                        bw.write(mag, s)
+                mcu += 1
+        data += bw.flush()
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_gray_exact_roundtrip(predictor):
+    """Lossless means LOSSLESS: every predictor must reproduce the
+    original samples bit for bit."""
+    rng = np.random.RandomState(89 + predictor)
+    px = rng.randint(0, 256, size=(13, 17, 1), dtype=np.uint8)
+    w, h, got = decode_jpeg_pixels(
+        make_lossless_jpeg(px, predictor=predictor))
+    assert (w, h) == (17, 13)
+    assert np.array_equal(got, px)
+
+
+def test_lossless_rgb_interleaved_and_per_component_scans():
+    """3-component lossless: literal RGB channels (no JFIF matrix), in
+    one interleaved scan AND split across per-component scans through
+    the accumulate state -- all exact."""
+    rng = np.random.RandomState(97)
+    px = rng.randint(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    w, h, inter = decode_jpeg_pixels(make_lossless_jpeg(px))
+    assert (w, h) == (9, 11) and np.array_equal(inter, px)
+    _, _, multi = decode_jpeg_pixels(
+        make_lossless_jpeg(px, split=[[1], [2], [3]]))
+    assert np.array_equal(multi, px)
+
+
+def test_lossless_point_transform():
+    """Point transform Pt: the decoder reconstructs (sample >> pt) and
+    shifts back, so the output is the original with the low pt bits
+    cleared -- still exact at the coded precision."""
+    rng = np.random.RandomState(101)
+    px = rng.randint(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    _, _, got = decode_jpeg_pixels(make_lossless_jpeg(px, pt=2))
+    assert np.array_equal(got, (px >> 2) << 2)
+
+
+def test_lossless_16bit_and_4bit_precision_scaling():
+    """2-16 bit samples scale full-range to the uint8 contract:
+    expected = round(v * 255 / (2^P - 1)), computed here."""
+    rng = np.random.RandomState(103)
+    px16 = rng.randint(0, 1 << 16, size=(9, 7, 1), dtype=np.int64)
+    arr = px16[:, :, :]
+    _, _, got = decode_jpeg_pixels(make_lossless_jpeg(arr, prec=16))
+    want = np.round(arr * 255.0 / 65535.0).astype(np.uint8)
+    assert np.array_equal(got, want)
+    px4 = rng.randint(0, 16, size=(9, 7, 1), dtype=np.int64)
+    _, _, got4 = decode_jpeg_pixels(make_lossless_jpeg(px4, prec=4))
+    want4 = np.round(px4 * 255.0 / 15.0).astype(np.uint8)
+    assert np.array_equal(got4, want4)
+
+
+def test_lossless_restart_markers_match_no_restart():
+    rng = np.random.RandomState(107)
+    px = rng.randint(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    base = decode_jpeg_pixels(make_lossless_jpeg(px, predictor=5))
+    rst = decode_jpeg_pixels(
+        make_lossless_jpeg(px, predictor=5, restart=7))
+    assert np.array_equal(base[2], rst[2])
+
+
+def test_lossless_adobe_ycbcr_transform():
+    """An APP14 transform byte of 1 opts a 3-component lossless file
+    into YCbCr; expected RGB computed here from the stored planes by
+    the same inverse matrix definition (chroma centered at 2^(P-1))."""
+    rng = np.random.RandomState(109)
+    stored = rng.randint(64, 192, size=(8, 8, 3), dtype=np.uint8)
+    _, _, got = decode_jpeg_pixels(make_lossless_jpeg(stored, app14=1))
+    y = stored[:, :, 0].astype(np.float64)
+    cb = stored[:, :, 1].astype(np.float64) - 128.0
+    cr = stored[:, :, 2].astype(np.float64) - 128.0
+    want = np.clip(np.round(np.dstack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ])), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_lossless_malformed_rejected():
+    rng = np.random.RandomState(113)
+    px = rng.randint(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    # predictor 0 (valid only in differential frames): patch the SOS Ss
+    # byte of a good file -- the encoder itself refuses to emit it
+    bad = bytearray(make_lossless_jpeg(px, predictor=1))
+    sos_at = bytes(bad).find(b"\xff\xda")
+    assert bad[sos_at + 7] == 1  # Ss: ns(1) + 2 table bytes in
+    bad[sos_at + 7] = 0
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg_pixels(bytes(bad))
+    # duplicate component delivery across scans
+    px3 = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    dup = make_lossless_jpeg(px3, split=[[1], [1], [2], [3]])
+    with pytest.raises(ValueError, match="delivered twice"):
+        decode_jpeg_pixels(dup)
+    # EOI with an undelivered component
+    ok = make_lossless_jpeg(px3, split=[[1], [2], [3]])
+    last_sos = ok.rfind(b"\xff\xda")
+    with pytest.raises(ValueError, match="undelivered"):
+        decode_jpeg_pixels(ok[:last_sos] + b"\xff\xd9")
+    # subsampled lossless: hand-patch the SOF sampling byte
+    one = bytearray(make_lossless_jpeg(px))
+    sof_at = bytes(one).find(b"\xff\xc3")
+    one[sof_at + 11] = 0x22  # comp 1 sampling 2x2
+    with pytest.raises(ValueError, match="subsampled lossless"):
+        decode_jpeg_pixels(bytes(one))
+
+
+def test_lossless_fuzz_valueerror_only():
+    """Mutations of a valid lossless stream either decode or raise
+    ValueError -- never anything else (the executor-task contract)."""
+    rng = np.random.RandomState(127)
+    px = rng.randint(0, 256, size=(12, 12, 3), dtype=np.uint8)
+    good = make_lossless_jpeg(px, predictor=4)
+    for _ in range(300):
+        blob = bytearray(good)
+        for _f in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if rng.rand() < 0.5:
+            blob = blob[: rng.randint(2, len(blob))]
+        try:
+            _w, _h, pix = decode_jpeg_pixels(bytes(blob))
+            assert pix.dtype == np.uint8
+        except ValueError:
+            pass
