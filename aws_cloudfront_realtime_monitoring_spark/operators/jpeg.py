@@ -887,10 +887,12 @@ def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
     (category 16 means +32768 with no bits, H.2), reconstructed as
     ``(prediction + diff) mod 2^16``. Prediction (H.1.2.1): the very
     first sample -- and the first after every restart -- predicts from
-    the default ``2^(P-Pt-1)``; the rest of the first line uses Ra
-    (left), the first column uses Rb (above), and interior samples use
-    the scan's selected predictor 1-7. Returns the byte position of
-    the next marker."""
+    the default ``2^(P-Pt-1)``; the rest of the first line *of the
+    scan and of every restart interval* uses Ra (left, the
+    one-dimensional horizontal predictor); on later lines the first
+    column uses Rb (above) and interior samples use the scan's
+    selected predictor 1-7. Returns the byte position of the next
+    marker."""
     if not (1 <= pred_sel <= 7):
         raise ValueError("invalid lossless JPEG predictor")
     if pt >= loss.prec:
@@ -908,6 +910,7 @@ def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
     default = 1 << (loss.prec - pt - 1)
     br = _BitReader(data, pos)
     fresh = dict.fromkeys(scan_comps, True)  # scan start / post-RST
+    first_line = 0  # row where the current restart interval began
     mcu = 0
     try:
         for y in range(loss.h):
@@ -915,13 +918,14 @@ def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     _expect_rst(br, data)
                     fresh = dict.fromkeys(scan_comps, True)
+                    first_line = y
                 for cid in scan_comps:
                     plane = loss.planes[cid]
                     if fresh[cid]:
                         px = default
                         fresh[cid] = False
-                    elif y == 0:
-                        px = int(plane[0, x - 1])
+                    elif y == first_line:
+                        px = int(plane[y, x - 1])
                     elif x == 0:
                         px = int(plane[y - 1, 0])
                     else:

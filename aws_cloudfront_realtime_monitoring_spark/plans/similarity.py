@@ -507,35 +507,70 @@ SEMDEDUP_TARGET_BUCKET = 32
 SEMDEDUP_MAX_BITS = 24
 
 
-def _semdedup_bits(n: int) -> int:
-    return max(
-        IVF_BITS,
-        sum(
-            1
-            for j in range(SEMDEDUP_MAX_BITS)
-            if (SEMDEDUP_TARGET_BUCKET << j) < n
-        ),
-    )
-
-
 #: dynamic-width sign-pattern bucket for the oracle: bit d participates
-#: only when d < p.nbits (p = the params CTE computing the same formula
-#: as :func:`_semdedup_bits`); out-of-range list indexes yield NULL ->
-#: the ELSE 0 arm, matching Spark's null-safe element_at
+#: only when d < p.nbits (p = the params CTE below); out-of-range list
+#: indexes yield NULL -> the ELSE 0 arm, matching Spark's null-safe
+#: element_at
 _SEMDEDUP_BUCKET_SQL = "(" + " + ".join(
     f"(CASE WHEN {d} < p.nbits AND embedding[{d + 1}] >= 0"
     f" THEN {1 << d} ELSE 0 END)"
     for d in range(SEMDEDUP_MAX_BITS)
 ) + ")"
 
+#: nbits = clamp(max(IVF_BITS, smallest B with 2^B >= N / TARGET),
+#: dim): integer comparisons only, so Spark and DuckDB can never
+#: diverge on a log2 ulp. The dim clamp (r11, ADVICE): bucket bits past
+#: the embedding length contribute 0 in both engines, so without it a
+#: corpus with dim < nbits would silently stop scaling its bucket count
+#: -- quadratic in-bucket pair work with no warning. Clamping makes the
+#: ceiling the embedding dimensionality itself, explicit in-plan.
 _SEMDEDUP_PARAMS_SQL = (
-    "SELECT GREATEST(" + str(IVF_BITS) + ", "
+    "SELECT LEAST(GREATEST(" + str(IVF_BITS) + ", "
     + " + ".join(
         f"(CASE WHEN cnt > {SEMDEDUP_TARGET_BUCKET << j} THEN 1 ELSE 0 END)"
         for j in range(SEMDEDUP_MAX_BITS)
     )
-    + ") AS nbits FROM (SELECT COUNT(*) AS cnt FROM embeddings)"
+    + "), dim) AS nbits FROM (SELECT COUNT(*) AS cnt,"
+    " MIN(len(embedding)) AS dim FROM embeddings)"
 )
+
+
+def _semdedup_params(emb: DataFrame) -> DataFrame:
+    """The one-row (nbits) params relation, computed IN-QUERY (r11: no
+    eager job at plan build -- the Spark analog of the oracle's params
+    CTE, restoring the 'zero plan-build-time jobs' invariant that r10's
+    ``emb.count()`` broke). COUNT(*) sizes the bucket count so
+    in-bucket pair work stays linear; MIN(size(embedding)) clamps nbits
+    to the dimensionality (bits past the vector length select nothing
+    in either engine)."""
+    agg = emb.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.size("embedding")).alias("dim"),
+    )
+    grown = None
+    for j in range(SEMDEDUP_MAX_BITS):
+        term = F.when(
+            F.col("cnt") > (SEMDEDUP_TARGET_BUCKET << j), 1
+        ).otherwise(0)
+        grown = term if grown is None else grown + term
+    return agg.select(
+        F.least(F.greatest(F.lit(IVF_BITS), grown), F.col("dim"))
+        .alias("nbits")
+    )
+
+
+def _bucket_col_dyn(nbits: Column) -> Column:
+    """Sign-pattern bucket whose width is the runtime ``nbits`` column
+    -- the Column spelling of ``_SEMDEDUP_BUCKET_SQL``."""
+    out = None
+    for d in range(SEMDEDUP_MAX_BITS):
+        term = F.when(
+            (F.lit(d) < nbits)
+            & (F.element_at("embedding", d + 1) >= 0),
+            F.lit(1 << d),
+        ).otherwise(0)
+        out = term if out is None else out + term
+    return out
 
 
 @register(
@@ -572,11 +607,14 @@ _SEMDEDUP_PARAMS_SQL = (
                 "stage): cluster the space with the deterministic "
                 "sign-pattern quantizer whose BIT COUNT scales with the "
                 f"corpus (max({IVF_BITS}, bits for ~"
-                f"{SEMDEDUP_TARGET_BUCKET}-vector buckets), integer-"
-                "exact in both engines -- r10: the fixed-bucket config "
-                "measured quadratic at the ~sf10 sweep, 262x wall at "
-                "100x vectors; scaled buckets keep in-bucket pair work "
-                "linear), compare pairs only WITHIN a cluster "
+                f"{SEMDEDUP_TARGET_BUCKET}-vector buckets), clamped to "
+                "the embedding dimensionality, integer-exact in both "
+                "engines via an IN-QUERY one-row params relation (r11: "
+                "broadcast scalar, no plan-build-time job) -- r10: the "
+                "fixed-bucket config measured quadratic at the ~sf10 "
+                "sweep, 262x wall at 100x vectors; scaled buckets keep "
+                "in-bucket pair work linear), compare pairs only "
+                "WITHIN a cluster "
                 "(equi-join on bucket -- hash-partitionable, never "
                 "all-pairs), and drop every vector with a smaller-id "
                 f"neighbor at cos >= {SEMDEDUP_COS}, reporting its "
@@ -596,12 +634,15 @@ _SEMDEDUP_PARAMS_SQL = (
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # one metadata-cheap count sizes the quantizer (parquet row counts
-    # come from footer statistics); the same integer formula runs in
-    # the oracle's params CTE, so the bucketings are identical
-    nbits = _semdedup_bits(emb.count())
-    base = emb.select(
-        "vec_id", _bucket_col(nbits).alias("bucket"), qvec().alias("qe")
+    # the quantizer width is an IN-QUERY one-row broadcast (the Spark
+    # analog of the oracle's params CTE): zero plan-build-time jobs,
+    # and nbits is clamped to the embedding dimensionality so the
+    # bucket count can never silently stop scaling (r11 ADVICE)
+    params = F.broadcast(_semdedup_params(emb))
+    base = emb.crossJoin(params).select(
+        "vec_id",
+        _bucket_col_dyn(F.col("nbits")).alias("bucket"),
+        qvec().alias("qe"),
     ).withColumn("nrm", qnorm("qe"))
     return _dominance_dedup(base, "bucket")
 

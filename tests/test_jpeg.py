@@ -1010,13 +1010,18 @@ def _dc_code5(sym: int) -> tuple[int, int]:
     return sym, 5  # canonical code == symbol index at uniform length 5
 
 
-def _lossless_predict(plane, y, x, predictor, default, fresh):
+def _lossless_predict(plane, y, x, predictor, default, fresh,
+                      first_line=0):
     """Prediction per H.1.2.1, written independently of the decoder:
-    ``fresh`` marks the first sample after scan start / restart."""
+    ``fresh`` marks the first sample after scan start / restart;
+    ``first_line`` is the row on which the current restart interval
+    began (Ra is used for the remainder of that row -- the 'first line
+    of samples at the start of the scan and at the beginning of each
+    restart interval')."""
     if fresh:
         return default
-    if y == 0:
-        return int(plane[0, x - 1])
+    if y == first_line:
+        return int(plane[y, x - 1])
     if x == 0:
         return int(plane[y - 1, 0])
     ra, rb, rc = (int(plane[y, x - 1]), int(plane[y - 1, x]),
@@ -1060,6 +1065,7 @@ def make_lossless_jpeg(pixels: np.ndarray, predictor: int = 4,
         bw = _BitWriter()
         data = bytearray()
         fresh = {cid: True for cid in group}
+        first_line = 0
         rst_i = 0
         mcu = 0
         for y in range(h):
@@ -1070,10 +1076,12 @@ def make_lossless_jpeg(pixels: np.ndarray, predictor: int = 4,
                     data += bytes([0xFF, 0xD0 + (rst_i % 8)])
                     rst_i += 1
                     fresh = {cid: True for cid in group}
+                    first_line = y
                 for cid in group:
                     plane = planes[cid - 1]
                     px = _lossless_predict(plane, y, x, predictor,
-                                           default, fresh[cid])
+                                           default, fresh[cid],
+                                           first_line)
                     fresh[cid] = False
                     v = (int(plane[y, x]) - px) & 0xFFFF
                     if v > 32768:
@@ -1150,6 +1158,49 @@ def test_lossless_restart_markers_match_no_restart():
     rst = decode_jpeg_pixels(
         make_lossless_jpeg(px, predictor=5, restart=7))
     assert np.array_equal(base[2], rst[2])
+
+
+def test_lossless_restart_first_line_uses_ra_hand_golden():
+    """T.81 H.1.2.1: 'one-dimensional horizontal prediction (Ra) is
+    used for the first line of samples at the start of the scan and at
+    the beginning of each restart interval'. This golden is derived BY
+    HAND from the spec -- both the entropy bytes and the expected
+    pixels are written out below independently of make_lossless_jpeg
+    (which shares prediction code with nothing, but replicates the
+    same rule), so an encoder/decoder twin bug cannot hide here.
+
+    Grayscale 3x2, prec 8 (default pred 128), predictor 4 (Ra+Rb-Rc),
+    DRI = 2 samples, DHT: 17 codes of uniform length 5 (code == SSSS).
+    Per-sample derivation (pred -> diff -> value / SSSS code + bits):
+      (0,0) fresh          pred 128, diff +10 -> 138 | 00100 1010
+      (0,1) first line: Ra pred 138, diff  -3 -> 135 | 00010 00
+      ---- RST0 (interval 2 begins at row 0) ----
+      (0,2) fresh          pred 128, diff  +5 -> 133 | 00011 101
+      (1,0) new line: Rb   pred s(0,0)=138, +2 -> 140 | 00010 10
+      ---- RST1 (interval 3 begins at row 1) ----
+      (1,1) fresh          pred 128, diff  -8 -> 120 | 00100 0111
+      (1,2) interval first line: Ra pred s(1,1)=120, +3 -> 123
+                                                     | 00010 11
+    (Under the wrong 'selected predictor resumes by position' rule,
+    (1,2) would predict Ra+Rb-Rc = 120+133-135 = 118 -> 121.)
+    Packed entropy bytes (1-padding to byte boundaries before RSTs):
+      00100101 00001000            = 25 08
+      00011101 00010101(pad 1)     = 1D 15
+      00100011 10001011            = 23 8B
+    """
+    sof = bytes([8]) + struct.pack(">HH", 2, 3) + bytes([1, 1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 4, 0, 0])  # pred 4, Se=0, Ah/Al=0
+    blob = (b"\xff\xd8" + _seg(0xC3, sof)
+            + _dht(0, 0, [5] * 17, list(range(17)))
+            + _seg(0xDD, struct.pack(">H", 2)) + _seg(0xDA, sos)
+            + bytes([0x25, 0x08, 0xFF, 0xD0, 0x1D, 0x15, 0xFF, 0xD1,
+                     0x23, 0x8B])
+            + b"\xff\xd9")
+    w, h, got = decode_jpeg_pixels(blob)
+    assert (w, h) == (3, 2)
+    want = np.array([[138, 135, 133], [140, 120, 123]],
+                    np.uint8).reshape(2, 3, 1)
+    assert np.array_equal(got, want)
 
 
 def test_lossless_adobe_ycbcr_transform():

@@ -146,7 +146,8 @@ _EXECUTING = {"dedup_clusters"} | {n for n in REGISTRY if n.startswith("stream_"
 _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob",
            "lang_temperature_sample", "curation_pipeline", "bm25_topk",
-           "curriculum_stages", "heavy_hitters", "ann_ivf_recall"}
+           "curriculum_stages", "heavy_hitters", "ann_ivf_recall",
+           "semdedup"}  # r11: one-row broadcast params (nbits) relation
 _ROWUDF_OK = {"udtf_tokenize"}
 
 

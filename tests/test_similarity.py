@@ -182,6 +182,36 @@ def test_semdedup_dominance_rule(spark, sf_dir):
     assert all(r.rep_id < i for i, r in out.items())
 
 
+def test_semdedup_nbits_clamped_to_embedding_dim(spark):
+    """r11 ADVICE: bucket bits past the embedding length select nothing
+    in either engine, so a corpus with dim < nbits would silently stop
+    scaling its bucket count (quadratic in-bucket pair work). The
+    params relation must clamp nbits to the dimensionality -- and must
+    be computable lazily (no eager job at plan build)."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        IVF_BITS,
+        _semdedup_params,
+    )
+
+    def corpus(n, dim):
+        return spark.range(n).select(
+            F.array(*[
+                (F.col("id") * (d + 1) % 7 - 3).cast("float")
+                for d in range(dim)
+            ]).alias("embedding")
+        )
+
+    # 3000 rows: smallest B with 32*2^B >= 3000 is 7 (32*64=2048 < 3000)
+    assert _semdedup_params(corpus(3000, 24)).first().nbits == 7
+    # same count, 4-dim vectors: clamped to 4 (even below IVF_BITS=6)
+    assert IVF_BITS == 6
+    assert _semdedup_params(corpus(3000, 4)).first().nbits == 4
+    # tiny corpus, wide vectors: the IVF_BITS floor holds
+    assert _semdedup_params(corpus(10, 24)).first().nbits == IVF_BITS
+
+
 def test_semdedup_kmeans_matches_replica(spark, sf_dir):
     """The trained-centroid SemDeDup variant applies the identical
     dominance rule within k-means clusters: checked against a numpy
