@@ -530,8 +530,8 @@ _SEMDEDUP_PARAMS_SQL = (
         f"(CASE WHEN cnt > {SEMDEDUP_TARGET_BUCKET << j} THEN 1 ELSE 0 END)"
         for j in range(SEMDEDUP_MAX_BITS)
     )
-    + "), dim) AS nbits FROM (SELECT COUNT(*) AS cnt,"
-    " MIN(len(embedding)) AS dim FROM embeddings)"
+    + "), dim) AS nbits FROM (SELECT COUNT(*) AS cnt FROM embeddings),"
+    " (SELECT len(embedding) AS dim FROM embeddings LIMIT 1)"
 )
 
 
@@ -540,20 +540,22 @@ def _semdedup_params(emb: DataFrame) -> DataFrame:
     eager job at plan build -- the Spark analog of the oracle's params
     CTE, restoring the 'zero plan-build-time jobs' invariant that r10's
     ``emb.count()`` broke). COUNT(*) sizes the bucket count so
-    in-bucket pair work stays linear; MIN(size(embedding)) clamps nbits
-    to the dimensionality (bits past the vector length select nothing
-    in either engine)."""
-    agg = emb.agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.size("embedding")).alias("dim"),
-    )
+    in-bucket pair work stays linear (a zero-column scan: parquet row
+    counts come off the footers, no data pages); the dim clamp reads
+    ONE row via limit(1) rather than MIN over the corpus -- embedding
+    dims are uniform by the corpus contract (every similarity operator
+    assumes it), and the self-join duplicates this subtree, so a
+    full-column MIN would cost two extra passes over the heaviest
+    column at scale."""
+    cnt_df = emb.agg(F.count(F.lit(1)).alias("cnt"))
+    dim_df = emb.select(F.size("embedding").alias("dim")).limit(1)
     grown = None
     for j in range(SEMDEDUP_MAX_BITS):
         term = F.when(
             F.col("cnt") > (SEMDEDUP_TARGET_BUCKET << j), 1
         ).otherwise(0)
         grown = term if grown is None else grown + term
-    return agg.select(
+    return cnt_df.crossJoin(dim_df).select(
         F.least(F.greatest(F.lit(IVF_BITS), grown), F.col("dim"))
         .alias("nbits")
     )
