@@ -192,9 +192,33 @@ def _minhash_sigs_sql() -> str:
     """
 
 
+#: band-signature mixers: two independent 31-bit Horner chains packed
+#: into ONE int64 (band index as the seed, so the band id folds into
+#: the signature and the band join key is a single BIGINT -- 8 bytes
+#: per shuffle row where the r10 md5 form shuffled a 32-char string).
+#: Every step stays within int64 in BOTH engines: acc < HASH_PRIME
+#: (2^31-1), acc * A2 < 2^31 * 2^30 < 2^61, and the final pack
+#: mix1 * 2^31 + mix2 < 2^62 + 2^31. Collisions (~2^-62 per pair) only
+#: ADD candidates, the exact verify filters them, and the oracle runs
+#: the IDENTICAL mix, so the engines can never diverge.
+_SIG_A1 = 1_000_003
+_SIG_A2 = 998_244_353
+_SIG_SHIFT = 1 << 31
+
+
+def _band_int64_expr(b: int) -> str:
+    """Portable (Spark SQL == DuckDB) int64 band signature over the
+    ``m{j}`` minhash columns of band ``b``."""
+    def mix(a: int) -> str:
+        acc = f"CAST({b} AS BIGINT)"  # int literals would overflow ANSI int32
+        for r in range(LSH_ROWS):
+            acc = f"(({acc}) * {a} + m{b * LSH_ROWS + r}) % {HASH_PRIME}"
+        return acc
+    return f"(({mix(_SIG_A1)}) * {_SIG_SHIFT} + ({mix(_SIG_A2)}))"
+
+
 def _band_sql(b: int) -> str:
-    cols = " || ',' || ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
-    return f"SELECT doc_id, sh, {b} AS band, md5({cols}) AS sig FROM sigs"
+    return f"SELECT doc_id, sh, {_band_int64_expr(b)} AS sig FROM sigs"
 
 
 @register(
@@ -206,7 +230,7 @@ def _band_sql(b: int) -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        ON a.sig = b.sig AND a.doc_id < b.doc_id),
     verified AS (
       SELECT i, j,
              len(list_intersect(sa.sh, sb.sh)) AS c,
@@ -220,8 +244,13 @@ def _band_sql(b: int) -> str:
     description=f"MinHash({MINHASH_K} perms) + LSH ({LSH_BANDS} bands x "
                 f"{LSH_ROWS} rows) candidate generation, exact-Jaccard "
                 "verification of candidates. Signatures are pure array "
-                "expressions (map-side); only band signatures shuffle. "
-                "The oracle replicates the identical algorithm in SQL.",
+                "expressions (map-side); only band signatures shuffle -- "
+                "packed as ONE int64 per band (band-seeded double Horner "
+                "mix, r11: the md5-string form shuffled a 32-char key; "
+                "8-byte keys cut the band-join shuffle volume and the "
+                "oracle runs the identical integer mix, so engines "
+                "cannot diverge). The oracle replicates the identical "
+                "algorithm in SQL.",
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,21 +274,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       (checkpoint blocks free on GC; persist() would leak for the
       session)."""
     register_views(spark, sf_dir)
+    sigs = spark.sql(minhash_sigs_stmt()).localCheckpoint(eager=False)
+    sigs.createOrReplaceTempView("minhash_sigs_tmp")
+    return spark.sql(minhash_pairs_stmt("minhash_sigs_tmp"))
+
+
+def minhash_sigs_stmt(band_sigs: str | None = None) -> str:
+    """Spark-SQL statement computing the checkpointable signature
+    relation ``(doc_id, sh, s0..s{LSH_BANDS-1})`` from the registered
+    ``documents`` view. Module-level (r11) so the stage-measurement
+    tool times the exact statements the registry row runs;
+    ``band_sigs`` overrides the band-signature select list (the tool
+    passes the r10 md5 spelling as its comparator)."""
     perms = ", ".join(
         f"array_min(transform(hm, h -> ({a} * h + {b}) % {HASH_PRIME})) AS m{j}"
         for j, (a, b) in enumerate(_PERMS)
     )
     # band signatures computed BEFORE the checkpoint: the post-barrier band
     # relation is a pure column unpivot (stack), so each join side is one
-    # scan of checkpoint blocks with no md5 recompute
-    band_sigs = ", ".join(
-        "md5(concat_ws(',', {cols})) AS s{b}".format(
-            b=b,
-            cols=", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+    # scan of checkpoint blocks with no signature recompute
+    if band_sigs is None:
+        band_sigs = ", ".join(
+            f"{_band_int64_expr(b)} AS s{b}" for b in range(LSH_BANDS)
         )
-        for b in range(LSH_BANDS)
-    )
-    sigs = spark.sql(f"""
+    return f"""
         WITH wz AS (
           SELECT doc_id, filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != '') AS w
           FROM documents),
@@ -284,23 +322,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM shing WHERE size(sh) > 0)
         SELECT doc_id, sh, {band_sigs}
         FROM (SELECT doc_id, sh, {perms} FROM hm)
-    """).localCheckpoint(eager=False)
-    sigs.createOrReplaceTempView("minhash_sigs_tmp")
-    stack_args = ", ".join(f"{b}, s{b}" for b in range(LSH_BANDS))
-    # candidate dedup keys on (i, j) ONLY, then the shingle arrays join
-    # back for the exact verify (the oracle's exact shape): a DISTINCT
-    # whose grouping key includes the two shingle ARRAYS hashes and
-    # shuffles every array once per duplicate candidate -- measured 36 s
-    # vs 1-3 s at ~sf1 (50k docs). The band relation is likewise slimmed
-    # to (doc_id, band, sig); arrays never enter the band join at all.
-    return spark.sql(f"""
+    """
+
+
+def minhash_pairs_stmt(sigs_view: str) -> str:
+    """Spark-SQL statement from a signature view to verified pairs.
+
+    - candidate dedup keys on (i, j) ONLY, then the shingle arrays join
+      back for the exact verify (the oracle's exact shape): a DISTINCT
+      whose grouping key includes the two shingle ARRAYS hashes and
+      shuffles every array once per duplicate candidate -- measured 36 s
+      vs 1-3 s at ~sf1 (50k docs). The band relation is likewise slimmed
+      to (doc_id, sig); arrays never enter the band join at all.
+    - the band id is FOLDED INTO the int64 signature (Horner seed), so
+      the band join keys on one BIGINT -- 8 bytes per shuffle row where
+      the r10 md5 form shuffled (band, 32-char string)."""
+    stack_args = ", ".join(f"s{b}" for b in range(LSH_BANDS))
+    return f"""
         WITH bands AS (
-          SELECT doc_id, stack({LSH_BANDS}, {stack_args}) AS (band, sig)
-          FROM minhash_sigs_tmp),
+          SELECT doc_id, stack({LSH_BANDS}, {stack_args}) AS sig
+          FROM {sigs_view}),
         cand AS (
           SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
           FROM bands a JOIN bands b
-            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            ON a.sig = b.sig AND a.doc_id < b.doc_id),
         verified AS (
           -- BIGINT up front: size() is INT and 20000*c would wrap int32
           -- silently (non-ANSI) past c ~ 1e5 shingles at scale
@@ -309,12 +354,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(size(sa.sh) + size(sb.sh)
                    - size(array_intersect(sa.sh, sb.sh)) AS BIGINT) AS u
           FROM cand
-          JOIN minhash_sigs_tmp sa ON sa.doc_id = i
-          JOIN minhash_sigs_tmp sb ON sb.doc_id = j)
+          JOIN {sigs_view} sa ON sa.doc_id = i
+          JOIN {sigs_view} sb ON sb.doc_id = j)
         SELECT i AS doc_a, j AS doc_b,
                (20000 * c + u) div (2 * u) AS jaccard_bp
         FROM verified WHERE c * 10 >= u * 6
-    """)
+    """
 
 
 # ---------------------------------------------------------------- SimHash

@@ -1,0 +1,183 @@
+"""Stage-level wall breakdown of bm25_topk at the ~sf10 sweep corpus
+(VERDICT r10 item #2: 29.6 s / 18.7x at 100x -- confirm the
+"linear-with-constant" claim by splitting the two corpus scans from the
+scoring join; the checkpointed doc-length relation is the suspect).
+
+Stages, each from the previous stage's eager localCheckpoint:
+
+1. ``dl``    -- tokenize scan #1: per-doc lengths (explode + groupBy)
+2. ``tf``    -- tokenize scan #2: query-term tf (explode + broadcast
+               semi-filter + groupBy); output is O(matching docs x 9)
+3. ``score`` -- dfr/stats/score/rank over the tiny tf and O(docs) dl
+
+Usage: python tools/measure_bm25_stages.py [--copies 100] [--runs 3]
+Prints a markdown table + one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from bench import _wait_for_quiet_box  # the shared load gate
+
+from aws_cloudfront_realtime_monitoring_spark.session import get_spark
+from aws_cloudfront_realtime_monitoring_spark.sources.tables import register_views
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _values_clause(copies: int | None) -> str:
+    """The probe-query VALUES clause. ``copies`` None = the registry
+    row's literal terms; an int = per-copy SALTED terms (the sweep
+    corpus suffixes every word with its 3-digit copy index, so literal
+    terms match NOTHING there -- salting the query terms per copy makes
+    the tf relation grow with the corpus, a true scoring scale-up)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        BM25_QUERIES, _bm25_values)
+
+    if copies is None:
+        return _bm25_values("spark")
+    rows = ", ".join(
+        f"('{qid}', '{t}{i:03d}')"
+        for qid, terms in BM25_QUERIES for t in terms for i in range(copies)
+    )
+    return f"SELECT * FROM VALUES {rows} AS v(query_id, term)"
+
+
+def _stage_pass(spark, qcopies: int | None) -> dict[str, float]:
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        BM25_B, BM25_K1, BM25_TOPK, WS_RE_SPARK_SQL)
+
+    split_expr = (
+        f"explode(filter(split(lower(text), '{WS_RE_SPARK_SQL}'), "
+        "w -> w != ''))"
+    )
+    out: dict[str, float] = {}
+
+    t0 = time.time()
+    dl = spark.sql(f"""
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM (SELECT doc_id, {split_expr} AS term FROM documents)
+        GROUP BY doc_id
+    """).localCheckpoint(eager=True)
+    out["dl"] = time.time() - t0
+    dl.createOrReplaceTempView("bm25_stage_dl")
+
+    t0 = time.time()
+    tf = spark.sql(f"""
+        WITH toks AS (SELECT doc_id, {split_expr} AS term FROM documents),
+        q AS ({_values_clause(qcopies)})
+        SELECT t.doc_id, q.query_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks t JOIN q ON t.term = q.term
+        GROUP BY t.doc_id, q.query_id, t.term
+    """).localCheckpoint(eager=True)
+    out["tf"] = time.time() - t0
+    tf.createOrReplaceTempView("bm25_stage_tf")
+
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    term_score = (
+        f"ln((n_docs - df + {half}) / (df + {half}) + {one})"
+        f" * (tf * ({BM25_K1} + {one}))"
+        f" / (tf + {BM25_K1} * ({one} - {BM25_B} + {BM25_B} * dl / (total / n_docs)))"
+    )
+    t0 = time.time()
+    _noop(spark.sql(f"""
+        WITH stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                              CAST(SUM(dl) AS DOUBLE) AS total
+                       FROM bm25_stage_dl),
+        dfr AS (SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM bm25_stage_tf GROUP BY query_id, term),
+        scored AS (
+          SELECT tf.doc_id, tf.query_id,
+                 CAST(floor(({term_score}) * 1e6 + {half}) AS BIGINT) AS s_micro
+          FROM bm25_stage_tf tf
+          JOIN dfr ON dfr.query_id = tf.query_id AND dfr.term = tf.term
+          JOIN bm25_stage_dl dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        agg AS (SELECT query_id, doc_id,
+                       CAST(SUM(s_micro) AS BIGINT) AS score_micro
+                FROM scored GROUP BY query_id, doc_id),
+        ranked AS (SELECT query_id, doc_id, score_micro,
+                          CAST(ROW_NUMBER() OVER (
+                            PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+                   FROM agg)
+        SELECT query_id, doc_id, score_micro, rnk
+        FROM ranked WHERE rnk <= {BM25_TOPK}
+    """))
+    out["score"] = time.time() - t0
+    out["tf_rows"] = float(tf.count())
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=100)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    load, flagged = _wait_for_quiet_box()
+    print(f"# start load: {load:.2f} (flagged: {flagged})", file=sys.stderr)
+
+    spark = get_spark("bm25_stages")
+    import __spark_entry__
+
+    __spark_entry__._ship_package(spark)
+    sys.path.insert(0, str(REPO / "tools"))
+    from scale_sweep import build_scaled_documents
+
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+
+    registry = load_full()
+    scaled_dir = build_scaled_documents(
+        spark, "/root/testdata/sf0.1", args.copies
+    )
+
+    results: dict[str, dict] = {}
+    # at the scaled corpus the registry terms match nothing (every word
+    # carries a copy salt): run the staged pass TWICE there -- literal
+    # terms (the sweep-comparable scan cost) and per-copy salted terms
+    # (tf grows ~copies-fold: the true scoring scale-up)
+    cells = [("sf0.1", "/root/testdata/sf0.1", None),
+             (f"~sf{args.copies / 10:g}", scaled_dir, None),
+             (f"~sf{args.copies / 10:g} salted-q", scaled_dir, args.copies)]
+    for label, sf_dir, qcopies in cells:
+        register_views(spark, sf_dir)
+        _noop(registry["bm25_topk"].build(spark, sf_dir))  # warm-up
+
+        stage_runs = [_stage_pass(spark, qcopies) for _ in range(args.runs)]
+        stages = {
+            k: min(r[k] for r in stage_runs) for k in ("dl", "tf", "score")
+        }
+        stages["tf_rows"] = stage_runs[0]["tf_rows"]
+        stages["full"] = min(
+            (lambda t0: (_noop(registry["bm25_topk"].build(spark, sf_dir)),
+                         time.time() - t0)[1])(time.time())
+            for _ in range(args.runs)
+        )
+        results[label] = stages
+        print(f"# {label}: {stages}", file=sys.stderr)
+
+    print("| Scale | dl scan | tf scan | score+rank | staged total |"
+          " full query | tf rows |")
+    print("|---|---|---|---|---|---|---|")
+    for label, s in results.items():
+        total = s["dl"] + s["tf"] + s["score"]
+        print(f"| {label} | {s['dl']:.2f} s | {s['tf']:.2f} s "
+              f"| {s['score']:.2f} s | {total:.2f} s | {s['full']:.2f} s "
+              f"| {int(s['tf_rows'])} |")
+    print(json.dumps({"bm25_stages": results}))
+
+
+if __name__ == "__main__":
+    main()
