@@ -2,19 +2,21 @@
 
 Completes the real-decode set of the multimodal contract
 (``operators/multimodal.py``: BMP, PNG) with the most common payload
-format a media pipeline actually ingests. Scope: baseline sequential DCT
-(SOF0/1) and PROGRESSIVE DCT (SOF2, spectral selection + successive
-approximation per T.81 Annex G), 8-bit precision, Huffman entropy
-coding, grayscale / YCbCr / RGB (Adobe transform 0 or R,G,B component
-ids) with 4:4:4 / 4:2:2 / 4:2:0 sampling, 4-component CMYK and YCCK
-(Adobe APP14 transform resolved by the same heuristics libjpeg's
-jdmaster documents: Adobe present -> its transform byte and inverted
-ink convention; absent -> component-id sniff for 3 channels, direct
-ink CMYK for 4), restart markers, and LOSSLESS predictive coding
+format a media pipeline actually ingests. Scope: baseline/extended
+sequential DCT (SOF0/1) and PROGRESSIVE DCT (SOF2, spectral selection +
+successive approximation per T.81 Annex G) at 8-bit AND 12-bit sample
+precision (r11: 2^(P-1) level shift, Pq=1 16-bit quant tables, DC
+categories to 15, P-bit channels scaled to the uint8 contract), Huffman
+entropy coding, grayscale / YCbCr / RGB (Adobe transform 0 or R,G,B
+component ids) with 4:4:4 / 4:2:2 / 4:2:0 sampling, 4-component CMYK
+and YCCK (Adobe APP14 transform resolved by the same heuristics
+libjpeg's jdmaster documents: Adobe present -> its transform byte and
+inverted ink convention; absent -> component-id sniff for 3 channels,
+direct ink CMYK for 4), restart markers, and LOSSLESS predictive coding
 (SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16 bit
 precision scaled to the 8-bit output, exact roundtrip). All color
 spaces convert to RGB (or stay single-channel grayscale) on output.
-Arithmetic-coded, 12-bit DCT, and hierarchical variants raise
+Arithmetic-coded, differential, and hierarchical variants raise
 ``ValueError`` (the multimodal layer falls back to Pillow-if-present
 or the documented fake, exactly like the other decoders' unsupported
 profiles).
@@ -153,13 +155,19 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _dc_ssss_max(prec: int) -> int:
+    """Largest legal DC difference category for a DCT frame: 11 for
+    8-bit samples, 15 for 12-bit (T.81 tables F.1 / F.6)."""
+    return 11 if prec == 8 else 15
+
+
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decoder for baseline-sequential, progressive AND lossless
-    JPEG:
+    """REAL decoder for sequential (8/12-bit), progressive (8/12-bit)
+    AND lossless JPEG:
     returns (width, height, pixels[h, w, 1 or 3] uint8 — grayscale or
     RGB; CMYK/YCCK inputs convert to RGB). Raises ``ValueError`` on
     malformed input or unsupported
-    variants (arithmetic coding, 12-bit DCT, hierarchical) — ONLY
+    variants (arithmetic coding, differential, hierarchical) — ONLY
     ValueError, whatever the corruption (struct/index errors from fuzzed
     bytes are remapped), so a malformed payload can never kill an
     executor task instead of taking the documented fallback."""
@@ -180,6 +188,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None  # (height, width, [(comp_id, h_samp, v_samp, qt_id)])
+    dct_prec = 8  # DCT-mode sample precision (8 or 12, T.81 B.2.2)
     progressive = False
     prog: _ProgState | None = None
     # multi-scan SEQUENTIAL state (scans covering component subsets of a
@@ -230,12 +239,25 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             s = 0
             while s < len(seg):
                 pq, tq = seg[s] >> 4, seg[s] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables not baseline")
-                qt[tq] = np.frombuffer(
-                    seg[s + 1 : s + 65], np.uint8
-                ).astype(np.int32)
-                s += 65
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        seg[s + 1 : s + 65], np.uint8
+                    ).astype(np.int32)
+                    s += 65
+                elif pq == 1:
+                    # 16-bit table entries (T.81 B.2.4.1; the normal
+                    # companion of 12-bit sample precision). B.2.4.1
+                    # scopes Pq=1 to the extended modes; accepted here
+                    # regardless of the frame marker -- leniency only
+                    # widens the inputs we decode, never the outputs.
+                    if len(seg) < s + 129:
+                        raise ValueError("truncated JPEG quant table")
+                    qt[tq] = np.frombuffer(
+                        seg[s + 1 : s + 129], ">u2"
+                    ).astype(np.int32)
+                    s += 129
+                else:
+                    raise ValueError("invalid JPEG quant precision")
         elif marker == 0xC4:  # DHT
             s = 0
             while s < len(seg):
@@ -258,10 +280,16 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 if ncomp not in (1, 3):
                     raise ValueError(
                         f"{ncomp}-component lossless JPEG unsupported")
-            elif prec != 8:
+            elif marker == 0xC0 and prec != 8:
+                # baseline is 8-bit by definition (T.81 B.2.2)
+                raise ValueError(f"{prec}-bit baseline JPEG invalid")
+            elif prec not in (8, 12):
+                # extended sequential (SOF1) / progressive (SOF2)
+                # allow exactly 8 or 12 (T.81 B.2.2); 12-bit decode r11
                 raise ValueError(f"{prec}-bit JPEG unsupported")
             elif ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
+            dct_prec = prec
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -279,7 +307,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
             if progressive:
-                prog = _ProgState(h, w, comps)
+                prog = _ProgState(h, w, comps, dct_prec)
             if lossless:
                 loss = _LosslessState(h, w, comps, prec)
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -326,14 +354,14 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     return _decode_scan(
                         payload, pos + 2 + seg_len, frame, scan_tables,
                         qt, huff_dc, huff_ac, restart_interval,
-                        _resolve_color(frame[2], adobe),
+                        _resolve_color(frame[2], adobe), dct_prec,
                     )
                 # MULTI-SCAN sequential (r10): each scan delivers the
                 # full 64 coefficients for a SUBSET of components --
                 # accumulate into the shared coefficient state and
                 # finalize at EOI, exactly like progressive
                 if seq is None:
-                    seq = _ProgState(*frame)
+                    seq = _ProgState(*frame, dct_prec)
                 for cid in scan_comps:
                     if cid in seq_done:
                         raise ValueError(
@@ -392,7 +420,7 @@ def _resolve_color(comps, adobe: int | None) -> str:
 
 
 def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
-                 restart_interval, color):
+                 restart_interval, color, prec=8):
     h, w, comps = frame
     if h <= 0 or w <= 0:
         raise ValueError("degenerate JPEG dimensions")
@@ -436,7 +464,8 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
                 for by in range(vs):
                     for bx in range(hs):
                         try:
-                            block = _decode_block(br, dc_t, ac_t, q, pred, cid)
+                            block = _decode_block(br, dc_t, ac_t, q, pred,
+                                                  cid, prec)
                         except _MarkerHit as exc:
                             raise ValueError(
                                 f"JPEG scan data ended early "
@@ -446,15 +475,21 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    return _assemble(planes, comps, h, w, hmax, vmax, color)
+    return _assemble(planes, comps, h, w, hmax, vmax, color, prec)
 
 
-def _assemble(planes, comps, h, w, hmax, vmax, color):
+def _assemble(planes, comps, h, w, hmax, vmax, color, prec=8):
     """Upsample component planes to full resolution by sample
     replication, crop, level-shift and color-convert (shared by the
     sequential and progressive paths). ``color`` is the resolved
     interpretation from ``_resolve_color``; every multi-channel space
-    lands in RGB."""
+    lands in RGB. ``prec``: DCT sample precision -- the level shift is
+    ``2^(P-1)`` and the P-bit channels scale to the uint8 contract by
+    ``255/(2^P-1)`` (for P=8 that factor is exactly 1.0, so the 8-bit
+    arithmetic is bit-identical to the pre-r11 spelling)."""
+    half = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
+    scale = 255.0 / maxv
     full = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -463,39 +498,39 @@ def _assemble(planes, comps, h, w, hmax, vmax, color):
     if color == "gray":
         # round like the RGB path: truncation would drift 1 LSB low on
         # coefficients landing epsilon under the true integer
-        gray = np.clip(np.round(full[0] + 128), 0, 255)
+        gray = np.clip(np.round((full[0] + half) * scale), 0, 255)
         return w, h, gray.astype(np.uint8)[:, :, None]
     if color == "rgb":
         # Adobe transform 0 / R,G,B component ids: samples ARE R,G,B
-        rgb = np.clip(np.round(np.dstack(full) + 128), 0, 255)
+        rgb = np.clip(np.round((np.dstack(full) + half) * scale), 0, 255)
         return w, h, rgb.astype(np.uint8)
     if color in ("cmyk", "cmyk-inv", "ycck"):
         if color == "ycck":
             # Adobe YCCK: the inverted C,M,Y went through the forward
             # JFIF matrix at encode; invert it to recover the STORED
             # (inverted) ink channels, K passes through untouched
-            yl, cb, cr = full[0] + 128, full[1], full[2]
+            yl, cb, cr = full[0] + half, full[1], full[2]
             c = yl + 1.402 * cr
             m = yl - 0.344136 * cb - 0.714136 * cr
             ye = yl + 1.772 * cb
         else:
-            c, m, ye = full[0] + 128, full[1] + 128, full[2] + 128
-        k = full[3] + 128
-        c, m, ye, k = (np.clip(ch, 0, 255) for ch in (c, m, ye, k))
+            c, m, ye = full[0] + half, full[1] + half, full[2] + half
+        k = full[3] + half
+        c, m, ye, k = (np.clip(ch, 0, maxv) for ch in (c, m, ye, k))
         if color == "cmyk":
             # no Adobe marker: samples are ink coverage directly; the
-            # Adobe spaces ("cmyk-inv"/"ycck") store 255-ink, which the
+            # Adobe spaces ("cmyk-inv"/"ycck") store maxv-ink, which the
             # multiply below already expects
-            c, m, ye, k = 255.0 - c, 255.0 - m, 255.0 - ye, 255.0 - k
-        # R = (255-C_ink)(255-K_ink)/255 on ink values == stored*k/255
-        # on Adobe-inverted values
-        rgb = np.dstack([c * k, m * k, ye * k]) / 255.0
+            c, m, ye, k = maxv - c, maxv - m, maxv - ye, maxv - k
+        # R = (maxv-C_ink)(maxv-K_ink)/maxv on ink values == stored*k/maxv
+        # on Adobe-inverted values; * scale maps to the uint8 contract
+        rgb = np.dstack([c * k, m * k, ye * k]) / maxv * scale
         return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    y, cb, cr = full[0] + 128, full[1], full[2]
+    y, cb, cr = full[0] + half, full[1], full[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    rgb = np.clip(np.dstack([r, g, b]).round(), 0, 255)
+    rgb = np.clip((np.dstack([r, g, b]) * scale).round(), 0, 255)
     return w, h, rgb.astype(np.uint8)
 
 
@@ -524,14 +559,14 @@ class _ProgState:
     ZIGZAG order (the natural index for spectral-band operations);
     de-zigzag happens once at finalize."""
 
-    def __init__(self, h: int, w: int, comps):
+    def __init__(self, h: int, w: int, comps, prec: int = 8):
         if h <= 0 or w <= 0:
             raise ValueError("degenerate JPEG dimensions")
         if h * w > _prog_max_pixels():
             raise ValueError(
                 "JPEG dimensions exceed the progressive decode cap"
             )
-        self.h, self.w, self.comps = h, w, comps
+        self.h, self.w, self.comps, self.prec = h, w, comps, prec
         self.hmax = max(c[1] for c in comps)
         self.vmax = max(c[2] for c in comps)
         self.mcus_x = -(-w // (8 * self.hmax))
@@ -640,7 +675,8 @@ def _decode_sequential_scan(data, pos, seq, scan_comps, scan_tables,
                     for by in range(vs):
                         for bx in range(hs):
                             _seq_unit(br, seq.coefs[cid], my * vs + by,
-                                      mx * hs + bx, dc_t, ac_t, pred, cid)
+                                      mx * hs + bx, dc_t, ac_t, pred, cid,
+                                      seq.prec)
         else:  # single component: non-interleaved, true component grid
             cid, _hs, _vs, _tq = comps[0]
             dc_t, ac_t = tables[cid]
@@ -650,7 +686,8 @@ def _decode_sequential_scan(data, pos, seq, scan_comps, scan_tables,
                     _expect_rst(br, br.data)
                     pred = {cid: 0 for cid in pred}
                 by, bx = divmod(u, nbx)
-                _seq_unit(br, seq.coefs[cid], by, bx, dc_t, ac_t, pred, cid)
+                _seq_unit(br, seq.coefs[cid], by, bx, dc_t, ac_t, pred,
+                          cid, seq.prec)
     except _MarkerHit as exc:
         raise ValueError(
             f"JPEG scan data ended early (marker {exc.marker:#x})"
@@ -658,11 +695,11 @@ def _decode_sequential_scan(data, pos, seq, scan_comps, scan_tables,
     return _skip_to_marker(data, br.pos)
 
 
-def _seq_unit(br, arr, by, bx, dc_t, ac_t, pred, cid):
+def _seq_unit(br, arr, by, bx, dc_t, ac_t, pred, cid, prec=8):
     """Full 64-coefficient decode of one sequential data unit (T.81
     F.2.2.1-F.2.2.2) into the zigzag-ordered coefficient store."""
     s = dc_t.decode(br)
-    if s > 11:
+    if s > _dc_ssss_max(prec):
         raise ValueError("invalid JPEG DC magnitude")
     pred[cid] += _extend(br.read(s), s)
     if not -(1 << 26) <= pred[cid] <= (1 << 26):
@@ -709,7 +746,7 @@ def _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,
                     for bx in range(hs):
                         _dc_unit(br, prog.coefs[cid], my * vs + by,
                                  mx * hs + bx, tables.get(cid), pred,
-                                 cid, ah, al)
+                                 cid, ah, al, prog.prec)
     else:  # single component: non-interleaved, true component grid
         cid, hs, vs, _tq = comps[0]
         nby, nbx = prog.nblocks[cid]
@@ -719,21 +756,22 @@ def _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,
                 pred = {cid: 0 for cid in pred}
             by, bx = divmod(u, nbx)
             _dc_unit(br, prog.coefs[cid], by, bx, tables.get(cid), pred,
-                     cid, ah, al)
+                     cid, ah, al, prog.prec)
 
 
-def _dc_unit(br, arr, by, bx, tbl, pred, cid, ah, al):
+def _dc_unit(br, arr, by, bx, tbl, pred, cid, ah, al, prec=8):
     if ah == 0:  # first DC scan: diff coding, point transform <<Al
         s = tbl.decode(br)
-        if s > 11:
+        if s > _dc_ssss_max(prec):
             raise ValueError("invalid JPEG DC magnitude")
         pred[cid] += _extend(br.read(s), s)
         v = pred[cid] << al
-        if not -(1 << 26) <= v <= (1 << 26):
+        if not -(1 << 30) <= v <= (1 << 30):
             # a legal 8-bit DC is |coef| <= 2047 and Al <= 13, so
-            # |v| < 2^24; a crafted run of max diffs walks pred
-            # arbitrarily high and would overflow the int32 store
-            # (numpy 2.x raises OverflowError, escaping ValueError)
+            # |v| < 2^24 (12-bit: |diff| <= 32767 -> |v| < 2^28); a
+            # crafted run of max diffs walks pred arbitrarily high and
+            # would overflow the int32 store (numpy 2.x raises
+            # OverflowError, escaping ValueError)
             raise ValueError("JPEG DC predictor out of range")
         arr[by, bx, 0] = v
     elif br.read(1):  # refinement: one bit, ORed at position Al
@@ -856,7 +894,7 @@ def _finalize_progressive(prog: _ProgState, qt,
             .reshape(nby * 8, nbx * 8)
         )
     return _assemble(planes, prog.comps, prog.h, prog.w, prog.hmax,
-                     prog.vmax, color)
+                     prog.vmax, color, prog.prec)
 
 
 # ------------------------------------------------- lossless (SOF3)
@@ -996,10 +1034,10 @@ def _expect_rst(br: _BitReader, data: bytes) -> None:
     br.pos += 2
 
 
-def _decode_block(br, dc_t, ac_t, q, pred, cid) -> np.ndarray:
+def _decode_block(br, dc_t, ac_t, q, pred, cid, prec=8) -> np.ndarray:
     coef = np.zeros(64, np.int32)
     s = dc_t.decode(br)
-    if s > 11:
+    if s > _dc_ssss_max(prec):
         raise ValueError("invalid JPEG DC magnitude")
     pred[cid] += _extend(br.read(s), s)
     if not -(1 << 26) <= pred[cid] <= (1 << 26):

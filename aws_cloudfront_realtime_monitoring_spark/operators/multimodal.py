@@ -336,9 +336,10 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             }
         except ValueError:
             # SOI-prefixed but malformed / outside the decodable profile
-            # (arithmetic-coded, 12-bit DCT, hierarchical -- baseline,
-            # progressive, multi-scan, lossless, and CMYK/YCCK all
-            # decode for real): fall through to PIL/fake, strict raises
+            # (arithmetic-coded, differential, hierarchical -- 8/12-bit
+            # sequential + progressive, multi-scan, lossless, and
+            # CMYK/YCCK all decode for real): fall through to PIL/fake,
+            # strict raises
             if strict:
                 raise
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":

@@ -44,11 +44,16 @@ _FDCT = np.array([
 ])
 
 # encoder Huffman design: uniform-length canonical tables (valid per
-# T.81, just inefficient). DC: 12 symbols at length 4; AC: the 162
-# standard symbols at length 8 (codes 0..161, the all-ones code unused).
+# T.81, just inefficient). DC: 12 symbols at length 4 (8-bit) or 16 at
+# length 5 (12-bit); AC: all (run, size) symbols at length 8 -- size
+# runs to 14 so the same table serves 8- and 12-bit frames (T.81 F.6).
 _AC_SYMBOLS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
+    (r << 4) | s for r in range(16) for s in range(1, 15)
 ]
+
+
+def _dc_code12(sym: int) -> tuple[int, int]:
+    return sym, 5  # 16 DC categories need 5-bit uniform codes
 
 
 class _BitWriter:
@@ -95,14 +100,14 @@ def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.round(coef / q.reshape(8, 8)).astype(np.int32)
 
 
-def _encode_blocks(bw, blocks, q, pred_holder):
+def _encode_blocks(bw, blocks, q, pred_holder, dc_code=_dc_code):
     for block in blocks:
         # zz[i] = block position _ZIGZAG[i]: the scan-order coefficient list
         zz = _fdct_quant(block, q).reshape(64)[_ZIGZAG]
         diff = int(zz[0]) - pred_holder[0]
         pred_holder[0] = int(zz[0])
         s, mag = _magnitude(diff)
-        code, n = _dc_code(s)
+        code, n = dc_code(s)
         bw.write(code, n)
         bw.write(mag, s)
         run = 0
@@ -136,26 +141,29 @@ def _dht(tc: int, th: int, lengths: list[int], symbols: list[int]) -> bytes:
     return _seg(0xC4, bytes([tc << 4 | th] + counts + symbols))
 
 
-def _prep_planes(pixels: np.ndarray, subsample: int, space: str = "auto"):
+def _prep_planes(pixels: np.ndarray, subsample: int, space: str = "auto",
+                 prec: int = 8):
     """Color-convert, chroma-downsample, and pad the component planes to
     the MCU grid (shared by the baseline and progressive encoders).
     ``space`` "auto": 3 channels go through the forward JFIF matrix
     (YCbCr), 1 and 4 channels encode raw; "raw": every channel encodes
-    as its stored sample minus the 128 level shift (how CMYK planes and
-    Adobe transform-0 RGB land in a file).
+    as its stored sample minus the level shift (how CMYK planes and
+    Adobe transform-0 RGB land in a file). ``prec``: sample precision --
+    the level shift is 2^(P-1) (T.81 A.3.1).
     Returns (planes, sampling, mcus_x, mcus_y)."""
     h, w, nc = pixels.shape
+    half = float(1 << (prec - 1))
     px = pixels.astype(np.float64)
     if nc == 3 and space == "auto":
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         comps_full = [
-            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            0.299 * r + 0.587 * g + 0.114 * b - half,
             -0.168736 * r - 0.331264 * g + 0.5 * b,
             0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
         sampling = [(subsample, subsample), (1, 1), (1, 1)]
     else:
-        comps_full = [px[:, :, ci] - 128.0 for ci in range(nc)]
+        comps_full = [px[:, :, ci] - half for ci in range(nc)]
         sampling = [(1, 1)] * nc
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
@@ -237,6 +245,49 @@ def make_jpeg(pixels: np.ndarray, quant: int = 1, subsample: int = 1,
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
     out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def make_jpeg12(pixels: np.ndarray, quant: int = 1,
+                subsample: int = 1) -> bytes:
+    """Encode an [h, w, 1|3] integer array (values < 4096) as 12-bit
+    EXTENDED SEQUENTIAL JFIF (SOF1), written from T.81 independently of
+    the decoder: level shift 2048, Pq=1 (16-bit) quantization entries,
+    DC categories to 15 at uniform length 5, AC sizes to 14."""
+    h, w, nc = pixels.shape
+    q = np.full(64, quant, np.int32)
+    planes, sampling, mcus_x, mcus_y = _prep_planes(
+        pixels, subsample, prec=12)
+
+    bw = _BitWriter()
+    preds = [[0] for _ in planes]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (plane, (hs, vs)) in enumerate(zip(planes, sampling)):
+                blocks = []
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blocks.append(plane[y0 : y0 + 8, x0 : x0 + 8])
+                _encode_blocks(bw, blocks, q, preds[ci], _dc_code12)
+
+    out = bytearray(b"\xff\xd8")
+    # Pq=1: 16-bit big-endian table entries (B.2.4.1)
+    out += _seg(0xDB, bytes([0x10]) + q.astype(">u2").tobytes())
+    sof = bytes([12]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += _seg(0xC1, sof)  # SOF1: extended sequential
+    out += _dht(0, 0, [5] * 16, list(range(16)))
+    out += _dht(1, 0, [8] * len(_AC_SYMBOLS), list(_AC_SYMBOLS))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -350,7 +401,7 @@ def test_jpeg_grayscale_ignores_declared_sampling_factors():
 #: (r<<4, r = 0..14) used by spectral-selection / successive-
 #: approximation scans; uniform length 8 (176 < 255 codes, valid)
 _PROG_AC_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
+    (r << 4) | s for r in range(16) for s in range(1, 15)  # sizes to 14
 ]
 
 
@@ -375,7 +426,7 @@ def _block_coefs(planes, sampling, q):
 
 
 def _enc_dc_scan(coefs, comps_idx, sampling, mcus_x, mcus_y, true_grids,
-                 ah, al, restart=0) -> bytes:
+                 ah, al, restart=0, dc_code=_dc_code) -> bytes:
     """DC scan (T.81 G.1.2.1): first pass (Ah=0) diff-codes the
     point-transformed DC; refinement emits bit Al of the two's-complement
     value. Interleaved MCU order for multi-component scans, true
@@ -391,7 +442,7 @@ def _enc_dc_scan(coefs, comps_idx, sampling, mcus_x, mcus_y, true_grids,
             diff = v - preds[ci]
             preds[ci] = v
             s, mag = _magnitude(diff)
-            c, n = _dc_code(s)
+            c, n = dc_code(s)
             bw.write(c, n)
             bw.write(mag, s)
         else:
@@ -543,17 +594,20 @@ def _enc_ac_refine(arr, true_grid, ss, se, al) -> bytes:
 
 
 def make_progressive_jpeg(pixels: np.ndarray, quant: int = 1,
-                          subsample: int = 1, restart: int = 0) -> bytes:
+                          subsample: int = 1, restart: int = 0,
+                          prec: int = 8) -> bytes:
     """Encode an [h, w, 1|3] uint8 array as PROGRESSIVE JFIF (SOF2) with
     both spectral selection and successive approximation, written from
     T.81 Annex G independently of the decoder under test. The scan
     script refines every coefficient to Al=0, so the decoded image must
     EXACTLY equal the baseline encoding of the same pixels. ``restart``
     inserts RSTn every N MCUs in the first DC scan (DRI is reset to 0
-    before the AC scans)."""
+    before the AC scans). ``prec`` 12 writes a 12-bit frame (level
+    shift 2048, 16-bit DQT, DC categories to 15)."""
     h, w, nc = pixels.shape
     q = np.full(64, quant, np.int32)
-    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample)
+    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample,
+                                                    prec=prec)
     coefs = _block_coefs(planes, sampling, q)
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
@@ -581,12 +635,18 @@ def make_progressive_jpeg(pixels: np.ndarray, quant: int = 1,
         ]
 
     out = bytearray(b"\xff\xd8")
-    out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    if prec == 8:
+        out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
+    else:
+        out += _seg(0xDB, bytes([0x10]) + q.astype(">u2").tobytes())
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci, (hs, vs) in enumerate(sampling):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
     out += _seg(0xC2, sof)  # SOF2: progressive DCT
-    out += _dht(0, 0, [4] * 12, list(range(12)))
+    if prec == 8:
+        out += _dht(0, 0, [4] * 12, list(range(12)))
+    else:
+        out += _dht(0, 0, [5] * 16, list(range(16)))
     out += _dht(1, 0, [8] * len(_PROG_AC_SYMBOLS), list(_PROG_AC_SYMBOLS))
 
     first_dc = True
@@ -601,7 +661,8 @@ def make_progressive_jpeg(pixels: np.ndarray, quant: int = 1,
         if ss == 0:
             out += _enc_dc_scan(coefs, comps_idx, sampling, mcus_x,
                                 mcus_y, true_grids, ah, al,
-                                restart if (first_dc and ah == 0) else 0)
+                                restart if (first_dc and ah == 0) else 0,
+                                _dc_code if prec == 8 else _dc_code12)
             if restart and first_dc and ah == 0:
                 out += _seg(0xDD, struct.pack(">H", 0))  # DRI off again
             first_dc = False
@@ -649,6 +710,63 @@ def test_progressive_jpeg_420_subsampled_matches_baseline():
     np.testing.assert_array_equal(prog, base)
 
 
+def test_jpeg12_grayscale_roundtrip():
+    """12-bit extended sequential (SOF1): quant=1 coefficient rounding
+    costs a few 12-bit levels, which is under one uint8 level after the
+    255/4095 output scaling -- the decode must match the ideal mapping
+    within 1."""
+    rng = np.random.RandomState(131)
+    px = rng.randint(0, 4096, size=(16, 11, 1)).astype(np.int64)
+    w, h, got = decode_jpeg_pixels(make_jpeg12(px))
+    assert (w, h) == (11, 16)
+    want = np.round(px * 255.0 / 4095.0)
+    assert np.abs(got.astype(np.float64) - want).max() <= 1
+
+
+def test_jpeg12_color_444_roundtrip():
+    rng = np.random.RandomState(137)
+    px = rng.randint(512, 3584, size=(16, 16, 3)).astype(np.int64)
+    w, h, got = decode_jpeg_pixels(make_jpeg12(px))
+    assert (w, h, got.shape[2]) == (16, 16, 3)
+    want = px * 255.0 / 4095.0
+    # color-convert rounding adds a little on top of DCT rounding
+    assert np.abs(got.astype(np.float64) - want).max() <= 2
+
+
+def test_jpeg12_progressive_matches_sequential_exactly():
+    """A fully-refined 12-bit progressive stream carries the same
+    quantized coefficients as the 12-bit sequential stream of the same
+    pixels, so the decodes must be bit-identical -- pinning the 12-bit
+    paths of BOTH DCT modes against each other."""
+    rng = np.random.RandomState(139)
+    px = rng.randint(0, 4096, size=(20, 13, 3)).astype(np.int64)
+    _w, _h, seq = decode_jpeg_pixels(make_jpeg12(px))
+    _w, _h, prog = decode_jpeg_pixels(make_progressive_jpeg(px, prec=12))
+    np.testing.assert_array_equal(seq, prog)
+
+
+def test_jpeg12_16bit_quant_entries():
+    """quant=300 only fits Pq=1 (16-bit) DQT entries; sequential and
+    progressive must still agree exactly, proving the 16-bit table
+    parse feeds both dequantizers identically."""
+    rng = np.random.RandomState(149)
+    px = rng.randint(0, 4096, size=(16, 16, 1)).astype(np.int64)
+    _w, _h, seq = decode_jpeg_pixels(make_jpeg12(px, quant=300))
+    _w, _h, prog = decode_jpeg_pixels(
+        make_progressive_jpeg(px, quant=300, prec=12))
+    np.testing.assert_array_equal(seq, prog)
+
+
+def test_jpeg12_baseline_marker_rejected():
+    """T.81 B.2.2: baseline (SOF0) is 8-bit by definition; a 12-bit
+    frame behind an SOF0 marker must be declined (to the documented
+    fallback), not decoded."""
+    px = np.full((8, 8, 1), 2048, np.int64)
+    blob = make_jpeg12(px).replace(b"\xff\xc1", b"\xff\xc0", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(blob)
+
+
 def test_progressive_jpeg_restart_markers():
     """RSTn inside a progressive DC scan resets the predictors; the DRI
     toggle between scans must be honored."""
@@ -689,11 +807,12 @@ def test_progressive_jpeg_rejects_malformed_and_fuzz():
 
 def test_progressive_dc_predictor_overflow_is_valueerror():
     """A crafted DC-first scan (Al=13, run of maximal +2047 diffs) walks
-    the predictor past int32 range; the decoder must reject it with
-    ValueError, not let numpy's OverflowError (2.x) escape the
-    executor-task contract."""
+    the predictor past the guard (1<<30 since r11 -- legal 12-bit
+    values reach 2^28); the decoder must reject it with ValueError, not
+    let numpy's OverflowError (2.x) escape the executor-task contract.
+    144 blocks x 2047 << 13 ~ 2.4e9 crosses the guard around block 65."""
     bw = _BitWriter()
-    for _ in range(36):  # 48x48 grayscale = 36 blocks
+    for _ in range(144):  # 96x96 grayscale = 144 blocks
         c, n = _dc_code(11)
         bw.write(c, n)
         bw.write((1 << 11) - 1, 11)  # +2047 every block
@@ -701,7 +820,7 @@ def test_progressive_dc_predictor_overflow_is_valueerror():
     q = np.full(64, 1, np.int32)
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
-    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", 48, 48)
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", 96, 96)
                 + bytes([1, 1, 0x11, 0]))
     out += _dht(0, 0, [4] * 12, list(range(12)))
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x0D]))  # Ss=Se=0, Al=13
