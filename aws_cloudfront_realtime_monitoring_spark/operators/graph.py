@@ -96,6 +96,26 @@ LC_CHAIN_MAX = 6
 LOCAL_FINISH_MAX_EDGES = 2_000_000
 
 
+def _label_pairs(edges: DataFrame, lbl_x: DataFrame,
+                 lbl_y: DataFrame) -> DataFrame:
+    """(lbl(u), lbl(v)) as (la, lb) for every (symmetrized) edge -- the
+    endpoint-label lookup shared by the local-finish probe and the hook
+    loop (r11 review: two hand-rolled copies could silently diverge on
+    join policy). ``lbl_x``/``lbl_y`` must be (node, lbl) relations
+    aliased "x" and "y" (broadcast-wrapped by the caller per its join
+    strategy)."""
+    lu = (
+        edges.alias("e")
+        .join(lbl_x, F.col("e.u") == F.col("x.node"))
+        .select(F.col("e.v").alias("v"), F.col("x.lbl").alias("la"))
+    )
+    return (
+        lu.alias("l")
+        .join(lbl_y, F.col("l.v") == F.col("y.node"))
+        .select(F.col("l.la").alias("la"), F.col("y.lbl").alias("lb"))
+    )
+
+
 def _local_finish(spark, edges: DataFrame, labels: DataFrame) -> DataFrame | None:
     """Two-phase local finish: contract ``edges`` to the label graph
     (distinct cross-label pairs under the seed labeling) and, when the
@@ -118,14 +138,19 @@ def _local_finish(spark, edges: DataFrame, labels: DataFrame) -> DataFrame | Non
     counting the rest. The driver-side rows are model-state-sized by
     construction -- the same O(small) contract as the kmeans centroid
     collect (operators/kmeans.py), not a data collect.
+
+    Deliberately probed ONCE, at the seed labeling: an oversized
+    contracted graph discards this bounded pass and the loop never
+    re-probes, even though later rounds shrink the contraction. A
+    per-round re-probe would charge every loop round the full
+    edges-scan + distinct shuffle to catch the rare graph that is
+    marginally over the cap at the seed -- the loop is logarithmic
+    anyway, so the expected savings don't cover the per-round cost.
     """
     lbl_x = F.broadcast(labels.select("node", "lbl").alias("x"))
     lbl_y = F.broadcast(labels.select("node", "lbl").alias("y"))
     probe = (
-        edges.alias("e")
-        .join(lbl_x, F.col("e.u") == F.col("x.node"))
-        .join(lbl_y, F.col("e.v") == F.col("y.node"))
-        .select(F.col("x.lbl").alias("la"), F.col("y.lbl").alias("lb"))
+        _label_pairs(edges, lbl_x, lbl_y)
         .filter(F.col("la") != F.col("lb"))
         .select(
             F.least("la", "lb").alias("a"), F.greatest("la", "lb").alias("b")
@@ -263,10 +288,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         barriered input (parquet files or checkpoint blocks), never
         recomputes upstream work.
         """
-        cur, prev_chg_col = df, None
-        for i in range(jumps):
-            keep = [F.col(f"m.{c}").alias(c) for c in cur.columns
-                    if c not in ("node", "lbl")]
+        cur = df
+        for _ in range(jumps):
+            # only the LAST jump's pre-image ("prev") is observed, so
+            # each iteration overwrites it instead of accumulating dead
+            # lbl{i} columns through every subsequent self-join (r11
+            # review)
             parents = cur.select("node", "lbl").alias("p")
             if small_labels:
                 parents = F.broadcast(parents)
@@ -276,16 +303,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 .select(
                     F.col("m.node").alias("node"),
                     F.least(F.col("m.lbl"), F.col("p.lbl")).alias("lbl"),
-                    F.col("m.lbl").alias(f"lbl{i}"),
-                    *keep,
+                    F.col("m.lbl").alias("prev"),
                 )
             )
-            prev_chg_col = f"lbl{i}"
         obs = Observation()
         out = cur.observe(
             obs,
             F.count(
-                F.when(F.col("lbl") < F.col(prev_chg_col), 1)
+                F.when(F.col("lbl") < F.col("prev"), 1)
             ).alias("chg_last"),
         ).select("node", "lbl")
         written = barrier(out)
@@ -300,7 +325,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             if chg_last == 0:
                 return df
 
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # NULL endpoints carry no connectivity but would leak through the
+    # seed groupBy as a spurious (null, lbl) output row while every
+    # equi-join silently dropped their edges (r11 review): drop the
+    # whole dirty edge up front, documented rather than silent-wrong
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
     # hash-partition on the hook's join key at persist time: cached plans
     # bypass AQE (canChangeCachedPlanOutputPartitioning=false), so without
     # this the cache keeps the upstream join's doubled micro-partitions
@@ -406,20 +437,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 # broadcast the label lookup into the (big, cached) edge
                 # relation: no exchange on edges, no AQE stage per lookup
                 lbl_x, lbl_y = F.broadcast(lbl_x), F.broadcast(lbl_y)
-            lu = (
-                edges.alias("e")
-                .join(lbl_x, F.col("e.u") == F.col("x.node"))
-                .select(F.col("e.v").alias("v"), F.col("x.lbl").alias("la"))
-            )
-            luv = (
-                lu.alias("l")
-                .join(lbl_y, F.col("l.v") == F.col("y.node"))
-                .select(F.col("l.la").alias("la"), F.col("y.lbl").alias("lb"))
-            )
+            luv = _label_pairs(edges, lbl_x, lbl_y)
+            # edges is SYMMETRIZED at construction (both orientations of
+            # every input pair), so luv already contains (la, lb) AND
+            # (lb, la) for each undirected edge -- no swapped union here
+            # (r11 review: the old union fed the min-aggregate exactly
+            # twice every row, doubling the hook's shuffle volume)
             cand = luv.select(
                 F.col("la").alias("node"), F.col("lb").alias("lbl")
-            ).union(
-                luv.select(F.col("lb").alias("node"), F.col("la").alias("lbl"))
             )
             upd = cand.groupBy("node").agg(F.min("lbl").alias("u_lbl"))
             # materialize the hook ONCE in block-manager memory before the
@@ -455,17 +480,30 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 )
             )
             t0 = time.monotonic()
-            hooked = hooked.localCheckpoint(eager=True)
-            lc_streak += 1  # the hook checkpoint is a link in the same chain
+            if small_labels:
+                hooked = hooked.localCheckpoint(eager=True)
+                lc_streak += 1  # a link in the same checkpoint chain
+            else:
+                # large regime: the module's barrier policy (fault-
+                # tolerant parquet round-trips for big label tables)
+                # applies to the hook too -- a localCheckpoint here
+                # would pin a multi-GB table in block-manager memory
+                # with truncated lineage, unrecoverable on executor
+                # loss (r11 review)
+                hooked = barrier(hooked)
             hchg = obs.get["hchg"]
-            _LOG.info("cc hook lc: %.2fs (hchg=%d)",
+            _LOG.info("cc hook barrier: %.2fs (hchg=%d)",
                       time.monotonic() - t0, hchg)
             if hchg == 0:
                 if rnd == 1:
                     # see the caveat above: the seed labels were never
                     # flattened, so this is not yet proof of the fixpoint.
-                    # Flatten and let round 2's hook re-test on flat labels.
-                    labels = flatten(labels, jumps=5)
+                    # Flatten and let round 2's hook re-test on flat
+                    # labels. hchg==0 makes hooked row-identical to
+                    # labels, and hooked is the copy just materialized --
+                    # flatten THAT rather than re-reading the seed
+                    # barrier (r11 review).
+                    labels = flatten(hooked, jumps=5)
                     continue
                 _LOG.info(
                     "connected_components converged: %d hook rounds, "

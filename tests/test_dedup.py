@@ -154,6 +154,26 @@ def test_connected_components_local_finish_ascending_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 60: 50, 70: 50}
 
 
+def test_connected_components_drops_null_endpoint_edges(spark):
+    """r11 review: a NULL endpoint used to leak through the seed groupBy
+    as a spurious (null, lbl) output row while its edge was silently
+    dropped by every equi-join -- wrong clusters on dirty input. Dirty
+    edges are now dropped whole: the output contains no null node and no
+    connectivity via the null edge, while clean edges are unaffected."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 7), (None, None), (8, 9)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {r.node: r.lbl for r in connected_components(df).collect()}
+    # 7 appears ONLY in a dirty edge: it carries no connectivity, so it
+    # is absent from the output entirely (not labeled, not null-joined)
+    assert got == {1: 1, 2: 1, 8: 8, 9: 8}
+
+
 import pytest
 
 

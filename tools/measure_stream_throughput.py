@@ -130,6 +130,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=32)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--copies", type=int, default=10,
+                    help="salted-copy count for the scaled corpus "
+                         "(10 = ~sf1, the BASELINE.md row; 100 = ~sf10, "
+                         "the r11 second-decade cell)")
     args = ap.parse_args()
 
     load, still_loaded = _wait_for_quiet_box()
@@ -144,8 +148,9 @@ def main() -> None:
     from scale_sweep import build_scaled_events_orders
 
     corpora.append(
-        ("~sf1",
-         build_scaled_events_orders(spark, "/root/testdata/sf0.1", 10))
+        (f"~sf{args.copies / 10:g}",
+         build_scaled_events_orders(spark, "/root/testdata/sf0.1",
+                                    args.copies))
     )
 
     results = {}
@@ -154,6 +159,13 @@ def main() -> None:
         for label, sf_dir in corpora:
             replay = os.path.join(tmp_root, f"replay_{label.replace('~', 'x')}")
             n = build_replay_dir(spark, sf_dir, replay, args.files)
+            # one UNTIMED drain first: the replay text was just written,
+            # so the first mode measured would otherwise pay the cold
+            # page-cache read of the whole corpus (r11: the ~sf10 flat
+            # cell measured 2x slower than the partitioned cell that ran
+            # after it on a warm cache) -- bench.py's warm-up discipline
+            warm = os.path.join(tmp_root, f"warm_{label.replace('~', 'x')}")
+            timed_drain(spark, replay, warm, False)
             for mode, partitioned in (("flat", False), ("partitioned", True)):
                 walls = []
                 for r in range(args.runs):
