@@ -331,6 +331,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tabs >> 4, tabs & 15)
                 scan_comps.append(cid)
+            if len(scan_comps) != len(set(scan_comps)):
+                # a duplicated id would pass the set-based full-scan
+                # gate below while the stream interleaves MORE blocks
+                # per MCU than the decode loop reads -- bitstream
+                # desync into silent garbage (r11 review)
+                raise ValueError("JPEG SOS repeats a component id")
             if lossless:
                 # T.81 H: Ss carries the predictor selector, Al the
                 # point transform; Se/Ah are zero
@@ -392,6 +398,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             seq, qt, _resolve_color(frame[2], adobe))
     if loss is not None and loss_done == {c[0] for c in frame[2]}:
         return _finalize_lossless(loss, adobe)
+    if seq is not None or loss is not None:
+        # scans WERE decoded but some component never arrived before the
+        # payload ended -- say so, instead of the misleading "no SOS"
+        # (r11 review: an operator debugging strict mode was told no
+        # scan existed when the real problem was a truncated tail)
+        raise ValueError("JPEG truncated with undelivered components")
     raise ValueError("JPEG has no SOS segment")
 
 
@@ -905,11 +917,15 @@ class _LosslessState:
     analog of ``_ProgState`` for predictive coding (T.81 Annex H)."""
 
     def __init__(self, h: int, w: int, comps, prec: int):
-        from .gif import MAX_PIXELS
-
         if h <= 0 or w <= 0:
             raise ValueError("degenerate JPEG dimensions")
-        if h * w > MAX_PIXELS:
+        if h * w > _prog_max_pixels():
+            # lossless decode is a PER-SAMPLE pure-Python loop -- the
+            # same work profile as progressive, so the same stricter
+            # slow-path cap applies (r11 review: the shared 2^26 cap
+            # would let one legal 8k x 8k payload pin a core for
+            # minutes; oversized payloads decline to the PIL/fake
+            # fallback per the operators/__init__ policy)
             raise ValueError("JPEG dimensions exceed the decode cap")
         self.h, self.w, self.comps, self.prec = h, w, comps, prec
         self.planes = {c[0]: np.zeros((h, w), np.int32) for c in comps}
@@ -1059,6 +1075,10 @@ def _decode_block(br, dc_t, ac_t, q, pred, cid, prec=8) -> np.ndarray:
             raise ValueError("JPEG AC run past block end")
         coef[k] = _extend(br.read(s), s)
         k += 1
-    block = np.zeros(64, np.int32)
-    block[_ZIGZAG] = coef * q
+    # int64 product: a crafted stream can hold DC at the 2^26 guard
+    # limit with a 16-bit quant entry (2^42 product), which an int32
+    # store would silently wrap into corrupt pixels -- the progressive
+    # finalize upcasts for the same reason (r11 review)
+    block = np.zeros(64, np.int64)
+    block[_ZIGZAG] = coef.astype(np.int64) * q
     return _idct2(block.reshape(8, 8))

@@ -757,6 +757,76 @@ def test_jpeg12_16bit_quant_entries():
     np.testing.assert_array_equal(seq, prog)
 
 
+def test_jpeg_sos_duplicate_component_rejected():
+    """An SOS header repeating a component id would pass the set-based
+    full-scan gate while the stream interleaves MORE blocks per MCU
+    than the decode loop reads -- silent bitstream desync. Rejected at
+    the header (r11 review)."""
+    px = np.full((8, 8, 3), 128, np.uint8)
+    good = bytearray(make_jpeg(px))
+    sos_at = bytes(good).find(b"\xff\xda")
+    assert good[sos_at + 5] == 1 and good[sos_at + 7] == 2  # ids 1, 2
+    good[sos_at + 7] = 1  # declare component 1 twice
+    with pytest.raises(ValueError, match="repeats"):
+        decode_jpeg_pixels(bytes(good))
+
+
+def test_jpeg_multiscan_truncated_tail_message():
+    """A multi-scan file that ends (no EOI) with a component undelivered
+    must say 'truncated', not the misleading 'no SOS segment' (r11
+    review)."""
+    rng = np.random.RandomState(151)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    blob = make_multiscan_jpeg(px)
+    second_sos = blob.find(b"\xff\xda", blob.find(b"\xff\xda") + 2)
+    assert second_sos > 0
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_pixels(blob[:second_sos])
+
+
+def test_lossless_uses_slow_path_pixel_cap():
+    """Lossless decode is a per-sample Python loop (the progressive
+    work profile), so it takes the stricter SLOW_PATH cap, not the
+    shared 2^26 one -- an oversized legal payload declines to the
+    documented fallback instead of pinning a core for minutes (r11
+    review)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators import SLOW_PATH_MAX_PIXELS
+
+    h = SLOW_PATH_MAX_PIXELS // 4096 + 1
+    sof = bytes([8]) + struct.pack(">HH", h, 4096) + bytes([1, 1, 0x11, 0])
+    blob = (b"\xff\xd8" + _seg(0xC3, sof)
+            + _dht(0, 0, [5] * 17, list(range(17)))
+            + _seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0])) + b"\xff\xd9")
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_jpeg_pixels(blob)
+
+
+def test_jpeg_dequant_product_does_not_wrap_int32():
+    """Two max-category DC diffs (32767 each) against a 16-bit quant
+    entry of 65535 put the second block's dequantized DC at ~4.3e9 --
+    past int32. An int32 product wraps NEGATIVE (black tile); the int64
+    product clips both tiles to pure white (r11 review)."""
+    q16 = np.full(64, 65535, np.int64)
+    bw = _BitWriter()
+    for _ in range(2):  # two 8x8 blocks: 16x8 grayscale
+        c, n = _dc_code12(15)
+        bw.write(c, n)
+        bw.write(32767, 15)
+        c, n = _ac_code(0x00)  # EOB
+        bw.write(c, n)
+    sof = bytes([12]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    blob = (b"\xff\xd8"
+            + _seg(0xDB, bytes([0x10]) + q16.astype(">u2").tobytes())
+            + _seg(0xC1, sof)
+            + _dht(0, 0, [5] * 16, list(range(16)))
+            + _dht(1, 0, [8] * len(_AC_SYMBOLS), list(_AC_SYMBOLS))
+            + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bw.flush() + b"\xff\xd9")
+    w, h, got = decode_jpeg_pixels(blob)
+    assert (w, h) == (16, 8)
+    assert (got == 255).all()
+
+
 def test_jpeg12_baseline_marker_rejected():
     """T.81 B.2.2: baseline (SOF0) is 8-bit by definition; a 12-bit
     frame behind an SOF0 marker must be declined (to the documented
