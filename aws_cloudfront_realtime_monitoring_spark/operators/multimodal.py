@@ -353,7 +353,7 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
                 # VP8L and VP8 stills: real pixels (VP8 key-frame
                 # decoder added r9, bit-exact vs libwebp in YUV);
                 # animated VP8X: real header metadata + composited
-                # frames via sample_webp_frames
+                # frames via webp.decode_webp_frames
                 "width": width,
                 "height": height,
                 "n_frames": n_frames,

@@ -154,6 +154,11 @@ def _read_code_lengths(
     if br.read(1):
         length_nbits = 2 + 2 * br.read(3)
         max_symbol = 2 + br.read(length_nbits)
+        if max_symbol > alphabet_size:
+            # libwebp's ReadHuffmanCodeLengths rejects this as a
+            # bitstream error; accepting it would decode streams the
+            # reference decoder refuses (r11 review)
+            raise ValueError("VP8L max_symbol exceeds the alphabet")
     else:
         max_symbol = alphabet_size
     lengths = [0] * alphabet_size
@@ -676,12 +681,17 @@ def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
     else:  # gradient
         p[0] = np.cumsum(p[0]) & 0xFF
         for y in range(1, h):
-            row, above = p[y], p[y - 1]
+            # plain-int lists for the per-pixel dependency chain: numpy
+            # scalar indexing in this loop is several times slower (the
+            # file's standing pattern -- see _inverse_predictor)
+            row = p[y].tolist()
+            above = p[y - 1].tolist()
             row[0] = (row[0] + above[0]) & 0xFF
             for x in range(1, w):
                 g = row[x - 1] + above[x] - above[x - 1]
                 pred = 0 if g < 0 else (255 if g > 255 else g)
                 row[x] = (row[x] + pred) & 0xFF
+            p[y] = row
     return p.astype(np.uint8)
 
 
@@ -709,7 +719,14 @@ def _decode_alpha_plane(body: bytes, width: int, height: int) -> np.ndarray:
             .copy()
         )
     elif comp == 1:
-        arr = _decode_image_stream(_Bits(data), width, height, True)
+        try:
+            # the same IndexError/OverflowError -> ValueError fold the
+            # decode_vp8l_pixels wrapper applies to this machinery: a
+            # malformed headless stream must take the documented
+            # fallback, not escape as a non-ValueError (r11 review)
+            arr = _decode_image_stream(_Bits(data), width, height, True)
+        except (IndexError, OverflowError) as exc:
+            raise ValueError(f"malformed ALPH lossless stream: {exc}") from exc
         if arr.shape != (height, width):
             raise ValueError("ALPH lossless plane dims disagree with frame")
         plane = ((arr >> 8) & 0xFF).astype(np.uint8)
@@ -720,6 +737,32 @@ def _decode_alpha_plane(body: bytes, width: int, height: int) -> np.ndarray:
     return plane
 
 
+def _decode_embedded_image(
+    sub: list,
+) -> tuple[int, int, np.ndarray] | None:
+    """Decode the first VP8L/VP8 image chunk of a chunk list,
+    compositing a sibling ALPH plane onto lossy pixels (a lossless
+    chunk carries its own alpha, so ALPH is ignored for VP8L per the
+    container spec). The ONE implementation behind both the VP8X still
+    path and the ANMF frame loop (r11 review: two hand-maintained
+    copies had to receive the r10 per-frame-alpha fix separately).
+    Returns (w, h, rgba) or None when no image chunk is present."""
+    alph = next((b for t, b in sub if t == b"ALPH"), None)
+    for t, b in sub:
+        if t in (b"VP8L", b"VP8 "):
+            if t == b"VP8L":
+                w, h, rgba = decode_vp8l_pixels(b)
+            else:
+                from .vp8 import decode_vp8_pixels
+
+                w, h, rgba = decode_vp8_pixels(b)
+                if alph is not None:
+                    rgba = rgba.copy()
+                    rgba[..., 3] = _decode_alpha_plane(alph, w, h)
+            return w, h, rgba
+    return None
+
+
 def decode_webp(
     payload: bytes,
 ) -> tuple[int, int, int, np.ndarray | None, str]:
@@ -727,7 +770,7 @@ def decode_webp(
     rgba_or_None, codec) where codec is 'vp8l', 'vp8' or 'vp8x'.
     Pixels are real for VP8L and VP8 stills; a VP8X container decodes
     its wrapped still image (``None`` only for animated canvases,
-    whose frames come from :func:`sample_webp_frames`)."""
+    whose composited frames come from :func:`decode_webp_frames`)."""
     chunks = _riff_chunks(payload)
     tag, body = chunks[0]
     if tag == b"VP8L":
@@ -746,32 +789,19 @@ def decode_webp(
         if width * height > MAX_PIXELS:
             raise ValueError("VP8X canvas exceeds the decode cap")
         n_frames = sum(1 for t, _ in chunks if t == b"ANMF") or 1
+        # a still VP8X (alpha/ICC/EXIF wrapper) carries one image chunk
+        # at the top level
+        got = _decode_embedded_image(chunks[1:])
         rgba = None
-        alph = next((b for t, b in chunks[1:] if t == b"ALPH"), None)
-        for t, b in chunks[1:]:
-            # a still VP8X (alpha/ICC/EXIF wrapper) carries one image
-            # chunk at the top level; decode it, compositing a real
-            # ALPH plane onto lossy pixels (r10; a lossless chunk
-            # carries its own alpha, so ALPH is ignored for VP8L per
-            # the container spec)
-            if t in (b"VP8L", b"VP8 "):
-                if t == b"VP8L":
-                    in_w, in_h, rgba = decode_vp8l_pixels(b)
-                else:
-                    from .vp8 import decode_vp8_pixels
-
-                    in_w, in_h, rgba = decode_vp8_pixels(b)
-                    if alph is not None:
-                        rgba = rgba.copy()
-                        rgba[..., 3] = _decode_alpha_plane(alph, in_w, in_h)
-                # the returned dims must describe the returned pixels:
-                # a still image whose frame disagrees with the declared
-                # canvas is malformed, not silently mismatched
-                if (in_w, in_h) != (width, height):
-                    raise ValueError(
-                        "VP8X still frame dims disagree with the canvas"
-                    )
-                break
+        if got is not None:
+            in_w, in_h, rgba = got
+            # the returned dims must describe the returned pixels: a
+            # still image whose frame disagrees with the declared
+            # canvas is malformed, not silently mismatched
+            if (in_w, in_h) != (width, height):
+                raise ValueError(
+                    "VP8X still frame dims disagree with the canvas"
+                )
         return width, height, n_frames, rgba, "vp8x"
     raise ValueError(f"WebP leading chunk {tag!r} is not an image")
 
@@ -841,6 +871,13 @@ def decode_webp_frames(
         width, height, rgba = decode_vp8l_pixels(body)
         keep = keep_indices if keep_indices is not None else {0}
         return width, height, 1, [rgba] if 0 in keep else []
+    if tag == b"VP8 ":  # lossy still: also its own single frame (r11
+        from .vp8 import decode_vp8_pixels  # review: count_webp_frames
+
+        # counts it as 1, so the decode pass must accept it too)
+        width, height, rgba = decode_vp8_pixels(body)
+        keep = keep_indices if keep_indices is not None else {0}
+        return width, height, 1, [rgba] if 0 in keep else []
     if tag != b"VP8X":
         raise ValueError("WebP payload has no decodable frames")
     if len(body) < 10:
@@ -882,31 +919,12 @@ def decode_webp_frames(
         flags = fb[15]
         if fx + fw > width or fy + fh > height:
             raise ValueError("ANMF frame exceeds the canvas")
-        rgba = None
-        sub = list(_subchunks(fb[16:]))
-        frame_alph = next((b for t, b in sub if t == b"ALPH"), None)
-        for t, b in sub:
-            if t in (b"VP8L", b"VP8 "):
-                if t == b"VP8L":
-                    fw_d, fh_d, rgba = decode_vp8l_pixels(b)
-                else:
-                    from .vp8 import decode_vp8_pixels
-
-                    fw_d, fh_d, rgba = decode_vp8_pixels(b)
-                    if frame_alph is not None:
-                        # real per-frame alpha (r10): without it the
-                        # compositor would blend lossy frames at
-                        # alpha=255 and silently diverge wherever a
-                        # frame carries transparency
-                        rgba = rgba.copy()
-                        rgba[..., 3] = _decode_alpha_plane(
-                            frame_alph, fw_d, fh_d
-                        )
-                if (fw_d, fh_d) != (fw, fh):
-                    raise ValueError("ANMF frame dims disagree with header")
-                break
-        if rgba is None:
+        got = _decode_embedded_image(list(_subchunks(fb[16:])))
+        if got is None:
             raise ValueError("ANMF frame carries no image chunk")
+        fw_d, fh_d, rgba = got
+        if (fw_d, fh_d) != (fw, fh):
+            raise ValueError("ANMF frame dims disagree with header")
         region = canvas[fy : fy + fh, fx : fx + fw]
         if flags & 0x02:  # no-blend: overwrite the rectangle
             region[:, :] = rgba

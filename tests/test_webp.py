@@ -1130,6 +1130,48 @@ def test_alph_animation_frames_composite_real_alpha():
     assert np.array_equal(screens[1][vis], screens[0][vis])
 
 
+def test_lossy_still_count_and_frame_decode_agree():
+    """r11 review: count_webp_frames counts a plain lossy (VP8) still
+    as one frame, so decode_webp_frames must decode it as its own
+    single frame too -- the two-pass count-then-decode sampler pair
+    (keep_indices from the count) was rejecting the payload."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.webp import (
+        count_webp_frames,
+        decode_webp,
+        decode_webp_frames,
+    )
+    from tests.test_vp8 import build_frame
+
+    blob = _wrap_riff(build_frame(1, 1, [[0] * 16]), b"VP8 ")
+    w, h, n = count_webp_frames(blob)
+    assert (w, h, n) == (16, 16, 1)
+    fw, fh, fn, screens = decode_webp_frames(blob, keep_indices={0})
+    assert (fw, fh, fn) == (16, 16, 1) and len(screens) == 1
+    _w, _h, _n, still, _codec = decode_webp(blob)
+    np.testing.assert_array_equal(screens[0], still)
+
+
+def test_vp8l_max_symbol_over_alphabet_rejected():
+    """r11 review: libwebp's ReadHuffmanCodeLengths treats a use-length
+    max_symbol larger than the alphabet as a bitstream error; accepting
+    it would decode streams the reference decoder refuses."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.webp import (
+        _Bits,
+        _Prefix,
+        _read_code_lengths,
+    )
+
+    # 1 (use length_nbits) + 111 (nbits=8 -> 2+2*7=16) + 16 bits of
+    # all-ones -> max_symbol = 2 + 65535, far past any alphabet
+    bits = bytearray()
+    val = 1 | (0b111 << 1) | (0xFFFF << 4)
+    for i in range(0, 24, 8):
+        bits.append((val >> i) & 0xFF)
+    cl = _Prefix([1, 1])  # any 2-symbol code-length table
+    with pytest.raises(ValueError, match="max_symbol"):
+        _read_code_lengths(_Bits(bytes(bits)), cl, 280)
+
+
 def test_alpha_plane_differential_vs_libwebp():
     """Lossy-with-alpha through the REAL encoder: libwebp wraps VP8 +
     ALPH (lossless-compressed by default) in VP8X; our decoded alpha
