@@ -363,6 +363,27 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             # RIFF-prefixed but malformed: same contract as the others
             if strict:
                 raise
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from .mp4 import is_mp4, parse_mp4_meta
+
+        if is_mp4(payload):
+            try:
+                # ISO-BMFF container METADATA is real (r11: box walk,
+                # pure stdlib -- dims from tkhd/stsd, frame count from
+                # the video track's stsz, like GIF's n_frames); the
+                # CODEC payload itself stays behind the ffmpeg flag
+                meta = parse_mp4_meta(payload)
+                return {
+                    "doc_id": doc_id,
+                    "n_bytes": len(payload),
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "n_frames": meta["n_frames"],
+                    "fmt": "mp4",
+                }
+            except ValueError:
+                if strict:
+                    raise
     if _PILImage is not None:  # pragma: no cover (PIL absent in this build)
         import io
 
