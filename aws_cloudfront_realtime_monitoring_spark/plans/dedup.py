@@ -53,24 +53,18 @@ SHINGLE_CTE_SQL = f"""
 def shingles_col() -> Column:
     """Distinct word-3gram shingles as an array column (map-side only).
 
-    Built with ``zip_with`` over shifted slices rather than
-    ``transform(sequence(...), i -> element_at(words, i))``: HOF lambdas get
-    no common-subexpression elimination, so an ``element_at(words_expr, i)``
-    body re-splits the text per element (measured 10x slower at sf0.1).
-    ``zip_with`` evaluates each input array exactly once per row.
+    Delegates the n-gram construction to :func:`plans.text.
+    adjacent_grams` (r11 review: this module kept its own
+    zip_with-over-shifted-slices spelling of the SAME invariant, and
+    the header comment already warns the word handling must never fork
+    between the text and dedup paths). The zip_with form matters: HOF
+    lambdas get no common-subexpression elimination, so a
+    ``transform(sequence(...), i -> element_at(words, i))`` body
+    re-splits the text per element (measured 10x slower at sf0.1).
     """
-    w = words_col()
-    s2 = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
-    s3 = F.slice(w, 3, F.greatest(F.size(w) - 2, F.lit(0)))
-    pair = F.zip_with(w, s2, lambda a, b: F.concat_ws(" ", a, b))
-    tri = F.zip_with(
-        pair,
-        s3,
-        lambda ab, c: F.when(c.isNull(), None).otherwise(
-            F.concat(ab, F.lit(" "), c)
-        ),
-    )
-    return F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
+    from .text import adjacent_grams
+
+    return F.array_distinct(adjacent_grams(words_col(), 3))
 
 
 # ------------------------------------------------------------- exact dedup
@@ -347,8 +341,10 @@ def minhash_pairs_stmt(sigs_view: str) -> str:
           FROM bands a JOIN bands b
             ON a.sig = b.sig AND a.doc_id < b.doc_id),
         verified AS (
-          -- BIGINT up front: size() is INT and 20000*c would wrap int32
-          -- silently (non-ANSI) past c ~ 1e5 shingles at scale
+          -- BIGINT up front: size() is INT, and past c ~ 1e5 shingles
+          -- 20000*c leaves int32 -- under ANSI (this repo's default)
+          -- that RAISES mid-job; with ANSI off it would wrap silently
+          -- (r11: comment previously described only the non-ANSI mode)
           SELECT i, j,
                  CAST(size(array_intersect(sa.sh, sb.sh)) AS BIGINT) AS c,
                  CAST(size(sa.sh) + size(sb.sh)

@@ -87,9 +87,14 @@ _QVEC_SPARK = (
     f"CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}, 0) AS BIGINT))"
 )
 
-#: same term order as _bucket_col: sum of when(e[d] >= 0, 1<<d)
+#: same term order as _bucket_col: sum of when(e[d] >= 0, 1<<d).
+#: try_element_at (r11 review): under ANSI (the Spark 4 default) a
+#: plain element_at RAISES past the array length, while the DuckDB
+#: oracle's embedding[d+1] yields NULL -> the ELSE 0 arm -- a corpus
+#: with dim < IVF_BITS would error on one engine and answer on the
+#: other. try_element_at's NULL matches the oracle exactly.
 _BUCKET_SPARK = " + ".join(
-    f"(CASE WHEN element_at(embedding, {d + 1}) >= 0 "
+    f"(CASE WHEN try_element_at(embedding, {d + 1}) >= 0 "
     f"THEN {1 << d} ELSE 0 END)"
     for d in range(IVF_BITS)
 )
@@ -221,16 +226,27 @@ IVF_PROBE_HAMMING = 1
 def _bucket_col(bits: int = IVF_BITS) -> Column:
     out = None
     for d in range(bits):
-        term = F.when(F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)).otherwise(0)
+        # try_element_at: NULL (not an ANSI error) past the embedding
+        # length, matching the oracle's list index -- see _BUCKET_SPARK
+        term = F.when(
+            F.try_element_at("embedding", F.lit(d + 1)) >= 0, F.lit(1 << d)
+        ).otherwise(0)
         out = term if out is None else out + term
     return out
 
 
 def _probe_masks() -> list[int]:
-    """XOR masks enumerating the Hamming-<=IVF_PROBE_HAMMING ball."""
+    """XOR masks enumerating the FULL Hamming-<=IVF_PROBE_HAMMING ball
+    (r11 review: the old form hardcoded radius 1, so raising the
+    advertised tuning knob would have silently searched 7 of the
+    radius-2 ball's 22 buckets while the oracle's bit_count predicate
+    admitted all 22 -- an engine-vs-oracle divergence)."""
+    from itertools import combinations
+
     masks = [0]
-    if IVF_PROBE_HAMMING >= 1:
-        masks += [1 << d for d in range(IVF_BITS)]
+    for r in range(1, IVF_PROBE_HAMMING + 1):
+        for bits in combinations(range(IVF_BITS), r):
+            masks.append(sum(1 << b for b in bits))
     return masks
 
 
@@ -509,8 +525,8 @@ SEMDEDUP_MAX_BITS = 24
 
 #: dynamic-width sign-pattern bucket for the oracle: bit d participates
 #: only when d < p.nbits (p = the params CTE below); out-of-range list
-#: indexes yield NULL -> the ELSE 0 arm, matching Spark's null-safe
-#: element_at
+#: indexes yield NULL -> the ELSE 0 arm, matching Spark's
+#: try_element_at (r11: plain element_at RAISES under ANSI)
 _SEMDEDUP_BUCKET_SQL = "(" + " + ".join(
     f"(CASE WHEN {d} < p.nbits AND embedding[{d + 1}] >= 0"
     f" THEN {1 << d} ELSE 0 END)"
@@ -566,9 +582,12 @@ def _bucket_col_dyn(nbits: Column) -> Column:
     -- the Column spelling of ``_SEMDEDUP_BUCKET_SQL``."""
     out = None
     for d in range(SEMDEDUP_MAX_BITS):
+        # the d < nbits conjunct already clamps to the dimensionality,
+        # but try_element_at keeps the guard independent of And
+        # evaluation order under ANSI (see _BUCKET_SPARK)
         term = F.when(
             (F.lit(d) < nbits)
-            & (F.element_at("embedding", d + 1) >= 0),
+            & (F.try_element_at("embedding", F.lit(d + 1)) >= 0),
             F.lit(1 << d),
         ).otherwise(0)
         out = term if out is None else out + term
@@ -738,9 +757,11 @@ def _ann_recall_oracle() -> str:
                 "brute-force ground truth, per probe: a FULL OUTER JOIN "
                 "of the two top-3 relations on (query_id, cand_id) "
                 "counts neighbors found by both, by IVF only, and by "
-                "exact only -- quantifying the ~1/2^bits bucket trade "
-                "the IVF row documents (a probe only sees its own "
-                "sign-pattern bucket, so recall@3 = n_both / 3) as a "
+                "exact only -- quantifying the multi-probe bucket trade "
+                "the IVF row documents (each probe searches its "
+                f"Hamming-{IVF_PROBE_HAMMING} ball, ~{IVF_BITS + 1}/"
+                f"{1 << IVF_BITS} of the corpus at radius 1, so "
+                "recall@3 = n_both / 3 against that coverage) as a "
                 "driver-checkable relation rather than prose, the "
                 "dedup_lsh_recall pattern applied to the vector path. "
                 "An 'ivf_only' neighbor at a rank where the exact side "

@@ -212,6 +212,42 @@ def test_semdedup_nbits_clamped_to_embedding_dim(spark):
     assert _semdedup_params(corpus(10, 24)).first().nbits == IVF_BITS
 
 
+def test_bucket_exprs_tolerate_short_embeddings(spark):
+    """r11 review: under ANSI (the Spark 4 default) a plain element_at
+    RAISES past the array length while the DuckDB oracle's list index
+    yields NULL -> 0 -- a dim < IVF_BITS corpus would error on one
+    engine and answer on the other. Both bucket spellings must compute
+    the truncated sign pattern instead."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        _BUCKET_SPARK,
+        _bucket_col,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, -2.0, 3.0],)], "embedding array<float>"
+    )
+    want = 0b101  # bits 0 and 2 non-negative; bits 3..5 out of range
+    assert df.select(_bucket_col().alias("b")).first().b == want
+    assert df.selectExpr(f"{_BUCKET_SPARK} AS b").first().b == want
+
+
+def test_probe_masks_enumerate_full_hamming_ball(monkeypatch):
+    """r11 review: the mask enumeration hardcoded radius 1; raising the
+    advertised IVF_PROBE_HAMMING knob must enumerate the FULL ball (the
+    oracle's bit_count predicate does), not 7 of its 22 buckets."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import similarity as S
+
+    assert sorted(S._probe_masks()) == sorted(
+        [0] + [1 << d for d in range(S.IVF_BITS)]
+    )
+    monkeypatch.setattr(S, "IVF_PROBE_HAMMING", 2)
+    masks = S._probe_masks()
+    assert len(masks) == len(set(masks)) == 1 + 6 + 15
+    assert all(bin(m).count("1") <= 2 for m in masks)
+
+
 def test_semdedup_kmeans_matches_replica(spark, sf_dir):
     """The trained-centroid SemDeDup variant applies the identical
     dominance rule within k-means clusters: checked against a numpy
