@@ -67,6 +67,20 @@ def _typed_token_sql(toks: str, i: int, typ: str) -> str:
     return v
 
 
+def _url_decode_permissive(col: Column) -> Column:
+    """URL-decode that cannot kill a (streaming) query: ``url_decode``
+    RAISES on a malformed percent-escape (e.g. a line truncated
+    mid-escape, which D2 explicitly anticipates), which would fail the
+    whole micro-batch for one corrupt token -- against the parser's
+    try_cast-everywhere PERMISSIVE design and the reference's
+    ``urllib.parse.unquote``, which never raises (r11 review). A
+    malformed blob falls back to its RAW bytes (unquote would decode
+    the well-formed escapes around the bad one -- a documented
+    deviation; matching it exactly needs a row-Python UDF, off the hot
+    path's table)."""
+    return F.coalesce(F.try_url_decode(col), col)
+
+
 def parse_cs_headers(col: Column) -> Column:
     """Encoded ``cs-headers`` -> array<struct<Name,Value>> (A9).
 
@@ -75,7 +89,7 @@ def parse_cs_headers(col: Column) -> Column:
     (lambda_function.py:40-49). Golden shape: test.json:39-72.
     """
     lines = F.filter(
-        F.split(F.url_decode(col), "\n"),
+        F.split(_url_decode_permissive(col), "\n"),
         lambda x: (x != F.lit("")) & x.contains(":"),
     )
     return F.transform(
@@ -90,7 +104,9 @@ def parse_cs_headers(col: Column) -> Column:
 def parse_cs_header_names(col: Column) -> Column:
     """Encoded ``cs-header-names`` -> array<string> (A10,
     lambda_function.py:50-52; golden shape test.json:73-82)."""
-    return F.filter(F.split(F.url_decode(col), "\n"), lambda x: x != F.lit(""))
+    return F.filter(
+        F.split(_url_decode_permissive(col), "\n"), lambda x: x != F.lit("")
+    )
 
 
 def parse_log_lines(

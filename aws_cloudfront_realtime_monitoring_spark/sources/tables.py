@@ -159,6 +159,15 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
                         continue
                 except OSError:
                     continue
+                # KNOWN LIMIT (r11 review, documented not fixed): reads
+                # never bump a dir's mtime, so a >15-min-old retired
+                # layout a LIVE session still scans could be reclaimed
+                # under it. That requires the source file to regenerate
+                # while an old session keeps querying a plan built
+                # before the change -- here testdata regenerates only
+                # between rounds, after sessions end. A shared-cluster
+                # deployment should retire via a manifest of active
+                # (session, layout) leases instead.
                 shutil.rmtree(path, ignore_errors=True)
         tmp = f"{cache}.tmp-{os.getpid()}"
         _read_raw(spark, src).repartition(_CACHE_FILES).write.mode(
@@ -177,6 +186,12 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the UTC session-timezone pin must hold on the layout-cache HIT
+    # path too: _read_raw sets it while normalizing, but a warm cache
+    # skips _read_raw entirely, and a user-built session in a non-UTC
+    # host timezone would shift every date/hour bucket away from the
+    # DuckDB oracle's naive-as-UTC reading (r11 review)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cache = layout_dir(spark, sf_dir, name)
     if cache is None:
         return _read_raw(spark, os.path.join(sf_dir, f"{name}.parquet"))
@@ -187,9 +202,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-#: (applicationId, context startTime) -> (sf_dir, source-stat signature)
-#: the session's temp views currently point at
-_VIEWS_CURRENT: dict[tuple[str, int], tuple[str, tuple]] = {}
+#: (applicationId, context startTime, session UUID) -> (sf_dir,
+#: source-stat signature) the SESSION's temp views currently point at
+_VIEWS_CURRENT: dict[tuple, tuple[str, tuple]] = {}
 
 
 def _source_sig(sf_dir: str) -> tuple:
@@ -214,9 +229,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     of driver-side file listing per call — paid by every spark.sql-based
     query build otherwise. Switching sf_dir re-registers (the view
     namespace is shared), so alternating directories stays correct. The
-    memo keys on (applicationId, context startTime) — stable for a
-    context's lifetime, never reused by a successor the way ``id()`` can
-    be — and stores the source files' (size, mtime) signature, so a
+    memo keys on (applicationId, context startTime, session UUID) —
+    stable for a session's lifetime, never reused by a successor the
+    way ``id()`` can be, and distinct across ``newSession()`` siblings
+    whose view catalogs are separate — and stores the source files'
+    (size, mtime) signature, so a
     testdata regeneration under a live session re-registers instead of
     serving views bound to a retired layout.
 
@@ -228,11 +245,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     between them re-registers."""
     try:
         sc = spark.sparkContext
-        key = (sc.applicationId, sc.startTime)
+        # temp views are per-SESSION, not per-context: a sibling from
+        # spark.newSession() shares (applicationId, startTime) but has
+        # its own empty view catalog, so the key needs the JVM
+        # session's UUID too or the sibling gets a false memo hit and
+        # no views (r11 review)
+        try:
+            sess = str(spark._jsparkSession.sessionUUID())
+        except Exception:
+            sess = ""
+        key = (sc.applicationId, sc.startTime, sess)
     except Exception:
         # Spark Connect: no sparkContext. The client session_id is unique
         # per connect session (a UUID, never reused the way id() can be).
-        key = ("connect", getattr(spark, "session_id", None) or id(spark))
+        key = ("connect", getattr(spark, "session_id", None) or id(spark), "")
     sig = _source_sig(sf_dir)
     cur = (os.path.normpath(sf_dir), sig)
     if _VIEWS_CURRENT.get(key) == cur:

@@ -83,6 +83,17 @@ def kafka_source_options(
     connector jar on the classpath; a Kinesis connector takes the same
     shape with ``startingPosition``/``maxFetchRate``.
     """
+    # fail loud BEFORE .load(), like the Kinesis sibling: an invalid
+    # offsets spelling (e.g. the Kinesis 'TRIM_HORIZON' pasted here, or
+    # a typo'd 'lastest') otherwise survives every pure-config-map test
+    # and only errors on a real cluster (r11 review). Kafka also accepts
+    # JSON per-partition offset specs -- gate only the non-JSON forms.
+    if not starting_position.strip().startswith("{"):
+        if starting_position.lower() not in ("latest", "earliest"):
+            raise ValueError(
+                f"startingOffsets {starting_position!r} is not "
+                "latest/earliest or a JSON offset spec"
+            )
     return {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
@@ -288,7 +299,10 @@ def with_time_partitions(parsed: DataFrame) -> DataFrame:
 
 
 def write_partitioned_parquet(
-    parsed: DataFrame, out_dir: str, checkpoint_dir: str, trigger_seconds: int = 10
+    parsed: DataFrame, out_dir: str, checkpoint_dir: str,
+    # default FROM the parity table, not a second literal 10 that could
+    # drift from it (r11 review: the dict entry was dead)
+    trigger_seconds: int = KAFKA_DEFAULTS["trigger_seconds"],
 ):
     """Exactly-once partitioned parquet sink (the Timestream stand-in, D6).
 
@@ -337,6 +351,12 @@ def write_foreach_batch_grouped(
 
     ``handler`` must be picklable (runs on executors via foreachPartition).
     """
+    if flush_size < 1:
+        # a falsy 0 would silently disable chunking (len(buf) can never
+        # equal 0 after an append) and buffer the whole partition into
+        # one oversized delivery -- the same loud-error contract as
+        # stream_log_lines' trigger cap (r11 review)
+        raise ValueError("flush_size must be >= 1")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         def per_partition(rows):

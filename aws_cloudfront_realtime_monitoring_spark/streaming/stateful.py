@@ -75,7 +75,25 @@ def chunked_flush_stream(
     over each pandas batch is vectorized (cumsum + reduce-at-boundaries),
     not per-record Python. State per key is three BIGINTs — memory bounds
     by key cardinality, never stream length.
-    """
+
+    PRECONDITION: the transformWithState family runs only on the
+    RocksDB state-store provider; set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` before starting the query (checked
+    here with a clear error -- the default HDFS-backed provider fails
+    at query start with an obscure provider exception otherwise; r11
+    review moved this knowledge out of the test file into the
+    operator)."""
+    provider = parsed.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    ) or ""
+    if "RocksDB" not in provider:
+        raise ValueError(
+            "chunked_flush_stream needs the RocksDB state store: set "
+            "spark.sql.streaming.stateStore.providerClass to org.apache."
+            "spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider before building the query"
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -216,3 +216,67 @@ def test_strict_compat_ts_dim_floors_pre_epoch(spark):
         r.d for r in df.selectExpr(f"{sec_mmm_sql('ts')} AS d").collect()
     )
     assert got == ["-1.500", "1704164645.678"]
+
+
+def test_header_decode_permissive_on_malformed_escape(spark):
+    """r11 review: url_decode RAISES on a malformed percent-escape
+    (e.g. a line truncated mid-escape, exactly what D2 anticipates),
+    which would kill the whole micro-batch for one corrupt token. The
+    permissive decode falls back to the RAW blob instead -- and
+    well-formed blobs decode exactly as before."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.sources.cf_logs import (
+        parse_cs_header_names,
+        parse_cs_headers,
+    )
+
+    df = spark.createDataFrame(
+        [("Host:ex%3Aample.com%0AUA:x",),   # well-formed
+         ("Host:bad%zzescape%0AUA:x",),      # malformed mid-blob
+         ("truncated%E",)],                  # truncated escape
+        "blob string",
+    )
+    rows = df.select(parse_cs_headers("blob").alias("h")).collect()
+    assert [(e.Name, e.Value) for e in rows[0].h] == [
+        ("Host", "ex:ample.com"), ("UA", "x")]
+    # malformed: raw passthrough, still split on the literal ':'
+    assert rows[1].h[0].Name == "Host"
+    assert rows[1].h[0].Value == "bad%zzescape%0AUA:x"
+    assert rows[2].h == []  # no ':' once raw -- dropped, not an error
+    names = df.select(parse_cs_header_names("blob").alias("n")).collect()
+    assert names[2].n == ["truncated%E"]
+
+
+def test_register_views_distinct_per_sibling_session(spark, sf_dir):
+    """r11 review: temp views are per-SESSION; a newSession() sibling
+    shares (applicationId, startTime) but has its own empty catalog, so
+    the memo must not serve it a false hit."""
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").head().n > 0
+    sib = spark.newSession()
+    try:
+        register_views(sib, sf_dir)
+        assert sib.sql("SELECT COUNT(*) AS n FROM region").head().n > 0
+    finally:
+        # sibling views die with the session object; nothing to undo
+        pass
+
+
+def test_load_table_pins_utc_on_cache_hit(spark, sf_dir):
+    """r11 review: the warm layout-cache path skipped _read_raw and with
+    it the UTC session-timezone pin -- a non-UTC session would shift
+    every date/hour bucket away from the naive-as-UTC oracle."""
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events")  # ensure the cache exists
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        load_table(spark, sf_dir, "events")  # cache HIT path
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

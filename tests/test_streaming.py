@@ -257,11 +257,64 @@ def test_kafka_source_options_reference_parity():
     assert opts["kafka.bootstrap.servers"] == "broker:9092"
     assert opts["failOnDataLoss"] == "false"
     assert KAFKA_DEFAULTS["trigger_seconds"] == 10     # template.yaml:32
+    # r11 review: fail loud BEFORE .load() -- an invalid offsets
+    # spelling (the Kinesis constant pasted here, or a typo) must not
+    # survive as a plausible config map; JSON offset specs still pass
+    import pytest
+
+    with pytest.raises(ValueError, match="startingOffsets"):
+        kafka_source_options("b:9092", "t", starting_position="TRIM_HORIZON")
+    with pytest.raises(ValueError, match="startingOffsets"):
+        kafka_source_options("b:9092", "t", starting_position="lastest")
+    js = kafka_source_options(
+        "b:9092", "t", starting_position='{"t":{"0":42}}'
+    )
+    assert js["startingOffsets"] == '{"t":{"0":42}}'
 
     tuned = kafka_source_options("b:9092", "t", max_records_per_trigger=500,
                                  starting_position="earliest")
     assert tuned["maxOffsetsPerTrigger"] == "500"
     assert tuned["startingOffsets"] == "earliest"
+
+
+def test_foreach_batch_grouped_rejects_zero_flush_size(spark):
+    """r11 review: flush_size=0 silently disabled chunking (len(buf)
+    never equals 0 after an append) and buffered whole partitions --
+    the same falsy-zero trap stream_log_lines was hardened against."""
+    import pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+        write_foreach_batch_grouped,
+    )
+
+    with pytest.raises(ValueError, match="flush_size"):
+        write_foreach_batch_grouped(
+            spark.range(1), handler=lambda rows: None, flush_size=0
+        )
+
+
+def test_chunked_flush_stream_requires_rocksdb_conf(spark):
+    """r11 review: the transformWithState family needs the RocksDB
+    state store; the operator must say so clearly instead of failing at
+    query start with an obscure provider exception."""
+    import pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.streaming.stateful import (
+        chunked_flush_stream,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, "")
+    try:
+        spark.conf.unset(key)
+        df = spark.createDataFrame(
+            [("LAX1", 10)], "x_edge_location string, sc_bytes long"
+        )
+        with pytest.raises(ValueError, match="RocksDB"):
+            chunked_flush_stream(df)
+    finally:
+        if old:
+            spark.conf.set(key, old)
 
 
 def test_kinesis_source_options_reference_parity():
