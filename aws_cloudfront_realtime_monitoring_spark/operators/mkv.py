@@ -1,0 +1,183 @@
+"""Matroska/WebM (EBML, RFC 8794 + the public Matroska spec) container
+metadata parser in pure stdlib — the MP4 sibling for the other half of
+real-world video corpora.
+
+Scope mirrors ``operators/mp4.py``: CODEC payloads stay behind the
+ffmpeg feature flag, but the metadata a curation pipeline filters on is
+plain element structure:
+
+- EBML elements are [id varint][size varint][payload]; the id keeps its
+  length-marker bit (stored form), the size strips it. An all-ones size
+  is "unknown" (streamed files) and extends to the parent's end;
+- the EBML header's DocType says "webm" or "matroska";
+- ``Segment > Info`` carries TimestampScale (ns per tick, default 1e6)
+  and Duration (a float, in ticks);
+- ``Segment > Tracks > TrackEntry`` carries TrackType (1 = video),
+  CodecID ("V_VP9", "V_AV1", ...), and a Video element with
+  PixelWidth/PixelHeight. First video track wins; audio-only files
+  report the audio codec with zero dimensions;
+- Clusters (the bulk) are skipped wholesale; per-frame counts would
+  need a cluster walk, so ``n_frames`` is 0 — the honest "unknown",
+  unlike MP4's stsz which states it outright.
+
+Robustness contract as everywhere in the media family: malformed bytes
+raise ``ValueError`` only; depth/element caps bound hostile inputs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+#: containers worth descending into (stored-form ids)
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_VIDEO = 0xE0
+
+_DOCTYPE = 0x4282
+_TIMESTAMP_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_PIXEL_WIDTH = 0xB0
+_PIXEL_HEIGHT = 0xBA
+
+_MAX_ELEMENTS = 4096
+_MAX_DEPTH = 16
+
+
+def is_webm(payload: bytes) -> bool:
+    return payload[:4] == _EBML_MAGIC
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, next_pos) of an EBML varint at ``pos``. ``keep_marker``
+    keeps the length-descriptor bit (element IDs are matched in stored
+    form); sizes strip it. Returns value -1 for an all-ones "unknown
+    size" (only meaningful with keep_marker=False)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint length")
+    n = 8 - first.bit_length() + 1  # leading zeros + 1
+    if pos + n > len(data):
+        raise ValueError("truncated EBML varint")
+    raw = int.from_bytes(data[pos : pos + n], "big")
+    if keep_marker:
+        return raw, pos + n
+    marker = 1 << (7 * n)
+    val = raw - marker
+    if val == marker - 1:  # all value bits set: unknown size
+        return -1, pos + n
+    return val, pos + n
+
+
+def _uint(body: bytes) -> int:
+    if len(body) > 8:
+        raise ValueError("oversized EBML uint")
+    return int.from_bytes(body, "big")
+
+
+def _float(body: bytes) -> float:
+    if len(body) == 4:
+        return struct.unpack(">f", body)[0]
+    if len(body) == 8:
+        return struct.unpack(">d", body)[0]
+    if len(body) == 0:
+        return 0.0
+    raise ValueError("invalid EBML float width")
+
+
+class _Walk:
+    def __init__(self) -> None:
+        self.elements = 0
+        self.doctype = ""
+        self.tscale = 1_000_000  # spec default: 1 ms ticks
+        self.duration_ticks = 0.0
+        self.width = 0
+        self.height = 0
+        self.codec = ""
+        self.video_seen = False
+        self._reset_track()
+
+    def _reset_track(self) -> None:
+        self.t_type = 0
+        self.t_codec = ""
+        self.t_width = 0
+        self.t_height = 0
+
+
+def _walk(w: _Walk, data: bytes, lo: int, hi: int, depth: int,
+          in_track: bool, in_video: bool) -> None:
+    if depth > _MAX_DEPTH:
+        raise ValueError("EBML nesting exceeds the depth cap")
+    pos = lo
+    while pos < hi:
+        w.elements += 1
+        if w.elements > _MAX_ELEMENTS:
+            raise ValueError("EBML element count exceeds the cap")
+        eid, pos = _read_vint(data, pos, keep_marker=True)
+        size, pos = _read_vint(data, pos, keep_marker=False)
+        end = hi if size == -1 else pos + size
+        if end > hi:
+            raise ValueError("EBML element escapes its parent")
+        body = data[pos:end]
+        if eid in (0x1A45DFA3, _SEGMENT, _INFO, _TRACKS):
+            _walk(w, data, pos, end, depth + 1, False, False)
+        elif eid == _TRACK_ENTRY:
+            w._reset_track()
+            _walk(w, data, pos, end, depth + 1, True, False)
+            _commit_track(w)
+        elif eid == _VIDEO and in_track:
+            _walk(w, data, pos, end, depth + 1, True, True)
+        elif eid == _DOCTYPE:
+            w.doctype = body.split(b"\x00")[0].decode("latin-1")
+        elif eid == _TIMESTAMP_SCALE:
+            w.tscale = _uint(body) or 1_000_000
+        elif eid == _DURATION:
+            w.duration_ticks = _float(body)
+        elif eid == _TRACK_TYPE and in_track:
+            w.t_type = _uint(body)
+        elif eid == _CODEC_ID and in_track:
+            w.t_codec = body.split(b"\x00")[0].decode("latin-1")
+        elif eid == _PIXEL_WIDTH and in_video:
+            w.t_width = _uint(body)
+        elif eid == _PIXEL_HEIGHT and in_video:
+            w.t_height = _uint(body)
+        pos = end
+
+
+def _commit_track(w: _Walk) -> None:
+    if w.t_type == 1 and not w.video_seen:
+        w.video_seen = True
+        w.width, w.height, w.codec = w.t_width, w.t_height, w.t_codec
+    elif not w.video_seen and not w.codec:
+        w.codec = w.t_codec
+
+
+def parse_webm_meta(payload: bytes) -> dict:
+    """Parse Matroska/WebM container metadata: ``{width, height,
+    n_frames, codec, duration_ms, doctype}``. ``n_frames`` is always 0
+    (a per-frame count needs a cluster walk; 0 is the honest unknown).
+    Raises ``ValueError`` only, per the media family's executor-task
+    contract."""
+    try:
+        if not is_webm(payload):
+            raise ValueError("not an EBML payload")
+        w = _Walk()
+        _walk(w, payload, 0, len(payload), 0, False, False)
+        dur_ms = int(w.duration_ticks * w.tscale / 1e6)
+        return {
+            "width": w.width,
+            "height": w.height,
+            "n_frames": 0,
+            "codec": w.codec,
+            "duration_ms": dur_ms,
+            "doctype": w.doctype,
+        }
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"malformed EBML: {exc}") from exc

