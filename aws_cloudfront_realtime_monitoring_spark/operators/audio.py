@@ -8,9 +8,12 @@ WAV is decodable with stdlib ``struct`` + numpy alone: a RIFF container
 (``RIFF <size> WAVE``), a ``fmt `` chunk (PCM tag 1, channel count,
 sample rate, bits per sample — 8-bit unsigned or 16-bit signed LE
 supported), and a ``data`` chunk of interleaved frames. Compressed
-formats (IEEE float, ADPCM, mp3-in-RIFF) raise ``ValueError`` and take
-the caller's fallback, the same contract as the image decoders'
-unsupported profiles.
+formats inside RIFF (IEEE float, ADPCM, mp3-in-RIFF) raise
+``ValueError`` and take the caller's fallback, the same contract as the
+image decoders' unsupported profiles. FLAC and MP3 payloads (r11)
+parse REAL container metadata — STREAMINFO / first frame header +
+Xing VBR tag — with the sample-derived features NULL, since their
+samples stay encoded (the video-pixel scope line applied to audio).
 
 The features are the standard cheap audio-curation signals (the audio
 analog of text_profile's one-pass stats): duration, RMS energy and
@@ -112,6 +115,144 @@ def wav_features(doc_id: int, payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------- encoded-audio metadata
+# (r11) FLAC and MP3 carry their stream parameters in plain headers; the
+# SAMPLES stay encoded (decoding needs a codec lib, out of scope like
+# video pixels), so these return AUDIO_SCHEMA rows with rms/zcr NULL --
+# the honest "not computed", never a fabricated number.
+
+
+def flac_meta(payload: bytes) -> dict:
+    """STREAMINFO of a FLAC container (the mandatory first metadata
+    block, format spec 'METADATA_BLOCK_STREAMINFO'): sample rate
+    (20 bits), channels-1 (3), bits-per-sample-1 (5) and total samples
+    (36) packed big-endian after the block/frame size fields."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    if len(payload) < 8:
+        raise ValueError("truncated FLAC header")
+    btype = payload[4] & 0x7F
+    blen = int.from_bytes(payload[5:8], "big")
+    if btype != 0 or blen < 34:
+        # the spec REQUIRES STREAMINFO as the first block
+        raise ValueError("FLAC missing leading STREAMINFO block")
+    if len(payload) < 8 + 18:
+        raise ValueError("truncated FLAC STREAMINFO")
+    packed = int.from_bytes(payload[18:26], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    n_samples = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC sample rate 0")
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+        "fmt": "flac",
+    }
+
+
+#: MPEG Layer III bitrate (kbps) and sample-rate tables (ISO 11172-3 /
+#: 13818-3); index 0 is "free", 15 invalid
+_MP3_BITRATE_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                   160, 192, 224, 256, 320]
+_MP3_BITRATE_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                   96, 112, 128, 144, 160]
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def mp3_meta(payload: bytes) -> dict:
+    """First-frame header (+ optional Xing/Info VBR tag) of an MPEG
+    Layer III stream, after any leading ID3v2 tag (synchsafe size).
+    With a Xing frame count the duration is exact; without one it is
+    the standard CBR estimate from the first frame's bitrate
+    (documented in the caller-facing docstring -- an estimate, like
+    every mp3 tool's)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 tag")
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    # resync: the first 0xFFEx pattern within a bounded window
+    end = min(len(payload) - 3, pos + 4096)
+    while pos < end and not (
+        payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0
+    ):
+        pos += 1
+    if pos >= end:
+        raise ValueError("no MP3 frame sync found")
+    h1, h2, h3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    version = (h1 >> 3) & 0x3   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h1 >> 1) & 0x3     # 1 = Layer III
+    if version == 1 or layer != 1:
+        raise ValueError("not an MPEG Layer III frame")
+    br_idx = (h2 >> 4) & 0xF
+    sr_idx = (h2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("invalid MP3 bitrate/samplerate index")
+    rate = _MP3_RATES[version][sr_idx]
+    kbps = (_MP3_BITRATE_V1 if version == 3 else _MP3_BITRATE_V2)[br_idx]
+    mono = ((h3 >> 6) & 0x3) == 3
+    spf = 1152 if version == 3 else 576
+    # Xing/Info VBR tag: after the side info (MPEG1: 32B stereo / 17B
+    # mono; MPEG2/2.5: 17 / 9)
+    side = (17 if mono else 32) if version == 3 else (9 if mono else 17)
+    tag_at = pos + 4 + side
+    n_frames = 0
+    if payload[tag_at : tag_at + 4] in (b"Xing", b"Info"):
+        flags = int.from_bytes(payload[tag_at + 4 : tag_at + 8], "big")
+        if flags & 0x1 and len(payload) >= tag_at + 12:
+            n_frames = int.from_bytes(
+                payload[tag_at + 8 : tag_at + 12], "big"
+            )
+    if n_frames:
+        n_samples = n_frames * spf
+        duration_ms = n_samples * 1000 // rate
+    else:
+        # CBR estimate from the audio bytes after the ID3 tag
+        audio_bytes = len(payload) - pos
+        duration_ms = audio_bytes * 8 // kbps if kbps else 0
+        n_samples = duration_ms * rate // 1000
+    return {
+        "sample_rate": rate,
+        "n_channels": 1 if mono else 2,
+        "n_samples": n_samples,
+        "duration_ms": duration_ms,
+        "fmt": "mp3",
+    }
+
+
+def audio_meta_or_features(doc_id: int, payload: bytes) -> dict:
+    """Dispatch one payload to the right audio handler: WAV decodes
+    fully (features included); FLAC/MP3 parse REAL container metadata
+    with rms/zcr NULL (their samples stay encoded -- the video-pixel
+    scope line applied to audio). Anything else raises ValueError for
+    the caller's skip/strict contract."""
+    if payload[:4] == b"fLaC":
+        meta = flac_meta(payload)
+    elif payload[:3] == b"ID3" or (
+        len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        meta = mp3_meta(payload)
+    else:
+        return wav_features(doc_id, payload)
+    return {
+        "doc_id": doc_id,
+        "n_bytes": len(payload),
+        **{k: meta[k] for k in
+           ("sample_rate", "n_channels", "n_samples", "duration_ms")},
+        "rms_micro": None,
+        "zcr_micro": None,
+        "fmt": meta["fmt"],
+    }
+
+
 def audio_feature_batches(
     docs_with_payload: DataFrame, skip_invalid: bool = True
 ) -> DataFrame:
@@ -137,7 +278,7 @@ def audio_feature_batches(
                     raise ValueError("NULL doc_id in audio batch")
                 payload = bytes(r.payload) if r.payload is not None else b""
                 try:
-                    rows.append(wav_features(int(r.doc_id), payload))
+                    rows.append(audio_meta_or_features(int(r.doc_id), payload))
                 except ValueError:
                     if not skip_invalid:
                         raise

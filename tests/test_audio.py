@@ -153,3 +153,115 @@ def test_audio_null_doc_id_skipped(spark):
     )
     got = audio_feature_batches(df).collect()
     assert [r.doc_id for r in got] == [3]
+
+
+# ---------------------------------------------- FLAC / MP3 metadata (r11)
+# Header builders written HERE from the published specs (FLAC format doc,
+# ISO 11172-3 frame header layout), independent of the parser under test.
+
+
+def make_flac(rate: int, channels: int, bps: int, n_samples: int) -> bytes:
+    packed = (
+        (rate << 44)
+        | ((channels - 1) << 41)
+        | ((bps - 1) << 36)
+        | n_samples
+    )
+    block = (
+        struct.pack(">HH", 4096, 4096)      # min/max block size
+        + b"\x00\x00\x11" + b"\x00\xff\xff"  # min/max frame size (u24)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                       # md5 of the raw audio
+    )
+    return b"fLaC" + bytes([0x80]) + len(block).to_bytes(3, "big") + block
+
+
+def make_mp3(rate_idx: int = 0, br_idx: int = 9, mono: bool = False,
+             xing_frames: int | None = None, id3_size: int = 0,
+             n_filler: int = 4000) -> bytes:
+    """MPEG1 Layer III first frame (+ optional ID3v2 prefix and Xing
+    frame count), padded with filler bytes standing in for audio data."""
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        ) + b"\x00" * id3_size
+    h1 = 0xFF
+    h2 = 0xE0 | (3 << 3) | (1 << 1)          # sync tail, MPEG1, Layer III
+    h3 = (br_idx << 4) | (rate_idx << 2)
+    h4 = (0x3 << 6) if mono else 0x00        # channel mode
+    frame_at = len(out)
+    out += bytes([h1, h2, h3, h4])
+    side = 17 if mono else 32
+    out += b"\x00" * side
+    if xing_frames is not None:
+        out += b"Xing" + struct.pack(">II", 0x1, xing_frames)
+    out += b"\x00" * n_filler
+    return bytes(out)
+
+
+def test_flac_streaminfo_metadata():
+    from aws_cloudfront_realtime_monitoring_spark.operators.audio import flac_meta
+
+    meta = flac_meta(make_flac(44100, 2, 16, 441_000))
+    assert meta == {"sample_rate": 44100, "n_channels": 2,
+                    "n_samples": 441_000, "duration_ms": 10_000,
+                    "fmt": "flac"}
+    meta = flac_meta(make_flac(192_000, 8, 24, 96_000))
+    assert (meta["sample_rate"], meta["n_channels"]) == (192_000, 8)
+    assert meta["duration_ms"] == 500
+
+
+def test_mp3_header_xing_and_cbr_estimate():
+    from aws_cloudfront_realtime_monitoring_spark.operators.audio import mp3_meta
+
+    # Xing: exact frame count wins. 420 frames x 1152 / 44100 = 10971 ms
+    meta = mp3_meta(make_mp3(xing_frames=420))
+    assert meta == {"sample_rate": 44100, "n_channels": 2,
+                    "n_samples": 420 * 1152, "duration_ms": 10971,
+                    "fmt": "mp3"}
+    # no Xing: CBR estimate from the first frame's bitrate (128 kbps)
+    blob = make_mp3(br_idx=9, n_filler=16_000)
+    meta = mp3_meta(blob)
+    assert meta["duration_ms"] == len(blob) * 8 // 128
+    # ID3v2 prefix skipped via the synchsafe size; mono side-info offset
+    meta = mp3_meta(make_mp3(mono=True, xing_frames=100, id3_size=300))
+    assert meta["n_channels"] == 1 and meta["n_samples"] == 100 * 1152
+
+
+def test_audio_meta_rejects_malformed():
+    from aws_cloudfront_realtime_monitoring_spark.operators.audio import (
+        flac_meta,
+        mp3_meta,
+    )
+
+    with pytest.raises(ValueError):
+        flac_meta(b"fLaC\x04\x00\x00\x22" + b"\x00" * 34)  # not STREAMINFO
+    with pytest.raises(ValueError):
+        flac_meta(make_flac(44100, 2, 16, 1000)[:20])  # truncated
+    with pytest.raises(ValueError):
+        mp3_meta(b"ID3\x03\x00\x00\x00\x00\x00\x04" + b"\x00" * 5000)  # no sync
+    bad = bytearray(make_mp3())
+    bad[2] = 0xF0 | (bad[2] & 0x0F)  # bitrate index 15: invalid
+    with pytest.raises(ValueError):
+        mp3_meta(bytes(bad))
+
+
+def test_audio_batches_mix_wav_flac_mp3(spark):
+    """The dispatcher routes each payload to its handler in ONE Arrow
+    batch pass: WAV rows carry real rms/zcr, FLAC/MP3 rows carry real
+    stream metadata with rms/zcr NULL (never fabricated)."""
+    rng = np.random.RandomState(53)
+    wav = _make_wav(rng.uniform(-0.5, 0.5, (800, 1)), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)),
+         (2, bytearray(make_flac(48000, 2, 16, 24000))),
+         (3, bytearray(make_mp3(xing_frames=50)))],
+        "doc_id BIGINT, payload BINARY",
+    )
+    got = {r.doc_id: r for r in audio_feature_batches(df).collect()}
+    assert got[1].fmt == "wav" and got[1].rms_micro > 0
+    assert got[2].fmt == "flac" and got[2].duration_ms == 500
+    assert got[2].rms_micro is None and got[2].zcr_micro is None
+    assert got[3].fmt == "mp3" and got[3].n_samples == 50 * 1152
