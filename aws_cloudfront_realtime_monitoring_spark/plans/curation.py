@@ -35,8 +35,9 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60, h60_sql
 from ..sources.tables import load_table
 from . import register
-from .text import (_WORDS_SQL, WS_RE, WS_RE_DUCK, WS_RE_SPARK_SQL,
-                   adjacent_grams, words_col)
+from .text import (_LWORDS_SQL, _WORDS_SQL, WS_RE, WS_RE_DUCK,
+                   WS_RE_SPARK_SQL, adjacent_grams, gram_sql, lwords_col,
+                   words_col)
 
 # ------------------------------------------------------------- pii_redact
 
@@ -170,10 +171,9 @@ DECON_MOD = 13
 #: overlap is a leaked eval document)
 DECON_FLAG_MIN = 3
 
-_G4_SQL = (
-    "list_distinct(list_transform(range(1, len(ws) - 2), "
-    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))"
-)
+# the ONE oracle n-gram generator lives in text.py (r11 review: this
+# was a hand copy that had to track three siblings)
+_G4_SQL = gram_sql(DECON_N)
 
 
 #: the decontaminate batch oracle — shared with the streaming parity row
@@ -418,7 +418,7 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: aggregates -- is identical).
 LP_KEEP_MIN_MICRO = -3_402_000
 
-_LWORDS = f"list_filter(regexp_split_to_array(lower(text), '{WS_RE_DUCK}'), w -> w <> '')"
+_LWORDS = _LWORDS_SQL  # the one lowered-word spelling (r11 review)
 
 
 @register(
@@ -468,12 +468,7 @@ _LWORDS = f"list_filter(regexp_split_to_array(lower(text), '{WS_RE_DUCK}'), w ->
 )
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), WS_RE), lambda w: w != F.lit(""))
-        ).alias("w"),
-    )
+    toks = docs.select("doc_id", F.explode(lwords_col()).alias("w"))
     # barrier the O(vocab) model (lazy localCheckpoint): it feeds both the
     # corpus total and the broadcast lookup, and without it each reference
     # re-runs the token-stream scan + aggregation (audit: 3 corpus scans
@@ -512,19 +507,13 @@ SPAN_N = 5
 SPAN_FLAG_MICRO = 500_000
 
 
-def _gram_sql(n: int) -> str:
-    parts = " || ' ' || ".join(f"ws[i+{k}]" if k else "ws[i]" for k in range(n))
-    return (
-        f"list_distinct(list_transform(range(1, len(ws) - {n - 2}), "
-        f"i -> {parts}))"
-    )
 
 
 @register(
     "dedup_spans",
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
-    g AS (SELECT doc_id, {_gram_sql(SPAN_N)} AS gg FROM w),
+    g AS (SELECT doc_id, {gram_sql(SPAN_N)} AS gg FROM w),
     t AS (SELECT doc_id, CAST(len(gg) AS BIGINT) AS n_grams FROM g),
     ex AS (SELECT doc_id, {h60_sql('ng')} AS gh
            FROM (SELECT doc_id, unnest(gg) AS ng FROM g)),

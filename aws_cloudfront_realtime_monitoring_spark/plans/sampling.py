@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60, h60_sql
 from ..sources.tables import load_table
 from . import register
+from .text import _WORDS_SQL, WS_RE_SPARK_SQL, words_col
 
 #: per-language keep rates in per-mille (training mix: downsample the
 #: majority language, keep more of the rare ones)
@@ -113,9 +114,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_DEFAULT_BUDGET = 800
 MIX_BUDGET_OVERRIDES = {"src0": 400, "src1": 1200, "src2": 0}
 
-from .text import WS_RE_DUCK as _WS_DUCK
-
-_TOKENS_SQL = f"len(list_filter(regexp_split_to_array(text, '{_WS_DUCK}'), w -> w <> ''))"
+# derived from text.py's ONE word-split fragment (r11 review: this was
+# a re-spelling that had to track _WORDS_SQL byte-for-byte)
+_TOKENS_SQL = f"len({_WORDS_SQL})"
 
 
 def _budget_case_sql() -> str:
@@ -159,8 +160,6 @@ def _budget_col() -> Column:
 )
 def domain_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
-
-    from .text import words_col
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -340,10 +339,7 @@ def _curriculum_sql(split_len_expr: str, hist_rel: str | None = None) -> str:
 
 @register(
     "curriculum_stages",
-    oracle=_curriculum_sql(
-        "len(list_filter(regexp_split_to_array(text, "
-        f"'{_WS_DUCK}'), w -> w <> ''))"
-    ),
+    oracle=_curriculum_sql(_TOKENS_SQL),
     description=f"Length-based curriculum staging: every document lands in "
                 f"one of {CURRICULUM_STAGES} rank-quartile stages of its "
                 "token count (shortest first -- the classic curriculum "
@@ -362,8 +358,6 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir)
-    from .text import WS_RE_SPARK_SQL
-
     score = f"size(filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != ''))"
     hist = spark.sql(f"""
         SELECT CAST({score} AS BIGINT) AS score,

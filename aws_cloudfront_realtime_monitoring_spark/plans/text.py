@@ -188,6 +188,30 @@ TFIDF_TOPK = 3
 _LWORDS_SQL = f"list_filter(regexp_split_to_array(lower(text), '{WS_RE_DUCK}'), w -> w <> '')"
 
 
+def lwords_col() -> Column:
+    """Lowered word tokens as an array column -- the ONE Spark spelling
+    of ``_LWORDS_SQL`` (r11 review: text_tfidf_topk and curation's
+    unigram_logprob each hand-spelled it; a whitespace-class fix in one
+    would have forked the tokenizer between them)."""
+    return F.filter(F.split(F.lower("text"), WS_RE), lambda w: w != F.lit(""))
+
+
+def gram_list_sql(n: int) -> str:
+    """Adjacent word n-grams over a ``ws`` word-array column (DuckDB),
+    duplicates KEPT -- repetition metrics need them. The ONE generator
+    behind every oracle n-gram spelling (r11 review: four hand copies
+    lived across text/curation)."""
+    parts = " || ' ' || ".join(
+        f"ws[i+{k}]" if k else "ws[i]" for k in range(n)
+    )
+    return f"list_transform(range(1, len(ws) - {n - 2}), i -> {parts})"
+
+
+def gram_sql(n: int) -> str:
+    """Distinct adjacent n-grams (the dedup/decontaminate shape)."""
+    return f"list_distinct({gram_list_sql(n)})"
+
+
 @register(
     "text_tfidf_topk",
     oracle=f"""
@@ -230,12 +254,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), WS_RE), lambda w: w != F.lit(""))
-        ).alias("term"),
-    )
+    words = docs.select("doc_id", F.explode(lwords_col()).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # df via a count window over term: one shuffle gives every tf row its
     # term's doc frequency -- cheaper than groupBy(term) + equi-join back
@@ -355,10 +374,8 @@ def _rep_frac_sql(lst: str) -> str:
       SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
     g AS (
       SELECT doc_id, ws,
-             list_transform(range(1, len(ws)),
-                            i -> ws[i] || ' ' || ws[i+1]) AS g2,
-             list_transform(range(1, len(ws) - 1),
-                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+             {gram_list_sql(2)} AS g2,
+             {gram_list_sql(3)} AS g3
       FROM w)
     SELECT doc_id,
            CAST(len(ws) AS BIGINT) AS n_words,
@@ -480,18 +497,28 @@ def chunk_projection(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("bigint"),
         )
     )
+    # carry the word count THROUGH the explode as a struct field: the
+    # builder knows it as size(slice(...)) already, and re-splitting
+    # every joined chunk string cost one extra string scan per output
+    # row on the module's highest-fan-out relation (r11 review; the
+    # DuckDB oracle already counts len(ws[a:b]))
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.array_join(
-            F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS), " "
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS)
+            ).cast("bigint").alias("chunk_words"),
         ),
     )
-    ex = w.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    ex = w.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
     return ex.select(
         "doc_id",
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        "chunk_text",
-        F.size(F.split("chunk_text", " ")).cast("bigint").alias("chunk_words"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_words").alias("chunk_words"),
     )
 
 
