@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, register_views
 from . import register
-from .core import dsum, dsum_sql
+from .core import dsum, dsum_sql, session_cte_sql
 
 
 @register(
@@ -28,7 +28,10 @@ from .core import dsum, dsum_sql
              make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900
                               - unnest(generate_series(0, 3))) * 900) * 1000000)
                AS window_start
-      FROM events)
+      -- ts IS NOT NULL: Spark's window() silently DROPS null-timestamp
+      -- rows while make_timestamp(NULL) would keep a NULL-window group
+      -- here (r11 review; latent -- the generator emits no NULL ts)
+      FROM events WHERE ts IS NOT NULL)
     SELECT window_start, event_type, COUNT(*) AS n, {dsum_sql('value', 2)} AS sum_value
     FROM expanded GROUP BY window_start, event_type
     """,
@@ -52,21 +55,8 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window_agg",
-    oracle="""
-    WITH flagged AS (
-      -- strict > matches Spark's merge rule: an event exactly `gap` after
-      -- its predecessor is MERGED into the same session (end-inclusive
-      -- merge; pinned by tests/test_session_boundary.py)
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-      FROM flagged)
+    oracle=f"""
+    WITH {session_cte_sql()}
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, sid
     """,
@@ -96,7 +86,8 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(ROUND(dv / dt, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_rate
+           CAST(SUM(CAST(FLOOR(dv / dt * 1000000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000.0 AS sum_rate
     FROM d WHERE dt IS NOT NULL AND dt > 0
     GROUP BY event_type
     """,
@@ -121,9 +112,17 @@ def derivative_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round(F.col("dv") / F.col("dt"), 6).cast("decimal(28,6)"))
-            .cast("double")
-            .alias("sum_rate"),
+            # floor-half-up MICRO units, not ROUND(double, 6): the two
+            # engines' ROUND disagree on repr-tie rationals (a dyadic
+            # whole-second gap makes dv/dt land on one -- r11 review,
+            # reproduced vs DuckDB), while FLOOR(x*1e6 + 0.5) is the
+            # same IEEE op chain on both; the BIGINT sum is then
+            # order-free exactly like the old decimal sum
+            (
+                F.sum(
+                    F.floor(F.col("dv") / F.col("dt") * 1000000.0 + 0.5)
+                ).cast("double") / 1000000.0
+            ).alias("sum_rate"),
         )
     )
 
@@ -167,28 +166,35 @@ def _grid_union(events, start: str, end: str):
     return grid.unionByName(pts), wf
 
 
-@register(
-    "interpolate_linear_fill",
-    oracle="""
-    WITH hours AS (
+def _grid_oracle_cte(start: str, end: str) -> str:
+    """hours + merged CTE body (no leading WITH) for the interpolation
+    oracles -- the DuckDB twin of ``_grid_union``, ONE spelling (r11
+    review: the r6 tiebreak fix had to be hand-applied to two verbatim
+    copies of this fragment; the next boundary fix lands once)."""
+    return f"""hours AS (
       SELECT event_type,
              make_timestamp(unnest(generate_series(
-               CAST(floor(epoch(TIMESTAMP '2024-01-02 00:00:00')) AS BIGINT),
-               CAST(floor(epoch(TIMESTAMP '2024-01-04 00:00:00')) AS BIGINT),
+               CAST(floor(epoch(TIMESTAMP '{start}')) AS BIGINT),
+               CAST(floor(epoch(TIMESTAMP '{end}')) AS BIGINT),
                3600)) * 1000000) AS grid_ts
       FROM (SELECT DISTINCT event_type FROM events)),
-    pts AS (SELECT event_type, ts, value, event_id FROM events),
     merged AS (
-      -- tie = event_id (grid rows: -1) totalizes the lookup order, the
-      -- same hazard the LOCF sibling fixed (ADVICE r6): duplicate
-      -- (event_type, ts) observations would otherwise make prev/next
-      -- engine/partitioning-dependent
+      -- tie = event_id (grid rows: -1 sentinel) totalizes the window
+      -- order: duplicate (event_type, ts) observations would otherwise
+      -- make the IGNORE NULLS lookups engine/partitioning-dependent
+      -- (ADVICE r6)
       SELECT event_type, grid_ts AS t, NULL::DOUBLE AS v, 1 AS is_grid,
              CAST(-1 AS BIGINT) AS tie
       FROM hours
       UNION ALL
       SELECT event_type, ts AS t, value AS v, 0 AS is_grid, event_id AS tie
-      FROM pts),
+      FROM events)"""
+
+
+@register(
+    "interpolate_linear_fill",
+    oracle=f"""
+    WITH {_grid_oracle_cte("2024-01-02 00:00:00", "2024-01-04 00:00:00")},
     filled AS (
       SELECT event_type, t, v, is_grid,
              LAST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
@@ -205,9 +211,10 @@ def _grid_union(events, start: str, end: str):
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
       FROM merged)
     SELECT event_type, t AS grid_ts,
-           ROUND(prev_v + (next_v - prev_v)
+           FLOOR((prev_v + (next_v - prev_v)
                  * (CAST(epoch_us(t) - prev_t AS DOUBLE)
-                    / CAST(next_t - prev_t AS DOUBLE)), 4) AS interp
+                    / CAST(next_t - prev_t AS DOUBLE)))
+                 * 10000.0 + 0.5) / 10000.0 AS interp
     FROM filled
     WHERE is_grid = 1 AND prev_v IS NOT NULL AND next_v IS NOT NULL
       AND next_t > prev_t
@@ -261,7 +268,12 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("t").alias("grid_ts"),
-            F.round(interp, 4).alias("interp"),
+            # floor-half-up, not ROUND(double, 4): a dyadic grid/gap
+            # ratio can land interp on a repr-tie rational where the
+            # engines' ROUND disagree (r11 review, reproduced vs
+            # DuckDB); FLOOR(x*1e4 + 0.5)/1e4 is the identical IEEE
+            # chain on both
+            (F.floor(interp * 10000.0 + 0.5) / 10000.0).alias("interp"),
         )
     )
 
@@ -559,24 +571,8 @@ def hll_cube_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "interpolate_locf",
-    oracle="""
-    WITH hours AS (
-      SELECT event_type,
-             make_timestamp(unnest(generate_series(
-               CAST(floor(epoch(TIMESTAMP '2023-12-31 20:00:00')) AS BIGINT),
-               CAST(floor(epoch(TIMESTAMP '2024-01-04 00:00:00')) AS BIGINT),
-               3600)) * 1000000) AS grid_ts
-      FROM (SELECT DISTINCT event_type FROM events)),
-    merged AS (
-      -- tie = event_id (grid rows: -1 sentinel) totalizes the LOCF order:
-      -- without it two observations sharing (event_type, ts) would make
-      -- LAST_VALUE ... IGNORE NULLS engine/partitioning-dependent
-      SELECT event_type, grid_ts AS t, NULL::DOUBLE AS v, 1 AS is_grid,
-             CAST(-1 AS BIGINT) AS tie
-      FROM hours
-      UNION ALL
-      SELECT event_type, ts AS t, value AS v, 0 AS is_grid, event_id AS tie
-      FROM events),
+    oracle=f"""
+    WITH {_grid_oracle_cte("2023-12-31 20:00:00", "2024-01-04 00:00:00")},
     filled AS (
       SELECT event_type, t, is_grid,
              LAST_VALUE(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
@@ -812,14 +808,12 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join
 
-    # keep o_orderkey in the projection: the salt hashes the large
-    # side's ROW, and a key-only projection would make it constant per
-    # key -- a degenerate no-op salting that can't spread a hot key
-    # (r7 review); with the row-unique orderkey the hot key's rows
-    # really fan out over n_salts reducers
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey"
-    )
+    # key-only projection: salted_join salts by ROW POSITION
+    # (monotonically_increasing_id, r8), so a hot key fans out over
+    # n_salts reducers regardless of which columns ride along -- the
+    # old "keep o_orderkey so the row-hash salt varies" rationale
+    # described the r7 row-hash salt and went stale (r11 review)
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )

@@ -33,6 +33,32 @@ def dsum_sql(expr: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST(ROUND({expr}, {scale}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
 
 
+def session_cte_sql(keep: str = "user_id, ts", sid: str = "sid") -> str:
+    """The flagged/sessions DuckDB CTE body (no leading WITH): per-user
+    30-min-gap session ids under the END-INCLUSIVE merge rule (strict
+    ``>``: an event exactly ``gap`` after its predecessor MERGES),
+    matching Spark's native ``session_window`` and pinned by
+    tests/test_session_boundary.py. The ONE spelling behind the
+    sessionize / session_window_agg / stream_session_equiv oracles
+    (r11 review: three hand copies of a pinned boundary rule meant an
+    engine-upgrade fix would have to land three times). ``ts IS NOT
+    NULL`` matches session_window's silent drop of null timestamps."""
+    return f"""flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      -- (ts, event_id) tiebreak matches the flag window exactly: with
+      -- duplicate (user_id, ts) rows an ts-only ORDER BY would make the
+      -- ROWS-frame prefix sum nondeterministic across engines
+      SELECT {keep},
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS {sid}
+      FROM flagged)"""
+
+
 def money(col: Column | str, prec: int = 14, scale: int = 2) -> Column:
     """Cast a k-decimal-place double (price/discount/tax style) to an exact
     DECIMAL so subsequent arithmetic is engine-exact. Spark and DuckDB agree

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from . import register
-from .core import dsum, dsum_sql, money
+from .core import dsum, dsum_sql, money, session_cte_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -270,26 +270,8 @@ DEMOTED: dict[str, Query] = {
 
 @register(
     "sessionize",
-    oracle="""
-    WITH flagged AS (
-      -- strict > = end-INCLUSIVE merge (an exact-gap event stays in the
-      -- same session), matching Spark's native session_window rule so all
-      -- three session rows share one boundary semantics; pinned by
-      -- tests/test_session_boundary.py
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                    OR LAG(ts) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-      -- (ts, event_id) tiebreak matches the flag window exactly: with
-      -- duplicate (user_id, ts) rows an ts-only ORDER BY would make the
-      -- ROWS-frame prefix sum nondeterministic across engines
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged)
+    oracle=f"""
+    WITH {session_cte_sql(keep="user_id", sid="session_id")}
     SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
     FROM sessions GROUP BY user_id
     """,

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import stream_dir
 from . import register
-from .core import _BIN_1H_SQL, dsum, dsum_sql
+from .core import _BIN_1H_SQL, dsum, dsum_sql, session_cte_sql
 
 #: epoch-aligned 1h bucket -- canonical in core.py, shared so the batch
 #: and streaming oracles can never drift apart
@@ -276,22 +276,8 @@ def stream_decontaminate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_equiv",
-    oracle="""
-    WITH flagged AS (
-      -- strict > matches Spark's merge rule: an event exactly `gap` after
-      -- its predecessor is MERGED into the same session (sessions merge
-      -- while next_start <= current_end, end-INCLUSIVE; pinned empirically
-      -- by tests/test_session_boundary.py)
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-      FROM flagged)
+    oracle=f"""
+    WITH {session_cte_sql()}
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, sid
     """,
