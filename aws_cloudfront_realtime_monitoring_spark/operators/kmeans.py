@@ -92,9 +92,17 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     DataFrame (id, cluster, dist), and ``n_iters`` the executed iteration
     count (including the final no-change check).
     """
-    qvecs = vectors.select(
-        id_col, quantize(F.col(vec_col)).alias("qv")
-    ).persist()
+    # drop NULL vectors (and vectors with a NULL element) up front: they
+    # would propagate dist=NULL through every distance term, yield a
+    # cluster=None stats row, and crash the driver-side centroid update
+    # with an opaque TypeError (r11 review) -- a dirty row is the
+    # caller's skip case, not a crash
+    qvecs = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .where(~F.exists(F.col(vec_col), lambda x: x.isNull()))
+        .select(id_col, quantize(F.col(vec_col)).alias("qv"))
+        .persist()
+    )
     head = qvecs.select(F.size("qv")).first()
     if head is None:
         raise ValueError("fit_kmeans: vectors DataFrame is empty")
@@ -125,6 +133,12 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     assignments = assign_clusters(qvecs, centroids).select(
         id_col, "cluster", "dist"
     )
+    # the returned assignments are LAZY and qvecs' cache is released
+    # here: each later action re-runs the narrow quantize+assign map
+    # from the source (no shuffle -- ordinary lazy semantics). Callers
+    # consuming assignments repeatedly should persist() it themselves;
+    # holding qvecs cached for an unbounded caller lifetime would leak
+    # executor memory for the session (r11 review: documented trade).
     qvecs.unpersist()
     return centroids, assignments, n_iters
 

@@ -116,62 +116,72 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
         batches = [pdf for pdf in pdf_iter if not pdf.empty]
         if not batches:
             return
-        for pdf in [pd.concat(batches, ignore_index=True)]:
-            group = int(pdf["pack_group"].iloc[0])
-            pdf = pdf.sort_values(
-                ["n_tokens", "doc_id"], ascending=[False, True]
+        # plain assignment, not a one-iteration loop (r11 review)
+        pdf = pd.concat(batches, ignore_index=True)
+        if pdf["n_tokens"].isna().any() or pdf["doc_id"].isna().any():
+            # a NULL token count / doc id arrives as NaN after the Arrow
+            # conversion and would die later as an opaque 'cannot convert
+            # float NaN to integer' -- fail with the schema-violation
+            # message like the negative-token contract below (r11 review)
+            raise ValueError(
+                "pack_shards: NULL doc_id/n_tokens rows violate the "
+                "packing schema; filter or repair them upstream"
             )
-            # first-fit-decreasing over open shards (segment-tree
-            # leftmost-fit: O(docs log shards), same assignments as the
-            # naive probe -- property-pinned in tests)
-            fills: list[int] = []
-            assign: list[int] = []
-            oversize: list[int] = []
-            tree = _FirstFitTree()
-            for tok in pdf["n_tokens"]:
-                tok = int(tok)
-                if tok < 0:
-                    # A negative need would match the tree's -1 sentinel on
-                    # UNOPENED leaves and return an index past self.n
-                    # (IndexError deep in a task); surface the schema
-                    # violation instead, like the id-type contract below.
-                    raise ValueError(
-                        f"pack_group {group}: negative token count {tok} "
-                        f"(doc_id {int(pdf['doc_id'].iloc[len(assign)])}); "
-                        "n_tokens must be >= 0"
-                    )
-                if tok > capacity:
-                    tree.open(capacity - tok)  # negative: never fits more
-                    fills.append(tok)
-                    assign.append(len(fills) - 1)
-                    oversize.append(1)
-                    continue
-                j = tree.place(tok)
-                if j < 0:
-                    j = tree.open(capacity - tok)
-                    fills.append(tok)
-                else:
-                    fills[j] += tok
-                assign.append(j)
-                oversize.append(0)
-            if len(fills) > MAX_SHARDS:
+        group = int(pdf["pack_group"].iloc[0])
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        # first-fit-decreasing over open shards (segment-tree
+        # leftmost-fit: O(docs log shards), same assignments as the
+        # naive probe -- property-pinned in tests)
+        fills: list[int] = []
+        assign: list[int] = []
+        oversize: list[int] = []
+        tree = _FirstFitTree()
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if tok < 0:
+                # A negative need would match the tree's -1 sentinel on
+                # UNOPENED leaves and return an index past self.n
+                # (IndexError deep in a task); surface the schema
+                # violation instead, like the id-type contract below.
                 raise ValueError(
-                    f"pack_group {group} produced {len(fills)} shards, over "
-                    f"the {MAX_SHARDS} per-group id namespace -- shard_ids "
-                    "would collide with the next group's; increase capacity "
-                    "or n_groups"
+                    f"pack_group {group}: negative token count {tok} "
+                    f"(doc_id {int(pdf['doc_id'].iloc[len(assign)])}); "
+                    "n_tokens must be >= 0"
                 )
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "n_tokens": pdf["n_tokens"].to_numpy(),
-                    "pack_group": group,
-                    "shard_id": [group * MAX_SHARDS + j for j in assign],
-                    "shard_fill": [fills[j] for j in assign],
-                    "oversize": oversize,
-                }
+            if tok > capacity:
+                tree.open(capacity - tok)  # negative: never fits more
+                fills.append(tok)
+                assign.append(len(fills) - 1)
+                oversize.append(1)
+                continue
+            j = tree.place(tok)
+            if j < 0:
+                j = tree.open(capacity - tok)
+                fills.append(tok)
+            else:
+                fills[j] += tok
+            assign.append(j)
+            oversize.append(0)
+        if len(fills) > MAX_SHARDS:
+            raise ValueError(
+                f"pack_group {group} produced {len(fills)} shards, over "
+                f"the {MAX_SHARDS} per-group id namespace -- shard_ids "
+                "would collide with the next group's; increase capacity "
+                "or n_groups"
             )
-            yield out
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "pack_group": group,
+                "shard_id": [group * MAX_SHARDS + j for j in assign],
+                "shard_fill": [fills[j] for j in assign],
+                "oversize": oversize,
+            }
+        )
+        yield out
 
     from pyspark.sql import types as T
 

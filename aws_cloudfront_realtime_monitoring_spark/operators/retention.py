@@ -112,9 +112,17 @@ def compact_partition(
     import glob
 
     partition_dir = partition_dir.rstrip("/")
-    tmp = partition_dir + ".compact-tmp"
-    old = partition_dir + ".compact-old"
-    lock = partition_dir + ".compact-lock"
+    # sidecars are DOT-PREFIXED siblings: Spark's file listing ignores
+    # names starting with '.' or '_', so scratch/lock state can never
+    # leak into partition discovery of the enclosing directory -- the
+    # old '<partition>.compact-lock.guard' spelling left a permanent
+    # non-hidden file inside a nested event_date=/event_hour= layout
+    # that made every later read of the date dir fail with conflicting
+    # partition columns (r11 review)
+    parent, base = os.path.split(partition_dir)
+    tmp = os.path.join(parent, f".{base}.compact-tmp")
+    old = os.path.join(parent, f".{base}.compact-old")
+    lock = os.path.join(parent, f".{base}.compact-lock")
     # Deterministic names let a later run repair a CRASHED one -- but
     # they would also let a concurrent retry destroy a LIVE run's
     # scratch state (rmtree its tmp mid-write, "recover" .compact-old

@@ -6,7 +6,12 @@ The reference's monitoring surface counts records per dimension
 exact per-value count of a high-cardinality column (IPs, URIs, user
 agents) is a full shuffle of every distinct value. The count-min sketch
 answers point-frequency queries from a fixed-size summary instead:
-``d = ceil(ln(1/(1-confidence)))`` rows of ``w = ceil(2/eps)`` counters,
+``d = ceil(log2(1/(1-confidence)))`` rows of ``w = ceil(2/eps)``
+counters (log base 2: with ``w = 2/eps`` each hash row violates the
+bound with probability <= 1/2 by Markov, so d rows drive the failure
+probability to ``(1/2)^d`` -- Spark's own CountMinSketchImpl uses the
+same formula; r11 review caught this module using ``ln``, which
+under-provisioned depth ~3x against the advertised confidence),
 built by Spark's JVM-side ``count_min_sketch`` aggregate — one narrow
 pass, partial sketches merged across partitions (the aggregate is
 mergeable by construction), NOTHING shuffles but the sketches themselves.
@@ -113,16 +118,23 @@ def cms_width(eps: float) -> int:
 
 
 def cms_depth(confidence: float) -> int:
-    """d = ceil(ln(1/(1-confidence))) independent hash rows."""
-    return int(math.ceil(math.log(1.0 / (1.0 - confidence))))
+    """d = ceil(log2(1/(1-confidence))) independent hash rows (each row
+    fails its Markov bound with probability <= 1/2 at w = 2/eps, so the
+    base is 2 -- Spark's CountMinSketchImpl convention; ln gave d=5
+    instead of 7 at confidence 0.99, r11 review)."""
+    return int(math.ceil(math.log2(1.0 / (1.0 - confidence))))
 
 
-def _cms_bucket(value_col, depth_col, width: int, seed: int):
+def _cms_bucket(value_col, depth_col, width_col, seed_col):
     """Bucket of ``value`` under hash row ``depth``: xxhash64 seeded per
-    row via the hashed-in depth term (d distinct hash functions)."""
+    row via the hashed-in depth term (d distinct hash functions). The
+    term is pinned to INT: xxhash64 hashes by TYPE, so a build-side
+    int literal and a probe-side BIGINT metadata column would otherwise
+    bucket the same value differently."""
     return F.pmod(
-        F.xxhash64(value_col.cast("string"), depth_col + F.lit(seed)),
-        F.lit(width),
+        F.xxhash64(value_col.cast("string"),
+                   (depth_col + seed_col).cast("int")),
+        width_col,
     )
 
 
@@ -133,19 +145,31 @@ def count_min_relation(
     confidence: float = 0.99,
     seed: int = 42,
 ) -> DataFrame:
-    """Build the sketch as a ``(d, bucket, cnt)`` relation.
+    """Build the sketch as a ``(d, bucket, cnt, w, depth, seed)`` relation.
 
     One narrow pass over ``df``: each value fans out to its ``d`` hash
     rows (map-side combine collapses the fan-out to at most ``d*w`` rows
     per partition before the shuffle), then a bounded ``d*w``-row
     aggregate. ``SUM(cnt) WHERE d = 0`` recovers the stream length N.
-    """
+    The (w, depth, seed) parameters ride along as constant columns so
+    the ESTIMATE side derives them from the sketch itself (r11 review:
+    probing with mismatched eps/seed used to return silent zeros for
+    present keys -- the parameter mismatch is now impossible by
+    construction)."""
     w, d = cms_width(eps), cms_depth(confidence)
     return (
         df.select(F.col(col).alias("_v"))
         .select("_v", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("d"))
-        .groupBy("d", _cms_bucket(F.col("_v"), F.col("d"), w, seed).alias("bucket"))
+        .groupBy(
+            "d",
+            _cms_bucket(
+                F.col("_v"), F.col("d"), F.lit(w), F.lit(seed)
+            ).alias("bucket"),
+        )
         .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("w", F.lit(w).cast("bigint"))
+        .withColumn("depth", F.lit(d).cast("bigint"))
+        .withColumn("seed", F.lit(int(seed)).cast("bigint"))
     )
 
 
@@ -153,28 +177,47 @@ def cms_point_estimates(
     keys: DataFrame,
     key_col: str,
     sketch: DataFrame,
-    eps: float = 0.001,
-    confidence: float = 0.99,
-    seed: int = 42,
     carry: tuple = (),
 ) -> DataFrame:
     """Point-frequency estimates for every row of ``keys``:
-    ``est = min over d of cnt[h_d(key)]`` (missing bucket = 0). The sketch
-    relation broadcasts (model-sized, <= d*w rows); the keys never
-    shuffle. ``carry`` columns of ``keys`` ride along so the caller needs
-    no re-join against a recomputed ``keys`` plan. Grouping is on
+    ``est = min over d of cnt[h_d(key)]`` (missing bucket = 0). Every
+    sketch parameter (w, depth, seed) comes FROM the sketch relation via
+    a one-row broadcast, so probes can never hash against different
+    dimensions than the sketch was built with. The sketch relation
+    broadcasts (model-sized, <= d*w rows); the keys never shuffle.
+    ``carry`` columns of ``keys`` ride along so the caller needs no
+    re-join against a recomputed ``keys`` plan. Grouping is on
     (key, *carry), so distinct (key, carry) input rows each produce an
     output row -- duplicate key values with IDENTICAL carry collapse to
     one row (estimates are per-key, so nothing is lost). Returns
     ``(key_col, *carry, cms_est)``. Lazy end to end."""
-    w, d = cms_width(eps), cms_depth(confidence)
-    probes = keys.select(
-        F.col(key_col).alias("_k"),
-        *[F.col(c) for c in carry],
-        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("d"),
-    ).withColumn("bucket", _cms_bucket(F.col("_k"), F.col("d"), w, seed))
+    params = F.broadcast(
+        sketch.groupBy().agg(
+            F.first("w").alias("w"),
+            F.first("depth").alias("depth"),
+            F.first("seed").alias("seed"),
+        )
+    )
+    probes = (
+        keys.select(F.col(key_col).alias("_k"), *[F.col(c) for c in carry])
+        .crossJoin(params)
+        .select(
+            "_k", *carry, "w", "seed",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("depth") - 1).cast("int"))
+            ).alias("d"),
+        )
+        .withColumn(
+            "bucket",
+            _cms_bucket(F.col("_k"), F.col("d"), F.col("w"), F.col("seed")),
+        )
+        .drop("w", "seed")
+    )
     return (
-        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        probes.join(
+            F.broadcast(sketch.select("d", "bucket", "cnt")),
+            ["d", "bucket"], "left",
+        )
         .groupBy("_k", *carry)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
         .withColumnRenamed("_k", key_col)

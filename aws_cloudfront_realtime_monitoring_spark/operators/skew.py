@@ -2,12 +2,25 @@
 
 AQE's skew-join splitting (on by default in our sessions) handles most skew
 at runtime; these explicit operators are for the cases AQE can't fix --
-a single pathological key in an aggregation, or a join where the skewed
-side's partitions must be split deterministically (e.g. streaming, where
-AQE is unavailable).
+a single pathological key in an aggregation, or a join whose skewed-side
+split AQE's size heuristics miss. (NOT streaming: the position salt below
+uses monotonically_increasing_id, which catalyst's
+UnsupportedOperationChecker rejects on streaming DataFrames -- the old
+docstring's streaming claim was wrong, r11 review.)
 
 Semantics are identity-preserving: results equal the unsalted equivalents
 (asserted in tests/test_skew.py); only the shuffle layout changes.
+
+PRECONDITION (r11 review): the salted side must come from a
+DETERMINISTIC split -- a file scan or a barriered (checkpointed/
+persisted-and-materialized) relation. monotonically_increasing_id is
+stable under task retry only when each partition replays identical rows
+in identical order; feeding the LIVE output of an upstream shuffle means
+a partial stage retry can reassign salts and silently duplicate or drop
+rows (Spark does not mark such stages indeterminate). Content-hash
+salting would dodge that but collapses identical hot-key rows onto ONE
+salt -- zero spread in exactly the pathological case (r8 review), so the
+position salt + precondition is the deliberate trade.
 """
 
 from __future__ import annotations

@@ -722,9 +722,7 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = sketch.where(F.col("d") == 0).agg(
         F.sum("cnt").alias("n_total")
     )
-    est = cms_point_estimates(
-        top, "user_id", sketch, eps=HH_EPS, carry=("n", "rnk")
-    )
+    est = cms_point_estimates(top, "user_id", sketch, carry=("n", "rnk"))
     return (
         est.crossJoin(F.broadcast(n_total))
         .select(

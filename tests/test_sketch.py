@@ -72,7 +72,7 @@ def test_count_min_relation_bounds_vs_exact(spark, sf_dir):
     # the sketch relation is model-sized: at most d*w rows
     assert sk.count() <= cms_depth(0.99) * cms_width(eps)
     exact = events.groupBy("user_id").agg(F.count("*").alias("n"))
-    est = cms_point_estimates(exact, "user_id", sk, eps=eps, carry=("n",))
+    est = cms_point_estimates(exact, "user_id", sk, carry=("n",))
     n_total = events.count()
     # SUM over one hash row recovers the stream length
     n_from_sketch = sk.where(F.col("d") == 0).agg(F.sum("cnt")).head()[0]
@@ -84,5 +84,5 @@ def test_count_min_relation_bounds_vs_exact(spark, sf_dir):
     assert bad == 0
     # a key never seen estimates at most eps * N
     ghost = spark.range(1).select(F.lit(-987654321).alias("user_id"))
-    ghost_est = cms_point_estimates(ghost, "user_id", sk, eps=eps).head()
+    ghost_est = cms_point_estimates(ghost, "user_id", sk).head()
     assert ghost_est.cms_est <= eps * n_total

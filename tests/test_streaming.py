@@ -694,19 +694,22 @@ def test_compact_partition_recovers_crashed_swap(spark):
         part = os.path.join(d, "event_date=2024-01-02")
         spark.range(50).write.parquet(part)
         rows = sorted(r.id for r in spark.read.parquet(part).collect())
+        # sidecars are dot-prefixed siblings (r11: hidden from Spark's
+        # partition discovery)
+        side = os.path.join(d, ".event_date=2024-01-02")
         # simulate a crash between the two renames: partition absent,
         # original stranded in .compact-old, stale tmp lying around
-        os.rename(part, part + ".compact-old")
-        os.makedirs(part + ".compact-tmp")
+        os.rename(part, side + ".compact-old")
+        os.makedirs(side + ".compact-tmp")
         _nb, n_after = compact_partition(spark, part, target_file_bytes=10**9)
         assert n_after == 1
         assert sorted(r.id for r in spark.read.parquet(part).collect()) == rows
-        assert not os.path.exists(part + ".compact-old")
-        assert not os.path.exists(part + ".compact-tmp")
+        assert not os.path.exists(side + ".compact-old")
+        assert not os.path.exists(side + ".compact-tmp")
         # a leftover .old AFTER a successful swap is cleaned on entry
-        os.makedirs(part + ".compact-old")
+        os.makedirs(side + ".compact-old")
         compact_partition(spark, part, target_file_bytes=10**9)
-        assert not os.path.exists(part + ".compact-old")
+        assert not os.path.exists(side + ".compact-old")
         assert sorted(r.id for r in spark.read.parquet(part).collect()) == rows
 
 
@@ -723,7 +726,7 @@ def test_compact_partition_lock_blocks_concurrent_run(spark):
     with tempfile.TemporaryDirectory() as d:
         part = os.path.join(d, "event_date=2024-01-04")
         spark.range(30).write.parquet(part)
-        lock = part + ".compact-lock"
+        lock = os.path.join(d, ".event_date=2024-01-04.compact-lock")
         # live holder (this very process) -> refused
         with open(lock, "w") as f:
             f.write(str(os.getpid()))
@@ -967,3 +970,34 @@ def test_compact_partition_concurrent_threads_one_winner(spark):
                      if not p.endswith(".guard")]
         assert not leftovers, leftovers
         assert spark.read.parquet(part).count() == 200
+
+
+def test_compact_partition_nested_layout_stays_readable(spark):
+    """r11 review: the permanent lock-guard sidecar used to be a
+    NON-hidden sibling (event_hour=5.compact-lock.guard) inside the
+    date dir of the documented nested D6 layout -- Spark's partition
+    discovery listed it as a mis-placed leaf and every later read of
+    the date dir failed. Sidecars are dot-prefixed now; the whole sink
+    must stay readable after compacting an hour leaf."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        compact_partition,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        sink = os.path.join(d, "sink")
+        spark.range(40).selectExpr(
+            "id", "DATE'2024-01-01' AS event_date", "id % 2 AS event_hour"
+        ).repartition(4).write.partitionBy(
+            "event_date", "event_hour"
+        ).parquet(sink)
+        leaf = os.path.join(sink, "event_date=2024-01-01", "event_hour=0")
+        _nb, n_after = compact_partition(spark, leaf, target_file_bytes=10**9)
+        assert n_after == 1
+        # no non-hidden sidecar leaked into the date dir
+        date_dir = os.path.join(sink, "event_date=2024-01-01")
+        leaked = [f for f in os.listdir(date_dir)
+                  if not f.startswith((".", "_")) and "compact" in f]
+        assert leaked == []
+        # the full sink (and the date dir) still read + partition-infer
+        assert spark.read.parquet(sink).count() == 40
+        assert spark.read.parquet(date_dir).count() == 40
