@@ -20,3 +20,16 @@ def qvec(col: Column | str = "embedding") -> Column:
     return F.transform(
         col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint")
     )
+
+
+def qvec_numpy(arr):
+    """The NUMPY replica of :func:`qvec` -- half-AWAY-FROM-ZERO like
+    Spark/DuckDB ROUND. ``np.round`` is half-to-EVEN and silently
+    diverges by 1 on any component whose scaled value lands exactly on
+    .5 (r11 review: the test replicas used np.round, a latent flake
+    hidden only by corpora that avoid exact halves). Tests replicating
+    the quantization must use this, never np.round."""
+    import numpy as np
+
+    scaled = np.asarray(arr, dtype=np.float64) * QUANT
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)

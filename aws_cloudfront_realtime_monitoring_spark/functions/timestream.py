@@ -49,10 +49,11 @@ def bin_(time_col: Column | str, interval: str) -> Column:
     epoch = F.unix_timestamp(c)
     # pmod, not %: Java % rounds toward zero, so a pre-1970 timestamp
     # would bin UP into the next bucket instead of flooring (r7 review;
-    # DuckDB's // and date_trunc both floor)
-    return F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(secs))).alias(
-        "binned_time"
-    )
+    # DuckDB's // and date_trunc both floor). NO baked-in alias (r11
+    # review): a forced name made two bins in one select ambiguous and
+    # drove plans/core.py to keep a duplicate spelling -- callers alias
+    # at the call site.
+    return F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(secs)))
 
 
 def ago(interval: str, now: Column | datetime | str | None = None) -> Column:
@@ -124,6 +125,18 @@ def expand_macros(
     expands to a BETWEEN predicate over the dashboard's time range (injectable
     for determinism, D5). The expanded text is plain Spark SQL.
     """
+    # identifier safety (r11 review): the quoted macro forms expand to
+    # UNQUOTED Spark identifiers (double quotes are STRING literals in
+    # Spark SQL, so they cannot be preserved), which silently mis-parses
+    # names like 'access-logs' ('access minus logs'). Refuse such names
+    # loudly instead -- callers with special characters should rename or
+    # backtick the identifier in the template themselves.
+    for kind, name in (("database", database), ("table", table)):
+        if name and not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"expand_macros: {kind} name {name!r} is not a plain "
+                "identifier; it would expand unquoted and mis-parse"
+            )
     # resolve the QUOTED macro forms first, while the tokens are still
     # unambiguous -- any post-substitution quote stripping could touch a
     # user's double-quoted string literal that happens to equal the
@@ -136,6 +149,10 @@ def expand_macros(
     sql = sql.replace(
         '"$__database"', f'"{database}"' if database else ""
     )
+    if not database:
+        # the UNQUOTED qualified form must take its dot with it, or
+        # 'FROM $__database.$__table' renders 'FROM .events' (r11 review)
+        sql = sql.replace("$__database.", "")
     out = sql.replace("$__database", database).replace("$__table", table)
     out = out.replace("$__measure", f"'{measure}'")
     if "$__timeFilter" in out:

@@ -38,9 +38,18 @@ def hourly_distinct_cube(
     The cube is what lands in storage: |hours| rows of ~2^lg_k bytes each,
     independent of raw volume — write once per ingest window, query
     forever. Partition the output by date at scale; bucket pruning then
-    touches only the queried range's sketches."""
+    touches only the queried range's sketches.
+
+    Buckets are EPOCH-ALIGNED via functions.timestream.bin_ rather than
+    date_trunc (r11 review): date_trunc('hour') follows the session
+    timezone, so a cube written under one tz and queried/reaggregated
+    under another (e.g. a +05:30 offset) would group the same instant
+    into different buckets with no error; the arithmetic bin is
+    tz-independent and equals date_trunc under UTC."""
+    from ..functions.timestream import bin_
+
     return (
-        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"))
+        df.groupBy(bin_(F.col(ts_col), "1h").alias("bucket_start"))
         .agg(
             F.hll_sketch_agg(key_col, F.lit(int(lg_k))).alias("sketch"),
             F.count("*").alias("n_rows"),

@@ -87,10 +87,15 @@ def zorder_layout(df: DataFrame, a: Column, b: Column,
     """Cluster ``df`` along the Morton curve of (a, b): one range shuffle
     + in-partition sort, after which BOTH dimensions' per-file min/max
     ranges are tight (write the result with any parquet writer)."""
+    if partitions is not None and partitions < 1:
+        # a computed count that underflowed to 0 used to fall through
+        # the falsy check and silently take the default partitioning
+        # (r11 review): surface the sizing bug instead
+        raise ValueError("zorder_layout: partitions must be >= 1 or None")
     keyed = df.withColumn("__z", zorder_key(a, b))
     ranged = (
         keyed.repartitionByRange(partitions, "__z")
-        if partitions
+        if partitions is not None
         else keyed.repartitionByRange("__z")
     )
     return ranged.sortWithinPartitions("__z").drop("__z")

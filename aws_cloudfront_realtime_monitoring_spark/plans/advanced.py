@@ -546,14 +546,19 @@ def hll_cube_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") >= F.lit(HLL_CUBE_START).cast("timestamp"))
         & (F.col("ts") < F.lit(HLL_CUBE_END).cast("timestamp"))
     )
+    from ..functions.timestream import bin_
+
     cube = hourly_distinct_cube(events, "ts", "user_id")
-    daily = reaggregate(cube, F.date_trunc("day", F.col("bucket_start")), "day")
+    # epoch-aligned day bins, not date_trunc: tz-independent like the
+    # cube's own hour buckets (r11 review); identical under the pinned
+    # UTC session
+    daily = reaggregate(cube, bin_(F.col("bucket_start"), "1d"), "day")
     est = daily.select(
         "day",
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.hll_sketch_estimate("sketch").alias("approx_users"),
     )
-    exact = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+    exact = events.groupBy(bin_(F.col("ts"), "1d").alias("day")).agg(
         F.count_distinct("user_id").alias("exact_users")
     )
     rsd = 1.04 / (2 ** (DEFAULT_LG_K / 2.0))

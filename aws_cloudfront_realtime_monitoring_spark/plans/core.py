@@ -82,11 +82,12 @@ _BIN_1H_SQL = "make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
 
 
 def _bin_1h(col: Column) -> Column:
-    epoch = F.unix_timestamp(col)
-    # pmod, not %: Java % rounds toward zero, so a pre-1970 timestamp
-    # would bin UP while the DuckDB oracle's // floors (the same hazard
-    # functions.timestream.bin_ fixed in r7 -- this duplicate missed it)
-    return F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(3600)))
+    # the ONE bin spelling lives in functions.timestream (r11 review:
+    # this module kept a duplicate that had already missed the r7 pmod
+    # fix once; bin_ no longer bakes in an alias, so it is reusable)
+    from ..functions.timestream import bin_
+
+    return bin_(col, "1h")
 
 
 @register(

@@ -20,7 +20,9 @@ def _numpy_topk(sf_dir: str, spark):
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in emb])
     # same quantization as the engine
-    mat = np.round(np.array([r.embedding for r in emb], dtype=np.float64) * QUANT)
+    # qvec_numpy, not np.round: half-away-from-zero like the engines
+    from aws_cloudfront_realtime_monitoring_spark.functions.quantize import qvec_numpy
+    mat = qvec_numpy([r.embedding for r in emb])
     norms = (mat * mat).sum(axis=1)
     out = {}
     for qi in range(N_QUERIES):
@@ -65,9 +67,9 @@ def test_ivf_matches_numpy_ball_topk(spark, sf_dir):
         "vec_id", "embedding"
     ).collect()
     ids = np.array([r.vec_id for r in emb])
-    mat = np.round(
-        np.array([r.embedding for r in emb], dtype=np.float64) * QUANT
-    )
+    from aws_cloudfront_realtime_monitoring_spark.functions.quantize import qvec_numpy
+
+    mat = qvec_numpy([r.embedding for r in emb])
     norms = (mat * mat).sum(axis=1)
     buckets = {
         int(i): sum(1 << d for d in range(IVF_BITS) if v[d] >= 0)
@@ -160,7 +162,8 @@ def test_semdedup_dominance_rule(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
 
-    q = {i: np.round(v * QUANT) for i, v in vecs.items()}
+    from aws_cloudfront_realtime_monitoring_spark.functions.quantize import qvec_numpy
+    q = {i: qvec_numpy(v) for i, v in vecs.items()}
     bucket = {
         i: sum((1 << d) for d in range(IVF_BITS) if v[d] >= 0)
         for i, v in vecs.items()
@@ -270,8 +273,10 @@ def test_semdedup_kmeans_matches_replica(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     _c, assigns, _n = fit_kmeans(emb, k=8)
     cluster = {r.vec_id: r.cluster for r in assigns.collect()}
+    from aws_cloudfront_realtime_monitoring_spark.functions.quantize import qvec_numpy
+
     vecs = {
-        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * QUANT)
+        r.vec_id: qvec_numpy(np.array(r.embedding, dtype=np.float64))
         for r in emb.select("vec_id", "embedding").collect()
     }
     expected = {}
