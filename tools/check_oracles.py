@@ -37,6 +37,12 @@ def normalize_cell(v) -> str:
         return v.isoformat()
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # element-wise, never str(): numpy's repr ELIDES elements past
+        # 1000 and prints floats at ~8 significant digits, so two
+        # genuinely different arrays could stringify identically and
+        # record a false PASS (r11 review)
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -74,6 +80,12 @@ def main() -> int:
 
     registry = load_full()
     only.discard("--all")  # legacy no-op flag: the default already checks all
+    unknown = only - set(registry)
+    if unknown:
+        # a typo'd name used to be silently skipped, letting the gate
+        # exit 0 having checked NOTHING (r11 review)
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     spark = get_spark("check_oracles", cpus=8)
     # ship the package to executor Python workers: pandas-UDF closures
     # pickle module functions by reference, so a run from another cwd

@@ -150,7 +150,7 @@ def main() -> None:
     corpora.append(
         (f"~sf{args.copies / 10:g}",
          build_scaled_events_orders(spark, "/root/testdata/sf0.1",
-                                    args.copies))
+                                    args.copies, tables=("events",)))
     )
 
     results = {}

@@ -64,20 +64,23 @@ SWEEP_DIR = REPO / ".scale_sweep"
 
 
 def build_scaled_documents(spark, base_sf_dir: str, copies: int) -> str:
-    if copies > 999:
-        raise ValueError("copies > 999 exceeds the fixed-width salt")
     """Materialize a word-salted ``copies``-fold documents table; returns the
     sf_dir-shaped directory containing ``documents.parquet`` (a parquet
     DIRECTORY -- ``load_table`` reads it as-is and, being a small-stat dir
     path, skips the layout cache; we pre-partition it ourselves)."""
+    # guard BELOW the docstring (r11 review: it sat above, turning the
+    # docstring into a dead statement)
+    if copies > 999:
+        raise ValueError("copies > 999 exceeds the fixed-width salt")
     out_dir = SWEEP_DIR / f"sf0.1x{copies}"
     table = out_dir / "documents.parquet"
     # key the cache on the SOURCE file's stat: the driver regenerates
     # testdata between rounds, and a stale scaled corpus would silently
     # measure last round's data (the tables.py layout-cache policy)
     src = os.stat(os.path.join(base_sf_dir, "documents.parquet"))
-    # v2: fixed-width word salt (collision-free past 10 copies)
-    stamp = out_dir / f".src-v2-{src.st_size}-{int(src.st_mtime)}"
+    # v3: st_mtime_ns, NOT whole seconds -- a same-second same-size
+    # regen must invalidate the cache (tables.py r8 review; r11 here)
+    stamp = out_dir / f".src-v3-{src.st_size}-{src.st_mtime_ns}"
     if (table / "_SUCCESS").exists() and stamp.exists():
         return str(out_dir)
     # wipe only THIS table's artifacts: the dir is shared with the
@@ -134,7 +137,7 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
     table = out_dir / "embeddings.parquet"
     src = os.stat(os.path.join(base_sf_dir, "embeddings.parquet"))
     # v2: per-(copy, dim) hashed sign bits replaced the parity form
-    stamp = out_dir / f".esrc-v2-{src.st_size}-{int(src.st_mtime)}"
+    stamp = out_dir / f".esrc-v3-{src.st_size}-{src.st_mtime_ns}"
     if (table / "_SUCCESS").exists() and stamp.exists():
         return
     if table.exists():
@@ -199,7 +202,8 @@ def build_scaled_embeddings(spark, base_sf_dir: str, copies: int) -> None:
           file=sys.stderr)
 
 
-def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> str:
+def build_scaled_events_orders(spark, base_sf_dir: str, copies: int,
+                               tables: tuple = ("events", "orders")) -> str:
     """Materialize ``copies``-fold events + orders tables in the sweep dir.
 
     The word-salt discipline applied to the relational family -- each
@@ -232,12 +236,14 @@ def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> str:
     engines treat it identically -- correctness holds; the measured
     per-row parse work, which dominates that row, is unchanged).
     """
-    if copies > 215:
-        # beyond ~215 copies, stats_profile's SUM(user_id^2) moment
-        # exceeds int64 (20k rows x (2.15e7)^2 ~ 9.3e18 > 2^63) and
-        # Spark's non-ANSI sum would wrap SILENTLY -- refuse instead
+    if copies > 214:
+        # at 215 copies, stats_profile's SUM(user_id^2) moment already
+        # exceeds int64 (copy 214's biggest group: 20,302 rows x
+        # (2.14e7)^2 ~ 9.30e18 > 2^63-1 ~ 9.22e18; 214 sums to ~9.21e18)
+        # -- refuse instead of overflowing mid-sweep (r11 review: the
+        # old > 215 guard was off by one against its own arithmetic)
         raise ValueError(
-            "copies > 215 overflows int64 in the SUM(user_id^2) moment"
+            "copies > 214 overflows int64 in the SUM(user_id^2) moment"
         )
     out_dir = SWEEP_DIR / f"sf0.1x{copies}"
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -245,9 +251,14 @@ def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> str:
         ("events", "user_id", "event_id", "ts"),
         ("orders", "o_custkey", "o_orderkey", "o_orderdate"),
     ):
+        if name not in tables:
+            # callers that only replay one table (the streaming
+            # throughput tool reads events alone) skip the other
+            # table's full scaled build (r11 review)
+            continue
         table = out_dir / f"{name}.parquet"
         src = os.stat(os.path.join(base_sf_dir, f"{name}.parquet"))
-        stamp = out_dir / f".{name}src-v1-{src.st_size}-{int(src.st_mtime)}"
+        stamp = out_dir / f".{name}src-v2-{src.st_size}-{src.st_mtime_ns}"
         if (table / "_SUCCESS").exists() and stamp.exists():
             continue
         if table.exists():
@@ -263,7 +274,13 @@ def build_scaled_events_orders(spark, base_sf_dir: str, copies: int) -> str:
                 if c == key_col:
                     sel.append((F.col(c) + F.lit(i * 100_000)).alias(c))
                 elif c == id_col:
-                    sel.append((F.col(c) + F.lit(i * 1_000_000_000)).alias(c))
+                    # +1e6 per copy, NOT 1e9: stats_profile's min_by/
+                    # max_by composite key is injective only while
+                    # event_id < 2^33 ~ 8.6e9 (advanced.py, r8), which
+                    # the old offset broke from copy 9 on; base ids are
+                    # < 1e6 in both tables so 1e6 stays globally unique
+                    # through the 214-copy cap (r11 review)
+                    sel.append((F.col(c) + F.lit(i * 1_000_000)).alias(c))
                 elif c == t_col:
                     sel.append(
                         F.timestamp_micros(
