@@ -57,11 +57,16 @@ def _ship_package(spark: SparkSession) -> None:
     try:
         sc = spark.sparkContext
     except Exception:  # Spark Connect client: ship via the artifact API
-        sid = getattr(spark, "session_id", None) or id(spark)
-        if sid in _SHIPPED_CONNECT_SESSIONS:
+        sid = getattr(spark, "session_id", None)
+        if sid is not None and sid in _SHIPPED_CONNECT_SESSIONS:
             return
+        # no stable session id -> ship every call rather than memoize on
+        # id(spark), which a successor session can reuse and thereby
+        # SKIP shipping for a brand-new session (r11 review; the
+        # tables.py memo documents the same id() hazard)
         spark.addArtifacts(_PKG_ZIP, pyfile=True)
-        _SHIPPED_CONNECT_SESSIONS.add(sid)
+        if sid is not None:
+            _SHIPPED_CONNECT_SESSIONS.add(sid)
         return
     if getattr(sc, "_acrm_pkg_shipped", False):
         return

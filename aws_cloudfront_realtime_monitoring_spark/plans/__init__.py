@@ -47,6 +47,11 @@ def register(name: str, oracle: str | None, description: str = "",
              tags: tuple[str, ...] = (), driver_slot: bool = True):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         target = REGISTRY if driver_slot else EXTRAS
+        if name in REGISTRY or name in EXTRAS:
+            # a copy-pasted @register block would silently shadow the
+            # earlier query and its oracle check would vanish from the
+            # suite with no error (r11 review) -- collide loudly
+            raise ValueError(f"duplicate registry name {name!r}")
         target[name] = Query(name, fn, oracle, description, tags)
         return fn
     return deco
@@ -141,7 +146,13 @@ def load_all() -> dict[str, Query]:
         core, relational, advanced, text, dedup, similarity, multimodal, udf,
         streaming_equiv, sampling, curation,
     )
-    ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    if missing:
+        # a typo'd or since-demoted PRIORITY name used to be silently
+        # dropped, quietly shifting the newest-verification-first
+        # ordering the 50-row driver budget depends on (r11 review)
+        raise ValueError(f"PRIORITY names missing from REGISTRY: {missing}")
+    ordered = {n: REGISTRY[n] for n in PRIORITY}
     for n, q in REGISTRY.items():
         ordered.setdefault(n, q)
     return ordered

@@ -18,6 +18,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..sources.tables import load_table
 from . import register
+from .core import dsum, dsum_sql
 from .text import WS_RE_DUCK
 
 
@@ -36,10 +37,13 @@ def make_scaled_score():
 
 @register(
     "pandas_udf_scalar",
-    oracle="""
+    # core.dsum_sql, not a hand copy of the round->DECIMAL->double sum:
+    # a fourth hand-typed spelling of the determinism contract could
+    # silently fork (r11 review)
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(ROUND((value * 2.0 + 1.0) / 4.0, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_score
+           {dsum_sql('(value * 2.0 + 1.0) / 4.0', 4)} AS sum_score
     FROM events GROUP BY event_type
     """,
     description="Vectorized (Arrow) pandas UDF in a projection feeding an "
@@ -55,9 +59,7 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round(F.col("score"), 4).cast("decimal(28,4)"))
-            .cast("double")
-            .alias("sum_score"),
+            dsum(F.col("score"), 4).alias("sum_score"),
         )
     )
 
@@ -86,13 +88,18 @@ def grouped_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # explicit NULL handling matching SQL aggregate semantics: SUM/
+        # MAX/MIN skip NULLs and return NULL for an all-NULL group,
+        # while int(NaN) would crash the task and pandas' skipna sum of
+        # nothing returns 0 instead of NULL (r11 review)
+        xs = pdf.x.dropna()
         return pd.DataFrame(
             [
                 {
                     "event_type": pdf.event_type.iloc[0],
                     "n": len(pdf),
-                    "qsum": int(pdf.x.sum()),
-                    "qrange": int(pdf.x.max() - pdf.x.min()),
+                    "qsum": int(xs.sum()) if len(xs) else None,
+                    "qrange": int(xs.max() - xs.min()) if len(xs) else None,
                 }
             ]
         )
@@ -151,7 +158,14 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i + 1, tok
 
     spark.udtf.register("tokenize_udtf", Tokenize)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # the memoized registrar, NOT a bare createOrReplaceTempView: the
+    # bare call rebound 'documents' behind _VIEWS_CURRENT's back, so a
+    # later register_views(spark, other_sf_dir) could memo-hit and
+    # silently serve THIS sf_dir's data (the r8 bug class core.py
+    # documents; r11 review found this surviving instance)
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT d.doc_id, t.pos, t.token
