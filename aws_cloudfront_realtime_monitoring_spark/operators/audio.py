@@ -164,23 +164,31 @@ _MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
               0: (11025, 12000, 8000)}    # MPEG2.5
 
 
+def _skip_id3v2(payload: bytes, pos: int = 0) -> int:
+    """Byte offset past ALL leading ID3v2 tags (retagging tools stack a
+    second one -- r11 review: only the first was skipped, and a >4KB
+    second tag pushed the frame sync out of the resync window)."""
+    while payload[pos : pos + 3] == b"ID3":
+        if len(payload) < pos + 10:
+            raise ValueError("truncated ID3v2 tag")
+        size = 0
+        for b in payload[pos + 6 : pos + 10]:
+            size = (size << 7) | (b & 0x7F)
+        pos += 10 + size
+    return pos
+
+
 def mp3_meta(payload: bytes) -> dict:
     """First-frame header (+ optional Xing/Info VBR tag) of an MPEG
-    Layer III stream, after any leading ID3v2 tag (synchsafe size).
+    Layer III stream, after any leading ID3v2 tags (synchsafe sizes).
     With a Xing frame count the duration is exact; without one it is
     the standard CBR estimate from the first frame's bitrate
     (documented in the caller-facing docstring -- an estimate, like
     every mp3 tool's)."""
-    pos = 0
-    if payload[:3] == b"ID3":
-        if len(payload) < 10:
-            raise ValueError("truncated ID3v2 tag")
-        size = 0
-        for b in payload[6:10]:
-            size = (size << 7) | (b & 0x7F)
-        pos = 10 + size
-    # resync: the first 0xFFEx pattern within a bounded window
-    end = min(len(payload) - 3, pos + 4096)
+    pos = _skip_id3v2(payload)
+    # resync: the first 0xFFEx pattern within a bounded window (64 KB
+    # tolerates junk/padding between the tags and the first frame)
+    end = min(len(payload) - 3, pos + 65536)
     while pos < end and not (
         payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0
     ):
@@ -201,9 +209,13 @@ def mp3_meta(payload: bytes) -> dict:
     mono = ((h3 >> 6) & 0x3) == 3
     spf = 1152 if version == 3 else 576
     # Xing/Info VBR tag: after the side info (MPEG1: 32B stereo / 17B
-    # mono; MPEG2/2.5: 17 / 9)
+    # mono; MPEG2/2.5: 17 / 9), plus the 16-bit CRC that PRECEDES the
+    # side info when the protection bit is 0 (r11 review: ignoring it
+    # missed the Xing magic on CRC'd VBR files and fell back to a
+    # first-frame CBR estimate that can be 2-3x off)
     side = (17 if mono else 32) if version == 3 else (9 if mono else 17)
-    tag_at = pos + 4 + side
+    crc = 2 if (h1 & 0x1) == 0 else 0
+    tag_at = pos + 4 + crc + side
     n_frames = 0
     if payload[tag_at : tag_at + 4] in (b"Xing", b"Info"):
         flags = int.from_bytes(payload[tag_at + 4 : tag_at + 8], "big")
@@ -239,6 +251,26 @@ def audio_meta_or_features(doc_id: int, payload: bytes) -> dict:
     elif payload[:3] == b"ID3" or (
         len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
+        # ID3v2-tagged FLAC (nonstandard but written by common tagging
+        # tools): check what actually FOLLOWS the tags before assuming
+        # MP3 (r11 review -- flac(1) itself skips the tag the same way)
+        if payload[:3] == b"ID3":
+            try:
+                at = _skip_id3v2(payload)
+            except ValueError:
+                at = 0
+            if payload[at : at + 4] == b"fLaC":
+                meta = flac_meta(payload[at:])
+                return {
+                    "doc_id": doc_id,
+                    "n_bytes": len(payload),
+                    **{k: meta[k] for k in
+                       ("sample_rate", "n_channels", "n_samples",
+                        "duration_ms")},
+                    "rms_micro": None,
+                    "zcr_micro": None,
+                    "fmt": meta["fmt"],
+                }
         meta = mp3_meta(payload)
     else:
         return wav_features(doc_id, payload)

@@ -45,7 +45,11 @@ _CODEC_ID = 0x86
 _PIXEL_WIDTH = 0xB0
 _PIXEL_HEIGHT = 0xBA
 
-_MAX_ELEMENTS = 4096
+#: generous (r11 review: 4096 counted every skipped Cluster, so a legal
+#: 2-hour WebM with ~2s clusters was rejected as malformed); header
+#: visits are O(1) and the walk stops once Info + Tracks are committed,
+#: so the cap only bounds crafted payloads
+_MAX_ELEMENTS = 1_000_000
 _MAX_DEPTH = 16
 
 
@@ -102,6 +106,8 @@ class _Walk:
         self.height = 0
         self.codec = ""
         self.video_seen = False
+        self.info_seen = False
+        self.tracks_seen = False
         self._reset_track()
 
     def _reset_track(self) -> None:
@@ -125,9 +131,21 @@ def _walk(w: _Walk, data: bytes, lo: int, hi: int, depth: int,
         end = hi if size == -1 else pos + size
         if end > hi:
             raise ValueError("EBML element escapes its parent")
-        body = data[pos:end]
+        # body sliced ONLY in the scalar branches (r11 review: slicing
+        # every element copied entire Cluster bodies -- and the whole
+        # Segment payload -- just to discard them, O(2x file size) of
+        # memcpy per record)
         if eid in (0x1A45DFA3, _SEGMENT, _INFO, _TRACKS):
             _walk(w, data, pos, end, depth + 1, False, False)
+            if eid == _INFO:
+                w.info_seen = True
+            elif eid == _TRACKS:
+                w.tracks_seen = True
+            if w.info_seen and w.tracks_seen and eid in (_INFO, _TRACKS):
+                # everything after Info + Tracks is cluster payload in
+                # every real muxing order: stop instead of visiting
+                # thousands of skipped Cluster headers (r11 review)
+                return
         elif eid == _TRACK_ENTRY:
             w._reset_track()
             _walk(w, data, pos, end, depth + 1, True, False)
@@ -135,19 +153,19 @@ def _walk(w: _Walk, data: bytes, lo: int, hi: int, depth: int,
         elif eid == _VIDEO and in_track:
             _walk(w, data, pos, end, depth + 1, True, True)
         elif eid == _DOCTYPE:
-            w.doctype = body.split(b"\x00")[0].decode("latin-1")
+            w.doctype = data[pos:end].split(b"\x00")[0].decode("latin-1")
         elif eid == _TIMESTAMP_SCALE:
-            w.tscale = _uint(body) or 1_000_000
+            w.tscale = _uint(data[pos:end]) or 1_000_000
         elif eid == _DURATION:
-            w.duration_ticks = _float(body)
+            w.duration_ticks = _float(data[pos:end])
         elif eid == _TRACK_TYPE and in_track:
-            w.t_type = _uint(body)
+            w.t_type = _uint(data[pos:end])
         elif eid == _CODEC_ID and in_track:
-            w.t_codec = body.split(b"\x00")[0].decode("latin-1")
+            w.t_codec = data[pos:end].split(b"\x00")[0].decode("latin-1")
         elif eid == _PIXEL_WIDTH and in_video:
-            w.t_width = _uint(body)
+            w.t_width = _uint(data[pos:end])
         elif eid == _PIXEL_HEIGHT and in_video:
-            w.t_height = _uint(body)
+            w.t_height = _uint(data[pos:end])
         pos = end
 
 

@@ -29,16 +29,17 @@ hostile inputs), so one bad record never kills an executor task.
 
 from __future__ import annotations
 
-import struct
-
 #: containers worth descending into for metadata (everything else is
 #: skipped wholesale -- mdat in particular is the bulk of the file)
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
-#: hostile-input bounds: a legal movie has a handful of tracks and a
-#: few dozen metadata boxes; the caps stop crafted deeply-nested or
-#: million-box payloads from burning driver-side CPU
-_MAX_BOXES = 4096
+#: hostile-input bounds. The box cap is generous (r11 review: 4096
+#: rejected legal fragmented MP4s, whose moof/mdat pairs accumulate
+#: 2-3 top-level boxes per 1-2s fragment) -- each header visit is O(1)
+#: work, so 1M bounds crafted million-box payloads without touching
+#: real files; the walk also STOPS at the end of the (unique) top-level
+#: moov, so ordinary files never scan their fragment tail at all.
+_MAX_BOXES = 1_000_000
 _MAX_DEPTH = 16
 
 #: brands that mark an ISO-BMFF file we can sniff (major_brand or any
@@ -51,11 +52,18 @@ _FTYP_PREFIXES = (b"isom", b"iso2", b"iso4", b"iso5", b"iso6", b"mp41",
 def is_mp4(payload: bytes) -> bool:
     """Cheap signature sniff: byte 4 onward of a well-formed file is
     ``ftyp`` + a known brand (the box SIZE varies, so the magic is not
-    at offset 0 like the image formats)."""
-    return (
-        len(payload) >= 12
-        and payload[4:8] == b"ftyp"
-        and any(payload[8:12].startswith(p) for p in _FTYP_PREFIXES)
+    at offset 0 like the image formats). Checks the major_brand AND the
+    compatible_brands list (r11 review: 'dash'/'M4B ' majors with
+    'isom' in compatibles were rejected)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return False
+    size = int.from_bytes(payload[0:4], "big")
+    end = min(len(payload), size if size >= 16 else 16, 16 + 16 * 4)
+    brands = [payload[8:12]] + [
+        payload[o : o + 4] for o in range(16, end - 3, 4)
+    ]
+    return any(
+        b.startswith(p) for b in brands for p in _FTYP_PREFIXES
     )
 
 
@@ -100,9 +108,16 @@ def _parse_mvhd(w: _Walk, body: bytes) -> None:
     if ver == 1:
         w.timescale = _u(p, 16, 4)
         w.duration = _u(p, 20, 8)
+        unknown = (1 << 64) - 1
     else:
         w.timescale = _u(p, 8, 4)
         w.duration = _u(p, 12, 4)
+        unknown = (1 << 32) - 1
+    if w.duration == unknown:
+        # all-ones is the spec's 'duration unknown' sentinel (live /
+        # fragmented recordings, 14496-12); report the honest 0, not
+        # an 83-day movie (r11 review)
+        w.duration = 0
 
 
 def _parse_tkhd(w: _Walk, body: bytes) -> None:
@@ -187,6 +202,11 @@ def _walk_boxes(w: _Walk, data: bytes, lo: int, hi: int, depth: int) -> None:
             _commit_trak(w)
         elif btype in _CONTAINERS:
             _walk_boxes(w, data, pos + head, pos + size, depth + 1)
+            if btype == b"moov" and depth == 0:
+                # moov is unique: everything after it at the top level
+                # is fragment/media payload -- stop instead of walking
+                # thousands of moof/mdat headers (r11 review)
+                return
         else:
             parser = _LEAF_PARSERS.get(btype)
             if parser is not None:
@@ -230,5 +250,9 @@ def parse_mp4_meta(payload: bytes) -> dict:
             "codec": w.codec,
             "duration_ms": dur_ms,
         }
-    except (struct.error, IndexError, OverflowError) as exc:
+    except (IndexError, OverflowError) as exc:
+        # defensive fold for the ValueError-only executor contract: the
+        # bounds checks above should make these unreachable, but a
+        # future edit must not escape the contract (struct.error was
+        # dead -- nothing here uses struct; r11 review)
         raise ValueError(f"malformed MP4: {exc}") from exc

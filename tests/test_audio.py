@@ -188,7 +188,9 @@ def make_mp3(rate_idx: int = 0, br_idx: int = 9, mono: bool = False,
              (id3_size >> 7) & 0x7F, id3_size & 0x7F]
         ) + b"\x00" * id3_size
     h1 = 0xFF
-    h2 = 0xE0 | (3 << 3) | (1 << 1)          # sync tail, MPEG1, Layer III
+    # protection bit SET (no CRC): bit 0 of byte 2 == 0 means a 16-bit
+    # CRC precedes the side info, which this builder does not write
+    h2 = 0xE0 | (3 << 3) | (1 << 1) | 0x1    # sync, MPEG1, Layer III
     h3 = (br_idx << 4) | (rate_idx << 2)
     h4 = (0x3 << 6) if mono else 0x00        # channel mode
     frame_at = len(out)
@@ -265,3 +267,43 @@ def test_audio_batches_mix_wav_flac_mp3(spark):
     assert got[2].fmt == "flac" and got[2].duration_ms == 500
     assert got[2].rms_micro is None and got[2].zcr_micro is None
     assert got[3].fmt == "mp3" and got[3].n_samples == 50 * 1152
+
+
+def test_mp3_crc_frame_and_stacked_id3_tags():
+    """r11 review: the 16-bit CRC that precedes the side info when the
+    protection bit is 0 shifted the Xing tag; stacked ID3v2 tags (a
+    retagger's leftover) pushed the sync past the old 4KB window."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.audio import mp3_meta
+
+    # CRC'd frame: protection bit 0 and a 2-byte CRC before side info
+    blob = bytearray(make_mp3(xing_frames=77))
+    blob[1] &= 0xFE  # clear the protection bit -> CRC present
+    blob[4:4] = b"\x00\x00"  # splice the CRC between header and side info
+    meta = mp3_meta(bytes(blob))
+    assert meta["n_samples"] == 77 * 1152
+    # two stacked ID3 tags, the second > 4KB
+    tagged = bytearray()
+    for size in (300, 6000):
+        tagged += b"ID3\x03\x00\x00" + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]) + b"\x00" * size
+    tagged += make_mp3(xing_frames=50)
+    meta = mp3_meta(bytes(tagged))
+    assert meta["n_samples"] == 50 * 1152
+
+
+def test_id3_tagged_flac_routes_to_flac(spark):
+    """r11 review: an ID3v2-prefixed FLAC used to be force-routed to
+    mp3_meta and rejected; the dispatcher now checks what follows the
+    tags."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.audio import (
+        audio_meta_or_features,
+    )
+
+    size = 128
+    blob = (b"ID3\x03\x00\x00"
+            + bytes([0, 0, (size >> 7) & 0x7F, size & 0x7F])
+            + b"\x00" * size
+            + make_flac(48000, 2, 16, 96000))
+    row = audio_meta_or_features(5, blob)
+    assert row["fmt"] == "flac" and row["duration_ms"] == 2000

@@ -142,3 +142,16 @@ def test_webm_mutation_fuzz_valueerror_only():
             parse_webm_meta(bytes(blob))
         except ValueError:
             pass
+
+
+def test_webm_long_cluster_tail_parses():
+    """r11 review: the element cap counted every skipped Cluster, so a
+    legal long recording (thousands of clusters) was rejected; the walk
+    now stops once Info + Tracks are committed."""
+    blob = make_webm([_video_track(b"V_VP9", 64, 48)])
+    tail = _el(0x1F43B675, b"\x00" * 16) * 5000
+    # splice the clusters inside the Segment: rebuild with a raw append
+    # (the Segment in make_webm is sized, so append AFTER it at the top
+    # level -- stray top-level clusters, which real streamed files have)
+    meta = parse_webm_meta(blob + tail)
+    assert (meta["width"], meta["height"]) == (64, 48)

@@ -187,8 +187,9 @@ def test_mp4_malformed_rejected():
         bomb = _box(b"moov", bomb)
     with pytest.raises(ValueError, match="depth|escapes|truncated"):
         parse_mp4_meta(_ftyp() + bomb)
-    # box-count bomb: thousands of empty leaf boxes inside moov
-    many = _box(b"moov", _box(b"free", b"") * 10000)
+    # box-count bomb: the cap is generous (1M, so legal fragmented
+    # files pass -- r11) but still bounds crafted payloads
+    many = _box(b"moov", _box(b"free", b"") * 1_000_001)
     with pytest.raises(ValueError, match="count"):
         parse_mp4_meta(_ftyp() + many)
 
@@ -219,3 +220,31 @@ def test_mp4_mutation_fuzz_valueerror_only():
             parse_mp4_meta(bytes(blob))
         except ValueError:
             pass
+
+
+def test_mp4_compatible_brand_sniff_and_fragmented_tail():
+    """r11 review: a 'dash' major brand with 'isom' in the compatible
+    list was rejected; thousands of moof/mdat fragment boxes after the
+    moov tripped the old 4096-box cap."""
+    import struct as _s
+
+    blob = make_mp4(
+        [_trak(b"vide", _visual_entry(b"avc1", 64, 48), 5, 64, 48)],
+        brand=b"dash",
+    )
+    # make_mp4's ftyp carries 'isomiso2' compatibles -> still sniffed
+    assert is_mp4(blob)
+    # a fragmented tail: 3000 tiny moof/mdat pairs after the moov
+    tail = (_box(b"moof", b"\x00" * 8) + _box(b"mdat", b"\x00" * 8)) * 3000
+    meta = parse_mp4_meta(blob + tail)
+    assert meta["n_frames"] == 5  # moov parsed, tail never walked
+
+
+def test_mp4_unknown_duration_sentinel():
+    """All-ones mvhd duration means 'unknown' (live/fragmented
+    recordings) and must report 0, not an 83-day movie."""
+    blob = make_mp4(
+        [_trak(b"vide", _visual_entry(b"avc1", 64, 48), 3, 64, 48)],
+        duration=(1 << 32) - 1,
+    )
+    assert parse_mp4_meta(blob)["duration_ms"] == 0
