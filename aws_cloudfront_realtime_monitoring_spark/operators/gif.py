@@ -32,7 +32,10 @@ def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
     """GIF-variant LZW: variable code width from ``min_code_size + 1`` up
     to 12 bits, LSB-first packing, CLEAR resets the table, EOI ends the
     stream. Decodes at most ``expect`` pixels (trailing junk ignored)."""
-    if not 2 <= min_code_size <= 11:
+    if not 2 <= min_code_size <= 8:
+        # 8 is the real GIF ceiling (pixel indices are one byte); 9-11
+        # used to pass the guard and crash reset() with a misleading
+        # bytes-range ValueError instead of this diagnostic (r11 review)
         raise ValueError(f"bad GIF LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -141,7 +144,12 @@ def decode_gif_frames(
     if keep_indices is not None:
         keep = keep_indices
     elif max_frames is None:
-        keep = 2**31
+        # a bounded DEFAULT (r11 review: the old unlimited default
+        # re-enabled the n_frames x frame_size blowup the memory
+        # contract above forbids -- a ~10 KB payload with hundreds of
+        # near-cap frames could allocate tens of GB); callers wanting
+        # more pass max_frames explicitly
+        keep = 256
     else:
         keep = max_frames  # 0 is a real bound, not "unlimited"
     width, height, _n, screens = _decode_frames(payload, keep=keep)
@@ -254,7 +262,11 @@ def _decode_frames_impl(payload: bytes, keep, count_only: bool):
                 saved = region.copy()  # restore-to-previous needs it
             if t_idx is not None:
                 opaque = idx != t_idx
-                region[opaque] = ct[idx][opaque]
+                # palette-lookup only the opaque pixels: ct[idx][opaque]
+                # materialized the full rectangle's RGB first and threw
+                # the transparent majority away (r11 review; delta
+                # frames are mostly transparent)
+                region[opaque] = ct[idx[opaque]]
             else:
                 region[:, :] = ct[idx]
             if (n_frames - 1 in wanted) if wanted is not None                     else (n_frames <= keep):

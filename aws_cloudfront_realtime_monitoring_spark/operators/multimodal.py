@@ -94,7 +94,7 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     height = abs(height)
     if width <= 0 or height <= 0:
         raise ValueError("degenerate BMP dimensions")
-    from .gif import MAX_PIXELS
+    from . import MAX_PIXELS  # the cap's real home (not gif's re-export)
 
     if width * height > MAX_PIXELS:
         raise ValueError("BMP dimensions exceed the decode cap")
@@ -149,7 +149,14 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+            # CRITICAL chunks (uppercase first letter) hard-fail; a
+            # corrupt ANCILLARY chunk (tEXt, pHYs, ...) is skipped per
+            # the PNG spec's recovery guidance -- aborting used to hand
+            # a fully decodable image to the fake fallback (r11 review)
+            if ctype[:1].isupper():
+                raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+            pos += 12 + length  # skip BEFORE the data is consumed
+            continue
         if ctype == b"IHDR":
             ihdr = data
         elif ctype == b"PLTE":
@@ -185,14 +192,19 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("Adam7-interlaced PNG not supported")
     ch = _PNG_CHANNELS[color]
     stride = width * ch
+    expected = (stride + 1) * height
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # BOUNDED inflate (r11 review): a plain zlib.decompress
+        # materializes the full output first, so a crafted tiny-IHDR
+        # payload with a ~1000:1 IDAT could allocate gigabytes before
+        # the length check ran -- cap at expected+1 and reject leftovers
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected or not dec.eof and dec.unconsumed_tail:
         raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes, "
-            f"expected {(stride + 1) * height}"
+            f"PNG scanline data is {len(raw)}+ bytes, expected {expected}"
         )
     lines = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
     out = np.zeros((height, stride), np.uint16)  # u16: filter math mod 256
@@ -408,15 +420,22 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
     if _PILImage is not None:  # pragma: no cover (PIL absent in this build)
         import io
 
-        with _PILImage.open(io.BytesIO(payload)) as im:
-            return {
-                "doc_id": doc_id,
-                "n_bytes": len(payload),
-                "width": im.width,
-                "height": im.height,
-                "n_frames": getattr(im, "n_frames", 1),
-                "fmt": (im.format or "unknown").lower(),
-            }
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return {
+                    "doc_id": doc_id,
+                    "n_bytes": len(payload),
+                    "width": im.width,
+                    "height": im.height,
+                    "n_frames": getattr(im, "n_frames", 1),
+                    "fmt": (im.format or "unknown").lower(),
+                }
+        except Exception:
+            # PIL raises UnidentifiedImageError (an OSError) on any
+            # non-image payload; the module contract says unknown
+            # formats FALL BACK, not crash the task (r11 review) --
+            # strict mode takes the NotImplementedError below
+            pass
     if strict:
         raise NotImplementedError(
             "real decode of non-BMP formats requires Pillow/ffmpeg, not "
@@ -474,7 +493,12 @@ def frame_offset_expr(n_samples: int = 4):
     step = F.greatest(F.expr("n_bytes div %d" % n_samples), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_samples - 1)),
-        lambda i: F.least(i * step, F.col("n_bytes") - 1),
+        # outer greatest(..., 0): a ZERO-byte payload made
+        # least(i*step, n_bytes-1) underflow to -1, an invalid byte
+        # position (r11 review; the oracle mirrors the same clamp)
+        lambda i: F.greatest(
+            F.least(i * step, F.col("n_bytes") - 1), F.lit(0)
+        ),
     )
 
 

@@ -41,10 +41,10 @@ from . import register
                              ELSE 'fake-webp' END AS fmt
       FROM documents)
     SELECT doc_id, n_bytes, width, height, n_frames, fmt,
-           least(0 * greatest(n_bytes // 4, 1), n_bytes - 1)
-             || ';' || least(1 * greatest(n_bytes // 4, 1), n_bytes - 1)
-             || ';' || least(2 * greatest(n_bytes // 4, 1), n_bytes - 1)
-             || ';' || least(3 * greatest(n_bytes // 4, 1), n_bytes - 1)
+           greatest(least(0 * greatest(n_bytes // 4, 1), n_bytes - 1), 0)
+             || ';' || greatest(least(1 * greatest(n_bytes // 4, 1), n_bytes - 1), 0)
+             || ';' || greatest(least(2 * greatest(n_bytes // 4, 1), n_bytes - 1), 0)
+             || ';' || greatest(least(3 * greatest(n_bytes // 4, 1), n_bytes - 1), 0)
            AS offsets_str
     FROM meta
     """,

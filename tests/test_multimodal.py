@@ -429,3 +429,58 @@ def test_null_doc_id_rows_stay_inside_the_contract(spark):
     )
 
     assert sample_animation_frames(df).collect() == []  # dropped, no crash
+
+
+def test_png_ancillary_crc_corruption_is_recoverable():
+    """r11 review: a flipped bit in a tEXt chunk's CRC aborted the whole
+    decode and handed a perfectly decodable image to the fake fallback;
+    ancillary-chunk CRC errors skip the chunk, critical ones still
+    raise."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    rng = np.random.RandomState(29)
+    px = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    good = _make_png(px)
+    # splice a tEXt chunk with a deliberately wrong CRC before IDAT
+    bad_text = (struct.pack(">I", 4) + b"tEXt" + b"oops"
+                + struct.pack(">I", 0xDEADBEEF))
+    idat_at = good.find(b"IDAT") - 4
+    blob = good[:idat_at] + bad_text + good[idat_at:]
+    w, h, got = decode_png_pixels(blob)
+    assert (w, h) == (5, 6)
+    np.testing.assert_array_equal(got[:, :, :3], px)
+    # a corrupt CRITICAL chunk still hard-fails
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF  # IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(bytes(bad))
+
+
+def test_png_idat_bomb_is_bounded():
+    """r11 review: the inflate is capped at the declared scanline bytes,
+    so a tiny-IHDR payload whose IDAT would expand to gigabytes is
+    rejected without materializing the expansion."""
+    import zlib as _z
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 2, 0, 0, 0)  # 10x10 RGB
+    bomb = _z.compress(b"\x00" * (64 * 1024 * 1024), 9)  # 64 MB of zeros
+    blob = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png_pixels(blob)
+
+
+def test_gif_lzw_min_code_size_ceiling():
+    """r11 review: min code sizes 9-11 passed the guard and crashed
+    table building with a misleading bytes-range error; 8 is the real
+    GIF ceiling (one-byte pixel indices)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.gif import _lzw_decode
+
+    with pytest.raises(ValueError, match="min code size"):
+        _lzw_decode(b"\x00", 9, 10)
