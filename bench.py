@@ -318,39 +318,93 @@ def main() -> None:
         print(f"# {name}: {times[name]}s (runs: {[round(t, 2) for t in per_run]})",
               file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                # host 1-min load at timing start / end: this container
-                # runs on a shared box and totals swing ~35% with
-                # neighbors' bursts; min-of-3 absorbs short spikes, these
-                # fields let a reader weigh cross-round comparisons
-                "load_avg_start": round(load_start, 2),
-                "load_avg": round(os.getloadavg()[0], 2),
-                # true when the box never went quiet inside the bounded
-                # wait -- treat round-over-round deltas as suspect
-                "load_flagged": load_flagged,
-                # queries that got an extra min-of-3 before recording
-                # (flagship, drift guard, or a mid-run neighbor burst)
-                "reran": reran,
-                # max EXTERNAL cores (host busy CPU minus our own process
-                # tree) sampled across each query's timed runs -- the
-                # per-query burst detector; > MAX_EXTERNAL_CORES means that
-                # query was re-run after a bounded quiet-down pause
-                "query_ext_cores": query_ext_cores,
-                # mid-run quiet-box wait budget left (of
-                # SPARK_GRAFT_BENCH_MIDRUN_WAIT); 0 = neighbors stayed
-                # noisy past the budget and later re-runs raced them
-                "midrun_wait_left_sec": round(max(wait_budget, 0.0), 1),
-            }
-        )
-    )
+    print(_render_output(
+        times=times,
+        sf=sf,
+        load_start=load_start,
+        load_end=os.getloadavg()[0],
+        load_flagged=load_flagged,
+        reran=reran,
+        query_ext_cores=query_ext_cores,
+        wait_budget_left=max(wait_budget, 0.0),
+    ))
     spark.stop()
+
+
+#: the round driver records only the LAST N characters of stdout and
+#: json-parses the final line; r11's line grew past that window (the
+#: per-query query_ext_cores map + 15 reran entries) and the official
+#: artifact came back "parsed": null. Keep the stdout line comfortably
+#: under the window and move verbose diagnostics to a sidecar file.
+STDOUT_LINE_BUDGET = 1900
+SIDECAR = "BENCH_DETAIL.json"
+
+
+def _render_output(
+    *,
+    times: dict[str, float],
+    sf: float | None,
+    load_start: float,
+    load_end: float,
+    load_flagged: bool,
+    reran: list[str],
+    query_ext_cores: dict[str, float],
+    wait_budget_left: float,
+    sidecar_dir: Path | None = None,
+) -> str:
+    """Write full diagnostics to the sidecar, return the compact stdout
+    JSON line (guaranteed <= STDOUT_LINE_BUDGET chars by dropping optional
+    fields, never the required metric/value/unit/queries/sf)."""
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        # host 1-min load at timing start / end: this container runs on a
+        # shared box and totals swing ~35% with neighbors' bursts;
+        # min-of-3 absorbs short spikes, these let a reader weigh
+        # cross-round comparisons
+        "load_avg_start": round(load_start, 2),
+        "load_avg": round(load_end, 2),
+        # true when the box never went quiet inside the bounded wait --
+        # treat round-over-round deltas as suspect
+        "load_flagged": load_flagged,
+        # how many queries got an extra min-of-3 (flagship, drift guard,
+        # or mid-run neighbor burst); the list itself is in the sidecar
+        "n_reran": len(reran),
+        "detail": SIDECAR,
+    }
+    detail = dict(
+        headline,
+        # queries that got an extra min-of-3 before recording
+        reran=reran,
+        # max EXTERNAL cores (host busy CPU minus our own process tree)
+        # sampled across each query's timed runs -- the per-query burst
+        # detector; > MAX_EXTERNAL_CORES means that query was re-run
+        # after a bounded quiet-down pause
+        query_ext_cores=query_ext_cores,
+        # mid-run quiet-box wait budget left (of
+        # SPARK_GRAFT_BENCH_MIDRUN_WAIT); 0 = neighbors stayed noisy
+        # past the budget and later re-runs raced them
+        midrun_wait_left_sec=round(wait_budget_left, 1),
+    )
+    try:
+        ((sidecar_dir or Path(__file__).resolve().parent) / SIDECAR).write_text(
+            json.dumps(detail, indent=1) + "\n"
+        )
+    except OSError as e:  # a read-only checkout must not kill the bench
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+    line = json.dumps(headline)
+    # belt-and-braces: shed optional fields (never the required five) if
+    # some future headline set pushes the line past the capture window
+    for drop in ("detail", "n_reran", "load_flagged", "load_avg",
+                 "load_avg_start"):
+        if len(line) <= STDOUT_LINE_BUDGET:
+            break
+        headline.pop(drop, None)
+        line = json.dumps(headline)
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+"""The round driver records only the last ~2 KB of bench stdout and
+json-parses the final line; BENCH_r11.json came back ``"parsed": null``
+because the line outgrew that window. Pin the contract: the stdout line
+stays under bench.STDOUT_LINE_BUDGET with the full 29-query headline set
+and worst-case diagnostics, and the verbose fields land in the sidecar.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench
+
+
+def _fake_run(tmp_path):
+    times = {name: 12.345 for name in bench.HEADLINE}
+    ext = {name: 31.99 for name in bench.HEADLINE}  # worst-case widths
+    line = bench._render_output(
+        times=times,
+        sf=0.1,
+        load_start=3.14,
+        load_end=15.92,
+        load_flagged=True,
+        reran=list(bench.HEADLINE),  # every query re-ran (worse than r11's 15)
+        query_ext_cores=ext,
+        wait_budget_left=0.0,
+        sidecar_dir=tmp_path,
+    )
+    return line, tmp_path / bench.SIDECAR
+
+
+def test_stdout_line_fits_capture_window(tmp_path):
+    line, _ = _fake_run(tmp_path)
+    assert "\n" not in line
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+
+
+def test_stdout_line_parses_with_required_fields(tmp_path):
+    line, _ = _fake_run(tmp_path)
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_queries_total"
+    assert rec["unit"] == "sec"
+    assert rec["sf"] == 0.1
+    assert set(rec["queries"]) == set(bench.HEADLINE)
+    assert rec["value"] == round(sum(rec["queries"].values()), 3)
+
+
+def test_sidecar_carries_verbose_diagnostics(tmp_path):
+    line, sidecar = _fake_run(tmp_path)
+    detail = json.loads(sidecar.read_text())
+    assert set(detail["query_ext_cores"]) == set(bench.HEADLINE)
+    assert detail["reran"] == list(bench.HEADLINE)
+    assert detail["midrun_wait_left_sec"] == 0.0
+    # the sidecar is a superset of the stdout line's fields
+    rec = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert detail[k] == rec[k]
+
+
+def test_field_shedding_never_drops_required_fields(tmp_path):
+    # force shedding by shrinking the budget to just above the minimal form
+    orig = bench.STDOUT_LINE_BUDGET
+    times = {name: 12.345 for name in bench.HEADLINE}
+    minimal = len(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": 0.1,
+    }))
+    bench.STDOUT_LINE_BUDGET = minimal + 10
+    try:
+        line, _ = _fake_run(tmp_path)
+    finally:
+        bench.STDOUT_LINE_BUDGET = orig
+    rec = json.loads(line)
+    assert len(line) <= minimal + 10
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in rec
+
+
+def test_prior_round_times_skips_unparsed_rounds(tmp_path):
+    # a round whose parsed is null (r11) must not poison the drift baseline
+    (tmp_path / "BENCH_r98.json").write_text(json.dumps(
+        {"parsed": None, "tail": "truncated..."}))
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"q": 1.5}}}))
+    orig = bench.Path(bench.__file__).resolve().parent
+    # _prior_round_times globs next to bench.py; monkeypatch via symlink dir
+    import unittest.mock as mock
+    with mock.patch.object(bench, "__file__", str(tmp_path / "bench.py")):
+        best = bench._prior_round_times(0.1)
+    assert best == {"q": 1.5}
+    assert orig.exists()
