@@ -24,6 +24,11 @@ import numpy as np
 # (it is format-neutral); re-exported here for the existing importers
 from . import MAX_PIXELS  # noqa: F401
 
+#: frame-retention bound used when decode_gif_frames is called with
+#: neither max_frames nor keep_indices; longer files raise rather than
+#: silently trim (r11 advice)
+DEFAULT_MAX_FRAMES = 256
+
 #: GIF interlace passes: (start row, step)
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -140,16 +145,29 @@ def decode_gif_frames(
     picks) -- while every frame still composites through one reused
     screen buffer, so peak memory is one screen plus the kept copies,
     never n_frames x frame_size (a 100-frame GIF near the MAX_PIXELS cap
-    would otherwise hold gigabytes)."""
+    would otherwise hold gigabytes). With neither argument, files up to
+    ``DEFAULT_MAX_FRAMES`` frames decode fully and longer files raise
+    ``ValueError`` (never a silent trim) -- pass a bound explicitly for
+    those."""
     if keep_indices is not None:
         keep = keep_indices
     elif max_frames is None:
         # a bounded DEFAULT (r11 review: the old unlimited default
         # re-enabled the n_frames x frame_size blowup the memory
         # contract above forbids -- a ~10 KB payload with hundreds of
-        # near-cap frames could allocate tens of GB); callers wanting
-        # more pass max_frames explicitly
-        keep = 256
+        # near-cap frames could allocate tens of GB). A file whose frame
+        # count exceeds the default is REFUSED, not silently trimmed
+        # (r11 advice: returning 256 of 300 screens with no signal is a
+        # correctness trap); the count pre-pass is a block walk only --
+        # no LZW, no pixel buffers -- so the refusal costs no decode work
+        _w, _h, n, _s = _decode_frames(payload, keep=set(), count_only=True)
+        if n > DEFAULT_MAX_FRAMES:
+            raise ValueError(
+                f"GIF has {n} frames, over the default retention cap of "
+                f"{DEFAULT_MAX_FRAMES}; pass max_frames or keep_indices "
+                "explicitly to decode it"
+            )
+        keep = DEFAULT_MAX_FRAMES
     else:
         keep = max_frames  # 0 is a real bound, not "unlimited"
     width, height, _n, screens = _decode_frames(payload, keep=keep)

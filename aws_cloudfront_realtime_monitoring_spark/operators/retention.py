@@ -224,6 +224,34 @@ def _acquire_compact_lock(lock: str, partition_dir: str) -> None:
 def _compact_locked(spark, partition_dir, tmp, old, target_file_bytes):
     import glob
 
+    # One-time migration of strandings from PRE-dot-prefix runs whose
+    # sidecars were not hidden (r11 advice: a non-hidden
+    # '<partition>.compact-old' left by an old crashed run may hold the
+    # ONLY copy of the data, and it both went unrepaired and kept
+    # breaking partition discovery until cleaned by hand). Map legacy
+    # names onto today's so the recovery below sees them. A legacy
+    # .compact-old is renamed, never deleted, unless a live partition
+    # proves it is a post-swap duplicate; a legacy .compact-tmp is
+    # untrusted scratch either way.
+    for legacy, current in ((partition_dir + ".compact-tmp", tmp),
+                            (partition_dir + ".compact-old", old)):
+        if not os.path.isdir(legacy):
+            continue
+        if not os.path.exists(current):
+            os.rename(legacy, current)
+        elif legacy.endswith(".compact-tmp") or os.path.isdir(partition_dir):
+            shutil.rmtree(legacy)
+        # else: legacy AND current .compact-old with no live partition --
+        # a double-crash across versions; keep the legacy copy in place
+        # rather than guess which original is authoritative
+    for legacy_lock in (partition_dir + ".compact-lock",
+                        partition_dir + ".compact-lock.guard"):
+        # stale plain files from the old lock spelling; the pid they may
+        # name belongs to a long-dead pre-migration process, and leaving
+        # them breaks discovery of the enclosing date directory
+        if os.path.isfile(legacy_lock):
+            os.unlink(legacy_lock)
+
     # Recover from a crashed prior run (deterministic names make the
     # leftover state identifiable; the lock guarantees it is dead).
     if os.path.isdir(old) and not os.path.isdir(partition_dir):

@@ -193,9 +193,17 @@ def cms_point_estimates(
     ``(key_col, *carry, cms_est)``. Lazy end to end."""
     params = F.broadcast(
         sketch.groupBy().agg(
-            F.first("w").alias("w"),
-            F.first("depth").alias("depth"),
-            F.first("seed").alias("seed"),
+            # an EMPTY sketch (zero-row build input) leaves first() all
+            # NULL, and a NULL depth would null out sequence() and
+            # silently DROP every probe key (r11 advice). Placeholder
+            # params are exactly correct there: with zero sketch rows
+            # every bucket lookup misses and every key estimates 0 --
+            # what an empty stream's frequencies are.
+            F.coalesce(F.first("w"), F.lit(1)).cast("bigint").alias("w"),
+            F.coalesce(F.first("depth"), F.lit(1)).cast("bigint")
+            .alias("depth"),
+            F.coalesce(F.first("seed"), F.lit(0)).cast("bigint")
+            .alias("seed"),
         )
     )
     probes = (

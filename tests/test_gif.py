@@ -391,3 +391,30 @@ def test_gif_frames_beyond_last_kept_are_not_decoded():
     np.testing.assert_array_equal(first[0, 0], pal[0])
     with pytest.raises(ValueError):  # decoding frame 2 surfaces the rot
         decode_gif_frames(blob, keep_indices={1})
+
+def test_gif_default_cap_refuses_rather_than_trims():
+    """decode_gif_frames with neither max_frames nor keep_indices refuses
+    a file longer than DEFAULT_MAX_FRAMES (r11 advice: the old behavior
+    silently returned 256 of N screens); an explicit bound still works,
+    and the refusal happens in the count pre-pass (cheap block walk)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.gif import (
+        DEFAULT_MAX_FRAMES,
+        decode_gif_frames,
+    )
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    one = _frame(np.zeros((1, 1), np.uint8))
+    blob = _make_gif([one] * (DEFAULT_MAX_FRAMES + 1), pal, 1, 1)
+    with pytest.raises(ValueError, match="default retention cap"):
+        decode_gif_frames(blob)
+    # explicit bounds and explicit picks are unaffected
+    _w, _h, screens = decode_gif_frames(blob, max_frames=3)
+    assert len(screens) == 3
+    _w, _h, screens = decode_gif_frames(
+        blob, keep_indices={DEFAULT_MAX_FRAMES}
+    )
+    assert len(screens) == 1
+    # at exactly the cap, the default decodes everything
+    blob_ok = _make_gif([one] * DEFAULT_MAX_FRAMES, pal, 1, 1)
+    _w, _h, screens = decode_gif_frames(blob_ok)
+    assert len(screens) == DEFAULT_MAX_FRAMES

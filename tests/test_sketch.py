@@ -86,3 +86,20 @@ def test_count_min_relation_bounds_vs_exact(spark, sf_dir):
     ghost = spark.range(1).select(F.lit(-987654321).alias("user_id"))
     ghost_est = cms_point_estimates(ghost, "user_id", sk).head()
     assert ghost_est.cms_est <= eps * n_total
+
+
+def test_cms_empty_sketch_estimates_zero_not_vanish(spark):
+    """An empty sketch (zero-row build input) must still yield a cms_est=0
+    row per probe key (r11 advice: all-NULL params nulled sequence() and
+    every probe silently vanished)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.sketch import (
+        cms_point_estimates,
+        count_min_relation,
+    )
+
+    empty = spark.createDataFrame([], "user_id BIGINT")
+    sk = count_min_relation(empty, "user_id", eps=0.01, confidence=0.99)
+    keys = spark.createDataFrame([(7,), (11,)], "user_id BIGINT")
+    got = {r.user_id: r.cms_est
+           for r in cms_point_estimates(keys, "user_id", sk).collect()}
+    assert got == {7: 0, 11: 0}

@@ -1001,3 +1001,38 @@ def test_compact_partition_nested_layout_stays_readable(spark):
         # the full sink (and the date dir) still read + partition-infer
         assert spark.read.parquet(sink).count() == 40
         assert spark.read.parquet(date_dir).count() == 40
+
+
+def test_compact_partition_migrates_legacy_nonhidden_sidecars(spark):
+    """Pre-dot-prefix crash recovery (r11 advice): a NON-hidden
+    '<partition>.compact-old' left by an old crashed run -- possibly the
+    only copy of the data -- is migrated and restored; legacy tmp/lock
+    litter that breaks partition discovery is removed."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        compact_partition,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        part = os.path.join(d, "event_date=2024-01-05")
+        spark.range(40).write.parquet(part)
+        rows = sorted(r.id for r in spark.read.parquet(part).collect())
+        # old-version crash between the two renames: partition absent,
+        # original stranded under the LEGACY (non-hidden) name, plus
+        # legacy tmp/lock litter
+        os.rename(part, part + ".compact-old")
+        os.makedirs(part + ".compact-tmp")
+        for litter in (part + ".compact-lock", part + ".compact-lock.guard"):
+            with open(litter, "w") as f:
+                f.write("0")
+        _nb, n_after = compact_partition(spark, part, target_file_bytes=10**9)
+        assert n_after == 1
+        assert sorted(r.id for r in spark.read.parquet(part).collect()) == rows
+        for leftover in (".compact-old", ".compact-tmp", ".compact-lock",
+                         ".compact-lock.guard"):
+            assert not os.path.exists(part + leftover)
+        # legacy .compact-old NEXT TO a live partition is a post-swap
+        # duplicate: removed, live data untouched
+        os.makedirs(part + ".compact-old")
+        compact_partition(spark, part, target_file_bytes=10**9)
+        assert not os.path.exists(part + ".compact-old")
+        assert sorted(r.id for r in spark.read.parquet(part).collect()) == rows

@@ -258,7 +258,12 @@ def build_scaled_events_orders(spark, base_sf_dir: str, copies: int,
             continue
         table = out_dir / f"{name}.parquet"
         src = os.stat(os.path.join(base_sf_dir, f"{name}.parquet"))
-        stamp = out_dir / f".{name}src-v2-{src.st_size}-{src.st_mtime_ns}"
+        # v3: the id offset changed 1e9 -> 1e6 (r11) AFTER v2 corpora were
+        # materialized; without the version bump an on-disk v2 corpus
+        # (old offsets) would pass the stat check and silently keep
+        # feeding sweeps (the bm25 empty-tf lesson: stale corpora corrupt
+        # cells without erroring)
+        stamp = out_dir / f".{name}src-v3-{src.st_size}-{src.st_mtime_ns}"
         if (table / "_SUCCESS").exists() and stamp.exists():
             continue
         if table.exists():
@@ -267,6 +272,24 @@ def build_scaled_events_orders(spark, base_sf_dir: str, copies: int,
             old_stamp.unlink()
         stamp.touch()
         base = load_table(spark, base_sf_dir, name)
+        # the per-copy offsets below are only collision-free for the
+        # RANGES the sf0.1 base corpus actually has; a larger base dir
+        # passed as base_sf_dir would silently produce colliding
+        # ids/keys across copies and corrupt the measured dedup/stats
+        # semantics (r11 advice) -- verify the assumption, don't trust it
+        mx_id, mx_key = base.agg(F.max(id_col), F.max(key_col)).head()
+        if mx_id is not None and int(mx_id) >= 1_000_000:
+            raise ValueError(
+                f"{name}.{id_col} max {mx_id} >= 1e6: the per-copy id "
+                "offset would collide across copies; use a smaller base "
+                "corpus or raise the offset (and re-check the min_by/"
+                "max_by 2^33 injectivity bound)"
+            )
+        if mx_key is not None and int(mx_key) >= 100_000:
+            raise ValueError(
+                f"{name}.{key_col} max {mx_key} >= 1e5: the per-copy key "
+                "salt would collide across copies"
+            )
         parts = []
         for i in range(copies):
             sel = []
