@@ -14,12 +14,15 @@ libjpeg's jdmaster documents: Adobe present -> its transform byte and
 inverted ink convention; absent -> component-id sniff for 3 channels,
 direct ink CMYK for 4), restart markers, and LOSSLESS predictive coding
 (SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16 bit
-precision scaled to the 8-bit output, exact roundtrip). All color
+precision scaled to the 8-bit output, exact roundtrip), plus
+ARITHMETIC-coded extended sequential frames (SOF9, r12: the T.81
+Annex D QM coder + Annex F statistical model in ``jpeg_arith.py``,
+DAC conditioning, restarts with full statistics reset). All color
 spaces convert to RGB (or stay single-channel grayscale) on output.
-Arithmetic-coded, differential, and hierarchical variants raise
-``ValueError`` (the multimodal layer falls back to Pillow-if-present
-or the documented fake, exactly like the other decoders' unsupported
-profiles).
+Progressive/lossless-arithmetic (SOF10/11), differential, and
+hierarchical variants raise ``ValueError`` (the multimodal layer falls
+back to Pillow-if-present or the documented fake, exactly like the
+other decoders' unsupported profiles).
 
 Structure (ITU-T T.81):
 - markers: SOI, DQT (quant tables), SOF0/SOF2 (dims, components,
@@ -50,6 +53,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from .jpeg_arith import ArithEntropy, parse_dac
 
 #: zigzag order: index i of the scan -> position in the 8x8 block
 _ZIGZAG = np.array([
@@ -162,15 +167,15 @@ def _dc_ssss_max(prec: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decoder for sequential (8/12-bit), progressive (8/12-bit)
-    AND lossless JPEG:
+    """REAL decoder for sequential (8/12-bit, Huffman or arithmetic),
+    progressive (8/12-bit) AND lossless JPEG:
     returns (width, height, pixels[h, w, 1 or 3] uint8 — grayscale or
     RGB; CMYK/YCCK inputs convert to RGB). Raises ``ValueError`` on
-    malformed input or unsupported
-    variants (arithmetic coding, differential, hierarchical) — ONLY
-    ValueError, whatever the corruption (struct/index errors from fuzzed
-    bytes are remapped), so a malformed payload can never kill an
-    executor task instead of taking the documented fallback."""
+    malformed input or unsupported variants (progressive/lossless-
+    arithmetic, differential, hierarchical) — ONLY ValueError, whatever
+    the corruption (struct/index errors from fuzzed bytes are
+    remapped), so a malformed payload can never kill an executor task
+    instead of taking the documented fallback."""
     try:
         return _decode_jpeg(payload)
     except (struct.error, IndexError, TypeError, OverflowError) as exc:
@@ -190,6 +195,11 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     frame = None  # (height, width, [(comp_id, h_samp, v_samp, qt_id)])
     dct_prec = 8  # DCT-mode sample precision (8 or 12, T.81 B.2.2)
     progressive = False
+    # arithmetic (SOF9, r12): QM-coded extended sequential; conditioning
+    # from DAC segments (defaults applied per table in jpeg_arith)
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     prog: _ProgState | None = None
     # multi-scan SEQUENTIAL state (scans covering component subsets of a
     # SOF0/1 frame): reuses the progressive coefficient-accumulator and
@@ -267,11 +277,14 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 table = _Huff(counts, seg[s + 17 : s + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1/2/3/9
             if frame is not None:
                 raise ValueError("multiple JPEG frame headers")
             progressive = marker == 0xC2
             lossless = marker == 0xC3
+            # SOF9 = extended sequential, arithmetic entropy coding:
+            # same frame semantics as SOF1, QM-coded scans (r12)
+            arith = marker == 0xC9
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if lossless:
                 # T.81 B.2.2: lossless precision is 2-16 bits
@@ -310,10 +323,16 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 prog = _ProgState(h, w, comps, dct_prec)
             if lossless:
                 loss = _LosslessState(h, w, comps, prec)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
+            # sequential-arithmetic (SOF9) decodes for real since r12;
+            # progressive/lossless-arithmetic and the differential/
+            # hierarchical modes remain on the documented fallback
             raise ValueError(
-                "differential/arithmetic/hierarchical JPEG unsupported")
+                "differential/hierarchical/progressive-arithmetic "
+                "JPEG unsupported")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            parse_dac(seg, dc_cond, ac_cond)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
@@ -350,6 +369,36 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 pos = _decode_lossless_scan(
                     payload, pos + 2 + seg_len, loss, scan_comps,
                     scan_tables, huff_dc, restart_interval, pred_sel, pt,
+                )
+                continue
+            if arith:
+                for cid in scan_comps:
+                    if scan_tables[cid][0] > 3 or scan_tables[cid][1] > 3:
+                        raise ValueError(
+                            "JPEG arithmetic conditioning table id > 3")
+                if seq is None and set(scan_comps) == {
+                    c[0] for c in frame[2]
+                }:
+                    # single-scan arithmetic file (the common case)
+                    return _decode_arith_scan(
+                        payload, pos + 2 + seg_len, frame, scan_tables,
+                        qt, dc_cond, ac_cond, restart_interval,
+                        _resolve_color(frame[2], adobe), dct_prec,
+                    )
+                # multi-scan sequential arithmetic: accumulate like the
+                # Huffman multi-scan path and finalize at EOI
+                if seq is None:
+                    seq = _ProgState(*frame, dct_prec)
+                for cid in scan_comps:
+                    if cid in seq_done:
+                        raise ValueError(
+                            "JPEG component delivered by two sequential "
+                            "scans"
+                        )
+                    seq_done.add(cid)
+                pos = _decode_arith_sequential_scan(
+                    payload, pos + 2 + seg_len, seq, scan_comps,
+                    scan_tables, dc_cond, ac_cond, restart_interval,
                 )
                 continue
             if not progressive:
@@ -1082,3 +1131,121 @@ def _decode_block(br, dc_t, ac_t, q, pred, cid, prec=8) -> np.ndarray:
     block = np.zeros(64, np.int64)
     block[_ZIGZAG] = coef.astype(np.int64) * q
     return _idct2(block.reshape(8, 8))
+
+
+# ------------------------------------------------- arithmetic (SOF9)
+
+def _expect_arith_rst(data: bytes, ent: ArithEntropy) -> int:
+    """Locate and consume the restart marker terminating the current
+    arithmetic entropy segment; returns the byte position AFTER it.
+    Unlike the Huffman path there is no bit buffer to align: the QM
+    decoder stops feeding at the first marker (or may not have consumed
+    up to it -- the encoder's flush padding is legal residue), so scan
+    forward past stuffed/fill bytes to the next true marker."""
+    p = ent.dec.marker_pos
+    if p is None:
+        p = ent.dec.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF)
+    ):
+        p += 1
+    if p + 1 >= len(data) or not (0xD0 <= data[p + 1] <= 0xD7):
+        raise ValueError("expected JPEG restart marker")
+    return p + 2
+
+
+def _decode_arith_scan(data, pos, frame, scan_tables, qt, dc_cond, ac_cond,
+                       restart_interval, color, prec=8):
+    """Single-scan arithmetic (SOF9) frame: mirror of ``_decode_scan``
+    with the QM entropy layer in place of Huffman tables. A restart
+    boundary discards the WHOLE entropy state -- decoder registers,
+    every statistics area, DC predictions and conditioning contexts
+    (T.81 F.2.1.3.1) -- by constructing a fresh ``ArithEntropy``."""
+    h, w, comps = frame
+    if h <= 0 or w <= 0:
+        raise ValueError("degenerate JPEG dimensions")
+    from .gif import MAX_PIXELS
+
+    if h * w > MAX_PIXELS:
+        raise ValueError("JPEG dimensions exceed the decode cap")
+    if len(comps) == 1:
+        # same non-interleaved single-component rule as _decode_scan
+        cid0, _hs0, _vs0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hs, vs, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8))
+    ent = ArithEntropy(data, pos, dc_cond, ac_cond)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                nxt = _expect_arith_rst(data, ent)
+                ent = ArithEntropy(data, nxt, dc_cond, ac_cond)
+            for cid, hs, vs, tq in comps:
+                try:
+                    q = qt[tq]
+                except KeyError as exc:
+                    raise ValueError(
+                        "JPEG references missing table") from exc
+                dc_tid, ac_tid = scan_tables[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = ent.data_unit(cid, dc_tid, ac_tid, prec)
+                        block = np.zeros(64, np.int64)
+                        block[_ZIGZAG] = zz * q
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = _idct2(
+                            block.reshape(8, 8))
+            mcu_count += 1
+    return _assemble(planes, comps, h, w, hmax, vmax, color, prec)
+
+
+def _decode_arith_sequential_scan(data, pos, seq, scan_comps, scan_tables,
+                                  dc_cond, ac_cond,
+                                  restart_interval) -> int:
+    """One scan of a MULTI-SCAN arithmetic sequential file: mirror of
+    ``_decode_sequential_scan`` storing zigzag coefficients into the
+    shared state for the common finalize. Returns the byte position of
+    the next marker."""
+    seq.n_scans += 1
+    if seq.n_scans > _PROG_MAX_SCANS:
+        raise ValueError("too many JPEG scans")
+    comps = [c for c in seq.comps if c[0] in scan_comps]
+    if len(comps) != len(scan_comps):
+        raise ValueError("JPEG scan references unknown component")
+    ent = ArithEntropy(data, pos, dc_cond, ac_cond)
+
+    def restart() -> ArithEntropy:
+        return ArithEntropy(
+            data, _expect_arith_rst(data, ent), dc_cond, ac_cond)
+
+    if len(comps) > 1:  # interleaved subset: frame MCU order
+        for u in range(seq.mcus_y * seq.mcus_x):
+            if restart_interval and u and u % restart_interval == 0:
+                ent = restart()
+            my, mx = divmod(u, seq.mcus_x)
+            for cid, hs, vs, _tq in comps:
+                dc_tid, ac_tid = scan_tables[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        seq.coefs[cid][my * vs + by, mx * hs + bx][:] = (
+                            ent.data_unit(cid, dc_tid, ac_tid, seq.prec))
+    else:  # single component: non-interleaved, true component grid
+        cid, _hs, _vs, _tq = comps[0]
+        dc_tid, ac_tid = scan_tables[cid]
+        nby, nbx = seq.nblocks[cid]
+        for u in range(nby * nbx):
+            if restart_interval and u and u % restart_interval == 0:
+                ent = restart()
+            by, bx = divmod(u, nbx)
+            seq.coefs[cid][by, bx][:] = ent.data_unit(
+                cid, dc_tid, ac_tid, seq.prec)
+    p = ent.dec.marker_pos
+    return _skip_to_marker(data, ent.dec.pos if p is None else p)

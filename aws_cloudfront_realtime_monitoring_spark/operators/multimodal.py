@@ -348,10 +348,11 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
             }
         except ValueError:
             # SOI-prefixed but malformed / outside the decodable profile
-            # (arithmetic-coded, differential, hierarchical -- 8/12-bit
-            # sequential + progressive, multi-scan, lossless, and
-            # CMYK/YCCK all decode for real): fall through to PIL/fake,
-            # strict raises
+            # (differential, hierarchical, progressive/lossless-
+            # arithmetic -- 8/12-bit sequential incl. SOF9 arithmetic
+            # (r12), progressive, multi-scan, lossless, and CMYK/YCCK
+            # all decode for real): fall through to PIL/fake, strict
+            # raises
             if strict:
                 raise
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
