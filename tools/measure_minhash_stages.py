@@ -166,6 +166,13 @@ def main() -> None:
     results: dict[str, dict] = {}
     for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
                           (f"~sf{args.copies / 10:g}", scaled_dir)):
+        # re-gate per cell: the corpus build + the earlier cell run for
+        # minutes, so the start-of-process gate says nothing about the
+        # box by the time a later cell is timed (r12 review)
+        load, flagged = _wait_for_quiet_box()
+        if flagged:
+            print(f"# {label}: box never went quiet (load {load:.2f}) -- "
+                  "cell is suspect", file=sys.stderr)
         register_views(spark, sf_dir)
         # untimed warm-up (JIT: cold 7.6 s vs warm 1.0 s at sf0.1)
         _full_pass(spark, minhash_sigs_stmt(), minhash_pairs_stmt)
@@ -177,14 +184,29 @@ def main() -> None:
         }
         stages["raw_pairs"] = stage_runs[0]["raw_pairs"]
         stages["cand_pairs"] = stage_runs[0]["cand_pairs"]
-        stages["full_int64"] = min(
-            _full_pass(spark, minhash_sigs_stmt(), minhash_pairs_stmt)
-            for _ in range(args.runs)
-        )
-        stages["full_md5"] = min(
-            _full_pass(spark, _md5_sigs_stmt(), _md5_pairs_stmt)
-            for _ in range(args.runs)
-        )
+        # INTERLEAVE the int64/md5 comparator runs: session state
+        # (accumulated never-unpersisted localCheckpoint blocks) drifts
+        # monotonically, so running all int64 passes before all md5
+        # passes would confound the headline comparison with
+        # measurement order (r12 review)
+        int64_runs: list[float] = []
+        md5_runs: list[float] = []
+        for _ in range(args.runs):
+            int64_runs.append(
+                _full_pass(spark, minhash_sigs_stmt(), minhash_pairs_stmt))
+            md5_runs.append(
+                _full_pass(spark, _md5_sigs_stmt(), _md5_pairs_stmt))
+        # per-run raw timings: a neighbor burst mid-cell must be
+        # detectable post-hoc (r12 review)
+        for k in ("sig", "bandjoin", "distinct", "verify"):
+            print(f"# {label} {k} runs: "
+                  f"{[round(r[k], 2) for r in stage_runs]}", file=sys.stderr)
+        print(f"# {label} full int64 runs: "
+              f"{[round(t, 2) for t in int64_runs]}", file=sys.stderr)
+        print(f"# {label} full md5 runs: "
+              f"{[round(t, 2) for t in md5_runs]}", file=sys.stderr)
+        stages["full_int64"] = min(int64_runs)
+        stages["full_md5"] = min(md5_runs)
         results[label] = stages
         print(f"# {label}: {stages}", file=sys.stderr)
 
