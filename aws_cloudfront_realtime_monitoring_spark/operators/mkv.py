@@ -188,7 +188,18 @@ def parse_webm_meta(payload: bytes) -> dict:
             raise ValueError("not an EBML payload")
         w = _Walk()
         _walk(w, payload, 0, len(payload), 0, False, False)
-        dur_ms = int(w.duration_ticks * w.tscale / 1e6)
+        ticks = w.duration_ticks
+        if not 0.0 <= ticks < 9e18:
+            # crafted Duration floats (NaN, +-inf, negatives, 1e300)
+            # must not kill the record: int(NaN) raises OUTSIDE the
+            # executor contract's except list, and a huge-but-finite
+            # value overflows the int64 column that materializes
+            # duration_ms downstream. Garbage -> the honest 0. (NaN
+            # fails every comparison, so it lands here too.)
+            ticks = 0.0
+        dur_ms = int(ticks * w.tscale / 1e6)
+        if dur_ms >= (1 << 62):  # finite ticks x huge tscale
+            dur_ms = 0
         return {
             "width": w.width,
             "height": w.height,

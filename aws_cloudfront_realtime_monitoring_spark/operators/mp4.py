@@ -243,6 +243,14 @@ def parse_mp4_meta(payload: bytes) -> dict:
         dur_ms = 0
         if w.timescale:
             dur_ms = w.duration * 1000 // w.timescale
+        if not 0 <= dur_ms < (1 << 62):
+            # a crafted u64 duration with timescale 1 yields ~1.8e22 ms
+            # -- past int64, which would blow up ONLY downstream when a
+            # LongType column materializes it (an executor-task crash
+            # escaping the ValueError-only contract at a layer this
+            # parser cannot see). Garbage duration -> the honest 0,
+            # like the unknown-duration sentinel (r12 fuzz review).
+            dur_ms = 0
         return {
             "width": w.width,
             "height": w.height,
