@@ -1,0 +1,178 @@
+"""Deterministic spec-written media payload synthesis — the media
+analog of the CloudFront wire-format synth side (sources/cf_logs.py's
+``to_wire_line``): given a doc_id, build a REAL container payload whose
+metadata fields are pure arithmetic over the id.
+
+Purpose: the container/audio metadata parsers (operators/{mp4,mkv,
+audio}.py) are golden-tested in pytest, but the registry's oracle
+discipline wants a Spark-vs-DuckDB hash check — which needs payloads
+whose EXPECTED metadata an ANSI-SQL oracle can recompute without
+parsing bytes. These builders derive every field from doc_id with the
+formulas below; plans/multimodal.py's ``container_audio_meta`` row runs
+the payloads through the production decode surfaces and the oracle
+mirrors the same arithmetic (r11 verdict task #4).
+
+Formulas (shared with the oracle SQL — change BOTH or the hash check
+fails, which is the point):
+
+- kind        = doc_id % 4: 0 = MP4, 1 = WebM, 2 = FLAC, 3 = MP3
+- video w/h   = doc_id % 320 + 16 / doc_id % 240 + 16
+- mp4 frames  = doc_id % 50 + 1 (stsz sample count)
+- flac rate   = 8000 + (doc_id % 5) * 8000, channels = doc_id % 2 + 1,
+  samples     = (doc_id % 1000 + 1) * 100
+- mp3 rate    = (44100, 48000, 32000)[doc_id % 3] (header sr index),
+  mono        = doc_id % 2 == 1, Xing frames = doc_id % 200 + 1
+  (n_samples = frames * 1152, MPEG1 Layer III)
+
+Byte layouts follow the public specs: ISO/IEC 14496-12 box structure,
+RFC 8794 EBML + the Matroska element registry, the FLAC format spec's
+METADATA_BLOCK_STREAMINFO, and ISO 11172-3 frame headers with the
+community-standard Xing VBR tag. They are written HERE, independently
+of the parsers that will read them (the same independence contract the
+test-suite golden builders follow).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+# ------------------------------------------------------------ ISO-BMFF
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, body: bytes) -> bytes:
+    return _box(btype, b"\x00\x00\x00\x00" + body)  # version 0, flags 0
+
+
+def mp4_payload(doc_id: int) -> bytes:
+    """Minimal ISO-BMFF movie: ftyp + moov(mvhd, trak(tkhd, mdia(hdlr,
+    minf(stbl(stsd visual entry, stsz))))); timescale 1000 so mvhd
+    duration ticks ARE milliseconds."""
+    w = doc_id % 320 + 16
+    h = doc_id % 240 + 16
+    frames = doc_id % 50 + 1
+    dur_ms = doc_id % 9000 + 1000
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp42")
+    mvhd = _full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, dur_ms)
+                 + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                 + b"\x00" * 8 + b"\x00" * 36 + b"\x00" * 24
+                 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", struct.pack(">III", 0, 0, 1) + b"\x00" * 4
+                 + struct.pack(">I", 0) + b"\x00" * 8
+                 + struct.pack(">HHHH", 0, 0, 0, 0) + b"\x00" * 36
+                 + struct.pack(">II", w << 16, h << 16))
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"\x00")
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)            # SampleEntry
+             + struct.pack(">HH", 0, 0) + b"\x00" * 12     # pre_defined
+             + struct.pack(">HH", w, h)                    # coded dims
+             + b"\x00" * 50)                               # rest of VSE
+    stsd = _full(b"stsd", struct.pack(">I", 1)
+                 + struct.pack(">I", 8 + len(entry)) + b"av01" + entry)
+    stsz = _full(b"stsz", struct.pack(">II", 0, frames))
+    stbl = _box(b"stbl", stsd + stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    return ftyp + _box(b"moov", mvhd + trak)
+
+
+# ---------------------------------------------------------------- EBML
+
+def _vint(value: int) -> bytes:
+    n = 1
+    while value >= (1 << (7 * n)) - 1:
+        n += 1
+    return ((1 << (7 * n)) | value).to_bytes(n, "big")
+
+
+def _el(stored_id: int, body: bytes) -> bytes:
+    eid = stored_id.to_bytes((stored_id.bit_length() + 7) // 8, "big")
+    return eid + _vint(len(body)) + body
+
+
+def _uint_el(stored_id: int, v: int) -> bytes:
+    return _el(stored_id, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def webm_payload(doc_id: int) -> bytes:
+    """Minimal WebM: EBML header (DocType webm) + Segment(Info(
+    TimestampScale 1e6 ns = 1 ms ticks, Duration float) + Tracks(
+    TrackEntry(TrackType video, CodecID, Video(PixelWidth/Height))))."""
+    w = doc_id % 320 + 16
+    h = doc_id % 240 + 16
+    dur_ms = doc_id % 9000 + 1000
+    header = _el(0x1A45DFA3, _el(0x4282, b"webm"))
+    info = (_uint_el(0x2AD7B1, 1_000_000)
+            + _el(0x4489, struct.pack(">d", float(dur_ms))))
+    video = _uint_el(0xB0, w) + _uint_el(0xBA, h)
+    track = _el(0xAE, _uint_el(0x83, 1) + _el(0x86, b"V_VP9")
+                + _el(0xE0, video))
+    seg = _el(0x18538067, _el(0x1549A966, info)
+              + _el(0x1654AE6B, track))
+    return header + seg
+
+
+# ---------------------------------------------------------------- FLAC
+
+def flac_payload(doc_id: int) -> bytes:
+    """fLaC magic + the mandatory STREAMINFO block: min/max block +
+    frame sizes, then rate(20) | channels-1(3) | bps-1(5) | total(36)
+    packed big-endian, then the 16-byte (here zero) MD5."""
+    rate = 8000 + (doc_id % 5) * 8000
+    channels = doc_id % 2 + 1
+    n_samples = (doc_id % 1000 + 1) * 100
+    packed = (rate << 44) | ((channels - 1) << 41) | (15 << 36) | n_samples
+    streaminfo = (struct.pack(">HH", 4096, 4096) + b"\x00\x00\x10" * 2
+                  + packed.to_bytes(8, "big") + b"\x00" * 16)
+    assert len(streaminfo) == 34
+    return b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") \
+        + streaminfo
+
+
+# ----------------------------------------------------------------- MP3
+
+_MP3_SR_TABLE = (44100, 48000, 32000)
+
+
+def mp3_payload(doc_id: int) -> bytes:
+    """One MPEG1 Layer III frame header (no CRC, bitrate index 9 =
+    128 kbps) + zeroed side info + a Xing tag carrying the frame
+    count, so the parser's duration is exact rather than the CBR
+    estimate."""
+    sr_idx = doc_id % 3
+    mono = doc_id % 2 == 1
+    frames = doc_id % 200 + 1
+    h1 = 0xFB                      # MPEG1, Layer III, no CRC
+    h2 = (9 << 4) | (sr_idx << 2)  # 128 kbps, sample-rate index
+    h3 = 0xC0 if mono else 0x00    # channel mode
+    side = 17 if mono else 32
+    return (bytes([0xFF, h1, h2, h3]) + b"\x00" * side
+            + b"Xing" + struct.pack(">II", 0x1, frames)
+            + b"\x00" * 64)
+
+
+def attach_media_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): synthesize one container payload per
+    document, format chosen by doc_id % 4 per the module formulas. A
+    narrow Arrow-batched map — the same shape as attach_payload, with
+    real container bytes instead of text stand-ins."""
+    builders = (mp4_payload, webm_payload, flac_payload, mp3_payload)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"] if not pd.isna(i)]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [builders[i % 4](i) for i in ids],
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY")

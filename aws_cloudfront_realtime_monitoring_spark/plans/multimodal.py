@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.audio import audio_feature_batches
+from ..operators.media_synth import attach_media_payload
 from ..operators.multimodal import (
     attach_payload,
     decode_batches,
@@ -68,3 +70,95 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bytes", "width", "height", "n_frames", "fmt",
         F.array_join(frame_offset_expr(4), ";").alias("offsets_str"),
     )
+
+
+# ------------------------------------------- container/audio metadata
+#
+# r12 (verdict task #4): the MP4/WebM/FLAC/MP3 parsers were pytest-only;
+# this demoted row promotes them to the Spark-vs-DuckDB hash discipline.
+# operators/media_synth.py builds REAL spec-layout payloads whose every
+# metadata field is arithmetic over doc_id, so the DuckDB oracle can
+# recompute the expected values without parsing a byte. The payloads
+# flow through the PRODUCTION decode surfaces (decode_batches for the
+# video containers, audio_feature_batches for the audio ones), so what
+# the row verifies is the real executor path: synthesis map ->
+# signature dispatch -> parser -> declared Arrow schema.
+
+@register(
+    "container_audio_meta",
+    oracle="""
+    WITH ids AS (SELECT doc_id, doc_id % 4 AS kind FROM documents),
+    vid AS (
+      SELECT doc_id,
+             CASE kind WHEN 0 THEN 'mp4' ELSE 'webm' END AS fmt,
+             doc_id % 320 + 16 AS width,
+             doc_id % 240 + 16 AS height,
+             CASE kind WHEN 0 THEN doc_id % 50 + 1 ELSE 0 END AS n_frames,
+             NULL AS sample_rate, NULL AS n_channels, NULL AS n_samples,
+             NULL AS duration_ms
+      FROM ids WHERE kind IN (0, 1)),
+    flac AS (
+      SELECT doc_id, 'flac' AS fmt,
+             NULL AS width, NULL AS height, NULL AS n_frames,
+             8000 + (doc_id % 5) * 8000 AS sample_rate,
+             doc_id % 2 + 1 AS n_channels,
+             (doc_id % 1000 + 1) * 100 AS n_samples,
+             ((doc_id % 1000 + 1) * 100 * 1000)
+               // (8000 + (doc_id % 5) * 8000) AS duration_ms
+      FROM ids WHERE kind = 2),
+    mp3 AS (
+      SELECT doc_id, 'mp3' AS fmt,
+             NULL AS width, NULL AS height, NULL AS n_frames,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                             ELSE 32000 END AS sample_rate,
+             CASE doc_id % 2 WHEN 1 THEN 1 ELSE 2 END AS n_channels,
+             (doc_id % 200 + 1) * 1152 AS n_samples,
+             ((doc_id % 200 + 1) * 1152 * 1000)
+               // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                   ELSE 32000 END) AS duration_ms
+      FROM ids WHERE kind = 3)
+    SELECT doc_id, fmt, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_channels AS BIGINT) AS n_channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(duration_ms AS BIGINT) AS duration_ms
+    FROM (SELECT * FROM vid UNION ALL SELECT * FROM flac
+          UNION ALL SELECT * FROM mp3)
+    """,
+    description="Container/audio metadata through the production decode "
+                "surfaces: deterministic spec-layout MP4/WebM/FLAC/MP3 "
+                "payloads (media_synth, every field arithmetic over "
+                "doc_id) -> signature dispatch -> mp4/mkv/audio parsers "
+                "-> typed Arrow schema; the oracle recomputes the "
+                "expected metadata from the same formulas. Promotes the "
+                "r11 parsers from pytest-only to the hash discipline.",
+    tags=("multimodal", "pandas-udf", "container"),
+    driver_slot=False,
+)
+def container_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = attach_media_payload(docs)
+    nul = F.lit(None).cast("bigint")
+    vids = decode_batches(
+        payloads.filter(F.col("doc_id") % 4 < 2)
+    ).select(
+        "doc_id", "fmt",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        nul.alias("sample_rate"), nul.alias("n_channels"),
+        nul.alias("n_samples"), nul.alias("duration_ms"),
+    )
+    auds = audio_feature_batches(
+        payloads.filter(F.col("doc_id") % 4 >= 2), skip_invalid=False
+    ).select(
+        "doc_id", "fmt",
+        nul.alias("width"), nul.alias("height"), nul.alias("n_frames"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+    )
+    return vids.unionByName(auds)

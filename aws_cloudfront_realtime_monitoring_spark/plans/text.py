@@ -575,15 +575,52 @@ BM25_QUERIES = [
 ]
 
 
-def _bm25_sql(split_expr: str, values_clause: str,
-              dl_rel: str | None = None) -> str:
-    """One BM25 statement, shared by both engines: only the word-split
-    spelling and the VALUES syntax differ. Every scoring literal is CAST
-    to DOUBLE explicitly (DuckDB parses bare 1.2 as DECIMAL, which would
-    change intermediate types and rounding vs Spark); the per-term score
-    is quantized to micro-units BEFORE the per-doc sum, so the final
-    score is an exact BIGINT -- summation-order-free across engines and
-    partitionings (the text_tfidf_topk discipline)."""
+def bm25_split_expr(dialect: str) -> str:
+    """THE tokenizer spelling per engine -- the one fragment every BM25
+    consumer (builder, oracle, stage-measurement tool) must share."""
+    if dialect == "duck":
+        return ("unnest(list_filter(regexp_split_to_array(lower(text), "
+                f"'{WS_RE_DUCK}'), w -> w <> ''))")
+    return (f"explode(filter(split(lower(text), '{WS_RE_SPARK_SQL}'), "
+            "w -> w != ''))")
+
+
+def bm25_dl_select(split_expr: str) -> str:
+    """Standalone per-doc token-length statement (stage 1): the exact
+    statement the builder checkpoints AND the one
+    tools/measure_bm25_stages.py times (r12 review: the tool carried a
+    hand copy of every stage, which a scoring tweak would silently
+    desynchronize)."""
+    return (
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl"
+        f" FROM (SELECT doc_id, {split_expr} AS term FROM documents)"
+        " GROUP BY doc_id"
+    )
+
+
+def bm25_tf_select(split_expr: str, values_clause: str) -> str:
+    """Standalone query-term tf statement (stage 2)."""
+    return (
+        f"WITH toks AS (SELECT doc_id, {split_expr} AS term FROM documents),"
+        f" q AS ({values_clause})"
+        " SELECT t.doc_id, q.query_id, t.term,"
+        " CAST(COUNT(*) AS BIGINT) AS tf"
+        " FROM toks t JOIN q ON t.term = q.term"
+        " GROUP BY t.doc_id, q.query_id, t.term"
+    )
+
+
+def bm25_score_ctes(dl_rel: str = "dl", tf_rel: str = "tf") -> str:
+    """The scoring tail (stage 3) as a CTE-list fragment + final SELECT,
+    reading document lengths from ``dl_rel`` and term frequencies from
+    ``tf_rel``: `_bm25_sql` composes it after its dl/tf CTEs; the
+    measurement tool prefixes ``WITH `` and points it at materialized
+    stage views. Every scoring literal is CAST to DOUBLE explicitly
+    (DuckDB parses bare 1.2 as DECIMAL, which would change intermediate
+    types and rounding vs Spark); the per-term score is quantized to
+    micro-units BEFORE the per-doc sum, so the final score is an exact
+    BIGINT -- summation-order-free across engines and partitionings
+    (the text_tfidf_topk discipline)."""
     half = "CAST(0.5 AS DOUBLE)"
     one = "CAST(1.0 AS DOUBLE)"
     term_score = (
@@ -591,37 +628,17 @@ def _bm25_sql(split_expr: str, values_clause: str,
         f" * (tf * ({BM25_K1} + {one}))"
         f" / (tf + {BM25_K1} * ({one} - {BM25_B} + {BM25_B} * dl / (total / n_docs)))"
     )
-    # dl_rel: a pre-materialized (doc_id, dl) relation. Without it the
-    # dl CTE inlines into every reference and the corpus is re-scanned
-    # per consumer (audit: 4 scans); the Spark builder passes a
-    # checkpointed view so the plan scans the corpus exactly twice
-    # (once for lengths, once for the query-term tf).
-    dl_cte = (
-        f"dl AS (SELECT * FROM {dl_rel})"
-        if dl_rel
-        else "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl"
-             " FROM toks GROUP BY doc_id)"
-    )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, {split_expr} AS term FROM documents),
-    {dl_cte},
-    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-                     CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
-    q AS ({values_clause}),
-    tf AS (
-      SELECT t.doc_id, q.query_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM toks t JOIN q ON t.term = q.term
-      GROUP BY t.doc_id, q.query_id, t.term),
+    return f"""stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) AS total FROM {dl_rel}),
     dfr AS (
       SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS df
-      FROM tf GROUP BY query_id, term),
+      FROM {tf_rel} GROUP BY query_id, term),
     scored AS (
       SELECT tf.doc_id, tf.query_id,
              CAST(floor(({term_score}) * 1e6 + {half}) AS BIGINT) AS s_micro
-      FROM tf
+      FROM {tf_rel} tf
       JOIN dfr ON dfr.query_id = tf.query_id AND dfr.term = tf.term
-      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN {dl_rel} dl ON dl.doc_id = tf.doc_id
       CROSS JOIN stats),
     agg AS (
       SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
@@ -637,6 +654,27 @@ def _bm25_sql(split_expr: str, values_clause: str,
     """
 
 
+def _bm25_sql(split_expr: str, values_clause: str,
+              dl_rel: str | None = None) -> str:
+    """One BM25 statement, shared by both engines: only the word-split
+    spelling and the VALUES syntax differ. Composed from the stage
+    statements above so the measurement tool times the exact SQL the
+    registry row runs.
+
+    dl_rel: a pre-materialized (doc_id, dl) relation. Without it the
+    dl CTE inlines into every reference and the corpus is re-scanned
+    per consumer (audit: 4 scans); the Spark builder passes a
+    checkpointed view so the plan scans the corpus exactly twice
+    (once for lengths, once for the query-term tf)."""
+    dl_sub = f"SELECT * FROM {dl_rel}" if dl_rel else bm25_dl_select(
+        split_expr)
+    return f"""
+    WITH dl AS ({dl_sub}),
+    tf AS ({bm25_tf_select(split_expr, values_clause)}),
+    {bm25_score_ctes()}
+    """
+
+
 def _bm25_values(dialect: str) -> str:
     rows = ", ".join(
         f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
@@ -648,11 +686,7 @@ def _bm25_values(dialect: str) -> str:
 
 @register(
     "bm25_topk",
-    oracle=_bm25_sql(
-        "unnest(list_filter(regexp_split_to_array(lower(text), "
-        f"'{WS_RE_DUCK}'), w -> w <> ''))",
-        _bm25_values("duck"),
-    ),
+    oracle=_bm25_sql(bm25_split_expr("duck"), _bm25_values("duck")),
     description=f"Okapi BM25 ranked retrieval, top-{BM25_TOPK} documents "
                 f"per probe query (k1=1.2, b=0.75): the retrieval stage a "
                 "curation pipeline uses to mine examples at scale. The "
@@ -675,15 +709,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir)
-    split_expr = (
-        f"explode(filter(split(lower(text), '{WS_RE_SPARK_SQL}'), "
-        "w -> w != ''))"
-    )
-    dl = spark.sql(f"""
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-        FROM (SELECT doc_id, {split_expr} AS term FROM documents)
-        GROUP BY doc_id
-    """).localCheckpoint(eager=False)
+    split_expr = bm25_split_expr("spark")
+    dl = spark.sql(bm25_dl_select(split_expr)).localCheckpoint(eager=False)
     dl.createOrReplaceTempView("bm25_dl_tmp")
     return spark.sql(
         _bm25_sql(split_expr, _bm25_values("spark"), dl_rel="bm25_dl_tmp")

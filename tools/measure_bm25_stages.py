@@ -54,67 +54,31 @@ def _values_clause(copies: int | None) -> str:
 
 
 def _stage_pass(spark, qcopies: int | None) -> dict[str, float]:
+    # the stage statements come FROM the plan module, so this tool times
+    # the exact SQL the registry row composes (r12 review: a hand copy
+    # here would silently desynchronize on any scoring tweak)
     from aws_cloudfront_realtime_monitoring_spark.plans.text import (
-        BM25_B, BM25_K1, BM25_TOPK, WS_RE_SPARK_SQL)
+        bm25_dl_select, bm25_score_ctes, bm25_split_expr, bm25_tf_select)
 
-    split_expr = (
-        f"explode(filter(split(lower(text), '{WS_RE_SPARK_SQL}'), "
-        "w -> w != ''))"
-    )
+    split_expr = bm25_split_expr("spark")
     out: dict[str, float] = {}
 
     t0 = time.time()
-    dl = spark.sql(f"""
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-        FROM (SELECT doc_id, {split_expr} AS term FROM documents)
-        GROUP BY doc_id
-    """).localCheckpoint(eager=True)
+    dl = spark.sql(bm25_dl_select(split_expr)).localCheckpoint(eager=True)
     out["dl"] = time.time() - t0
     dl.createOrReplaceTempView("bm25_stage_dl")
 
     t0 = time.time()
-    tf = spark.sql(f"""
-        WITH toks AS (SELECT doc_id, {split_expr} AS term FROM documents),
-        q AS ({_values_clause(qcopies)})
-        SELECT t.doc_id, q.query_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM toks t JOIN q ON t.term = q.term
-        GROUP BY t.doc_id, q.query_id, t.term
-    """).localCheckpoint(eager=True)
+    tf = spark.sql(
+        bm25_tf_select(split_expr, _values_clause(qcopies))
+    ).localCheckpoint(eager=True)
     out["tf"] = time.time() - t0
     tf.createOrReplaceTempView("bm25_stage_tf")
 
-    half = "CAST(0.5 AS DOUBLE)"
-    one = "CAST(1.0 AS DOUBLE)"
-    term_score = (
-        f"ln((n_docs - df + {half}) / (df + {half}) + {one})"
-        f" * (tf * ({BM25_K1} + {one}))"
-        f" / (tf + {BM25_K1} * ({one} - {BM25_B} + {BM25_B} * dl / (total / n_docs)))"
-    )
     t0 = time.time()
-    _noop(spark.sql(f"""
-        WITH stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-                              CAST(SUM(dl) AS DOUBLE) AS total
-                       FROM bm25_stage_dl),
-        dfr AS (SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS df
-                FROM bm25_stage_tf GROUP BY query_id, term),
-        scored AS (
-          SELECT tf.doc_id, tf.query_id,
-                 CAST(floor(({term_score}) * 1e6 + {half}) AS BIGINT) AS s_micro
-          FROM bm25_stage_tf tf
-          JOIN dfr ON dfr.query_id = tf.query_id AND dfr.term = tf.term
-          JOIN bm25_stage_dl dl ON dl.doc_id = tf.doc_id
-          CROSS JOIN stats),
-        agg AS (SELECT query_id, doc_id,
-                       CAST(SUM(s_micro) AS BIGINT) AS score_micro
-                FROM scored GROUP BY query_id, doc_id),
-        ranked AS (SELECT query_id, doc_id, score_micro,
-                          CAST(ROW_NUMBER() OVER (
-                            PARTITION BY query_id
-                            ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
-                   FROM agg)
-        SELECT query_id, doc_id, score_micro, rnk
-        FROM ranked WHERE rnk <= {BM25_TOPK}
-    """))
+    _noop(spark.sql(
+        "WITH " + bm25_score_ctes("bm25_stage_dl", "bm25_stage_tf")
+    ))
     out["score"] = time.time() - t0
     out["tf_rows"] = float(tf.count())
     return out
