@@ -361,6 +361,14 @@ class ArithEntropy:
                         v |= mm
                     mm >>= 1
             v += 1
+            # precision-dependent magnitude cap: the arithmetic twin of
+            # the Huffman path's `s > _dc_ssss_max(prec)` check (T.81
+            # tables F.1/F.6: |diff| < 2^11 at 8-bit, 2^15 at 12-bit).
+            # Without it a crafted stream decodes out-of-spec
+            # coefficients into garbage pixels that strict mode would
+            # report as a valid decode (r12 review).
+            if v >= 1 << (11 if prec == 8 else 15):
+                raise ValueError("invalid JPEG arithmetic DC magnitude")
             self.pred[cid] = self.pred.get(cid, 0) + (-v if sign else v)
         dc = self.pred.setdefault(cid, 0)
         if not -(1 << 26) <= dc <= (1 << 26):

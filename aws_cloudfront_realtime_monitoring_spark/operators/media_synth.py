@@ -68,6 +68,12 @@ def mp4_payload(doc_id: int) -> bytes:
                  + struct.pack(">I", 0) + b"\x00" * 8
                  + struct.pack(">HHHH", 0, 0, 0, 0) + b"\x00" * 36
                  + struct.pack(">II", w << 16, h << 16))
+    # mdhd is MANDATORY in mdia (14496-12 8.4.2; r12 review -- the
+    # parser does not read it, but the payload must be conformant for
+    # any stricter reader): media timescale 1000, duration in ms,
+    # language 'und' (packed 5-bit letters)
+    mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, dur_ms)
+                 + struct.pack(">HH", 0x55C4, 0))
     hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide"
                  + b"\x00" * 12 + b"\x00")
     entry = (b"\x00" * 6 + struct.pack(">H", 1)            # SampleEntry
@@ -76,10 +82,13 @@ def mp4_payload(doc_id: int) -> bytes:
              + b"\x00" * 50)                               # rest of VSE
     stsd = _full(b"stsd", struct.pack(">I", 1)
                  + struct.pack(">I", 8 + len(entry)) + b"av01" + entry)
-    stsz = _full(b"stsz", struct.pack(">II", 0, frames))
+    # NONZERO constant sample_size: with sample_size == 0 the spec
+    # makes the per-entry size table mandatory (8.7.3.2), which the old
+    # spelling omitted (r12 review) -- a constant size legally omits it
+    stsz = _full(b"stsz", struct.pack(">II", 4096, frames))
     stbl = _box(b"stbl", stsd + stsz)
     minf = _box(b"minf", stbl)
-    mdia = _box(b"mdia", hdlr + minf)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
     return ftyp + _box(b"moov", mvhd + trak)
 
@@ -113,7 +122,12 @@ def webm_payload(doc_id: int) -> bytes:
     info = (_uint_el(0x2AD7B1, 1_000_000)
             + _el(0x4489, struct.pack(">d", float(dur_ms))))
     video = _uint_el(0xB0, w) + _uint_el(0xBA, h)
-    track = _el(0xAE, _uint_el(0x83, 1) + _el(0x86, b"V_VP9")
+    # TrackNumber + TrackUID are mandatory with no default (Matroska
+    # spec; r12 review -- the parser ignores them, but conformance is
+    # this module's contract)
+    track = _el(0xAE, _uint_el(0xD7, 1)
+                + _uint_el(0x73C5, doc_id % 100_000 + 1)
+                + _uint_el(0x83, 1) + _el(0x86, b"V_VP9")
                 + _el(0xE0, video))
     seg = _el(0x18538067, _el(0x1549A966, info)
               + _el(0x1654AE6B, track))
@@ -154,9 +168,14 @@ def mp3_payload(doc_id: int) -> bytes:
     h2 = (9 << 4) | (sr_idx << 2)  # 128 kbps, sample-rate index
     h3 = 0xC0 if mono else 0x00    # channel mode
     side = 17 if mono else 32
-    return (bytes([0xFF, h1, h2, h3]) + b"\x00" * side
-            + b"Xing" + struct.pack(">II", 0x1, frames)
-            + b"\x00" * 64)
+    frame = bytearray(bytes([0xFF, h1, h2, h3]) + b"\x00" * side
+                      + b"Xing" + struct.pack(">II", 0x1, frames))
+    # pad the Xing frame to its header-declared length (ISO 11172-3:
+    # 144 * bitrate / sample_rate at padding 0; r12 review -- a reader
+    # stepping frame-by-frame must not hit EOF mid-frame)
+    frame_len = 144 * 128_000 // _MP3_SR_TABLE[sr_idx]
+    frame += b"\x00" * (frame_len - len(frame))
+    return bytes(frame)
 
 
 def attach_media_payload(docs: DataFrame) -> DataFrame:
@@ -169,6 +188,13 @@ def attach_media_payload(docs: DataFrame) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = [int(i) for i in pdf["doc_id"] if not pd.isna(i)]
+            if any(i < 0 for i in ids):
+                # Python's % is always nonnegative; SQL's is
+                # sign-preserving -- a negative id would route builders,
+                # oracle branches, and plan filters three different ways
+                # and fail the hash check with no visible cause (r12
+                # review). Refuse rather than diverge.
+                raise ValueError("negative doc_id in media synthesis")
             yield pd.DataFrame({
                 "doc_id": ids,
                 "payload": [builders[i % 4](i) for i in ids],

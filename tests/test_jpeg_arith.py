@@ -9,6 +9,15 @@ not logic, so a shared transcription error cannot be caught by
 roundtrips. It is pinned here instead by structural invariants and by
 entropy-convergence on biased sources (gross damage — a swapped
 column, a wrong jump — breaks those).
+
+KNOWN residual blind spot (documented, not closable in this build): a
+MIRRORED misreading of the Annex F statistical-model layout shared by
+both directions (e.g. swapped 189/217 spectral chains on both sides)
+would roundtrip cleanly here yet misdecode third-party SOF9 files. The
+definitive pin is a golden stream from an external arithmetic encoder
+(cjpeg -arithmetic); this sandbox has no codec binary or network, so
+the layout is instead spelled in BOTH files independently from the
+spec text and cross-cited to T.81 section numbers.
 """
 
 from __future__ import annotations
@@ -484,3 +493,50 @@ def test_arith_through_decode_image_metadata(spark):
         "doc_id": 4, "n_bytes": len(blob), "width": 17, "height": 24,
         "n_frames": 1, "fmt": "jpeg",
     }
+
+
+def test_arith_dc_magnitude_cap_matches_huffman_contract():
+    """A crafted stream whose DC category exceeds the precision's legal
+    range (|diff| > 2047 at 8-bit) must ValueError like the Huffman
+    path's _dc_ssss_max check, not decode garbage (r12 review)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.jpeg_arith import (
+        ArithEntropy,
+    )
+
+    enc = _ArithSeqEncoder({}, {})
+    zz = np.zeros(64, np.int64)
+    zz[0] = 3000  # category 12: legal at 12-bit, illegal at 8-bit
+    enc.data_unit(1, 0, 0, zz)
+    stream = enc.flush() + b"\xff\xd9"
+    with pytest.raises(ValueError, match="DC magnitude"):
+        ArithEntropy(stream, 0, {}, {}).data_unit(1, 0, 0, prec=8)
+    # the same stream is legal at 12-bit precision
+    out = ArithEntropy(stream, 0, {}, {}).data_unit(1, 0, 0, prec=12)
+    assert out[0] == 3000
+
+
+def test_synth_payload_structural_conformance():
+    """The media_synth payloads carry the spec-mandatory structures a
+    STRICTER reader would require, not just what our parsers read:
+    mp4 has mdhd and a nonzero stsz sample_size (entry table legally
+    omitted), webm has TrackNumber/TrackUID, and the mp3 Xing frame is
+    padded to its header-declared frame length (r12 review)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+        _MP3_SR_TABLE,
+        mp3_payload,
+        mp4_payload,
+        webm_payload,
+    )
+
+    blob = mp4_payload(42)
+    assert b"mdhd" in blob
+    at = blob.index(b"stsz") + 4 + 4  # fourcc + version/flags
+    sample_size, count = struct.unpack_from(">II", blob, at)
+    assert sample_size == 4096 and count == 42 % 50 + 1
+
+    wb = webm_payload(42)
+    assert b"\xd7" in wb and b"\x73\xc5" in wb  # TrackNumber, TrackUID
+
+    for i in (3, 7, 11):
+        mp = mp3_payload(i)
+        assert len(mp) == 144 * 128_000 // _MP3_SR_TABLE[i % 3]
