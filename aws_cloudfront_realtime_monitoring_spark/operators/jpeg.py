@@ -15,14 +15,15 @@ inverted ink convention; absent -> component-id sniff for 3 channels,
 direct ink CMYK for 4), restart markers, and LOSSLESS predictive coding
 (SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16 bit
 precision scaled to the 8-bit output, exact roundtrip), plus
-ARITHMETIC-coded extended sequential frames (SOF9, r12: the T.81
-Annex D QM coder + Annex F statistical model in ``jpeg_arith.py``,
-DAC conditioning, restarts with full statistics reset). All color
-spaces convert to RGB (or stay single-channel grayscale) on output.
-Progressive/lossless-arithmetic (SOF10/11), differential, and
-hierarchical variants raise ``ValueError`` (the multimodal layer falls
-back to Pillow-if-present or the documented fake, exactly like the
-other decoders' unsupported profiles).
+ARITHMETIC-coded sequential AND progressive frames (SOF9/SOF10, r12:
+the T.81 Annex D QM coder + the Annex F sequential and Annex G
+progressive statistical models in ``jpeg_arith.py``, DAC conditioning,
+restarts with full statistics reset). All color spaces convert to RGB
+(or stay single-channel grayscale) on output. Lossless-arithmetic
+(SOF11), differential, and hierarchical variants raise ``ValueError``
+(the multimodal layer falls back to Pillow-if-present or the
+documented fake, exactly like the other decoders' unsupported
+profiles).
 
 Structure (ITU-T T.81):
 - markers: SOI, DQT (quant tables), SOF0/SOF2 (dims, components,
@@ -167,12 +168,12 @@ def _dc_ssss_max(prec: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decoder for sequential (8/12-bit, Huffman or arithmetic),
-    progressive (8/12-bit) AND lossless JPEG:
+    """REAL decoder for sequential AND progressive (8/12-bit, Huffman
+    or arithmetic) AND lossless JPEG:
     returns (width, height, pixels[h, w, 1 or 3] uint8 — grayscale or
     RGB; CMYK/YCCK inputs convert to RGB). Raises ``ValueError`` on
-    malformed input or unsupported variants (progressive/lossless-
-    arithmetic, differential, hierarchical) — ONLY ValueError, whatever
+    malformed input or unsupported variants (lossless-arithmetic,
+    differential, hierarchical) — ONLY ValueError, whatever
     the corruption (struct/index errors from fuzzed bytes are
     remapped), so a malformed payload can never kill an executor task
     instead of taking the documented fallback."""
@@ -277,14 +278,15 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 table = _Huff(counts, seg[s + 17 : s + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1/2/3/9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1/2/3 (Huffman) / SOF9/10 (arithmetic)
             if frame is not None:
                 raise ValueError("multiple JPEG frame headers")
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
-            # SOF9 = extended sequential, arithmetic entropy coding:
-            # same frame semantics as SOF1, QM-coded scans (r12)
-            arith = marker == 0xC9
+            # SOF9 = extended sequential, SOF10 = progressive, both
+            # QM-coded (r12); frame semantics match SOF1/SOF2
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if lossless:
                 # T.81 B.2.2: lossless precision is 2-16 bits
@@ -323,13 +325,14 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 prog = _ProgState(h, w, comps, dct_prec)
             if lossless:
                 loss = _LosslessState(h, w, comps, prec)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            # sequential-arithmetic (SOF9) decodes for real since r12;
-            # progressive/lossless-arithmetic and the differential/
-            # hierarchical modes remain on the documented fallback
+            # sequential (SOF9) AND progressive (SOF10) arithmetic
+            # decode for real since r12; lossless-arithmetic and the
+            # differential/hierarchical modes remain on the documented
+            # fallback
             raise ValueError(
-                "differential/hierarchical/progressive-arithmetic "
+                "differential/hierarchical/lossless-arithmetic "
                 "JPEG unsupported")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             parse_dac(seg, dc_cond, ac_cond)
@@ -376,6 +379,15 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     if scan_tables[cid][0] > 3 or scan_tables[cid][1] > 3:
                         raise ValueError(
                             "JPEG arithmetic conditioning table id > 3")
+                if progressive:
+                    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                    pos = _decode_arith_progressive_scan(
+                        payload, pos + 2 + seg_len, prog, scan_comps,
+                        scan_tables, dc_cond, ac_cond, restart_interval,
+                        ss, se, ah, al,
+                    )
+                    continue
                 if seq is None and set(scan_comps) == {
                     c[0] for c in frame[2]
                 }:
@@ -1247,5 +1259,81 @@ def _decode_arith_sequential_scan(data, pos, seq, scan_comps, scan_tables,
             by, bx = divmod(u, nbx)
             seq.coefs[cid][by, bx][:] = ent.data_unit(
                 cid, dc_tid, ac_tid, seq.prec)
+    p = ent.dec.marker_pos
+    return _skip_to_marker(data, ent.dec.pos if p is None else p)
+
+
+def _decode_arith_progressive_scan(data, pos, prog, scan_comps, scan_tables,
+                                   dc_cond, ac_cond, restart_interval,
+                                   ss, se, ah, al) -> int:
+    """One progressive-arithmetic (SOF10) scan into ``prog``: the T.81
+    G.2 statistical models over the Annex G scan geometry (same MCU /
+    true-component-grid rules as the Huffman progressive path). Every
+    scan -- and every restart interval within one -- starts from fresh
+    statistics, a fresh decoder, and zeroed DC predictions (F.2.1.3.1).
+    Returns the byte position of the next marker."""
+    prog.n_scans += 1
+    if prog.n_scans > _PROG_MAX_SCANS:
+        raise ValueError("too many JPEG scans")
+    if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+        raise ValueError("invalid JPEG progressive scan parameters")
+    known = {c[0] for c in prog.comps}
+    for cid in scan_comps:
+        if cid not in known:
+            raise ValueError("JPEG scan references unknown component")
+    ent = ArithEntropy(data, pos, dc_cond, ac_cond)
+
+    def restart() -> ArithEntropy:
+        return ArithEntropy(
+            data, _expect_arith_rst(data, ent), dc_cond, ac_cond)
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG DC scan with nonzero Se")
+        comps = [c for c in prog.comps if c[0] in scan_comps]
+
+        def dc_unit(cid, dc_tid, arr, by, bx):
+            if ah == 0:  # first DC scan: diff model, point transform
+                v = ent.dc_diff(cid, dc_tid, prog.prec) << al
+                if not -(1 << 30) <= v <= (1 << 30):
+                    raise ValueError("JPEG DC predictor out of range")
+                arr[by, bx, 0] = v
+            elif ent.dc_refine():  # one fixed-estimate decision
+                arr[by, bx, 0] |= np.int32(1 << al)
+
+        if len(comps) > 1:  # interleaved: MCU order
+            for u in range(prog.mcus_y * prog.mcus_x):
+                if restart_interval and u and u % restart_interval == 0:
+                    ent = restart()
+                my, mx = divmod(u, prog.mcus_x)
+                for cid, hs, vs, _tq in comps:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc_unit(cid, scan_tables[cid][0],
+                                    prog.coefs[cid], my * vs + by,
+                                    mx * hs + bx)
+        else:  # single component: true component grid
+            cid, _hs, _vs, _tq = comps[0]
+            nby, nbx = prog.nblocks[cid]
+            for u in range(nby * nbx):
+                if restart_interval and u and u % restart_interval == 0:
+                    ent = restart()
+                by, bx = divmod(u, nbx)
+                dc_unit(cid, scan_tables[cid][0], prog.coefs[cid], by, bx)
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("JPEG AC scan must be single-component")
+        cid = scan_comps[0]
+        ac_tid = scan_tables[cid][1]
+        nby, nbx = prog.nblocks[cid]
+        arr = prog.coefs[cid]
+        for u in range(nby * nbx):
+            if restart_interval and u and u % restart_interval == 0:
+                ent = restart()
+            by, bx = divmod(u, nbx)
+            if ah == 0:
+                ent.ac_band(ac_tid, arr[by, bx], ss, se, al)
+            else:
+                ent.ac_refine_band(ac_tid, arr[by, bx], ss, se, al)
     p = ent.dec.marker_pos
     return _skip_to_marker(data, ent.dec.pos if p is None else p)

@@ -1,11 +1,12 @@
 """QM arithmetic entropy decoding for JPEG (ITU-T T.81 Annex D + the
-Annex F sequential-DCT statistical model).
+Annex F sequential-DCT and Annex G progressive statistical models).
 
 The reference pipeline treats media payloads as opaque binary columns
 (SURVEY.md multimodal scope); this module supplies the last real-world
-JPEG entropy variant the strict decoder lacked — SOF9 extended
-sequential frames with arithmetic coding — so only the near-extinct
-differential/hierarchical modes remain on the documented fake fallback.
+JPEG entropy variants the strict decoder lacked — SOF9 extended
+sequential and SOF10 progressive frames with arithmetic coding — so
+only the near-extinct lossless-arithmetic/differential/hierarchical
+modes remain on the documented fake fallback.
 
 Everything here is written from the public spec:
 
@@ -318,18 +319,16 @@ class ArithEntropy:
         self.dc_context: dict[int, int] = {}
         self.pred: dict[int, int] = {}
 
-    def data_unit(self, cid: int, dc_tid: int, ac_tid: int,
-                  prec: int = 8) -> np.ndarray:
-        """Decode one 8x8 data unit; returns the 64 coefficients in
-        ZIGZAG (scan) order as int64, DC already prediction-resolved."""
-        zz = np.zeros(64, np.int64)
+    def dc_diff(self, cid: int, dc_tid: int, prec: int = 8) -> int:
+        """Decode one DC difference (T.81 F.2.4.1 mirroring F.1.4.1) and
+        fold it into this component's prediction; returns the updated
+        prediction. Shared by the sequential data unit and the
+        progressive first-DC scan (G.2 uses the identical model)."""
         dst = self.dc_stats.setdefault(
             dc_tid, np.zeros(self.DC_BINS, np.uint8))
         low, up = self.dc_cond.get(dc_tid, DEFAULT_DC_COND)
         dec = self.dec
         base = self.dc_context.setdefault(cid, 0)
-
-        # ---- DC difference (T.81 F.2.4.1 mirroring F.1.4.1)
         if dec.decode(dst, base) == 0:
             self.dc_context[cid] = 0  # zero-diff class
         else:
@@ -375,22 +374,34 @@ class ArithEntropy:
             # same guard as the Huffman path: a crafted max-diff run
             # must not overflow the int64 dequant product downstream
             raise ValueError("JPEG DC predictor out of range")
-        zz[0] = dc
+        return dc
 
-        # ---- AC coefficients (T.81 F.2.4.2 mirroring F.1.4.2)
+    def dc_refine(self) -> int:
+        """Progressive DC refinement bit (G.2 / F.1.4.1's successive
+        approximation tail): a single fixed-estimate decision."""
+        return self.dec.decode(self.fixed, 0)
+
+    def ac_band(self, ac_tid: int, block, ss: int, se: int,
+                al: int = 0) -> None:
+        """Decode one block's AC coefficients over the spectral band
+        [ss, se] into ``block`` (zigzag-indexed), point-transformed
+        << al (T.81 F.2.4.2; the progressive first-AC scan of G.2 is
+        the same model restricted to the band). The sequential data
+        unit is the ss=1, se=63, al=0 case."""
+        dec = self.dec
         ast = self.ac_stats.setdefault(
             ac_tid, np.zeros(self.AC_BINS, np.uint8))
         kx = self.ac_cond.get(ac_tid, DEFAULT_AC_KX)
-        k = 1
-        while k <= 63:
+        k = ss
+        while k <= se:
             st = 3 * (k - 1)
             if dec.decode(ast, st):
                 break  # end-of-block
             while dec.decode(ast, st + 1) == 0:
                 st += 3
                 k += 1
-                if k > 63:
-                    raise ValueError("JPEG arithmetic AC run past block end")
+                if k > se:
+                    raise ValueError("JPEG arithmetic AC run past band end")
             sign = dec.decode(self.fixed, 0)
             st += 2
             m = dec.decode(ast, st)
@@ -412,6 +423,52 @@ class ArithEntropy:
                         v |= mm
                     mm >>= 1
             v += 1
-            zz[k] = -v if sign else v
+            block[k] = (-v if sign else v) << al
             k += 1
+
+    def ac_refine_band(self, ac_tid: int, block, ss: int, se: int,
+                       al: int) -> None:
+        """Progressive AC refinement over [ss, se] (T.81 G.2's mirror
+        of G.1.2.3): already-nonzero coefficients consume one
+        correction decision at their run bin + 2; newly-nonzero ones
+        arrive as +-1<<al with a fixed-estimate sign; the EOB decision
+        is only coded at indices past the PREVIOUS stage's last nonzero
+        coefficient (kex)."""
+        dec = self.dec
+        ast = self.ac_stats.setdefault(
+            ac_tid, np.zeros(self.AC_BINS, np.uint8))
+        p1 = 1 << al
+        m1 = -1 << al
+        kex = se
+        while kex > 0 and block[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex and dec.decode(ast, st):
+                break  # end-of-block (only coded past kex)
+            while True:
+                c = int(block[k])
+                if c:
+                    if dec.decode(ast, st + 2):
+                        block[k] = c + (p1 if c >= 0 else m1)
+                    break
+                if dec.decode(ast, st + 1):
+                    block[k] = m1 if dec.decode(self.fixed, 0) else p1
+                    break
+                st += 3
+                k += 1
+                if k > se:
+                    raise ValueError(
+                        "JPEG arithmetic AC refinement past band end")
+            k += 1
+
+    def data_unit(self, cid: int, dc_tid: int, ac_tid: int,
+                  prec: int = 8) -> np.ndarray:
+        """Decode one full sequential 8x8 data unit; returns the 64
+        coefficients in ZIGZAG (scan) order as int64, DC already
+        prediction-resolved."""
+        zz = np.zeros(64, np.int64)
+        zz[0] = self.dc_diff(cid, dc_tid, prec)
+        self.ac_band(ac_tid, zz, 1, 63)
         return zz

@@ -467,15 +467,21 @@ def test_arith_malformed_stays_valueerror():
             pass
 
 
-def test_arith_progressive_and_lossless_arith_still_rejected():
+def test_arith_lossless_and_differential_still_rejected():
     rng = np.random.RandomState(29)
     px = rng.randint(0, 256, size=(8, 8, 1), dtype=np.uint8)
     blob = bytearray(make_arith_jpeg(px, quant=2))
     i = blob.index(b"\xff\xc9")
-    for sof in (0xCA, 0xCB, 0xCD):
+    for sof in (0xCB, 0xCD):  # lossless-arith / differential
         blob[i + 1] = sof
         with pytest.raises(ValueError, match="unsupported"):
             decode_jpeg_pixels(bytes(blob))
+    # SOF10 is SUPPORTED since r12: the same mutation now fails only
+    # because a sequential scan header is illegal in a progressive
+    # frame (Se=63 on what SOF10 reads as a DC scan), not "unsupported"
+    blob[i + 1] = 0xCA
+    with pytest.raises(ValueError, match="nonzero Se"):
+        decode_jpeg_pixels(bytes(blob))
 
 
 def test_arith_through_decode_image_metadata(spark):
@@ -540,3 +546,290 @@ def test_synth_payload_structural_conformance():
     for i in (3, 7, 11):
         mp = mp3_payload(i)
         assert len(mp) == 144 * 128_000 // _MP3_SR_TABLE[i % 3]
+
+
+# ------------------------------------------ progressive (SOF10) encoder
+#
+# Encode direction of the T.81 Annex G arithmetic progressive models,
+# mirroring the scan geometry of test_jpeg.make_progressive_jpeg. Each
+# scan (and each restart interval) is its own entropy segment: fresh QM
+# encoder, fresh statistics, fresh DC predictions.
+
+
+class _ArithProgEncoder(_ArithSeqEncoder):
+    def dc_first(self, cid: int, dc_tid: int, zz0: int, al: int) -> None:
+        dst = self.dc_stats.setdefault(dc_tid, np.zeros(49, np.uint8))
+        low, up = self.dc_cond.get(dc_tid, DEFAULT_DC_COND)
+        base = self.dc_context.setdefault(cid, 0)
+        v_now = int(zz0) >> al  # arithmetic shift = DC point transform
+        diff = v_now - self.pred.get(cid, 0)
+        self.pred[cid] = v_now
+        if diff == 0:
+            self.qm.encode(dst, base, 0)
+            self.dc_context[cid] = 0
+        else:
+            self.qm.encode(dst, base, 1)
+            sign = 1 if diff < 0 else 0
+            self.qm.encode(dst, base + 1, sign)
+            m = self._magnitude(1, dst, base + 2 + sign, 20,
+                                abs(diff) - 1)
+            if m < (1 << low) >> 1:
+                self.dc_context[cid] = 0
+            elif m > (1 << up) >> 1:
+                self.dc_context[cid] = 12 + 4 * sign
+            else:
+                self.dc_context[cid] = 4 + 4 * sign
+
+    def dc_refine(self, zz0: int, al: int) -> None:
+        self.qm.encode(self.fixed, 0, (int(zz0) >> al) & 1)
+
+    def ac_first(self, ac_tid: int, zz, ss: int, se: int, al: int) -> None:
+        ast = self.ac_stats.setdefault(ac_tid, np.zeros(245, np.uint8))
+        kx = self.ac_cond.get(ac_tid, DEFAULT_AC_KX)
+        vals = {}
+        for k in range(ss, se + 1):
+            c = int(zz[k])
+            a = abs(c) >> al
+            vals[k] = a if c >= 0 else -a
+        nonzero = [k for k in range(ss, se + 1) if vals[k]]
+        eob = nonzero[-1] + 1 if nonzero else ss
+        k = ss
+        while k < eob:
+            st = 3 * (k - 1)
+            self.qm.encode(ast, st, 0)  # not EOB at this k
+            while vals[k] == 0:
+                self.qm.encode(ast, st + 1, 0)
+                st += 3
+                k += 1
+            self.qm.encode(ast, st + 1, 1)
+            val = vals[k]
+            self.qm.encode(self.fixed, 0, 1 if val < 0 else 0)
+            v = abs(val) - 1
+            st += 2
+            if v == 0:
+                self.qm.encode(ast, st, 0)
+            else:
+                self.qm.encode(ast, st, 1)
+                if v == 1:
+                    self.qm.encode(ast, st, 0)
+                else:
+                    self.qm.encode(ast, st, 1)
+                    self._ac_chain(ast, 189 if k <= kx else 217, v)
+            k += 1
+        if eob <= se:
+            self.qm.encode(ast, 3 * (k - 1), 1)  # EOB
+
+    def ac_refine(self, ac_tid: int, zz, ss: int, se: int, al: int) -> None:
+        ast = self.ac_stats.setdefault(ac_tid, np.zeros(245, np.uint8))
+        hist = {}
+        vnow = {}
+        for k in range(1, se + 1):
+            c = int(zz[k])
+            hist[k] = abs(c) >> (al + 1)
+            a = abs(c) >> al
+            vnow[k] = a if c >= 0 else -a
+        kex = se
+        while kex > 0 and hist[kex] == 0:
+            kex -= 1
+        events = [k for k in range(ss, se + 1) if vnow[k]]
+        ke = events[-1] if events else ss - 1
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex:
+                if k > ke:  # nothing further in the band: EOB
+                    self.qm.encode(ast, st, 1)
+                    return
+                self.qm.encode(ast, st, 0)
+            while True:
+                if hist[k]:
+                    self.qm.encode(ast, st + 2, abs(vnow[k]) & 1)
+                    break
+                if vnow[k]:  # newly nonzero: magnitude exactly 1
+                    self.qm.encode(ast, st + 1, 1)
+                    self.qm.encode(self.fixed, 0, 1 if vnow[k] < 0 else 0)
+                    break
+                self.qm.encode(ast, st + 1, 0)
+                st += 3
+                k += 1
+            k += 1
+
+
+def make_arith_progressive_jpeg(pixels: np.ndarray, quant: int = 1,
+                                subsample: int = 1, restart: int = 0,
+                                prec: int = 8) -> bytes:
+    """SOF10: the make_progressive_jpeg scan script (spectral selection
+    + successive approximation, fully refined to Al=0) with arithmetic
+    entropy segments."""
+    from test_jpeg import _block_coefs
+
+    h, w, nc = pixels.shape
+    q = np.full(64, quant, np.int32)
+    planes, sampling, mcus_x, mcus_y = _prep_planes(pixels, subsample,
+                                                    prec=prec)
+    coefs = _block_coefs(planes, sampling, q)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    true_grids = []
+    for hs, vs in sampling:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        true_grids.append((-(-ch // 8), -(-cw // 8)))
+
+    if nc == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1), ([0], 6, 63, 0, 1),
+            ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 1, 5, 1, 0), ([0], 6, 63, 1, 0),
+            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+            ([0, 1, 2], 0, 0, 1, 0),
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 1, 63, 1, 0),
+            ([0], 0, 0, 1, 0),
+        ]
+
+    out = bytearray(b"\xff\xd8")
+    if prec == 8:
+        out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8)))
+    else:
+        out += _seg(0xDB, bytes([0x10]) + q.astype(">u2").tobytes())
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += _seg(0xCA, sof)  # SOF10: progressive DCT, arithmetic
+
+    first_dc = True
+    for comps_idx, ss, se, ah, al in script:
+        dc_restart = restart if (first_dc and ss == 0 and ah == 0) else 0
+        if dc_restart:
+            out += _seg(0xDD, struct.pack(">H", restart))
+        sos = bytes([len(comps_idx)])
+        for ci in comps_idx:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        enc = _ArithProgEncoder({}, {})
+        data = bytearray()
+        if ss == 0:
+            def dc_unit(ci, by, bx):
+                zz0 = int(coefs[ci][by, bx, 0])
+                if ah == 0:
+                    enc.dc_first(ci + 1, 0, zz0, al)
+                else:
+                    enc.dc_refine(zz0, al)
+
+            if len(comps_idx) > 1:
+                for u in range(mcus_y * mcus_x):
+                    if dc_restart and u and u % dc_restart == 0:
+                        data += enc.flush()
+                        data += bytes([0xFF,
+                                       0xD0 + ((u // dc_restart - 1) % 8)])
+                        enc = _ArithProgEncoder({}, {})
+                    my, mx = divmod(u, mcus_x)
+                    for ci in comps_idx:
+                        hs, vs = sampling[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_unit(ci, my * vs + by, mx * hs + bx)
+            else:
+                ci = comps_idx[0]
+                nby, nbx = true_grids[ci]
+                for u in range(nby * nbx):
+                    if dc_restart and u and u % dc_restart == 0:
+                        data += enc.flush()
+                        data += bytes([0xFF,
+                                       0xD0 + ((u // dc_restart - 1) % 8)])
+                        enc = _ArithProgEncoder({}, {})
+                    by, bx = divmod(u, nbx)
+                    dc_unit(ci, by, bx)
+            if dc_restart:
+                first_dc = False
+                data += enc.flush()
+                out += data
+                out += _seg(0xDD, struct.pack(">H", 0))  # DRI off again
+                continue
+            first_dc = False
+        else:
+            ci = comps_idx[0]
+            nby, nbx = true_grids[ci]
+            for by in range(nby):
+                for bx in range(nbx):
+                    if ah == 0:
+                        enc.ac_first(0, coefs[ci][by, bx], ss, se, al)
+                    else:
+                        enc.ac_refine(0, coefs[ci][by, bx], ss, se, al)
+        data += enc.flush()
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_arith_progressive_color_matches_huffman_progressive():
+    rng = np.random.RandomState(37)
+    px = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    from test_jpeg import make_progressive_jpeg
+
+    ref = decode_jpeg_pixels(make_progressive_jpeg(px, quant=2))
+    got = decode_jpeg_pixels(make_arith_progressive_jpeg(px, quant=2))
+    assert (got[0], got[1]) == (ref[0], ref[1]) == (17, 24)
+    np.testing.assert_array_equal(got[2], ref[2])
+
+
+def test_arith_progressive_grayscale_matches_sequential_arith():
+    rng = np.random.RandomState(41)
+    px = rng.randint(0, 256, size=(20, 13, 1), dtype=np.uint8)
+    ref = decode_jpeg_pixels(make_arith_jpeg(px, quant=2))
+    got = decode_jpeg_pixels(make_arith_progressive_jpeg(px, quant=2))
+    np.testing.assert_array_equal(got[2], ref[2])
+
+
+def test_arith_progressive_420_and_12bit():
+    yy, xx = np.mgrid[0:32, 0:24]
+    px = np.dstack([
+        (yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256,
+    ]).astype(np.uint8)
+    from test_jpeg import make_progressive_jpeg
+
+    ref = decode_jpeg_pixels(make_progressive_jpeg(px, quant=4, subsample=2))
+    got = decode_jpeg_pixels(
+        make_arith_progressive_jpeg(px, quant=4, subsample=2))
+    np.testing.assert_array_equal(got[2], ref[2])
+
+    rng = np.random.RandomState(43)
+    px12 = rng.randint(0, 4096, size=(16, 16, 1))
+    ref12 = decode_jpeg_pixels(make_jpeg12(px12, quant=8))
+    got12 = decode_jpeg_pixels(
+        make_arith_progressive_jpeg(px12, quant=8, prec=12))
+    np.testing.assert_array_equal(got12[2], ref12[2])
+
+
+def test_arith_progressive_restart_markers():
+    rng = np.random.RandomState(47)
+    px = rng.randint(0, 256, size=(40, 40, 1), dtype=np.uint8)
+    ref = decode_jpeg_pixels(make_arith_jpeg(px, quant=2))
+    got = decode_jpeg_pixels(
+        make_arith_progressive_jpeg(px, quant=2, restart=3))
+    np.testing.assert_array_equal(got[2], ref[2])
+
+
+def test_arith_progressive_malformed_stays_valueerror():
+    rng = np.random.RandomState(53)
+    px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    blob = make_arith_progressive_jpeg(px, quant=2)
+    for cut in range(2, len(blob), 11):
+        try:
+            decode_jpeg_pixels(blob[:cut])
+        except ValueError:
+            pass
+    for k in range(0, len(blob), 7):
+        mutated = bytearray(blob)
+        mutated[k] ^= 0x5A
+        try:
+            decode_jpeg_pixels(bytes(mutated))
+        except ValueError:
+            pass
