@@ -51,9 +51,12 @@ def assign_clusters(qvecs: DataFrame, centroids: list[list[int]],
     ``dist`` columns. Narrow map — centroids ride into the task as
     literals (k x dim integers), vectors stay put."""
     dists = [_sq_dist(F.col(vec_col), c) for c in centroids]
-    out = qvecs
-    for j, d in enumerate(dists):
-        out = out.withColumn(f"__d{j}", d)
+    # ONE projection for all k distance columns: chained withColumn built
+    # k+2 nested Projects analyzed per Lloyd iteration -- the documented
+    # Spark anti-pattern, linear plan bloat in k (r12 review)
+    out = qvecs.select(
+        "*", *[d.alias(f"__d{j}") for j, d in enumerate(dists)]
+    )
     # F.least needs >= 2 columns; a single centroid is a valid degenerate
     # quantizer (everything in cluster 0)
     dmin = (
@@ -64,7 +67,7 @@ def assign_clusters(qvecs: DataFrame, centroids: list[list[int]],
     cluster = F.when(F.col("__d0") == dmin, 0)
     for j in range(1, len(centroids)):
         cluster = cluster.when(F.col(f"__d{j}") == dmin, j)
-    out = out.withColumn("cluster", cluster).withColumn("dist", dmin)
+    out = out.select("*", cluster.alias("cluster"), dmin.alias("dist"))
     return out.drop(*[f"__d{j}" for j in range(len(centroids))])
 
 
@@ -107,6 +110,17 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     if head is None:
         raise ValueError("fit_kmeans: vectors DataFrame is empty")
     dim = head[0]
+    # ragged vector lengths are the same schema violation as NULL
+    # elements (r11's guard above): a cluster of all-short vectors
+    # aggregates NULL sums and the centroid update dies in int(None),
+    # while MIXED-length clusters silently average over missing
+    # dimensions -- reject both up front with a clear error (r12 review)
+    ragged = qvecs.where(F.size("qv") != dim).limit(1).count()
+    if ragged:
+        raise ValueError(
+            f"fit_kmeans: {vec_col} has inconsistent vector lengths "
+            f"(expected {dim} elements)"
+        )
     centroids = init_centroids(qvecs, k, vec_col="qv", id_col=id_col)
     n_iters = 0
     for _ in range(max_iters):
@@ -151,13 +165,20 @@ def _round_div(s: int, n: int) -> int:
 
 def ivf_search(qvecs: DataFrame, centroids: list[list[int]],
                probes: DataFrame, top_k: int = 5,
-               vec_col: str = "qv", id_col: str = "vec_id") -> DataFrame:
+               vec_col: str = "qv", id_col: str = "vec_id",
+               exclude_self: bool = True) -> DataFrame:
     """IVF search with the trained quantizer: corpus and probes are each
     assigned to their nearest centroid (narrow maps), candidates come from
     an equi-join on the cluster id (hash-partitionable — each probe scans
     one inverted list, not the corpus), ranked by exact integer dot
     product. Same approximate-recall contract as ``ann_topk_ivf``, but
-    with a LEARNED coarse quantizer."""
+    with a LEARNED coarse quantizer.
+
+    ``exclude_self`` (default, the self-query convention shared with the
+    recall audit): a candidate whose id equals the probe's id is dropped.
+    Pass ``False`` when probes are EXTERNAL vectors whose id space merely
+    overlaps the corpus's — a coincidental id match there would silently
+    exclude a legitimate (possibly nearest) neighbor (r12 review)."""
     from pyspark.sql import Window as W
 
     corpus = assign_clusters(qvecs, centroids, vec_col).select(
@@ -172,10 +193,11 @@ def ivf_search(qvecs: DataFrame, centroids: list[list[int]],
         lambda acc, x: acc + x,
     )
     w = W.partitionBy("p_id").orderBy(F.desc("dot"), F.asc("c_id"))
+    cand = probe.join(corpus, "cluster")
+    if exclude_self:
+        cand = cand.where(F.col("p_id") != F.col("c_id"))
     return (
-        probe.join(corpus, "cluster")
-        .where(F.col("p_id") != F.col("c_id"))
-        .select("p_id", "c_id", dot.alias("dot"))
+        cand.select("p_id", "c_id", dot.alias("dot"))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top_k)
     )

@@ -103,6 +103,12 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
     ``docs_with_tokens`` needs (id_col, tokens_col). Returns one row per doc
     with its shard id, the shard's total fill, and an oversize flag.
     """
+    if n_groups < 1:
+        # pmod(h60, 0) is NULL: every row would land in one NULL
+        # pack_group and die executor-side as an opaque 'cannot convert
+        # float NaN to integer' instead of naming the bad argument
+        # (r12 review; the zorder_layout partitions-underflow precedent)
+        raise ValueError("pack_shards: n_groups must be >= 1")
 
     def pack_group(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # The iterator form delivers ONE group as MULTIPLE Arrow batches

@@ -52,6 +52,16 @@ def salted_join(
     # no 'cross': this operator always joins on (key, __salt), and Spark
     # treats a cross join with a condition as inner -- accepting it would
     # promise cartesian semantics the salted form can never deliver
+    if n_salts < 1:
+        # pmod(hash, 0) is NULL under non-ANSI SQL: every large-side row
+        # would carry a NULL salt that equals no replica's, and an inner
+        # join silently returns ZERO rows (r12 review) -- surface the
+        # sizing bug instead
+        raise ValueError("salted_join: n_salts must be >= 1")
+    if "__salt" in large.columns or "__salt" in small.columns:
+        # withColumn would silently REPLACE the caller's column and the
+        # final drop would remove it from the output (r12 review)
+        raise ValueError("salted_join: input already has a __salt column")
     supported = {"inner", "left", "left_outer", "left_semi", "left_anti",
                  "leftsemi", "leftanti", "semi", "anti"}
     if how.lower().replace("_", "") not in {s.replace("_", "") for s in supported}:
@@ -92,10 +102,18 @@ def two_phase_agg(
     over an input column (``count`` takes any column). Decomposable
     aggregates only -- that is what makes two-phase valid.
     """
+    if n_salts < 1:
+        raise ValueError("two_phase_agg: n_salts must be >= 1")
     partial_aggs, final_aggs = [], []
     for out_col, spec in agg_exprs.items():
         fn, _, in_col = spec.partition(":")
         p = f"__p_{out_col}"
+        if fn in ("sum", "min", "max") and not in_col:
+            # 'sum' without ':col' would reach F.sum('') and die later
+            # with an opaque unresolved-column AnalysisException instead
+            # of this function's own contract error (r12 review)
+            raise ValueError(
+                f"aggregate {spec!r} needs an input column: '{fn}:<col>'")
         if fn == "count":
             partial_aggs.append(F.count(in_col or "*").alias(p))
             final_aggs.append(F.sum(p).alias(out_col))
@@ -110,6 +128,10 @@ def two_phase_agg(
             final_aggs.append(F.max(p).alias(out_col))
         else:
             raise ValueError(f"non-decomposable aggregate: {spec!r}")
+    # df-dependent checks AFTER the spec validation: the contract errors
+    # above must fire even on a placeholder frame
+    if "__salt" in df.columns:
+        raise ValueError("two_phase_agg: input already has a __salt column")
     # row-position salt (see salted_join): content hashes collapse for
     # identical hot-key rows; any assignment is correct under the
     # partial-then-final decomposition

@@ -39,6 +39,13 @@ def zorder_key(a: Column, b: Column) -> Column:
     """Morton interleave of two non-negative ints quantized to ZBITS bits:
     bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
 
+    PRECONDITION: inputs must already fit ZBITS bits — values beyond
+    2^16-1 ALIAS modulo 2^16 (v and v+65536 interleave identically),
+    which silently destroys the min/max pruning the layout exists for
+    (r12 review: hours-since-epoch is ~490k and ids outgrow 65535 at
+    scale). Quantize wide domains first with :func:`zorder_quantize` —
+    ``zorder_layout`` and the registry row do it for you.
+
     Inputs cast to BIGINT first: shiftleft keeps the input column's type,
     so an IntegerType ``b`` would overflow at bit 15 (1 << 31 = INT_MIN,
     a negative Morton key that breaks the layout sort -- r7 code-review
@@ -73,6 +80,33 @@ def zorder_key_sql(a: str, b: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def zorder_quantize(v: Column, vmin: int, vmax: int) -> Column:
+    """Monotone range quantization of ``v`` (known bounds, Python ints)
+    onto [0, 2^ZBITS): ``q = (v - vmin) * (2^ZBITS - 1) div span`` —
+    order-preserving, so per-file min/max tightness survives, and NO
+    aliasing however wide the domain (the raw interleave's low-bit mask
+    made v and v+65536 identical, r12 review). Integer-exact: the
+    division is spelled (x - x % span) / span, and a double division of
+    an exact multiple <= span * 65535 < 2^53 is exact (requires
+    span < 2^37; timestamps/ids are far below)."""
+    span = max(int(vmax) - int(vmin), 1)
+    if span >= 1 << 37:
+        raise ValueError("zorder_quantize: dimension span too wide")
+    x = (v.cast("long") - F.lit(int(vmin))) * F.lit(_MASK)
+    return ((x - F.pmod(x, F.lit(span))) / F.lit(span)).cast("long")
+
+
+def zorder_quantize_sql(v: str, vmin: str, vmax: str, dialect: str) -> str:
+    """The identical quantization as SQL with IN-QUERY bounds expressions
+    (a one-row stats relation): Spark spells integer division ``div``,
+    DuckDB ``//`` — both floor, and (v - vmin) is nonnegative by
+    construction so they agree."""
+    intdiv = "//" if dialect == "duck" else "div"
+    span = f"greatest(CAST(({vmax}) AS BIGINT) - CAST(({vmin}) AS BIGINT), 1)"
+    return (f"(((CAST(({v}) AS BIGINT) - CAST(({vmin}) AS BIGINT)) "
+            f"* {_MASK}) {intdiv} {span})")
+
+
 def zorder_decode(z: int) -> tuple[int, int]:
     """Python-side inverse (tests): recover (a, b) from the Morton key."""
     a = b = 0
@@ -86,13 +120,31 @@ def zorder_layout(df: DataFrame, a: Column, b: Column,
                   partitions: int | None = None) -> DataFrame:
     """Cluster ``df`` along the Morton curve of (a, b): one range shuffle
     + in-partition sort, after which BOTH dimensions' per-file min/max
-    ranges are tight (write the result with any parquet writer)."""
+    ranges are tight (write the result with any parquet writer).
+
+    Runs ONE stats job up front (min/max of both dimensions) to
+    range-quantize them into the ZBITS space — the same pre-pass Delta's
+    OPTIMIZE ZORDER BY performs, and acceptable here because this is a
+    write-side maintenance operator, not a lazy plan builder; without it
+    a dimension wider than 2^16 would alias and every file's min/max
+    would span the whole domain (r12 review)."""
     if partitions is not None and partitions < 1:
         # a computed count that underflowed to 0 used to fall through
         # the falsy check and silently take the default partitioning
         # (r11 review): surface the sizing bug instead
         raise ValueError("zorder_layout: partitions must be >= 1 or None")
-    keyed = df.withColumn("__z", zorder_key(a, b))
+    if "__z" in df.columns:
+        # withColumn would silently replace the caller's column and the
+        # final drop would erase it from the output (r12 review)
+        raise ValueError("zorder_layout: input already has a __z column")
+    lo_a, hi_a, lo_b, hi_b = df.select(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    if lo_a is None or lo_b is None:  # empty input: any layout is fine
+        lo_a = hi_a = lo_b = hi_b = 0
+    keyed = df.withColumn("__z", zorder_key(
+        zorder_quantize(a, lo_a, hi_a), zorder_quantize(b, lo_b, hi_b)
+    ))
     ranged = (
         keyed.repartitionByRange(partitions, "__z")
         if partitions is not None

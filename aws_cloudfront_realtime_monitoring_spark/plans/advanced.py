@@ -624,51 +624,64 @@ def interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ zorder_key
 
-def _zorder_oracle() -> str:
-    from ..operators.zorder import zorder_key_sql
+def _zorder_stmt(dialect: str) -> str:
+    """One statement for both engines: hour/user dims range-quantized
+    onto the ZBITS space via an in-plan one-row bounds relation (lazy --
+    no plan-build job), THEN interleaved. Without the quantization,
+    hours-since-epoch (~490k) and ids past 65535 alias modulo 2^16 and
+    the layout's min/max pruning silently dies (r12 review)."""
+    from ..operators.zorder import zorder_key_sql, zorder_quantize_sql
 
-    hour = "CAST(floor(epoch(ts)) AS BIGINT) // 3600"
+    if dialect == "duck":
+        hour = "CAST(floor(epoch(ts)) AS BIGINT) // 3600"
+    else:
+        hour = "CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)"
+    qh = zorder_quantize_sql("hour_idx", "hmin", "hmax", dialect)
+    qu = zorder_quantize_sql("user_id", "umin", "umax", dialect)
     return f"""
-    SELECT event_id,
-           CAST({hour} AS BIGINT) AS hour_idx,
-           user_id,
-           CAST({zorder_key_sql(hour, "user_id")} AS BIGINT) AS zkey
-    FROM events
+    WITH base AS (
+      SELECT event_id, CAST({hour} AS BIGINT) AS hour_idx, user_id
+      FROM events),
+    bounds AS (
+      SELECT MIN(hour_idx) AS hmin, MAX(hour_idx) AS hmax,
+             MIN(user_id) AS umin, MAX(user_id) AS umax
+      FROM base)
+    SELECT event_id, hour_idx, user_id,
+           CAST({zorder_key_sql(qh, qu)} AS BIGINT) AS zkey
+    FROM base CROSS JOIN bounds
     """
 
 
 @register(
     "zorder_events_key",
-    oracle=_zorder_oracle(),
+    oracle=_zorder_stmt("duck"),
     description="Z-order (Morton-curve) clustering key over (event hour, "
                 "user id) -- the bit-interleave that Delta/Iceberg OPTIMIZE "
-                "ZORDER BY sorts on, computed as a pure Catalyst bit-op "
-                "expression (zero shuffles, whole-stage codegen, no UDF) "
-                "and hash-checked against the identical integer arithmetic "
-                "in DuckDB. operators/zorder.py:zorder_layout turns the key "
-                "into the actual layout (one range-partitioned sort) so "
-                "BOTH dimensions' parquet min/max ranges stay tight per "
-                "file; the pruning-effectiveness property is pytest-pinned "
-                "(per-partition user-id spans shrink vs a time-only sort). "
-                "Verified by the test suite outside the 50-row driver "
-                "budget (driver_slot=False).",
+                "ZORDER BY sorts on. r12: both dimensions RANGE-QUANTIZE "
+                "onto the 16-bit interleave space via an in-plan one-row "
+                "bounds relation first (hours-since-epoch ~490k and ids "
+                "past 65535 used to alias modulo 2^16, silently destroying "
+                "the pruning the layout exists for); the quantize + "
+                "interleave stay pure integer bit-ops (zero extra "
+                "shuffles beyond the broadcast one-row bounds, whole-stage "
+                "codegen, no UDF) hash-checked against the identical "
+                "arithmetic in DuckDB. operators/zorder.py:zorder_layout "
+                "turns the key into the actual layout (one stats pass + "
+                "one range-partitioned sort) so BOTH dimensions' parquet "
+                "min/max ranges stay tight per file; pruning-effectiveness "
+                "is pytest-pinned. Verified by the test suite outside the "
+                "50-row driver budget (driver_slot=False).",
     tags=("layout", "pruning"),
     driver_slot=False,
 )
 def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.zorder import zorder_key
+    from ..sources.tables import register_views
 
-    events = load_table(spark, sf_dir, "events")
-    # floor division (the oracle's //), not `div` (truncates toward
-    # zero): a pre-1970 ts would otherwise produce hour_idx 0 vs -1 and
-    # feed a negative hour into the bit interleave (r8 review)
-    hour = F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)")
-    return events.select(
-        "event_id",
-        hour.cast("bigint").alias("hour_idx"),
-        "user_id",
-        zorder_key(hour, F.col("user_id")).cast("bigint").alias("zkey"),
-    )
+    register_views(spark, sf_dir)
+    # floor division in the hour derivation (not `div`, which truncates
+    # toward zero): a pre-1970 ts would otherwise produce hour_idx 0 vs
+    # -1 across engines (r8 review)
+    return spark.sql(_zorder_stmt("spark"))
 
 
 # ---------------------------------------------------------- heavy_hitters

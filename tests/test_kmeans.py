@@ -126,3 +126,39 @@ def test_ivf_search_ranks_within_cluster(fitted, spark, sf_dir):
         cand.sort(key=lambda t: (-t[0], t[1]))
         expect = [(cid, dot) for dot, cid in cand[:5]]
         assert [(r.c_id, r.dot) for r in rows] == expect
+
+
+def test_fit_kmeans_rejects_ragged_vectors(spark):
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import fit_kmeans
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4]), (2, [0.5, 0.6])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="inconsistent vector lengths"):
+        fit_kmeans(df, k=1)
+
+
+def test_ivf_search_exclude_self_is_optional(spark):
+    """External probes whose id space overlaps the corpus must be able
+    to keep an id-equal corpus candidate (r12 review: the unconditional
+    self-exclusion silently dropped a legitimate neighbor)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        ivf_search, quantize,
+    )
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.9, 0.1])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    ).select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    # probe id 7 is an EXTERNAL vector, not corpus item 7
+    probes = spark.createDataFrame(
+        [(7, [1.0, 0.05])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    cents = [[1_000_000, 0]]
+    with_self = ivf_search(corpus, cents, probes, top_k=2,
+                           exclude_self=False)
+    ids = {r.c_id for r in with_self.collect()}
+    assert ids == {7, 8}
+    without = ivf_search(corpus, cents, probes, top_k=2)
+    assert {r.c_id for r in without.collect()} == {8}

@@ -3,6 +3,7 @@ accounting, FFD efficiency."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
@@ -235,3 +236,9 @@ def test_pack_shards_rejects_negative_tokens(spark):
     )
     with pytest.raises(Exception, match="negative token count"):
         pack_shards(df, 10, n_groups=1).collect()
+
+
+def test_pack_shards_rejects_zero_groups(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id BIGINT, n_tokens BIGINT")
+    with pytest.raises(ValueError, match="n_groups"):
+        pack_shards(df, capacity=100, n_groups=0)

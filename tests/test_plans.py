@@ -147,7 +147,10 @@ _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            "ann_topk_bruteforce", "string_distance_pairs", "unigram_logprob",
            "lang_temperature_sample", "curation_pipeline", "bm25_topk",
            "curriculum_stages", "heavy_hitters", "ann_ivf_recall",
-           "semdedup"}  # r11: one-row broadcast params (nbits) relation
+           "semdedup",  # r11: one-row broadcast params (nbits) relation
+           # r12: the ONE-ROW dimension-bounds relation that range-
+           # quantizes both z-order dims before the interleave
+           "zorder_events_key"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 

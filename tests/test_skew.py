@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_cloudfront_realtime_monitoring_spark.operators.skew import salted_join, two_phase_agg
@@ -88,3 +89,22 @@ def test_salt_spreads_identical_hot_key_rows(spark):
     )
     n_salts_hot = salted.where("k = 'hot'").select("__salt").distinct().count()
     assert n_salts_hot > 1, "identical rows landed on one salt"
+
+
+def test_skew_argument_guards(spark):
+    """r12 review: n_salts=0 used to make pmod NULL and silently return
+    zero rows from an inner salted_join; a pre-existing __salt column
+    was silently replaced then dropped; 'sum' without ':col' died later
+    as an opaque AnalysisException."""
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(df, df, "k", n_salts=0)
+    with pytest.raises(ValueError, match="n_salts"):
+        two_phase_agg(df, "k", {"n": "count"}, n_salts=0)
+    salted = df.withColumn("__salt", F.lit(9))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(salted, df, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        two_phase_agg(salted, "k", {"n": "count"})
+    with pytest.raises(ValueError, match="input column"):
+        two_phase_agg(df, "k", {"total": "sum"})

@@ -4,6 +4,7 @@ SECOND dimension versus a time-only sort)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_cloudfront_realtime_monitoring_spark.operators.zorder import (
@@ -100,3 +101,60 @@ def test_zorder_key_integer_columns_no_overflow(spark):
         ).collect()
     ]
     assert got_sql == got_int
+
+
+def test_zorder_layout_wide_domains_still_prune(spark):
+    """Dimensions wider than 2^16 (hours-since-epoch is ~490k; ids
+    outgrow 65535 at scale) must STILL produce tight per-partition
+    spans: the r12 range quantization fixed the low-bit mask that made
+    v and v+65536 interleave identically, which left every partition
+    spanning nearly the full domain."""
+    base_a, base_b = 490_000, 1_000_000
+    df = spark.range(0, 4000).select(
+        (F.col("id") * 7919 % 262144 + base_a).cast("long").alias("a"),
+        (F.col("id") * 104729 % 262144 + base_b).cast("long").alias("b"),
+    )
+    n_parts = 8
+
+    def span_sum(laid_out):
+        spans = (
+            laid_out.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg((F.max("b") - F.min("b")).alias("span"))
+            .collect()
+        )
+        return sum(r.span for r in spans)
+
+    a_sorted = df.repartitionByRange(n_parts, "a").sortWithinPartitions("a")
+    z_sorted = zorder_layout(df, F.col("a"), F.col("b"), partitions=n_parts)
+    a_span, z_span = span_sum(a_sorted), span_sum(z_sorted)
+    assert z_span * 2 <= a_span, (z_span, a_span)
+
+
+def test_zorder_quantize_monotone_and_exact(spark):
+    from aws_cloudfront_realtime_monitoring_spark.operators.zorder import (
+        zorder_quantize,
+    )
+
+    lo = 490_000
+    hi = lo + 999 * 317  # bounds COVER the data (they come from min/max)
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 317 + lo).cast("long").alias("v")
+    )
+    rows = df.select("v", zorder_quantize(F.col("v"), lo, hi).alias("q")) \
+             .orderBy("v").collect()
+    qs = [r.q for r in rows]
+    assert all(0 <= q <= 65535 for q in qs)
+    assert qs == sorted(qs)  # monotone
+    # exact integer division semantics
+    span = hi - lo
+    assert all(q == (r.v - lo) * 65535 // span for q, r in zip(qs, rows))
+
+
+def test_zorder_layout_guards(spark):
+    df = spark.range(5).select(
+        F.col("id").alias("a"), F.col("id").alias("b"),
+        F.lit(1).alias("__z"),
+    )
+    with pytest.raises(ValueError, match="__z"):
+        zorder_layout(df, F.col("a"), F.col("b"))
