@@ -202,3 +202,66 @@ def attach_media_payload(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         synth, "doc_id BIGINT, payload BINARY")
+
+
+# ------------------------------------------------------ BMP (real pixels)
+
+def bmp_payload(doc_id: int) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP (14-byte file header +
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes), width =
+    doc_id % 100 + 1, height = doc_id % 64 + 1 — unlike the container
+    formats above, decoding this payload parses REAL pixel data, so the
+    oracle row exercises the full decode, not just header walks."""
+    w = doc_id % 100 + 1
+    h = doc_id % 64 + 1
+    stride = (w * 3 + 3) & ~3
+    row = (bytes([doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256])
+           * w + b"\x00" * stride)[:stride]
+    pixels = row * h
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0))
+    return header + pixels
+
+
+# ------------------------------------------------- WAV (real samples)
+
+def wav_payload(doc_id: int) -> bytes:
+    """PCM 16-bit mono WAV of a full-rate square wave with amplitude
+    A = 4096 << (doc_id % 3): every |sample| equals A, so the decoded
+    rms is EXACTLY A/32768 (sqrt of a constant is exact in IEEE double
+    for these dyadic rationals) and every adjacent pair flips sign, so
+    zcr is exactly 1 — both integer-recomputable by the oracle, making
+    this the one payload family whose DSP output (not just header
+    metadata) is hash-checked cross-engine."""
+    rate = (8000, 16000, 44100)[doc_id % 3]
+    n = (doc_id % 500 + 2) * 10
+    amp = 4096 << (doc_id % 3)
+    frame = struct.pack("<hh", amp, -amp)
+    data = (frame * ((n + 1) // 2))[: 2 * n]
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def attach_image_audio_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): REAL-decode payloads — BMP for even
+    doc_ids, WAV for odd — per the module formulas; same narrow
+    Arrow-batched map shape as attach_media_payload."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"] if not pd.isna(i)]
+            if any(i < 0 for i in ids):
+                raise ValueError("negative doc_id in media synthesis")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [
+                    bmp_payload(i) if i % 2 == 0 else wav_payload(i)
+                    for i in ids
+                ],
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY")

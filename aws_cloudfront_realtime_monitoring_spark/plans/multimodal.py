@@ -162,3 +162,90 @@ def container_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_ms").cast("bigint").alias("duration_ms"),
     )
     return vids.unionByName(auds)
+
+
+# ------------------------------------------- real-decode image/audio
+#
+# r12: container_audio_meta (above) verifies header-walk parsers; this
+# sibling row goes one layer deeper -- the payloads here are REAL
+# 24-bit BMPs (full pixel-array parse) and PCM WAVs whose DSP outputs
+# (rms / zero-crossing rate over the decoded SAMPLES) are exact dyadic
+# rationals the oracle recomputes as integers: a square wave of
+# amplitude A has rms exactly A/32768 and zcr exactly 1. The decode
+# surfaces are the production ones (decode_batches,
+# audio_feature_batches); only the payload synthesis is test-shaped.
+
+@register(
+    "image_audio_real_meta",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents),
+    bmp AS (
+      SELECT doc_id, 'bmp' AS fmt,
+             doc_id % 100 + 1 AS width,
+             doc_id % 64 + 1 AS height,
+             NULL AS sample_rate, NULL AS n_samples, NULL AS duration_ms,
+             NULL AS rms_micro, NULL AS zcr_micro
+      FROM ids WHERE doc_id % 2 = 0),
+    wav AS (
+      SELECT doc_id, 'wav' AS fmt,
+             NULL AS width, NULL AS height,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             ELSE 44100 END AS sample_rate,
+             (doc_id % 500 + 2) * 10 AS n_samples,
+             ((doc_id % 500 + 2) * 10 * 1000)
+               // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                   ELSE 44100 END) AS duration_ms,
+             -- rms of a square wave of amplitude 4096 << (doc_id % 3)
+             -- over 16-bit full scale: exactly A/32768, in micro-units
+             CASE doc_id % 3 WHEN 0 THEN 125000 WHEN 1 THEN 250000
+                             ELSE 500000 END AS rms_micro,
+             1000000 AS zcr_micro
+      FROM ids WHERE doc_id % 2 = 1)
+    SELECT doc_id, fmt, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(rms_micro AS BIGINT) AS rms_micro,
+           CAST(zcr_micro AS BIGINT) AS zcr_micro
+    FROM (SELECT * FROM bmp UNION ALL SELECT * FROM wav)
+    """,
+    description="REAL pixel/sample decode under the hash discipline: "
+                "spec-built 24-bit BMPs (full pixel-array parse through "
+                "decode_batches) and PCM square-wave WAVs whose decoded "
+                "rms/zcr are exact dyadic rationals "
+                "(audio_feature_batches); the DuckDB oracle recomputes "
+                "every field -- including the DSP outputs -- as integer "
+                "arithmetic over doc_id. Complements container_audio_meta "
+                "(header-walk parsers) one layer deeper.",
+    tags=("multimodal", "pandas-udf", "audio"),
+    driver_slot=False,
+)
+def image_audio_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media_synth import attach_image_audio_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = attach_image_audio_payload(docs)
+    nul = F.lit(None).cast("bigint")
+    bmps = decode_batches(
+        payloads.filter(F.col("doc_id") % 2 == 0)
+    ).select(
+        "doc_id", "fmt",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        nul.alias("sample_rate"), nul.alias("n_samples"),
+        nul.alias("duration_ms"), nul.alias("rms_micro"),
+        nul.alias("zcr_micro"),
+    )
+    wavs = audio_feature_batches(
+        payloads.filter(F.col("doc_id") % 2 == 1), skip_invalid=False
+    ).select(
+        "doc_id", "fmt",
+        nul.alias("width"), nul.alias("height"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("rms_micro").cast("bigint").alias("rms_micro"),
+        F.col("zcr_micro").cast("bigint").alias("zcr_micro"),
+    )
+    return bmps.unionByName(wavs)
