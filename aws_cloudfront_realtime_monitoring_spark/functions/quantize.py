@@ -32,4 +32,7 @@ def qvec_numpy(arr):
     import numpy as np
 
     scaled = np.asarray(arr, dtype=np.float64) * QUANT
-    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+    # int64, not the float64 sign*floor produces: dtype-sensitive
+    # replicas (byte-exact packing, np.array_equal with dtype checks)
+    # must see the BIGINT the Spark/DuckDB side carries (r12 review)
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)

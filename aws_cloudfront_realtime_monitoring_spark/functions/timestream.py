@@ -68,6 +68,19 @@ def ago(interval: str, now: Column | datetime | str | None = None) -> Column:
     elif isinstance(now, Column):
         now_col = now
     else:
+        if isinstance(now, datetime):
+            # a datetime through F.lit converts via py4j's
+            # DatetimeConverter, which uses time.mktime -- the HOST
+            # timezone -- while the str path parses in the UTC session
+            # timezone (r12 review, verified: 4 h divergence under
+            # TZ=America/New_York). Render to a string so both forms
+            # share the session-tz path; an aware datetime converts to
+            # UTC first.
+            if now.tzinfo is not None:
+                from datetime import timezone
+
+                now = now.astimezone(timezone.utc).replace(tzinfo=None)
+            now = now.strftime("%Y-%m-%d %H:%M:%S.%f")
         now_col = F.lit(now).cast("timestamp")
     # micros, not unix_timestamp: the parser keeps millisecond precision
     # (D3), and a seconds-truncated cutoff would shift the boundary by up
@@ -146,14 +159,22 @@ def expand_macros(
         qualified, f"{database}.{table}" if database else table
     )
     sql = sql.replace('"$__table"', table)
-    sql = sql.replace(
-        '"$__database"', f'"{database}"' if database else ""
-    )
+    # the standalone quoted database form ALSO expands unquoted (the
+    # stated contract above; r12 review, verified: '"db"' in FROM
+    # position is a string literal and a parse error) -- and when the
+    # database is empty the dot-qualified spelling takes its dot with it
+    # (mirroring the unquoted cleanup below)
+    sql = sql.replace('"$__database".', f"{database}." if database else "")
+    sql = sql.replace('"$__database"', database)
     if not database:
         # the UNQUOTED qualified form must take its dot with it, or
         # 'FROM $__database.$__table' renders 'FROM .events' (r11 review)
         sql = sql.replace("$__database.", "")
     out = sql.replace("$__database", database).replace("$__table", table)
+    # templates following the common Grafana convention quote the macro
+    # themselves; expanding those to ''sc_bytes'' was a parse error
+    # (r12 review) -- resolve the pre-quoted form first
+    out = out.replace("'$__measure'", f"'{measure}'")
     out = out.replace("$__measure", f"'{measure}'")
     if "$__timeFilter" in out:
         if time_from is None or time_to is None:

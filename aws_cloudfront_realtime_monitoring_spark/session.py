@@ -57,6 +57,22 @@ def get_spark(app_name: str = "aws_cloudfront_realtime_monitoring_spark",
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    active = SparkSession.getActiveSession()
     spark = builder.getOrCreate()
+    if active is not None and spark is active:
+        # getOrCreate silently IGNORES creation-time confs (master core
+        # count, driver memory) when a session already exists; a
+        # measurement tool asking for local[2] must not believe it got
+        # one (r12 review) -- warn loudly rather than mislead
+        got = spark.sparkContext.master
+        want = f"local[{cpus}]"
+        if got != want:
+            import warnings
+
+            warnings.warn(
+                f"get_spark: reusing the existing SparkSession on {got}; "
+                f"the requested {want} (and any sizing confs) were NOT "
+                "applied", stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark

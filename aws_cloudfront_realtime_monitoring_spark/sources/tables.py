@@ -23,6 +23,7 @@ at cluster scale.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import time
@@ -58,8 +59,9 @@ _CACHE_MIN_BYTES = 100_000
 #: target file count == default local core count
 _CACHE_FILES = 32
 #: bump when _read_raw normalization changes so stale cached layouts rebuild
-#: (v2: TIMESTAMP_NTZ -> TIMESTAMP normalization)
-_LAYOUT_VERSION = 2
+#: (v2: TIMESTAMP_NTZ -> TIMESTAMP normalization; v3: nanos -> micros now
+#: FLOORS like DuckDB instead of truncating toward zero, r12)
+_LAYOUT_VERSION = 3
 #: stale-layout dirs younger than this are never deleted (another live
 #: process may have just written them)
 _RETIRE_GRACE_S = 15 * 60
@@ -75,11 +77,18 @@ def _read_raw(spark: SparkSession, src: str) -> DataFrame:
     for f in df.schema.fields:
         # Nanosecond-precision parquet timestamps arrive as raw LongType nanos
         # (spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType at
-        # microsecond precision -- the same truncation DuckDB applies.
+        # microsecond precision with FLOOR semantics -- DuckDB's
+        # TIMESTAMP_NS -> TIMESTAMP conversion floors, while a bare `div`
+        # truncates toward zero, landing pre-1970 nanos 1 us higher in
+        # Spark than in the oracle (r12 review, verified on -1500 ns).
         if isinstance(f.dataType, T.LongType) and f.name in _NANO_TS_COLUMNS:
-            # integer `div`: float division would lose precision above 2^53 ns
+            # pure int64: pmod keeps the remainder nonnegative, so the
+            # subtraction yields an exact multiple and `div` floors
             df = df.withColumn(
-                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+                f.name,
+                F.timestamp_micros(F.expr(
+                    f"(`{f.name}` - pmod(`{f.name}`, 1000)) div 1000"
+                )),
             )
         # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ in
         # Spark 4; normalize to TIMESTAMP so epoch functions (unix_micros) and
@@ -113,7 +122,15 @@ def stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
 
 
 def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> str:
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    # the cache parent keys on basename PLUS a digest of the absolute
+    # source dir: two processes over different testdata roots that share
+    # a basename ('sf0.1') used to share one parent, and A's retirement
+    # scan could rmtree B's LIVE layout (B's stat never matches A's
+    # source -- r12 review); distinct parents make cross-root
+    # interference structurally impossible
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    digest = hashlib.md5(norm.encode()).hexdigest()[:8]
+    sf_tag = f"{os.path.basename(norm)}-{digest}"
     # st_mtime_ns, not whole seconds: a same-size rewrite landing in
     # the same second must not serve the previous corpus (r8 review)
     key = f"{name}-v{_LAYOUT_VERSION}-{st.st_size}-{st.st_mtime_ns}"
@@ -151,8 +168,11 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
                         pass  # crashed or unparseable: reclaimable
                     except PermissionError:
                         continue  # alive under another uid
-                elif d.split(".tmp-")[0].endswith(cur_stat):
-                    continue  # same source bytes, other version: in use
+                elif d.endswith(cur_stat):
+                    # same source bytes, other version: in use (r12
+                    # review: the old `.split('.tmp-')[0]` was dead --
+                    # this branch is only reachable for non-tmp names)
+                    continue
                 path = os.path.join(parent, d)
                 try:
                     if now - os.path.getmtime(path) < _RETIRE_GRACE_S:

@@ -91,3 +91,43 @@ def test_expand_macros_preserves_quoted_string_literals():
         'SELECT * FROM "$__database"."$__table"', database="db", table="t"
     )
     assert "FROM db.t" in out2
+
+
+def test_ago_naive_datetime_matches_string_form(spark):
+    """A naive datetime 'now' must take the UTC session-timezone path,
+    not the host timezone (r12 review: py4j's DatetimeConverter goes
+    through time.mktime, which produced a 4 h divergence between the
+    datetime and string forms under TZ=America/New_York)."""
+    from datetime import datetime, timezone
+
+    from aws_cloudfront_realtime_monitoring_spark.functions.timestream import ago
+
+    row = spark.range(1).select(
+        ago("24h", now=datetime(2020, 10, 14, 6)).alias("dt_form"),
+        ago("24h", now="2020-10-14 06:00:00").alias("str_form"),
+        ago("24h", now=datetime(2020, 10, 14, 6,
+                                tzinfo=timezone.utc)).alias("aware"),
+    ).head()
+    assert row.dt_form == row.str_form == row.aware
+
+
+def test_expand_macros_quoted_forms_parse(spark):
+    """The quoted standalone database form and a pre-quoted measure
+    macro must both expand to parseable SQL (r12 review: '\"db\"' in
+    FROM position was a string literal, ''sc_bytes'' a parse error)."""
+    from aws_cloudfront_realtime_monitoring_spark.functions.timestream import (
+        expand_macros,
+    )
+
+    got = expand_macros('SELECT * FROM "$__database".events',
+                        database="db", table="t")
+    assert got == "SELECT * FROM db.events"
+    got = expand_macros('SELECT * FROM "$__database".events',
+                        database="", table="t")
+    assert got == "SELECT * FROM events"
+    got = expand_macros("SELECT 1 WHERE m = '$__measure'",
+                        measure="sc_bytes")
+    assert got == "SELECT 1 WHERE m = 'sc_bytes'"
+    got = expand_macros("SELECT 1 WHERE m = $__measure",
+                        measure="sc_bytes")
+    assert got == "SELECT 1 WHERE m = 'sc_bytes'"
