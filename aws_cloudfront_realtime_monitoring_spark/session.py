@@ -15,6 +15,10 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: master of the session THIS factory created (None until then): the
+#: truthful reuse detector -- see the comment inside get_spark
+_CREATED_MASTER: str | None = None
+
 
 def get_spark(app_name: str = "aws_cloudfront_realtime_monitoring_spark",
               cpus: str | int | None = None,
@@ -57,22 +61,28 @@ def get_spark(app_name: str = "aws_cloudfront_realtime_monitoring_spark",
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # getOrCreate silently IGNORES creation-time confs (master core
+    # count, driver memory) when a session already exists; a measurement
+    # tool asking for local[2] must not believe it got one (r12 review)
+    # -- warn loudly rather than mislead. The real master comes from
+    # module state recorded at CREATION: every builder.getOrCreate
+    # copies its spark.master option into the reused session's runtime
+    # conf even though the actual master never changes, so the conf lies
+    # after the first reuse, and sparkContext.master would grow the
+    # classic-only API surface (CONNECT.md inventory).
+    global _CREATED_MASTER
     active = SparkSession.getActiveSession()
     spark = builder.getOrCreate()
-    if active is not None and spark is active:
-        # getOrCreate silently IGNORES creation-time confs (master core
-        # count, driver memory) when a session already exists; a
-        # measurement tool asking for local[2] must not believe it got
-        # one (r12 review) -- warn loudly rather than mislead
-        got = spark.sparkContext.master
-        want = f"local[{cpus}]"
-        if got != want:
-            import warnings
+    want = f"local[{cpus}]"
+    if active is None:
+        _CREATED_MASTER = want
+    elif _CREATED_MASTER and _CREATED_MASTER != want:
+        import warnings
 
-            warnings.warn(
-                f"get_spark: reusing the existing SparkSession on {got}; "
-                f"the requested {want} (and any sizing confs) were NOT "
-                "applied", stacklevel=2,
-            )
+        warnings.warn(
+            "get_spark: reusing the existing SparkSession on "
+            f"{_CREATED_MASTER}; the requested {want} (and any sizing "
+            "confs) were NOT applied", stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
