@@ -443,7 +443,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             # (lb, la) for each undirected edge -- no swapped union here
             # (r11 review: the old union fed the min-aggregate exactly
             # twice every row, doubling the hook's shuffle volume)
-            cand = luv.select(
+            # equal-label pairs carry no information (their hook is a
+            # no-op the least/coalesce discards anyway): filtering them
+            # HERE shrinks the min-aggregate -- and the broadcast upd in
+            # the small regime -- to the active frontier, near-empty on
+            # a mostly-converged graph, instead of one row per label
+            # with any incident edge every round (r12 review; identical
+            # results: u_lbl simply comes back NULL for settled nodes)
+            cand = luv.where(F.col("la") != F.col("lb")).select(
                 F.col("la").alias("node"), F.col("lb").alias("lbl")
             )
             upd = cand.groupBy("node").agg(F.min("lbl").alias("u_lbl"))
@@ -451,10 +458,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             # double-jump self-joins: composing it lazily under the jump
             # fans the hook sub-plan out 4x, and AQE does not reliably
             # reuse the duplicated exchanges (measured 4.3 s for a fanned
-            # round-1 barrier vs ~0.4 s unfanned). A single localCheckpoint
-            # per round has no parquet commit cost and no chained-
-            # checkpoint degradation (its parent is the previous round's
-            # parquet barrier, not another checkpoint). The observed
+            # round-1 barrier vs ~0.4 s unfanned). One localCheckpoint
+            # per round has no parquet commit cost; in the small regime
+            # it CHAINS onto the previous flatten's checkpoint, which is
+            # exactly why the lc_streak accounting below rolls the chain
+            # over to a parquet barrier at LC_CHAIN_MAX (r12 review: an
+            # older comment claimed the parent was always a parquet
+            # barrier and no chain existed -- false in the small regime;
+            # the streak counter is the real degradation bound). The observed
             # update count doubles as the convergence test: on FLAT labels
             # a hook that changes nothing means every edge already joins
             # equal labels — the global fixpoint — so the round costs

@@ -182,6 +182,12 @@ def stream_kinesis_lines(
                 "parameters of this function"
             )
     opts.update({k: str(v) for k, v in option_overrides.items()})
+    # re-validate AFTER the merge: an override of the validated key used
+    # to bypass the builder's check and fail only at .load() on a real
+    # cluster -- the exact trap the gate exists to close (r12 review)
+    kinesis_source_options(stream_name, region,
+                           max_records_per_shard_per_trigger,
+                           opts["kinesis.startingPosition"])
     return _connector_lines(spark, "aws-kinesis", opts, "data",
                             charset, sample_fraction)
 
@@ -228,7 +234,19 @@ def stream_kafka_lines(
                 "with 'kafka.'; source options are the documented set; "
                 "tuning knobs are named parameters of this function"
             )
+        if k in ("assign", "subscribePattern"):
+            # this builder always sets 'subscribe' from the topic
+            # parameter; a second subscription mode is a connector-level
+            # conflict that would fail only at .load() (r12 review)
+            raise ValueError(
+                f"{k!r} conflicts with the topic parameter's 'subscribe' "
+                "subscription; use the raw reader for those modes"
+            )
     opts.update({k: str(v) for k, v in option_overrides.items()})
+    # re-validate AFTER the merge (r12 review: an override of
+    # startingOffsets bypassed the gate and failed only on-cluster)
+    kafka_source_options(bootstrap_servers, topic, max_records_per_trigger,
+                         opts["startingOffsets"])
     return _connector_lines(spark, "kafka", opts, "value",
                             charset, sample_fraction)
 
@@ -256,9 +274,17 @@ def _connector_lines(
 def hourly_bytes_stream(parsed: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Streaming version of the flagship Q1: tumbling 1 h windows of
     sum(sc_bytes) per edge location, late data bounded by the watermark
-    (the Timestream memory-store bound, template.yaml:204)."""
+    (the Timestream memory-store bound, template.yaml:204).
+
+    NULL-timestamp rows (the '-' sentinel / truncated lines the
+    permissive parser passes through) are dropped EXPLICITLY: a null
+    event time lands in a null-window group the watermark can never
+    pass, so in append mode its aggregate would sit in the state store
+    forever and never emit (r12 review) -- silent state growth, not
+    output. Callers needing those rows count them upstream."""
     return (
-        parsed.withWatermark("timestamp", watermark)
+        parsed.where(F.col("timestamp").isNotNull())
+        .withWatermark("timestamp", watermark)
         .groupBy(
             F.window("timestamp", "1 hour").alias("win"),
             F.col("x_edge_location"),
@@ -292,10 +318,18 @@ def dedup_stream(parsed: DataFrame, watermark: str = "24 hours") -> DataFrame:
 def with_time_partitions(parsed: DataFrame) -> DataFrame:
     """Attach the D6 partition columns (event_date, event_hour) -- the
     ONE spelling of the sink layout derivation, shared by the production
-    sink below and the throughput measurement tool."""
+    sink below and the throughput measurement tool.
+
+    NULL timestamps map to the epoch partition (1970-01-01/0), NOT to
+    Hive's __HIVE_DEFAULT_PARTITION__: the default partition escapes
+    date-cutoff retention forever (drop_partitions_older_than parses
+    event_date= values as dates), while the epoch partition ages out on
+    the first retention pass (r12 review). The rows themselves are
+    preserved -- a sink must not silently drop data."""
     return parsed.withColumn(
-        "event_date", F.to_date("timestamp")
-    ).withColumn("event_hour", F.hour("timestamp"))
+        "event_date",
+        F.coalesce(F.to_date("timestamp"), F.lit("1970-01-01").cast("date")),
+    ).withColumn("event_hour", F.coalesce(F.hour("timestamp"), F.lit(0)))
 
 
 def write_partitioned_parquet(

@@ -84,6 +84,12 @@ def chunked_flush_stream(
     at query start with an obscure provider exception otherwise; r11
     review moved this knowledge out of the test file into the
     operator)."""
+    if chunk_size < 1:
+        # the module's loud-early-error contract (the r11 flush_size
+        # check in ingest.py): without this the ValueError surfaces
+        # executor-side inside _cut_chunks on the first micro-batch of
+        # an already-running query (r12 review)
+        raise ValueError("chunked_flush_stream: chunk_size must be >= 1")
     provider = parsed.sparkSession.conf.get(
         "spark.sql.streaming.stateStore.providerClass", ""
     ) or ""

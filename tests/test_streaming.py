@@ -1036,3 +1036,50 @@ def test_compact_partition_migrates_legacy_nonhidden_sidecars(spark):
         compact_partition(spark, part, target_file_bytes=10**9)
         assert not os.path.exists(part + ".compact-old")
         assert sorted(r.id for r in spark.read.parquet(part).collect()) == rows
+
+
+def test_connector_override_gates_revalidate(spark):
+    """r12 review: an override of the VALIDATED key used to bypass the
+    builder's check and fail only at .load() on a real cluster; a second
+    subscription mode conflicted at the connector level."""
+    from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+        stream_kafka_lines,
+        stream_kinesis_lines,
+    )
+
+    with pytest.raises(ValueError, match="startingOffsets"):
+        stream_kafka_lines(spark, "b:9092", "t",
+                           startingOffsets="TRIM_HORIZON")
+    with pytest.raises(ValueError, match="conflicts"):
+        stream_kafka_lines(spark, "b:9092", "t", assign='{"t":[0]}')
+    with pytest.raises(ValueError, match="startingPosition"):
+        stream_kinesis_lines(
+            spark, "s", "us-east-1",
+            **{"kinesis.startingPosition": "lastest"})
+
+
+def test_chunked_flush_rejects_bad_chunk_size(spark):
+    from aws_cloudfront_realtime_monitoring_spark.streaming.stateful import (
+        chunked_flush_stream,
+    )
+
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunked_flush_stream(spark.range(1), chunk_size=0)
+
+
+def test_time_partitions_null_ts_lands_in_epoch_partition(spark):
+    """NULL timestamps map to the 1970-01-01/0 partition (retention can
+    age it out) instead of __HIVE_DEFAULT_PARTITION__ (retention never
+    touches it) -- r12 review."""
+    from datetime import date
+
+    from aws_cloudfront_realtime_monitoring_spark.streaming.ingest import (
+        with_time_partitions,
+    )
+
+    df = spark.createDataFrame(
+        [("2026-01-02 03:04:05",), (None,)], "ts_str STRING"
+    ).select(F.col("ts_str").cast("timestamp").alias("timestamp"))
+    rows = {(r.event_date, r.event_hour)
+            for r in with_time_partitions(df).collect()}
+    assert rows == {(date(2026, 1, 2), 3), (date(1970, 1, 1), 0)}
