@@ -64,6 +64,14 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "image_audio_real_meta",      # r13: promoted the only row whose
+                                  # oracle hash-checks REAL pixel/DSP
+                                  # decode output (slot from
+                                  # multimodal_pipeline, whose fake-path
+                                  # plumbing container_audio_meta + the
+                                  # golden-bytes suites keep; the
+                                  # displaced row stays hash-checked via
+                                  # load_demoted())
     "skew_salted_join",           # r10: promoted salted-join losslessness
                                   # (slot from pivot_status_by_priority,
                                   # whose B4 conditional-agg coverage
@@ -123,8 +131,6 @@ PRIORITY = [
     "sample_stratified",          # new in r02
     "text_profile",               # merged query (token stats + langid +
                                   # quality in one pass)
-    "multimodal_pipeline",        # merged query (decode meta + frame
-                                  # offsets in one pass)
     "revenue_by_region",          # agg-below-join rewrite in r02
     "pandas_udf_scalar",          # no driver row in r01 (position 50)
     "grouped_udaf_applyinpandas",  # no driver row in r01 (position 51)

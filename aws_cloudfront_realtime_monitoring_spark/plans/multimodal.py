@@ -59,8 +59,18 @@ from . import register
                 "metadata -- payload bytes never leave the decode batch). "
                 "Verifies the binary-column round-trip through pandas "
                 "batches with a declared schema AND the downstream "
-                "aggregability of the decoded columns.",
+                "aggregability of the decoded columns. DEMOTED r13 "
+                "(registry swap): its driver slot went to "
+                "image_audio_real_meta, whose oracle hash-checks REAL "
+                "pixel/DSP decode output -- strictly stronger than this "
+                "row's fake-path arithmetic. Coverage keepers: "
+                "container_audio_meta (header-walk parity, pass-x) plus "
+                "the golden-bytes decoder suites in tests/test_"
+                "{multimodal,jpeg,jpeg_arith,gif,webp,vp8}.py; this row "
+                "itself stays hash-checked by the pytest suite via "
+                "load_demoted().",
     tags=("multimodal", "pandas-udf"),
+    driver_slot=False,
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -217,9 +227,14 @@ def container_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(audio_feature_batches); the DuckDB oracle recomputes "
                 "every field -- including the DSP outputs -- as integer "
                 "arithmetic over doc_id. Complements container_audio_meta "
-                "(header-walk parsers) one layer deeper.",
+                "(header-walk parsers) one layer deeper. PROMOTED r13 "
+                "(registry swap, newest-verification-first): took "
+                "multimodal_pipeline's driver slot -- this is the only "
+                "row whose oracle hash-checks real decode OUTPUT; the "
+                "displaced row's plumbing coverage is kept by "
+                "container_audio_meta and the golden-bytes suites, and "
+                "the row itself stays in the pytest hash check.",
     tags=("multimodal", "pandas-udf", "audio"),
-    driver_slot=False,
 )
 def image_audio_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.media_synth import attach_image_audio_payload
