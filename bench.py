@@ -73,6 +73,34 @@ RERUN_FACTOR = 1.3
 ALWAYS_RERUN = {"cf_parse_wire_roundtrip"}
 
 
+#: day-factor calibration kernel: the box's quiet-load throughput drifts
+#: ~±14% BETWEEN days (r12, three same-day passes 22.03/21.21/19.26 s on
+#: identical code) -- a factor loadavg and the external-cores sampler
+#: cannot see because it is the box itself, not a neighbor. A fixed
+#: CPU-bound, data-independent, pure-JVM kernel (whole-stage-codegen
+#: Range -> xxhash64 -> bit_xor, no I/O, no Python workers) timed at
+#: bench start AND end gives every artifact an on-board yardstick:
+#: normalize cross-round totals by the calibration ratio before calling
+#: anything a regression. 3.2e9 rows ~ 0.6 s on this box quiet.
+CALIBRATION_ROWS = 3_200_000_000
+CALIBRATION_SPLITS = 32
+
+
+def _calibration_sec(spark, n_runs: int = 3) -> float:
+    """Min-of-N wall time of the fixed calibration kernel."""
+    def one() -> float:
+        # a FRESH DataFrame per run: re-collecting the same DataFrame
+        # object reuses its shuffle map outputs (skipped stages), which
+        # would time only the 1-row final reduce
+        df = spark.range(0, CALIBRATION_ROWS, 1, CALIBRATION_SPLITS) \
+            .selectExpr("bit_xor(xxhash64(id)) AS h")
+        t0 = time.perf_counter()
+        df.collect()
+        return time.perf_counter() - t0
+    one()  # untimed warm-up: codegen compile is a process effect
+    return round(min(one() for _ in range(n_runs)), 3)
+
+
 #: total extra seconds the run may spend on MID-RUN quiet-box waits (the
 #: start gate has its own MAX_LOAD_WAIT_SEC). Bounded so 29 queries cannot
 #: stall for hours on a box that never goes quiet.
@@ -222,6 +250,8 @@ def main() -> None:
         load_table(spark, sf_dir, t)
     registry["q2_create_time_series"].build(spark, sf_dir).collect()
 
+    calib_start = _calibration_sec(spark)
+
     ext_cpu = _ExternalCpu()
 
     def timed_runs(name: str, n_runs: int = 3) -> tuple[list[float], float]:
@@ -318,6 +348,8 @@ def main() -> None:
         print(f"# {name}: {times[name]}s (runs: {[round(t, 2) for t in per_run]})",
               file=sys.stderr)
 
+    calib_end = _calibration_sec(spark)
+
     print(_render_output(
         times=times,
         sf=sf,
@@ -327,6 +359,8 @@ def main() -> None:
         reran=reran,
         query_ext_cores=query_ext_cores,
         wait_budget_left=max(wait_budget, 0.0),
+        calib_start=calib_start,
+        calib_end=calib_end,
     ))
     spark.stop()
 
@@ -350,6 +384,8 @@ def _render_output(
     reran: list[str],
     query_ext_cores: dict[str, float],
     wait_budget_left: float,
+    calib_start: float | None = None,
+    calib_end: float | None = None,
     sidecar_dir: Path | None = None,
 ) -> str:
     """Write full diagnostics to the sidecar, return the compact stdout
@@ -375,8 +411,21 @@ def _render_output(
         "n_reran": len(reran),
         "detail": SIDECAR,
     }
+    if calib_start is not None and calib_end is not None:
+        # best observed kernel time = the day's CPU factor in one number;
+        # divide totals by (calib_sec / a reference round's calib_sec)
+        # before comparing across rounds
+        headline["calib_sec"] = min(calib_start, calib_end)
     detail = dict(
         headline,
+        # the fixed data-independent calibration kernel
+        # (CALIBRATION_ROWS-row Range -> xxhash64 -> bit_xor, min-of-3)
+        # timed at bench start and end: the pair brackets the run --
+        # a large start/end gap means the box's own speed shifted
+        # MID-RUN, not just between days
+        calib_start_sec=calib_start,
+        calib_end_sec=calib_end,
+        calib_rows=CALIBRATION_ROWS,
         # queries that got an extra min-of-3 before recording
         reran=reran,
         # max EXTERNAL cores (host busy CPU minus our own process tree)
@@ -399,7 +448,7 @@ def _render_output(
     # belt-and-braces: shed optional fields (never the required five) if
     # some future headline set pushes the line past the capture window
     for drop in ("detail", "n_reran", "load_flagged", "load_avg",
-                 "load_avg_start"):
+                 "load_avg_start", "calib_sec"):
         if len(line) <= STDOUT_LINE_BUDGET:
             break
         headline.pop(drop, None)

@@ -26,6 +26,8 @@ def _fake_run(tmp_path):
         reran=list(bench.HEADLINE),  # every query re-ran (worse than r11's 15)
         query_ext_cores=ext,
         wait_budget_left=0.0,
+        calib_start=0.651,
+        calib_end=0.598,
         sidecar_dir=tmp_path,
     )
     return line, tmp_path / bench.SIDECAR
@@ -53,6 +55,13 @@ def test_sidecar_carries_verbose_diagnostics(tmp_path):
     assert set(detail["query_ext_cores"]) == set(bench.HEADLINE)
     assert detail["reran"] == list(bench.HEADLINE)
     assert detail["midrun_wait_left_sec"] == 0.0
+    # day-factor calibration kernel (r12 verdict #4): both bracketing
+    # measurements land in the sidecar, the best one in the stdout line
+    assert detail["calib_start_sec"] == 0.651
+    assert detail["calib_end_sec"] == 0.598
+    assert detail["calib_rows"] == bench.CALIBRATION_ROWS
+    assert detail["calib_sec"] == 0.598
+    assert json.loads(line).get("calib_sec") in (0.598, None)
     # the sidecar is a superset of the stdout line's fields
     rec = json.loads(line)
     for k in ("metric", "value", "unit", "queries", "sf"):
@@ -94,3 +103,23 @@ def test_prior_round_times_skips_unparsed_rounds(tmp_path):
         best = bench._prior_round_times(0.1)
     assert best == {"q": 1.5}
     assert orig.exists()
+
+
+def test_calibration_kernel_times_fresh_dataframes(spark, monkeypatch):
+    """The kernel must build a FRESH DataFrame per timed run: re-collecting
+    one DataFrame object reuses its shuffle map outputs (skipped stages)
+    and r13's first sizing pass measured 8e9 rows in 0.045 s that way.
+    Pinned at a tiny row count; the mechanics (warm-up + min-of-3 + fresh
+    plan each run) are what's under test, not the wall time."""
+    monkeypatch.setattr(bench, "CALIBRATION_ROWS", 1_000)
+    built = []
+    orig_range = spark.range
+
+    def counting_range(*a, **kw):
+        built.append(a)
+        return orig_range(*a, **kw)
+
+    monkeypatch.setattr(spark, "range", counting_range)
+    sec = bench._calibration_sec(spark, n_runs=3)
+    assert isinstance(sec, float) and sec > 0
+    assert len(built) == 4  # 1 untimed warm-up + 3 timed, each a new plan
