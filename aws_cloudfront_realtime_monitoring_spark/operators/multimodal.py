@@ -2,9 +2,10 @@
 metadata, processed by Arrow-batched pandas iterators (``mapInPandas``).
 
 The decode step is REAL for uncompressed BMP payloads (pure-numpy header
-parse + pixel extraction -- no media library needed), for non-interlaced
-8-bit PNG (stdlib zlib inflate + the five standard scanline predictors,
-palette/tRNS expansion, CRC-verified chunks), for baseline AND
+parse + pixel extraction -- no media library needed), for EVERY valid
+static-PNG profile (stdlib zlib inflate + the five standard scanline
+predictors at depths 1/2/4/8/16, Adam7 interlace, palette/tRNS
+expansion, CRC-verified chunks -- r13), for baseline AND
 progressive JPEG (operators/jpeg.py: Huffman entropy decode + dequant +
 IDCT + chroma upsample, pure numpy), for GIF87a/89a incl. animation
 (operators/gif.py), for lossless WebP/VP8L (operators/webp.py: prefix
@@ -109,10 +110,99 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: 8-bit color types we decode: type -> SCANLINE channel count (palette
-#: type 3 carries one index byte per pixel and expands through PLTE after
-#: defiltering; 16-bit depths and Adam7 interlace are declined)
+#: color type -> SCANLINE channel count (palette type 3 carries one index
+#: sample per pixel and expands through PLTE after defiltering)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: the spec's valid bit depths per color type (PNG spec section 11.2.2,
+#: table "Allowed combinations"): every combination below decodes for
+#: REAL as of r13 -- sub-byte grayscale/palette, 16-bit, and Adam7
+#: interlace included
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+#: Adam7 pass grid (PNG spec section 8.2): (x_start, y_start, x_step,
+#: y_step) for passes 1..7. Each pass is an independent sub-image with
+#: its own filter byte per sub-row; empty passes (zero width or height)
+#: contribute NO scanlines at all.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _defilter(lines: np.ndarray, rowbytes: int, bpp: int) -> np.ndarray:
+    """Undo the five standard scanline predictors over one (sub-)image:
+    ``lines`` is ``(rows, 1 + rowbytes)`` uint8 (filter byte + packed
+    scanline); returns ``(rows, rowbytes)`` uint8. Filtering is BYTE-wise
+    per the spec -- the "left" neighbour sits ``bpp = max(1,
+    channels*depth//8)`` bytes back regardless of sample packing."""
+    height = lines.shape[0]
+    out = np.zeros((height, rowbytes), np.uint16)  # u16: filter math mod 256
+    prev = np.zeros(rowbytes, np.uint16)
+    for y in range(height):
+        f, row = lines[y, 0], lines[y, 1:].astype(np.uint16)
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 1:  # Sub: per-bpp-group prefix sum mod 256, vectorized
+            # cur[x] = (row[x] + cur[x-bpp]) mod 256 == cumsum along the
+            # pixel axis mod 256 (int64 headroom: 8k rows x 255 < 2^21)
+            cur = (
+                row.reshape(-1, bpp).astype(np.int64).cumsum(0) & 0xFF
+            ).reshape(rowbytes).astype(np.uint16)
+        elif f in (3, 4):  # Average / Paeth: inherently left-sequential;
+            # pure-int list loop (numpy scalar indexing is ~10x slower
+            # per element than Python-int arithmetic -- r8 review)
+            rl = row.tolist()
+            pl = prev.tolist()
+            cl = [0] * rowbytes
+            for x in range(rowbytes):
+                a = cl[x - bpp] if x >= bpp else 0  # left
+                b = pl[x]  # up
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = pl[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                cl[x] = (rl[x] + pred) & 0xFF
+            cur = np.array(cl, np.uint16)
+        else:
+            raise ValueError(f"invalid PNG filter type {f} on row {y}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def _unpack_samples(
+    rows: np.ndarray, pw: int, ch: int, depth: int
+) -> np.ndarray:
+    """Defiltered packed scanline bytes ``(rows, rowbytes)`` -> sample
+    array ``(rows, pw, ch)``: uint16 for 16-bit depth (big-endian byte
+    pairs per the spec), uint8 otherwise. Sub-byte samples are packed
+    MSB-first within each byte, rows padded to a byte boundary."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(ph, pw, ch)
+    if depth == 16:
+        hi = rows[:, 0::2].astype(np.uint16)
+        return ((hi << 8) | rows[:, 1::2]).reshape(ph, pw, ch)
+    bits = np.unpackbits(rows, axis=1)  # MSB-first == PNG packing order
+    nsamp = rows.shape[1] * 8 // depth
+    groups = bits[:, : nsamp * depth].reshape(ph, nsamp, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (groups * weights).sum(axis=2).astype(np.uint8)
+    return samples[:, :pw].reshape(ph, pw, 1)  # depth<8 => ch == 1
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -124,19 +214,26 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decoder for non-interlaced 8-bit-depth PNG (grayscale, RGB,
-    gray+alpha, RGBA, and 8-bit palette with optional tRNS alpha): returns
-    (width, height, pixels[h, w, channels] uint8; palette expands to RGB,
-    or RGBA when tRNS is present). Raises ``ValueError`` on anything
-    malformed or outside that profile (16-bit depths, Adam7 interlace).
+    """REAL decoder for every valid static-PNG profile (PNG spec table
+    11.2.2): grayscale at depths 1/2/4/8/16, RGB / gray+alpha / RGBA at
+    8/16, palette at 1/2/4/8 with optional tRNS alpha, each in both
+    sequential and Adam7-interlaced form. Returns (width, height,
+    pixels[h, w, channels]) -- uint16 samples for 16-bit depth, uint8
+    otherwise; sub-byte grayscale scales to full 8-bit range (the exact
+    255/(2^d-1) expansion); palette expands to RGB, or RGBA when tRNS is
+    present. Raises ``ValueError`` on anything malformed. Documented
+    residue: tRNS color-keys on gray/RGB images are ignored (no alpha
+    synthesized) and APNG animation chunks (acTL/fcTL/fdAT, ancillary)
+    decode as the static first frame.
 
     Needs only stdlib ``zlib`` + numpy: an 8-byte signature, then chunks of
     (length BE32, type, data, CRC32 over type+data); IHDR carries
-    width/height/bit-depth/color-type/interlace, the concatenated IDAT data
-    is one zlib stream of scanlines, each ``1 filter byte + width*channels``
-    bytes, defiltered per the five standard predictors (None/Sub/Up/
-    Average/Paeth) against the row above and the pixel ``channels`` bytes
-    to the left."""
+    width/height/bit-depth/color-type/interlace, the concatenated IDAT
+    data is one zlib stream of scanlines, each ``1 filter byte +
+    ceil(width*channels*depth/8)`` bytes, defiltered per the five standard
+    predictors (None/Sub/Up/Average/Paeth) against the row above and the
+    ``bpp`` bytes to the left; Adam7 splits the image into the seven
+    fixed sub-grids of :data:`_ADAM7`, each defiltered independently."""
     if len(payload) < len(_PNG_SIG) + 12 or payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, ended = len(_PNG_SIG), None, [], False
@@ -184,15 +281,30 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     # rationale as the progressive-JPEG scan cap
     if width * height > SLOW_PATH_MAX_PIXELS:
         raise ValueError("PNG dimensions exceed the decode cap")
-    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+    if (color not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[color]
+            or comp != 0 or filt != 0):
         raise ValueError(
-            f"unsupported PNG variant (depth={depth}, color={color})"
+            f"invalid PNG IHDR combination (depth={depth}, color={color})"
         )
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color]
-    stride = width * ch
-    expected = (stride + 1) * height
+    bpp = max(1, ch * depth // 8)  # filter "left" offset, bytes
+
+    def rowbytes(pw: int) -> int:
+        return (pw * ch * depth + 7) // 8
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:
+        passes = [
+            (x0, y0, dx, dy,
+             (width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    expected = sum(
+        ph * (rowbytes(pw) + 1) for *_xy, pw, ph in passes if pw and ph
+    )
     try:
         # BOUNDED inflate (r11 review): a plain zlib.decompress
         # materializes the full output first, so a crafted tiny-IHDR
@@ -206,48 +318,23 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(
             f"PNG scanline data is {len(raw)}+ bytes, expected {expected}"
         )
-    lines = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
-    out = np.zeros((height, stride), np.uint16)  # u16: filter math mod 256
-    prev = np.zeros(stride, np.uint16)
-    for y in range(height):
-        f, row = lines[y, 0], lines[y, 1:].astype(np.uint16)
-        if f == 0:  # None
-            cur = row
-        elif f == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif f == 1:  # Sub: per-channel prefix sum mod 256, vectorized
-            # cur[x] = (row[x] + cur[x-ch]) mod 256 == cumsum along the
-            # pixel axis mod 256 (int64 headroom: 8k rows x 255 < 2^21)
-            cur = (
-                row.reshape(width, ch).astype(np.int64).cumsum(0) & 0xFF
-            ).reshape(stride).astype(np.uint16)
-        elif f in (3, 4):  # Average / Paeth: inherently left-sequential;
-            # pure-int list loop (numpy scalar indexing is ~10x slower
-            # per element than Python-int arithmetic -- r8 review)
-            rl = row.tolist()
-            pl = prev.tolist()
-            cl = [0] * stride
-            for x in range(stride):
-                a = cl[x - ch] if x >= ch else 0  # left
-                b = pl[x]  # up
-                if f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = pl[x - ch] if x >= ch else 0  # up-left
-                    p = a + b - c
-                    pa = p - a if p >= a else a - p
-                    pb = p - b if p >= b else b - p
-                    pc = p - c if p >= c else c - p
-                    pred = (
-                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    )
-                cl[x] = (rl[x] + pred) & 0xFF
-            cur = np.array(cl, np.uint16)
-        else:
-            raise ValueError(f"invalid PNG filter type {f} on row {y}")
-        out[y] = cur
-        prev = cur
-    px = out.astype(np.uint8).reshape(height, width, ch)
+    buf = np.frombuffer(raw, np.uint8)
+    px = np.zeros((height, width, ch), np.uint16 if depth == 16 else np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue  # empty passes carry no scanlines at all
+        rb = rowbytes(pw)
+        span = ph * (rb + 1)
+        lines = buf[pos : pos + span].reshape(ph, rb + 1)
+        pos += span
+        px[y0::dy, x0::dx] = _unpack_samples(
+            _defilter(lines, rb, bpp), pw, ch, depth
+        )
+    if color == 0 and depth < 8:
+        # present sub-byte grayscale at full 8-bit range; exact because
+        # (2^d - 1) divides 255 for d in (1, 2, 4)
+        px = px * np.uint8(255 // ((1 << depth) - 1))
     if color == 3:
         # palette expansion: PLTE is RGB triples; optional tRNS supplies
         # per-entry alpha (entries past its length are opaque)
@@ -274,8 +361,8 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
 def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
     """Decode an image payload into the :data:`DECODE_SCHEMA` metadata row.
 
-    Uncompressed BMP (:func:`decode_bmp_pixels`), non-interlaced 8-bit
-    PNG (:func:`decode_png_pixels`, stdlib zlib + numpy), baseline and
+    Uncompressed BMP (:func:`decode_bmp_pixels`), every valid static-PNG
+    profile (:func:`decode_png_pixels`, stdlib zlib + numpy), baseline and
     progressive JPEG (:func:`operators.jpeg.decode_jpeg_pixels`),
     GIF87a/89a (:func:`operators.gif.decode_gif`) and WebP -- lossless
     VP8L and lossy VP8 key frames alike
@@ -312,8 +399,7 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
                 "fmt": "png",
             }
         except ValueError:
-            # signature-prefixed but malformed / outside the decodable
-            # profile (16-bit, interlaced): same contract as BMP
+            # signature-prefixed but malformed: same contract as BMP
             if strict:
                 raise
     if payload[:6] in (b"GIF87a", b"GIF89a"):

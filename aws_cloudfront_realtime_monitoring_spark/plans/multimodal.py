@@ -1,7 +1,8 @@
 """Multimodal-column queries: binary payload + pandas-batch decode plumbing
 (operators.multimodal), verified end-to-end against an arithmetic oracle.
 
-The decoder is REAL for BMP, non-interlaced 8-bit PNG, baseline +
+The decoder is REAL for BMP, every valid static-PNG profile (depths
+1/2/4/8/16, Adam7 interlace -- r13), baseline +
 progressive JPEG, GIF (incl. animation) and lossless WebP/VP8L (pure
 numpy + stdlib zlib, each golden-bytes-tested against independent
 spec-written encoders in tests/test_{multimodal,jpeg,gif,webp}.py) and

@@ -213,7 +213,10 @@ def test_png_rejects_malformed_and_unsupported():
         decode_png_pixels(bytes(bad_crc))
     with pytest.raises(ValueError):  # palette IHDR w/o PLTE (and 3x the
         decode_png_pixels(_make_png(px, color_type=3))  # expected bytes)
-    # interlace flag flipped on (re-CRC'd so only interlace is wrong)
+    # interlace flag flipped on (re-CRC'd so only interlace is wrong):
+    # Adam7 decodes for REAL as of r13, so this now rejects on the
+    # sequential IDAT's byte count not matching the Adam7 pass layout
+    # (tests/test_png_full.py covers real interlaced decode)
     ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 1)
     interlaced = (
         b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
