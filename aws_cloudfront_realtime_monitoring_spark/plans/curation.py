@@ -281,13 +281,22 @@ def decon_bench_ngrams(g: DataFrame) -> DataFrame:
     )
 
 
+def decon_corpus_grams(g: DataFrame) -> DataFrame:
+    """Exploded (doc_id, ng) rows of the NON-benchmark corpus side -- the
+    probe relation of the broadcast join. Split out of
+    :func:`decon_corpus_hits` so the ~sf10 stage tool
+    (tools/measure_decon_stages.py) times exactly the production
+    corpus-scan stage rather than a hand-rolled replica (the bm25
+    stage-SQL-from-builders discipline, r12)."""
+    return g.where(~(F.col("doc_id") % DECON_MOD == 0)).select(
+        "doc_id", F.explode("gg").alias("ng")
+    )
+
+
 def decon_corpus_hits(g: DataFrame, bench_ngrams: DataFrame) -> DataFrame:
     """Matched (doc_id, ng) rows of the non-benchmark corpus against the
     broadcast benchmark set -- the input decon_count aggregates."""
-    corpus = g.where(~(F.col("doc_id") % DECON_MOD == 0)).select(
-        "doc_id", F.explode("gg").alias("ng")
-    )
-    return corpus.join(F.broadcast(bench_ngrams), "ng")
+    return decon_corpus_grams(g).join(F.broadcast(bench_ngrams), "ng")
 
 
 def decontaminate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
