@@ -6,10 +6,14 @@ theirs and both changed the story).
 Splits the query into its three physical stages, each materialized with
 an eager localCheckpoint so the next stage's clock starts from real
 blocks instead of recomputing the prefix. The stage relations come FROM
-the production builders in plans/curation.py (decon_grams /
-decon_bench_ngrams / decon_corpus_grams / decon_count) -- the bm25
-stage-SQL-from-builders discipline -- so the tool cannot drift from the
-registry row:
+the plans/curation.py builders (decon_grams / decon_bench_ngrams /
+decon_corpus_grams / decon_count) -- the bm25 stage-from-builders
+discipline. Caveat: the registry row itself runs the SQL-string
+spelling (_decon_spark_sql); the builders are its Column-form replica,
+pinned RESULT-equal (tests/test_curation.py) but not plan-identical,
+so the staged-vs-full gap below includes any spelling divergence
+Catalyst introduces (none observed: both spell the same n-gram
+expression tree):
 
 1. ``bench``  -- benchmark-side n-gram build: split + zip_with 4-grams
                  over the doc_id % 13 == 0 docs, explode, DISTINCT
