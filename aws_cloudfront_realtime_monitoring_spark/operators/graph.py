@@ -36,9 +36,12 @@ large-star-small-star family). Per outer round:
   to truncate lineage. Two modes, chosen from the observed node count:
   small label tables (the broadcast regime) use ``localCheckpoint``
   barriers — no parquet commit + re-read latency — with a parquet write
-  every ``LC_CHAIN_MAX`` links, because repeated checkpoint chains
-  measurably degrade ~7x per round past ~8 iterations in local mode
-  (block-manager re-read path); large label tables always round-trip
+  every ``LC_CHAIN_MAX`` links, because Spark 4's localCheckpoint
+  INHERITS the origin plan's Catalyst sizeInBytes and chained rounds
+  compound that BigInt hyper-exponentially until stats estimation
+  itself stalls the driver (see LC_CHAIN_MAX; the cap originally
+  targeted a milder block-manager re-read degradation, r12); large
+  label tables always round-trip
   through parquet, which stayed flat for 60+ rounds. On a cluster the
   barrier directory belongs on shared storage — which is exactly how
   production iterative jobs (GraphFrames CC, MLlib) persist interround
@@ -81,11 +84,24 @@ _LOG = logging.getLogger(__name__)
 BROADCAST_MAX_NODES = 2_000_000
 
 #: consecutive localCheckpoint barriers allowed before a parquet write
-#: truncates the chain: the measured ~7x-per-round degradation of repeated
-#: checkpoint chains starts past ~8 links (module docstring), so resetting
-#: every 6 keeps each barrier O(label table) while most rounds skip the
-#: parquet commit+re-read latency entirely
-LC_CHAIN_MAX = 6
+#: truncates the chain. 1, NOT a longer chain (r13, was 6): Spark 4's
+#: ``Dataset.localCheckpoint`` (LogicalRDD.fromDataset ->
+#: rewriteStatsAndConstraints) inherits the ORIGIN plan's Catalyst
+#: ``sizeInBytes`` into the new LogicalRDD, and the stats visitor
+#: multiplies child sizes through every join -- so a loop round whose
+#: label inputs are themselves stat-inheriting checkpoints COMPOUNDS that
+#: BigInt's bit length hyper-exponentially (measured: a ~20-bit seed
+#: inherits a multi-thousand-digit sizeInBytes after ONE hook+flatten
+#: round; at the r13 cc_scale 2M-node probe-oversize cell the driver
+#: burned 13+ min single-threaded in SizeInBytesOnlyStatsPlanVisitor's
+#: Toom-Cook BigInteger multiplies around round 4, BEFORE submitting any
+#: job -- the checkpoint call itself was the stall). A parquet round-trip
+#: resets stats to file size, so capping the chain at one link bounds
+#: every inherited stat at the single-round blow-up (microsecond
+#: multiplies) while alternate barriers still skip the parquet
+#: commit+re-read latency. The older ~8-link block-manager re-read
+#: degradation this cap originally targeted is moot at 1.
+LC_CHAIN_MAX = 1
 
 
 #: contracted label-graph edge cap for the driver union-find finish --
@@ -241,29 +257,26 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     spark.conf.set(_PFIRST, "false")
 
     # localCheckpoint-vs-parquet bookkeeping: lc_streak counts consecutive
-    # checkpoint links since the last parquet truncation; last_lc records
-    # whether the CURRENT label table is block-manager-backed (so finish()
-    # can skip a redundant re-checkpoint before the temp dir is deleted)
+    # checkpoint links since the last parquet truncation (finish() always
+    # re-anchors, so no per-barrier backing-kind flag is needed -- r13)
     lc_streak = 0
-    last_lc = False
 
     def barrier(df: DataFrame) -> DataFrame:
-        nonlocal step, lc_streak, last_lc
+        nonlocal step, lc_streak
         step += 1
         t0 = time.monotonic()
         if small_labels and lc_streak < LC_CHAIN_MAX:
             # partition-sized label table: a localCheckpoint barrier has no
             # parquet commit + re-read latency; the chain cap bounds the
+            # inherited-sizeInBytes compounding (see LC_CHAIN_MAX) and the
             # block-manager re-read degradation long chains exhibit
             out = df.localCheckpoint(eager=True)
             lc_streak += 1
-            last_lc = True
             _LOG.info("cc barrier %d (lc): %.2fs", step, time.monotonic() - t0)
             return out
         path = os.path.join(tmp, f"step_{step}")
         df.write.mode("overwrite").parquet(path)
         lc_streak = 0
-        last_lc = False
         _LOG.info("cc barrier %d: %.2fs", step, time.monotonic() - t0)
         return spark.read.parquet(path)
 
@@ -346,13 +359,19 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     )
 
     def finish(result: DataFrame) -> DataFrame:
-        if own_tmp and not last_lc:
+        if own_tmp:
             # the returned DataFrame must outlive the temp dir: re-anchor it
             # off the parquet files before they are deleted (localCheckpoint
             # stores MEMORY_AND_DISK — eviction cannot trigger a recompute
             # from the deleted path; one call has none of the repeated-
-            # checkpoint degradation the barrier avoids). An lc-barriered
-            # result is already block-manager-backed — nothing to re-anchor.
+            # checkpoint degradation the barrier avoids). Unconditional
+            # (r13): the old `not last_lc` skip described the LAST barrier
+            # taken, but the converged exit returns the PREVIOUS round's
+            # flatten relation — once the hook also routes through
+            # barrier(), a final lc-backed no-op hook could mask a
+            # parquet-backed result and hand back a plan over deleted
+            # files. Re-anchoring an already-lc result is one cheap
+            # block-manager copy of the final label table.
             result = result.localCheckpoint()
         return result
 
@@ -454,18 +473,17 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 F.col("la").alias("node"), F.col("lb").alias("lbl")
             )
             upd = cand.groupBy("node").agg(F.min("lbl").alias("u_lbl"))
-            # materialize the hook ONCE in block-manager memory before the
-            # double-jump self-joins: composing it lazily under the jump
-            # fans the hook sub-plan out 4x, and AQE does not reliably
-            # reuse the duplicated exchanges (measured 4.3 s for a fanned
-            # round-1 barrier vs ~0.4 s unfanned). One localCheckpoint
-            # per round has no parquet commit cost; in the small regime
-            # it CHAINS onto the previous flatten's checkpoint, which is
-            # exactly why the lc_streak accounting below rolls the chain
-            # over to a parquet barrier at LC_CHAIN_MAX (r12 review: an
-            # older comment claimed the parent was always a parquet
-            # barrier and no chain existed -- false in the small regime;
-            # the streak counter is the real degradation bound). The observed
+            # materialize the hook ONCE before the double-jump
+            # self-joins: composing it lazily under the jump fans the
+            # hook sub-plan out 4x, and AQE does not reliably reuse the
+            # duplicated exchanges (measured 4.3 s for a fanned round-1
+            # barrier vs ~0.4 s unfanned). In the small regime the
+            # barrier CHAINS onto the previous flatten's checkpoint,
+            # which is exactly why barrier()'s lc_streak rolls the chain
+            # over to a parquet barrier at LC_CHAIN_MAX -- both for the
+            # block-manager re-read degradation (r12 review) and, r13,
+            # to stop the inherited-sizeInBytes compounding documented
+            # on LC_CHAIN_MAX itself. The observed
             # update count doubles as the convergence test: on FLAT labels
             # a hook that changes nothing means every edge already joins
             # equal labels — the global fixpoint — so the round costs
@@ -491,17 +509,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 )
             )
             t0 = time.monotonic()
-            if small_labels:
-                hooked = hooked.localCheckpoint(eager=True)
-                lc_streak += 1  # a link in the same checkpoint chain
-            else:
-                # large regime: the module's barrier policy (fault-
-                # tolerant parquet round-trips for big label tables)
-                # applies to the hook too -- a localCheckpoint here
-                # would pin a multi-GB table in block-manager memory
-                # with truncated lineage, unrecoverable on executor
-                # loss (r11 review)
-                hooked = barrier(hooked)
+            # BOTH regimes go through barrier(): it picks localCheckpoint
+            # vs parquet itself (small tables lc, big tables parquet for
+            # executor-loss recovery -- r11 review) AND enforces
+            # LC_CHAIN_MAX. The hook used to call localCheckpoint
+            # directly in the small regime, bypassing the chain cap --
+            # which let the inherited-sizeInBytes compounding (see
+            # LC_CHAIN_MAX) run unbounded across hook rounds (r13).
+            hooked = barrier(hooked)
             hchg = obs.get["hchg"]
             _LOG.info("cc hook barrier: %.2fs (hchg=%d)",
                       time.monotonic() - t0, hchg)

@@ -295,3 +295,46 @@ def test_connected_components_ascending_chain_no_hook_round1(spark, monkeypatch)
     )
     got = {r.node: r.lbl for r in connected_components(df).collect()}
     assert got == {3: 3, 4: 3, 5: 3, 8: 3, 9: 3}
+
+
+def test_connected_components_loop_stats_stay_bounded(spark, monkeypatch):
+    """Regression (r13): Spark 4's ``localCheckpoint`` inherits the origin
+    plan's Catalyst ``sizeInBytes`` (LogicalRDD.rewriteStatsAndConstraints),
+    and chained loop rounds COMPOUND that BigInt hyper-exponentially --
+    the 2M-node probe-oversize cc_scale cell stalled the driver 13+ min
+    inside SizeInBytesOnlyStatsPlanVisitor's Toom-Cook multiplies around
+    round 4, before any job was submitted. barrier()'s LC_CHAIN_MAX=1
+    bounds every inherited stat at a single round's blow-up.
+
+    A 40k-node chain forced onto the broadcast loop runs enough
+    hook+flatten rounds to compound pre-fix (each round multiplied the
+    bit length ~1000x); post-fix the whole run stays seconds-fast and the
+    final label relation's inherited sizeInBytes stays far below the
+    pre-fix trajectory. The exactness assert doubles as the usual
+    all-paths pin."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.operators import graph
+    from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
+        connected_components,
+    )
+
+    monkeypatch.setattr(graph, "LOCAL_FINISH_MAX_EDGES", 0)
+    n = 40_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = connected_components(edges)
+    agg = labels.agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("lbl").alias("k"),
+        F.max("lbl").alias("mx"),
+    ).head()
+    assert (agg.cnt, agg.k, agg.mx) == (n, 1, 0)
+    # the inherited stat of the RESULT relation: one un-compounded round's
+    # inflation at most (pre-fix this reached thousands of digits within
+    # a round and grew ~1000x per round thereafter)
+    bits = int(
+        labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    assert bits < 100_000, f"inherited sizeInBytes has {bits} bits"
