@@ -286,9 +286,9 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                       user_id AS y
                FROM events),
     s AS (SELECT event_type, COUNT(*) AS n,
-                 ROUND(quantile_cont(value, 0.5), 4) AS p50,
-                 ROUND(quantile_cont(value, 0.9), 4) AS p90,
-                 ROUND(quantile_cont(value, 0.99), 4) AS p99,
+                 FLOOR(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+                 FLOOR(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+                 FLOOR(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99,
                  SUM(x) AS sx, SUM(x * x) AS sxx,
                  SUM(y) AS sy, SUM(y * y) AS syy,
                  SUM(x * y) AS sxy,
@@ -297,11 +297,11 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                  MIN(value) AS min_value, MAX(value) AS max_value
           FROM q GROUP BY event_type)
     SELECT event_type, n, p50, p90, p99,
-           ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                 / (CAST(n AS DOUBLE) - 1.0) / 10000.0, 4) AS var_value,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           FLOOR((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) / 10000.0 * 10000.0 + 0.5) / 10000.0 AS var_value,
+           FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy,
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS corr_xy,
            min_event, max_event, min_value, max_value,
            CAST(1 AS BIGINT) AS p50_approx_ok
     FROM s
@@ -346,10 +346,20 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact interpolated percentiles at 0.5 -/+ 2/acc (the 2x margin
     # absorbs the interpolation-index offset at small n)
     acc = 100
+
+    def q4(col):
+        # FLOOR(x*1e4 + 0.5)/1e4, the portable cross-engine rounding:
+        # ROUND(double, n) diverges between Spark (shortest-repr HALF_UP)
+        # and DuckDB (scaled-double round) on repr-tie rationals -- the
+        # exact class derivative_rate/interpolate_linear_fill hit in r11;
+        # percentile interpolation between 2-decimal neighbors can land
+        # on a 5th-decimal tie (r13 review)
+        return F.floor(col * 10000.0 + 0.5) / 10000.0
+
     pct = q.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        q4(F.percentile("value", F.lit(0.5))).alias("p50"),
+        q4(F.percentile("value", F.lit(0.9))).alias("p90"),
+        q4(F.percentile("value", F.lit(0.99))).alias("p99"),
         F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("p50_gk"),
         F.percentile("value", F.lit(0.5 - 2.0 / acc)).alias("p50_lo"),
         F.percentile("value", F.lit(0.5 + 2.0 / acc)).alias("p50_hi"),
@@ -380,8 +390,8 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50",
         "p90",
         "p99",
-        F.round(var, 4).alias("var_value"),
-        F.round(corr, 6).alias("corr_xy"),
+        (F.floor(var * 10000.0 + 0.5) / 10000.0).alias("var_value"),
+        (F.floor(corr * 1000000.0 + 0.5) / 1000000.0).alias("corr_xy"),
         "min_event",
         "max_event",
         "min_value",
@@ -464,39 +474,56 @@ def string_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_frames_ranking",
     oracle="""
+    WITH q AS (SELECT *, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+               FROM events)
     SELECT event_id,
-           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(28,2)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
-             AS mov_avg4,
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+             AS running_sum,
+           FLOOR(CAST(SUM(cents) OVER f4 AS DOUBLE)
+                 / CAST(COUNT(*) OVER f4 AS DOUBLE) / 100.0
+                 * 10000.0 + 0.5) / 10000.0 AS mov_avg4,
            CAST(RANK() OVER w AS BIGINT) AS rnk,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
            CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS quartile
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ROUND(value, 2) DESC, event_id)
+    FROM q
+    WINDOW w AS (PARTITION BY user_id ORDER BY cents DESC, event_id),
+           f4 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
     description="Window frame specs + ranking family: running sum (growing "
-                "frame, decimal-exact), 4-row moving average, rank / "
+                "frame, integer-cents exact), 4-row moving average, rank / "
                 "dense_rank / ntile with deterministic tiebreaks. One "
-                "shuffle on user_id serves all six functions.",
+                "shuffle on user_id serves all six functions. r13: every "
+                "compared value and order key quantizes through "
+                "FLOOR(value*100 + 0.5) integer cents -- ROUND(double, n) "
+                "diverges cross-engine on repr-tie rationals, and a "
+                "windowed AVG(double) is additionally summation-order "
+                "dependent (DuckDB's segment tree vs Spark's sequential "
+                "frame), so the moving average is SUM(cents)/COUNT/100 "
+                "floor-quantized, exact integer arithmetic until one IEEE "
+                "division.",
     tags=("window", "frames"),
 )
 def window_frames_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    q = events.withColumn("cents", cents)
     wt = W.partitionBy("user_id").orderBy("ts", "event_id")
     wv = W.partitionBy("user_id").orderBy(
-        F.round(F.col("value"), 2).desc(), F.asc("event_id")
+        F.col("cents").desc(), F.asc("event_id")
     )
     wq = W.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
-    return events.select(
+    f4 = wt.rowsBetween(-3, 0)
+    mov = (
+        F.sum("cents").over(f4).cast("double")
+        / F.count(F.lit(1)).over(f4).cast("double") / 100.0
+    )
+    return q.select(
         "event_id",
-        F.sum(F.round(F.col("value"), 2).cast("decimal(28,2)"))
-        .over(wt.rowsBetween(W.unboundedPreceding, 0))
-        .cast("double")
-        .alias("running_sum"),
-        F.round(F.avg("value").over(wt.rowsBetween(-3, 0)), 4).alias("mov_avg4"),
+        (F.sum("cents").over(wt.rowsBetween(W.unboundedPreceding, 0))
+         .cast("double") / 100.0).alias("running_sum"),
+        (F.floor(mov * 10000.0 + 0.5) / 10000.0).alias("mov_avg4"),
         F.rank().over(wv).cast("bigint").alias("rnk"),
         F.dense_rank().over(wv).cast("bigint").alias("drnk"),
         F.ntile(4).over(wq).cast("bigint").alias("quartile"),
@@ -585,8 +612,8 @@ def hll_cube_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS UNBOUNDED PRECEDING) AS locf_v
       FROM merged)
     SELECT event_type, t AS grid_ts,
-           ROUND(locf_v, 4) AS locf,
-           COALESCE(ROUND(locf_v, 4), 0.0) AS fill_zero
+           FLOOR(locf_v * 10000.0 + 0.5) / 10000.0 AS locf,
+           COALESCE(FLOOR(locf_v * 10000.0 + 0.5) / 10000.0, 0.0) AS fill_zero
     FROM filled WHERE is_grid = 1
     """,
     description="Timestream INTERPOLATE_LOCF / INTERPOLATE_FILL analog: "
@@ -608,7 +635,10 @@ def interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     locf = F.last(
         F.when(F.col("is_grid") == 0, F.col("v")), ignorenulls=True
     ).over(wf)
-    locf4 = F.round(F.col("locf_v"), 4)
+    # FLOOR(x*1e4 + 0.5)/1e4, not ROUND(double, 4): the carried-forward
+    # raw value is exactly the repr-tie shape derivative_rate diverged on
+    # cross-engine (r11; applied here r13 review)
+    locf4 = F.floor(F.col("locf_v") * 10000.0 + 0.5) / 10000.0
     return (
         merged
         .select("event_type", "t", "is_grid", locf.alias("locf_v"))

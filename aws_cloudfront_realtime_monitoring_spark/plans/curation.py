@@ -37,7 +37,7 @@ from ..sources.tables import load_table
 from . import register
 from .text import (_LWORDS_SQL, _WORDS_SQL, WS_RE, WS_RE_DUCK,
                    WS_RE_SPARK_SQL, adjacent_grams, gram_sql, lwords_col,
-                   words_col)
+                   words_col, words_spark_sql)
 
 # ------------------------------------------------------------- pii_redact
 
@@ -245,7 +245,7 @@ def _decon_spark_sql() -> str:
     chain -- tools/measure_build_split.py); one spark.sql call costs
     ~20. The n-gram expression mirrors text.adjacent_grams exactly
     (zip against shifted selves, NULL-concat grams filtered)."""
-    ws = f"filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != '')"
+    ws = words_spark_sql()  # the ONE tokenizer spelling (text.py)
     joined = "ws"
     for k in range(1, DECON_N):
         shifted = f"slice(ws, {k + 1}, greatest(size(ws) - {k}, 0))"

@@ -31,7 +31,7 @@ from ..functions.hashing import (HASH_PRIME, h60_spark_sql, h60_sql,
                                  mod_hash_sql, perm_params)
 from ..sources.tables import load_table, register_views
 from . import REGISTRY, register
-from .text import _WORDS_SQL, WS_RE_SPARK_SQL, words_col
+from .text import _WORDS_SQL, words_col, words_spark_sql
 
 # ---------------------------------------------------------------- shingles
 
@@ -293,7 +293,7 @@ def minhash_sigs_stmt(band_sigs: str | None = None) -> str:
         )
     return f"""
         WITH wz AS (
-          SELECT doc_id, filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != '') AS w
+          SELECT doc_id, {words_spark_sql()} AS w
           FROM documents),
         tri AS (
           SELECT doc_id,
@@ -470,7 +470,7 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = spark.sql(f"""
         WITH w AS (
-          SELECT doc_id, explode(filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != '')) AS word
+          SELECT doc_id, explode({words_spark_sql()}) AS word
           FROM documents),
         h AS (
           SELECT doc_id,

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60, h60_sql
 from ..sources.tables import load_table
 from . import register
-from .text import _WORDS_SQL, WS_RE_SPARK_SQL, words_col
+from .text import _WORDS_SQL, words_col, words_spark_sql
 
 #: per-language keep rates in per-mille (training mix: downsample the
 #: majority language, keep more of the rare ones)
@@ -50,12 +50,20 @@ DEFAULT_RATE = 100
 
 def _case_sql(col: str, mapping: dict, default) -> str:
     """dict -> CASE expression (the one spelling; _case_col is its
-    Column twin -- previously two copy-pasted pairs, r8 review)."""
+    Column twin -- previously two copy-pasted pairs, r8 review). An
+    EMPTY mapping degrades to the bare default: a WHEN-less CASE is a
+    SQL syntax error, and the Column twin's fold crashed on
+    None.otherwise (r13 review -- "uniform default only" is a
+    configuration the module docstrings invite)."""
+    if not mapping:
+        return str(default)
     whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in mapping.items())
     return f"CASE {col} {whens} ELSE {default} END"
 
 
 def _case_col(col: str, mapping: dict, default) -> Column:
+    if not mapping:
+        return F.lit(default)
     expr = None
     for k, v in mapping.items():
         branch = (F.col(col) == k, F.lit(v))
@@ -142,7 +150,7 @@ def _budget_col() -> Column:
       FROM toks)
     SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM runn
-    WHERE cum_tokens <= {_budget_case_sql()}
+    WHERE cum_tokens <= {_budget_case_sql()} AND n_tokens > 0
     """,
     description="Domain mixing to a per-source token budget -- the data-"
                 "mixture step of a training pipeline (cap web crawl, "
@@ -152,7 +160,10 @@ def _budget_col() -> Column:
                 "budget: one window shuffle on source, reproducible "
                 "across engines/retries/partitionings (same guarantees "
                 "as sample_stratified), and the greedy prefix is "
-                "well-defined because the running sum is monotone. "
+                "well-defined because the running sum is monotone; "
+                "zero-token docs are excluded outright (r13: they cost "
+                "no budget, so the cum <= budget cut alone kept them "
+                "even from a zero-budget source). "
                 "Verified Spark-vs-DuckDB by the test suite outside the "
                 "50-row driver budget (driver_slot=False).",
     tags=("sampling", "curation"),
@@ -175,7 +186,13 @@ def domain_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= _budget_col())
+        # n_tokens > 0: a zero-token (empty/whitespace) doc costs no
+        # budget, so `cum <= budget` alone kept it even from a
+        # ZERO-budget source -- and both engines agreed, so the oracle
+        # hash could never catch the leak (r13 review). Empty docs
+        # carry nothing a training mix wants; exclude them everywhere.
+        .where((F.col("cum_tokens") <= _budget_col())
+               & (F.col("n_tokens") > 0))
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
 
@@ -358,7 +375,7 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir)
-    score = f"size(filter(split(text, '{WS_RE_SPARK_SQL}'), w -> w != ''))"
+    score = f"size({words_spark_sql()})"  # the ONE tokenizer spelling
     hist = spark.sql(f"""
         SELECT CAST({score} AS BIGINT) AS score,
                CAST(COUNT(*) AS BIGINT) AS c

@@ -50,6 +50,15 @@ def words_col(col: str = "text") -> Column:
     return F.filter(F.split(F.col(col), WS_RE), lambda w: w != F.lit(""))
 
 
+def words_spark_sql(col: str = "text") -> str:
+    """The Spark-SQL spelling of :func:`words_col` -- the ONE home for
+    the tokenizer fragment used inside ``spark.sql`` strings (r13
+    review: four verbatim copies had grown across dedup/curation/
+    sampling; a tokenizer change must land in one place or a builder
+    silently forks from its own oracle)."""
+    return f"filter(split({col}, '{WS_RE_SPARK_SQL}'), w -> w != '')"
+
+
 _WORDS_SQL = f"list_filter(regexp_split_to_array(text, '{WS_RE_DUCK}'), w -> w <> '')"
 
 

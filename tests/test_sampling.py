@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from aws_cloudfront_realtime_monitoring_spark.plans import load_demoted
 from aws_cloudfront_realtime_monitoring_spark.plans.sampling import (
     MIX_BUDGET_OVERRIDES,
@@ -124,3 +126,58 @@ def test_curriculum_stages_are_balanced_rank_quartiles(spark, sf_dir):
     # can collapse stages, but it cannot skip one under the boundary rule)
     assert stages == set(range(max(stages) + 1))
     assert len(stages) >= 2, "staging is vacuous on this corpus"
+
+
+def test_case_helpers_degrade_to_default_on_empty_mapping(spark):
+    """r13 review: _case_col({}) crashed on None.otherwise and
+    _case_sql({}) emitted a WHEN-less CASE (a syntax error in both
+    engines) -- "uniform default only" must mean the bare default."""
+    import duckdb
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.sampling import _case_col, _case_sql
+
+    sql = _case_sql("source", {}, 800)
+    got = spark.range(1).select(
+        _case_col("source", {}, 800).alias("v"),
+        F.expr(sql).alias("s"),
+    ).head()
+    assert (got.v, got.s) == (800, 800)
+    assert duckdb.connect().execute(f"SELECT {sql}").fetchone()[0] == 800
+    # non-empty mapping unchanged
+    assert "WHEN 'a' THEN 1" in _case_sql("c", {"a": 1}, 2)
+
+
+def test_domain_mix_excludes_zero_token_docs(spark, tmp_path):
+    """r13 review: a zero-token document costs no budget, so the plain
+    cum_tokens <= budget cut kept it even from a ZERO-budget source --
+    and both engines agreed, so the registry oracle could never catch
+    the leak. Plants empty docs in a zero-budget and a positive-budget
+    source and pins exclusion AND Spark-vs-DuckDB agreement."""
+    import duckdb
+
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+
+    q = load_full()["domain_mix_tokens"]
+    rows = [
+        (1, "src2", "leaked words from the excluded source"),
+        (2, "src2", "   "),            # zero tokens, zero budget
+        (3, "src0", ""),               # zero tokens, positive budget
+        (4, "src0", "four words of text"),
+        (5, "src0", "more words beyond the first doc"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf_dir = str(tmp_path)
+    sdf.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r.doc_id: r.asDict() for r in q.build(spark, sf_dir).collect()}
+    assert 2 not in got and 3 not in got       # zero-token docs excluded
+    assert 1 not in got                        # zero-budget source empty
+    assert 4 in got and 5 in got               # positive budget unaffected
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {int(r[0]) for r in con.execute(q.oracle).fetchall()}
+    assert oracle == set(got)
