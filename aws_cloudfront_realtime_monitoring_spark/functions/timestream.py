@@ -56,6 +56,26 @@ def bin_(time_col: Column | str, interval: str) -> Column:
     return F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(secs)))
 
 
+def ts_lit(value: Column | datetime | str) -> Column:
+    """Timestamp literal with SESSION-timezone semantics for every input
+    form. A naive ``datetime`` through plain ``F.lit`` converts via
+    py4j's DatetimeConverter -- ``time.mktime``, the HOST timezone --
+    while a string parses in the UTC session timezone (r12 review,
+    verified 4 h divergence under TZ=America/New_York). Render datetimes
+    to strings so all forms share the session-tz path; aware datetimes
+    convert to UTC first. The one spelling for every operator that
+    accepts user-supplied time bounds (ago, hll_cube.range_distinct)."""
+    if isinstance(value, Column):
+        return value
+    if isinstance(value, datetime):
+        if value.tzinfo is not None:
+            from datetime import timezone
+
+            value = value.astimezone(timezone.utc).replace(tzinfo=None)
+        value = value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return F.lit(value).cast("timestamp")
+
+
 def ago(interval: str, now: Column | datetime | str | None = None) -> Column:
     """Timestream ``ago(interval)`` (README.md:109): ``now - interval``.
 
@@ -65,23 +85,10 @@ def ago(interval: str, now: Column | datetime | str | None = None) -> Column:
     secs = _interval_seconds(interval)
     if now is None:
         now_col = F.current_timestamp()
-    elif isinstance(now, Column):
-        now_col = now
     else:
-        if isinstance(now, datetime):
-            # a datetime through F.lit converts via py4j's
-            # DatetimeConverter, which uses time.mktime -- the HOST
-            # timezone -- while the str path parses in the UTC session
-            # timezone (r12 review, verified: 4 h divergence under
-            # TZ=America/New_York). Render to a string so both forms
-            # share the session-tz path; an aware datetime converts to
-            # UTC first.
-            if now.tzinfo is not None:
-                from datetime import timezone
-
-                now = now.astimezone(timezone.utc).replace(tzinfo=None)
-            now = now.strftime("%Y-%m-%d %H:%M:%S.%f")
-        now_col = F.lit(now).cast("timestamp")
+        # ts_lit owns the datetime-vs-string session-tz discipline (the
+        # r12 host-tz fix, factored out in r13 so range_distinct shares it)
+        now_col = ts_lit(now)
     # micros, not unix_timestamp: the parser keeps millisecond precision
     # (D3), and a seconds-truncated cutoff would shift the boundary by up
     # to 1 s against the ms-precision data (r7 review)

@@ -45,11 +45,19 @@ def hourly_distinct_cube(
     timezone, so a cube written under one tz and queried/reaggregated
     under another (e.g. a +05:30 offset) would group the same instant
     into different buckets with no error; the arithmetic bin is
-    tz-independent and equals date_trunc under UTC."""
+    tz-independent and equals date_trunc under UTC.
+
+    NULL-timestamp rows are DROPPED (r13 review): ``bin_`` maps them to a
+    NULL bucket that every bounded ``range_distinct`` call silently
+    excludes (NULL fails both range predicates) while an unbounded call
+    includes it -- two "whole range" queries disagreeing with no error --
+    and date-partitioned storage would drop the bucket anyway. Same rule
+    as session_window / the session CTE oracle."""
     from ..functions.timestream import bin_
 
     return (
-        df.groupBy(bin_(F.col(ts_col), "1h").alias("bucket_start"))
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(bin_(F.col(ts_col), "1h").alias("bucket_start"))
         .agg(
             F.hll_sketch_agg(key_col, F.lit(int(lg_k))).alias("sketch"),
             F.count("*").alias("n_rows"),
@@ -70,11 +78,18 @@ def range_distinct(
     Returns a 1-row DataFrame ``(n_distinct BIGINT, n_rows BIGINT)``.
     ``start``/``end`` filter inclusively on ``bucket_col`` when given —
     predicates on the cube's bucket column prune partitions at scale."""
+    from ..functions.timestream import ts_lit
+
+    # ts_lit, not F.lit: a naive datetime through F.lit converts in the
+    # HOST timezone (py4j DatetimeConverter/mktime) while strings parse
+    # in the UTC session tz -- the same class as the r12 ago() fix; a
+    # datetime bound under TZ=America/New_York silently shifted the
+    # range by 5 hours (r13 review)
     ranged = cube
     if start is not None:
-        ranged = ranged.where(F.col(bucket_col) >= F.lit(start))
+        ranged = ranged.where(F.col(bucket_col) >= ts_lit(start))
     if end is not None:
-        ranged = ranged.where(F.col(bucket_col) <= F.lit(end))
+        ranged = ranged.where(F.col(bucket_col) <= ts_lit(end))
     return ranged.agg(
         # coalesce: hll_union_agg over ZERO rows is NULL; an empty range
         # must still honor the documented BIGINT pair (0, 0)

@@ -282,7 +282,13 @@ DEMOTED: dict[str, Query] = {
     driver_slot=False,  # r6 demotion: lag+cumsum mechanics are the oracle of session_window_agg AND stream_session_equiv
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
+    # NULL-ts rows carry no session information and the shared oracle CTE
+    # (core.session_cte_sql) drops them -- matching Spark's native
+    # session_window, which ignores null timestamps. Without this filter
+    # the lag variant alone kept them (sorted NULLS FIRST, counted as a
+    # phantom first session per user) while every sibling dropped them
+    # (r13 review).
+    events = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     new_session = F.when(
         F.lag("ts").over(w).isNull()
@@ -402,6 +408,18 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: the GROUPING SETS arm, written ONCE: this exact statement is both the
+#: oracle's third UNION ALL arm and the spark.sql() the builder runs (the
+#: fragment is valid in both dialects; r13 review -- it had grown into two
+#: character-for-character copies, the silent-fork hazard the h60/session
+#: CTE consolidations exist to prevent)
+_GSETS_SQL = f"""
+    SELECT 'gsets' AS variant, c_mktsegment AS k1, o_orderstatus AS k2,
+           COUNT(*) AS n, {dsum_sql('o_totalprice', 2)} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())"""
+
+
 @register(
     "grouping_analytics",
     oracle=f"""
@@ -415,10 +433,7 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     UNION ALL
-    SELECT 'gsets' AS variant, c_mktsegment AS k1, o_orderstatus AS k2,
-           COUNT(*) AS n, {dsum_sql('o_totalprice', 2)} AS total
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+    {_GSETS_SQL}
     """,
     description="Multi-dimensional grouping family in one tagged result: "
                 "ROLLUP hierarchy (priority -> status -> grand total) on "
@@ -453,14 +468,7 @@ def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     register_views(spark, sf_dir)
-    gsets = spark.sql(
-        f"""
-        SELECT 'gsets' AS variant, c_mktsegment AS k1, o_orderstatus AS k2,
-               COUNT(*) AS n, {dsum_sql('o_totalprice', 2)} AS total
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
-        """
-    )
+    gsets = spark.sql(_GSETS_SQL)  # the ONE spelling (shared with the oracle)
     return rollup.unionAll(cube).unionAll(gsets)
 
 

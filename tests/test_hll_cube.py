@@ -135,3 +135,56 @@ def test_streaming_cube_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_range_distinct_datetime_bounds_match_string_bounds(spark):
+    """r13 review: range_distinct passed datetime bounds through plain
+    F.lit -- py4j's host-timezone path -- while strings parse in the UTC
+    session tz (the r12 ago() class). Both forms must select the same
+    buckets; ts_lit owns the rendering."""
+    from datetime import datetime, timezone
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.hll_cube import (
+        hourly_distinct_cube,
+        range_distinct,
+    )
+
+    rows = [(datetime(2024, 1, 8, h, 30), h) for h in range(6)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    cube = hourly_distinct_cube(df, "ts", "user_id")
+    want = range_distinct(
+        cube, "2024-01-08 01:00:00", "2024-01-08 03:00:00"
+    ).head()
+    got_dt = range_distinct(
+        cube, datetime(2024, 1, 8, 1), datetime(2024, 1, 8, 3)
+    ).head()
+    got_aware = range_distinct(
+        cube,
+        datetime(2024, 1, 8, 1, tzinfo=timezone.utc),
+        datetime(2024, 1, 8, 3, tzinfo=timezone.utc),
+    ).head()
+    assert want == got_dt == got_aware
+    assert want.n_distinct == 3 and want.n_rows == 3
+
+
+def test_cube_drops_null_timestamp_rows(spark):
+    """r13 review: NULL-ts rows used to land in a NULL bucket that
+    bounded range queries silently exclude but unbounded ones include --
+    two 'whole range' queries disagreeing with no error. The cube now
+    drops them at build (the session_window rule)."""
+    from datetime import datetime
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.hll_cube import (
+        hourly_distinct_cube,
+        range_distinct,
+    )
+
+    rows = [(datetime(2024, 1, 8, 1), 1), (datetime(2024, 1, 8, 2), 2),
+            (None, 3), (None, 4)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    cube = hourly_distinct_cube(df, "ts", "user_id")
+    assert cube.where(F.col("bucket_start").isNull()).count() == 0
+    unbounded = range_distinct(cube).head()
+    bounded = range_distinct(cube, "2024-01-01", "2024-12-31").head()
+    assert unbounded == bounded
+    assert unbounded.n_distinct == 2 and unbounded.n_rows == 2
