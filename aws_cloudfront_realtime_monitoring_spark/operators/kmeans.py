@@ -50,6 +50,18 @@ def assign_clusters(qvecs: DataFrame, centroids: list[list[int]],
     """Add ``cluster`` (argmin of exact distance, lowest index on ties) and
     ``dist`` columns. Narrow map — centroids ride into the task as
     literals (k x dim integers), vectors stay put."""
+    # collision guard (r13 review, the __salt/__z discipline from
+    # skew/zorder): an input already carrying __d{j}/cluster/dist --
+    # e.g. a persisted output of a prior assign_clusters fed back in --
+    # would otherwise produce duplicate column names and an
+    # AMBIGUOUS_REFERENCE crash downstream
+    clash = {c for c in qvecs.columns
+             if c in ("cluster", "dist") or c.startswith("__d")}
+    if clash:
+        raise ValueError(
+            f"assign_clusters: input already has column(s) {sorted(clash)};"
+            " drop or rename them first"
+        )
     dists = [_sq_dist(F.col(vec_col), c) for c in centroids]
     # ONE projection for all k distance columns: chained withColumn built
     # k+2 nested Projects analyzed per Lloyd iteration -- the documented
@@ -100,6 +112,8 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     # cluster=None stats row, and crash the driver-side centroid update
     # with an opaque TypeError (r11 review) -- a dirty row is the
     # caller's skip case, not a crash
+    if k < 1:
+        raise ValueError(f"fit_kmeans: k must be >= 1, got {k}")
     qvecs = (
         vectors.where(F.col(vec_col).isNotNull())
         .where(~F.exists(F.col(vec_col), lambda x: x.isNull()))
@@ -122,6 +136,17 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
             f"(expected {dim} elements)"
         )
     centroids = init_centroids(qvecs, k, vec_col="qv", id_col=id_col)
+    if len(centroids) < k:
+        # fewer distinct vectors than requested clusters: train what the
+        # data supports, but say so -- a silent short centroid list broke
+        # callers' k-sized IVF assumptions with no signal (r13 review)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fit_kmeans: corpus has only %d vectors; training %d "
+            "centroids instead of the requested k=%d",
+            len(centroids), len(centroids), k,
+        )
     n_iters = 0
     for _ in range(max_iters):
         n_iters += 1
@@ -192,12 +217,18 @@ def ivf_search(qvecs: DataFrame, centroids: list[list[int]],
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    w = W.partitionBy("p_id").orderBy(F.desc("dot"), F.asc("c_id"))
+    # partition by the probe VECTOR too, not p_id alone: two distinct
+    # external probes sharing a vec_id (the exact overlapping-id-space
+    # case exclude_self=False exists for) would otherwise merge their
+    # candidate pools into one top_k budget; identical (id, vector)
+    # duplicates still collapse, which is harmless (r13 review)
+    w = W.partitionBy("p_id", "p_qv").orderBy(F.desc("dot"), F.asc("c_id"))
     cand = probe.join(corpus, "cluster")
     if exclude_self:
         cand = cand.where(F.col("p_id") != F.col("c_id"))
     return (
-        cand.select("p_id", "c_id", dot.alias("dot"))
+        cand.select("p_id", "p_qv", "c_id", dot.alias("dot"))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top_k)
+        .drop("p_qv")
     )

@@ -50,6 +50,23 @@ def drop_partitions_older_than(sink_dir: str, cutoff: date, dry_run: bool = Fals
         if d < cutoff:
             if not dry_run:
                 shutil.rmtree(path)
+                # reap the partition's hidden compaction sidecars too
+                # (r13 review): a compaction that crashed after its swap
+                # leaves .<partition>.compact-old holding a FULL COPY of
+                # the data; partition listing skips dot-prefixed names,
+                # so without this the expired rows survived retention
+                # forever
+                parent, base = os.path.split(path)
+                for suffix in (".compact-old", ".compact-tmp",
+                               ".compact-lock"):
+                    side = os.path.join(parent, f".{base}{suffix}")
+                    if os.path.isdir(side):
+                        shutil.rmtree(side, ignore_errors=True)
+                    elif os.path.exists(side):
+                        try:
+                            os.unlink(side)
+                        except OSError:
+                            pass
             dropped.append(path)
     return dropped
 
@@ -109,8 +126,14 @@ def compact_partition(
     ``_spark_metadata`` log still lists the old files; read a compacted
     sink through :func:`read_sink`.
     """
-    import glob
-
+    if target_file_bytes < 1:
+        # surfaced as a contract error, not the bare ZeroDivisionError
+        # the sizing ceil would raise after the lock is taken (r13
+        # review; the n_salts/partitions discipline)
+        raise ValueError(
+            f"compact_partition: target_file_bytes must be >= 1, got "
+            f"{target_file_bytes}"
+        )
     partition_dir = partition_dir.rstrip("/")
     # sidecars are DOT-PREFIXED siblings: Spark's file listing ignores
     # names starting with '.' or '_', so scratch/lock state can never

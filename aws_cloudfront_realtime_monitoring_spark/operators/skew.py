@@ -29,6 +29,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _position_salt(n_salts: int) -> Column:
+    """The ONE salt spelling (r13 review: salted_join and two_phase_agg
+    carried verbatim copies). Row-POSITION salt, not a content hash:
+    identical hot-key rows all hash to ONE salt value -- zero spread in
+    exactly the pathological case these operators exist for -- and
+    F.hash rejects map columns (r8 review). monotonically_increasing_id
+    is per-row-unique for a deterministic input split; any salt
+    assignment is correct (joins replicate the small side across every
+    salt; the agg decomposition is assignment-independent)."""
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -72,16 +84,7 @@ def salted_join(
             "replicated n_salts times (use a plain join or AQE skew "
             "handling for those)"
         )
-    # row-POSITION salt, not a content hash: identical hot-key rows all
-    # hash to ONE salt value -- zero spread in exactly the pathological
-    # case this operator exists for -- and F.hash rejects map columns
-    # (r8 review). monotonically_increasing_id is per-row-unique for a
-    # deterministic input split; any salt assignment is correct (the
-    # small side replicates across every salt).
-    salt: Column = F.pmod(
-        F.hash(F.monotonically_increasing_id()), F.lit(n_salts)
-    )
-    salted_large = large.withColumn("__salt", salt)
+    salted_large = large.withColumn("__salt", _position_salt(n_salts))
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -132,9 +135,8 @@ def two_phase_agg(
     # above must fire even on a placeholder frame
     if "__salt" in df.columns:
         raise ValueError("two_phase_agg: input already has a __salt column")
-    # row-position salt (see salted_join): content hashes collapse for
-    # identical hot-key rows; any assignment is correct under the
-    # partial-then-final decomposition
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
-    partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)
+    partial = (
+        df.withColumn("__salt", _position_salt(n_salts))
+        .groupBy(key, "__salt").agg(*partial_aggs)
+    )
     return partial.groupBy(key).agg(*final_aggs)

@@ -140,8 +140,27 @@ def zorder_layout(df: DataFrame, a: Column, b: Column,
     lo_a, hi_a, lo_b, hi_b = df.select(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).first()
-    if lo_a is None or lo_b is None:  # empty input: any layout is fine
-        lo_a = hi_a = lo_b = hi_b = 0
+    # PER-DIMENSION defaulting (r13 review): the old joint branch zeroed
+    # BOTH dimensions' bounds when only ONE was all-NULL, so the live
+    # dimension quantized with vmin=vmax=0 -> q = v*65535 past the
+    # 16-bit interleave space -- the exact aliasing the r12 quantization
+    # exists to prevent. An all-NULL (or empty) dimension contributes a
+    # constant 0, degrading to a clean sort on the other one.
+    if lo_a is None:
+        lo_a = hi_a = 0
+    if lo_b is None:
+        lo_b = hi_b = 0
+    for name, lo in (("a", lo_a), ("b", lo_b)):
+        if not isinstance(lo, int):
+            # int(datetime) raises deep inside zorder_quantize AFTER the
+            # stats job already ran -- surface the contract up front:
+            # dimensions are integers (cast timestamps to epoch units
+            # first, as every in-repo caller does)
+            raise TypeError(
+                f"zorder_layout: dimension {name} must be integer-typed "
+                f"(got {type(lo).__name__}); cast timestamps/dates to "
+                "epoch hours/days first"
+            )
     keyed = df.withColumn("__z", zorder_key(
         zorder_quantize(a, lo_a, hi_a), zorder_quantize(b, lo_b, hi_b)
     ))

@@ -162,3 +162,54 @@ def test_ivf_search_exclude_self_is_optional(spark):
     assert ids == {7, 8}
     without = ivf_search(corpus, cents, probes, top_k=2)
     assert {r.c_id for r in without.collect()} == {8}
+
+
+def test_assign_clusters_rejects_colliding_columns(spark):
+    """r13 review: feeding a prior assign_clusters output back in created
+    duplicate cluster/dist columns and AMBIGUOUS_REFERENCE downstream."""
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import assign_clusters
+
+    df = spark.createDataFrame([(1, [1, 2])], "vec_id long, qv array<int>")
+    once = assign_clusters(df, [[0, 0]])
+    assert set(once.columns) == {"vec_id", "qv", "cluster", "dist"}
+    with _pytest.raises(ValueError, match="cluster"):
+        assign_clusters(once, [[0, 0]])
+
+
+def test_fit_kmeans_validates_k_and_warns_on_short_corpus(spark, caplog):
+    import logging
+
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import fit_kmeans
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        fit_kmeans(df, k=0)
+    with caplog.at_level(logging.WARNING):
+        cents, _, _ = fit_kmeans(df, k=8, max_iters=2)
+    assert len(cents) == 3
+    assert any("instead of the requested k=8" in r.message
+               for r in caplog.records)
+
+
+def test_ivf_search_duplicate_external_probe_ids_keep_separate_pools(spark):
+    """r13 review: the top-k window partitioned by p_id alone, so two
+    DISTINCT external probes sharing a vec_id merged their candidate
+    pools into one budget (exactly the overlapping-id-space case
+    exclude_self=False exists for)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import ivf_search
+
+    corpus = spark.createDataFrame(
+        [(i, [100 - i, 0]) for i in range(4)], "vec_id long, qv array<int>")
+    # one centroid: every candidate is in every probe's pool
+    probes = spark.createDataFrame(
+        [(42, [1, 0]), (42, [0, 1])], "vec_id long, qv array<int>")
+    got = ivf_search(corpus, [[50, 0]], probes, top_k=2,
+                     exclude_self=False).collect()
+    # two distinct probes must EACH get top_k rows, not share one budget
+    assert len(got) == 4

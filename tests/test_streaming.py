@@ -1083,3 +1083,55 @@ def test_time_partitions_null_ts_lands_in_epoch_partition(spark):
     rows = {(r.event_date, r.event_hour)
             for r in with_time_partitions(df).collect()}
     assert rows == {(date(2026, 1, 2), 3), (date(1970, 1, 1), 0)}
+
+
+def test_retention_reaps_dropped_partitions_compaction_sidecars(tmp_path):
+    """r13 review: a compaction that crashed after its swap leaves
+    .<partition>.compact-old holding a FULL COPY of the partition's
+    rows; partition listing skips dot-prefixed names, so retention used
+    to leave the expired copy on disk forever."""
+    import os
+    from datetime import date
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        drop_partitions_older_than,
+    )
+
+    sink = str(tmp_path)
+    old_part = os.path.join(sink, "event_date=2020-01-01")
+    new_part = os.path.join(sink, "event_date=2024-01-01")
+    os.makedirs(old_part)
+    os.makedirs(new_part)
+    stranded = os.path.join(sink, ".event_date=2020-01-01.compact-old")
+    os.makedirs(stranded)
+    with open(os.path.join(stranded, "part-0.parquet"), "w") as f:
+        f.write("x")
+    with open(os.path.join(sink, ".event_date=2020-01-01.compact-lock"),
+              "w") as f:
+        f.write("0")
+    keep_side = os.path.join(sink, ".event_date=2024-01-01.compact-old")
+    os.makedirs(keep_side)
+
+    dropped = drop_partitions_older_than(sink, date(2023, 1, 1))
+    assert dropped == [old_part]
+    assert not os.path.exists(old_part)
+    assert not os.path.exists(stranded)          # the full-copy sidecar
+    assert not os.path.exists(
+        os.path.join(sink, ".event_date=2020-01-01.compact-lock"))
+    assert os.path.exists(new_part)              # survivor untouched
+    assert os.path.exists(keep_side)             # survivor's sidecar kept
+
+
+def test_compact_partition_rejects_nonpositive_target(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.retention import (
+        compact_partition,
+    )
+
+    part = os.path.join(str(tmp_path), "event_date=2024-01-01")
+    os.makedirs(part)
+    with _pytest.raises(ValueError, match="target_file_bytes"):
+        compact_partition(spark, part, target_file_bytes=0)

@@ -158,3 +158,49 @@ def test_zorder_layout_guards(spark):
     )
     with pytest.raises(ValueError, match="__z"):
         zorder_layout(df, F.col("a"), F.col("b"))
+
+
+def test_zorder_layout_one_null_dimension_keeps_other_tight(spark):
+    """r13 review: the joint empty-input branch zeroed BOTH dimensions'
+    bounds when only ONE was all-NULL, quantizing the live dimension
+    with vmin=vmax=0 (q = v*65535, past the interleave space) -- the
+    exact aliasing the r12 range quantization exists to prevent. An
+    all-NULL dimension must degrade to a clean sort on the other."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.zorder import zorder_layout
+
+    n = 1000
+    df = spark.range(n).select(
+        (F.col("id") * 491).alias("a"),  # wide dimension, ~490k span
+        F.lit(None).cast("long").alias("b"),
+    )
+    out = zorder_layout(df, F.col("a"), F.col("b"), partitions=4)
+    # each output partition must hold a CONTIGUOUS, non-overlapping `a`
+    # range (what tight per-file min/max means); pre-fix the aliasing
+    # interleaved the partitions' ranges
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.min("a").alias("lo"), F.max("a").alias("hi"),
+                            F.count("*").alias("cnt"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert sum(p.cnt for p in parts) == n
+    for prev, cur in zip(parts, parts[1:]):
+        assert prev.hi < cur.lo, (
+            f"overlapping ranges: {[(p.lo, p.hi) for p in parts]}")
+
+
+def test_zorder_layout_rejects_non_integer_dimension(spark):
+    """r13 review: a timestamp dimension used to die with an opaque
+    int(datetime) TypeError deep inside zorder_quantize AFTER the stats
+    job ran; the contract (cast to epoch units first) now surfaces."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.zorder import zorder_layout
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 8), 1)], "ts timestamp, uid long")
+    with _pytest.raises(TypeError, match="integer-typed"):
+        zorder_layout(df, F.col("ts"), F.col("uid"))
