@@ -75,6 +75,14 @@ _PAIR_COS_SQL = (
     "CAST(dp AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE))"
 )
 
+# cos6 quantization: FLOOR(cos * 1e6 + 0.5) / 1e6 EVERYWHERE (SQL
+# oracles, Column builders, the numpy block kernel) -- never
+# ROUND(double, 6), which diverges between Spark (shortest-repr
+# HALF_UP) and DuckDB (scaled-exact-double) on repr-tie rationals; the
+# numpy path had already adopted the floor spelling, so the r13 sweep
+# also removed a latent floor-vs-ROUND mismatch INSIDE the blocked
+# near-dup row (tests/test_queries_oracle.py pins the tie battery).
+
 # ---- Spark-SQL spellings of the same expressions (the ANN builders are
 # SQL-string builds as of r8: the Column-composition forms cost ~3,000
 # py4j round-trips per plan build, ~0.6 s of pure driver chatter at any
@@ -141,7 +149,7 @@ def _cos_sql(dp: str, na: str, nb: str) -> str:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
       FROM scored)
-    SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
+    SELECT query_id, cand_id, rnk, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos6
     FROM ranked WHERE rnk <= {TOP_K}
     """,
     description=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} probe "
@@ -175,7 +183,7 @@ def _bf_spark_sql() -> str:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rnk
       FROM scored)
-    SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
+    SELECT query_id, cand_id, rnk, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos6
     FROM ranked WHERE rnk <= {TOP_K}
     """
 
@@ -200,7 +208,7 @@ def ann_topk_bruteforce_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", "rnk", F.round("cos", 6).alias("cos6"))
+        .select("query_id", "cand_id", "rnk", (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos6"))
     )
 
 
@@ -280,7 +288,7 @@ def _probe_masks() -> list[int]:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
       FROM scored)
-    SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
+    SELECT query_id, cand_id, rnk, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos6
     FROM ranked WHERE rnk <= 3
     """,
     description=f"IVF/LSH-bucketed ANN: {IVF_BITS}-bit sign-pattern coarse "
@@ -335,7 +343,7 @@ def _ivf_spark_sql() -> str:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rnk
       FROM scored)
-    SELECT query_id, cand_id, rnk, ROUND(cos, 6) AS cos6
+    SELECT query_id, cand_id, rnk, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos6
     FROM ranked WHERE rnk <= 3
     """
 
@@ -379,7 +387,7 @@ def ann_topk_ivf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 3)
-        .select("query_id", "cand_id", "rnk", F.round("cos", 6).alias("cos6"))
+        .select("query_id", "cand_id", "rnk", (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos6"))
     )
 
 
@@ -410,7 +418,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cos"),
     )
     return scored.where(F.col("cos") >= NEAR_DUP_COS).select(
-        "vec_a", "vec_b", F.round("cos", 6).alias("cos6")
+        "vec_a", "vec_b", (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos6")
     )
 
 
@@ -431,7 +439,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dots d
             JOIN qn qa ON qa.vec_id = d.va
             JOIN qn qb ON qb.vec_id = d.vb))
-    SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 6) AS cos6
+    SELECT va AS vec_a, vb AS vec_b, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos6
     FROM scored WHERE cos >= {NEAR_DUP_COS}
     """,
     description="Block-partitioned variant of embedding_near_dup: the corpus "
@@ -621,7 +629,7 @@ def _bucket_col_dyn(nbits: Column) -> Column:
       SELECT vec_id, rep_cand, cos,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rep_cand) AS rn
       FROM scored WHERE cos >= {SEMDEDUP_COS})
-    SELECT vec_id, rep_cand AS rep_id, ROUND(cos, 6) AS cos6
+    SELECT vec_id, rep_cand AS rep_id, FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos6
     FROM ranked WHERE rn = 1
     """,
     description="Semantic dedup over embeddings (the SemDeDup pipeline "
@@ -693,7 +701,7 @@ def _dominance_dedup(base: DataFrame, key_col: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("rep_cand").alias("rep_id"),
-                F.round("cos", 6).alias("cos6"))
+                (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos6"))
     )
 
 
