@@ -15,12 +15,13 @@ inverted ink convention; absent -> component-id sniff for 3 channels,
 direct ink CMYK for 4), restart markers, and LOSSLESS predictive coding
 (SOF3, T.81 Annex H: all 7 predictors, point transform, 2-16 bit
 precision scaled to the 8-bit output, exact roundtrip), plus
-ARITHMETIC-coded sequential AND progressive frames (SOF9/SOF10, r12:
-the T.81 Annex D QM coder + the Annex F sequential and Annex G
-progressive statistical models in ``jpeg_arith.py``, DAC conditioning,
-restarts with full statistics reset). All color spaces convert to RGB
-(or stay single-channel grayscale) on output. Lossless-arithmetic
-(SOF11), differential, and hierarchical variants raise ``ValueError``
+ARITHMETIC-coded sequential, progressive AND lossless frames
+(SOF9/SOF10 r12, SOF11 r13: the T.81 Annex D QM coder + the Annex F
+sequential, Annex G progressive, and Annex H.1.2.2 lossless
+statistical models in ``jpeg_arith.py``, DAC conditioning, restarts
+with full statistics reset). All color spaces convert to RGB (or stay
+single-channel grayscale) on output. Only the near-extinct
+differential and hierarchical pyramid variants raise ``ValueError``
 (the multimodal layer falls back to Pillow-if-present or the
 documented fake, exactly like the other decoders' unsupported
 profiles).
@@ -169,11 +170,11 @@ def _dc_ssss_max(prec: int) -> int:
 
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for sequential AND progressive (8/12-bit, Huffman
-    or arithmetic) AND lossless JPEG:
+    or arithmetic) AND lossless (Huffman or arithmetic) JPEG:
     returns (width, height, pixels[h, w, 1 or 3] uint8 — grayscale or
     RGB; CMYK/YCCK inputs convert to RGB). Raises ``ValueError`` on
-    malformed input or unsupported variants (lossless-arithmetic,
-    differential, hierarchical) — ONLY ValueError, whatever
+    malformed input or unsupported variants (differential,
+    hierarchical) — ONLY ValueError, whatever
     the corruption (struct/index errors from fuzzed bytes are
     remapped), so a malformed payload can never kill an executor task
     instead of taking the documented fallback."""
@@ -278,15 +279,16 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 table = _Huff(counts, seg[s + 17 : s + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
-            # SOF0/1/2/3 (Huffman) / SOF9/10 (arithmetic)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            # SOF0/1/2/3 (Huffman) / SOF9/10/11 (arithmetic)
             if frame is not None:
                 raise ValueError("multiple JPEG frame headers")
             progressive = marker in (0xC2, 0xCA)
-            lossless = marker == 0xC3
-            # SOF9 = extended sequential, SOF10 = progressive, both
-            # QM-coded (r12); frame semantics match SOF1/SOF2
-            arith = marker in (0xC9, 0xCA)
+            lossless = marker in (0xC3, 0xCB)
+            # SOF9 = extended sequential, SOF10 = progressive, SOF11 =
+            # lossless (r13), all QM-coded; frame semantics match their
+            # Huffman twins
+            arith = marker in (0xC9, 0xCA, 0xCB)
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if lossless:
                 # T.81 B.2.2: lossless precision is 2-16 bits
@@ -325,15 +327,14 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 prog = _ProgState(h, w, comps, dct_prec)
             if lossless:
                 loss = _LosslessState(h, w, comps, prec)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCD, 0xCE, 0xCF):
-            # sequential (SOF9) AND progressive (SOF10) arithmetic
-            # decode for real since r12; lossless-arithmetic and the
-            # differential/hierarchical modes remain on the documented
-            # fallback
+            # sequential/progressive arithmetic decode for real since
+            # r12, lossless-arithmetic (SOF11) since r13; only the
+            # near-extinct differential/hierarchical pyramid modes
+            # remain on the documented fallback
             raise ValueError(
-                "differential/hierarchical/lossless-arithmetic "
-                "JPEG unsupported")
+                "differential/hierarchical JPEG unsupported")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             parse_dac(seg, dc_cond, ac_cond)
         elif marker == 0xDD:  # DRI
@@ -369,10 +370,18 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                         raise ValueError(
                             "lossless JPEG component delivered twice")
                     loss_done.add(cid)
-                pos = _decode_lossless_scan(
-                    payload, pos + 2 + seg_len, loss, scan_comps,
-                    scan_tables, huff_dc, restart_interval, pred_sel, pt,
-                )
+                if arith:
+                    pos = _decode_lossless_arith_scan(
+                        payload, pos + 2 + seg_len, loss, scan_comps,
+                        scan_tables, dc_cond, restart_interval,
+                        pred_sel, pt,
+                    )
+                else:
+                    pos = _decode_lossless_scan(
+                        payload, pos + 2 + seg_len, loss, scan_comps,
+                        scan_tables, huff_dc, restart_interval,
+                        pred_sel, pt,
+                    )
                 continue
             if arith:
                 for cid in scan_comps:
@@ -993,6 +1002,36 @@ class _LosslessState:
         self.pt: dict[int, int] = {}  # point transform, per scan
 
 
+def _predict_lossless(plane, x: int, y: int, first_line: int,
+                      pred_sel: int) -> int:
+    """The H.1.2.1 prediction for a NON-initial sample (the caller
+    handles the scan-start/post-restart default): first line of the
+    current restart interval predicts from Ra, the first column from
+    Rb, interior samples by the scan's selected predictor 1-7. Shared
+    verbatim by the Huffman (SOF3) and arithmetic (SOF11) drivers --
+    prediction is entropy-independent in T.81."""
+    if y == first_line:
+        return int(plane[y, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if pred_sel == 1:
+        return ra
+    if pred_sel == 2:
+        return rb
+    if pred_sel == 3:
+        return rc
+    if pred_sel == 4:
+        return ra + rb - rc
+    if pred_sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if pred_sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
 def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
                           huff_dc, restart_interval, pred_sel, pt) -> int:
     """One lossless (SOF3) scan per T.81 Annex H: samples raster-scan
@@ -1039,28 +1078,9 @@ def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
                     if fresh[cid]:
                         px = default
                         fresh[cid] = False
-                    elif y == first_line:
-                        px = int(plane[y, x - 1])
-                    elif x == 0:
-                        px = int(plane[y - 1, 0])
                     else:
-                        ra = int(plane[y, x - 1])
-                        rb = int(plane[y - 1, x])
-                        rc = int(plane[y - 1, x - 1])
-                        if pred_sel == 1:
-                            px = ra
-                        elif pred_sel == 2:
-                            px = rb
-                        elif pred_sel == 3:
-                            px = rc
-                        elif pred_sel == 4:
-                            px = ra + rb - rc
-                        elif pred_sel == 5:
-                            px = ra + ((rb - rc) >> 1)
-                        elif pred_sel == 6:
-                            px = rb + ((ra - rc) >> 1)
-                        else:
-                            px = (ra + rb) >> 1
+                        px = _predict_lossless(plane, x, y, first_line,
+                                               pred_sel)
                     s = tables[cid].decode(br)
                     if s > 16:
                         raise ValueError("invalid lossless JPEG magnitude")
@@ -1072,6 +1092,77 @@ def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
             f"JPEG scan data ended early (marker {exc.marker:#x})"
         ) from exc
     return _skip_to_marker(data, br.pos)
+
+
+def _decode_lossless_arith_scan(data, pos, loss, scan_comps, scan_tables,
+                                dc_cond, restart_interval, pred_sel,
+                                pt) -> int:
+    """One LOSSLESS ARITHMETIC (SOF11) scan: identical sample order,
+    prediction (via :func:`_predict_lossless`) and mod-2^16
+    reconstruction as the Huffman driver, with the entropy layer
+    replaced by the Annex H QM model (operators.jpeg_arith.
+    ArithLossless): each difference decodes under the 5x5 conditioning
+    of the classes of the differences coded at the left and above
+    neighbours. Class state: ``up_cls`` holds the class coded at
+    (x, y-1) within the CURRENT restart interval, ``left`` the class at
+    (x-1, y); both are zero at the scan start, at row starts (left),
+    and after every restart -- a restart discards the decoder
+    registers, every statistics area, the predictions AND the
+    neighbour classes (F.2.1.3.1 extended per H.1.1). Returns the byte
+    position of the next marker."""
+    from .jpeg_arith import ArithLossless
+
+    if not (1 <= pred_sel <= 7):
+        raise ValueError("invalid lossless JPEG predictor")
+    if pt >= loss.prec:
+        raise ValueError("lossless JPEG point transform >= precision")
+    known = {c[0] for c in loss.comps}
+    tids = {}
+    for cid in scan_comps:
+        if cid not in known:
+            raise ValueError("JPEG scan references unknown component")
+        loss.pt[cid] = pt
+        tid = scan_tables[cid][0]
+        if tid > 3:
+            raise ValueError("JPEG arithmetic conditioning table id > 3")
+        tids[cid] = tid
+    default = 1 << (loss.prec - pt - 1)
+    ent = ArithLossless(data, pos, dc_cond)
+    fresh = dict.fromkeys(scan_comps, True)
+    first_line = 0
+    up_cls = {cid: np.zeros(loss.w, np.uint8) for cid in scan_comps}
+    left_cls = dict.fromkeys(scan_comps, 0)
+    mcu = 0
+    for y in range(loss.h):
+        for cid in scan_comps:
+            left_cls[cid] = 0  # row start: the a-difference is 0
+        for x in range(loss.w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                nxt = _expect_arith_rst(data, ent)
+                ent = ArithLossless(data, nxt, dc_cond)
+                fresh = dict.fromkeys(scan_comps, True)
+                first_line = y
+                for cid in scan_comps:
+                    up_cls[cid][:] = 0
+                    left_cls[cid] = 0
+            for cid in scan_comps:
+                plane = loss.planes[cid]
+                if fresh[cid]:
+                    px = default
+                    fresh[cid] = False
+                else:
+                    px = _predict_lossless(plane, x, y, first_line,
+                                           pred_sel)
+                d, cls = ent.diff(tids[cid], left_cls[cid],
+                                  int(up_cls[cid][x]))
+                plane[y, x] = (px + d) & 0xFFFF
+                up_cls[cid][x] = cls
+                left_cls[cid] = cls
+            mcu += 1
+    p_end = ent.dec.marker_pos
+    if p_end is None:
+        p_end = ent.dec.pos
+    return _skip_to_marker(data, p_end)
 
 
 def _finalize_lossless(loss: _LosslessState,

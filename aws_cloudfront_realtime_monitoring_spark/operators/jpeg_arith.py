@@ -1,12 +1,13 @@
 """QM arithmetic entropy decoding for JPEG (ITU-T T.81 Annex D + the
-Annex F sequential-DCT and Annex G progressive statistical models).
+Annex F sequential-DCT, Annex G progressive, and Annex H.1.2.2
+lossless statistical models).
 
 The reference pipeline treats media payloads as opaque binary columns
 (SURVEY.md multimodal scope); this module supplies the last real-world
 JPEG entropy variants the strict decoder lacked — SOF9 extended
-sequential and SOF10 progressive frames with arithmetic coding — so
-only the near-extinct lossless-arithmetic/differential/hierarchical
-modes remain on the documented fake fallback.
+sequential and SOF10 progressive (r12) and SOF11 lossless (r13)
+arithmetic frames — so only the near-extinct differential/hierarchical
+pyramid modes remain on the documented fake fallback.
 
 Everything here is written from the public spec:
 
@@ -472,3 +473,80 @@ class ArithEntropy:
         zz[0] = self.dc_diff(cid, dc_tid, prec)
         self.ac_band(ac_tid, zz, 1, 63)
         return zz
+
+
+class ArithLossless:
+    """Per-entropy-segment state for the Annex H LOSSLESS statistical
+    model (T.81 H.1.2.2): the DC-difference procedure of F.2.4.1
+    extended to TWO-dimensional conditioning. The zero/sign/first-
+    magnitude decisions are conditioned on the 5-way classes of the
+    differences coded at neighbour positions a (left) and b (above) --
+    25 contexts x 4 decision bins -- and the magnitude-category tree +
+    magnitude bits come in TWO sets selected by whether the b
+    difference is in a LARGE class: 100 + 2 x (15 + 14) = 158
+    statistics bins per conditioning table, T.81's documented lossless
+    statistics-area size. Classification thresholds come from the DAC
+    DC (Tc=0) conditioning L/U exactly as in F.1.4.4.1.2.
+
+    Bin layout (internal -- bins are identified by ROLE; the spec fixes
+    the decision sequence and role->bin identity, not integer indices):
+    S0/SS/SP/SN for context (ca, cb) at ``4*(5*ca + cb)``..+3 with
+    class codes 0=zero 1=small+ 2=small- 3=large+ 4=large-; tree 0
+    (b not large) X1..X15 at 100..114 with magnitude bits at X_c+14
+    (X1 codes magnitude 1 and has no bits, so 115..128 never collide);
+    tree 1 (b large) X at 129..143, bits at 144..157.
+
+    Restart intervals discard the whole object (same F.2.1.3.1 rule as
+    :class:`ArithEntropy`): decoder registers, statistics, and the
+    neighbour-difference classes all reset.
+    """
+
+    LL_BINS = 158
+
+    def __init__(self, data: bytes, pos: int, dc_cond: dict) -> None:
+        self.dec = QMDecoder(data, pos)
+        self.dc_cond = dc_cond
+        self.stats: dict[int, np.ndarray] = {}
+
+    def diff(self, tid: int, ca: int, cb: int) -> tuple[int, int]:
+        """Decode one prediction difference under neighbour classes
+        ``(ca, cb)``; returns ``(diff, class_code)`` where the class
+        code is what a FUTURE sample conditions on for this position.
+        Magnitudes are capped at the 15-category tree (|diff| <= 32768,
+        the same ceiling as the Huffman path's SSSS=16)."""
+        dst = self.stats.setdefault(
+            tid, np.zeros(self.LL_BINS, np.uint8))
+        low, up = self.dc_cond.get(tid, DEFAULT_DC_COND)
+        dec = self.dec
+        base = 4 * (5 * ca + cb)
+        if dec.decode(dst, base) == 0:
+            return 0, 0
+        sign = dec.decode(dst, base + 1)
+        m = dec.decode(dst, base + 2 + sign)
+        st = 129 if cb >= 3 else 100  # b-large selects the second tree
+        if m:
+            while dec.decode(dst, st):
+                m <<= 1
+                if m >= 0x8000:
+                    raise ValueError(
+                        "JPEG arithmetic lossless magnitude overflow")
+                st += 1
+        # 5-way class of THIS difference (F.1.4.4.1.2 thresholds), used
+        # by the neighbours decoded next -- classified on the category
+        # base m exactly like the DC model
+        if m < (1 << low) >> 1:
+            cls = 0
+        elif m > (1 << up) >> 1:
+            cls = 3 + sign
+        else:
+            cls = 1 + sign
+        v = m
+        if m > 1:
+            st += 14
+            mm = m >> 1
+            while mm:
+                if dec.decode(dst, st):
+                    v |= mm
+                mm >>= 1
+        v += 1
+        return (-v if sign else v), cls

@@ -5,9 +5,11 @@ The decode step is REAL for uncompressed BMP payloads (pure-numpy header
 parse + pixel extraction -- no media library needed), for EVERY valid
 static-PNG profile (stdlib zlib inflate + the five standard scanline
 predictors at depths 1/2/4/8/16, Adam7 interlace, palette/tRNS
-expansion, CRC-verified chunks -- r13), for baseline AND
-progressive JPEG (operators/jpeg.py: Huffman entropy decode + dequant +
-IDCT + chroma upsample, pure numpy), for GIF87a/89a incl. animation
+expansion, CRC-verified chunks -- r13), for baseline, progressive
+AND lossless JPEG in both Huffman and arithmetic (QM) entropy forms
+(operators/jpeg.py + jpeg_arith.py, pure numpy; only the near-extinct
+differential/hierarchical pyramid modes fall back), for GIF87a/89a
+incl. animation
 (operators/gif.py), for lossless WebP/VP8L (operators/webp.py: prefix
 codes, color cache, LZ77, all four transforms), for lossy WebP/VP8 key
 frames (operators/vp8.py: boolean arithmetic decoder, intra

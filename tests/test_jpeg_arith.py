@@ -467,15 +467,20 @@ def test_arith_malformed_stays_valueerror():
             pass
 
 
-def test_arith_lossless_and_differential_still_rejected():
+def test_arith_differential_still_rejected():
     rng = np.random.RandomState(29)
     px = rng.randint(0, 256, size=(8, 8, 1), dtype=np.uint8)
     blob = bytearray(make_arith_jpeg(px, quant=2))
     i = blob.index(b"\xff\xc9")
-    for sof in (0xCB, 0xCD):  # lossless-arith / differential
-        blob[i + 1] = sof
-        with pytest.raises(ValueError, match="unsupported"):
-            decode_jpeg_pixels(bytes(blob))
+    blob[i + 1] = 0xCD  # differential sequential
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jpeg_pixels(bytes(blob))
+    # SOF11 is SUPPORTED since r13: the same mutation now fails on the
+    # DCT-shaped scan header (Ss=0 is no lossless predictor), not
+    # "unsupported" (tests/test_jpeg_arith_lossless.py has real decode)
+    blob[i + 1] = 0xCB
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg_pixels(bytes(blob))
     # SOF10 is SUPPORTED since r12: the same mutation now fails only
     # because a sequential scan header is illegal in a progressive
     # frame (Se=63 on what SOF10 reads as a DC scan), not "unsupported"
