@@ -91,7 +91,7 @@ def _run_to_parquet(df: DataFrame, output_mode: str) -> DataFrame:
            event_type,
            COUNT(*) AS n,
            {dsum_sql('value', 2)} AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     description="Streaming==batch equivalence for the flagship windowed "
                 "aggregation (A1/A16-A18 + B1/B6): a real Structured "
@@ -121,7 +121,7 @@ def stream_hourly_bytes_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
              make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900
                               - unnest(generate_series(0, 3))) * 900) * 1000000)
                AS window_start
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT window_start, event_type, COUNT(*) AS n,
            {dsum_sql('value', 2)} AS sum_value
     FROM expanded GROUP BY window_start, event_type
@@ -172,8 +172,22 @@ def stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     watermarked = stream.withWatermark("ts", "24 hours")
     duplicated = watermarked.union(watermarked)  # at-least-once delivery
-    deduped = duplicated.dropDuplicatesWithinWatermark(["event_id"]).select(
-        "event_type", "value"
+    # NULL event_ids pass through un-deduped, mirroring the production
+    # dedup_stream rule (r8): dropDuplicates treats NULL keys as equal
+    # and would collapse every id-less row into one survivor while the
+    # oracle counts them all (r13 review; latent -- fixtures carry no
+    # NULL ids. NOTE the union doubles NULL-id rows and both copies
+    # survive here: at-least-once delivery of an id-less record is
+    # UNRESOLVABLE duplication by definition, so the oracle side of
+    # this row counts the original table once per delivery only for
+    # keyed rows -- with no NULL ids in the corpus the two sides agree;
+    # a corpus WITH them must dedup upstream of this operator)
+    with_id = duplicated.where(F.col("event_id").isNotNull())
+    no_id = duplicated.where(F.col("event_id").isNull())
+    deduped = (
+        with_id.dropDuplicatesWithinWatermark(["event_id"])
+        .unionByName(no_id)
+        .select("event_type", "value")
     )
     survivors = _run_to_parquet(deduped, "append")
     return survivors.groupBy("event_type").agg(
@@ -185,6 +199,13 @@ def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-stream reader over a table's layout dir (one spelling; the
     per-table copies and their redundant schema reads were drift bait --
     r8 review). The schema comes from one cached batch read per path."""
+    # the UTC session-timezone pin must hold on this path too: a warm
+    # layout cache means load_table's pin may never have run in this
+    # session, and a user-built session in a non-UTC host tz would
+    # shift every window/session timestamp away from the DuckDB
+    # oracle's naive-as-UTC reading (r13 review; the load_table twin of
+    # this guard is sources/tables.py's r11 fix)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = stream_dir(spark, sf_dir, name)
     schema = _STREAM_SCHEMAS.get(path)
     if schema is None:
@@ -201,10 +222,14 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .curation import (  # noqa: E402
+    DECON_MOD,
+    DECON_ORACLE_SQL,
     PII_ORACLE_SQL,
     _planted_col,
     decon_bench_ngrams,
     decon_corpus_hits,
+    decon_count,
+    decon_grams,
     pii_projection,
 )
 
@@ -230,14 +255,6 @@ def stream_pii_redact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _documents_stream(spark, sf_dir)
     planted = stream.select("doc_id", _planted_col().alias("pii_text"))
     return _run_to_parquet(pii_projection(planted), "append")
-
-
-from .curation import (  # noqa: E402
-    DECON_MOD,
-    DECON_ORACLE_SQL,
-    decon_count,
-    decon_grams,
-)
 
 
 @register(

@@ -181,13 +181,26 @@ def stream_kinesis_lines(
                 "start with 'kinesis.'; tuning knobs are named "
                 "parameters of this function"
             )
+    for k in ("kinesis.streamName", "kinesis.region"):
+        if k in option_overrides:
+            # the named parameter already sets these; a silent override
+            # would make the call read as consuming one stream while
+            # actually consuming another (r13 review -- the same
+            # conflict rule the Kafka wrapper applies to subscription
+            # modes)
+            raise ValueError(
+                f"{k!r} conflicts with this builder's named parameters; "
+                "pass stream_name/region instead"
+            )
     opts.update({k: str(v) for k, v in option_overrides.items()})
-    # re-validate AFTER the merge: an override of the validated key used
-    # to bypass the builder's check and fail only at .load() on a real
-    # cluster -- the exact trap the gate exists to close (r12 review)
-    kinesis_source_options(stream_name, region,
-                           max_records_per_shard_per_trigger,
-                           opts["kinesis.startingPosition"])
+    # re-validate AFTER the merge and SHIP the normalized result: the
+    # r12 gate validated the uppercased override but then discarded the
+    # normalized map, so a lowercase 'trim_horizon' passed the gate yet
+    # went to the connector un-normalized (r13 review)
+    opts["kinesis.startingPosition"] = kinesis_source_options(
+        stream_name, region, max_records_per_shard_per_trigger,
+        opts["kinesis.startingPosition"],
+    )["kinesis.startingPosition"]
     return _connector_lines(spark, "aws-kinesis", opts, "data",
                             charset, sample_fraction)
 
@@ -234,13 +247,16 @@ def stream_kafka_lines(
                 "with 'kafka.'; source options are the documented set; "
                 "tuning knobs are named parameters of this function"
             )
-        if k in ("assign", "subscribePattern"):
+        if k in ("assign", "subscribePattern", "subscribe"):
             # this builder always sets 'subscribe' from the topic
             # parameter; a second subscription mode is a connector-level
-            # conflict that would fail only at .load() (r12 review)
+            # conflict that would fail only at .load() (r12 review), and
+            # a 'subscribe' override would SILENTLY supersede the named
+            # topic -- the call reads as consuming one topic while
+            # actually consuming another (r13 review)
             raise ValueError(
                 f"{k!r} conflicts with the topic parameter's 'subscribe' "
-                "subscription; use the raw reader for those modes"
+                "subscription; use the topic parameter or the raw reader"
             )
     opts.update({k: str(v) for k, v in option_overrides.items()})
     # re-validate AFTER the merge (r12 review: an override of

@@ -1135,3 +1135,73 @@ def test_compact_partition_rejects_nonpositive_target(spark, tmp_path):
     os.makedirs(part)
     with _pytest.raises(ValueError, match="target_file_bytes"):
         compact_partition(spark, part, target_file_bytes=0)
+
+
+def test_connector_overrides_normalize_and_reject_identity_conflicts(
+    spark, monkeypatch
+):
+    """r13 review: the r12 re-validation gate checked the uppercased
+    Kinesis override but DISCARDED the normalized map, shipping the raw
+    lowercase value to the connector; and 'subscribe' /
+    'kinesis.streamName' / 'kinesis.region' overrides silently
+    superseded the named parameters (the call read as consuming one
+    stream while actually consuming another)."""
+    from aws_cloudfront_realtime_monitoring_spark.streaming import ingest
+
+    captured = {}
+
+    def fake_connector(_spark, fmt, opts, _col, _charset, _frac):
+        captured[fmt] = dict(opts)
+
+    monkeypatch.setattr(ingest, "_connector_lines", fake_connector)
+    ingest.stream_kinesis_lines(
+        spark, "s", "us-east-1",
+        **{"kinesis.startingPosition": "trim_horizon"})
+    assert captured["aws-kinesis"]["kinesis.startingPosition"] == \
+        "TRIM_HORIZON"
+    with pytest.raises(ValueError, match="conflicts"):
+        ingest.stream_kinesis_lines(
+            spark, "s", "us-east-1", **{"kinesis.streamName": "other"})
+    with pytest.raises(ValueError, match="conflicts"):
+        ingest.stream_kinesis_lines(
+            spark, "s", "us-east-1", **{"kinesis.region": "eu-west-1"})
+    with pytest.raises(ValueError, match="conflicts"):
+        ingest.stream_kafka_lines(spark, "b:9092", "t", subscribe="other")
+
+
+def test_stream_hourly_equiv_drops_null_ts_like_its_oracle(spark, tmp_path):
+    """r13 review: Spark's window() silently drops NULL-event-time rows
+    (Catalyst injects an IsNotNull filter) while the DuckDB oracle's
+    make_timestamp grouped them into a NULL window_start -- plant a NULL
+    ts and pin Spark-vs-DuckDB agreement (fixtures carry no NULL ts, so
+    the registry gate alone can never catch this class)."""
+    from datetime import datetime
+
+    import duckdb
+
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+
+    q = load_full()["stream_hourly_bytes_equiv"]
+    rows = [
+        (1, 7, datetime(2024, 1, 8, 1, 10), "view", 1.25),
+        (2, 7, datetime(2024, 1, 8, 1, 40), "view", 2.25),
+        (3, 8, datetime(2024, 1, 8, 2, 10), "click", 4.00),
+        (4, 9, None, "view", 8.00),  # window() drops; oracle must too
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    sf_dir = str(tmp_path)
+    sdf.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {(r.window_start, r.event_type): (r.n, r.sum_value)
+           for r in q.build(spark, sf_dir).collect()}
+    assert len(got) == 2  # the NULL-ts row produced no window
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = {(ws, et): (int(n), float(sv))
+            for ws, et, n, sv in con.execute(q.oracle).fetchall()}
+    assert want == got
