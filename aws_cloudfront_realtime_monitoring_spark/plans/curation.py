@@ -37,7 +37,7 @@ from ..sources.tables import load_table
 from . import register
 from .text import (_LWORDS_SQL, _WORDS_SQL, WS_RE, WS_RE_DUCK,
                    WS_RE_SPARK_SQL, adjacent_grams, gram_sql, lwords_col,
-                   words_col, words_spark_sql)
+                   grams_spark_sql, words_col, words_spark_sql)
 
 # ------------------------------------------------------------- pii_redact
 
@@ -246,15 +246,9 @@ def _decon_spark_sql() -> str:
     ~20. The n-gram expression mirrors text.adjacent_grams exactly
     (zip against shifted selves, NULL-concat grams filtered)."""
     ws = words_spark_sql()  # the ONE tokenizer spelling (text.py)
-    joined = "ws"
-    for k in range(1, DECON_N):
-        shifted = f"slice(ws, {k + 1}, greatest(size(ws) - {k}, 0))"
-        joined = (
-            f"zip_with({joined}, {shifted}, (a, b) -> "
-            "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
-            "ELSE concat(a, ' ', b) END)"
-        )
-    gg = f"array_distinct(filter({joined}, x -> x IS NOT NULL))"
+    # the ONE n-gram spelling too (r13: this chain was a second live
+    # copy of text.adjacent_grams' SQL form)
+    gg = f"array_distinct({grams_spark_sql('ws', DECON_N)})"
     return f"""
     WITH w AS (SELECT doc_id, {ws} AS ws FROM documents),
     g AS (SELECT doc_id, {gg} AS gg FROM w),

@@ -31,7 +31,8 @@ from ..functions.hashing import (HASH_PRIME, h60_spark_sql, h60_sql,
                                  mod_hash_sql, perm_params)
 from ..sources.tables import load_table, register_views
 from . import REGISTRY, register
-from .text import _WORDS_SQL, words_col, words_spark_sql
+from .text import (_WORDS_SQL, grams_spark_sql, words_col,
+                   words_spark_sql)
 
 # ---------------------------------------------------------------- shingles
 
@@ -295,18 +296,9 @@ def minhash_sigs_stmt(band_sigs: str | None = None) -> str:
         WITH wz AS (
           SELECT doc_id, {words_spark_sql()} AS w
           FROM documents),
-        tri AS (
-          SELECT doc_id,
-                 zip_with(
-                   zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),
-                            (a, b) -> concat_ws(' ', a, b)),
-                   slice(w, 3, greatest(size(w) - 2, 0)),
-                   (ab, c) -> CASE WHEN c IS NULL THEN NULL
-                              ELSE concat(ab, ' ', c) END) AS tri
-          FROM wz),
         shing AS (
-          SELECT doc_id, array_distinct(filter(tri, x -> x IS NOT NULL)) AS sh
-          FROM tri),
+          SELECT doc_id, array_distinct({grams_spark_sql('w', 3)}) AS sh
+          FROM wz),
         hm AS (
           SELECT doc_id, sh,
                  transform(sh, s ->

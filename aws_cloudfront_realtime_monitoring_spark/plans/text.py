@@ -82,6 +82,27 @@ def adjacent_grams(ws: Column, n: int) -> Column:
     return F.filter(joined, lambda x: x.isNotNull())
 
 
+def grams_spark_sql(arr: str, n: int) -> str:
+    """Spark-SQL spelling of :func:`adjacent_grams` (zip the array
+    against its shifted selves, NULL-concat grams filtered) -- the ONE
+    home for the n-gram fragment inside ``spark.sql`` strings (r13
+    review: dedup's trigram-shingle CTE and curation's decon chain were
+    two more live spellings of the same invariant; like
+    :func:`words_spark_sql`, a gram-shape change must land in one
+    place or a builder silently forks from its own oracle)."""
+    if n == 1:
+        return arr
+    joined = arr
+    for k in range(1, n):
+        shifted = f"slice({arr}, {k + 1}, greatest(size({arr}) - {k}, 0))"
+        joined = (
+            f"zip_with({joined}, {shifted}, (a, b) -> "
+            "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+            "ELSE concat(a, ' ', b) END)"
+        )
+    return f"filter({joined}, x -> x IS NOT NULL)"
+
+
 def _lang_score_over(words_expr: str, lang: str) -> str:
     """Stopword-hit count over an already-materialized word-list column."""
     arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -506,28 +527,22 @@ def chunk_projection(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("bigint"),
         )
     )
-    # carry the word count THROUGH the explode as a struct field: the
-    # builder knows it as size(slice(...)) already, and re-splitting
-    # every joined chunk string cost one extra string scan per output
-    # row on the module's highest-fan-out relation (r11 review; the
-    # DuckDB oracle already counts len(ws[a:b]))
+    # materialize each chunk's word-array slice ONCE, then explode and
+    # derive BOTH outputs from the exploded attribute: HOF lambdas get
+    # no common-subexpression elimination, so the previous struct form
+    # evaluated slice() twice per chunk on the module's highest-fan-out
+    # relation (r13 review; the r11 fix had already stopped re-splitting
+    # the joined string -- this removes the remaining duplicate slice)
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.struct(
-            F.array_join(
-                F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS), " "
-            ).alias("chunk_text"),
-            F.size(
-                F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS)
-            ).cast("bigint").alias("chunk_words"),
-        ),
+        lambda i: F.slice(F.col("ws"), i * _STRIDE + 1, CHUNK_WORDS),
     )
     ex = w.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
     return ex.select(
         "doc_id",
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        F.col("c.chunk_text").alias("chunk_text"),
-        F.col("c.chunk_words").alias("chunk_words"),
+        F.array_join("c", " ").alias("chunk_text"),
+        F.size("c").cast("bigint").alias("chunk_words"),
     )
 
 

@@ -34,8 +34,22 @@ def decode_kinesis_payload(col: Column, charset: str = "UTF-8") -> Column:
     Reference: base64-decode (lambda_function.py:69) then per-byte chr()
     join (:72, accidental Latin-1). Pass ``charset='ISO-8859-1'`` for
     byte-exact reference behavior on non-ASCII payloads.
-    """
-    return F.decode(F.unbase64(col), charset)
+
+    PERMISSIVE like the rest of the parser (r13 review): under ANSI
+    mode plain ``unbase64`` raises on a corrupt envelope and ``decode``
+    raises MALFORMED_CHARACTER_CODING on invalid UTF-8 -- one bad
+    Kinesis record would fail the whole micro-batch where the
+    reference's chr() join never raises. ``try_to_binary`` nulls bad
+    base64, and the UTF-8 path goes through the lenient binary->string
+    cast (UTF8String wraps bytes unvalidated, invalid sequences flow
+    through as replacement-rendered data) -- corrupt tokens then fall
+    out as NULLs at the typed-token try_casts (D2), the documented
+    degradation path. ISO-8859-1 decode cannot fail (every byte
+    sequence is valid Latin-1)."""
+    raw = F.try_to_binary(col, F.lit("base64"))
+    if charset.upper().replace("-", "") in ("UTF8",):
+        return raw.cast("string")
+    return F.decode(raw, charset)
 
 
 def _typed_token(toks: str, i: int, typ: str) -> Column:

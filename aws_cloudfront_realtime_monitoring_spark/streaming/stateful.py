@@ -28,7 +28,12 @@ def running_totals_stream(
     """Cumulative (count, byte-total) per key, updated every micro-batch --
     the streaming analog of the reference's per-edge monitoring counters
     (lambda_function.py:64,119 record counting, generalized per key)."""
-    out_schema = f"{group_col} STRING, n BIGINT, total_bytes BIGINT"
+    # key column DDL from the INPUT schema, not a hardcoded STRING: a
+    # non-string grouping key (e.g. sc_status BIGINT) would otherwise
+    # mislabel the emitted pandas key column and break or silently
+    # stringify at the Arrow boundary (r13 review)
+    key_ddl = parsed.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {key_ddl}, n BIGINT, total_bytes BIGINT"
     state_schema = "n BIGINT, total BIGINT"
 
     def update(
@@ -105,8 +110,9 @@ def chunked_flush_stream(
         StatefulProcessorHandle,
     )
 
+    key_ddl = parsed.schema[group_col].dataType.simpleString()  # r13: see above
     out_schema = (
-        f"{group_col} STRING, chunk_id BIGINT, n_records BIGINT, "
+        f"{group_col} {key_ddl}, chunk_id BIGINT, n_records BIGINT, "
         "chunk_bytes BIGINT"
     )
 

@@ -223,3 +223,29 @@ def test_strict_compat_q1_truncates_seconds(spark):
     r = q1.collect()[0]
     assert r.binned_time.isoformat() == "2020-10-14T03:00:00"
     assert r.sum_bytes_downloaded == 16653
+
+
+def test_kinesis_payload_decode_is_permissive(spark):
+    """r13 review: under ANSI mode unbase64 raises on a corrupt envelope
+    and decode raises on invalid UTF-8 -- one bad Kinesis record used to
+    fail the whole micro-batch where the reference's chr() join never
+    raises. Bad base64 -> NULL line; invalid UTF-8 bytes flow through
+    the lenient cast; Latin-1 can't fail by construction."""
+    good = base64.b64encode(GOLDEN_LINE.encode()).decode()
+    bad_b64 = "!!!not-base64!!!"
+    bad_utf8 = base64.b64encode(b"abc\xff\xfe\ttail").decode()
+    df = spark.createDataFrame(
+        [(good,), (bad_b64,), (bad_utf8,)], "data string"
+    ).select(decode_kinesis_payload(F.col("data")).alias("value"))
+    rows = df.collect()  # must not raise
+    assert rows[0].value == GOLDEN_LINE
+    assert rows[1].value is None
+    assert rows[2].value.startswith("abc")
+    # Latin-1 reference mode decodes the same bytes byte-for-byte
+    latin = spark.createDataFrame([(bad_utf8,)], "data string").select(
+        decode_kinesis_payload(F.col("data"), "ISO-8859-1").alias("v")
+    ).head()
+    assert latin.v == "abc\xff\xfe\ttail"
+    # and corrupt records degrade to all-NULL parsed rows, not errors
+    parsed = parse_log_lines(df)
+    assert parsed.count() == 3

@@ -1205,3 +1205,26 @@ def test_stream_hourly_equiv_drops_null_ts_like_its_oracle(spark, tmp_path):
     want = {(ws, et): (int(n), float(sv))
             for ws, et, n, sv in con.execute(q.oracle).fetchall()}
     assert want == got
+
+
+def test_stateful_running_totals_bigint_key(spark, replay_dir):
+    """r13 review: the output schema hardcoded the key column as STRING;
+    a BIGINT grouping key (sc_status) must keep its input type through
+    the Arrow boundary."""
+    from aws_cloudfront_realtime_monitoring_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    parsed = stream_log_lines(spark, replay_dir)
+    totals = running_totals_stream(parsed, group_col="sc_status")
+    assert dict(totals.dtypes)["sc_status"] == \
+        dict(parsed.dtypes)["sc_status"]
+    q = run_to_memory_sink(totals, "totals_bigint", output_mode="update")
+    try:
+        rows = spark.sql(
+            "SELECT sc_status, max(n) n FROM totals_bigint "
+            "GROUP BY sc_status").collect()
+    finally:
+        q.stop()
+    got = {r.sc_status: r.n for r in rows}
+    assert got and all(isinstance(k, int) for k in got)
