@@ -57,13 +57,18 @@ def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + size]
-        if len(body) < size:
+        if pos + 8 + size > len(payload):
             raise ValueError("truncated WAV chunk")
-        if cid == b"fmt ":
-            fmt_chunk = body
-        elif cid == b"data":
-            data = body
+        # FIRST fmt/data win (r13 review): stdlib wave and libsndfile
+        # read the first of each, and a spurious trailing 'data' chunk
+        # (appended junk, broken editors) used to silently replace the
+        # real samples; unneeded chunks are skipped without slicing
+        if cid == b"fmt " and fmt_chunk is None:
+            fmt_chunk = payload[pos + 8 : pos + 8 + size]
+        elif cid == b"data" and data is None:
+            data = payload[pos + 8 : pos + 8 + size]
+        if fmt_chunk is not None and data is not None:
+            break
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt_chunk is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -175,6 +180,11 @@ def _skip_id3v2(payload: bytes, pos: int = 0) -> int:
         for b in payload[pos + 6 : pos + 10]:
             size = (size << 7) | (b & 0x7F)
         pos += 10 + size
+        if payload[pos - 10 - size + 5] & 0x10:
+            # ID3v2.4 footer flag: the tag is 10+size+10 bytes -- without
+            # this the scan lands ON the 10-byte '3DI' footer and a
+            # tagged FLAC falls through to the MP3 resync (r13 review)
+            pos += 10
     return pos
 
 
@@ -254,24 +264,18 @@ def audio_meta_or_features(doc_id: int, payload: bytes) -> dict:
         # ID3v2-tagged FLAC (nonstandard but written by common tagging
         # tools): check what actually FOLLOWS the tags before assuming
         # MP3 (r11 review -- flac(1) itself skips the tag the same way)
+        meta = None
         if payload[:3] == b"ID3":
             try:
                 at = _skip_id3v2(payload)
             except ValueError:
                 at = 0
             if payload[at : at + 4] == b"fLaC":
+                # shared return below (r13 review: this branch carried a
+                # verbatim copy of the meta-row dict)
                 meta = flac_meta(payload[at:])
-                return {
-                    "doc_id": doc_id,
-                    "n_bytes": len(payload),
-                    **{k: meta[k] for k in
-                       ("sample_rate", "n_channels", "n_samples",
-                        "duration_ms")},
-                    "rms_micro": None,
-                    "zcr_micro": None,
-                    "fmt": meta["fmt"],
-                }
-        meta = mp3_meta(payload)
+        if meta is None:
+            meta = mp3_meta(payload)
     else:
         return wav_features(doc_id, payload)
     return {

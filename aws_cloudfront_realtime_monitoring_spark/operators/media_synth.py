@@ -64,10 +64,14 @@ def mp4_payload(doc_id: int) -> bytes:
                  + struct.pack(">IHH", 0x00010000, 0x0100, 0)
                  + b"\x00" * 8 + b"\x00" * 36 + b"\x00" * 24
                  + struct.pack(">I", 2))
-    tkhd = _full(b"tkhd", struct.pack(">III", 0, 0, 1) + b"\x00" * 4
-                 + struct.pack(">I", 0) + b"\x00" * 8
-                 + struct.pack(">HHHH", 0, 0, 0, 0) + b"\x00" * 36
-                 + struct.pack(">II", w << 16, h << 16))
+    # version 0, flags 3 = track_enabled | track_in_movie (8.3.2.3: a
+    # zero-flag track is DISABLED; r13 review)
+    tkhd = _box(b"tkhd", struct.pack(">I", 3)
+                + struct.pack(">II", 0, 0) + struct.pack(">I", 1)
+                + b"\x00" * 4
+                + struct.pack(">I", 0) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0) + b"\x00" * 36
+                + struct.pack(">II", w << 16, h << 16))
     # mdhd is MANDATORY in mdia (14496-12 8.4.2; r12 review -- the
     # parser does not read it, but the payload must be conformant for
     # any stricter reader): media timescale 1000, duration in ms,
@@ -76,18 +80,38 @@ def mp4_payload(doc_id: int) -> bytes:
                  + struct.pack(">HH", 0x55C4, 0))
     hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide"
                  + b"\x00" * 12 + b"\x00")
+    # av1C is mandatory inside an av01 sample entry (AV1-ISOBMFF 2.3):
+    # marker|version byte 0x81, then profile/level/tier and config bytes
+    # (a minimal still-valid config record; r13 review)
+    av1c = _box(b"av1C", bytes([0x81, 0x00, 0x0C, 0x00]))
     entry = (b"\x00" * 6 + struct.pack(">H", 1)            # SampleEntry
              + struct.pack(">HH", 0, 0) + b"\x00" * 12     # pre_defined
              + struct.pack(">HH", w, h)                    # coded dims
-             + b"\x00" * 50)                               # rest of VSE
+             + b"\x00" * 50                                # rest of VSE
+             + av1c)
     stsd = _full(b"stsd", struct.pack(">I", 1)
                  + struct.pack(">I", 8 + len(entry)) + b"av01" + entry)
     # NONZERO constant sample_size: with sample_size == 0 the spec
     # makes the per-entry size table mandatory (8.7.3.2), which the old
     # spelling omitted (r12 review) -- a constant size legally omits it
     stsz = _full(b"stsz", struct.pack(">II", 4096, frames))
-    stbl = _box(b"stbl", stsd + stsz)
-    minf = _box(b"minf", stbl)
+    # stts/stsc/stco are MANDATORY in stbl (8.6.1.2/8.7.4/8.7.5; r13
+    # review): constant per-frame delta covering every sample, one chunk
+    # holding all samples, one chunk offset (nothing reads the mdat-less
+    # offset, but the boxes must exist for a conformant reader)
+    stts = _full(b"stts", struct.pack(">III", 1, frames,
+                                      max(dur_ms // frames, 1)))
+    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, frames, 1))
+    stco = _full(b"stco", struct.pack(">II", 1, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # vmhd (version 0, flags 1 per 12.1.2) and dinf/dref (one
+    # self-contained url entry) are mandatory in a video minf (r13)
+    vmhd = _box(b"vmhd", struct.pack(">I", 1)
+                + struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", struct.pack(">I", 1)
+                 + struct.pack(">I", 12) + b"url " + struct.pack(">I", 1))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
     return ftyp + _box(b"moov", mvhd + trak)
@@ -141,7 +165,10 @@ def flac_payload(doc_id: int) -> bytes:
     frame sizes, then rate(20) | channels-1(3) | bps-1(5) | total(36)
     packed big-endian, then the 16-byte (here zero) MD5."""
     rate = 8000 + (doc_id % 5) * 8000
-    channels = doc_id % 2 + 1
+    # (doc_id // 4) parity, NOT doc_id % 2: the % 4 format routing makes
+    # FLAC ids all even, so the old formula pinned channels to 1 and the
+    # oracle row never exercised the stereo STREAMINFO packing (r13)
+    channels = (doc_id // 4) % 2 + 1
     n_samples = (doc_id % 1000 + 1) * 100
     packed = (rate << 44) | ((channels - 1) << 41) | (15 << 36) | n_samples
     streaminfo = (struct.pack(">HH", 4096, 4096) + b"\x00\x00\x10" * 2
@@ -162,7 +189,10 @@ def mp3_payload(doc_id: int) -> bytes:
     count, so the parser's duration is exact rather than the CBR
     estimate."""
     sr_idx = doc_id % 3
-    mono = doc_id % 2 == 1
+    # (doc_id // 4) parity: MP3 ids are all odd under the % 4 routing,
+    # so doc_id % 2 pinned every payload mono and the stereo side-info
+    # and Xing offsets were never oracle-checked (r13)
+    mono = (doc_id // 4) % 2 == 1
     frames = doc_id % 200 + 1
     h1 = 0xFB                      # MPEG1, Layer III, no CRC
     h2 = (9 << 4) | (sr_idx << 2)  # 128 kbps, sample-rate index
@@ -178,30 +208,35 @@ def mp3_payload(doc_id: int) -> bytes:
     return bytes(frame)
 
 
+def _attach(docs: DataFrame, builder) -> DataFrame:
+    """The ONE synth-map spelling (r13 review: the two attach functions
+    were verbatim copies differing only in the per-id builder): NaN
+    doc_ids dropped, negative ids refused -- Python's % is always
+    nonnegative while SQL's is sign-preserving, so a negative id would
+    route builders, oracle branches, and plan filters three different
+    ways and fail the hash check with no visible cause (r12 review)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"] if not pd.isna(i)]
+            if any(i < 0 for i in ids):
+                raise ValueError("negative doc_id in media synthesis")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [builder(i) for i in ids],
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY")
+
+
 def attach_media_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload BINARY): synthesize one container payload per
     document, format chosen by doc_id % 4 per the module formulas. A
     narrow Arrow-batched map — the same shape as attach_payload, with
     real container bytes instead of text stand-ins."""
     builders = (mp4_payload, webm_payload, flac_payload, mp3_payload)
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = [int(i) for i in pdf["doc_id"] if not pd.isna(i)]
-            if any(i < 0 for i in ids):
-                # Python's % is always nonnegative; SQL's is
-                # sign-preserving -- a negative id would route builders,
-                # oracle branches, and plan filters three different ways
-                # and fail the hash check with no visible cause (r12
-                # review). Refuse rather than diverge.
-                raise ValueError("negative doc_id in media synthesis")
-            yield pd.DataFrame({
-                "doc_id": ids,
-                "payload": [builders[i % 4](i) for i in ids],
-            })
-
-    return docs.select("doc_id").mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY")
+    return _attach(docs, lambda i: builders[i % 4](i))
 
 
 # ------------------------------------------------------ BMP (real pixels)
@@ -242,26 +277,16 @@ def wav_payload(doc_id: int) -> bytes:
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
-    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+    # RIFF chunk size = bytes AFTER the 8-byte header, i.e. len(body)
+    # exactly; the old +4 declared 4 bytes past EOF and every strict
+    # RIFF reader saw a truncated file (r13 review -- decode_wav never
+    # reads payload[4:8], so the hash gate could not catch it)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def attach_image_audio_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload BINARY): REAL-decode payloads — BMP for even
     doc_ids, WAV for odd — per the module formulas; same narrow
     Arrow-batched map shape as attach_media_payload."""
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = [int(i) for i in pdf["doc_id"] if not pd.isna(i)]
-            if any(i < 0 for i in ids):
-                raise ValueError("negative doc_id in media synthesis")
-            yield pd.DataFrame({
-                "doc_id": ids,
-                "payload": [
-                    bmp_payload(i) if i % 2 == 0 else wav_payload(i)
-                    for i in ids
-                ],
-            })
-
-    return docs.select("doc_id").mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY")
+    return _attach(
+        docs, lambda i: bmp_payload(i) if i % 2 == 0 else wav_payload(i))

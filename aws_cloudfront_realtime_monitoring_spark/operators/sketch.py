@@ -114,6 +114,11 @@ def build_count_min(
 
 def cms_width(eps: float) -> int:
     """Spark's convention: w = ceil(2/eps) counters per row."""
+    if not 0 < eps < 1:
+        # surface the contract instead of ZeroDivisionError / a
+        # zero-width sketch (r13 review; the JVM CountMinSketch
+        # validates the same bounds with a readable message)
+        raise ValueError(f"cms eps must be in (0, 1), got {eps}")
     return int(math.ceil(2.0 / eps))
 
 
@@ -122,7 +127,10 @@ def cms_depth(confidence: float) -> int:
     fails its Markov bound with probability <= 1/2 at w = 2/eps, so the
     base is 2 -- Spark's CountMinSketchImpl convention; ln gave d=5
     instead of 7 at confidence 0.99, r11 review)."""
-    return int(math.ceil(math.log2(1.0 / (1.0 - confidence))))
+    if not 0 < confidence < 1:
+        raise ValueError(
+            f"cms confidence must be in (0, 1), got {confidence}")
+    return max(1, int(math.ceil(math.log2(1.0 / (1.0 - confidence)))))
 
 
 def _cms_bucket(value_col, depth_col, width_col, seed_col):

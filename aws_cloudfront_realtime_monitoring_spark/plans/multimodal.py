@@ -112,7 +112,9 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 'flac' AS fmt,
              NULL AS width, NULL AS height, NULL AS n_frames,
              8000 + (doc_id % 5) * 8000 AS sample_rate,
-             doc_id % 2 + 1 AS n_channels,
+             -- (doc_id // 4) parity: the %4 format routing makes FLAC
+             -- ids all even, so doc_id%2 could never reach stereo (r13)
+             (doc_id // 4) % 2 + 1 AS n_channels,
              (doc_id % 1000 + 1) * 100 AS n_samples,
              ((doc_id % 1000 + 1) * 100 * 1000)
                // (8000 + (doc_id % 5) * 8000) AS duration_ms
@@ -122,7 +124,8 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              NULL AS width, NULL AS height, NULL AS n_frames,
              CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                              ELSE 32000 END AS sample_rate,
-             CASE doc_id % 2 WHEN 1 THEN 1 ELSE 2 END AS n_channels,
+             CASE (doc_id // 4) % 2 WHEN 1 THEN 1 ELSE 2 END
+               AS n_channels,
              (doc_id % 200 + 1) * 1152 AS n_samples,
              ((doc_id % 200 + 1) * 1152 * 1000)
                // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000

@@ -16,7 +16,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def main() -> None:
+def main() -> int:
+    n_err = 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
     from aws_cloudfront_realtime_monitoring_spark.plans import load_full
@@ -63,9 +64,18 @@ def main() -> None:
                 f"| {pushed} | {' '.join(flags) or '-'} |"
             )
         except Exception as e:  # pragma: no cover
-            print(f"| {name} | ERROR: {str(e)[:60]} | | | | | | |")
+            # escape '|' so a pipe inside the message cannot corrupt the
+            # markdown row; count it so the process exits nonzero (r13
+            # review: a round where plan builds ERROR used to regenerate
+            # PLANS.md "successfully" and ship a useless artifact)
+            msg = str(e)[:60].replace("|", "\\|")
+            print(f"| {name} | ERROR: {msg} | | | | | | |")
+            n_err += 1
     spark.stop()
+    return 1 if n_err else 0
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())

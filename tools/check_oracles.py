@@ -145,7 +145,10 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(srows)} rows [{t_spark:.1f}s]")
     spark.stop()
-    return n_fail
+    # 1/0, not the raw count: an exit code truncates modulo 256, so a
+    # 256-failure sweep would report SUCCESS to the shell (r13 review;
+    # unreachable at 78 rows today, silent-green trap as it grows)
+    return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
