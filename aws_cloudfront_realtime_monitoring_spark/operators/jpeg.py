@@ -1238,9 +1238,12 @@ def _decode_block(br, dc_t, ac_t, q, pred, cid, prec=8) -> np.ndarray:
 
 # ------------------------------------------------- arithmetic (SOF9)
 
-def _expect_arith_rst(data: bytes, ent: ArithEntropy) -> int:
+def _expect_arith_rst(data: bytes, ent: "ArithEntropy | ArithLossless") -> int:
     """Locate and consume the restart marker terminating the current
     arithmetic entropy segment; returns the byte position AFTER it.
+    ``ent`` is either entropy wrapper (DCT or lossless) -- only the
+    shared ``.dec`` QM decoder is touched (r14 advice: the lossless
+    scan driver passes ArithLossless here).
     Unlike the Huffman path there is no bit buffer to align: the QM
     decoder stops feeding at the first marker (or may not have consumed
     up to it -- the encoder's flush padding is legal residue), so scan

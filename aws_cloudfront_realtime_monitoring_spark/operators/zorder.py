@@ -161,8 +161,17 @@ def zorder_layout(df: DataFrame, a: Column, b: Column,
                 f"(got {type(lo).__name__}); cast timestamps/dates to "
                 "epoch hours/days first"
             )
+    # coalesce AFTER quantizing (r14 advice): a NULL dimension VALUE --
+    # every row of an all-NULL column, or stray NULLs in a live one --
+    # quantizes to NULL, NULL propagates through the interleave's +, and
+    # every affected row's __z goes NULL: the r13 per-dimension bounds
+    # defaulting then delivered ONE range partition (all-NULL sort key),
+    # not the promised clean sort on the live dimension. NULLs
+    # contribute a constant 0 to the key instead, exactly like an
+    # all-NULL dimension's bounds already do.
     keyed = df.withColumn("__z", zorder_key(
-        zorder_quantize(a, lo_a, hi_a), zorder_quantize(b, lo_b, hi_b)
+        F.coalesce(zorder_quantize(a, lo_a, hi_a), F.lit(0)),
+        F.coalesce(zorder_quantize(b, lo_b, hi_b), F.lit(0)),
     ))
     ranged = (
         keyed.repartitionByRange(partitions, "__z")

@@ -176,14 +176,15 @@ def stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_stream rule (r8): dropDuplicates treats NULL keys as equal
     # and would collapse every id-less row into one survivor while the
     # oracle counts them all (r13 review; latent -- fixtures carry no
-    # NULL ids. NOTE the union doubles NULL-id rows and both copies
-    # survive here: at-least-once delivery of an id-less record is
-    # UNRESOLVABLE duplication by definition, so the oracle side of
-    # this row counts the original table once per delivery only for
-    # keyed rows -- with no NULL ids in the corpus the two sides agree;
-    # a corpus WITH them must dedup upstream of this operator)
+    # NULL ids). The passthrough leg comes from the PRE-union stream
+    # (r14 advice): routing id-less rows around dedup from BOTH legs of
+    # the replay union emitted them twice while the oracle counts the
+    # table once -- replay duplication of an id-less record is exactly
+    # what the simulated at-least-once layer manufactures, so the
+    # equivalence contract (stream == one-scan batch answer) wants each
+    # source row once however it was delivered.
     with_id = duplicated.where(F.col("event_id").isNotNull())
-    no_id = duplicated.where(F.col("event_id").isNull())
+    no_id = watermarked.where(F.col("event_id").isNull())
     deduped = (
         with_id.dropDuplicatesWithinWatermark(["event_id"])
         .unionByName(no_id)

@@ -1207,6 +1207,43 @@ def test_stream_hourly_equiv_drops_null_ts_like_its_oracle(spark, tmp_path):
     assert want == got
 
 
+def test_stream_dedup_equiv_counts_null_ids_once(spark, tmp_path):
+    """r14 advice: the NULL-id passthrough used to branch off the
+    at-least-once union, so every id-less row was emitted TWICE while
+    the oracle counts the table once -- a latent divergence (fixtures
+    carry no NULL ids). The passthrough now comes from the pre-union
+    stream; plant NULL ids and pin Spark-vs-DuckDB agreement."""
+    from datetime import datetime
+
+    import duckdb
+
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+
+    q = load_full()["stream_dedup_equiv"]
+    rows = [
+        (1, 7, datetime(2024, 1, 8, 1, 10), "view", 1.25),
+        (2, 7, datetime(2024, 1, 8, 1, 40), "view", 2.25),
+        (None, 8, datetime(2024, 1, 8, 2, 10), "click", 4.00),
+        (None, 9, datetime(2024, 1, 8, 2, 20), "click", 8.00),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    sf_dir = str(tmp_path)
+    sdf.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {r.event_type: (r.n, r.sum_value)
+           for r in q.build(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = {et: (int(n), float(sv))
+            for et, n, sv in con.execute(q.oracle).fetchall()}
+    assert want == got  # pre-fix: click counted 4, not 2
+
+
 def test_stateful_running_totals_bigint_key(spark, replay_dir):
     """r13 review: the output schema hardcoded the key column as STRING;
     a BIGINT grouping key (sc_status) must keep its input type through

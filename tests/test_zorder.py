@@ -185,6 +185,10 @@ def test_zorder_layout_one_null_dimension_keeps_other_tight(spark):
         .collect()
     )
     assert sum(p.cnt for p in parts) == n
+    # r14 advice: pre-coalesce, the all-NULL dimension NULLed every __z
+    # and ALL rows landed in ONE range partition, making the pairwise
+    # overlap loop below pass vacuously -- require real spread
+    assert len(parts) > 1, "all rows collapsed into one range partition"
     for prev, cur in zip(parts, parts[1:]):
         assert prev.hi < cur.lo, (
             f"overlapping ranges: {[(p.lo, p.hi) for p in parts]}")
