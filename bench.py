@@ -84,6 +84,17 @@ ALWAYS_RERUN = {"cf_parse_wire_roundtrip"}
 #: anything a regression. 3.2e9 rows ~ 0.6 s on this box quiet.
 CALIBRATION_ROWS = 3_200_000_000
 CALIBRATION_SPLITS = 32
+#: reference kernel time all cross-round normalization divides against:
+#: the fastest official kernel cell on record (BENCH_r13, a ~day-factor-
+#: 1.0 box). `calib_norm_total` in the stdout line is
+#: value * (CALIBRATION_REF_SEC / calib_sec) -- the total this run WOULD
+#: have recorded on the reference-speed box. A fixed constant (not a
+#: rolling min) so the normalized series never silently re-bases.
+CALIBRATION_REF_SEC = 0.492
+#: bound on how far a calibration ratio may scale a drift-gate prior:
+#: a corrupt kernel cell (one bad round) must not widen the gate into
+#: uselessness or collapse it into re-running everything.
+CALIBRATION_RATIO_CLAMP = (0.5, 2.0)
 
 
 def _calibration_sec(spark, n_runs: int = 3) -> float:
@@ -195,7 +206,9 @@ class _ExternalCpu:
         return ext
 
 
-def _prior_round_times(sf: float | None) -> dict[str, float]:
+def _prior_round_times(
+    sf: float | None, calib_now: float | None = None
+) -> dict[str, float]:
     """Per-query BEST (minimum) seconds across every BENCH_r*.json next to
     this script recorded AT THE SAME scale factor (empty if none): the
     baseline for phantom-regression re-runs. The min across rounds, not
@@ -203,7 +216,17 @@ def _prior_round_times(sf: float | None) -> dict[str, float]:
     regression OR spuriously absolve one -- the best-known time is the
     reproducible cost of the plan. The sf filter keeps a run at another
     scale from mis-arming the drift guard in both directions (r7
-    review)."""
+    review).
+
+    When ``calib_now`` is given and a prior round recorded its own
+    ``calib_sec`` kernel cell, that round's times are NORMALIZED onto
+    today's box speed (sec * calib_now / calib_round, ratio clamped)
+    before taking the min -- the r13 verdict's load-bearing use of the
+    calibration kernel: on a slow day the gate no longer burns wall time
+    re-running queries to confirm what the kernel already measured (r13
+    re-ran 12/29 on a box the kernel showed was fine), and on a FAST day
+    priors shrink so real regressions stand out sooner. Rounds without a
+    kernel cell (pre-r13) stay raw."""
     here = Path(__file__).resolve().parent
     best: dict[str, float] = {}
     for p in here.glob("BENCH_r*.json"):
@@ -216,9 +239,15 @@ def _prior_round_times(sf: float | None) -> dict[str, float]:
         rec = rec.get("parsed") or rec
         if not isinstance(rec, dict) or rec.get("sf") != sf:
             continue
+        calib_round = rec.get("calib_sec")
+        scale = 1.0
+        if calib_now and isinstance(calib_round, (int, float)) and calib_round > 0:
+            lo, hi = CALIBRATION_RATIO_CLAMP
+            scale = min(max(float(calib_now) / float(calib_round), lo), hi)
         for name, sec in (rec.get("queries") or {}).items():
             if isinstance(sec, (int, float)):
-                best[name] = min(best.get(name, float("inf")), float(sec))
+                best[name] = min(best.get(name, float("inf")),
+                                 float(sec) * scale)
     return best
 
 
@@ -228,7 +257,6 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     load_start, load_flagged = _wait_for_quiet_box()
-    prior_times = _prior_round_times(sf)
 
     # headline names stay stable across registry swaps so totals remain
     # round-over-round comparable: resolve demoted rows too
@@ -251,6 +279,10 @@ def main() -> None:
     registry["q2_create_time_series"].build(spark, sf_dir).collect()
 
     calib_start = _calibration_sec(spark)
+    # drift-gate priors are calibration-normalized onto TODAY's box speed
+    # (kernel-carrying rounds only), so the gate stops re-running queries
+    # to confirm a slowdown the start kernel already attributed to the box
+    prior_times = _prior_round_times(sf, calib_now=calib_start)
 
     ext_cpu = _ExternalCpu()
 
@@ -412,10 +444,17 @@ def _render_output(
         "detail": SIDECAR,
     }
     if calib_start is not None and calib_end is not None:
-        # best observed kernel time = the day's CPU factor in one number;
-        # divide totals by (calib_sec / a reference round's calib_sec)
-        # before comparing across rounds
-        headline["calib_sec"] = min(calib_start, calib_end)
+        # best observed kernel time = the day's CPU factor in one number
+        calib = min(calib_start, calib_end)
+        headline["calib_sec"] = calib
+        if calib > 0:
+            # the total this run would have recorded on the reference-speed
+            # box (BENCH_r13's 0.492 s kernel cell): the ONE number to
+            # compare across rounds -- raw totals confound code with the
+            # box's per-day factor
+            headline["calib_norm_total"] = round(
+                headline["value"] * CALIBRATION_REF_SEC / calib, 3
+            )
     detail = dict(
         headline,
         # the fixed data-independent calibration kernel
@@ -448,7 +487,7 @@ def _render_output(
     # belt-and-braces: shed optional fields (never the required five) if
     # some future headline set pushes the line past the capture window
     for drop in ("detail", "n_reran", "load_flagged", "load_avg",
-                 "load_avg_start", "calib_sec"):
+                 "load_avg_start", "calib_norm_total", "calib_sec"):
         if len(line) <= STDOUT_LINE_BUDGET:
             break
         headline.pop(drop, None)

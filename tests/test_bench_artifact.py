@@ -62,6 +62,12 @@ def test_sidecar_carries_verbose_diagnostics(tmp_path):
     assert detail["calib_rows"] == bench.CALIBRATION_ROWS
     assert detail["calib_sec"] == 0.598
     assert json.loads(line).get("calib_sec") in (0.598, None)
+    # r14 (r13 verdict #2): the calibration-normalized total -- the run's
+    # total projected onto the reference-speed box -- rides in both places
+    want_norm = round(sum(json.loads(line)["queries"].values())
+                      * bench.CALIBRATION_REF_SEC / 0.598, 3)
+    assert detail["calib_norm_total"] == want_norm
+    assert json.loads(line).get("calib_norm_total") in (want_norm, None)
     # the sidecar is a superset of the stdout line's fields
     rec = json.loads(line)
     for k in ("metric", "value", "unit", "queries", "sf"):
@@ -103,6 +109,31 @@ def test_prior_round_times_skips_unparsed_rounds(tmp_path):
         best = bench._prior_round_times(0.1)
     assert best == {"q": 1.5}
     assert orig.exists()
+
+
+def test_prior_round_times_calibration_normalizes_priors(tmp_path):
+    """r13 verdict #2: a kernel-carrying prior round's times scale by
+    calib_now/calib_round (clamped) before the min -- on a 2x-slow day
+    the gate's bar doubles instead of re-running 12/29 queries to
+    re-measure the box; rounds without a kernel stay raw."""
+    import unittest.mock as mock
+
+    (tmp_path / "BENCH_r90.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"q": 1.5, "r": 4.0},
+                    "calib_sec": 0.5}}))
+    (tmp_path / "BENCH_r91.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "queries": {"q": 2.0, "nocal": 3.0}}}))
+    with mock.patch.object(bench, "__file__", str(tmp_path / "bench.py")):
+        raw = bench._prior_round_times(0.1)
+        # today's kernel is 2x the r90 cell: r90's priors double; the
+        # kernel-less r91 stays raw and now holds q's min
+        slow = bench._prior_round_times(0.1, calib_now=1.0)
+        # a corrupt 100x kernel ratio clamps at CALIBRATION_RATIO_CLAMP
+        wild = bench._prior_round_times(0.1, calib_now=50.0)
+    assert raw == {"q": 1.5, "r": 4.0, "nocal": 3.0}
+    assert slow == {"q": 2.0, "r": 8.0, "nocal": 3.0}
+    hi = bench.CALIBRATION_RATIO_CLAMP[1]
+    assert wild == {"q": 2.0, "r": 4.0 * hi, "nocal": 3.0}
 
 
 def test_calibration_kernel_times_fresh_dataframes(spark, monkeypatch):
