@@ -171,6 +171,35 @@ def test_no_cartesian_or_rowudf_in_any_registry_plan(spark, sf_dir):
             assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
 
 
+def test_registry_plan_stats_stay_bounded(spark, sf_dir):
+    """Fleet-wide localCheckpoint stats guard (r13 verdict #3): Spark 4's
+    ``Dataset.localCheckpoint`` inherits the origin plan's Catalyst
+    ``sizeInBytes`` (LogicalRDD.rewriteStatsAndConstraints) -- joins over
+    an inflated LogicalRDD multiply the BigInt further, and chained
+    barriers compound it hyper-exponentially until the driver stalls
+    minutes inside BigInteger multiplies before submitting any job (the
+    r13 cc-loop scale-killer, pinned per-loop in test_dedup.py). Eight
+    more builders barrier intermediates with a single lazy
+    localCheckpoint (dedup/sampling/text/curation); a future refactor
+    that chains a second barrier or squares an inflated stat through a
+    self-join would regress the same way, so pin EVERY registry row's
+    final optimized-plan stat to a sane bit length. A healthy plan's
+    sizeInBytes is < 2^200 even with multiplicative join estimates; the
+    pre-fix trajectory reached thousands of digits within one loop
+    round."""
+    for name in REGISTRY:
+        if name in _EXECUTING:
+            # dedup_clusters' loop is pinned (with the same bound) by
+            # test_dedup.py; stream_* builders execute their query and
+            # return a parquet read-back whose stats are file-sized
+            continue
+        df = REGISTRY[name].build(spark, sf_dir)
+        bits = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+        assert bits < 100_000, f"{name}: inherited sizeInBytes has {bits} bits"
+
+
 def test_bin_1h_floors_pre_epoch_timestamps(spark):
     """Java % rounds toward zero, so pre-1970 timestamps would bin UP
     while the DuckDB oracle floors with // -- the r7 bin_ fix applied to
