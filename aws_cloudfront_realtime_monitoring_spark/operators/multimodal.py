@@ -207,6 +207,61 @@ def _unpack_samples(
     return samples[:, :pw].reshape(ph, pw, 1)  # depth<8 => ch == 1
 
 
+def _decode_subimage(
+    zdata: bytes, width: int, height: int, ch: int, depth: int,
+    interlace: int, bpp: int,
+) -> np.ndarray:
+    """One compressed PNG scanline stream -> ``(height, width, ch)``
+    sample array (uint16 at depth 16, uint8 otherwise): bounded inflate,
+    per-(sub-)image defilter, sample unpack, Adam7 reassembly. Shared by
+    the static decoder (the IDAT stream) and the APNG frame decoder
+    (each frame's concatenated fdAT stream -- per the APNG spec a frame
+    region is encoded exactly like a standalone image of its own
+    dimensions under the IHDR depth/color/interlace)."""
+
+    def rowbytes(pw: int) -> int:
+        return (pw * ch * depth + 7) // 8
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:
+        passes = [
+            (x0, y0, dx, dy,
+             (width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    expected = sum(
+        ph * (rowbytes(pw) + 1) for *_xy, pw, ph in passes if pw and ph
+    )
+    try:
+        # BOUNDED inflate (r11 review): a plain zlib.decompress
+        # materializes the full output first, so a crafted tiny-IHDR
+        # payload with a ~1000:1 IDAT could allocate gigabytes before
+        # the length check ran -- cap at expected+1 and reject leftovers
+        dec = zlib.decompressobj()
+        raw = dec.decompress(zdata, expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel-data stream: {exc}") from exc
+    if len(raw) != expected or not dec.eof and dec.unconsumed_tail:
+        raise ValueError(
+            f"PNG scanline data is {len(raw)}+ bytes, expected {expected}"
+        )
+    buf = np.frombuffer(raw, np.uint8)
+    px = np.zeros((height, width, ch), np.uint16 if depth == 16 else np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue  # empty passes carry no scanlines at all
+        rb = rowbytes(pw)
+        span = ph * (rb + 1)
+        lines = buf[pos : pos + span].reshape(ph, rb + 1)
+        pos += span
+        px[y0::dy, x0::dx] = _unpack_samples(
+            _defilter(lines, rb, bpp), pw, ch, depth
+        )
+    return px
+
+
 def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     try:
         return _decode_png(payload)
@@ -223,10 +278,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     pixels[h, w, channels]) -- uint16 samples for 16-bit depth, uint8
     otherwise; sub-byte grayscale scales to full 8-bit range (the exact
     255/(2^d-1) expansion); palette expands to RGB, or RGBA when tRNS is
-    present. Raises ``ValueError`` on anything malformed. Documented
-    residue: tRNS color-keys on gray/RGB images are ignored (no alpha
-    synthesized) and APNG animation chunks (acTL/fcTL/fdAT, ancillary)
-    decode as the static first frame.
+    present; a tRNS COLOR-KEY on gray/RGB synthesizes an alpha channel
+    (r14 -- gray becomes GA, RGB becomes RGBA, key matched at source
+    depth). Raises ``ValueError`` on anything malformed. APNG payloads
+    return the static first frame here -- animation frames and frame
+    counts live in :mod:`operators.apng` (decode_image reports their
+    real n_frames).
 
     Needs only stdlib ``zlib`` + numpy: an 8-byte signature, then chunks of
     (length BE32, type, data, CRC32 over type+data); IHDR carries
@@ -292,47 +349,26 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"invalid PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color]
     bpp = max(1, ch * depth // 8)  # filter "left" offset, bytes
-
-    def rowbytes(pw: int) -> int:
-        return (pw * ch * depth + 7) // 8
-
-    if interlace == 0:
-        passes = [(0, 0, 1, 1, width, height)]
-    else:
-        passes = [
-            (x0, y0, dx, dy,
-             (width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
-            for x0, y0, dx, dy in _ADAM7
-        ]
-    expected = sum(
-        ph * (rowbytes(pw) + 1) for *_xy, pw, ph in passes if pw and ph
+    px = _decode_subimage(
+        b"".join(idat), width, height, ch, depth, interlace, bpp
     )
-    try:
-        # BOUNDED inflate (r11 review): a plain zlib.decompress
-        # materializes the full output first, so a crafted tiny-IHDR
-        # payload with a ~1000:1 IDAT could allocate gigabytes before
-        # the length check ran -- cap at expected+1 and reject leftovers
-        dec = zlib.decompressobj()
-        raw = dec.decompress(b"".join(idat), expected + 1)
-    except zlib.error as exc:
-        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    if len(raw) != expected or not dec.eof and dec.unconsumed_tail:
-        raise ValueError(
-            f"PNG scanline data is {len(raw)}+ bytes, expected {expected}"
-        )
-    buf = np.frombuffer(raw, np.uint8)
-    px = np.zeros((height, width, ch), np.uint16 if depth == 16 else np.uint8)
-    pos = 0
-    for x0, y0, dx, dy, pw, ph in passes:
-        if not pw or not ph:
-            continue  # empty passes carry no scanlines at all
-        rb = rowbytes(pw)
-        span = ph * (rb + 1)
-        lines = buf[pos : pos + span].reshape(ph, rb + 1)
-        pos += span
-        px[y0::dy, x0::dx] = _unpack_samples(
-            _defilter(lines, rb, bpp), pw, ch, depth
-        )
+    # tRNS COLOR-KEY on gray/RGB (r13 verdict #5: the last static-PNG
+    # residue): the 2-byte (gray) / 6-byte (RGB) big-endian key names the
+    # ONE sample value rendered fully transparent; matching is at the
+    # SOURCE depth, before any sub-byte expansion. An alpha channel is
+    # synthesized (0 at key pixels, full elsewhere) exactly like the
+    # palette path already does. A wrong-length key -- or one on a
+    # color type that already has alpha -- is a malformed ANCILLARY
+    # chunk: skipped per the spec's recovery guidance, like a bad CRC.
+    key_mask = None
+    if trns is not None and color in (0, 2):
+        nch = 1 if color == 0 else 3
+        if len(trns) == 2 * nch:
+            key = struct.unpack(f">{nch}H", trns)
+            if color == 0:
+                key_mask = px[:, :, 0] == key[0]
+            else:
+                key_mask = np.all(px == np.array(key, px.dtype), axis=2)
     if color == 0 and depth < 8:
         # present sub-byte grayscale at full 8-bit range; exact because
         # (2^d - 1) divides 255 for d in (1, 2, 4)
@@ -357,6 +393,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             trns[: len(pal)], np.uint8
         )
         return width, height, np.dstack([rgb, alpha[idx]])
+    if key_mask is not None:
+        full = np.uint16(65535) if depth == 16 else np.uint8(255)
+        alpha = np.where(key_mask, 0, full).astype(px.dtype)
+        return width, height, np.dstack([px, alpha])
     return width, height, px
 
 
@@ -392,13 +432,25 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         try:
             width, height, _px = decode_png_pixels(payload)
+            from .apng import apng_frame_count
+
+            # animation frame count is real DATA, like GIF's: a valid
+            # acTL/fcTL/fdAT chain reports its frame count and the
+            # payload identifies as APNG. MALFORMED animation chunks on
+            # a decodable static image take the spec's own fallback (an
+            # APNG-unaware viewer shows the static image) -- never the
+            # fake path.
+            try:
+                n_frames = apng_frame_count(payload)
+            except ValueError:
+                n_frames = None
             return {
                 "doc_id": doc_id,
                 "n_bytes": len(payload),
                 "width": width,
                 "height": height,
-                "n_frames": 1,
-                "fmt": "png",
+                "n_frames": n_frames if n_frames is not None else 1,
+                "fmt": "png" if n_frames is None else "apng",
             }
         except ValueError:
             # signature-prefixed but malformed: same contract as BMP
@@ -632,7 +684,13 @@ def sample_animation_frames(
     only the evenly-spaced picks are retained while compositing.
     ``skip_invalid`` (default) drops undecodable payloads instead of
     failing the task -- the audio_feature_batches corrupt-record
-    contract; ``skip_invalid=False`` propagates the ValueError."""
+    contract; ``skip_invalid=False`` propagates the ValueError.
+
+    r14: APNG payloads sample through the same two-pass contract
+    (operators.apng count + keep_indices decode); their RGBA screens
+    report the RGB channel means, 16-bit samples scaled onto the 8-bit
+    range (the exact /257) so GIF and APNG means are comparable."""
+    from .apng import count_apng_frames, decode_apng_frames
     from .gif import count_gif_frames, decode_gif_frames
 
     def frames_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -649,22 +707,29 @@ def sample_animation_frames(
                         continue
                     raise ValueError("NULL doc_id in animation batch")
                 payload = bytes(r.payload) if r.payload is not None else b""
+                is_png = payload[: len(_PNG_SIG)] == _PNG_SIG
+                count, fetch = (
+                    (count_apng_frames, decode_apng_frames) if is_png
+                    else (count_gif_frames, decode_gif_frames)
+                )
                 try:
-                    w, h, n = count_gif_frames(payload)
+                    w, h, n = count(payload)
                     k = min(n_samples, n)
                     picks = sorted(
                         {round(i * (n - 1) / (k - 1)) for i in range(k)}
                         if k > 1 else ({0} if k == 1 else set())
                     )
-                    _w, _h, screens = decode_gif_frames(
-                        payload, keep_indices=set(picks)
-                    )
+                    _w, _h, screens = fetch(payload, keep_indices=set(picks))
                 except ValueError:
                     if skip_invalid:
                         continue
                     raise
                 for fi, screen in zip(picks, screens):
-                    mr, mg, mb = screen.reshape(-1, 3).mean(axis=0).round()
+                    rgb = screen[:, :, :3]
+                    means = rgb.reshape(-1, 3).mean(axis=0)
+                    if rgb.dtype == np.uint16:
+                        means = means / 257.0  # exact 16->8-bit range
+                    mr, mg, mb = means.round()
                     rows.append({
                         "doc_id": int(r.doc_id), "frame_idx": fi,
                         "n_frames": n, "width": w, "height": h,
