@@ -104,6 +104,15 @@ def two_phase_agg(
     ``agg_exprs`` maps output column -> one of 'sum'/'count'/'min'/'max'
     over an input column (``count`` takes any column). Decomposable
     aggregates only -- that is what makes two-phase valid.
+
+    MEASURED CAVEAT (r14 skew drive, SCALE.md): for exactly these
+    decomposable aggregates Spark's hash aggregate already collapses a
+    hot group key to ONE row per input partition map-side, so at 10M
+    rows with a 50%-hot key the plain groupBy beat this operator
+    (0.74 s vs 1.05 s -- the salt phase only adds a shuffle). Reach for
+    it when map-side partial aggregation is unavailable or its state is
+    large (e.g. upstream of a collect-like or exact-distinct rewrite),
+    not for plain sum/count/min/max on a skewed key.
     """
     if n_salts < 1:
         raise ValueError("two_phase_agg: n_salts must be >= 1")

@@ -1,0 +1,211 @@
+"""Adversarial skew drive at ~sf10 (VERDICT r13 item #6).
+
+skew_salted_join / skew_salted_agg are LOSSLESS-proven at fixture scale
+(tests/test_skew.py pins salted == unsalted results), but the salted
+plans' ADVANTAGE was never measured under real skew. This tool builds a
+~sf10 corpus where ONE key owns ~50% of the rows and measures, for the
+join and the aggregation:
+
+- plain plan, AQE skew-join ON (the session default -- what a user gets)
+- plain plan, AQE skew-join OFF (the underlying straggler, isolated)
+- the explicit salted operator (AQE on, as shipped)
+
+recording min-of-N wall AND the max single-task duration of each run's
+heaviest stage (straggler detection needs task-level data: wall time on
+a 32-core box under-reports a straggler that still fits inside other
+tasks' makespan). Task durations come from the REST status API
+(taskSummary quantile 1.0), so this tool runs its own session with the
+UI enabled; production sessions keep it off.
+
+Broadcast note: the small side is sized ABOVE the broadcast threshold
+(the operator's documented domain -- "too big to broadcast, far smaller
+than the large side"); a broadcastable small side needs no salting and
+the plain plan would win by never shuffling the large side at all.
+
+Aggregation expectation, stated up front: Spark's hash aggregate already
+computes MAP-SIDE partials, so a single hot GROUP key collapses to one
+row per input partition before the shuffle -- the honest outcome may be
+a NULL RESULT (salting buys nothing for decomposable aggs); the cell
+exists to measure, not assume.
+
+Usage: python tools/measure_skew_scale.py [--rows 10000000] [--runs 3]
+Prints a markdown table + one JSON line. Corpus under
+``.scale_sweep/skew_v1/`` (gitignored), built once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from bench import _ExternalCpu, _wait_for_quiet_box
+
+from aws_cloudfront_realtime_monitoring_spark.operators.skew import (
+    salted_join,
+    two_phase_agg,
+)
+from aws_cloudfront_realtime_monitoring_spark.session import get_spark
+
+SWEEP = REPO / ".scale_sweep" / "skew_v1"
+UI_PORT = 4057
+HOT_SHARE = 0.5  # the hot key owns this fraction of large-side rows
+N_KEYS = 1_000_000  # uniform tail key domain (also the small side's keys)
+
+
+def build_corpus(spark, rows: int) -> tuple[str, str]:
+    """large: ``rows`` rows, key 0 owns HOT_SHARE of them, the rest
+    uniform over 1..N_KEYS; small: N_KEYS keys x 2 rows (dim payload),
+    sized past the broadcast threshold."""
+    large_p = SWEEP / f"large_{rows}"
+    small_p = SWEEP / f"small_{N_KEYS}"
+    if not (large_p / "_SUCCESS").exists():
+        (
+            spark.range(0, rows, 1, 64)
+            .selectExpr(
+                f"CASE WHEN id % {int(1 / HOT_SHARE)} = 0 THEN 0 "
+                f"ELSE pmod(xxhash64(id), {N_KEYS - 1}) + 1 END AS key",
+                "CAST(pmod(id, 1000) AS DOUBLE) AS val",
+            )
+            .write.mode("overwrite").parquet(str(large_p))
+        )
+    if not (small_p / "_SUCCESS").exists():
+        (
+            spark.range(0, N_KEYS, 1, 32)
+            .selectExpr("id AS key", "explode(array(0, 1)) AS rep")
+            .selectExpr("key", "concat('dim_', key, '_', rep) AS dim")
+            .write.mode("overwrite").parquet(str(small_p))
+        )
+    return str(large_p), str(small_p)
+
+
+def _rest(app_id: str, path: str):
+    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/{path}"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _max_task_ms(spark, since_ms: float) -> tuple[float, int]:
+    """(max single-task duration ms, its stage id) across stages whose
+    first task launched after ``since_ms`` -- the run's straggler."""
+    app_id = spark.sparkContext.applicationId
+    worst, worst_stage = 0.0, -1
+    for st in _rest(app_id, "stages?status=COMPLETE"):
+        sub = st.get("firstTaskLaunchedTime")
+        if not sub:
+            continue
+        t = time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")
+        if time.mktime(t) * 1000 < since_ms - 1000:
+            continue
+        try:
+            summ = _rest(
+                app_id,
+                f"stages/{st['stageId']}/{st['attemptId']}/taskSummary"
+                "?quantiles=1.0")
+        except Exception:
+            continue  # tiny stages may have no summary yet
+        dur = (summ.get("duration") or [0])[0]
+        if dur > worst:
+            worst, worst_stage = dur, st["stageId"]
+    return worst, worst_stage
+
+
+def timed(spark, build_df, runs: int) -> dict:
+    ext = _ExternalCpu()
+    build_df().write.format("noop").mode("overwrite").save()  # warm-up
+    ext.sample()
+    per, task_max = [], 0.0
+    for _ in range(runs):
+        t0_ms = time.time() * 1000
+        t0 = time.perf_counter()
+        build_df().write.format("noop").mode("overwrite").save()
+        per.append(round(time.perf_counter() - t0, 3))
+        m, _sid = _max_task_ms(spark, t0_ms)
+        task_max = max(task_max, m)
+        spark.catalog.clearCache()
+    return {"sec": min(per), "runs": per,
+            "max_task_s": round(task_max / 1000, 2),
+            "ext_cores": round(ext.sample(), 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    load, flagged = _wait_for_quiet_box()
+    print(f"# start load {load:.2f} flagged={flagged}", file=sys.stderr)
+    spark = get_spark("skew_scale", extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(UI_PORT),
+        # at this corpus size the default 4 MB local split packing would
+        # make thousands of scan tasks; realistic splits instead
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.files.openCostInBytes": "4m",
+    })
+    SWEEP.mkdir(parents=True, exist_ok=True)
+    large_p, small_p = build_corpus(spark, args.rows)
+
+    def large():
+        return spark.read.parquet(large_p)
+
+    def small():
+        return spark.read.parquet(small_p)
+
+    def set_skew_aqe(on: bool) -> None:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+                       "true" if on else "false")
+
+    results: dict[str, dict] = {}
+
+    # --- join experiments (broadcast suppressed: the small side is ~45MB
+    # on disk, past the 10MB threshold, but pin it explicitly so a
+    # future threshold change can't silently flip the experiment)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def plain_join():
+        return large().join(small(), on="key", how="inner")
+
+    def do(name, fn, skew_aqe=True):
+        set_skew_aqe(skew_aqe)
+        results[name] = timed(spark, fn, args.runs)
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    do("join_plain_aqe_skew_off", plain_join, skew_aqe=False)
+    do("join_plain_aqe_skew_on", plain_join, skew_aqe=True)
+    do("join_salted_8", lambda: salted_join(large(), small(), "key", 8))
+    do("join_salted_32", lambda: salted_join(large(), small(), "key", 32))
+
+    # --- aggregation experiments (broadcast threshold irrelevant)
+    from pyspark.sql import functions as F
+
+    def plain_agg():
+        return large().groupBy("key").agg(
+            F.count("*").alias("n"), F.sum("val").alias("s"),
+            F.max("val").alias("mx"))
+
+    do("agg_plain", plain_agg)
+    do("agg_two_phase_8", lambda: two_phase_agg(
+        large(), "key",
+        {"n": "count", "s": "sum:val", "mx": "max:val"}, 8))
+
+    print("\n| experiment | min wall (s) | max task (s) | runs | ext |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sec']} | {r['max_task_s']} | {r['runs']} |"
+              f" {r['ext_cores']} |")
+    print(json.dumps({
+        "metric": "skew_scale", "rows": args.rows, "hot_share": HOT_SHARE,
+        "results": results, "load_start": round(load, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
