@@ -200,6 +200,45 @@ def test_registry_plan_stats_stay_bounded(spark, sf_dir):
         assert bits < 100_000, f"{name}: inherited sizeInBytes has {bits} bits"
 
 
+def test_session_window_filter_pushdown_hazard(spark):
+    """Found by the r14 streaming-state drive (tools/measure_stream_state
+    .py): Catalyst pushes a deterministic predicate on a GROUPING
+    expression below the Aggregate -- and ``session_window`` is a
+    grouping expression, so ``filter(w.end <= X)`` over a session agg
+    reaches the scan as ``ts + gap <= X``, dropping merge-PARTNER events
+    before sessionization: sessions that should have been extended past
+    X (and therefore excluded) come back with their pre-merge bounds as
+    phantom rows. No registry plan filters on session_window outputs
+    (this test is the guard for the next one that tries); the correct
+    spelling is a materialization barrier between the agg and the
+    filter. If an engine upgrade stops the pushdown, the first assert
+    fails loudly -- delete the hazard note and keep the barrier test."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-08 10:00:00"), (1, "2024-01-08 10:20:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    agg = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.end").alias("session_end"), "n")
+    )
+    bound = F.to_timestamp(F.lit("2024-01-08 10:40:00"))
+    # the merged session ends 10:50 > 10:40, so the TRUE answer is empty
+    naive = agg.where(F.col("session_end") <= bound).collect()
+    assert len(naive) == 1 and naive[0].n == 1, (
+        "Catalyst no longer pushes the session_end predicate below the "
+        "session aggregate -- the hazard this test pins is gone; update "
+        "the docs and the measure_stream_state barrier comment")
+    # the barrier spelling gives the true (empty) answer
+    barriered = (
+        agg.localCheckpoint(eager=False)
+        .where(F.col("session_end") <= bound).collect()
+    )
+    assert barriered == []
+
+
 def test_bin_1h_floors_pre_epoch_timestamps(spark):
     """Java % rounds toward zero, so pre-1970 timestamps would bin UP
     while the DuckDB oracle floors with // -- the r7 bin_ fix applied to

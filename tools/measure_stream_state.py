@@ -159,20 +159,31 @@ def build_corpus(spark, rows: int) -> str:
 
 
 def _batch(spark, root: str):
-    return spark.read.parquet(f"{root}/slice=*")
+    # glob over the slice dirs: whether partition inference adds a
+    # `slice` column depends on the resolved base path, so drop it
+    # defensively (no-op when absent) -- both sides of every exactness
+    # compare must see the same 5 data columns
+    df = spark.read.parquet(f"{root}/slice=*")
+    return df.drop("slice")
 
 
 def _stream(spark, root: str):
     schema = _batch(spark, root).schema
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max(1, 2)))  # ~one slice/batch
+        # 2 files per slice -> 2 slices (~30 min of event time) per
+        # micro-batch: 24 batches across the 12 h span, enough for the
+        # thirds-based plateau check while keeping the per-batch state
+        # snapshot overhead (32 partitions x stores) affordable
+        .option("maxFilesPerTrigger", "4")
         .parquet(f"{root}/slice=*")
     )
 
 
 def _drive(out_stream, mode: str, sink_dir: str, ck_dir: str):
-    """Run to completion; returns (wall_s, progresses)."""
+    """Run to completion (availableNow drains the corpus then stops);
+    returns (wall_s, progresses)."""
+    t0 = time.perf_counter()
     q = (
         out_stream.writeStream.format("parquet")
         .option("path", sink_dir)
@@ -181,14 +192,9 @@ def _drive(out_stream, mode: str, sink_dir: str, ck_dir: str):
         .trigger(availableNow=True)
         .start()
     )
-    t0 = time.perf_counter()
-    while q.isActive:
-        time.sleep(0.5)
-        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
-            break
-    q.awaitTermination(600)
+    q.awaitTermination(1800)
     wall = time.perf_counter() - t0
-    progs = [json.loads(p) for p in q.recentProgress]
+    progs = [json.loads(p.json) for p in q.recentProgress]
     return wall, progs
 
 
@@ -204,8 +210,11 @@ def _plateau(curve: list[int]) -> dict:
     third = max(len(curve) // 3, 1)
     mid = max(curve[third:2 * third] or curve)
     late = max(curve[2 * third:] or curve)
+    # 5% tolerance: with uniform arrivals the steady-state curve wobbles
+    # ~1% batch-to-batch (observed 17913 vs 17994 at 100k rows); the
+    # failure mode this guards is GROWTH across horizons, not jitter
     return {"max_state_rows": max(curve), "mid_third_max": mid,
-            "late_third_max": late, "plateau_ok": late <= mid}
+            "late_third_max": late, "plateau_ok": late <= mid * 1.05}
 
 
 def main() -> None:
@@ -303,6 +312,17 @@ def main() -> None:
             .select("user_id", F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events")
         )
+        # BARRIER before filtering on the aggregate's output (found BY
+        # this drive, r14): Catalyst pushes a deterministic predicate on
+        # a grouping expression below the Aggregate, and session_window
+        # is a grouping expression -- `session_end <= wm` reached the
+        # SCAN as `ts + gap <= wm`, dropping merge-partner events BEFORE
+        # sessionization and fabricating 43 phantom "closed" sessions
+        # with pre-merge bounds. The localCheckpoint makes the aggregate
+        # a materialized leaf the filter cannot cross.
+        # (tests/test_plans.py::test_session_window_filter_pushdown_hazard
+        # pins the class.)
+        want = want.localCheckpoint(eager=False)
         closed = want.where(
             F.col("session_end") <= F.to_timestamp(F.lit(
                 final_wm.replace("T", " ").replace("Z", ""))))
