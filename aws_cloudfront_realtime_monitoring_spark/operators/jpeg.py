@@ -168,6 +168,46 @@ def _dc_ssss_max(prec: int) -> int:
     return 11 if prec == 8 else 15
 
 
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    """One DQT segment into the table dict (shared with the
+    hierarchical driver -- tables persist across pyramid frames)."""
+    s = 0
+    while s < len(seg):
+        pq, tq = seg[s] >> 4, seg[s] & 15
+        if pq == 0:
+            qt[tq] = np.frombuffer(
+                seg[s + 1 : s + 65], np.uint8
+            ).astype(np.int32)
+            s += 65
+        elif pq == 1:
+            # 16-bit table entries (T.81 B.2.4.1; the normal
+            # companion of 12-bit sample precision). B.2.4.1
+            # scopes Pq=1 to the extended modes; accepted here
+            # regardless of the frame marker -- leniency only
+            # widens the inputs we decode, never the outputs.
+            if len(seg) < s + 129:
+                raise ValueError("truncated JPEG quant table")
+            qt[tq] = np.frombuffer(
+                seg[s + 1 : s + 129], ">u2"
+            ).astype(np.int32)
+            s += 129
+        else:
+            raise ValueError("invalid JPEG quant precision")
+
+
+def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """One DHT segment into the table dicts (shared with the
+    hierarchical driver)."""
+    s = 0
+    while s < len(seg):
+        tc, th = seg[s] >> 4, seg[s] & 15
+        counts = list(seg[s + 1 : s + 17])
+        n = sum(counts)
+        table = _Huff(counts, seg[s + 17 : s + 17 + n])
+        (huff_dc if tc == 0 else huff_ac)[th] = table
+        s += 17 + n
+
+
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL decoder for sequential AND progressive (8/12-bit, Huffman
     or arithmetic) AND lossless (Huffman or arithmetic) JPEG:
@@ -248,37 +288,16 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         if len(seg) != seg_len - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
-            s = 0
-            while s < len(seg):
-                pq, tq = seg[s] >> 4, seg[s] & 15
-                if pq == 0:
-                    qt[tq] = np.frombuffer(
-                        seg[s + 1 : s + 65], np.uint8
-                    ).astype(np.int32)
-                    s += 65
-                elif pq == 1:
-                    # 16-bit table entries (T.81 B.2.4.1; the normal
-                    # companion of 12-bit sample precision). B.2.4.1
-                    # scopes Pq=1 to the extended modes; accepted here
-                    # regardless of the frame marker -- leniency only
-                    # widens the inputs we decode, never the outputs.
-                    if len(seg) < s + 129:
-                        raise ValueError("truncated JPEG quant table")
-                    qt[tq] = np.frombuffer(
-                        seg[s + 1 : s + 129], ">u2"
-                    ).astype(np.int32)
-                    s += 129
-                else:
-                    raise ValueError("invalid JPEG quant precision")
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            s = 0
-            while s < len(seg):
-                tc, th = seg[s] >> 4, seg[s] & 15
-                counts = list(seg[s + 1 : s + 17])
-                n = sum(counts)
-                table = _Huff(counts, seg[s + 17 : s + 17 + n])
-                (huff_dc if tc == 0 else huff_ac)[th] = table
-                s += 17 + n
+            _parse_dht(seg, huff_dc, huff_ac)
+        elif marker == 0xDE:
+            # DHP: a hierarchical (pyramid) stream -- frame sequencing,
+            # EXP expansion, and differential reconstruction live in
+            # their own driver (T.81 Annex J, r14)
+            from .jpeg_hier import decode_hierarchical
+
+            return decode_hierarchical(payload)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0/1/2/3 (Huffman) / SOF9/10/11 (arithmetic)
             if frame is not None:
@@ -329,12 +348,13 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 loss = _LosslessState(h, w, comps, prec)
         elif marker in (0xC5, 0xC6, 0xC7,
                         0xCD, 0xCE, 0xCF):
-            # sequential/progressive arithmetic decode for real since
-            # r12, lossless-arithmetic (SOF11) since r13; only the
-            # near-extinct differential/hierarchical pyramid modes
-            # remain on the documented fallback
+            # differential frames are ONLY legal inside a hierarchical
+            # (DHP-led) stream, which the 0xDE branch above dispatches
+            # to jpeg_hier before any frame arrives -- reaching one
+            # here means the stream never declared a pyramid
             raise ValueError(
-                "differential/hierarchical JPEG unsupported")
+                "differential JPEG frame outside a hierarchical "
+                "(DHP) stream")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             parse_dac(seg, dc_cond, ac_cond)
         elif marker == 0xDD:  # DRI
@@ -670,7 +690,7 @@ class _ProgState:
 
 def _decode_progressive_scan(data, pos, prog, scan_comps, scan_tables,
                              huff_dc, huff_ac, restart_interval,
-                             ss, se, ah, al) -> int:
+                             ss, se, ah, al, differential=False) -> int:
     """Decode one progressive scan into ``prog``; returns the byte
     position of the next marker after the entropy-coded data."""
     prog.n_scans += 1
@@ -693,7 +713,7 @@ def _decode_progressive_scan(data, pos, prog, scan_comps, scan_tables,
             if se != 0:
                 raise ValueError("JPEG DC scan with nonzero Se")
             _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,
-                            restart_interval, ah, al)
+                            restart_interval, ah, al, differential)
         else:
             if len(scan_comps) != 1:
                 raise ValueError("JPEG AC scan must be single-component")
@@ -721,7 +741,8 @@ def _skip_to_marker(data: bytes, p: int) -> int:
 
 
 def _decode_sequential_scan(data, pos, seq, scan_comps, scan_tables,
-                            huff_dc, huff_ac, restart_interval) -> int:
+                            huff_dc, huff_ac, restart_interval,
+                            differential=False) -> int:
     """One scan of a MULTI-SCAN sequential (SOF0/1) file: each block of
     the scan's components delivers its full 64 coefficients (DC diff +
     AC run-length, T.81 F.2.2), stored at zigzag indices in the shared
@@ -758,7 +779,7 @@ def _decode_sequential_scan(data, pos, seq, scan_comps, scan_tables,
                         for bx in range(hs):
                             _seq_unit(br, seq.coefs[cid], my * vs + by,
                                       mx * hs + bx, dc_t, ac_t, pred, cid,
-                                      seq.prec)
+                                      seq.prec, differential)
         else:  # single component: non-interleaved, true component grid
             cid, _hs, _vs, _tq = comps[0]
             dc_t, ac_t = tables[cid]
@@ -769,7 +790,7 @@ def _decode_sequential_scan(data, pos, seq, scan_comps, scan_tables,
                     pred = {cid: 0 for cid in pred}
                 by, bx = divmod(u, nbx)
                 _seq_unit(br, seq.coefs[cid], by, bx, dc_t, ac_t, pred,
-                          cid, seq.prec)
+                          cid, seq.prec, differential)
     except _MarkerHit as exc:
         raise ValueError(
             f"JPEG scan data ended early (marker {exc.marker:#x})"
@@ -777,18 +798,29 @@ def _decode_sequential_scan(data, pos, seq, scan_comps, scan_tables,
     return _skip_to_marker(data, br.pos)
 
 
-def _seq_unit(br, arr, by, bx, dc_t, ac_t, pred, cid, prec=8):
+def _seq_unit(br, arr, by, bx, dc_t, ac_t, pred, cid, prec=8,
+              differential=False):
     """Full 64-coefficient decode of one sequential data unit (T.81
-    F.2.2.1-F.2.2.2) into the zigzag-ordered coefficient store."""
+    F.2.2.1-F.2.2.2) into the zigzag-ordered coefficient store.
+    ``differential`` (hierarchical SOF5 frames, r14): the DC value is
+    coded DIRECTLY -- no block-to-block prediction (T.81 F.1.1.5.1
+    sets PRED=0 in differential frames), and the magnitude category
+    may run one past the non-differential cap (tables F.1/F.6: diffs
+    of differences span twice the range)."""
     s = dc_t.decode(br)
-    if s > _dc_ssss_max(prec):
+    if s > _dc_ssss_max(prec) + (1 if differential else 0):
         raise ValueError("invalid JPEG DC magnitude")
-    pred[cid] += _extend(br.read(s), s)
-    if not -(1 << 26) <= pred[cid] <= (1 << 26):
+    d = _extend(br.read(s), s)
+    if differential:
+        v = d
+    else:
+        pred[cid] += d
+        v = pred[cid]
+    if not -(1 << 26) <= v <= (1 << 26):
         # same crafted-stream overflow guard as the progressive DC path
         raise ValueError("JPEG DC predictor out of range")
     block = arr[by, bx]
-    block[0] = pred[cid]
+    block[0] = v
     k = 1
     while k <= 63:
         rs = ac_t.decode(br)
@@ -806,7 +838,7 @@ def _seq_unit(br, arr, by, bx, dc_t, ac_t, pred, cid, prec=8):
 
 
 def _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,
-                    restart_interval, ah, al):
+                    restart_interval, ah, al, differential=False):
     comps = [c for c in prog.comps if c[0] in scan_comps]
     pred = {cid: 0 for cid in scan_comps}
     tables = {}
@@ -828,7 +860,7 @@ def _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,
                     for bx in range(hs):
                         _dc_unit(br, prog.coefs[cid], my * vs + by,
                                  mx * hs + bx, tables.get(cid), pred,
-                                 cid, ah, al, prog.prec)
+                                 cid, ah, al, prog.prec, differential)
     else:  # single component: non-interleaved, true component grid
         cid, hs, vs, _tq = comps[0]
         nby, nbx = prog.nblocks[cid]
@@ -838,16 +870,21 @@ def _decode_prog_dc(br, prog, scan_comps, scan_tables, huff_dc,
                 pred = {cid: 0 for cid in pred}
             by, bx = divmod(u, nbx)
             _dc_unit(br, prog.coefs[cid], by, bx, tables.get(cid), pred,
-                     cid, ah, al, prog.prec)
+                     cid, ah, al, prog.prec, differential)
 
 
-def _dc_unit(br, arr, by, bx, tbl, pred, cid, ah, al, prec=8):
+def _dc_unit(br, arr, by, bx, tbl, pred, cid, ah, al, prec=8,
+             differential=False):
     if ah == 0:  # first DC scan: diff coding, point transform <<Al
         s = tbl.decode(br)
-        if s > _dc_ssss_max(prec):
+        if s > _dc_ssss_max(prec) + (1 if differential else 0):
             raise ValueError("invalid JPEG DC magnitude")
-        pred[cid] += _extend(br.read(s), s)
-        v = pred[cid] << al
+        d = _extend(br.read(s), s)
+        if differential:  # hierarchical SOF6: PRED=0, value coded directly
+            v = d << al
+        else:
+            pred[cid] += d
+            v = pred[cid] << al
         if not -(1 << 30) <= v <= (1 << 30):
             # a legal 8-bit DC is |coef| <= 2047 and Al <= 13, so
             # |v| < 2^24 (12-bit: |diff| <= 32767 -> |v| < 2^28); a
@@ -1033,7 +1070,8 @@ def _predict_lossless(plane, x: int, y: int, first_line: int,
 
 
 def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
-                          huff_dc, restart_interval, pred_sel, pt) -> int:
+                          huff_dc, restart_interval, pred_sel, pt,
+                          differential=False) -> int:
     """One lossless (SOF3) scan per T.81 Annex H: samples raster-scan
     in MCU order (one sample per scan component per MCU -- sampling
     factors are all 1x1 by the SOF gate), each coded as a Huffman
@@ -1046,8 +1084,24 @@ def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
     one-dimensional horizontal predictor); on later lines the first
     column uses Rb (above) and interior samples use the scan's
     selected predictor 1-7. Returns the byte position of the next
-    marker."""
-    if not (1 <= pred_sel <= 7):
+    marker.
+
+    ``differential`` (hierarchical SOF7 frames, r14): no prediction at
+    all -- T.81 H.2 disables the predictor in differential frames (the
+    SOS Ss field shall be 0), the coded values ARE the mod-2^16
+    differences against the (expanded) reference, and the point
+    transform must be 0 (this decoder's documented hierarchical
+    restriction -- a nonzero Pt would scale diffs and references
+    differently)."""
+    if differential:
+        if pred_sel != 0:
+            raise ValueError(
+                "differential lossless JPEG scan must carry predictor 0")
+        if pt != 0:
+            raise ValueError(
+                "nonzero point transform unsupported in differential "
+                "lossless JPEG")
+    elif not (1 <= pred_sel <= 7):
         raise ValueError("invalid lossless JPEG predictor")
     if pt >= loss.prec:
         raise ValueError("lossless JPEG point transform >= precision")
@@ -1075,7 +1129,9 @@ def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
                     first_line = y
                 for cid in scan_comps:
                     plane = loss.planes[cid]
-                    if fresh[cid]:
+                    if differential:
+                        px = 0  # no prediction in differential frames
+                    elif fresh[cid]:
                         px = default
                         fresh[cid] = False
                     else:
@@ -1096,7 +1152,7 @@ def _decode_lossless_scan(data, pos, loss, scan_comps, scan_tables,
 
 def _decode_lossless_arith_scan(data, pos, loss, scan_comps, scan_tables,
                                 dc_cond, restart_interval, pred_sel,
-                                pt) -> int:
+                                pt, differential=False) -> int:
     """One LOSSLESS ARITHMETIC (SOF11) scan: identical sample order,
     prediction (via :func:`_predict_lossless`) and mod-2^16
     reconstruction as the Huffman driver, with the entropy layer
@@ -1109,10 +1165,21 @@ def _decode_lossless_arith_scan(data, pos, loss, scan_comps, scan_tables,
     and after every restart -- a restart discards the decoder
     registers, every statistics area, the predictions AND the
     neighbour classes (F.2.1.3.1 extended per H.1.1). Returns the byte
-    position of the next marker."""
+    position of the next marker. ``differential``: same hierarchical
+    SOF15 semantics as the Huffman twin (predictor 0, Pt 0, values are
+    mod-2^16 differences; the class conditioning is untouched -- it
+    tracks coded values, not predictions)."""
     from .jpeg_arith import ArithLossless
 
-    if not (1 <= pred_sel <= 7):
+    if differential:
+        if pred_sel != 0:
+            raise ValueError(
+                "differential lossless JPEG scan must carry predictor 0")
+        if pt != 0:
+            raise ValueError(
+                "nonzero point transform unsupported in differential "
+                "lossless JPEG")
+    elif not (1 <= pred_sel <= 7):
         raise ValueError("invalid lossless JPEG predictor")
     if pt >= loss.prec:
         raise ValueError("lossless JPEG point transform >= precision")
@@ -1147,7 +1214,9 @@ def _decode_lossless_arith_scan(data, pos, loss, scan_comps, scan_tables,
                     left_cls[cid] = 0
             for cid in scan_comps:
                 plane = loss.planes[cid]
-                if fresh[cid]:
+                if differential:
+                    px = 0  # no prediction in differential frames
+                elif fresh[cid]:
                     px = default
                     fresh[cid] = False
                 else:
@@ -1314,8 +1383,8 @@ def _decode_arith_scan(data, pos, frame, scan_tables, qt, dc_cond, ac_cond,
 
 
 def _decode_arith_sequential_scan(data, pos, seq, scan_comps, scan_tables,
-                                  dc_cond, ac_cond,
-                                  restart_interval) -> int:
+                                  dc_cond, ac_cond, restart_interval,
+                                  differential=False) -> int:
     """One scan of a MULTI-SCAN arithmetic sequential file: mirror of
     ``_decode_sequential_scan`` storing zigzag coefficients into the
     shared state for the common finalize. Returns the byte position of
@@ -1342,7 +1411,8 @@ def _decode_arith_sequential_scan(data, pos, seq, scan_comps, scan_tables,
                 for by in range(vs):
                     for bx in range(hs):
                         seq.coefs[cid][my * vs + by, mx * hs + bx][:] = (
-                            ent.data_unit(cid, dc_tid, ac_tid, seq.prec))
+                            ent.data_unit(cid, dc_tid, ac_tid, seq.prec,
+                                          differential))
     else:  # single component: non-interleaved, true component grid
         cid, _hs, _vs, _tq = comps[0]
         dc_tid, ac_tid = scan_tables[cid]
@@ -1352,14 +1422,15 @@ def _decode_arith_sequential_scan(data, pos, seq, scan_comps, scan_tables,
                 ent = restart()
             by, bx = divmod(u, nbx)
             seq.coefs[cid][by, bx][:] = ent.data_unit(
-                cid, dc_tid, ac_tid, seq.prec)
+                cid, dc_tid, ac_tid, seq.prec, differential)
     p = ent.dec.marker_pos
     return _skip_to_marker(data, ent.dec.pos if p is None else p)
 
 
 def _decode_arith_progressive_scan(data, pos, prog, scan_comps, scan_tables,
                                    dc_cond, ac_cond, restart_interval,
-                                   ss, se, ah, al) -> int:
+                                   ss, se, ah, al,
+                                   differential=False) -> int:
     """One progressive-arithmetic (SOF10) scan into ``prog``: the T.81
     G.2 statistical models over the Annex G scan geometry (same MCU /
     true-component-grid rules as the Huffman progressive path). Every
@@ -1388,7 +1459,8 @@ def _decode_arith_progressive_scan(data, pos, prog, scan_comps, scan_tables,
 
         def dc_unit(cid, dc_tid, arr, by, bx):
             if ah == 0:  # first DC scan: diff model, point transform
-                v = ent.dc_diff(cid, dc_tid, prog.prec) << al
+                v = ent.dc_diff(cid, dc_tid, prog.prec,
+                                differential) << al
                 if not -(1 << 30) <= v <= (1 << 30):
                     raise ValueError("JPEG DC predictor out of range")
                 arr[by, bx, 0] = v

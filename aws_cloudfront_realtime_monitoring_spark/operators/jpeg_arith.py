@@ -320,11 +320,19 @@ class ArithEntropy:
         self.dc_context: dict[int, int] = {}
         self.pred: dict[int, int] = {}
 
-    def dc_diff(self, cid: int, dc_tid: int, prec: int = 8) -> int:
+    def dc_diff(self, cid: int, dc_tid: int, prec: int = 8,
+                differential: bool = False) -> int:
         """Decode one DC difference (T.81 F.2.4.1 mirroring F.1.4.1) and
         fold it into this component's prediction; returns the updated
         prediction. Shared by the sequential data unit and the
-        progressive first-DC scan (G.2 uses the identical model)."""
+        progressive first-DC scan (G.2 uses the identical model).
+
+        ``differential`` (hierarchical SOF13/14 frames, r14): PRED
+        stays 0 -- the decoded value IS the block's differential DC,
+        returned directly with no accumulation; the conditioning
+        context update is untouched (F.1.4.4.1.2 classifies the coded
+        value, prediction plays no part), and the magnitude cap gains
+        one bit like the Huffman path's differential SSSS."""
         dst = self.dc_stats.setdefault(
             dc_tid, np.zeros(self.DC_BINS, np.uint8))
         low, up = self.dc_cond.get(dc_tid, DEFAULT_DC_COND)
@@ -332,6 +340,8 @@ class ArithEntropy:
         base = self.dc_context.setdefault(cid, 0)
         if dec.decode(dst, base) == 0:
             self.dc_context[cid] = 0  # zero-diff class
+            if differential:
+                return 0
         else:
             sign = dec.decode(dst, base + 1)
             st = base + 2 + sign
@@ -367,8 +377,11 @@ class ArithEntropy:
             # Without it a crafted stream decodes out-of-spec
             # coefficients into garbage pixels that strict mode would
             # report as a valid decode (r12 review).
-            if v >= 1 << (11 if prec == 8 else 15):
+            if v >= 1 << ((11 if prec == 8 else 15)
+                          + (1 if differential else 0)):
                 raise ValueError("invalid JPEG arithmetic DC magnitude")
+            if differential:
+                return -v if sign else v
             self.pred[cid] = self.pred.get(cid, 0) + (-v if sign else v)
         dc = self.pred.setdefault(cid, 0)
         if not -(1 << 26) <= dc <= (1 << 26):
@@ -465,12 +478,13 @@ class ArithEntropy:
             k += 1
 
     def data_unit(self, cid: int, dc_tid: int, ac_tid: int,
-                  prec: int = 8) -> np.ndarray:
+                  prec: int = 8, differential: bool = False) -> np.ndarray:
         """Decode one full sequential 8x8 data unit; returns the 64
         coefficients in ZIGZAG (scan) order as int64, DC already
-        prediction-resolved."""
+        prediction-resolved (or, in differential frames, the raw
+        differential DC)."""
         zz = np.zeros(64, np.int64)
-        zz[0] = self.dc_diff(cid, dc_tid, prec)
+        zz[0] = self.dc_diff(cid, dc_tid, prec, differential)
         self.ac_band(ac_tid, zz, 1, 63)
         return zz
 

@@ -5,12 +5,13 @@ The decode step is REAL for uncompressed BMP payloads (pure-numpy header
 parse + pixel extraction -- no media library needed), for EVERY valid
 static-PNG profile (stdlib zlib inflate + the five standard scanline
 predictors at depths 1/2/4/8/16, Adam7 interlace, palette/tRNS
-expansion, CRC-verified chunks -- r13), for baseline, progressive
-AND lossless JPEG in both Huffman and arithmetic (QM) entropy forms
-(operators/jpeg.py + jpeg_arith.py, pure numpy; only the near-extinct
-differential/hierarchical pyramid modes fall back), for GIF87a/89a
-incl. animation
-(operators/gif.py), for lossless WebP/VP8L (operators/webp.py: prefix
+expansion, CRC-verified chunks -- r13), for the COMPLETE T.81 JPEG
+frame matrix -- baseline, progressive, lossless, their arithmetic (QM)
+twins, AND the hierarchical pyramid modes with differential
+SOF5/6/7/13/14/15 frames and EXP expansion (operators/jpeg.py +
+jpeg_arith.py + jpeg_hier.py, pure numpy -- r14 closed the matrix),
+for GIF87a/89a incl. animation (operators/gif.py) and APNG animation
+(operators/apng.py, r14), for lossless WebP/VP8L (operators/webp.py: prefix
 codes, color cache, LZ77, all four transforms), for lossy WebP/VP8 key
 frames (operators/vp8.py: boolean arithmetic decoder, intra
 prediction, IDCT, in-loop deblocking -- bit-exact vs libwebp in YUV,
@@ -487,12 +488,10 @@ def decode_image(doc_id: int, payload: bytes, strict: bool = False) -> dict:
                 "fmt": "jpeg",
             }
         except ValueError:
-            # SOI-prefixed but malformed / outside the decodable profile
-            # (differential, hierarchical, progressive/lossless-
-            # arithmetic -- 8/12-bit sequential incl. SOF9 arithmetic
-            # (r12), progressive, multi-scan, lossless, and CMYK/YCCK
-            # all decode for real): fall through to PIL/fake, strict
-            # raises
+            # SOI-prefixed but malformed (the full T.81 frame matrix --
+            # sequential/progressive/lossless/hierarchical, Huffman and
+            # arithmetic -- decodes for real as of r14): fall through
+            # to PIL/fake, strict raises
             if strict:
                 raise
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":

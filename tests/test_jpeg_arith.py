@@ -473,7 +473,10 @@ def test_arith_differential_still_rejected():
     blob = bytearray(make_arith_jpeg(px, quant=2))
     i = blob.index(b"\xff\xc9")
     blob[i + 1] = 0xCD  # differential sequential
-    with pytest.raises(ValueError, match="unsupported"):
+    # SOF13 is SUPPORTED since r14 -- inside a DHP-led hierarchical
+    # stream (tests/test_jpeg_hier.py decodes it for real); a NAKED
+    # differential frame with no pyramid remains malformed
+    with pytest.raises(ValueError, match="outside a hierarchical"):
         decode_jpeg_pixels(bytes(blob))
     # SOF11 is SUPPORTED since r13: the same mutation now fails on the
     # DCT-shaped scan header (Ss=0 is no lossless predictor), not
