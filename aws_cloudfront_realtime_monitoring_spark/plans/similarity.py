@@ -30,9 +30,23 @@ N_QUERIES = 5     # vec_id < 5 are the probe vectors
 TOP_K = 5
 IVF_BITS = 6
 NEAR_DUP_COS = 0.4
-#: block count for the block-partitioned near-dup join; at 100 TB pick B so
-#: one block (~N/B vectors) fits an executor's memory
+#: FLOOR block count for the block-partitioned near-dup join; the actual
+#: count scales with the corpus (see _near_dup_params) so one block
+#: (~N/B vectors) always fits an executor's memory
 NEAR_DUP_BLOCKS = 8
+
+#: target rows per near-dup block: the block count doubles until a block
+#: holds at most ~this many vectors, bounding the per-task work at
+#: ~TARGET^2 dots (sub-second tasks at dim 64) and -- with the chunked
+#: matmul -- the dense cosine tile at CHUNK x ~TARGET (~33 MB). r14: the
+#: fixed B=8 config's per-task pair count grows O((N/8)^2) with task
+#: count pinned at 36 -- unbounded stragglers and 36-way max parallelism
+#: on a 1000-executor cluster; the same fixed-parameter class as
+#: semdedup's pre-r10 quadratic. The output is INVARIANT to B (exact
+#: all-pairs either way), so scaling it changes no oracle and no
+#: fixture result (B stays at the floor through sf0.1).
+NEAR_DUP_BLOCK_TARGET = 4096
+NEAR_DUP_MAX_BITS = 20
 
 # ----------------------------------------------------------- shared exprs
 
@@ -422,6 +436,27 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_params(emb: DataFrame) -> DataFrame:
+    """One-row (nblocks) params relation, computed IN-QUERY like
+    ``_semdedup_params`` (zero plan-build-time jobs): nblocks is the
+    smallest power of two >= N / NEAR_DUP_BLOCK_TARGET, floored at
+    NEAR_DUP_BLOCKS -- integer comparisons only, COUNT(*) rides the
+    parquet footers. Reads the module constants at call time so tests
+    can force the scaled regime on small corpora."""
+    cnt_df = emb.agg(F.count(F.lit(1)).alias("cnt"))
+    target, floor_b = NEAR_DUP_BLOCK_TARGET, NEAR_DUP_BLOCKS
+    grown = None
+    for j in range(NEAR_DUP_MAX_BITS):
+        term = F.when(F.col("cnt") > (target << j), 1).otherwise(0)
+        grown = term if grown is None else grown + term
+    # SQL-form shiftleft: the DataFrame API wrapper only takes a Python
+    # int for numBits, the SQL function takes any integer expression
+    return cnt_df.select(grown.alias("bits")).select(
+        F.greatest(F.lit(floor_b), F.expr("shiftleft(1, bits)"))
+        .cast("int").alias("nblocks")
+    )
+
+
 @register(
     "embedding_near_dup_blocked",
     oracle=f"""
@@ -443,15 +478,24 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored WHERE cos >= {NEAR_DUP_COS}
     """,
     description="Block-partitioned variant of embedding_near_dup: the corpus "
-                "is hashed into NEAR_DUP_BLOCKS blocks (vec_id % B); each row "
-                "is replicated once per partner block, grouped by the "
+                "is hashed into B blocks (vec_id % B); each row is "
+                "replicated once per partner block, grouped by the "
                 "unordered block pair (b1 <= b2), and each group multiplies "
-                "its two blocks with one exact int64 numpy matmul inside "
-                "applyInPandas. NOTHING is collected to the driver and no "
-                "side exceeds a block in memory: total work is B(B+1)/2 "
-                "block-pair tasks over B*N replicated rows -- the standard "
-                "distributed all-pairs shape. At 100 TB, B grows so a block "
-                "fits an executor; the plan is unchanged.",
+                "its two blocks with row-chunked exact int64 numpy matmuls "
+                "inside applyInPandas. NOTHING is collected to the driver "
+                "and no side exceeds a block in memory: total work is "
+                "B(B+1)/2 block-pair tasks over B*N replicated rows -- the "
+                "standard distributed all-pairs shape. r14: B actually "
+                f"SCALES with the corpus (smallest power of two giving "
+                f"<=~{NEAR_DUP_BLOCK_TARGET}-vector blocks, floor "
+                f"{NEAR_DUP_BLOCKS}, via an in-query one-row params "
+                "relation) and the matmul is chunked, so the per-task "
+                "dense cosine tile is bounded at any N -- the fixed B=8 "
+                "config's tile grew O((N/8)^2), ~5 GB/task at 200k "
+                "vectors, and 36 tasks cap cluster parallelism. The "
+                "output is invariant to B (exact all-pairs either way): "
+                "pinned blocked == all-pairs both at fixture B and with "
+                "the scaled regime forced.",
     tags=("similarity", "dedup", "pandas-udf"),
 )
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,20 +503,27 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    B = NEAR_DUP_BLOCKS
-    base = emb.select(
-        "vec_id", qvec().alias("qe"), F.pmod(F.col("vec_id"), F.lit(B)).alias("blk")
+    params = _near_dup_params(emb)
+    base = emb.crossJoin(F.broadcast(params)).select(
+        "vec_id", qvec().alias("qe"), "nblocks",
+        F.pmod(F.col("vec_id"), F.col("nblocks")).alias("blk"),
     )
     # replicate each row to every unordered block pair it belongs to:
     # row in block b joins groups (min(b,p), max(b,p)) for p in 0..B-1
     rep = base.select(
         "vec_id", "qe", "blk",
-        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("p"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("nblocks") - 1)
+        ).alias("p"),
     ).select(
         "vec_id", "qe", "blk",
         F.least("blk", "p").alias("g1"),
         F.greatest("blk", "p").alias("g2"),
     )
+
+    # row-chunk the left block so the dense cosine tile is bounded at
+    # CHUNK x |right| even if a block overshoots the target (r14)
+    CHUNK = 1024
 
     def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g1, g2 = key
@@ -489,21 +540,34 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat_b = np.array(list(right["qe"]), dtype=np.int64)
         nrm_a = (mat_a * mat_a).sum(axis=1)
         nrm_b = (mat_b * mat_b).sum(axis=1)
-        dots = mat_a @ mat_b.T                    # int64 matmul: exact
-        cos = dots / np.sqrt(nrm_a)[:, None] / np.sqrt(nrm_b)[None, :]
-        # within a block require a < b; across blocks every (a, b) pair is
-        # valid and appears in exactly this one group -- orient the pair as
-        # (min, max) so the output keying matches the all-pairs oracle
-        keep = cos >= NEAR_DUP_COS
-        if g1 == g2:
-            keep &= ids_a[:, None] < ids_b[None, :]
-        ii, jj = np.nonzero(keep)
-        va, vb = ids_a[ii], ids_b[jj]
-        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
-        # round half-away-from-zero on the (non-negative) kept values,
-        # matching both engines' ROUND (np.round would tie half-to-even)
-        cos6 = np.floor(cos[ii, jj] * 1e6 + 0.5) / 1e6
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos6": cos6})
+        out_lo, out_hi, out_cos = [], [], []
+        for s in range(0, len(ids_a), CHUNK):
+            dots = mat_a[s:s + CHUNK] @ mat_b.T   # int64 matmul: exact
+            # same operation ORDER as the all-pairs sibling (two
+            # divisions): a reciprocal-multiply spelling rounds
+            # differently and could flip a cos6 micro-quantization tie
+            cos = (dots / np.sqrt(nrm_a[s:s + CHUNK])[:, None]
+                   / np.sqrt(nrm_b)[None, :])
+            # within a block require a < b; across blocks every (a, b)
+            # pair is valid and appears in exactly this one group --
+            # orient the pair as (min, max) so the output keying matches
+            # the all-pairs oracle
+            keep = cos >= NEAR_DUP_COS
+            if g1 == g2:
+                keep &= ids_a[s:s + CHUNK, None] < ids_b[None, :]
+            ii, jj = np.nonzero(keep)
+            va, vb = ids_a[s + ii], ids_b[jj]
+            out_lo.append(np.minimum(va, vb))
+            out_hi.append(np.maximum(va, vb))
+            # round half-away-from-zero on the (non-negative) kept
+            # values, matching both engines' ROUND (np.round would tie
+            # half-to-even)
+            out_cos.append(np.floor(cos[ii, jj] * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_lo),
+            "vec_b": np.concatenate(out_hi),
+            "cos6": np.concatenate(out_cos),
+        })
 
     return rep.groupBy("g1", "g2").applyInPandas(
         block_pair, "vec_a BIGINT, vec_b BIGINT, cos6 DOUBLE"

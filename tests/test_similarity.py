@@ -122,6 +122,42 @@ def test_blocked_near_dup_equals_all_pairs(spark, sf_dir):
     assert blocked == exact
 
 
+def test_blocked_near_dup_scaled_block_regime(spark, sf_dir, monkeypatch):
+    """Force the corpus-scaled block count (r14: B doubles until a block
+    holds <= ~NEAR_DUP_BLOCK_TARGET vectors; the fixed B=8 config grew a
+    ~5 GB/task dense tile at 200k vectors) and pin that the result is
+    STILL exactly the all-pairs relation -- B is a physical knob, the
+    output is invariant to it. Also pins the params relation's value and
+    that the scaled regime's chunked matmul path is the one exercised."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import similarity
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        _near_dup_params,
+        embedding_near_dup,
+    )
+
+    # target=16 at the 500-vector fixture: bits = #{j: 500 > 16<<j} = 5
+    # (16,32,64,128,256 all < 500; 512 is not) -> B = max(8, 32) = 32
+    monkeypatch.setattr(similarity, "NEAR_DUP_BLOCK_TARGET", 16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    expect_bits = len([j for j in range(20) if n > (16 << j)])
+    expect_b = max(8, 1 << expect_bits)
+    assert expect_b > 8, "fixture too small to force the scaled regime"
+    [(got_b,)] = _near_dup_params(emb).collect()
+    assert got_b == expect_b
+
+    reg = load_all()
+    exact = {
+        (r.vec_a, r.vec_b): r.cos6
+        for r in embedding_near_dup(spark, sf_dir).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b): r.cos6
+        for r in reg["embedding_near_dup_blocked"].build(spark, sf_dir).collect()
+    }
+    assert blocked == exact
+
+
 def test_stratified_sample_is_deterministic_subset(spark, sf_dir):
     """sample_stratified: same rows on every run, membership follows the
     per-stratum hash rule exactly, and realized rates are in the right
