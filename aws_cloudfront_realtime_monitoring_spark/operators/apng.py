@@ -45,6 +45,7 @@ from .multimodal import (
     _PNG_DEPTHS,
     _PNG_SIG,
     _decode_subimage,
+    _expand_png_samples,
 )
 
 #: same retention contract as the GIF decoder
@@ -185,6 +186,15 @@ def apng_frame_count(payload: bytes) -> int | None:
     pixel data (chunk walk only) -- the decode_image metadata hook.
     Returns None for a static PNG (no acTL); raises ValueError when the
     animation data is malformed (caller falls back to static)."""
+    # cheap gate before the full walk: _parse re-CRCs every chunk
+    # (including all IDAT bytes the static decode just CRC'd), which is
+    # pure duplicate per-byte work on the production decode_batches hot
+    # path for the overwhelmingly-common static case (r14 review). A
+    # C-speed substring scan can false-POSITIVE on compressed pixel
+    # bytes (then the full parse decides, semantics unchanged) but never
+    # false-negative: a real acTL chunk always contains these bytes.
+    if b"acTL" not in payload:
+        return None
     try:
         _hdr, _plte, _trns, _plays, frames = _parse(payload)
     except ValueError as exc:
@@ -196,39 +206,21 @@ def apng_frame_count(payload: bytes) -> int | None:
 
 def _to_rgba(px: np.ndarray, color: int, depth: int,
              plte: bytes | None, trns: bytes | None) -> np.ndarray:
-    """Native-channel samples -> RGBA at the source depth's dtype,
-    mirroring the static decoder's expansion rules (sub-byte gray scales
-    to 8-bit, palette expands through PLTE, tRNS supplies per-entry or
-    color-key alpha)."""
-    amax = 65535 if depth == 16 else 255
-    key_mask = None
-    if trns is not None and color in (0, 2):
-        nch = 1 if color == 0 else 3
-        if len(trns) == 2 * nch:
-            key = struct.unpack(f">{nch}H", trns)
-            key_mask = (px[:, :, 0] == key[0]) if color == 0 else np.all(
-                px == np.array(key, px.dtype), axis=2)
-    if color == 0 and depth < 8:
-        px = px * np.uint8(255 // ((1 << depth) - 1))
+    """Native-channel samples -> RGBA at the source depth's dtype: the
+    static decoder's expansion rules (:func:`multimodal.
+    _expand_png_samples` -- ONE copy, r14 review) plus the forced-RGBA
+    presentation compositing needs (gray replicates to 3 channels,
+    missing alpha fills opaque)."""
+    px, alpha = _expand_png_samples(px, color, depth, plte, trns)
     if color == 3:
-        if plte is None or len(plte) % 3 != 0 or not plte:
-            raise ValueError("palette PNG missing or malformed PLTE")
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        idx = px[:, :, 0]
-        if idx.max() >= len(pal):
-            raise ValueError("palette index out of range")
-        alpha = np.full(len(pal), 255, np.uint8)
-        if trns is not None:
-            alpha[: min(len(trns), len(pal))] = np.frombuffer(
-                trns[: len(pal)], np.uint8)
-        return np.dstack([pal[idx], alpha[idx]])
-    dt = px.dtype
-    h, w = px.shape[:2]
+        if alpha is None:
+            alpha = np.full(px.shape[:2], 255, np.uint8)
+        return np.dstack([px, alpha])
     if color in (0, 2):
         rgb = np.repeat(px, 3, axis=2) if color == 0 else px
-        alpha = np.full((h, w), amax, dt)
-        if key_mask is not None:
-            alpha[key_mask] = 0
+        if alpha is None:
+            amax = 65535 if depth == 16 else 255
+            alpha = np.full(px.shape[:2], amax, px.dtype)
         return np.dstack([rgb, alpha])
     if color == 4:  # gray + alpha
         return np.dstack([np.repeat(px[:, :, :1], 3, axis=2), px[:, :, 1]])

@@ -118,7 +118,16 @@ def _expand(plane: np.ndarray, eh: int, ev: int,
     """EXP reference upsampling (T.81 J.1.1.3), per axis: even outputs
     copy, odd outputs average the two neighbours rounding up, the last
     odd column/row replicates the edge. The frame's component dims pick
-    2W or 2W-1 (validated); without the flag dims must already match."""
+    2W or 2W-1 (validated); without the flag dims must already match.
+
+    Documented residue (r14 review): when BOTH axes expand, this applies
+    vertical then horizontal. The two orders differ by at most 1 at
+    odd/odd samples (integer rounding does not commute across axes), and
+    the spec text pinning the order was not verifiable offline -- the
+    independent test encoder re-spells the per-axis filter but shares
+    this axis ORDER, so goldens are internally consistent either way. An
+    external encoder using the opposite order would reconstruct two-axis
+    EXP lossless pyramids off-by-one at odd/odd positions."""
     if ev:
         h = plane.shape[0]
         if out_h not in (2 * h, 2 * h - 1):
@@ -164,6 +173,11 @@ class _HFrame:
         else:
             self.state = _ProgState(self.h, self.w, self.comps, self.prec)
         self.n_scans = 0
+        #: component ids delivered by a scan; sequential/lossless frames
+        #: deliver each exactly once (progressive frames revisit
+        #: components across spectral/approximation scans, same posture
+        #: as the non-hierarchical twin's seq_done/loss_done sets)
+        self.done: set[int] = set()
 
     def comp_dims(self, cid: int) -> tuple[int, int]:
         """TRUE component dims (T.81 A.1.1)."""
@@ -225,6 +239,16 @@ def decode_hierarchical(payload: bytes) -> tuple[int, int, np.ndarray]:
             return
         if frame.n_scans == 0:
             raise ValueError("hierarchical JPEG frame has no scan")
+        if not frame.progressive and frame.done != {
+            c[0] for c in frame.comps
+        }:
+            # mirror the non-hierarchical twin's seq_done/loss_done
+            # completeness check: without it a malformed pyramid frame
+            # with undelivered components would reconstruct them from
+            # all-zero state as fabricated flat channels (r14 review)
+            raise ValueError(
+                "hierarchical JPEG frame ended with undelivered "
+                "components")
         eh, ev = frame.exp
         maxv = (1 << frame.prec) - 1
         half = 1 << (frame.prec - 1)
@@ -347,6 +371,13 @@ def decode_hierarchical(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("JPEG SOS repeats a component id")
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if not frame.progressive:
+                for cid in scan_comps:
+                    if cid in frame.done:
+                        raise ValueError(
+                            "JPEG pyramid frame component delivered "
+                            "twice")
+                    frame.done.add(cid)
             frame.n_scans += 1
             data_pos = pos + 2 + seg_len
             diff = frame.differential

@@ -263,6 +263,66 @@ def _decode_subimage(
     return px
 
 
+def _expand_png_samples(
+    px: np.ndarray, color: int, depth: int,
+    plte: bytes | None, trns: bytes | None,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Shared PNG sample expansion for the static decoder AND the APNG
+    frame path (r14 review: these rules lived in two lockstep copies).
+
+    Input is native-channel samples from :func:`_decode_subimage`;
+    returns ``(px, alpha)`` where ``alpha`` is an (h, w) plane or None
+    (fully opaque / channels already carry alpha):
+
+    - tRNS COLOR-KEY on gray/RGB (r13 verdict #5): the 2-byte (gray) /
+      6-byte (RGB) big-endian key names the ONE sample value rendered
+      fully transparent; matching is at the SOURCE depth, before any
+      sub-byte expansion. A wrong-length key -- or one on a color type
+      that already has alpha -- is a malformed ANCILLARY chunk: skipped
+      per the spec's recovery guidance, like a bad CRC.
+    - sub-byte grayscale presents at full 8-bit range; exact because
+      (2^d - 1) divides 255 for d in (1, 2, 4).
+    - palette expansion: PLTE is RGB triples; optional tRNS supplies
+      per-entry alpha (entries past its length are opaque; no tRNS
+      means alpha is None).
+    """
+    if color in (0, 2):
+        key_mask = None
+        nch = 1 if color == 0 else 3
+        if trns is not None and len(trns) == 2 * nch:
+            key = struct.unpack(f">{nch}H", trns)
+            if color == 0:
+                key_mask = px[:, :, 0] == key[0]
+            else:
+                key_mask = np.all(px == np.array(key, px.dtype), axis=2)
+        if color == 0 and depth < 8:
+            px = px * np.uint8(255 // ((1 << depth) - 1))
+        alpha = None
+        if key_mask is not None:
+            full = np.uint16(65535) if depth == 16 else np.uint8(255)
+            alpha = np.where(key_mask, 0, full).astype(px.dtype)
+        return px, alpha
+    if color == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.max() >= len(pal):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"({len(pal)} entries)"
+            )
+        rgb = pal[idx]
+        if trns is None:
+            return rgb, None
+        alpha = np.full(len(pal), 255, np.uint8)
+        alpha[: min(len(trns), len(pal))] = np.frombuffer(
+            trns[: len(pal)], np.uint8
+        )
+        return rgb, alpha[idx]
+    return px, None  # color 4/6: alpha is already a channel
+
+
 def decode_png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     try:
         return _decode_png(payload)
@@ -353,50 +413,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     px = _decode_subimage(
         b"".join(idat), width, height, ch, depth, interlace, bpp
     )
-    # tRNS COLOR-KEY on gray/RGB (r13 verdict #5: the last static-PNG
-    # residue): the 2-byte (gray) / 6-byte (RGB) big-endian key names the
-    # ONE sample value rendered fully transparent; matching is at the
-    # SOURCE depth, before any sub-byte expansion. An alpha channel is
-    # synthesized (0 at key pixels, full elsewhere) exactly like the
-    # palette path already does. A wrong-length key -- or one on a
-    # color type that already has alpha -- is a malformed ANCILLARY
-    # chunk: skipped per the spec's recovery guidance, like a bad CRC.
-    key_mask = None
-    if trns is not None and color in (0, 2):
-        nch = 1 if color == 0 else 3
-        if len(trns) == 2 * nch:
-            key = struct.unpack(f">{nch}H", trns)
-            if color == 0:
-                key_mask = px[:, :, 0] == key[0]
-            else:
-                key_mask = np.all(px == np.array(key, px.dtype), axis=2)
-    if color == 0 and depth < 8:
-        # present sub-byte grayscale at full 8-bit range; exact because
-        # (2^d - 1) divides 255 for d in (1, 2, 4)
-        px = px * np.uint8(255 // ((1 << depth) - 1))
-    if color == 3:
-        # palette expansion: PLTE is RGB triples; optional tRNS supplies
-        # per-entry alpha (entries past its length are opaque)
-        if plte is None or len(plte) % 3 != 0 or not plte:
-            raise ValueError("palette PNG missing or malformed PLTE")
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        idx = px[:, :, 0]
-        if idx.max() >= len(pal):
-            raise ValueError(
-                f"palette index {int(idx.max())} out of range "
-                f"({len(pal)} entries)"
-            )
-        rgb = pal[idx]
-        if trns is None:
-            return width, height, rgb
-        alpha = np.full(len(pal), 255, np.uint8)
-        alpha[: min(len(trns), len(pal))] = np.frombuffer(
-            trns[: len(pal)], np.uint8
-        )
-        return width, height, np.dstack([rgb, alpha[idx]])
-    if key_mask is not None:
-        full = np.uint16(65535) if depth == 16 else np.uint8(255)
-        alpha = np.where(key_mask, 0, full).astype(px.dtype)
+    # expansion rules (color-key, sub-byte gray, palette) are shared
+    # with the APNG frame path -- see _expand_png_samples
+    px, alpha = _expand_png_samples(px, color, depth, plte, trns)
+    if alpha is not None:
         return width, height, np.dstack([px, alpha])
     return width, height, px
 

@@ -360,6 +360,34 @@ def test_hier_error_paths():
     with pytest.raises(ValueError, match="outside a hierarchical"):
         decode_jpeg_pixels(bytes(naked))
 
+    # a multi-component frame whose scans cover only ONE component must
+    # be rejected, not reconstructed with fabricated flat channels for
+    # the silent components (r14 review: mirrors the non-hierarchical
+    # twin's seq_done/loss_done completeness checks)
+    comps3 = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    out = bytearray(b"\xff\xd8")
+    out += _dhp(8, 8, 8, comps3)
+    out += _dht(0, 0, [5] * 17, list(range(17)))
+    out += _seg(0xC3, _sof_body(8, 8, 8, comps3))
+    out += _sos([(1, 0, 0)], 1, 0, 0, 0)
+    out += _encode_lossless_plane(px, differential=False)
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="undelivered"):
+        decode_hierarchical(bytes(out))
+
+    # ... and delivering the SAME component twice in one frame is a
+    # duplicate, not a silent overwrite
+    out = bytearray(b"\xff\xd8")
+    out += _dhp(8, 8, 8, comps3)
+    out += _dht(0, 0, [5] * 17, list(range(17)))
+    out += _seg(0xC3, _sof_body(8, 8, 8, comps3))
+    for _ in range(2):
+        out += _sos([(1, 0, 0)], 1, 0, 0, 0)
+        out += _encode_lossless_plane(px, differential=False)
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="delivered twice"):
+        decode_hierarchical(bytes(out))
+
     # differential lossless scan must carry predictor 0
     out = bytearray(good)
     # patch the second SOS's Ss byte (predictor field) from 0 to 1:

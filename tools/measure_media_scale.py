@@ -285,7 +285,6 @@ def main() -> None:
     mid = cells[len(cells) // 2]
     fam_results = {}
     for fam in ("png", "jpeg", "jpeg_arith", "webp", "bmp"):
-        fam_pool = {fam: pool[fam]}
         path = _corpus_path(f"only_{fam}", mid)
         if not (path / "_SUCCESS").exists():
             def synth(batches, _p=pool[fam]):

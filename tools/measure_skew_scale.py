@@ -36,6 +36,7 @@ Prints a markdown table + one JSON line. Corpus under
 from __future__ import annotations
 
 import argparse
+import calendar
 import json
 import sys
 import time
@@ -100,8 +101,12 @@ def _max_task_ms(spark, since_ms: float) -> tuple[float, int]:
         sub = st.get("firstTaskLaunchedTime")
         if not sub:
             continue
+        # the REST timestamp is GMT ("...GMT" suffix): timegm, NOT
+        # mktime, which would interpret the struct as LOCAL time and
+        # offset the filter by the box's UTC delta -- off-box-TZ runs
+        # would count stale stages or silently record 0.0 (r14 review)
         t = time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")
-        if time.mktime(t) * 1000 < since_ms - 1000:
+        if calendar.timegm(t) * 1000 < since_ms - 1000:
             continue
         try:
             summ = _rest(

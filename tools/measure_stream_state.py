@@ -192,7 +192,13 @@ def _drive(out_stream, mode: str, sink_dir: str, ck_dir: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(1800)
+    if not q.awaitTermination(1800):
+        # a timed-out drive would read a PARTIAL sink and publish
+        # "exact: False" with phantom missing rows -- exactly the false
+        # alarm this tool exists to rule out; fail loudly instead
+        # (r14 review)
+        q.stop()
+        raise RuntimeError("availableNow drive exceeded 1800 s")
     wall = time.perf_counter() - t0
     progs = [json.loads(p.json) for p in q.recentProgress]
     return wall, progs
@@ -303,6 +309,13 @@ def main() -> None:
         )
         wall, progs = _drive(sess, "append", sink, ck)
         final_wm = progs[-1]["eventTime"].get("watermark") if progs else None
+        if final_wm is None:
+            # without a watermark the closed-session oracle below is
+            # undefined; a None here crashed after minutes of completed
+            # join work -- fail with the diagnosis instead (r14 review)
+            raise RuntimeError(
+                "session drive reported no watermark in its final "
+                "progress entry")
         got = spark.read.parquet(sink)
         want = (
             _batch(spark, root)
