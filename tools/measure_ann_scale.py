@@ -1,0 +1,118 @@
+"""ANN / similarity-family scale decade (r14).
+
+SCALE.md's Similarity/ANN section was the last family whose 100 TB
+posture was argued, not measured (relational, dedup, curation, media,
+streaming-state and skew each have sweep tables). This tool drives the
+three registry rows that scan the embeddings corpus through two decades
+of the signed-rotation scaled corpus (``scale_sweep.build_scaled_
+embeddings``: an orthogonal per-copy transform, so within-copy cosine
+structure is preserved bit-identically while cross-copy pairs
+decorrelate -- a true scale-up, not a duplication change):
+
+- ``ann_topk_bruteforce``: broadcast probes, one corpus scan, per-
+  partition top-k -- expected ~linear in N;
+- ``ann_topk_ivf``: Hamming-1 probe ball against a bucket equi-join --
+  expected ~linear (the probe-side explosion is constant-size);
+- ``embedding_near_dup_blocked``: exact all-pairs, QUADRATIC BY DESIGN
+  (the LSH/semdedup rows are the sub-quadratic production paths; this
+  row is the exact sibling). The measured question is not the N^2 law
+  -- that is arithmetic -- but whether the r14 corpus-scaled block
+  count keeps per-group work bounded and balanceable: the fixed B=8
+  decomposition is re-measured side by side (target forced huge so B
+  pins at the floor) to quantify what the scaling buys. Max single-task
+  duration is sampled from the REST status API (measure_skew_scale's
+  machinery) because a straggler can hide inside a 32-core makespan.
+
+Usage: python tools/measure_ann_scale.py [--copies 10 100] [--runs 3]
+Prints a markdown table (for SCALE.md) plus one JSON line. Corpora live
+under ``.scale_sweep/`` (gitignored), built once per testdata stamp.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from bench import _wait_for_quiet_box
+
+import measure_skew_scale as mss
+from scale_sweep import SWEEP_DIR, build_scaled_embeddings
+
+from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+from aws_cloudfront_realtime_monitoring_spark.plans import similarity as sim
+from aws_cloudfront_realtime_monitoring_spark.session import get_spark
+
+QUERIES = ["ann_topk_bruteforce", "ann_topk_ivf", "embedding_near_dup_blocked"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, nargs="*", default=[10, 100])
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--skip-fixed-b", action="store_true",
+                    help="skip the fixed-B=8 near-dup contrast cells")
+    args = ap.parse_args()
+
+    load, flagged = _wait_for_quiet_box()
+    print(f"# start load {load:.2f} flagged={flagged}", file=sys.stderr)
+    spark = get_spark("ann_scale", extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(mss.UI_PORT),
+    })
+    registry = load_full()
+
+    dirs: list[tuple[str, str]] = [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+    ]
+    for c in args.copies:
+        build_scaled_embeddings(spark, "/root/testdata/sf0.1", c)
+        dirs.append((f"x{c}", str(SWEEP_DIR / f"sf0.1x{c}")))
+
+    results: dict[str, dict] = {}
+    for label, d in dirs:
+        n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+        for q in QUERIES:
+            cell = mss.timed(spark, lambda: registry[q].build(spark, d),
+                             args.runs)
+            cell["n"] = n
+            results[f"{q}@{label}"] = cell
+            print(f"# {q}@{label} (n={n}): {cell}", file=sys.stderr)
+        if (not args.skip_fixed_b and label.startswith("x")):
+            # contrast cell: pin B at the floor (the pre-r14 fixed
+            # decomposition) by making the doubling condition
+            # unreachable; restore afterwards. Results are invariant to
+            # B, only the physical decomposition changes.
+            saved = sim.NEAR_DUP_BLOCK_TARGET
+            sim.NEAR_DUP_BLOCK_TARGET = 1 << 40
+            try:
+                cell = mss.timed(
+                    spark,
+                    lambda: registry["embedding_near_dup_blocked"]
+                    .build(spark, d),
+                    args.runs)
+            finally:
+                sim.NEAR_DUP_BLOCK_TARGET = saved
+            cell["n"] = n
+            results[f"near_dup_fixed_b8@{label}"] = cell
+            print(f"# near_dup_fixed_b8@{label}: {cell}", file=sys.stderr)
+
+    print("\n| cell | vectors | min wall (s) | max task (s) | runs | ext |")
+    print("|---|---|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['n']} | {r['sec']} | {r['max_task_s']} |"
+              f" {r['runs']} | {r['ext_cores']} |")
+    print(json.dumps({
+        "metric": "ann_scale", "results": results,
+        "load_start": round(load, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
