@@ -48,6 +48,11 @@ NEAR_DUP_BLOCKS = 8
 NEAR_DUP_BLOCK_TARGET = 4096
 NEAR_DUP_MAX_BITS = 20
 
+#: rows of the left block per dense matmul tile (module-level so tests
+#: can shrink it and exercise the multi-chunk path at fixture scale --
+#: r14 review: a function-local constant left the s>0 branch untested)
+NEAR_DUP_CHUNK = 1024
+
 # ----------------------------------------------------------- shared exprs
 
 _QVEC_SQL = (
@@ -522,8 +527,10 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # row-chunk the left block so the dense cosine tile is bounded at
-    # CHUNK x |right| even if a block overshoots the target (r14)
-    CHUNK = 1024
+    # CHUNK x |right| even if a block overshoots the target (r14);
+    # snapshot the module constant HERE so the closure shipped to
+    # executors carries the (possibly test-patched) value
+    CHUNK = NEAR_DUP_CHUNK
 
     def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g1, g2 = key

@@ -127,22 +127,35 @@ def test_blocked_near_dup_scaled_block_regime(spark, sf_dir, monkeypatch):
     holds <= ~NEAR_DUP_BLOCK_TARGET vectors; the fixed B=8 config grew a
     ~5 GB/task dense tile at 200k vectors) and pin that the result is
     STILL exactly the all-pairs relation -- B is a physical knob, the
-    output is invariant to it. Also pins the params relation's value and
-    that the scaled regime's chunked matmul path is the one exercised."""
+    output is invariant to it. Also pins the params relation's value
+    against an INDEPENDENT spelling of the contract (not the production
+    bit-count loop, r14 review: a shared formula would make the pin
+    tautological), and shrinks NEAR_DUP_CHUNK below the block size so
+    the multi-chunk matmul branch actually executes under test."""
+    import math
+
     from aws_cloudfront_realtime_monitoring_spark.plans import similarity
     from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        NEAR_DUP_BLOCKS,
         _near_dup_params,
         embedding_near_dup,
     )
 
-    # target=16 at the 500-vector fixture: bits = #{j: 500 > 16<<j} = 5
-    # (16,32,64,128,256 all < 500; 512 is not) -> B = max(8, 32) = 32
+    # target=16 at the 500-vector fixture -> B = max(8, 32) = 32; chunk
+    # 8 < ~16-row blocks -> every block pair runs >= 2 chunk iterations
     monkeypatch.setattr(similarity, "NEAR_DUP_BLOCK_TARGET", 16)
+    monkeypatch.setattr(similarity, "NEAR_DUP_CHUNK", 8)
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    expect_bits = len([j for j in range(20) if n > (16 << j)])
-    expect_b = max(8, 1 << expect_bits)
-    assert expect_b > 8, "fixture too small to force the scaled regime"
+    # independent expectation: smallest power of two with n/B <= target,
+    # floored at NEAR_DUP_BLOCKS
+    expect_b = NEAR_DUP_BLOCKS
+    while expect_b * 16 < n:
+        expect_b *= 2
+    assert expect_b == max(
+        NEAR_DUP_BLOCKS, 2 ** math.ceil(math.log2(n / 16)))
+    assert expect_b > NEAR_DUP_BLOCKS, (
+        "fixture too small to force the scaled regime")
     [(got_b,)] = _near_dup_params(emb).collect()
     assert got_b == expect_b
 
