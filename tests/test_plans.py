@@ -148,6 +148,9 @@ _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            "lang_temperature_sample", "curation_pipeline", "bm25_topk",
            "curriculum_stages", "heavy_hitters", "ann_ivf_recall",
            "semdedup",  # r11: one-row broadcast params (nbits) relation
+           # r14: one-row broadcast params (nblocks) relation -- the
+           # corpus-scaled block count, COUNT(*) over parquet footers
+           "embedding_near_dup_blocked",
            # r12: the ONE-ROW dimension-bounds relation that range-
            # quantizes both z-order dims before the interleave
            "zorder_events_key"}
