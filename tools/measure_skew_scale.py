@@ -125,18 +125,28 @@ def timed(spark, build_df, runs: int) -> dict:
     ext = _ExternalCpu()
     build_df().write.format("noop").mode("overwrite").save()  # warm-up
     ext.sample()
-    per, task_max = [], 0.0
+    per, task_max, ext_runs = [], 0.0, []
     for _ in range(runs):
         t0_ms = time.time() * 1000
         t0 = time.perf_counter()
         build_df().write.format("noop").mode("overwrite").save()
         per.append(round(time.perf_counter() - t0, 3))
+        # sample PER RUN, immediately after it: a single whole-window
+        # average dilutes a mid-sweep neighbor burst below visibility
+        # (r14: the ann sweep's 88->205 s spread sat next to
+        # ext_cores=0.0), and the REST calls below would pollute the
+        # window if sampled after them
+        ext_runs.append(round(ext.sample(), 2))
         m, _sid = _max_task_ms(spark, t0_ms)
         task_max = max(task_max, m)
         spark.catalog.clearCache()
+        ext.sample()  # reset the window past the REST/clear overhead
     return {"sec": min(per), "runs": per,
             "max_task_s": round(task_max / 1000, 2),
-            "ext_cores": round(ext.sample(), 2)}
+            # the headline is the WORST run's load: one number that says
+            # whether any cell in this experiment was contaminated
+            "ext_cores": max(ext_runs) if ext_runs else 0.0,
+            "ext_runs": ext_runs}
 
 
 def main() -> None:
