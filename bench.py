@@ -112,6 +112,46 @@ def _calibration_sec(spark, n_runs: int = 3) -> float:
     return round(min(one() for _ in range(n_runs)), 3)
 
 
+#: bytes the MEMORY probe touches per pass. The CPU kernel above cannot
+#: see memory-side contention: the r14 ANN sweep measured an identical
+#: Python-matmul plan at 88.6 s and 425 s in two windows that BOTH read
+#: 0.0 external cores and a flat CPU kernel. The probe that explained it
+#: found this box's FIRST-TOUCH page faults running at ~10 MB/s in bad
+#: windows (512 MB of np.ones took 47 s to fault in, with 122 GB free;
+#: ~0.5 ms per fault, ~1000x a normal box -- hypervisor lazy-backing
+#: with no /proc CPU signature), while steady-state reads of the same
+#: pages ran at ~8 GB/s. Python-worker-bound rows (multimodal_pipeline,
+#: the pandas-UDF/applyInPandas rows) allocate fresh numpy arrays per
+#: batch, so their wall rides the fault rate, not the CPU. The probe
+#: times BOTH regimes at bench start and end: fault_mbps (first-touch
+#: fill of a fresh array) and bw_gbps (streaming sums over the now-
+#: backed pages). Attribution only -- nothing normalizes by it (per-row
+#: fault sensitivity is not modeled).
+MEM_PROBE_BYTES = 256 << 20
+
+
+def _memory_probe(n_runs: int = 3) -> tuple[float, float]:
+    """(fault_mbps, bw_gbps): first-touch fill rate of a fresh
+    MEM_PROBE_BYTES float64 array, then max-of-N GB/s of streaming sums
+    over its (now-backed) pages. Max for the sums -- best available
+    bandwidth in this window; the fill is single-shot by nature (pages
+    fault once)."""
+    import numpy as np
+
+    arr = np.empty(MEM_PROBE_BYTES // 8, np.float64)
+    t0 = time.perf_counter()
+    arr.fill(1.0)  # first touch: faults every page in
+    fault_mbps = MEM_PROBE_BYTES / (time.perf_counter() - t0) / 1e6
+    arr.sum()  # warm-up: cache state
+    best = 0.0
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        arr.sum()
+        best = max(best,
+                   MEM_PROBE_BYTES / (time.perf_counter() - t0) / 1e9)
+    return round(fault_mbps, 1), round(best, 2)
+
+
 #: total extra seconds the run may spend on MID-RUN quiet-box waits (the
 #: start gate has its own MAX_LOAD_WAIT_SEC). Bounded so 29 queries cannot
 #: stall for hours on a box that never goes quiet.
@@ -279,6 +319,7 @@ def main() -> None:
     registry["q2_create_time_series"].build(spark, sf_dir).collect()
 
     calib_start = _calibration_sec(spark)
+    mem_start = _memory_probe()
     # drift-gate priors are calibration-normalized onto TODAY's box speed
     # (kernel-carrying rounds only), so the gate stops re-running queries
     # to confirm a slowdown the start kernel already attributed to the box
@@ -381,6 +422,7 @@ def main() -> None:
               file=sys.stderr)
 
     calib_end = _calibration_sec(spark)
+    mem_end = _memory_probe()
 
     print(_render_output(
         times=times,
@@ -393,6 +435,8 @@ def main() -> None:
         wait_budget_left=max(wait_budget, 0.0),
         calib_start=calib_start,
         calib_end=calib_end,
+        mem_start=mem_start,
+        mem_end=mem_end,
     ))
     spark.stop()
 
@@ -418,6 +462,8 @@ def _render_output(
     wait_budget_left: float,
     calib_start: float | None = None,
     calib_end: float | None = None,
+    mem_start: tuple[float, float] | None = None,
+    mem_end: tuple[float, float] | None = None,
     sidecar_dir: Path | None = None,
 ) -> str:
     """Write full diagnostics to the sidecar, return the compact stdout
@@ -455,6 +501,14 @@ def _render_output(
             headline["calib_norm_total"] = round(
                 headline["value"] * CALIBRATION_REF_SEC / calib, 3
             )
+    if mem_start is not None and mem_end is not None:
+        # the day's memory regime in two numbers: WORST first-touch
+        # fault rate and BEST streaming bandwidth (r14) -- fault-rate
+        # collapse moves Python-worker-bound rows with no CPU-kernel or
+        # external-cores signature; attribution only, nothing
+        # normalizes by it
+        headline["fault_mbps"] = min(mem_start[0], mem_end[0])
+        headline["bw_gbps"] = max(mem_start[1], mem_end[1])
     detail = dict(
         headline,
         # the fixed data-independent calibration kernel
@@ -465,6 +519,10 @@ def _render_output(
         calib_start_sec=calib_start,
         calib_end_sec=calib_end,
         calib_rows=CALIBRATION_ROWS,
+        # the memory probe's bracketing pairs (MEM_PROBE_BYTES each):
+        # (first-touch fault MB/s, streaming-sum GB/s) at start and end
+        mem_start_probe=mem_start,
+        mem_end_probe=mem_end,
         # queries that got an extra min-of-3 before recording
         reran=reran,
         # max EXTERNAL cores (host busy CPU minus our own process tree)
@@ -487,7 +545,8 @@ def _render_output(
     # belt-and-braces: shed optional fields (never the required five) if
     # some future headline set pushes the line past the capture window
     for drop in ("detail", "n_reran", "load_flagged", "load_avg",
-                 "load_avg_start", "calib_norm_total", "calib_sec"):
+                 "load_avg_start", "fault_mbps", "bw_gbps",
+                 "calib_norm_total", "calib_sec"):
         if len(line) <= STDOUT_LINE_BUDGET:
             break
         headline.pop(drop, None)

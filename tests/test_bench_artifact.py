@@ -28,6 +28,8 @@ def _fake_run(tmp_path):
         wait_budget_left=0.0,
         calib_start=0.651,
         calib_end=0.598,
+        mem_start=(11.2, 8.01),
+        mem_end=(2048.7, 11.95),
         sidecar_dir=tmp_path,
     )
     return line, tmp_path / bench.SIDECAR
@@ -68,6 +70,16 @@ def test_sidecar_carries_verbose_diagnostics(tmp_path):
                       * bench.CALIBRATION_REF_SEC / 0.598, 3)
     assert detail["calib_norm_total"] == want_norm
     assert json.loads(line).get("calib_norm_total") in (want_norm, None)
+    # r14: the memory probe's bracketing pairs ride in the sidecar; the
+    # headline carries the WORST first-touch fault rate and the BEST
+    # streaming bandwidth of the two windows (fault-rate collapse moves
+    # Python-worker-bound rows with no CPU-kernel signature)
+    assert detail["mem_start_probe"] == [11.2, 8.01]
+    assert detail["mem_end_probe"] == [2048.7, 11.95]
+    assert detail["fault_mbps"] == 11.2
+    assert detail["bw_gbps"] == 11.95
+    assert json.loads(line).get("fault_mbps") in (11.2, None)
+    assert json.loads(line).get("bw_gbps") in (11.95, None)
     # the sidecar is a superset of the stdout line's fields
     rec = json.loads(line)
     for k in ("metric", "value", "unit", "queries", "sf"):
