@@ -185,7 +185,17 @@ def apng_frame_count(payload: bytes) -> int | None:
     """Frame count from the animation chunks, WITHOUT inflating any
     pixel data (chunk walk only) -- the decode_image metadata hook.
     Returns None for a static PNG (no acTL); raises ValueError when the
-    animation data is malformed (caller falls back to static)."""
+    animation data is malformed (caller falls back to static).
+
+    Contract nuance (r15): the ``acTL``-substring fast path below
+    returns None WITHOUT re-validating the chunk stream, so a payload
+    that is malformed *and* contains no acTL bytes reads as a clean
+    static PNG here even though _parse would have raised. That is safe
+    for the production call site because decode_image has already run
+    (and CRC'd) the static decode on the same payload -- corrupt chunk
+    streams never reach this gate -- but a future caller that wants
+    malformed-vs-static discrimination on raw payloads must call
+    _parse directly."""
     # cheap gate before the full walk: _parse re-CRCs every chunk
     # (including all IDAT bytes the static decode just CRC'd), which is
     # pure duplicate per-byte work on the production decode_batches hot

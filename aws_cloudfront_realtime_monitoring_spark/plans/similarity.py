@@ -46,6 +46,15 @@ NEAR_DUP_BLOCKS = 8
 #: all-pairs either way), so scaling it changes no oracle and no
 #: fixture result (B stays at the floor through sf0.1).
 NEAR_DUP_BLOCK_TARGET = 4096
+#: cap on the derived block-count exponent: blocks = 2^min(ceil(log2(
+#: N / TARGET)), MAX_BITS). Beyond ~2^20 * TARGET ~= 4.3B vectors the
+#: per-block row count (and so per-task pair count) resumes growing
+#: with N (r15, bounded-resource residue). Acceptable because (a) the
+#: chunked matmul bounds the DENSE tile at CHUNK x block regardless,
+#: so memory stays flat and only task wall time grows, and (b) 2^20
+#: one-row shuffle keys is already at the practical partition-count
+#: ceiling -- past that scale the right move is sharding the corpus
+#: upstream, not more blocks.
 NEAR_DUP_MAX_BITS = 20
 
 #: rows of the left block per dense matmul tile (module-level so tests
