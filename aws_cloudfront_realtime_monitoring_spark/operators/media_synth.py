@@ -35,8 +35,10 @@ test-suite golden builders follow).
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -290,3 +292,224 @@ def attach_image_audio_payload(docs: DataFrame) -> DataFrame:
     Arrow-batched map shape as attach_media_payload."""
     return _attach(
         docs, lambda i: bmp_payload(i) if i % 2 == 0 else wav_payload(i))
+
+
+# --------------------------------------- PNG / APNG (r15 oracle tier)
+#
+# r14 made APNG compositing, PNG tRNS color-keys, and hierarchical JPEG
+# real decodes, but only pytest-golden; these builders push them into
+# the Spark-vs-DuckDB hash discipline (r14 verdict task #2). Formulas
+# (shared with the oracle SQL in plans/multimodal.py):
+#
+# - APNG:  W = doc_id % 24 + 8, H = doc_id % 16 + 8,
+#          n_frames = doc_id % 4 + 2; frame k is a SOLID full-canvas
+#          color (r,g,b) = ((id*3 + 7k) % 256, (id*5 + 11k) % 256,
+#          (id*7 + 13k) % 256), dispose NONE, blend SOURCE on even
+#          frames / OVER on odd (fully opaque RGB, so OVER composites
+#          to the identical result through the real Porter-Duff path)
+#          -> composited frame k's channel MEANS are exactly (r,g,b).
+# - tRNS:  RGB8 PNG, W = doc_id % 16 + 4, H = doc_id % 12 + 4; the
+#          left floor(W/2) columns carry the tRNS KEY color
+#          ((id*3) % 256, (id*5) % 256, (id*7) % 256) -> alpha 0, the
+#          rest carry key + (1,2,3) per channel (mod 256, never equal
+#          to the key) -> alpha 255.
+# - hier JPEG: grayscale LOSSLESS two-level pyramid (DHP + SOF3 base
+#          at half resolution + EXP(1,1) + SOF7 differential full-res
+#          correction -- bit-exact by T.81 Annex J construction);
+#          W = 2*(doc_id % 8 + 2), H = 2*(doc_id % 6 + 2), pixel
+#          value px[y][x] = (doc_id % 100) + y + 2x (max 146 < 256,
+#          no mod wrap, so the pixel SUM is closed-form integer
+#          arithmetic: H*W*(id%100) + W*H*(H-1)/2 + H*W*(W-1)).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def apng_frame_color(doc_id: int, k: int) -> tuple[int, int, int]:
+    """Solid color of animation frame k — THE formula the oracle
+    mirrors (one spelling, imported by tests)."""
+    return ((doc_id * 3 + 7 * k) % 256, (doc_id * 5 + 11 * k) % 256,
+            (doc_id * 7 + 13 * k) % 256)
+
+
+def apng_payload(doc_id: int) -> bytes:
+    """Animated PNG per the module formulas: IHDR (RGB8) + acTL +
+    fcTL/IDAT for frame 0 (the first frame is part of the animation)
+    + (fcTL, fdAT) pairs, sequence numbers consumed in spec order."""
+    w = doc_id % 24 + 8
+    h = doc_id % 16 + 8
+    n = doc_id % 4 + 2
+
+    def raster(k: int) -> bytes:
+        row = b"\x00" + bytes(apng_frame_color(doc_id, k)) * w
+        return zlib.compress(row * h)
+
+    def fctl(seq: int, k: int) -> bytes:
+        # dispose NONE (0); blend SOURCE (0) on even k, OVER (1) on odd
+        return _png_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, k % 2))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = bytearray(_PNG_SIG + _png_chunk(b"IHDR", ihdr))
+    out += _png_chunk(b"acTL", struct.pack(">II", n, 0))
+    out += fctl(0, 0)
+    out += _png_chunk(b"IDAT", raster(0))
+    seq = 1
+    for k in range(1, n):
+        out += fctl(seq, k)
+        seq += 1
+        out += _png_chunk(b"fdAT", struct.pack(">I", seq) + raster(k))
+        seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def trns_png_payload(doc_id: int) -> bytes:
+    """Static RGB8 PNG with a tRNS COLOR-KEY: left half key-colored
+    (decodes to alpha 0), right half key+(1,2,3) (alpha 255)."""
+    w = doc_id % 16 + 4
+    h = doc_id % 12 + 4
+    kr, kg, kb = (doc_id * 3) % 256, (doc_id * 5) % 256, (doc_id * 7) % 256
+    other = bytes(((kr + 1) % 256, (kg + 2) % 256, (kb + 3) % 256))
+    wl = w // 2
+    row = b"\x00" + bytes((kr, kg, kb)) * wl + other * (w - wl)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"tRNS", struct.pack(">HHH", kr, kg, kb))
+            + _png_chunk(b"IDAT", zlib.compress(row * h))
+            + _png_chunk(b"IEND", b""))
+
+
+# ------------------------------- hierarchical lossless JPEG (Annex J)
+
+class _JBits:
+    """MSB-first bit accumulator with T.81 0xFF byte stuffing and
+    1-padding on flush (B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def done(self) -> bytes:
+        while self.n:
+            self.put(1, 1)
+        return bytes(self.out)
+
+
+def _jseg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jlossless_scan(vals: np.ndarray, differential: bool) -> bytes:
+    """Entropy bytes of one grayscale lossless scan: predictor 1 (Ra)
+    with the H.1.2.1 first-row/first-column rules for non-differential
+    frames, PRED = 0 for differential ones; SSSS categories coded with
+    a uniform-length-5 canonical Huffman table (code == symbol)."""
+    bw = _JBits()
+    h, w = vals.shape
+    for y in range(h):
+        for x in range(w):
+            if differential:
+                pred = 0
+            elif y == 0 and x == 0:
+                pred = 128  # 1 << (P - 1), P = 8
+            elif y == 0:
+                pred = int(vals[y, x - 1])
+            elif x == 0:
+                pred = int(vals[y - 1, 0])
+            else:
+                pred = int(vals[y, x - 1])
+            d = (int(vals[y, x]) - pred + 32768) % 65536 - 32768
+            if d == -32768:
+                bw.put(16, 5)  # SSSS 16: +32768, no extra bits (H.2)
+                continue
+            s = abs(d).bit_length()
+            bw.put(s, 5)
+            if s:
+                bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+    return bw.done()
+
+
+def _jexpand(p: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """The J.1.1.3 2x expansion filter, both axes: even taps copy,
+    odd taps are the (a + b + 1) >> 1 neighbor average, last row/col
+    replicates."""
+    p = p.astype(np.int64)
+    up = np.empty((2 * p.shape[0], p.shape[1]), np.int64)
+    up[0::2] = p
+    up[1:-1:2] = (p[:-1] + p[1:] + 1) // 2
+    up[-1] = p[-1]
+    p = up[:out_h]
+    up = np.empty((p.shape[0], 2 * p.shape[1]), np.int64)
+    up[:, 0::2] = p
+    up[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) // 2
+    up[:, -1] = p[:, -1]
+    return up[:, :out_w]
+
+
+def hier_jpeg_payload(doc_id: int) -> bytes:
+    """Two-level LOSSLESS hierarchical pyramid (bit-exact roundtrip by
+    construction): DHP, SOF3 base at half resolution (predictor 1),
+    EXP(1,1), SOF7 differential correction coding the mod-2^16 residue
+    against this module's own spelling of the expansion filter."""
+    w = 2 * (doc_id % 8 + 2)
+    h = 2 * (doc_id % 6 + 2)
+    yy = np.arange(h, dtype=np.int64).reshape(-1, 1)
+    xx = np.arange(w, dtype=np.int64).reshape(1, -1)
+    px = (doc_id % 100) + yy + 2 * xx  # max 146 < 256: no mod wrap
+    base = px[::2, ::2]
+
+    comp = bytes([1, 0x11, 0])
+
+    def sof(marker: int, hh: int, ww: int) -> bytes:
+        return _jseg(marker,
+                     bytes([8]) + struct.pack(">HH", hh, ww)
+                     + bytes([1]) + comp)
+
+    def sos(ss: int) -> bytes:
+        return _jseg(0xDA, bytes([1, 1, 0x00, ss, 0, 0]))
+
+    counts = [0] * 16
+    counts[4] = 17  # 17 SSSS symbols, all at code length 5
+    out = bytearray(b"\xff\xd8")
+    out += sof(0xDE, h, w)  # DHP: full-image dimensions
+    out += _jseg(0xC4, bytes([0x00]) + bytes(counts) + bytes(range(17)))
+    out += sof(0xC3, *base.shape)
+    out += sos(1)  # Ss = predictor 1
+    out += _jlossless_scan(base, differential=False)
+    out += _jseg(0xDF, bytes([0x11]))  # EXP: expand both axes
+    diff = (px - _jexpand(base, h, w)) & 0xFFFF
+    out += sof(0xC7, h, w)
+    out += sos(0)  # differential lossless: Ss = 0 (no prediction)
+    out += _jlossless_scan(diff, differential=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def attach_animation_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): one APNG animation per document."""
+    return _attach(docs, apng_payload)
+
+
+def attach_pixel_stats_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): BMP / hierarchical-lossless-JPEG /
+    tRNS-color-key-PNG by doc_id % 3 — every payload's full pixel SUM
+    is closed-form integer arithmetic over doc_id."""
+    builders = (bmp_payload, hier_jpeg_payload, trns_png_payload)
+    return _attach(docs, lambda i: builders[i % 3](i))

@@ -672,6 +672,79 @@ def frame_sample_offsets(decoded: DataFrame, n_samples: int = 4) -> DataFrame:
     )
 
 
+#: output schema of REAL pixel statistics: one row per payload with the
+#: full-image integer sample sum — the strongest decode check an
+#: ANSI-SQL oracle can recompute (sum over every decoded sample,
+#: including synthesized tRNS alpha), r15
+PIXEL_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, width BIGINT, height BIGINT, "
+    "n_ch BIGINT, sum_px BIGINT, n_px BIGINT"
+)
+
+_PIXEL_STATS_COLS = [
+    "doc_id", "fmt", "width", "height", "n_ch", "sum_px", "n_px",
+]
+
+
+def decode_pixel_stats(payload: bytes) -> dict:
+    """Full REAL pixel decode reduced to oracle-checkable integers:
+    (fmt, width, height, n_ch, sum_px, n_px) where ``sum_px`` is the
+    int64 sum of EVERY decoded sample (all channels, tRNS-synthesized
+    alpha included). Unlike :func:`decode_image` — whose metadata a
+    header walk could fake — a matching ``sum_px`` requires the entire
+    pixel pipeline (defilter/predict/expand/composite) to be correct.
+    BMP, every static-PNG profile, and the full T.81 JPEG frame matrix
+    (incl. hierarchical pyramids) qualify; other formats raise
+    ``ValueError`` (callers use the usual skip/propagate contract)."""
+    if payload[:2] == b"BM":
+        fmt, (w, h, px) = "bmp", decode_bmp_pixels(payload)
+    elif payload[: len(_PNG_SIG)] == _PNG_SIG:
+        fmt, (w, h, px) = "png", decode_png_pixels(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        fmt, (w, h, px) = "jpeg", decode_jpeg_pixels(payload)
+    else:
+        raise ValueError("pixel stats: unrecognized image signature")
+    return {
+        "fmt": fmt, "width": w, "height": h,
+        "n_ch": px.shape[2] if px.ndim == 3 else 1,
+        "sum_px": int(px.astype(np.int64).sum()),
+        "n_px": w * h,
+    }
+
+
+def image_pixel_stats_batches(
+    docs_with_payload: DataFrame, skip_invalid: bool = True,
+) -> DataFrame:
+    """REAL pixel statistics over Arrow batches (``mapInPandas``): the
+    same narrow zero-shuffle map shape as :func:`decode_batches`, but
+    emitting :func:`decode_pixel_stats`'s sample sums so a SQL oracle
+    can hash-check decode OUTPUT, not just header metadata.
+    ``skip_invalid`` follows the audio_feature_batches corrupt-record
+    contract (drop vs propagate)."""
+
+    def stats_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if pd.isna(r.doc_id):
+                    if skip_invalid:
+                        continue
+                    raise ValueError("NULL doc_id in pixel-stats batch")
+                payload = bytes(r.payload) if r.payload is not None else b""
+                try:
+                    st = decode_pixel_stats(payload)
+                except ValueError:
+                    if skip_invalid:
+                        continue
+                    raise
+                rows.append({"doc_id": int(r.doc_id), **st})
+            yield pd.DataFrame(rows, columns=_PIXEL_STATS_COLS)
+
+    return docs_with_payload.mapInPandas(stats_iter, PIXEL_STATS_SCHEMA)
+
+
 #: output schema of REAL animation frame sampling (GIF): one row per
 #: sampled frame with exact integer mean channels
 FRAME_SAMPLE_SCHEMA = (

@@ -64,6 +64,18 @@ def register(name: str, oracle: str | None, description: str = "",
 #: is new or recently changed lead, with the long-stable rows behind them.
 PRIORITY = [
     "q1_hourly_measure_by_dim",   # flagship stays first (entry())
+    "pixel_decode_real_stats",    # r15: decode OUTPUT oracle — full
+                                  # pixel-sum check over BMP /
+                                  # hierarchical-lossless JPEG /
+                                  # tRNS-color-key PNG (slot from
+                                  # scalar_functions, whose JVM scalar
+                                  # coverage stays hash-checked via
+                                  # load_demoted())
+    "animated_frame_real_stats",  # r15: APNG compositing oracle —
+                                  # per-frame composited channel means
+                                  # through the real Porter-Duff path
+                                  # (slot from text_fingerprint, kept
+                                  # hash-checked via load_demoted())
     "image_audio_real_meta",      # r13: promoted the only row whose
                                   # oracle hash-checks REAL pixel/DSP
                                   # decode output (slot from
@@ -139,9 +151,7 @@ PRIORITY = [
     "stream_hourly_bytes_equiv",  # new in r02
     "stream_dedup_equiv",         # new in r02
     "embedding_near_dup_blocked",  # block-join rewrite in r02
-    "text_fingerprint",           # rolling-hash rewrite in r02
     "grouping_analytics",         # merged query
-    "scalar_functions",           # merged query
 ]
 
 

@@ -21,11 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.audio import audio_feature_batches
-from ..operators.media_synth import attach_media_payload
+from ..operators.media_synth import (
+    attach_animation_payload,
+    attach_media_payload,
+    attach_pixel_stats_payload,
+)
 from ..operators.multimodal import (
     attach_payload,
     decode_batches,
     frame_offset_expr,
+    image_pixel_stats_batches,
+    sample_animation_frames,
 )
 from ..sources.tables import load_table
 from . import register
@@ -268,3 +274,115 @@ def image_audio_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zcr_micro").cast("bigint").alias("zcr_micro"),
     )
     return bmps.unionByName(wavs)
+
+
+# ---------------------------------------- r15: decode OUTPUT oracles
+#
+# r14 verdict task #2: APNG compositing, PNG tRNS color-keys, and
+# hierarchical (pyramid) JPEG became real decodes in r14 but were only
+# pytest-golden; these two rows push them through the Spark-vs-DuckDB
+# hash discipline. Both check decode OUTPUT (full-image sample sums /
+# composited per-frame channel means), which no header walk can fake —
+# the formulas live in operators/media_synth.py and the oracles mirror
+# them as closed-form integer arithmetic over doc_id.
+
+@register(
+    "pixel_decode_real_stats",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents),
+    bmp0 AS (
+      SELECT doc_id, doc_id % 100 + 1 AS w, doc_id % 64 + 1 AS h
+      FROM ids WHERE doc_id % 3 = 0),
+    bmp AS (
+      SELECT doc_id, 'bmp' AS fmt, w, h, 3 AS n_ch,
+             w * h * ((doc_id % 256) + ((doc_id * 7) % 256)
+                      + ((doc_id * 13) % 256)) AS sum_px,
+             w * h AS n_px
+      FROM bmp0),
+    hj0 AS (
+      SELECT doc_id, 2 * (doc_id % 8 + 2) AS w, 2 * (doc_id % 6 + 2) AS h
+      FROM ids WHERE doc_id % 3 = 1),
+    hj AS (
+      -- sum over the gradient (doc_id%100) + y + 2x, closed form
+      SELECT doc_id, 'jpeg' AS fmt, w, h, 1 AS n_ch,
+             h * w * (doc_id % 100) + w * (h * (h - 1) // 2)
+               + h * (w * (w - 1)) AS sum_px,
+             w * h AS n_px
+      FROM hj0),
+    tr0 AS (
+      SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h,
+             (doc_id * 3) % 256 AS kr, (doc_id * 5) % 256 AS kg,
+             (doc_id * 7) % 256 AS kb
+      FROM ids WHERE doc_id % 3 = 2),
+    tr AS (
+      -- key-colored left half decodes to alpha 0, the rest alpha 255
+      SELECT doc_id, 'png' AS fmt, w, h, 4 AS n_ch,
+             h * ((w // 2) * (kr + kg + kb)
+                  + (w - w // 2) * (((kr + 1) % 256) + ((kg + 2) % 256)
+                                    + ((kb + 3) % 256) + 255)) AS sum_px,
+             w * h AS n_px
+      FROM tr0)
+    SELECT doc_id, fmt, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, CAST(n_ch AS BIGINT) AS n_ch,
+           CAST(sum_px AS BIGINT) AS sum_px, CAST(n_px AS BIGINT) AS n_px
+    FROM (SELECT * FROM bmp UNION ALL SELECT * FROM hj
+          UNION ALL SELECT * FROM tr)
+    """,
+    description="REAL pixel decode OUTPUT under the hash discipline: "
+                "BMP / two-level LOSSLESS hierarchical JPEG (DHP + SOF3 "
+                "+ EXP + SOF7 differential, bit-exact by T.81 Annex J "
+                "construction) / tRNS-color-key PNG payloads "
+                "(media_synth, doc_id % 3) through "
+                "image_pixel_stats_batches; the oracle recomputes each "
+                "payload's FULL-image sample sum (tRNS-synthesized "
+                "alpha included) as closed-form integer arithmetic. A "
+                "matching sum_px requires the whole pixel pipeline — "
+                "defilter, prediction, pyramid expansion, color-key "
+                "alpha — to be correct; header walks cannot fake it. "
+                "PROMOTED r15 (registry swap): took scalar_functions' "
+                "slot (its string/date/math coverage stays hash-checked "
+                "via load_demoted()).",
+    tags=("multimodal", "pandas-udf", "jpeg", "png"),
+)
+def pixel_decode_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_pixel_stats_batches(
+        attach_pixel_stats_payload(docs), skip_invalid=False)
+
+
+@register(
+    "animated_frame_real_stats",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS frame_idx
+      FROM documents)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(doc_id % 4 + 2 AS BIGINT) AS n_frames,
+           CAST(doc_id % 24 + 8 AS BIGINT) AS width,
+           CAST(doc_id % 16 + 8 AS BIGINT) AS height,
+           CAST((doc_id * 3 + 7 * frame_idx) % 256 AS BIGINT) AS mean_r,
+           CAST((doc_id * 5 + 11 * frame_idx) % 256 AS BIGINT) AS mean_g,
+           CAST((doc_id * 7 + 13 * frame_idx) % 256 AS BIGINT) AS mean_b
+    FROM f
+    """,
+    description="REAL APNG compositing under the hash discipline: "
+                "per-document animations (media_synth: acTL/fcTL/fdAT "
+                "chains, 2-5 solid full-canvas frames, blend SOURCE on "
+                "even frames and Porter-Duff OVER on odd — opaque RGB, "
+                "so OVER must composite to the identical result through "
+                "the real alpha path) sampled via "
+                "sample_animation_frames; the oracle recomputes every "
+                "composited frame's exact channel means from the color "
+                "formulas. One input row fans out to n_frames output "
+                "rows (unnest(range()) on the DuckDB side). PROMOTED "
+                "r15 (registry swap): took text_fingerprint's slot (its "
+                "rolling-hash coverage stays hash-checked via "
+                "load_demoted()).",
+    tags=("multimodal", "pandas-udf", "apng", "streaming-fanout"),
+)
+def animated_frame_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # n_samples=8 > the max synthesized frame count (5), so every frame
+    # is sampled and the pick-set arithmetic stays out of the oracle
+    return sample_animation_frames(
+        attach_animation_payload(docs), n_samples=8, skip_invalid=False)

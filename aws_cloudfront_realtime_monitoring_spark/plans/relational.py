@@ -490,8 +490,12 @@ def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "substr, length), JSON (one from_json parse per row -- "
                 "cheaper than per-field JSON-path at scale), and temporal "
                 "(year/month extraction, date_trunc week). All JVM-side "
-                "codegen, no UDF.",
+                "codegen, no UDF. DEMOTED r15 (registry swap): its "
+                "driver slot went to pixel_decode_real_stats (decode "
+                "OUTPUT under the hash discipline); this row stays "
+                "hash-checked via load_demoted().",
     tags=("functions", "json", "date"),
+    driver_slot=False,
 )
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")

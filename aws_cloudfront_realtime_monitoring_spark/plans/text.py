@@ -352,8 +352,13 @@ _FP_HASH_SQL = (
                 "char-8-gram polynomial rolling hashes (base 131 mod 2^31-1, "
                 "engine-portable integer arithmetic -- no per-position md5), "
                 "min over each 4-window, distinct mins. Array-expression "
-                "implementation -- per-doc narrow map, no shuffle.",
+                "implementation -- per-doc narrow map, no shuffle. "
+                "DEMOTED r15 (registry swap): its driver slot went to "
+                "animated_frame_real_stats (APNG compositing under the "
+                "hash discipline); this row stays hash-checked via "
+                "load_demoted().",
     tags=("text", "fingerprint"),
+    driver_slot=False,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -1,0 +1,108 @@
+"""r15 media_synth additions: APNG / tRNS-color-key PNG / hierarchical
+lossless JPEG payload builders, verified against the REAL decoders
+(the builders are spec-written in operators/media_synth.py,
+independently of the decoders under test), plus the
+image_pixel_stats_batches operator contract.
+
+Reference parity note: the reference performs no media decoding at all
+(its 128-line Lambda parses log lines — /root/reference/log-processor/
+lambda_function.py); this suite covers the training-data-pipeline
+multimodal surface the brief adds on top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aws_cloudfront_realtime_monitoring_spark.operators.apng import (
+    count_apng_frames,
+    decode_apng_frames,
+)
+from aws_cloudfront_realtime_monitoring_spark.operators.jpeg import (
+    decode_jpeg_pixels,
+)
+from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+    apng_frame_color,
+    apng_payload,
+    hier_jpeg_payload,
+    trns_png_payload,
+)
+from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+    decode_image,
+    decode_pixel_stats,
+    decode_png_pixels,
+    image_pixel_stats_batches,
+)
+
+IDS = [0, 1, 2, 3, 17, 123, 499]
+
+
+@pytest.mark.parametrize("doc_id", IDS)
+def test_apng_payload_composites_to_formula_colors(doc_id):
+    p = apng_payload(doc_id)
+    w, h, n = count_apng_frames(p)
+    assert (w, h, n) == (doc_id % 24 + 8, doc_id % 16 + 8, doc_id % 4 + 2)
+    _, _, screens = decode_apng_frames(p)
+    assert len(screens) == n
+    for k, screen in enumerate(screens):
+        assert screen.shape == (h, w, 4)
+        # solid full-canvas frames: the composited canvas IS the frame
+        # color, through blend SOURCE (even k) and Porter-Duff OVER
+        # (odd k; opaque source, so the real alpha path must reproduce
+        # SOURCE exactly)
+        r, g, b = apng_frame_color(doc_id, k)
+        assert (screen[:, :, 0] == r).all()
+        assert (screen[:, :, 1] == g).all()
+        assert (screen[:, :, 2] == b).all()
+        assert (screen[:, :, 3] == 255).all()
+
+
+@pytest.mark.parametrize("doc_id", IDS)
+def test_trns_png_payload_alpha_split(doc_id):
+    w, h, px = decode_png_pixels(trns_png_payload(doc_id))
+    assert (w, h) == (doc_id % 16 + 4, doc_id % 12 + 4)
+    assert px.shape == (h, w, 4)  # tRNS color-key synthesizes alpha
+    wl = w // 2
+    assert (px[:, :wl, 3] == 0).all()      # key-colored: transparent
+    assert (px[:, wl:, 3] == 255).all()    # off-key: opaque
+    kr = (doc_id * 3) % 256
+    assert (px[:, :wl, 0] == kr).all()
+    assert (px[:, wl:, 0] == (kr + 1) % 256).all()
+
+
+@pytest.mark.parametrize("doc_id", IDS)
+def test_hier_jpeg_payload_roundtrips_bit_exact(doc_id):
+    w, h, px = decode_jpeg_pixels(hier_jpeg_payload(doc_id))
+    assert (w, h) == (2 * (doc_id % 8 + 2), 2 * (doc_id % 6 + 2))
+    exp = ((doc_id % 100)
+           + np.arange(h, dtype=np.int64).reshape(-1, 1)
+           + 2 * np.arange(w, dtype=np.int64).reshape(1, -1))
+    got = px[:, :, 0] if px.ndim == 3 else px
+    assert (got.astype(np.int64) == exp).all()
+    # and the metadata hook routes it as a real jpeg, not the fake path
+    assert decode_image(doc_id, hier_jpeg_payload(doc_id))["fmt"] == "jpeg"
+
+
+def test_decode_pixel_stats_formats_and_rejection():
+    st = decode_pixel_stats(trns_png_payload(5))
+    assert st["fmt"] == "png" and st["n_ch"] == 4
+    assert st["n_px"] == st["width"] * st["height"]
+    st = decode_pixel_stats(hier_jpeg_payload(5))
+    assert st["fmt"] == "jpeg" and st["n_ch"] == 1
+    with pytest.raises(ValueError):
+        decode_pixel_stats(b"not an image at all")
+    with pytest.raises(ValueError):
+        decode_pixel_stats(b"")
+
+
+def test_image_pixel_stats_batches_skip_contract(spark):
+    rows = [(1, bytearray(hier_jpeg_payload(1))),
+            (2, bytearray(b"garbage bytes")),
+            (3, bytearray(trns_png_payload(3)))]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = {r.doc_id: r for r in image_pixel_stats_batches(df).collect()}
+    assert set(got) == {1, 3}  # corrupt row dropped, not fatal
+    assert got[1].fmt == "jpeg" and got[3].fmt == "png"
+    with pytest.raises(Exception):  # Py4J wraps the ValueError
+        image_pixel_stats_batches(df, skip_invalid=False).collect()
