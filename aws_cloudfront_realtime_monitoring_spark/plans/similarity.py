@@ -542,6 +542,18 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHUNK = NEAR_DUP_CHUNK
 
     def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # every tile lives in the per-worker scratch pool
+        # (operators/scratch.py): one task runs MANY block-pair groups,
+        # and the r14 sweep isolated a first-touch-fault regime
+        # (~10 MB/s in bad windows) where re-allocating ~100 MB of
+        # fresh tiles per group costs integer factors of wall on an
+        # identical plan; warm pages are reused instead. Values are
+        # bit-identical to the fresh-allocation spelling (same dtypes,
+        # same operation ORDER) -- the oracle hash pins it.
+        from aws_cloudfront_realtime_monitoring_spark.operators.scratch import (
+            scratch,
+        )
+
         g1, g2 = key
         left = pdf[pdf["blk"] == g1] if g1 != g2 else pdf
         right = pdf[pdf["blk"] == g2] if g1 != g2 else pdf
@@ -552,25 +564,39 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 {"vec_a": empty, "vec_b": empty, "cos6": empty.astype(np.float64)}
             )
-        mat_a = np.array(list(left["qe"]), dtype=np.int64)
-        mat_b = np.array(list(right["qe"]), dtype=np.int64)
-        nrm_a = (mat_a * mat_a).sum(axis=1)
-        nrm_b = (mat_b * mat_b).sum(axis=1)
+        dim = len(left["qe"].iloc[0])
+        mat_a = scratch("ndup.mat_a", (len(ids_a), dim), np.int64)
+        np.stack(left["qe"].to_numpy(), axis=0, out=mat_a)
+        if g1 == g2:
+            mat_b = mat_a  # same block: one fill, one buffer
+        else:
+            mat_b = scratch("ndup.mat_b", (len(ids_b), dim), np.int64)
+            np.stack(right["qe"].to_numpy(), axis=0, out=mat_b)
+        # einsum: exact int64 row norms with no (n, dim) square temp
+        nrm_a = np.einsum("ij,ij->i", mat_a, mat_a)
+        nrm_b = nrm_a if g1 == g2 else np.einsum("ij,ij->i", mat_b, mat_b)
+        sq_a, sq_b = np.sqrt(nrm_a), np.sqrt(nrm_b)
         out_lo, out_hi, out_cos = [], [], []
         for s in range(0, len(ids_a), CHUNK):
-            dots = mat_a[s:s + CHUNK] @ mat_b.T   # int64 matmul: exact
+            m = min(CHUNK, len(ids_a) - s)
+            dots = scratch("ndup.dots", (m, len(ids_b)), np.int64)
+            np.matmul(mat_a[s:s + m], mat_b.T, out=dots)  # int64: exact
             # same operation ORDER as the all-pairs sibling (two
             # divisions): a reciprocal-multiply spelling rounds
             # differently and could flip a cos6 micro-quantization tie
-            cos = (dots / np.sqrt(nrm_a[s:s + CHUNK])[:, None]
-                   / np.sqrt(nrm_b)[None, :])
+            cos = scratch("ndup.cos", (m, len(ids_b)), np.float64)
+            np.divide(dots, sq_a[s:s + m, None], out=cos)
+            np.divide(cos, sq_b[None, :], out=cos)
             # within a block require a < b; across blocks every (a, b)
             # pair is valid and appears in exactly this one group --
             # orient the pair as (min, max) so the output keying matches
             # the all-pairs oracle
-            keep = cos >= NEAR_DUP_COS
+            keep = scratch("ndup.keep", (m, len(ids_b)), np.bool_)
+            np.greater_equal(cos, NEAR_DUP_COS, out=keep)
             if g1 == g2:
-                keep &= ids_a[s:s + CHUNK, None] < ids_b[None, :]
+                lt = scratch("ndup.lt", (m, len(ids_b)), np.bool_)
+                np.less(ids_a[s:s + m, None], ids_b[None, :], out=lt)
+                np.logical_and(keep, lt, out=keep)
             ii, jj = np.nonzero(keep)
             va, vb = ids_a[s + ii], ids_b[jj]
             out_lo.append(np.minimum(va, vb))
