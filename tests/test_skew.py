@@ -108,3 +108,60 @@ def test_skew_argument_guards(spark):
         two_phase_agg(salted, "k", {"n": "count"})
     with pytest.raises(ValueError, match="input column"):
         two_phase_agg(df, "k", {"total": "sum"})
+
+
+def test_salted_join_auto_matches_plain_join(spark, sf_dir):
+    """r15: n_salts='auto' (in-query skew-derived params relation) must
+    be identity-preserving like every fixed count."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    auto = (
+        salted_join(orders, cust, "o_custkey", n_salts="auto")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, auto.collect()))
+
+
+def test_derived_salt_params_tracks_skew(spark):
+    """The makespan model's qualitative contract: a hot-key corpus
+    derives MORE salts than a uniform one, a uniform corpus derives ~1
+    (salting disabled), and the result is clamped to [1, SALT_CAP]."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.skew import (
+        SALT_CAP,
+        derived_salt_params,
+    )
+
+    small = spark.range(100).select(F.col("id").alias("k"))
+    # 50%-hot corpus: key 0 owns every even row
+    hot = spark.range(0, 20_000, 1, 4).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(99)) + 1).alias("k"))
+    uniform = spark.range(0, 20_000, 1, 4).select(
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("k"))
+    n_hot = derived_salt_params(hot, "k", small).collect()[0].n_salts
+    n_uni = derived_salt_params(uniform, "k", small).collect()[0].n_salts
+    assert 1 <= n_uni <= 2, n_uni          # balanced data: ~no salting
+    assert n_hot > n_uni, (n_hot, n_uni)   # skew demands spread
+    assert n_hot <= SALT_CAP
+    # tiny small side, huge parallelism: the clamp must hold
+    one = spark.range(1).select(F.col("id").alias("k"))
+    n_cap = derived_salt_params(
+        hot, "k", one, parallelism=1_000_000).collect()[0].n_salts
+    assert n_cap == SALT_CAP
+
+
+def test_salted_join_auto_guards(spark):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="auto"):
+        salted_join(df, df, "k", n_salts="automatic")
+    clash = df.withColumn("n_salts", F.lit(1))
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(clash, df, "k", n_salts="auto")

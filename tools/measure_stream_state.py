@@ -226,14 +226,27 @@ def _plateau(curve: list[int]) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--state-store", choices=["hdfs", "rocksdb"],
+                    default="hdfs",
+                    help="state-store provider: the default "
+                         "HDFSBackedStateStoreProvider (r14 baseline) or "
+                         "RocksDBStateStoreProvider (r14 verdict #3: the "
+                         "'RocksDB is floor, not ceiling' line was argued, "
+                         "not measured)")
     args = ap.parse_args()
 
     load, flagged = _wait_for_quiet_box()
-    print(f"# start load {load:.2f} flagged={flagged}", file=sys.stderr)
-    spark = get_spark("stream_state", extra_conf={
+    print(f"# start load {load:.2f} flagged={flagged} "
+          f"provider={args.state_store}", file=sys.stderr)
+    conf = {
         "spark.sql.files.maxPartitionBytes": "128m",
         "spark.sql.files.openCostInBytes": "1m",
-    })
+    }
+    if args.state_store == "rocksdb":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    spark = get_spark("stream_state", extra_conf=conf)
     SWEEP.mkdir(parents=True, exist_ok=True)
     root = build_corpus(spark, args.rows)
     results: dict[str, dict] = {}
@@ -365,6 +378,7 @@ def main() -> None:
               f" {r['mid_third_max']:,} | {r['late_third_max']:,} |"
               f" {r['plateau_ok']} |")
     print(json.dumps({"metric": "stream_state_scale", "rows": args.rows,
+                      "state_store": args.state_store,
                       "results": results, "load_start": round(load, 2)}))
     spark.stop()
 
