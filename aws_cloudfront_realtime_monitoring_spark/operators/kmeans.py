@@ -188,6 +188,33 @@ def _round_div(s: int, n: int) -> int:
     return sign * ((abs(s) * 2 + n) // (2 * n))
 
 
+def probe_clusters(probes: DataFrame, centroids: list[list[int]],
+                   nprobe: int = 1, vec_col: str = "qv") -> DataFrame:
+    """Multi-probe assignment (r15): each probe row fans out to its
+    ``nprobe`` NEAREST centroids — the standard IVF recall/cost knob
+    (probe more inverted lists, touch nprobe/k of the corpus) on the
+    TRAINED quantizer, the analog of the sign-LSH path's Hamming-ball
+    expansion. Adds a ``cluster`` column, one output row per (probe,
+    probed cluster); exact integer distances, ties broken by lowest
+    centroid index (array_sort on (dist, idx) structs — deterministic).
+    Narrow map: the fanout multiplies only the (small) probe side."""
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"probe_clusters: nprobe must be in [1, k={len(centroids)}]")
+    clash = {c for c in probes.columns if c == "cluster"}
+    if clash:
+        raise ValueError("probe_clusters: input already has 'cluster'")
+    ranked = F.array_sort(F.array(*[
+        F.struct(_sq_dist(F.col(vec_col), c).alias("d"),
+                 F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ]))
+    return probes.select(
+        "*",
+        F.explode(F.slice(ranked, 1, nprobe)).alias("__dc"),
+    ).select("*", F.col("__dc.j").alias("cluster")).drop("__dc")
+
+
 def ivf_search(qvecs: DataFrame, centroids: list[list[int]],
                probes: DataFrame, top_k: int = 5,
                vec_col: str = "qv", id_col: str = "vec_id",

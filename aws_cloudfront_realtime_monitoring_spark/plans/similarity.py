@@ -950,3 +950,118 @@ def ann_ivf_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_exact_only").cast("bigint").alias("n_exact_only"),
         )
     )
+
+
+# -------------------------------------------- trained-quantizer ANN (r15)
+#
+# r14 verdict #5: the sign-LSH quantizer's measured recall@3 is 3-5/15
+# on this data and the kmeans rescue (recall@5 = 1.0, every inverted
+# list < 30% of the corpus) existed only as a pytest microcosm. These
+# two functions make the TRAINED coarse quantizer a production option
+# with the exact output contract of the sign-LSH siblings, so the same
+# recall audit runs against either index.
+
+def ann_topk_trained(
+    spark: SparkSession, sf_dir: str, k: int = 16, nprobe: int = 2,
+    max_iters: int = 8, top_k: int = 3,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: k-means centroids
+    (operators/kmeans.py, integer-exact Lloyd) replace the sign-pattern
+    buckets; probes fan out to their ``nprobe`` nearest centroids (the
+    IVF recall/cost knob — the trained analog of the sign path's
+    Hamming-ball multi-probe) and candidates come from a broadcast
+    equi-join on the cluster id, ranked by the exact integer cosine.
+    Same (query_id, cand_id, rnk, cos6) contract as ``ann_topk_ivf``.
+
+    Pass ``centroids`` to search with a pre-trained index (the
+    production shape: train once, search many); otherwise the quantizer
+    is fitted here. Scale note: centroids ride the plan as literals, so
+    the assignment stage is a narrow map with k distance expressions —
+    fine through k of a few hundred; past that the distance map belongs
+    in a Pandas UDF (documented ceiling, same class as the kmeans
+    driver-side k x dim model state)."""
+    from ..operators.kmeans import assign_clusters, fit_kmeans, probe_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if centroids is None:
+        centroids, _, _ = fit_kmeans(emb, k=k, max_iters=max_iters)
+    corpus = assign_clusters(
+        emb.select("vec_id", qvec().alias("qv")), centroids, "qv"
+    ).select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"),
+        qnorm("qv").alias("c_nrm"), "cluster",
+    )
+    probes = probe_clusters(
+        emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), qvec().alias("p_qv")),
+        centroids, nprobe=nprobe, vec_col="p_qv",
+    ).withColumn("p_nrm", qnorm("p_qv"))
+    # corpus rows carry ONE (argmin) cluster and a probe's nprobe
+    # clusters are distinct, so each (query, cand) pair joins at most
+    # once — no dedup stage needed
+    pairs = corpus.join(F.broadcast(probes), "cluster").where(
+        F.col("cand_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "cand_id",
+        cosine(dot("p_qv", "c_qv"), F.col("p_nrm"), F.col("c_nrm"))
+        .alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= top_k)
+        .select("query_id", "cand_id", "rnk",
+                (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos6"))
+    )
+
+
+@register(
+    "ann_trained_recall",
+    oracle=None,  # iterative k-means training is outside the SQL-oracle
+                  # contract (the documented kmeans/semdedup_kmeans
+                  # precedent) — rows-only check; the recall CLAIM is
+                  # pinned by tests/test_similarity.py against the
+                  # sign-LSH audit on the same corpus
+    description="Recall audit of the TRAINED-quantizer ANN path "
+                "(ann_topk_trained: k-means centroids, nprobe nearest-"
+                "centroid multi-probe) against the brute-force ground "
+                "truth — the ann_ivf_recall shape applied to the "
+                "learned index, quantifying what training buys over the "
+                "sign-LSH buckets (measured 3-5/15 recall@3) as a "
+                "relation. Rows-only (no SQL oracle: Lloyd iterations "
+                "are iterative model training); the pytest suite "
+                "asserts trained n_both >= sign-LSH n_both on the same "
+                "corpus and the scale sweep measures its x100 cost.",
+    tags=("similarity", "ann", "validation", "kmeans"),
+    driver_slot=False,
+)
+def ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trained = ann_topk_trained(spark, sf_dir).where(F.col("rnk") <= 3).select(
+        F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c")
+    )
+    exact = ann_topk_bruteforce_df(spark, sf_dir).where(F.col("rnk") <= 3).select(
+        F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c")
+    )
+    joined = trained.join(
+        exact,
+        (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
+        "full_outer",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("i_q"), F.col("e_q")).alias("query_id"),
+            (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
+            .cast("int").alias("is_both"),
+            (F.col("i_c").isNotNull() & F.col("e_c").isNull())
+            .cast("int").alias("is_trained_only"),
+            (F.col("e_c").isNotNull() & F.col("i_c").isNull())
+            .cast("int").alias("is_exact_only"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("is_both").cast("bigint").alias("n_both"),
+            F.sum("is_trained_only").cast("bigint").alias("n_trained_only"),
+            F.sum("is_exact_only").cast("bigint").alias("n_exact_only"),
+        )
+    )

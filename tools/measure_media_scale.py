@@ -261,6 +261,21 @@ def main() -> None:
         prev_min = None
         for n in cells:
             path = build_corpus(spark, pool, kind, n)
+            if kind == "images":
+                # real-decode gate (r15 review): decode_batches falls
+                # back to the deterministic fake for unrecognized
+                # payloads, so a regressed pool builder would silently
+                # time the FAKE path and this sweep would "measure" a
+                # decoder that never ran -- the exit-0-checked-nothing
+                # class. One aggregation per corpus, outside the timed
+                # window. (The wav leg needs no gate:
+                # skip_invalid=False already raises on bad payloads.)
+                n_fake = (decode_batches(spark.read.parquet(path))
+                          .where("fmt LIKE 'fake-%'").count())
+                if n_fake:
+                    raise RuntimeError(
+                        f"images corpus n={n}: {n_fake} payloads took "
+                        "the fake-decode fallback -- pool regression")
             _wait_ext_quiet()
             sec, per, ext = _timed_cell(
                 spark, lambda: surface(spark.read.parquet(path)), args.runs)
@@ -298,6 +313,11 @@ def main() -> None:
             (spark.range(0, mid, 1, 32)
              .mapInPandas(synth, "doc_id BIGINT, payload BINARY")
              .write.mode("overwrite").parquet(str(path)))
+        n_fake = (decode_batches(spark.read.parquet(str(path)))
+                  .where("fmt LIKE 'fake-%'").count())
+        if n_fake:
+            raise RuntimeError(
+                f"only_{fam} corpus: {n_fake} fake-decode fallbacks")
         _wait_ext_quiet()
         sec, per, ext = _timed_cell(
             spark, lambda: decode_batches(spark.read.parquet(str(path))),

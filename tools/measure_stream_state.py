@@ -295,6 +295,12 @@ def main() -> None:
                         " AS gap_us")
         )
         n_got, n_want = got.count(), want.count()
+        if n_want == 0:
+            # an empty batch oracle makes every exactness check below
+            # vacuously true (0 missing, 0 extra over nothing) -- a
+            # corpus bug would print exact=True having compared nothing
+            # (r15 review)
+            raise RuntimeError("join drive: batch oracle produced 0 pairs")
         miss = want.exceptAll(got).count()
         extra = got.exceptAll(want).count()
         curve = _state_curve(progs)
@@ -353,6 +359,13 @@ def main() -> None:
             F.col("session_end") <= F.to_timestamp(F.lit(
                 final_wm.replace("T", " ").replace("Z", ""))))
         n_got, n_closed, n_all = got.count(), closed.count(), want.count()
+        if n_all == 0 or n_closed == 0:
+            # same vacuous-exactness guard as the join drive (r15
+            # review): no sessions, or none closed by the final
+            # watermark, means the append-mode comparison checked nothing
+            raise RuntimeError(
+                f"session drive: batch oracle degenerate "
+                f"(total={n_all}, closed={n_closed})")
         miss = closed.exceptAll(got).count()
         extra = got.exceptAll(closed).count()
         curve = _state_curve(progs)
