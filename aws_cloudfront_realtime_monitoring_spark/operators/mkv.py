@@ -210,3 +210,143 @@ def parse_webm_meta(payload: bytes) -> dict:
         }
     except (struct.error, IndexError, OverflowError) as exc:
         raise ValueError(f"malformed EBML: {exc}") from exc
+
+
+# ---------------------------------------- video PIXEL decode (r15, VP8)
+#
+# The "video pixel decode stays ffmpeg-gated" scope line (r11-r14) was
+# broader than the code had to be: the repo already carries a complete
+# VP8 key-frame decoder (operators/vp8.py, bit-exact in YUV vs libwebp,
+# built for lossy WebP), and a WebM SimpleBlock's payload for a V_VP8
+# track IS that exact bitstream. So VP8-in-WebM/Matroska keyframes now
+# decode to real pixels; the ffmpeg gate (permanent scope verdict in
+# TESTDATA.md) narrows to the codecs with no in-repo decoder
+# (V_VP9 / V_AV1 / H.264 / HEVC — each a multi-thousand-line codec).
+
+_CLUSTER = 0x1F43B675
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_REFERENCE_BLOCK = 0xFB
+_TRACK_NUMBER = 0xD7
+
+
+def _iter_children(data: bytes, lo: int, hi: int):
+    """(stored-id, body_lo, body_hi) for each child element of the
+    [lo, hi) span — the one sibling-walk spelling for the block
+    extractor (parse_webm_meta keeps its committed early-stop walk)."""
+    pos, count = lo, 0
+    while pos < hi:
+        count += 1
+        if count > _MAX_ELEMENTS:
+            raise ValueError("EBML element count exceeds the cap")
+        eid, pos = _read_vint(data, pos, keep_marker=True)
+        size, pos = _read_vint(data, pos, keep_marker=False)
+        end = hi if size == -1 else pos + size
+        if end > hi:
+            raise ValueError("EBML element escapes its parent")
+        yield eid, pos, end
+        pos = end
+
+
+def _block_frame(data: bytes, lo: int, hi: int, track_no: int,
+                 need_key: bool) -> bytes | None:
+    """Frame bytes of a (Simple)Block if it belongs to ``track_no`` and
+    (for SimpleBlocks) carries the keyframe flag; None otherwise.
+    Laced video blocks are refused — real-world muxers lace only audio
+    (lacing exists to amortize tiny-frame overhead), so a laced VIDEO
+    block is out of the supported profile, stated rather than
+    mis-parsed."""
+    t_no, pos = _read_vint(data, lo, keep_marker=False)
+    if t_no != track_no:
+        return None
+    if pos + 3 > hi:
+        raise ValueError("truncated Matroska block header")
+    flags = data[pos + 2]  # after the 2-byte relative timestamp
+    if need_key and not (flags & 0x80):
+        return None
+    if (flags >> 1) & 0x3:
+        raise ValueError("laced video blocks unsupported")
+    return data[pos + 3 : hi]
+
+
+def extract_video_keyframe(payload: bytes) -> tuple[str, bytes]:
+    """(codec_id, frame_bytes) of the FIRST video keyframe in a
+    Matroska/WebM stream: the first video TrackEntry's number is
+    resolved from Segment > Tracks, then Clusters are walked in order
+    for a SimpleBlock with the keyframe flag (0x80) or a BlockGroup
+    without a ReferenceBlock (the spec's keyframe criterion for
+    grouped blocks). Raises ``ValueError`` when the stream has no
+    video track or no keyframe."""
+    try:
+        if not is_webm(payload):
+            raise ValueError("not an EBML payload")
+        seg = next(
+            ((lo, hi) for eid, lo, hi in
+             _iter_children(payload, 0, len(payload)) if eid == _SEGMENT),
+            None,
+        )
+        if seg is None:
+            raise ValueError("EBML stream has no Segment")
+        track_no, codec = 0, ""
+        for eid, lo, hi in _iter_children(payload, *seg):
+            if eid == _TRACKS and not track_no:
+                for eid2, lo2, hi2 in _iter_children(payload, lo, hi):
+                    if eid2 != _TRACK_ENTRY:
+                        continue
+                    t_no = t_type = 0
+                    t_codec = ""
+                    for eid3, lo3, hi3 in _iter_children(payload, lo2, hi2):
+                        if eid3 == _TRACK_NUMBER:
+                            t_no = _uint(payload[lo3:hi3])
+                        elif eid3 == _TRACK_TYPE:
+                            t_type = _uint(payload[lo3:hi3])
+                        elif eid3 == _CODEC_ID:
+                            t_codec = (payload[lo3:hi3]
+                                       .split(b"\x00")[0].decode("latin-1"))
+                    if t_type == 1 and t_no:
+                        track_no, codec = t_no, t_codec
+                        break
+            elif eid == _CLUSTER and track_no:
+                for eid2, lo2, hi2 in _iter_children(payload, lo, hi):
+                    if eid2 == _SIMPLE_BLOCK:
+                        frame = _block_frame(
+                            payload, lo2, hi2, track_no, need_key=True)
+                        if frame is not None:
+                            return codec, frame
+                    elif eid2 == _BLOCK_GROUP:
+                        block, has_ref = None, False
+                        for eid3, lo3, hi3 in _iter_children(
+                                payload, lo2, hi2):
+                            if eid3 == _BLOCK:
+                                block = (lo3, hi3)
+                            elif eid3 == _REFERENCE_BLOCK:
+                                has_ref = True
+                        if block and not has_ref:
+                            frame = _block_frame(
+                                payload, *block, track_no, need_key=False)
+                            if frame is not None:
+                                return codec, frame
+        if not track_no:
+            raise ValueError("EBML stream has no video track")
+        raise ValueError("EBML stream has no video keyframe")
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"malformed EBML: {exc}") from exc
+
+
+def decode_webm_video_pixels(payload: bytes):
+    """REAL pixel decode of a WebM/Matroska video stream's first
+    keyframe: (width, height, RGBA uint8 HxWx4) for V_VP8 tracks via
+    :func:`operators.vp8.decode_vp8_pixels` (the identical bitstream
+    WebP lossy carries — bit-exact YUV, documented BT.601 RGB).
+    Every other codec raises ``ValueError``: V_VP9/V_AV1/H.264/HEVC
+    have no in-repo decoder and remain behind the ffmpeg feature flag
+    (permanent scope verdict, TESTDATA.md)."""
+    codec, frame = extract_video_keyframe(payload)
+    if codec != "V_VP8":
+        raise ValueError(
+            f"video pixel decode supports V_VP8 keyframes; {codec or '?'} "
+            "stays behind the ffmpeg feature flag")
+    from .vp8 import decode_vp8_pixels
+
+    return decode_vp8_pixels(frame)

@@ -419,3 +419,78 @@ def test_sql_builds_match_dataframe_replicas(spark, sf_dir):
             tuple(r) for r in getattr(S, name + "_df")(spark, sf_dir).collect()
         )
         assert got == ref, name
+
+
+def test_trained_ann_beats_sign_lsh_recall(spark, sf_dir):
+    """r15 (verdict #5): the TRAINED-quantizer ANN path is a production
+    option with the ann_topk_ivf contract, and on this corpus its
+    recall must be at least the sign-LSH path's (whose measured
+    recall@3 is 3-5/15 -- the trained rescue exists because of it)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_trained,
+        ann_trained_recall,
+    )
+
+    out = ann_topk_trained(spark, sf_dir)
+    assert out.columns == ["query_id", "cand_id", "rnk", "cos6"]
+    rows = out.collect()
+    assert rows, "trained top-k returned nothing"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+
+    trained = {r.query_id: r.n_both
+               for r in ann_trained_recall(spark, sf_dir).collect()}
+    sign = {r.query_id: r.n_both
+            for r in load_full()["ann_ivf_recall"].build(
+                spark, sf_dir).collect()}
+    assert sum(trained.values()) >= sum(sign.values()), (trained, sign)
+
+
+def test_trained_ann_accepts_pretrained_centroids(spark, sf_dir):
+    """Train once, search many: passing the centroid relation must skip
+    fitting and produce identical results to the in-call fit."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        fit_kmeans,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_trained,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _, _ = fit_kmeans(emb, k=16, max_iters=8)
+    a = sorted(map(tuple, ann_topk_trained(
+        spark, sf_dir, centroids=cents).collect()))
+    b = sorted(map(tuple, ann_topk_trained(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_probe_clusters_fanout_and_guards(spark):
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        probe_clusters,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0, 0]), (2, [100, 100])], "vec_id BIGINT, qv ARRAY<BIGINT>")
+    cents = [[0, 0], [100, 100], [50, 50]]
+    got = {(r.vec_id, r.cluster)
+           for r in probe_clusters(df, cents, nprobe=2).collect()}
+    # nearest two centroids per probe, exact distances: (0,0) -> {0, 2};
+    # (100,100) -> {1, 2}
+    assert got == {(1, 0), (1, 2), (2, 1), (2, 2)}
+    with _pytest.raises(ValueError, match="nprobe"):
+        probe_clusters(df, cents, nprobe=0)
+    with _pytest.raises(ValueError, match="nprobe"):
+        probe_clusters(df, cents, nprobe=4)
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="cluster"):
+        probe_clusters(df.withColumn("cluster", F.lit(1)), cents)

@@ -60,19 +60,24 @@ HOT_SHARE = 0.5  # the hot key owns this fraction of large-side rows
 N_KEYS = 1_000_000  # uniform tail key domain (also the small side's keys)
 
 
-def build_corpus(spark, rows: int) -> tuple[str, str]:
-    """large: ``rows`` rows, key 0 owns HOT_SHARE of them, the rest
+def build_corpus(spark, rows: int,
+                 hot_share: float = HOT_SHARE) -> tuple[str, str]:
+    """large: ``rows`` rows, key 0 owns ``hot_share`` of them, the rest
     uniform over 1..N_KEYS; small: N_KEYS keys x 2 rows (dim payload),
-    sized past the broadcast threshold."""
-    large_p = SWEEP / f"large_{rows}"
+    sized past the broadcast threshold. r15: ``val2`` adds a
+    high-cardinality value (~1e6 distinct under the hot key) so the
+    exact-distinct cells measure LARGE partial aggregation state, and
+    the corpus is keyed by hot share for the two-ratio auto-salt sweep."""
+    large_p = SWEEP / f"large_{rows}_h{int(hot_share * 100)}_v2"
     small_p = SWEEP / f"small_{N_KEYS}"
     if not (large_p / "_SUCCESS").exists():
         (
             spark.range(0, rows, 1, 64)
             .selectExpr(
-                f"CASE WHEN id % {int(1 / HOT_SHARE)} = 0 THEN 0 "
+                f"CASE WHEN id % {int(1 / hot_share)} = 0 THEN 0 "
                 f"ELSE pmod(xxhash64(id), {N_KEYS - 1}) + 1 END AS key",
                 "CAST(pmod(id, 1000) AS DOUBLE) AS val",
+                "pmod(id, 1000003) AS val2",
             )
             .write.mode("overwrite").parquet(str(large_p))
         )
@@ -174,6 +179,14 @@ def main() -> None:
     def small():
         return spark.read.parquet(small_p)
 
+    # second skew ratio for the auto-salt validation (r14 verdict #4:
+    # "derived salt within ~1.2x of the hand-tuned optimum across >= 2
+    # skew ratios")
+    large10_p, _ = build_corpus(spark, args.rows, hot_share=0.1)
+
+    def large10():
+        return spark.read.parquet(large10_p)
+
     def set_skew_aqe(on: bool) -> None:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
                        "true" if on else "false")
@@ -195,8 +208,20 @@ def main() -> None:
 
     do("join_plain_aqe_skew_off", plain_join, skew_aqe=False)
     do("join_plain_aqe_skew_on", plain_join, skew_aqe=True)
-    do("join_salted_8", lambda: salted_join(large(), small(), "key", 8))
-    do("join_salted_32", lambda: salted_join(large(), small(), "key", 32))
+    # hand-tuned grid + the derived salt at BOTH skew ratios (r15): the
+    # auto cell passes if it lands within ~1.2x of the grid optimum
+    for n in (4, 8, 16, 32):
+        do(f"join_salted_{n}",
+           lambda n=n: salted_join(large(), small(), "key", n))
+    do("join_salted_auto",
+       lambda: salted_join(large(), small(), "key", "auto"))
+    do("join10_plain_aqe_skew_on",
+       lambda: large10().join(small(), on="key", how="inner"))
+    for n in (4, 8, 16, 32):
+        do(f"join10_salted_{n}",
+           lambda n=n: salted_join(large10(), small(), "key", n))
+    do("join10_salted_auto",
+       lambda: salted_join(large10(), small(), "key", "auto"))
 
     # --- aggregation experiments (broadcast threshold irrelevant)
     from pyspark.sql import functions as F
@@ -210,6 +235,23 @@ def main() -> None:
     do("agg_two_phase_8", lambda: two_phase_agg(
         large(), "key",
         {"n": "count", "s": "sum:val", "mx": "max:val"}, 8))
+
+    # r14 verdict #7: two_phase_agg's hypothesized surviving domain is
+    # LARGE-partial-state aggregation (exact distinct). val2 gives the
+    # hot key ~1e6 distinct values; the contrast is Spark's built-in
+    # count-distinct rewrite vs the explicit dedup-then-count two-phase
+    # (the VALID manual decomposition -- a (key, salt) countDistinct
+    # would double-count values spread across salts).
+    def distinct_plain():
+        return large().groupBy("key").agg(
+            F.countDistinct("val2").alias("nd"))
+
+    def distinct_manual():
+        return (large().select("key", "val2").distinct()
+                .groupBy("key").count())
+
+    do("distinct_plain", distinct_plain)
+    do("distinct_manual_two_phase", distinct_manual)
 
     print("\n| experiment | min wall (s) | max task (s) | runs | ext |")
     print("|---|---|---|---|---|")
