@@ -62,6 +62,15 @@ NEAR_DUP_MAX_BITS = 20
 #: r14 review: a function-local constant left the s>0 branch untested)
 NEAR_DUP_CHUNK = 1024
 
+#: snapshot into the block_pair closure at plan-build time: True uses
+#: the per-worker scratch pool (operators/scratch.py, the r15
+#: first-touch-fault mitigation), False allocates fresh tiles per group
+#: (the pre-r15 behavior). Exists so tools/measure_scratch_ab.py can
+#: INTERLEAVE the two spellings in one session and isolate the
+#: allocation variable from memory-regime drift; values are
+#: bit-identical either way (same ops, same order -- the oracle pins it).
+SCRATCH_POOL = True
+
 # ----------------------------------------------------------- shared exprs
 
 _QVEC_SQL = (
@@ -540,6 +549,7 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot the module constant HERE so the closure shipped to
     # executors carries the (possibly test-patched) value
     CHUNK = NEAR_DUP_CHUNK
+    USE_POOL = SCRATCH_POOL
 
     def block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # every tile lives in the per-worker scratch pool
@@ -550,9 +560,13 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identical plan; warm pages are reused instead. Values are
         # bit-identical to the fresh-allocation spelling (same dtypes,
         # same operation ORDER) -- the oracle hash pins it.
-        from aws_cloudfront_realtime_monitoring_spark.operators.scratch import (
-            scratch,
-        )
+        if USE_POOL:
+            from aws_cloudfront_realtime_monitoring_spark.operators.scratch import (
+                scratch,
+            )
+        else:  # A/B instrumentation path (tools/measure_scratch_ab.py)
+            def scratch(key_: str, shape: tuple, dtype) -> np.ndarray:
+                return np.empty(shape, dtype=dtype)
 
         g1, g2 = key
         left = pdf[pdf["blk"] == g1] if g1 != g2 else pdf
@@ -1036,8 +1050,13 @@ def ann_topk_trained(
     tags=("similarity", "ann", "validation", "kmeans"),
     driver_slot=False,
 )
-def ann_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    trained = ann_topk_trained(spark, sf_dir).where(F.col("rnk") <= 3).select(
+def ann_trained_recall(
+    spark: SparkSession, sf_dir: str,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    trained = ann_topk_trained(
+        spark, sf_dir, centroids=centroids
+    ).where(F.col("rnk") <= 3).select(
         F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c")
     )
     exact = ann_topk_bruteforce_df(spark, sf_dir).where(F.col("rnk") <= 3).select(

@@ -33,6 +33,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -57,6 +58,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-fixed-b", action="store_true",
                     help="skip the fixed-B=8 near-dup contrast cells")
+    ap.add_argument("--skip-trained", action="store_true",
+                    help="skip the trained-quantizer fit/search/recall cells")
     args = ap.parse_args()
 
     load, flagged = _wait_for_quiet_box()
@@ -84,6 +87,34 @@ def main() -> None:
             cell["n"] = n
             results[f"{q}@{label}"] = cell
             print(f"# {q}@{label} (n={n}): {cell}", file=sys.stderr)
+        if not args.skip_trained:
+            # trained-quantizer cell (r15 verdict #5): fit ONCE (the
+            # production train-once/search-many shape, timed on its
+            # own), then time search-only runs with the pre-trained
+            # index and audit recall vs the exact ground truth
+            from aws_cloudfront_realtime_monitoring_spark.operators.kmeans \
+                import fit_kmeans
+            from aws_cloudfront_realtime_monitoring_spark.plans.similarity \
+                import ann_topk_trained, ann_trained_recall
+
+            k = 64 if n > 50_000 else 16
+            t0 = time.perf_counter()
+            cents, _, iters = fit_kmeans(
+                spark.read.parquet(f"{d}/embeddings.parquet"),
+                k=k, max_iters=8)
+            fit_s = round(time.perf_counter() - t0, 2)
+            cell = mss.timed(
+                spark,
+                lambda: ann_topk_trained(spark, d, centroids=cents),
+                args.runs)
+            rec = ann_trained_recall(spark, d, centroids=cents).collect()
+            cell.update({
+                "n": n, "k": k, "fit_s": fit_s, "fit_iters": iters,
+                "recall_at3": round(
+                    sum(r.n_both for r in rec) / (3 * len(rec)), 3),
+            })
+            results[f"ann_trained@{label}"] = cell
+            print(f"# ann_trained@{label} (n={n}): {cell}", file=sys.stderr)
         if (not args.skip_fixed_b and label.startswith("x")):
             # contrast cell: pin B at the floor (the pre-r14 fixed
             # decomposition) by making the doubling condition
