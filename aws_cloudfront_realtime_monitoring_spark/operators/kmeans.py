@@ -33,15 +33,23 @@ from ..functions.hashing import h60
 from ..functions.quantize import QUANT, qvec as quantize  # noqa: F401
 
 
-def _sq_dist(vec: Column, centroid: list[int]) -> Column:
+def _sq_dist(vec_col: str, centroid: list[int]) -> Column:
     """Exact integer squared-L2 distance from an int64 vector column to a
     Python-side centroid (per-element (x-c)^2 summed; |x-c| <= 2e6 and
-    dim <= 64 keeps the sum < 2^49 — no overflow)."""
-    lit = F.array(*[F.lit(int(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc + d,
+    dim <= 64 keeps the sum < 2^49 — no overflow).
+
+    Built as ONE SQL expression string, not Column composition (r15):
+    the array literal alone costs ~2*dim py4j round-trips per centroid
+    the Column way, and a k=16/dim=64 assignment builds k of these per
+    Lloyd iteration — the same driver-chatter class the r8 ANN
+    SQL-string migration measured at ~0.6 s/plan
+    (tools/measure_build_split.py). The SQL form is one round-trip;
+    values are identical (same integer ops)."""
+    lits = ",".join(f"{int(c)}L" for c in centroid)
+    return F.expr(
+        f"aggregate(zip_with(`{vec_col}`, array({lits}), "
+        "(x, c) -> (x - c) * (x - c)), CAST(0 AS BIGINT), "
+        "(acc, d) -> acc + d)"
     )
 
 
@@ -62,7 +70,7 @@ def assign_clusters(qvecs: DataFrame, centroids: list[list[int]],
             f"assign_clusters: input already has column(s) {sorted(clash)};"
             " drop or rename them first"
         )
-    dists = [_sq_dist(F.col(vec_col), c) for c in centroids]
+    dists = [_sq_dist(vec_col, c) for c in centroids]
     # ONE projection for all k distance columns: chained withColumn built
     # k+2 nested Projects analyzed per Lloyd iteration -- the documented
     # Spark anti-pattern, linear plan bloat in k (r12 review)
@@ -81,6 +89,83 @@ def assign_clusters(qvecs: DataFrame, centroids: list[list[int]],
         cluster = cluster.when(F.col(f"__d{j}") == dmin, j)
     out = out.select("*", cluster.alias("cluster"), dmin.alias("dist"))
     return out.drop(*[f"__d{j}" for j in range(len(centroids))])
+
+
+def assign_clusters_batches(qvecs: DataFrame, centroids: list[list[int]],
+                            vec_col: str = "qv") -> DataFrame:
+    """``assign_clusters``'s contract computed per Arrow batch
+    (``mapInPandas``) instead of per-centroid Catalyst expressions —
+    the SEARCH-path spelling (r15). Two reasons it exists:
+
+    1. **Catalyst pathology, measured**: joining on the Column form's
+       ``cluster`` (a k-way when-chain over k ~200-node aggregate
+       trees) sent constraint propagation into a combinatorial
+       expression rebuild — 200+ s of driver CPU inside
+       ``gatherCommutative``/``TreeNode.copy`` on a 500-row corpus;
+       with ``spark.sql.constraintPropagation.enabled=false`` the same
+       plan ran in 2 s. A plain Arrow column gives the optimizer
+       nothing to explode.
+    2. **k ceiling**: k Column expressions cap practical k at a few
+       hundred; one numpy matmul per batch handles thousands.
+
+    Exact int64 arithmetic, identical values to ``assign_clusters``
+    (pinned in tests/test_kmeans.py): d_j = x.x - 2 x.c_j + c_j.c_j
+    (the exact expansion of sum((x - c)^2)), argmin with the
+    lowest-index tiebreak (np.argmin takes the first minimum). A
+    narrow map — vectors stay put, centroids ride the closure, tiles
+    come from the per-worker scratch pool."""
+    import numpy as np
+    import pandas as pd
+
+    clash = {c for c in qvecs.columns if c in ("cluster", "dist")}
+    if clash:
+        raise ValueError(
+            f"assign_clusters_batches: input already has {sorted(clash)}")
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cmat = np.asarray(centroids, dtype=np.int64)
+    # fresh StructType: StructType.add MUTATES the receiver, and
+    # qvecs.schema is the live schema object of the input DataFrame --
+    # chaining .add on it grew the INPUT's column list and mapInPandas
+    # then tried to resolve the output-only columns against it (r15)
+    out_schema = StructType(list(qvecs.schema.fields) + [
+        StructField("cluster", IntegerType()),
+        StructField("dist", LongType()),
+    ])
+
+    def assign_iter(batches):
+        from aws_cloudfront_realtime_monitoring_spark.operators.scratch import (
+            scratch,
+        )
+
+        cn = np.einsum("ij,ij->i", cmat, cmat)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(cluster=pd.Series(dtype="int32"),
+                                 dist=pd.Series(dtype="int64"))
+                continue
+            x = scratch("kmeans.x", (n, cmat.shape[1]), np.int64)
+            np.stack(pdf[vec_col].to_numpy(), axis=0, out=x)
+            dots = scratch("kmeans.dots", (n, cmat.shape[0]), np.int64)
+            np.matmul(x, cmat.T, out=dots)
+            d = scratch("kmeans.d", (n, cmat.shape[0]), np.int64)
+            # d = |x|^2 - 2 x.c + |c|^2, all int64: exact
+            np.multiply(dots, -2, out=d)
+            d += np.einsum("ij,ij->i", x, x)[:, None]
+            d += cn[None, :]
+            cl = np.argmin(d, axis=1)
+            yield pdf.assign(
+                cluster=cl.astype(np.int32),
+                dist=d[np.arange(n), cl],
+            )
+
+    return qvecs.mapInPandas(assign_iter, out_schema)
 
 
 def init_centroids(qvecs: DataFrame, k: int, vec_col: str = "qv",
@@ -156,7 +241,11 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
             assigned.groupBy("cluster")
             .agg(
                 F.count("*").alias("n"),
-                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+                # SQL-string form: the Column spelling costs ~3 py4j
+                # round-trips per dimension per iteration (r15, same
+                # class as _sq_dist)
+                *[F.expr(f"sum(qv[{i}])").alias(f"s{i}")
+                  for i in range(dim)],
             )
             .collect()
         )
@@ -201,18 +290,30 @@ def probe_clusters(probes: DataFrame, centroids: list[list[int]],
     if not 1 <= nprobe <= len(centroids):
         raise ValueError(
             f"probe_clusters: nprobe must be in [1, k={len(centroids)}]")
-    clash = {c for c in probes.columns if c == "cluster"}
+    clash = {c for c in probes.columns
+             if c == "cluster" or c.startswith("__d")}
     if clash:
-        raise ValueError("probe_clusters: input already has 'cluster'")
-    ranked = F.array_sort(F.array(*[
-        F.struct(_sq_dist(F.col(vec_col), c).alias("d"),
-                 F.lit(j).alias("j"))
-        for j, c in enumerate(centroids)
-    ]))
-    return probes.select(
+        raise ValueError(
+            f"probe_clusters: input already has column(s) {sorted(clash)}")
+    # distances land in NAMED columns in their own projection, and the
+    # sort/slice/explode references them by name (the assign_clusters
+    # r12 lesson, re-learned the hard way in r15): inlining the k
+    # ~200-node aggregate trees directly into array_sort let
+    # CollapseProject re-substitute them through every downstream
+    # projection -- a measured 355 s of driver CPU inside Catalyst
+    # transformDown on a 500-row corpus, before the plan even ran
+    out = probes.select(
         "*",
-        F.explode(F.slice(ranked, 1, nprobe)).alias("__dc"),
-    ).select("*", F.col("__dc.j").alias("cluster")).drop("__dc")
+        *[_sq_dist(vec_col, c).alias(f"__d{j}")
+          for j, c in enumerate(centroids)],
+    )
+    ranked = F.array_sort(F.array(*[
+        F.struct(F.col(f"__d{j}").alias("d"), F.lit(j).alias("j"))
+        for j in range(len(centroids))
+    ]))
+    out = out.select("*", F.explode(F.slice(ranked, 1, nprobe)).alias("__dc"))
+    return out.select("*", F.col("__dc.j").alias("cluster")).drop(
+        "__dc", *[f"__d{j}" for j in range(len(centroids))])
 
 
 def ivf_search(qvecs: DataFrame, centroids: list[list[int]],

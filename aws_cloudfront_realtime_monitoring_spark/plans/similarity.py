@@ -995,22 +995,39 @@ def ann_topk_trained(
     fine through k of a few hundred; past that the distance map belongs
     in a Pandas UDF (documented ceiling, same class as the kmeans
     driver-side k x dim model state)."""
-    from ..operators.kmeans import assign_clusters, fit_kmeans, probe_clusters
+    from ..operators.kmeans import (
+        assign_clusters_batches,
+        fit_kmeans,
+        probe_clusters,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     if centroids is None:
         centroids, _, _ = fit_kmeans(emb, k=k, max_iters=max_iters)
-    corpus = assign_clusters(
+    # Arrow-batch assignment on the (big) corpus side: the Column form's
+    # k-way when-chain join key sent constraint propagation into a
+    # measured 200+ s combinatorial rebuild (see
+    # kmeans.assign_clusters_batches); the batch form's cluster column
+    # is a plain attribute
+    corpus = assign_clusters_batches(
         emb.select("vec_id", qvec().alias("qv")), centroids, "qv"
     ).select(
         F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"),
         qnorm("qv").alias("c_nrm"), "cluster",
     )
+    # lazy localCheckpoint barrier (the dedup signature-barrier
+    # spelling): the probe plan carries k ~200-node distance aggregates
+    # that CollapseProject re-inlines through every downstream
+    # projection (each __d is referenced exactly once, so projection
+    # collapse is legal) — measured 196+ s of driver CPU inside
+    # Catalyst's gatherCommutative on a 500-row corpus before the fix.
+    # The barrier caps the optimizer's view at a materialized leaf of
+    # <= N_QUERIES * nprobe rows.
     probes = probe_clusters(
         emb.where(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), qvec().alias("p_qv")),
         centroids, nprobe=nprobe, vec_col="p_qv",
-    ).withColumn("p_nrm", qnorm("p_qv"))
+    ).withColumn("p_nrm", qnorm("p_qv")).localCheckpoint(eager=False)
     # corpus rows carry ONE (argmin) cluster and a probe's nprobe
     # clusters are distinct, so each (query, cand) pair joins at most
     # once — no dedup stage needed

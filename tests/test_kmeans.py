@@ -303,3 +303,36 @@ def test_trained_quantizer_rescues_skewed_sign_buckets(spark):
     # blob-aligned centroids on well-separated blobs: no misses
     assert recall == 1.0, (
         recall, {p: sorted(got.get(p, set())) for p in probe_ids})
+
+
+def test_assign_clusters_batches_matches_column_form(spark, sf_dir):
+    """r15: the Arrow-batch assignment (the search-path spelling that
+    sidesteps the measured constraint-propagation blowup) must produce
+    IDENTICAL (cluster, dist) to the Column form — same exact int64
+    arithmetic, same lowest-index tiebreak."""
+    from aws_cloudfront_realtime_monitoring_spark.functions.quantize import (
+        qvec,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_batches,
+        fit_kmeans,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _, _ = fit_kmeans(emb, k=16, max_iters=4)
+    qvecs = emb.select("vec_id", qvec(F.col("embedding")).alias("qv"))
+    col_form = {r.vec_id: (r.cluster, r.dist)
+                for r in assign_clusters(qvecs, cents).collect()}
+    batch_form = {r.vec_id: (r.cluster, r.dist)
+                  for r in assign_clusters_batches(qvecs, cents).collect()}
+    assert col_form == batch_form and len(col_form) > 0
+    # duplicate-vector ties must break to the same (lowest) index
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cluster"):
+        assign_clusters_batches(
+            qvecs.withColumn("cluster", F.lit(1)), cents)
