@@ -60,6 +60,10 @@ def main() -> None:
                     help="skip the fixed-B=8 near-dup contrast cells")
     ap.add_argument("--skip-trained", action="store_true",
                     help="skip the trained-quantizer fit/search/recall cells")
+    ap.add_argument("--queries", nargs="*", default=None,
+                    help="registry rows to time (default: the full set); "
+                         "lets a targeted re-run skip the expensive "
+                         "quadratic near-dup cell")
     args = ap.parse_args()
 
     load, flagged = _wait_for_quiet_box()
@@ -81,7 +85,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for label, d in dirs:
         n = spark.read.parquet(f"{d}/embeddings.parquet").count()
-        for q in QUERIES:
+        for q in (args.queries if args.queries is not None else QUERIES):
             cell = mss.timed(spark, lambda: registry[q].build(spark, d),
                              args.runs)
             cell["n"] = n
