@@ -80,15 +80,20 @@ def derived_salt_params(
     samp = large.where(
         F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                F.lit(SALT_SAMPLE_MOD)) == 0)
+    # ONE pass over the large side: share AND the size estimate both
+    # come from the sample (n_large = sample total * MOD is unbiased;
+    # the r15 sweep measured the separate exact count as a whole extra
+    # scan per execution -- the probe should cost one sampled pass)
     share = (
         samp.groupBy(key).count()
-        .agg((F.max("count") / F.sum("count")).alias("share"))
+        .agg((F.max("count") / F.sum("count")).alias("share"),
+             (F.coalesce(F.sum("count"), F.lit(0))
+              * SALT_SAMPLE_MOD).alias("n_large"))
     )
-    n_large = large.agg(F.count(F.lit(1)).alias("n_large"))
     n_small = small.agg(
         F.greatest(F.count(F.lit(1)), F.lit(1)).alias("n_small"))
     return (
-        share.crossJoin(n_large).crossJoin(n_small)
+        share.crossJoin(n_small)
         .select(
             F.least(
                 F.lit(SALT_CAP),
