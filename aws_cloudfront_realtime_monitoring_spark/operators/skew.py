@@ -216,14 +216,21 @@ def two_phase_agg(
     over an input column (``count`` takes any column). Decomposable
     aggregates only -- that is what makes two-phase valid.
 
-    MEASURED CAVEAT (r14 skew drive, SCALE.md): for exactly these
-    decomposable aggregates Spark's hash aggregate already collapses a
-    hot group key to ONE row per input partition map-side, so at 10M
-    rows with a 50%-hot key the plain groupBy beat this operator
-    (0.74 s vs 1.05 s -- the salt phase only adds a shuffle). Reach for
-    it when map-side partial aggregation is unavailable or its state is
-    large (e.g. upstream of a collect-like or exact-distinct rewrite),
-    not for plain sum/count/min/max on a skewed key.
+    DESCOPED (r15, both hypothesized domains measured null --
+    SCALE.md "two_phase_agg's last hypothesized domain measured"):
+    (1) r14: for decomposable aggregates Spark's hash aggregate already
+    collapses a hot group key to ONE row per input partition map-side
+    (plain 0.74 s vs 1.05 s at a 50%-hot key); (2) r15: for exact
+    distinct -- the large-partial-state case this operator was kept
+    for -- Spark's own distinct-aggregate rewrite spreads the hot key
+    through its (key, value)-keyed partial (plain countDistinct 1.20 s
+    vs explicit two-phase 1.24 s at ~1e6 distinct values under the hot
+    key). A salted (key, salt) countDistinct is not even valid (values
+    spread across salts double-count). The operator remains as an
+    explicit, lossless-pinned two-phase building block for pipelines
+    whose upstream stage has destroyed map-side partial aggregation;
+    it carries no measured performance win on any path Spark plans
+    natively.
     """
     if n_salts < 1:
         raise ValueError("two_phase_agg: n_salts must be >= 1")
