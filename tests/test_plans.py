@@ -153,7 +153,13 @@ _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            "embedding_near_dup_blocked",
            # r12: the ONE-ROW dimension-bounds relation that range-
            # quantizes both z-order dims before the interleave
-           "zorder_events_key"}
+           "zorder_events_key",
+           # r15: the recall audit runs the brute-force ground truth in
+           # full (broadcast probes x corpus with the != self predicate
+           # -- the same documented shape as ann_topk_bruteforce /
+           # ann_ivf_recall); the trained side itself is a broadcast
+           # HASH join on the cluster id
+           "ann_trained_recall"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 
