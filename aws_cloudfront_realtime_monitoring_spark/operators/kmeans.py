@@ -258,7 +258,12 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
         if new_centroids == centroids:
             break
         centroids = new_centroids
-    assignments = assign_clusters(qvecs, centroids).select(
+    # the RETURNED relation is what callers JOIN on (semdedup_kmeans
+    # self-joins on cluster), so it takes the Arrow-batch form -- the
+    # Column form's giant cluster expression is the measured
+    # constraint-propagation blowup key (r15); the training loop above
+    # keeps the Column form (its groupBy consumption never joins)
+    assignments = assign_clusters_batches(qvecs, centroids).select(
         id_col, "cluster", "dist"
     )
     # the returned assignments are LAZY and qvecs' cache is released
@@ -334,10 +339,16 @@ def ivf_search(qvecs: DataFrame, centroids: list[list[int]],
     exclude a legitimate (possibly nearest) neighbor (r12 review)."""
     from pyspark.sql import Window as W
 
-    corpus = assign_clusters(qvecs, centroids, vec_col).select(
+    # Arrow-batch assignment on BOTH sides (r15): joining on the
+    # Column-form cluster key put k-way when-chains over k ~200-node
+    # aggregate trees on each side of the equi-join — the measured
+    # constraint-propagation blowup assign_clusters_batches documents
+    # (200+ s of driver CPU at k=16 before any task ran). Values are
+    # pinned identical to the Column form.
+    corpus = assign_clusters_batches(qvecs, centroids, vec_col).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_qv"), "cluster"
     )
-    probe = assign_clusters(probes.select(
+    probe = assign_clusters_batches(probes.select(
         F.col(id_col).alias("p_id"), F.col(vec_col).alias("p_qv")
     ), centroids, "p_qv").select("p_id", "p_qv", "cluster")
     dot = F.aggregate(
