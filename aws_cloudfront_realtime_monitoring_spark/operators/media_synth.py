@@ -513,3 +513,95 @@ def attach_pixel_stats_payload(docs: DataFrame) -> DataFrame:
     is closed-form integer arithmetic over doc_id."""
     builders = (bmp_payload, hier_jpeg_payload, trns_png_payload)
     return _attach(docs, lambda i: builders[i % 3](i))
+
+
+# --------------------------- PNG profile matrix (r15, oracle tier 2)
+#
+# The r15 pixel rows cover BMP / hierarchical-JPEG / tRNS; these
+# builders push three more REAL decode paths through the hash
+# discipline, each with content chosen so the POSITION-WEIGHTED sum
+# (wsum_px) is oracle-recomputable — a permuted reassembly (the Adam7
+# failure mode) cannot match it:
+#
+# - 16-BIT GRAY (color 0, depth 16): v(y, x) = (doc_id % 30000)
+#   + 64*y + 16*x (max < 2^16, no wrap), W = doc_id % 12 + 4,
+#   H = doc_id % 10 + 4.
+# - PALETTE (color 3, depth 8, 4-entry PLTE): index(y, x) = x % 4,
+#   entry k = ((3k + doc_id) % 256, (5k + doc_id) % 256,
+#   (7k + doc_id) % 256); W = doc_id % 16 + 4, H = doc_id % 12 + 4.
+# - ADAM7-INTERLACED RGB8: R = x % 256, G = y % 256,
+#   B = doc_id % 256; W = doc_id % 20 + 5, H = doc_id % 14 + 5
+#   (odd-ish dims exercise empty/ragged passes). The weighted sum is
+#   what verifies the seven-pass REASSEMBLY — the plain sum is
+#   interlace-invariant by construction.
+
+_ADAM7 = (  # (x0, y0, dx, dy) per pass, PNG spec clause 8.2
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def gray16_png_payload(doc_id: int) -> bytes:
+    """16-bit grayscale PNG, big-endian samples, filter 0."""
+    w = doc_id % 12 + 4
+    h = doc_id % 10 + 4
+    base = doc_id % 30000
+    rows = bytearray()
+    for y in range(h):
+        rows += b"\x00"
+        for x in range(w):
+            rows += struct.pack(">H", base + 64 * y + 16 * x)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + _png_chunk(b"IEND", b""))
+
+
+def palette_png_payload(doc_id: int) -> bytes:
+    """Palette PNG (color 3, depth 8) with a 4-entry PLTE; pixel
+    index = x % 4."""
+    w = doc_id % 16 + 4
+    h = doc_id % 12 + 4
+    plte = b"".join(
+        bytes(((3 * k + doc_id) % 256, (5 * k + doc_id) % 256,
+               (7 * k + doc_id) % 256))
+        for k in range(4)
+    )
+    row = b"\x00" + bytes(x % 4 for x in range(w))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(row * h))
+            + _png_chunk(b"IEND", b""))
+
+
+def adam7_png_payload(doc_id: int) -> bytes:
+    """Adam7-interlaced RGB8 PNG: the seven pass sub-images emitted in
+    spec order, each scanline filter 0 — position-dependent content so
+    a mis-reassembled pass flips wsum_px."""
+    w = doc_id % 20 + 5
+    h = doc_id % 14 + 5
+    b_val = doc_id % 256
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass emits nothing (PNG spec 8.2)
+        for yy in range(ph):
+            y = y0 + yy * dy
+            out += b"\x00"
+            for xx in range(pw):
+                x = x0 + xx * dx
+                out += bytes((x % 256, y % 256, b_val))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace 1
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def attach_png_profile_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): 16-bit gray / palette / Adam7 RGB by
+    doc_id % 3 — the PNG profile matrix under the weighted-sum oracle."""
+    builders = (gray16_png_payload, palette_png_payload, adam7_png_payload)
+    return _attach(docs, lambda i: builders[i % 3](i))

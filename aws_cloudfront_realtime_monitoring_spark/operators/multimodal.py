@@ -678,22 +678,29 @@ def frame_sample_offsets(decoded: DataFrame, n_samples: int = 4) -> DataFrame:
 #: including synthesized tRNS alpha), r15
 PIXEL_STATS_SCHEMA = (
     "doc_id BIGINT, fmt STRING, width BIGINT, height BIGINT, "
-    "n_ch BIGINT, sum_px BIGINT, n_px BIGINT"
+    "n_ch BIGINT, sum_px BIGINT, wsum_px BIGINT, n_px BIGINT"
 )
 
 _PIXEL_STATS_COLS = [
-    "doc_id", "fmt", "width", "height", "n_ch", "sum_px", "n_px",
+    "doc_id", "fmt", "width", "height", "n_ch", "sum_px", "wsum_px",
+    "n_px",
 ]
 
 
 def decode_pixel_stats(payload: bytes) -> dict:
     """Full REAL pixel decode reduced to oracle-checkable integers:
-    (fmt, width, height, n_ch, sum_px, n_px) where ``sum_px`` is the
-    int64 sum of EVERY decoded sample (all channels, tRNS-synthesized
-    alpha included). Unlike :func:`decode_image` — whose metadata a
-    header walk could fake — a matching ``sum_px`` requires the entire
-    pixel pipeline (defilter/predict/expand/composite) to be correct.
-    BMP, every static-PNG profile, and the full T.81 JPEG frame matrix
+    (fmt, width, height, n_ch, sum_px, wsum_px, n_px) where ``sum_px``
+    is the int64 sum of EVERY decoded sample (all channels,
+    tRNS-synthesized alpha included) and ``wsum_px`` the
+    POSITION-WEIGHTED sum — Σ (y*width + x + 1) * channel_sum(y, x).
+    The plain sum is position-invariant, so a decoder that reassembles
+    pixels into the wrong places (the exact failure mode of Adam7
+    pass reassembly or pyramid expansion) could still match it; the
+    weighted sum cannot be matched by any permutation of a non-constant
+    image (r15). Unlike :func:`decode_image` — whose metadata a header
+    walk could fake — matching both requires the entire pixel pipeline
+    (defilter/predict/expand/composite/placement) to be correct. BMP,
+    every static-PNG profile, and the full T.81 JPEG frame matrix
     (incl. hierarchical pyramids) qualify; other formats raise
     ``ValueError`` (callers use the usual skip/propagate contract)."""
     if payload[:2] == b"BM":
@@ -706,10 +713,14 @@ def decode_pixel_stats(payload: bytes) -> dict:
         fmt, (w, h, px) = "jpeg", decode_jpeg_pixels(payload)
     else:
         raise ValueError("pixel stats: unrecognized image signature")
+    p64 = px.astype(np.int64)
+    csum = p64.sum(axis=2) if p64.ndim == 3 else p64  # per-pixel channels
+    weights = np.arange(1, w * h + 1, dtype=np.int64).reshape(h, w)
     return {
         "fmt": fmt, "width": w, "height": h,
         "n_ch": px.shape[2] if px.ndim == 3 else 1,
-        "sum_px": int(px.astype(np.int64).sum()),
+        "sum_px": int(p64.sum()),
+        "wsum_px": int((weights * csum).sum()),
         "n_px": w * h,
     }
 

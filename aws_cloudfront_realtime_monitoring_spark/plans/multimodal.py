@@ -294,37 +294,60 @@ def image_audio_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id % 100 + 1 AS w, doc_id % 64 + 1 AS h
       FROM ids WHERE doc_id % 3 = 0),
     bmp AS (
+      -- constant color: weighted sum = channel sum * sum(1..n_px)
       SELECT doc_id, 'bmp' AS fmt, w, h, 3 AS n_ch,
              w * h * ((doc_id % 256) + ((doc_id * 7) % 256)
                       + ((doc_id * 13) % 256)) AS sum_px,
+             (w * h * (w * h + 1) // 2)
+               * ((doc_id % 256) + ((doc_id * 7) % 256)
+                  + ((doc_id * 13) % 256)) AS wsum_px,
              w * h AS n_px
       FROM bmp0),
     hj0 AS (
       SELECT doc_id, 2 * (doc_id % 8 + 2) AS w, 2 * (doc_id % 6 + 2) AS h
       FROM ids WHERE doc_id % 3 = 1),
+    hjy AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM hj0),
+    hjyx AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM hjy),
     hj AS (
-      -- sum over the gradient (doc_id%100) + y + 2x, closed form
+      -- gradient (doc_id%100) + y + 2x: per-pixel terms via unnested
+      -- ranges (DuckDB's table-function generate_series rejects
+      -- correlated column bounds; expression-context range() does not)
       SELECT doc_id, 'jpeg' AS fmt, w, h, 1 AS n_ch,
-             h * w * (doc_id % 100) + w * (h * (h - 1) // 2)
-               + h * (w * (w - 1)) AS sum_px,
+             SUM((doc_id % 100) + y + 2 * x) AS sum_px,
+             SUM((y * w + x + 1)
+                 * ((doc_id % 100) + y + 2 * x)) AS wsum_px,
              w * h AS n_px
-      FROM hj0),
+      FROM hjyx
+      GROUP BY doc_id, w, h),
     tr0 AS (
       SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h,
              (doc_id * 3) % 256 AS kr, (doc_id * 5) % 256 AS kg,
              (doc_id * 7) % 256 AS kb
       FROM ids WHERE doc_id % 3 = 2),
+    try_ AS (SELECT doc_id, w, h, kr, kg, kb,
+                    unnest(range(0, h)) AS y FROM tr0),
+    tryx AS (SELECT doc_id, w, h, kr, kg, kb, y,
+                    unnest(range(0, w)) AS x FROM try_),
     tr AS (
       -- key-colored left half decodes to alpha 0, the rest alpha 255
       SELECT doc_id, 'png' AS fmt, w, h, 4 AS n_ch,
-             h * ((w // 2) * (kr + kg + kb)
-                  + (w - w // 2) * (((kr + 1) % 256) + ((kg + 2) % 256)
-                                    + ((kb + 3) % 256) + 255)) AS sum_px,
+             SUM(CASE WHEN x < w // 2
+                      THEN kr + kg + kb
+                      ELSE ((kr + 1) % 256) + ((kg + 2) % 256)
+                           + ((kb + 3) % 256) + 255 END) AS sum_px,
+             SUM((y * w + x + 1)
+                 * CASE WHEN x < w // 2
+                        THEN kr + kg + kb
+                        ELSE ((kr + 1) % 256) + ((kg + 2) % 256)
+                             + ((kb + 3) % 256) + 255 END) AS wsum_px,
              w * h AS n_px
-      FROM tr0)
+      FROM tryx
+      GROUP BY doc_id, w, h, kr, kg, kb)
     SELECT doc_id, fmt, CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height, CAST(n_ch AS BIGINT) AS n_ch,
-           CAST(sum_px AS BIGINT) AS sum_px, CAST(n_px AS BIGINT) AS n_px
+           CAST(sum_px AS BIGINT) AS sum_px,
+           CAST(wsum_px AS BIGINT) AS wsum_px,
+           CAST(n_px AS BIGINT) AS n_px
     FROM (SELECT * FROM bmp UNION ALL SELECT * FROM hj
           UNION ALL SELECT * FROM tr)
     """,
@@ -386,3 +409,84 @@ def animated_frame_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is sampled and the pick-set arithmetic stays out of the oracle
     return sample_animation_frames(
         attach_animation_payload(docs), n_samples=8, skip_invalid=False)
+
+
+@register(
+    "pixel_png_profiles_stats",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents),
+    g0 AS (
+      SELECT doc_id, doc_id % 12 + 4 AS w, doc_id % 10 + 4 AS h,
+             doc_id % 30000 AS base
+      FROM ids WHERE doc_id % 3 = 0),
+    gy AS (SELECT doc_id, w, h, base, unnest(range(0, h)) AS y FROM g0),
+    gyx AS (SELECT doc_id, w, h, base, y, unnest(range(0, w)) AS x FROM gy),
+    g16 AS (
+      SELECT doc_id, 'png' AS fmt, w, h, 1 AS n_ch,
+             SUM(base + 64 * y + 16 * x) AS sum_px,
+             SUM((y * w + x + 1) * (base + 64 * y + 16 * x)) AS wsum_px,
+             w * h AS n_px
+      FROM gyx
+      GROUP BY doc_id, w, h),
+    p0 AS (
+      SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM ids WHERE doc_id % 3 = 1),
+    py AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM p0),
+    pyx AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM py),
+    pal AS (
+      -- palette expands to RGB; entry channel sum for index x % 4
+      SELECT doc_id, 'png' AS fmt, w, h, 3 AS n_ch,
+             SUM(((3 * (x % 4) + doc_id) % 256)
+                 + ((5 * (x % 4) + doc_id) % 256)
+                 + ((7 * (x % 4) + doc_id) % 256)) AS sum_px,
+             SUM((y * w + x + 1)
+                 * (((3 * (x % 4) + doc_id) % 256)
+                    + ((5 * (x % 4) + doc_id) % 256)
+                    + ((7 * (x % 4) + doc_id) % 256))) AS wsum_px,
+             w * h AS n_px
+      FROM pyx
+      GROUP BY doc_id, w, h),
+    a0 AS (
+      SELECT doc_id, doc_id % 20 + 5 AS w, doc_id % 14 + 5 AS h,
+             doc_id % 256 AS bv
+      FROM ids WHERE doc_id % 3 = 2),
+    ay AS (SELECT doc_id, w, h, bv, unnest(range(0, h)) AS y FROM a0),
+    ayx AS (SELECT doc_id, w, h, bv, y, unnest(range(0, w)) AS x FROM ay),
+    a7 AS (
+      SELECT doc_id, 'png' AS fmt, w, h, 3 AS n_ch,
+             SUM((x % 256) + (y % 256) + bv) AS sum_px,
+             SUM((y * w + x + 1)
+                 * ((x % 256) + (y % 256) + bv)) AS wsum_px,
+             w * h AS n_px
+      FROM ayx
+      GROUP BY doc_id, w, h, bv)
+    SELECT doc_id, fmt, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, CAST(n_ch AS BIGINT) AS n_ch,
+           CAST(sum_px AS BIGINT) AS sum_px,
+           CAST(wsum_px AS BIGINT) AS wsum_px,
+           CAST(n_px AS BIGINT) AS n_px
+    FROM (SELECT * FROM g16 UNION ALL SELECT * FROM pal
+          UNION ALL SELECT * FROM a7)
+    """,
+    description="The PNG profile matrix under the weighted-sum hash "
+                "discipline (r15): 16-BIT grayscale (uint16 sample "
+                "sums), PALETTE expansion (4-entry PLTE -> RGB), and "
+                "ADAM7-INTERLACED RGB payloads (media_synth, doc_id % "
+                "3) through image_pixel_stats_batches. The "
+                "POSITION-WEIGHTED sum is the load-bearing column for "
+                "the Adam7 leg: the plain sample sum is "
+                "interlace-invariant, so only wsum_px verifies the "
+                "seven-pass REASSEMBLY put every pixel back in its "
+                "place. Oracles recompute both sums per pixel via "
+                "generate_series. EXTRAS tier (the driver registry "
+                "budget is full; same Spark-vs-DuckDB hash check via "
+                "the pytest suite).",
+    tags=("multimodal", "pandas-udf", "png"),
+    driver_slot=False,
+)
+def pixel_png_profiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media_synth import attach_png_profile_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_pixel_stats_batches(
+        attach_png_profile_payload(docs), skip_invalid=False)

@@ -106,3 +106,60 @@ def test_image_pixel_stats_batches_skip_contract(spark):
     assert got[1].fmt == "jpeg" and got[3].fmt == "png"
     with pytest.raises(Exception):  # Py4J wraps the ValueError
         image_pixel_stats_batches(df, skip_invalid=False).collect()
+
+
+@pytest.mark.parametrize("doc_id", IDS)
+def test_png_profile_builders_roundtrip_with_weighted_sums(doc_id):
+    """r15 tier-2: 16-bit gray / palette / Adam7 builders decode to the
+    exact formula sums AND position-weighted sums (the Adam7 leg's
+    reassembly check — a permuted pass cannot match wsum_px)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+        adam7_png_payload,
+        gray16_png_payload,
+        palette_png_payload,
+    )
+
+    st = decode_pixel_stats(gray16_png_payload(doc_id))
+    w, h, base = doc_id % 12 + 4, doc_id % 10 + 4, doc_id % 30000
+    assert (st["width"], st["height"], st["n_ch"]) == (w, h, 1)
+    assert st["sum_px"] == sum(base + 64 * y + 16 * x
+                               for y in range(h) for x in range(w))
+    assert st["wsum_px"] == sum((y * w + x + 1) * (base + 64 * y + 16 * x)
+                                for y in range(h) for x in range(w))
+
+    st = decode_pixel_stats(palette_png_payload(doc_id))
+    w, h = doc_id % 16 + 4, doc_id % 12 + 4
+    pal = [((3 * k + doc_id) % 256) + ((5 * k + doc_id) % 256)
+           + ((7 * k + doc_id) % 256) for k in range(4)]
+    assert (st["width"], st["height"], st["n_ch"]) == (w, h, 3)
+    assert st["wsum_px"] == sum((y * w + x + 1) * pal[x % 4]
+                                for y in range(h) for x in range(w))
+
+    st = decode_pixel_stats(adam7_png_payload(doc_id))
+    w, h, bv = doc_id % 20 + 5, doc_id % 14 + 5, doc_id % 256
+    assert (st["width"], st["height"], st["n_ch"]) == (w, h, 3)
+    assert st["wsum_px"] == sum(
+        (y * w + x + 1) * ((x % 256) + (y % 256) + bv)
+        for y in range(h) for x in range(w))
+
+
+def test_wsum_catches_position_scrambles():
+    """The reason wsum_px exists: a pixel permutation preserves sum_px
+    but MUST change wsum_px on non-constant images."""
+    import numpy as np
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+        adam7_png_payload,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    w, h, px = decode_png_pixels(adam7_png_payload(7))
+    p64 = px.astype(np.int64)
+    csum = p64.sum(axis=2).ravel()
+    weights = np.arange(1, w * h + 1, dtype=np.int64)
+    true_w = int((weights * csum).sum())
+    scrambled = int((weights * csum[::-1]).sum())  # reversed placement
+    assert int(csum.sum()) == int(csum[::-1].sum())  # sum is blind to it
+    assert true_w != scrambled                       # wsum is not
