@@ -371,3 +371,26 @@ def ivf_search(qvecs: DataFrame, centroids: list[list[int]],
         .where(F.col("rnk") <= top_k)
         .drop("p_qv")
     )
+
+
+def save_centroids(spark, centroids: list[list[int]], path: str) -> None:
+    """Persist a trained coarse quantizer as parquet (cluster INT,
+    centroid ARRAY<BIGINT>) — the train-once artifact of the
+    fit-once/search-many shape (ann_topk_trained's ``centroids=``
+    argument loads from here). One row per centroid: k x dim integers,
+    the same driver-side model-state footprint fit_kmeans already
+    holds."""
+    rows = [(j, [int(v) for v in c]) for j, c in enumerate(centroids)]
+    (spark.createDataFrame(rows, "cluster INT, centroid ARRAY<BIGINT>")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_centroids(spark, path: str) -> list[list[int]]:
+    """Inverse of :func:`save_centroids`: the k x dim integer list,
+    ordered by cluster id (assignment indices must match the training
+    run — a reordered load would silently relabel every cluster)."""
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    if [r.cluster for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            "centroid relation is not a dense 0..k-1 cluster sequence")
+    return [[int(v) for v in r.centroid] for r in rows]

@@ -336,3 +336,39 @@ def test_assign_clusters_batches_matches_column_form(spark, sf_dir):
     with _pytest.raises(ValueError, match="cluster"):
         assign_clusters_batches(
             qvecs.withColumn("cluster", F.lit(1)), cents)
+
+
+def test_centroid_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """r15: the train-once artifact — saved centroids reload in
+    cluster order and reproduce the identical search."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        fit_kmeans,
+        load_centroids,
+        save_centroids,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_trained,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        load_table,
+    )
+
+    cents, _, _ = fit_kmeans(
+        load_table(spark, sf_dir, "embeddings"), k=8, max_iters=4)
+    p = str(tmp_path / "index")
+    save_centroids(spark, cents, p)
+    loaded = load_centroids(spark, p)
+    assert loaded == cents
+    a = sorted(map(tuple, ann_topk_trained(
+        spark, sf_dir, centroids=cents).collect()))
+    b = sorted(map(tuple, ann_topk_trained(
+        spark, sf_dir, centroids=loaded).collect()))
+    assert a == b and a
+    # a corrupted (gapped) relation is refused, not silently relabeled
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    (spark.read.parquet(p).where(F.col("cluster") != 3)
+     .write.mode("overwrite").parquet(str(tmp_path / "gapped")))
+    with _pytest.raises(ValueError, match="dense"):
+        load_centroids(spark, str(tmp_path / "gapped"))
