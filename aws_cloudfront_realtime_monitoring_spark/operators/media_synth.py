@@ -605,3 +605,95 @@ def attach_png_profile_payload(docs: DataFrame) -> DataFrame:
     doc_id % 3 — the PNG profile matrix under the weighted-sum oracle."""
     builders = (gray16_png_payload, palette_png_payload, adam7_png_payload)
     return _attach(docs, lambda i: builders[i % 3](i))
+
+
+# ------------------------------------------------ GIF (r15, real LZW)
+#
+# The last real-decode image format without an oracle-checked pixel
+# row: a spec-written GIF89a encoder (variable-width LSB-first LZW per
+# the GIF spec appendix) so the repo's LZW DECODER output flows through
+# the weighted-sum hash discipline. Content: 4-color global table,
+# entry k = ((3k + doc_id) % 256, (5k + doc_id) % 256,
+# (7k + doc_id) % 256) (the palette-PNG formula), pixel index
+# (x + y) % 4 — 2-D position-dependent so wsum_px pins placement.
+# W = doc_id % 18 + 4, H = doc_id % 12 + 4.
+
+def _gif_lzw(indices: list[int], min_code_size: int) -> bytes:
+    """GIF variable-width LZW: codes packed LSB-first; CLEAR emitted
+    first; width grows when the next code to assign would not fit
+    (after assigning code 2^width - 1); 12-bit cap with a CLEAR +
+    dictionary reset (tiny images never hit it, but the spec path is
+    implemented, not assumed)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return ({(i,): i for i in range(clear)}, eoi + 1,
+                min_code_size + 1)
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    buf: tuple = ()
+    for c in indices:
+        nxt = buf + (int(c),)
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        buf = (int(c),)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_payload(doc_id: int) -> bytes:
+    """Single-image GIF89a: LSD with a 4-entry global color table,
+    image descriptor, min-code-size 2 LZW data in <=255-byte
+    sub-blocks, trailer."""
+    w = doc_id % 18 + 4
+    h = doc_id % 12 + 4
+    gct = b"".join(
+        bytes(((3 * k + doc_id) % 256, (5 * k + doc_id) % 256,
+               (7 * k + doc_id) % 256))
+        for k in range(4)
+    )
+    indices = [(x + y) % 4 for y in range(h) for x in range(w)]
+    lzw = _gif_lzw(indices, 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (b"GIF89a"
+            + struct.pack("<HH", w, h) + bytes([0x81, 0, 0]) + gct
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + bytes([2]) + bytes(blocks)
+            + b"\x3b")
+
+
+def attach_gif_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): one real-LZW GIF per document."""
+    return _attach(docs, gif_payload)

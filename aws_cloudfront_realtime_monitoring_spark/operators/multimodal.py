@@ -711,6 +711,10 @@ def decode_pixel_stats(payload: bytes) -> dict:
         from .jpeg import decode_jpeg_pixels
 
         fmt, (w, h, px) = "jpeg", decode_jpeg_pixels(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        fmt, (w, h, _n, px) = "gif", decode_gif(payload)  # first frame
     else:
         raise ValueError("pixel stats: unrecognized image signature")
     p64 = px.astype(np.int64)

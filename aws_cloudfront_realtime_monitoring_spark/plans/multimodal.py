@@ -490,3 +490,51 @@ def pixel_png_profiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return image_pixel_stats_batches(
         attach_png_profile_payload(docs), skip_invalid=False)
+
+
+@register(
+    "gif_pixel_stats",
+    oracle="""
+    WITH g0 AS (
+      SELECT doc_id, doc_id % 18 + 4 AS w, doc_id % 12 + 4 AS h
+      FROM documents),
+    gy AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM g0),
+    gyx AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM gy)
+    SELECT doc_id, 'gif' AS fmt, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS n_ch,
+           CAST(SUM(((3 * ((x + y) % 4) + doc_id) % 256)
+                    + ((5 * ((x + y) % 4) + doc_id) % 256)
+                    + ((7 * ((x + y) % 4) + doc_id) % 256)) AS BIGINT)
+             AS sum_px,
+           CAST(SUM((y * w + x + 1)
+                    * (((3 * ((x + y) % 4) + doc_id) % 256)
+                       + ((5 * ((x + y) % 4) + doc_id) % 256)
+                       + ((7 * ((x + y) % 4) + doc_id) % 256)))
+                AS BIGINT) AS wsum_px,
+           CAST(w * h AS BIGINT) AS n_px
+    FROM gyx
+    GROUP BY doc_id, w, h
+    """,
+    description="REAL GIF LZW decode under the weighted-sum hash "
+                "discipline (r15): spec-written GIF89a payloads "
+                "(media_synth _gif_lzw — variable-width LSB-first LZW "
+                "with code growth and the 12-bit CLEAR/reset path, "
+                "written independently of the decoder) whose 4-color "
+                "(x + y) %% 4 content is 2-D position-dependent, so "
+                "wsum_px pins both the LZW stream decode AND pixel "
+                "placement; the oracle recomputes per pixel via "
+                "unnested ranges. Completes the pixel-content oracle "
+                "matrix for every in-repo image decoder family except "
+                "WebP (whose encoder would be a codec in itself — the "
+                "bit-exact-vs-libwebp pytest goldens keep that format). "
+                "EXTRAS tier (driver budget full; identical hash check "
+                "via the pytest suite).",
+    tags=("multimodal", "pandas-udf", "gif"),
+    driver_slot=False,
+)
+def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media_synth import attach_gif_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_pixel_stats_batches(
+        attach_gif_payload(docs), skip_invalid=False)
