@@ -697,3 +697,42 @@ def gif_payload(doc_id: int) -> bytes:
 def attach_gif_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload BINARY): one real-LZW GIF per document."""
     return _attach(docs, gif_payload)
+
+
+def gif_anim_frame_color(doc_id: int, k: int) -> tuple[int, int, int]:
+    """Solid color of GIF animation frame k (the oracle mirrors it)."""
+    return ((doc_id * 3 + 11 * k) % 256, (doc_id * 5 + 13 * k) % 256,
+            (doc_id * 7 + 17 * k) % 256)
+
+
+def gif_anim_payload(doc_id: int) -> bytes:
+    """Animated GIF89a: n = doc_id % 3 + 2 full-canvas frames, each a
+    solid color via a 2-entry LOCAL color table (both entries the
+    frame color; indices all 0), GCE disposal=1 (leave in place) —
+    composited frame k is exactly frame k's color. W = doc_id % 16 + 6,
+    H = doc_id % 10 + 6."""
+    w = doc_id % 16 + 6
+    h = doc_id % 10 + 6
+    n = doc_id % 3 + 2
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h)
+                    + bytes([0x00, 0, 0]))  # no global color table
+    for k in range(n):
+        color = bytes(gif_anim_frame_color(doc_id, k))
+        # GCE: intro + label + size-4 data (packed disposal=1, delay,
+        # transparent idx) + the 0x00 sub-block terminator
+        out += bytes([0x21, 0xF9, 4, 0x04, 10, 0, 0, 0x00])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x80])  # local color table flag, size field 0 (2)
+        out += color + color  # both entries the frame color
+        out += bytes([2])     # LZW minimum code size (spec floor)
+        lzw = _gif_lzw([0] * (w * h), 2)
+        for i in range(0, len(lzw), 255):
+            out += bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def attach_gif_anim_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): one animated GIF per document."""
+    return _attach(docs, gif_anim_payload)

@@ -538,3 +538,39 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return image_pixel_stats_batches(
         attach_gif_payload(docs), skip_invalid=False)
+
+
+@register(
+    "gif_frames_real_stats",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS frame_idx
+      FROM documents)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(doc_id % 3 + 2 AS BIGINT) AS n_frames,
+           CAST(doc_id % 16 + 6 AS BIGINT) AS width,
+           CAST(doc_id % 10 + 6 AS BIGINT) AS height,
+           CAST((doc_id * 3 + 11 * frame_idx) % 256 AS BIGINT) AS mean_r,
+           CAST((doc_id * 5 + 13 * frame_idx) % 256 AS BIGINT) AS mean_g,
+           CAST((doc_id * 7 + 17 * frame_idx) % 256 AS BIGINT) AS mean_b
+    FROM f
+    """,
+    description="REAL GIF animation compositing under the hash "
+                "discipline — the animated_frame_real_stats sibling for "
+                "the OTHER animation format the engine decodes: "
+                "media_synth animations (2-4 full-canvas solid frames, "
+                "per-frame LOCAL color tables, GCE disposal, real LZW "
+                "data) sampled via sample_animation_frames; the oracle "
+                "recomputes every composited frame's channel means. "
+                "EXTRAS tier (driver budget full; same hash check via "
+                "the pytest suite).",
+    tags=("multimodal", "pandas-udf", "gif", "streaming-fanout"),
+    driver_slot=False,
+)
+def gif_frames_real_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media_synth import attach_gif_anim_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # n_samples=8 > the max frame count (4): every frame sampled
+    return sample_animation_frames(
+        attach_gif_anim_payload(docs), n_samples=8, skip_invalid=False)

@@ -224,3 +224,29 @@ def test_gif_lzw_width_growth_and_reset_paths():
     assert (px == pal[exp_idx]).all()
     # and the tiny-image path stays exact too
     assert decode_gif(gif_payload(255))[3] is not None
+
+
+@pytest.mark.parametrize("doc_id", IDS)
+def test_gif_anim_payload_composites_to_formula_colors(doc_id):
+    """r15: GIF animation builder — per-frame local color tables, GCE
+    disposal, real LZW — composites to exact frame colors through the
+    repo's decoder (the APNG sibling check)."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.gif import (
+        count_gif_frames,
+        decode_gif_frames,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+        gif_anim_frame_color,
+        gif_anim_payload,
+    )
+
+    p = gif_anim_payload(doc_id)
+    w, h, n = count_gif_frames(p)
+    assert (w, h, n) == (doc_id % 16 + 6, doc_id % 10 + 6, doc_id % 3 + 2)
+    _, _, screens = decode_gif_frames(p, keep_indices=set(range(n)))
+    assert len(screens) == n
+    for k, screen in enumerate(screens):
+        r, g, b = gif_anim_frame_color(doc_id, k)
+        assert (screen[:, :, 0] == r).all()
+        assert (screen[:, :, 1] == g).all()
+        assert (screen[:, :, 2] == b).all()
