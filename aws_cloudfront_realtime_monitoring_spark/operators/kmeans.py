@@ -46,8 +46,12 @@ def _sq_dist(vec_col: str, centroid: list[int]) -> Column:
     (tools/measure_build_split.py). The SQL form is one round-trip;
     values are identical (same integer ops)."""
     lits = ",".join(f"{int(c)}L" for c in centroid)
+    # backtick-quoted identifier: a backtick INSIDE the name must be
+    # doubled (Spark's quoting rule) or the f-string yields a malformed
+    # expression for a hostile-but-legal column name (r15 ADVICE)
+    vec_ident = vec_col.replace("`", "``")
     return F.expr(
-        f"aggregate(zip_with(`{vec_col}`, array({lits}), "
+        f"aggregate(zip_with(`{vec_ident}`, array({lits}), "
         "(x, c) -> (x - c) * (x - c)), CAST(0 AS BIGINT), "
         "(acc, d) -> acc + d)"
     )
@@ -117,6 +121,12 @@ def assign_clusters_batches(qvecs: DataFrame, centroids: list[list[int]],
     import numpy as np
     import pandas as pd
 
+    if not centroids:
+        # fail on the driver with a clear message, not inside the executor
+        # as an opaque IndexError on a 0-d cmat (r15 ADVICE) — mirrors
+        # fit_kmeans' k >= 1 guard
+        raise ValueError("assign_clusters_batches: centroids must be "
+                         "non-empty")
     clash = {c for c in qvecs.columns if c in ("cluster", "dist")}
     if clash:
         raise ValueError(

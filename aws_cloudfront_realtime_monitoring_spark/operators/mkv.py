@@ -288,26 +288,35 @@ def extract_video_keyframe(payload: bytes) -> tuple[str, bytes]:
         )
         if seg is None:
             raise ValueError("EBML stream has no Segment")
+        # pass 1: resolve the first video track from Segment > Tracks.
+        # A separate pass, not one fused walk: Matroska permits Clusters
+        # BEFORE Tracks in streamed layouts, and a fused walk would skip
+        # those Clusters while track_no is still unresolved (r15 ADVICE).
         track_no, codec = 0, ""
         for eid, lo, hi in _iter_children(payload, *seg):
-            if eid == _TRACKS and not track_no:
-                for eid2, lo2, hi2 in _iter_children(payload, lo, hi):
-                    if eid2 != _TRACK_ENTRY:
-                        continue
-                    t_no = t_type = 0
-                    t_codec = ""
-                    for eid3, lo3, hi3 in _iter_children(payload, lo2, hi2):
-                        if eid3 == _TRACK_NUMBER:
-                            t_no = _uint(payload[lo3:hi3])
-                        elif eid3 == _TRACK_TYPE:
-                            t_type = _uint(payload[lo3:hi3])
-                        elif eid3 == _CODEC_ID:
-                            t_codec = (payload[lo3:hi3]
-                                       .split(b"\x00")[0].decode("latin-1"))
-                    if t_type == 1 and t_no:
-                        track_no, codec = t_no, t_codec
-                        break
-            elif eid == _CLUSTER and track_no:
+            if eid != _TRACKS or track_no:
+                continue
+            for eid2, lo2, hi2 in _iter_children(payload, lo, hi):
+                if eid2 != _TRACK_ENTRY:
+                    continue
+                t_no = t_type = 0
+                t_codec = ""
+                for eid3, lo3, hi3 in _iter_children(payload, lo2, hi2):
+                    if eid3 == _TRACK_NUMBER:
+                        t_no = _uint(payload[lo3:hi3])
+                    elif eid3 == _TRACK_TYPE:
+                        t_type = _uint(payload[lo3:hi3])
+                    elif eid3 == _CODEC_ID:
+                        t_codec = (payload[lo3:hi3]
+                                   .split(b"\x00")[0].decode("latin-1"))
+                if t_type == 1 and t_no:
+                    track_no, codec = t_no, t_codec
+                    break
+        if not track_no:
+            raise ValueError("EBML stream has no video track")
+        # pass 2: walk Clusters in stream order for the first keyframe
+        for eid, lo, hi in _iter_children(payload, *seg):
+            if eid == _CLUSTER:
                 for eid2, lo2, hi2 in _iter_children(payload, lo, hi):
                     if eid2 == _SIMPLE_BLOCK:
                         frame = _block_frame(
@@ -327,8 +336,6 @@ def extract_video_keyframe(payload: bytes) -> tuple[str, bytes]:
                                 payload, *block, track_no, need_key=False)
                             if frame is not None:
                                 return codec, frame
-        if not track_no:
-            raise ValueError("EBML stream has no video track")
         raise ValueError("EBML stream has no video keyframe")
     except (struct.error, IndexError, OverflowError) as exc:
         raise ValueError(f"malformed EBML: {exc}") from exc

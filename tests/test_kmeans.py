@@ -178,6 +178,34 @@ def test_assign_clusters_rejects_colliding_columns(spark):
         assign_clusters(once, [[0, 0]])
 
 
+def test_assign_clusters_backtick_column_name(spark):
+    """r15 ADVICE: a legal-but-hostile column name containing a backtick
+    must be escaped into the SQL-string distance expression, not produce
+    a malformed expression."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import assign_clusters
+
+    df = spark.createDataFrame([(1, [3, 4]), (2, [10, 0])],
+                               "vec_id long, `q``v` array<int>")
+    out = assign_clusters(df, [[0, 0], [10, 0]], vec_col="q`v")
+    got = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in out.collect()}
+    assert got == {1: (0, 25), 2: (1, 0)}
+
+
+def test_assign_clusters_batches_rejects_empty_centroids(spark):
+    """r15 ADVICE: empty centroid list fails driver-side with a clear
+    message, not as an executor IndexError."""
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        assign_clusters_batches,
+    )
+
+    df = spark.createDataFrame([(1, [1, 2])], "vec_id long, qv array<long>")
+    with _pytest.raises(ValueError, match="non-empty"):
+        assign_clusters_batches(df, [])
+
+
 def test_fit_kmeans_validates_k_and_warns_on_short_corpus(spark, caplog):
     import logging
 

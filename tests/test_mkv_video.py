@@ -50,6 +50,7 @@ def mux_webm(frames: list[tuple[int, bytes, bool]], codec: str = "V_VP8",
              track_no: int = 1, w: int = 24, h: int = 20,
              use_blockgroup: bool = False,
              extra_track_first: bool = False,
+             clusters_first: bool = False,
              lacing_flags: int = 0) -> bytes:
     """Minimal WebM: EBML header + Segment(Info, Tracks(video),
     Cluster(Timestamp, blocks)). ``frames`` is (ts, payload, keyframe).
@@ -78,8 +79,12 @@ def mux_webm(frames: list[tuple[int, bytes, bool]], codec: str = "V_VP8",
         else:
             blocks += _el(0xA3, blk)
     cluster = _el(0x1F43B675, _uint_el(0xE7, 0) + blocks)
-    seg = _el(0x18538067, _el(0x1549A966, info)
-              + _el(0x1654AE6B, tracks_body) + cluster)
+    tracks = _el(0x1654AE6B, tracks_body)
+    # clusters_first: the legal streamed layout where Clusters precede
+    # Tracks inside the Segment (r15 ADVICE) — the extractor must resolve
+    # the track in a first pass, then re-walk for blocks
+    body = (cluster + tracks) if clusters_first else (tracks + cluster)
+    seg = _el(0x18538067, _el(0x1549A966, info) + body)
     return header + seg
 
 
@@ -125,6 +130,17 @@ def test_blockgroup_keyframe_via_absent_referenceblock():
     assert frame == vp8
     w, h, px = decode_webm_video_pixels(webm)
     assert (w, h) == (16, 16)
+
+
+def test_clusters_before_tracks_streamed_layout():
+    # Matroska permits Clusters ahead of Tracks in streamed layouts; the
+    # two-pass extractor must still find the keyframe (r15 ADVICE)
+    vp8 = _golden_vp8(GOLDEN_GRADIENT)
+    webm = mux_webm([(0, vp8, True)], clusters_first=True)
+    codec, frame = extract_video_keyframe(webm)
+    assert codec == "V_VP8" and frame == vp8
+    w, h, px = decode_webm_video_pixels(webm)
+    assert (w, h) == (24, 20)
 
 
 def test_extractor_skips_non_video_tracks():

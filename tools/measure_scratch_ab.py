@@ -76,21 +76,28 @@ def main() -> None:
          .write.format("noop").mode("overwrite").save())
         return round(time.perf_counter() - t0, 2)
 
-    # one untimed warm-up per arm (worker spinup, page cache)
-    run(True)
-    run(False)
-
+    # try/finally: run() flips the module-global SCRATCH_POOL; an
+    # exception mid-sweep must not leave the process with the pool OFF
+    # for anything run afterwards in the same session (r15 ADVICE --
+    # same pattern as tests/test_scratch.py)
     pairs = []
-    for i in range(args.pairs):
-        f0, r0 = mem_probe()
-        a = run(True)
-        b = run(False)
-        f1, r1 = mem_probe()
-        rec = {"pool_s": a, "fresh_s": b,
-               "ratio": round(b / a, 2) if a else None,
-               "fault_mbps": (f0, f1), "read_gbps": (r0, r1)}
-        pairs.append(rec)
-        print(f"# pair {i}: {rec}", file=sys.stderr)
+    try:
+        # one untimed warm-up per arm (worker spinup, page cache)
+        run(True)
+        run(False)
+
+        for i in range(args.pairs):
+            f0, r0 = mem_probe()
+            a = run(True)
+            b = run(False)
+            f1, r1 = mem_probe()
+            rec = {"pool_s": a, "fresh_s": b,
+                   "ratio": round(b / a, 2) if a else None,
+                   "fault_mbps": (f0, f1), "read_gbps": (r0, r1)}
+            pairs.append(rec)
+            print(f"# pair {i}: {rec}", file=sys.stderr)
+    finally:
+        sim.SCRATCH_POOL = True
 
     healthy = [p for p in pairs if min(p["read_gbps"]) >= 1.0]
     ratios = [p["ratio"] for p in healthy if p["ratio"]]
@@ -105,7 +112,6 @@ def main() -> None:
         "median_ratio": (round(sorted(ratios)[len(ratios) // 2], 2)
                          if ratios else None),
         "load_start": round(load, 2)}))
-    sim.SCRATCH_POOL = True
     spark.stop()
 
 
