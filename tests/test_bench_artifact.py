@@ -30,6 +30,11 @@ def _fake_run(tmp_path):
         calib_end=0.598,
         mem_start=(11.2, 8.01),
         mem_end=(2048.7, 11.95),
+        regime={"healthy": False, "calib_sec": 0.651, "fault_mbps": 11.2,
+                "bw_gbps": 8.01, "load": 3.14, "wait_sec": 1200.0,
+                "attempts": 19,
+                "thresholds": {"calib_max_sec": 0.62,
+                               "fault_min_mbps": 25.0, "load_max": 4.0}},
         sidecar_dir=tmp_path,
     )
     return line, tmp_path / bench.SIDECAR
@@ -80,6 +85,11 @@ def test_sidecar_carries_verbose_diagnostics(tmp_path):
     assert detail["bw_gbps"] == 11.95
     assert json.loads(line).get("fault_mbps") in (11.2, None)
     assert json.loads(line).get("bw_gbps") in (11.95, None)
+    # r16 (r15 verdict #1): the regime gate's verdict rides in the line
+    # (or sheds), the full record -- readings + thresholds -- in the sidecar
+    assert detail["regime"]["healthy"] is False
+    assert detail["regime"]["thresholds"]["calib_max_sec"] == 0.62
+    assert json.loads(line).get("regime_ok") in (False, None)
     # the sidecar is a superset of the stdout line's fields
     rec = json.loads(line)
     for k in ("metric", "value", "unit", "queries", "sf"):
@@ -166,3 +176,59 @@ def test_calibration_kernel_times_fresh_dataframes(spark, monkeypatch):
     sec = bench._calibration_sec(spark, n_runs=3)
     assert isinstance(sec, float) and sec > 0
     assert len(built) == 4  # 1 untimed warm-up + 3 timed, each a new plan
+
+
+def test_regime_gate_passes_healthy_window_immediately(monkeypatch):
+    """r16 (r15 verdict #1): a healthy first probe ends the gate with no
+    sleeping; its readings become the run's start probes."""
+    monkeypatch.setattr(bench, "_calibration_sec", lambda s: 0.510)
+    monkeypatch.setattr(bench, "_memory_probe", lambda: (40.0, 8.5))
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 1.0, 1.0))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    out = bench._regime_gate(spark=None)
+    assert out["healthy"] is True
+    assert out["attempts"] == 1
+    assert slept == []
+    assert out["calib_sec"] == 0.510 and out["fault_mbps"] == 40.0
+    assert out["thresholds"]["calib_max_sec"] == bench.REGIME_CALIB_MAX
+
+
+def test_regime_gate_retries_then_flags_no_healthy_window(monkeypatch):
+    """A permanently degraded box: the gate retries inside its budget,
+    then returns healthy=False (the bench still runs -- an artifact must
+    exist) instead of spinning forever."""
+    monkeypatch.setattr(bench, "_calibration_sec", lambda s: 0.700)
+    monkeypatch.setattr(bench, "_memory_probe", lambda: (12.0, 8.5))
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 1.0, 1.0))
+    clock = [0.0]
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+
+    def sleep(sec):
+        clock[0] += sec
+
+    monkeypatch.setattr(bench.time, "sleep", sleep)
+    monkeypatch.setattr(bench, "REGIME_WAIT_BUDGET_SEC", 150)
+    monkeypatch.setattr(bench, "REGIME_RETRY_SLEEP_SEC", 60)
+    out = bench._regime_gate(spark=None)
+    assert out["healthy"] is False
+    assert out["attempts"] == 3  # t=0, 60, 120; a 4th would pass 150
+    assert out["wait_sec"] == 120.0
+
+
+def test_regime_gate_recovers_mid_budget(monkeypatch):
+    """A degraded window that clears: the gate's LAST probe is the one
+    recorded (fresh readings, not the degraded first attempt)."""
+    calibs = iter([0.700, 0.505])
+    monkeypatch.setattr(bench, "_calibration_sec", lambda s: next(calibs))
+    faults = iter([(10.0, 2.0), (45.0, 9.0)])
+    monkeypatch.setattr(bench, "_memory_probe", lambda: next(faults))
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    clock = [0.0]
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda sec: clock.__setitem__(0, clock[0] + sec))
+    out = bench._regime_gate(spark=None)
+    assert out["healthy"] is True
+    assert out["attempts"] == 2
+    assert out["calib_sec"] == 0.505 and out["fault_mbps"] == 45.0
