@@ -4,11 +4,16 @@ rollup (near-dup canonicalization, entity resolution, session stitching).
 
 Algorithm: TWO-PHASE star contraction (the Kiveris et al. "Connected
 Components in MapReduce and Beyond" shape). Phase 1 — one distributed
-seed round labels every node min(self, neighbors). Phase 2, common case
-— when the CONTRACTED label graph (distinct cross-label pairs) fits the
-same ~2M-row broadcast budget as the label table, a driver union-find
-finishes it exactly and one broadcast join applies the root map: total
-cost is two jobs and one barrier, with the driver touching only
+seed round labels every node min(self, neighbors); when even the edge
+list fits the broadcast budget (n_nodes <= n_edges, so the label table
+certainly fits), the seed is never barriered at all — the local finish
+runs directly on the seed subplan over the cached edges (r16: zero
+parquet round-trips, zero Observations; the recomputed seed aggregate
+is a scan+agg of a <= 2M-row cached relation, cheaper than one parquet
+commit). Phase 2, common case — when the CONTRACTED label graph
+(distinct cross-label pairs) fits the same ~2M-row broadcast budget as
+the label table, a driver union-find finishes it exactly and one
+broadcast join applies the root map, with the driver touching only
 model-state-sized data (the same O(small) contract as the kmeans
 centroid collect). Phase 2, fallback — oversized contracted graphs (or
 > BROADCAST_MAX_NODES node sets) run the distributed loop: root-level
@@ -376,56 +381,97 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         return result
 
     try:
-        # seed with min(self, direct neighbors) — one aggregation, no
-        # join; equivalent to (and cheaper than) running the first naive
-        # round. Inside the try so the session conf, the cached edges and
-        # the temp dir are released even if the first job fails. The seed
-        # job also observes the node count — the one table statistic the
-        # rest of the loop needs for its join-strategy choice, gathered
-        # for free.
-        seed_obs = Observation()
-        labels = barrier(
+        # the seed labeling: min(self, direct neighbors) — one
+        # aggregation, no join; equivalent to (and cheaper than) running
+        # the first naive round
+        seed_plan = (
             edges.groupBy(F.col("u").alias("node"))
             .agg(F.min("v").alias("mn"))
             .select("node", F.least("node", "mn").alias("lbl"))
-            .observe(seed_obs, F.count(F.lit(1)).alias("n_nodes"))
         )
-        # Cost-based join strategy, decided once: the label relation has
-        # exactly n_nodes rows forever (monotone relabeling, never grows),
-        # so if it fits a broadcast now it always will. Broadcasting the
-        # parent/label side turns every jump self-join and hook lookup
-        # into a BroadcastHashJoin — the whole jump chain becomes ONE
-        # stage pipeline instead of jumps+1 AQE query stages, whose
-        # per-stage driver re-planning latency (~0.2-0.3 s each on
-        # partition-sized label tables) dominated the operator's local
-        # cost. Past the threshold the plain shuffle-join path runs
-        # unchanged — the same decision a CBO makes from table stats.
-        n_nodes = seed_obs.get["n_nodes"]
-        small_labels = n_nodes <= BROADCAST_MAX_NODES
-        _LOG.info("cc: %d nodes, broadcast_labels=%s", n_nodes, small_labels)
-        if small_labels:
-            # Two-phase finish (the Kiveris et al. "CC in MapReduce and
-            # Beyond" local-finish pattern): contract edges to the LABEL
-            # graph -- distinct (lbl(u), lbl(v)) pairs with differing
-            # labels. Contraction preserves connectivity between seed
-            # groups, so exact components of the contracted graph ARE the
-            # remaining merge work. When that contracted edge set fits the
-            # same broadcast budget as the labels, a driver union-find
-            # (model-state-sized data, same O(small) contract as the
-            # kmeans centroid collect) finishes it exactly, and ONE
-            # broadcast join applies the root map -- replacing the whole
-            # hook/flatten loop (2 jobs + 1-2 barriers per round) with a
-            # single job and zero extra barriers. Oversized contracted
-            # graphs (dense cross-group edge structure) fall through to
-            # the unchanged logarithmic loop below, which also remains the
-            # only path for > BROADCAST_MAX_NODES graphs.
-            done = _local_finish(spark, edges, labels)
+        # Materialize the edge cache and count it in one bounded job.
+        # n_edges is a CONSERVATIVE node-count proxy (every node appears
+        # as u in >= 1 symmetrized row, so n_nodes <= n_edges): when even
+        # the edge list fits the broadcast budget, the label table
+        # certainly does, and the whole small-graph fast path below is
+        # safe without ever materializing the seed. The count itself
+        # costs only the cache materialization the seed job paid anyway.
+        n_edges = edges.count()
+        if n_edges <= BROADCAST_MAX_NODES:
+            # Small-graph fast path (r16): run the two-phase local finish
+            # DIRECTLY on the unbarriered seed subplan over the cached
+            # edge relation — no parquet barrier, no Observation, no
+            # read-back. The seed aggregate is recomputed by each of the
+            # probe's two broadcast builds and once by the final apply,
+            # but each recompute is one scan+agg of a <= 2M-row cached
+            # relation — cheaper than one parquet commit + re-read, and
+            # it removes the seed barrier from the operator's fixed cost
+            # (the dominant term at sf0.1, where the local finish always
+            # engages and the loop never runs).
+            small_labels = True
+            done = _local_finish(spark, edges, seed_plan)
             if done is not None:
                 _LOG.info(
-                    "connected_components converged: local finish, "
-                    "%d barrier writes", step,
+                    "connected_components converged: local finish "
+                    "(unbarriered seed, %d edges), %d barrier writes",
+                    n_edges, step,
                 )
                 return finish(done)
+            # oversized contracted graph: barrier the seed (barrier()
+            # picks localCheckpoint — small_labels is already known) and
+            # fall into the unchanged distributed loop
+            labels = barrier(seed_plan)
+            _LOG.info("cc: <=%d nodes (edge proxy), broadcast_labels=True",
+                      n_edges)
+        else:
+            # big-graph path, unchanged: the seed job observes the node
+            # count — the one table statistic the loop needs for its
+            # join-strategy choice, gathered for free.
+            seed_obs = Observation()
+            labels = barrier(
+                seed_plan.observe(
+                    seed_obs, F.count(F.lit(1)).alias("n_nodes"))
+            )
+            # Cost-based join strategy, decided once: the label relation
+            # has exactly n_nodes rows forever (monotone relabeling,
+            # never grows), so if it fits a broadcast now it always will.
+            # Broadcasting the parent/label side turns every jump
+            # self-join and hook lookup into a BroadcastHashJoin — the
+            # whole jump chain becomes ONE stage pipeline instead of
+            # jumps+1 AQE query stages, whose per-stage driver
+            # re-planning latency (~0.2-0.3 s each on partition-sized
+            # label tables) dominated the operator's local cost. Past the
+            # threshold the plain shuffle-join path runs unchanged — the
+            # same decision a CBO makes from table stats.
+            n_nodes = seed_obs.get["n_nodes"]
+            small_labels = n_nodes <= BROADCAST_MAX_NODES
+            _LOG.info("cc: %d nodes, broadcast_labels=%s",
+                      n_nodes, small_labels)
+            if small_labels:
+                # Two-phase finish (the Kiveris et al. "CC in MapReduce
+                # and Beyond" local-finish pattern): contract edges to
+                # the LABEL graph -- distinct (lbl(u), lbl(v)) pairs with
+                # differing labels. Contraction preserves connectivity
+                # between seed groups, so exact components of the
+                # contracted graph ARE the remaining merge work. When
+                # that contracted edge set fits the same broadcast budget
+                # as the labels, a driver union-find (model-state-sized
+                # data, same O(small) contract as the kmeans centroid
+                # collect) finishes it exactly, and ONE broadcast join
+                # applies the root map -- replacing the whole hook/
+                # flatten loop (2 jobs + 1-2 barriers per round) with a
+                # single job and zero extra barriers. Oversized
+                # contracted graphs (dense cross-group edge structure)
+                # fall through to the unchanged logarithmic loop below,
+                # which also remains the only path for >
+                # BROADCAST_MAX_NODES graphs.
+                done = _local_finish(spark, edges, labels)
+                if done is not None:
+                    _LOG.info(
+                        "connected_components converged: local finish, "
+                        "%d barrier writes", step,
+                    )
+                    return finish(done)
         # The seed is not generally flat (lbl(n) may itself point onward),
         # but NO pre-flatten pass runs: hooking is label-propagation-
         # correct on any labeling (labels only decrease and always name a
