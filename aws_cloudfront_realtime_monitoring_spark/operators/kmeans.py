@@ -194,13 +194,25 @@ def init_centroids(qvecs: DataFrame, k: int, vec_col: str = "qv",
 
 
 def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
-               vec_col: str = "embedding", id_col: str = "vec_id"):
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               fit_fraction: float | None = None):
     """Lloyd's algorithm on quantized vectors.
 
     Returns ``(centroids, assignments, n_iters)`` where ``centroids`` is a
     k x dim list of ints (the trained coarse quantizer), ``assignments`` a
-    DataFrame (id, cluster, dist), and ``n_iters`` the executed iteration
-    count (including the final no-change check).
+    DataFrame (id, cluster, dist) over the FULL corpus, and ``n_iters``
+    the executed iteration count (including the final no-change check).
+
+    ``fit_fraction`` (r16, verdict #4): train Lloyd on a DETERMINISTIC
+    hash sample of the corpus (``xxhash64(id) % 2^20 < fraction*2^20``
+    -- reproducible across runs and engines, no RNG state) instead of
+    the full relation. Every Lloyd iteration is a full assignment pass
+    over the training set, so the fit cost divides by ~1/fraction while
+    centroid quality barely moves for any corpus whose cluster mass is
+    not concentrated in a sub-sample sliver (measured in SCALE.md's
+    trained-ANN table). The returned ``assignments`` ALWAYS cover the
+    full corpus; validation (ragged/NULL) also stays full-corpus, since
+    the assignment pass would consume the bad rows either way.
     """
     # drop NULL vectors (and vectors with a NULL element) up front: they
     # would propagate dist=NULL through every distance term, yield a
@@ -209,22 +221,40 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     # caller's skip case, not a crash
     if k < 1:
         raise ValueError(f"fit_kmeans: k must be >= 1, got {k}")
-    qvecs = (
+    if fit_fraction is not None and not 0.0 < fit_fraction <= 1.0:
+        raise ValueError(
+            f"fit_kmeans: fit_fraction must be in (0, 1], got {fit_fraction}")
+    qall = (
         vectors.where(F.col(vec_col).isNotNull())
         .where(~F.exists(F.col(vec_col), lambda x: x.isNull()))
         .select(id_col, quantize(F.col(vec_col)).alias("qv"))
-        .persist()
     )
+    sampled = fit_fraction is not None and fit_fraction < 1.0
+    if sampled:
+        mod = 1 << 20
+        qvecs = qall.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod))
+            < F.lit(int(fit_fraction * mod))
+        ).persist()
+    else:
+        qvecs = qall.persist()
     head = qvecs.select(F.size("qv")).first()
     if head is None:
-        raise ValueError("fit_kmeans: vectors DataFrame is empty")
+        raise ValueError(
+            "fit_kmeans: vectors DataFrame is empty"
+            + (f" after fit_fraction={fit_fraction} sampling" if sampled
+               else ""))
     dim = head[0]
     # ragged vector lengths are the same schema violation as NULL
     # elements (r11's guard above): a cluster of all-short vectors
     # aggregates NULL sums and the centroid update dies in int(None),
     # while MIXED-length clusters silently average over missing
-    # dimensions -- reject both up front with a clear error (r12 review)
-    ragged = qvecs.where(F.size("qv") != dim).limit(1).count()
+    # dimensions -- reject both up front with a clear error (r12 review).
+    # Checked on the FULL corpus even when the fit is sampled: the final
+    # assignment pass consumes every row, so an out-of-sample ragged
+    # vector would otherwise surface as an opaque executor numpy error.
+    ragged = (qall if sampled else qvecs).where(
+        F.size("qv") != dim).limit(1).count()
     if ragged:
         raise ValueError(
             f"fit_kmeans: {vec_col} has inconsistent vector lengths "
@@ -272,10 +302,11 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     # self-joins on cluster), so it takes the Arrow-batch form -- the
     # Column form's giant cluster expression is the measured
     # constraint-propagation blowup key (r15); the training loop above
-    # keeps the Column form (its groupBy consumption never joins)
-    assignments = assign_clusters_batches(qvecs, centroids).select(
-        id_col, "cluster", "dist"
-    )
+    # keeps the Column form (its groupBy consumption never joins).
+    # Assignments always cover the FULL corpus, sampled fit or not.
+    assignments = assign_clusters_batches(
+        qall if sampled else qvecs, centroids
+    ).select(id_col, "cluster", "dist")
     # the returned assignments are LAZY and qvecs' cache is released
     # here: each later action re-runs the narrow quantize+assign map
     # from the source (no shuffle -- ordinary lazy semantics). Callers

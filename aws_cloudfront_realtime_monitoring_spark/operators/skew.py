@@ -142,6 +142,18 @@ def salted_join(
     broadcastable -- salting matters when it is *too big to broadcast* but
     far smaller than the large side).
 
+    Choosing ``n_salts`` (measured crossover rule, SCALE.md's auto-salt
+    sweep): pass ``"auto"`` whenever the join dwarfs one sampled scan of
+    its large side -- true for every join this operator exists for; the
+    derived count landed inside or beat the hand-tuned optimum band at
+    both measured skew ratios, while a hand-pinned count measurably
+    inverts past the contention knee (n=32 was 2.3x worse than derived
+    at 50% skew). Hand-pin only sub-second joins, where the probe's one
+    sampled pass (~0.6 s at sf0.1) is not amortized::
+
+        salted_join(facts, dims, "k", n_salts="auto")   # the default choice
+        salted_join(tiny, dims, "k", n_salts=4)         # sub-second join
+
     Only join types that never emit unmatched SMALL-side rows are valid:
     for right/full outer joins the n_salts small-side replicas would each
     surface as an unmatched output row (duplicates), so they are rejected.

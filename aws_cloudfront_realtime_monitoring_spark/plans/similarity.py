@@ -979,6 +979,7 @@ def ann_topk_trained(
     spark: SparkSession, sf_dir: str, k: int = 16, nprobe: int = 2,
     max_iters: int = 8, top_k: int = 3,
     centroids: list[list[int]] | None = None,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF top-k with a TRAINED coarse quantizer: k-means centroids
     (operators/kmeans.py, integer-exact Lloyd) replace the sign-pattern
@@ -1003,7 +1004,8 @@ def ann_topk_trained(
 
     emb = load_table(spark, sf_dir, "embeddings")
     if centroids is None:
-        centroids, _, _ = fit_kmeans(emb, k=k, max_iters=max_iters)
+        centroids, _, _ = fit_kmeans(emb, k=k, max_iters=max_iters,
+                                     fit_fraction=fit_fraction)
     # Arrow-batch assignment on the (big) corpus side: the Column form's
     # k-way when-chain join key sent constraint propagation into a
     # measured 200+ s combinatorial rebuild (see

@@ -400,3 +400,40 @@ def test_centroid_save_load_roundtrip(spark, sf_dir, tmp_path):
      .write.mode("overwrite").parquet(str(tmp_path / "gapped")))
     with _pytest.raises(ValueError, match="dense"):
         load_centroids(spark, str(tmp_path / "gapped"))
+
+
+def test_fit_kmeans_sampled_fit_full_assignments(spark):
+    """r16 (verdict #4): fit_fraction trains Lloyd on a deterministic
+    hash sample but the returned assignments cover the FULL corpus, and
+    the sample is reproducible across calls."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import fit_kmeans
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(400)],
+        "vec_id long, embedding array<double>")
+    c1, a1, _ = fit_kmeans(df, k=3, max_iters=4, fit_fraction=0.5)
+    c2, a2, _ = fit_kmeans(df, k=3, max_iters=4, fit_fraction=0.5)
+    assert c1 == c2  # deterministic sample -> identical centroids
+    assert a1.count() == 400  # full corpus assigned, not the sample
+    got = {r.vec_id for r in a1.select("vec_id").collect()}
+    assert got == set(range(400))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fit_fraction"):
+        fit_kmeans(df, k=3, fit_fraction=0.0)
+    with _pytest.raises(ValueError, match="fit_fraction"):
+        fit_kmeans(df, k=3, fit_fraction=1.5)
+
+
+def test_fit_kmeans_sampled_fit_validates_full_corpus(spark):
+    """A ragged vector OUTSIDE the fit sample must still be rejected --
+    the full-corpus assignment pass would consume it."""
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import fit_kmeans
+
+    rows = [(i, [float(i), 0.0]) for i in range(200)]
+    rows.append((200, [1.0, 2.0, 3.0]))  # ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="inconsistent vector lengths"):
+        fit_kmeans(df, k=2, max_iters=2, fit_fraction=0.3)

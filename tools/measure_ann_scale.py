@@ -52,6 +52,99 @@ from aws_cloudfront_realtime_monitoring_spark.session import get_spark
 QUERIES = ["ann_topk_bruteforce", "ann_topk_ivf", "embedding_near_dup_blocked"]
 
 
+def _nprobe_sweep(spark, last_dir: tuple[str, str], args) -> None:
+    """Trained-quantizer recall-vs-nprobe curve + sample-fit contrast
+    (r16, verdict #3/#4) at the largest built decade. Fit is timed ONCE
+    per arm (full-corpus Lloyd vs a deterministic hash-sample fit at
+    ``--fit-fraction``); each nprobe cell then times search-only with
+    the pre-trained index and audits recall@3 vs the exact ground
+    truth. One JSON line + a markdown table for SCALE.md."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import fit_kmeans
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_trained,
+        ann_trained_recall,
+    )
+
+    label, d = last_dir
+    n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+    k = 64 if n > 50_000 else 16
+    arms = {}
+    for arm, frac in (("full", None), (f"sample{args.fit_fraction}",
+                                       args.fit_fraction)):
+        t0 = time.perf_counter()
+        cents, _, iters = fit_kmeans(
+            spark.read.parquet(f"{d}/embeddings.parquet"),
+            k=k, max_iters=8, fit_fraction=frac)
+        arms[arm] = {"cents": cents, "iters": iters,
+                     "fit_s": round(time.perf_counter() - t0, 2)}
+        print(f"# fit[{arm}] @{label} (n={n}, k={k}): "
+              f"{arms[arm]['fit_s']}s, {iters} iters", file=sys.stderr)
+
+    cells = {}
+    for nprobe in args.nprobe_sweep:
+        for arm, st in arms.items():
+            cell = mss.timed(
+                spark,
+                lambda: ann_topk_trained(
+                    spark, d, centroids=st["cents"], nprobe=nprobe),
+                args.runs)
+            rec = ann_trained_recall_nprobe(
+                spark, d, st["cents"], nprobe).collect()
+            cell.update({
+                "recall_at3": round(
+                    sum(r.n_both for r in rec) / (3 * len(rec)), 3),
+            })
+            cells[f"np{nprobe}:{arm}"] = cell
+            print(f"# np{nprobe}:{arm}: {cell}", file=sys.stderr)
+
+    print(f"\n# trained-ANN sweep @{label} (n={n}, k={k}); "
+          f"fit: " + ", ".join(
+              f"{a}={st['fit_s']}s/{st['iters']}it"
+              for a, st in arms.items()))
+    print("| nprobe | arm | search min (s) | recall@3 | ext |")
+    print("|---|---|---|---|---|")
+    for name, c in cells.items():
+        np_, arm = name.split(":")
+        print(f"| {np_[2:]} | {arm} | {c['sec']} | {c['recall_at3']} |"
+              f" {c['ext_cores']} |")
+    print(json.dumps({
+        "metric": "ann_nprobe_sweep", "n": n, "k": k,
+        "fits": {a: {"fit_s": st["fit_s"], "iters": st["iters"]}
+                 for a, st in arms.items()},
+        "cells": cells}))
+
+
+def ann_trained_recall_nprobe(spark, d, cents, nprobe):
+    """ann_trained_recall with the nprobe knob exposed (the registry row
+    pins the production default; the sweep varies it)."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_bruteforce_df,
+        ann_topk_trained,
+    )
+
+    trained = ann_topk_trained(
+        spark, d, centroids=cents, nprobe=nprobe
+    ).where(F.col("rnk") <= 3).select(
+        F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c"))
+    exact = ann_topk_bruteforce_df(spark, d).where(
+        F.col("rnk") <= 3).select(
+        F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c"))
+    joined = trained.join(
+        exact,
+        (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
+        "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("i_q"), F.col("e_q")).alias("query_id"),
+            (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
+            .cast("int").alias("is_both"))
+        .groupBy("query_id")
+        .agg(F.sum("is_both").cast("bigint").alias("n_both"))
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, nargs="*", default=[10, 100])
@@ -64,6 +157,15 @@ def main() -> None:
                     help="registry rows to time (default: the full set); "
                          "lets a targeted re-run skip the expensive "
                          "quadratic near-dup cell")
+    ap.add_argument("--nprobe-sweep", type=int, nargs="*", default=None,
+                    help="run ONLY the trained-quantizer sweep (r16, "
+                         "verdict #3/#4): fit once per arm (full corpus "
+                         "and --fit-fraction sample), then per nprobe "
+                         "value time search + recall@3 with both centroid "
+                         "sets at the LAST --copies decade")
+    ap.add_argument("--fit-fraction", type=float, default=0.1,
+                    help="sample fraction for the sample-fit arm of "
+                         "--nprobe-sweep")
     args = ap.parse_args()
 
     load, flagged = _wait_for_quiet_box()
@@ -81,6 +183,11 @@ def main() -> None:
     for c in args.copies:
         build_scaled_embeddings(spark, "/root/testdata/sf0.1", c)
         dirs.append((f"x{c}", str(SWEEP_DIR / f"sf0.1x{c}")))
+
+    if args.nprobe_sweep:
+        _nprobe_sweep(spark, dirs[-1], args)
+        spark.stop()
+        return
 
     results: dict[str, dict] = {}
     for label, d in dirs:
