@@ -545,9 +545,18 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # per-worker pooled plane buffers (r16, verdict #5): the MCU loop
+    # writes EVERY 8x8 block of every plane (plane dims are exactly the
+    # MCU grid by construction), so the old np.zeros init was never
+    # read and a pooled undefined-content buffer is bit-identical;
+    # consumed by _assemble (np.repeat copies) within this call.
+    from .scratch import scratch
+
     planes = {}
     for cid, hs, vs, _tq in comps:
-        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8))
+        planes[cid] = scratch(
+            f"jpeg.seq_plane.{cid}",
+            (mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
     br = _BitReader(data, pos)
     pred = {cid: 0 for cid, *_ in comps}
     mcu_count = 0
@@ -678,10 +687,17 @@ class _ProgState:
         #: non-interleaved scans cover exactly this, not the MCU-padded
         #: grid
         self.nblocks: dict[int, tuple[int, int]] = {}
+        from .scratch import scratch
+
         for cid, hs, vs, _tq in comps:
-            self.coefs[cid] = np.zeros(
-                (self.mcus_y * vs, self.mcus_x * hs, 64), np.int32
-            )
+            # pooled + EXPLICIT zero fill: progressive scans
+            # read-modify-write these across scans, so the zero initial
+            # state is semantic (unlike the sequential planes); filling
+            # warm pages is a memset, faulting fresh ones is the tax
+            self.coefs[cid] = scratch(
+                f"jpeg.prog_coefs.{cid}",
+                (self.mcus_y * vs, self.mcus_x * hs, 64), np.int32)
+            self.coefs[cid].fill(0)
             cw = -(-(w * hs) // self.hmax)
             ch = -(-(h * vs) // self.vmax)
             self.nblocks[cid] = (-(-ch // 8), -(-cw // 8))
@@ -1035,7 +1051,16 @@ class _LosslessState:
             # fallback per the operators/__init__ policy)
             raise ValueError("JPEG dimensions exceed the decode cap")
         self.h, self.w, self.comps, self.prec = h, w, comps, prec
-        self.planes = {c[0]: np.zeros((h, w), np.int32) for c in comps}
+        # pooled + zero fill (conservative: prediction only ever reads
+        # already-decoded positions, but fill(0) makes pooled contents
+        # literally equal to the old np.zeros for any malformed stream)
+        from .scratch import scratch
+
+        self.planes = {}
+        for c in comps:
+            self.planes[c[0]] = scratch(
+                f"jpeg.lossless_plane.{c[0]}", (h, w), np.int32)
+            self.planes[c[0]].fill(0)
         self.pt: dict[int, int] = {}  # point transform, per scan
 
 
@@ -1351,9 +1376,15 @@ def _decode_arith_scan(data, pos, frame, scan_tables, qt, dc_cond, ac_cond,
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # pooled plane buffers -- same full-coverage argument as
+    # _decode_scan's (every MCU block written, zeros never read)
+    from .scratch import scratch
+
     planes = {}
     for cid, hs, vs, _tq in comps:
-        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8))
+        planes[cid] = scratch(
+            f"jpeg.seq_plane.{cid}",
+            (mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
     ent = ArithEntropy(data, pos, dc_cond, ac_cond)
     mcu_count = 0
     for my in range(mcus_y):

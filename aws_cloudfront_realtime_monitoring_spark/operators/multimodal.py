@@ -144,8 +144,17 @@ def _defilter(lines: np.ndarray, rowbytes: int, bpp: int) -> np.ndarray:
     per the spec -- the "left" neighbour sits ``bpp = max(1,
     channels*depth//8)`` bytes back regardless of sample packing."""
     height = lines.shape[0]
-    out = np.zeros((height, rowbytes), np.uint16)  # u16: filter math mod 256
-    prev = np.zeros(rowbytes, np.uint16)
+    from .scratch import scratch
+
+    # per-worker pooled buffers (r16, verdict #5): one worker defilters
+    # MANY payloads and the first-touch-fault regime (SCALE.md) taxes
+    # every fresh allocation; `out` is fully written row by row before
+    # any read, `prev` needs its zero semantics restored per call (the
+    # spec's "row above the first row is zero"). Bit-identical to the
+    # fresh np.zeros spelling -- the pixel oracle hashes pin it.
+    out = scratch("png.defilter.u16", (height, rowbytes), np.uint16)
+    prev = scratch("png.defilter.prev", (rowbytes,), np.uint16)
+    prev.fill(0)
     for y in range(height):
         f, row = lines[y, 0], lines[y, 1:].astype(np.uint16)
         if f == 0:  # None
@@ -184,7 +193,14 @@ def _defilter(lines: np.ndarray, rowbytes: int, bpp: int) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f} on row {y}")
         out[y] = cur
         prev = cur
-    return out.astype(np.uint8)
+    # pooled u8 result (consumed into the px canvas before the next
+    # _defilter call -- _unpack_samples' depth==8 path returns a VIEW of
+    # this buffer, and every caller copies it into its own array within
+    # the same pass iteration); np.copyto casts u16->u8, identical to
+    # astype for the already-masked (& 0xFF) values
+    res = scratch("png.defilter.u8", (height, rowbytes), np.uint8)
+    np.copyto(res, out, casting="unsafe")
+    return res
 
 
 def _unpack_samples(
@@ -615,6 +631,15 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
 
+#: driver-side pool switch for the media decode kernels, snapshotted
+#: into each mapInPandas closure at plan-build time (the
+#: plans/similarity.py SCRATCH_POOL pattern) and applied worker-side by
+#: setting operators.scratch.ENABLED — the decoders call scratch()
+#: directly, too deep to thread a parameter. A/B instrumentation only
+#: (tools/measure_media_scale.py --scratch-ab); production leaves it on.
+MEDIA_SCRATCH = True
+
+
 def decode_batches(docs_with_payload: DataFrame) -> DataFrame:
     """Run the media decoder over Arrow batches via ``mapInPandas``
     (REAL decode for BMP/PNG/JPEG/GIF/WebP, deterministic fake for the
@@ -626,8 +651,12 @@ def decode_batches(docs_with_payload: DataFrame) -> DataFrame:
     pandas processing, bounded memory, no driver involvement, output schema
     declared up front.
     """
+    use_pool = MEDIA_SCRATCH
 
     def decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import scratch as _scratch_mod
+
+        _scratch_mod.ENABLED = use_pool
         for pdf in batches:
             out = [
                 # NULL payloads/doc_ids (ingest gaps) stay inside the
@@ -738,8 +767,12 @@ def image_pixel_stats_batches(
     can hash-check decode OUTPUT, not just header metadata.
     ``skip_invalid`` follows the audio_feature_batches corrupt-record
     contract (drop vs propagate)."""
+    use_pool = MEDIA_SCRATCH
 
     def stats_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import scratch as _scratch_mod
+
+        _scratch_mod.ENABLED = use_pool
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -800,7 +833,12 @@ def sample_animation_frames(
     from .apng import count_apng_frames, decode_apng_frames
     from .gif import count_gif_frames, decode_gif_frames
 
+    use_pool = MEDIA_SCRATCH
+
     def frames_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import scratch as _scratch_mod
+
+        _scratch_mod.ENABLED = use_pool
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):

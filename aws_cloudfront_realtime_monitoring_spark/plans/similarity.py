@@ -976,10 +976,10 @@ def ann_ivf_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall audit runs against either index.
 
 def ann_topk_trained(
-    spark: SparkSession, sf_dir: str, k: int = 16, nprobe: int = 2,
+    spark: SparkSession, sf_dir: str, k: int = 16, nprobe: int | None = None,
     max_iters: int = 8, top_k: int = 3,
     centroids: list[list[int]] | None = None,
-    fit_fraction: float | None = None,
+    fit_fraction: float | str | None = None,
 ) -> DataFrame:
     """IVF top-k with a TRAINED coarse quantizer: k-means centroids
     (operators/kmeans.py, integer-exact Lloyd) replace the sign-pattern
@@ -989,13 +989,23 @@ def ann_topk_trained(
     equi-join on the cluster id, ranked by the exact integer cosine.
     Same (query_id, cand_id, rnk, cos6) contract as ``ann_topk_ivf``.
 
+    ``nprobe=None`` pins the measured default ``max(2, k // 8)``: the
+    r16 x100 recall-vs-nprobe sweep (SCALE.md trained-ANN table) put
+    the recall knee at ~k/8 lists probed (recall@3 0.867 with sample-
+    fit centroids at k=64/nprobe=8, vs 0.467 at nprobe=1), while below
+    2 probes recall collapses at every k; candidate volume stays
+    ~nprobe/k of the corpus, so the default scans ~12.5%. At k=16 the
+    rule reproduces the pre-r16 default of 2 unchanged.
+
     Pass ``centroids`` to search with a pre-trained index (the
     production shape: train once, search many); otherwise the quantizer
-    is fitted here. Scale note: centroids ride the plan as literals, so
-    the assignment stage is a narrow map with k distance expressions —
-    fine through k of a few hundred; past that the distance map belongs
-    in a Pandas UDF (documented ceiling, same class as the kmeans
-    driver-side k x dim model state)."""
+    is fitted here (``fit_fraction`` forwards to ``fit_kmeans`` —
+    ``"auto"`` caps the training set at FIT_SAMPLE_TARGET vectors, the
+    measured 5.8x fit amortization). Scale note: centroids ride the
+    plan as literals, so the assignment stage is a narrow map with k
+    distance expressions — fine through k of a few hundred; past that
+    the distance map belongs in a Pandas UDF (documented ceiling, same
+    class as the kmeans driver-side k x dim model state)."""
     from ..operators.kmeans import (
         assign_clusters_batches,
         fit_kmeans,
@@ -1006,6 +1016,10 @@ def ann_topk_trained(
     if centroids is None:
         centroids, _, _ = fit_kmeans(emb, k=k, max_iters=max_iters,
                                      fit_fraction=fit_fraction)
+    if nprobe is None:
+        # measured default (docstring): knee at ~k/8 probed lists,
+        # floor of 2; never more lists than exist
+        nprobe = min(len(centroids), max(2, len(centroids) // 8))
     # Arrow-batch assignment on the (big) corpus side: the Column form's
     # k-way when-chain join key sent constraint propagation into a
     # measured 200+ s combinatorial rebuild (see
