@@ -72,11 +72,15 @@ N_USERS = 100_000
 BASE = "TIMESTAMP '2024-01-08 00:00:00'"
 
 
-def build_corpus(spark, rows: int) -> str:
+def build_corpus(spark, rows: int, n_users: int = N_USERS) -> str:
     """48 slice SUBDIRS of one parquet tree, slice = ARRIVAL order
     (event time minus the late rows' one-slice delay), mtimes pinned
-    ascending afterwards. Deterministic in ``rows``."""
-    root = SWEEP / f"events_{rows}"
+    ascending afterwards. Deterministic in ``rows`` (and ``n_users``,
+    which the r16 big-state cell scales with rows to hold per-user
+    density -- and so the batch-oracle pair count -- roughly constant
+    instead of quadratic)."""
+    root = SWEEP / (f"events_{rows}" if n_users == N_USERS
+                    else f"events_{rows}_u{n_users}")
     if (root / "_DONE").exists():
         return str(root)
     span_us = SPAN_HOURS * 3600 * 1_000_000
@@ -87,7 +91,7 @@ def build_corpus(spark, rows: int) -> str:
         # uniform users. Views NEVER belong to user 0 (skew on STATE,
         # not on output -- module docstring).
         f"""CASE WHEN id % 10 < {int(HOT_SHARE * 10)} THEN 0
-             ELSE pmod(xxhash64(id, 7), {N_USERS - 1}) + 1
+             ELSE pmod(xxhash64(id, 7), {n_users - 1}) + 1
         END AS user_id""",
         # event time uniform over the span, microsecond granularity
         f"""{BASE} + make_interval(0,0,0,0,0,0,
@@ -180,7 +184,8 @@ def _stream(spark, root: str):
     )
 
 
-def _drive(out_stream, mode: str, sink_dir: str, ck_dir: str):
+def _drive(out_stream, mode: str, sink_dir: str, ck_dir: str,
+           timeout: int = 1800):
     """Run to completion (availableNow drains the corpus then stops);
     returns (wall_s, progresses)."""
     t0 = time.perf_counter()
@@ -192,13 +197,13 @@ def _drive(out_stream, mode: str, sink_dir: str, ck_dir: str):
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(1800):
+    if not q.awaitTermination(timeout):
         # a timed-out drive would read a PARTIAL sink and publish
         # "exact: False" with phantom missing rows -- exactly the false
         # alarm this tool exists to rule out; fail loudly instead
         # (r14 review)
         q.stop()
-        raise RuntimeError("availableNow drive exceeded 1800 s")
+        raise RuntimeError(f"availableNow drive exceeded {timeout} s")
     wall = time.perf_counter() - t0
     progs = [json.loads(p.json) for p in q.recentProgress]
     return wall, progs
@@ -223,6 +228,15 @@ def _plateau(curve: list[int]) -> dict:
             "late_third_max": late, "plateau_ok": late <= mid * 1.05}
 
 
+def _gc_ms(spark) -> int:
+    """Total driver-JVM GC milliseconds (all collectors) -- local mode
+    hosts the executors in the driver JVM, so this IS the store's GC."""
+    beans = (spark._jvm.java.lang.management.ManagementFactory
+             .getGarbageCollectorMXBeans())
+    return sum(beans.get(i).getCollectionTime()
+               for i in range(beans.size()))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
@@ -233,11 +247,33 @@ def main() -> None:
                          "RocksDBStateStoreProvider (r14 verdict #3: the "
                          "'RocksDB is floor, not ceiling' line was argued, "
                          "not measured)")
+    ap.add_argument("--watermark-hours", type=int, default=1,
+                    help="watermark horizon (r16, verdict #6: a wider "
+                         "horizon holds more rows in state per input row "
+                         "-- the lever that reaches 10-20M state rows "
+                         "without 100M inputs)")
+    ap.add_argument("--users", type=int, default=None,
+                    help="distinct user count (default: N_USERS scaled "
+                         "by rows/2M so per-user density and the batch "
+                         "oracle's pair count stay ~constant)")
+    ap.add_argument("--heap", default=None,
+                    help="cap the driver/executor JVM heap (e.g. 8g) -- "
+                         "the r16 big-state cell measures where the "
+                         "in-heap HDFS store hits GC, under a heap the "
+                         "state can actually pressure")
+    ap.add_argument("--join-only", action="store_true",
+                    help="skip the session-window leg (the big-state "
+                         "cell targets the stream-stream join)")
+    ap.add_argument("--timeout", type=int, default=1800,
+                    help="availableNow drive timeout seconds")
     args = ap.parse_args()
+    n_users = args.users or max(N_USERS,
+                                N_USERS * (args.rows // 2_000_000))
 
     load, flagged = _wait_for_quiet_box()
     print(f"# start load {load:.2f} flagged={flagged} "
-          f"provider={args.state_store}", file=sys.stderr)
+          f"provider={args.state_store} wm={args.watermark_hours}h "
+          f"users={n_users} heap={args.heap}", file=sys.stderr)
     conf = {
         "spark.sql.files.maxPartitionBytes": "128m",
         "spark.sql.files.openCostInBytes": "1m",
@@ -246,10 +282,13 @@ def main() -> None:
         conf["spark.sql.streaming.stateStore.providerClass"] = (
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider")
+    if args.heap:
+        conf["spark.driver.memory"] = args.heap
     spark = get_spark("stream_state", extra_conf=conf)
     SWEEP.mkdir(parents=True, exist_ok=True)
-    root = build_corpus(spark, args.rows)
+    root = build_corpus(spark, args.rows, n_users)
     results: dict[str, dict] = {}
+    wm = f"{args.watermark_hours} hours"
 
     # ------------------------------------------- stream-stream interval join
     with tempfile.TemporaryDirectory() as sink, \
@@ -258,14 +297,14 @@ def main() -> None:
             _stream(spark, root)
             .where("event_type = 'click'")
             .selectExpr("event_id AS click_id", "user_id", "ts AS cts")
-            .withWatermark("cts", "1 hour")
+            .withWatermark("cts", wm)
         )
         views = (
             _stream(spark, root)
             .where("event_type = 'view'")
             .selectExpr("event_id AS view_id", "user_id AS vuser",
                         "ts AS vts")
-            .withWatermark("vts", "1 hour")
+            .withWatermark("vts", wm)
         )
         joined = clicks.join(
             views,
@@ -276,7 +315,10 @@ def main() -> None:
         ).select("click_id", "view_id", "user_id",
                  F.expr("CAST(unix_micros(vts) - unix_micros(cts) AS BIGINT)")
                  .alias("gap_us"))
-        wall, progs = _drive(joined, "append", sink, ck)
+        gc0 = _gc_ms(spark)
+        wall, progs = _drive(joined, "append", sink, ck,
+                             timeout=args.timeout)
+        gc_join_ms = _gc_ms(spark) - gc0
         got = spark.read.parquet(sink)
         batch = _batch(spark, root)
         want = (
@@ -304,6 +346,10 @@ def main() -> None:
         miss = want.exceptAll(got).count()
         extra = got.exceptAll(want).count()
         curve = _state_curve(progs)
+        # per-batch trigger durations: a snapshot/maintenance stall shows
+        # as a long tail here even when the mean stays flat
+        trig_ms = sorted(p.get("durationMs", {}).get("triggerExecution", 0)
+                         for p in progs)
         results["join"] = {
             "wall_s": round(wall, 1), "pairs": n_got,
             "batch_pairs": n_want, "missing": miss, "extra": extra,
@@ -311,8 +357,27 @@ def main() -> None:
             "rows_per_s": round(args.rows / wall),
             "n_batches": len(progs), **_plateau(curve),
             "state_curve_sample": curve[:: max(len(curve) // 12, 1)],
+            "gc_ms": gc_join_ms,
+            "gc_share": round(gc_join_ms / (wall * 1000), 3),
+            "batch_ms_p50": trig_ms[len(trig_ms) // 2] if trig_ms else None,
+            "batch_ms_max": trig_ms[-1] if trig_ms else None,
         }
         print(f"# join: {results['join']}", file=sys.stderr)
+
+    if args.join_only:
+        print("\n| leg | wall (s) | rows/s | exact | max state rows |"
+              " gc share |")
+        print("|---|---|---|---|---|---|")
+        r = results["join"]
+        print(f"| join | {r['wall_s']} | {r['rows_per_s']} | {r['exact']} |"
+              f" {r['max_state_rows']} | {r['gc_share']} |")
+        print(json.dumps({
+            "metric": "stream_state_scale", "rows": args.rows,
+            "provider": args.state_store, "users": n_users,
+            "watermark_hours": args.watermark_hours, "heap": args.heap,
+            "results": results, "load_start": round(load, 2)}))
+        spark.stop()
+        return
 
     # ------------------------------------------------ merging session windows
     with tempfile.TemporaryDirectory() as sink, \
