@@ -533,6 +533,12 @@ def main() -> None:
 
     calib_end = _calibration_sec(spark)
     mem_end = _memory_probe()
+    # end-of-run verdict under the same thresholds: a gate-passed window
+    # can DECAY mid-run (observed r16: start fault 29 MB/s, end 12) --
+    # regime_ok && !regime_end_ok tells a reader the total is bracketed
+    # by one healthy and one degraded probe, not two healthy ones
+    regime["end_ok"] = (calib_end <= REGIME_CALIB_MAX
+                        and mem_end[0] >= REGIME_FAULT_MIN_MBPS)
 
     print(_render_output(
         times=times,
@@ -618,6 +624,8 @@ def _render_output(
         # no healthy window and this total is NOT comparable cross-round
         # (thresholds + per-probe readings live in the sidecar)
         headline["regime_ok"] = regime["healthy"]
+        if "end_ok" in regime:
+            headline["regime_end_ok"] = regime["end_ok"]
         headline["regime_wait_s"] = regime["wait_sec"]
     if mem_start is not None and mem_end is not None:
         # the day's memory regime in two numbers: WORST first-touch
@@ -667,9 +675,9 @@ def _render_output(
     # belt-and-braces: shed optional fields (never the required five) if
     # some future headline set pushes the line past the capture window
     for drop in ("detail", "n_reran", "load_flagged", "load_avg",
-                 "load_avg_start", "regime_wait_s", "fault_mbps",
-                 "bw_gbps", "calib_norm_total", "calib_sec",
-                 "regime_ok"):
+                 "load_avg_start", "regime_wait_s", "regime_end_ok",
+                 "fault_mbps", "bw_gbps", "calib_norm_total",
+                 "calib_sec", "regime_ok"):
         if len(line) <= STDOUT_LINE_BUDGET:
             break
         headline.pop(drop, None)

@@ -241,6 +241,18 @@ def _scratch_ab(spark, pool, n: int, pairs: int, runs: int) -> None:
     from aws_cloudfront_realtime_monitoring_spark.operators import multimodal as mm
 
     path = build_corpus(spark, pool, "images", n)
+    # decode gate (the exit-0-checked-nothing class the r15 review
+    # caught in this same tool): image_pixel_stats_batches silently
+    # DROPS undecodable payloads (skip_invalid=True), so a regressed
+    # pool would leave both arms timing an empty pipeline and this A/B
+    # would print a confident null having measured nothing. Require
+    # every payload to produce a stats row before any timing.
+    n_ok = (mm.image_pixel_stats_batches(spark.read.parquet(path))
+            .count())
+    if n_ok != n:
+        raise RuntimeError(
+            f"scratch A/B corpus: only {n_ok}/{n} payloads produced "
+            "pixel stats -- pool regression, refusing to time it")
 
     def run(use_pool: bool) -> float:
         mm.MEDIA_SCRATCH = use_pool
