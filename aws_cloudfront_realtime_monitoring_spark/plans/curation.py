@@ -498,6 +498,130 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- bigram_logprob
+
+#: Jelinek-Mercer interpolation weight on the bigram term:
+#: p(w|v) = LAM * c(v,w)/c(v.) + (1-LAM) * c(w)/N. 0.75 and its
+#: complement 0.25 are BINARY-EXACT doubles, so the interpolated
+#: probability is the same IEEE value in both engines given the same
+#: operation order (the only cross-engine float residue stays the
+#: documented 1-ulp ln() difference the unigram row carries).
+BIGRAM_LAM = 0.75
+#: keep documents whose mean per-token interpolated log-probability is
+#: above this (micro-units of natural ln). Set at the observed sf0.01
+#: median (r16) so the keep bit splits the corpus and both branches are
+#: hash-checked -- the unigram row's thresholding discipline.
+BIGRAM_KEEP_MIN_MICRO = -3_390_000
+
+
+@register(
+    "bigram_logprob",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_LWORDS} AS ws FROM documents
+      WHERE len({_LWORDS}) > 0),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM base),
+    uni AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY w),
+    n AS (SELECT SUM(cw) AS n_total FROM uni),
+    bi AS (SELECT doc_id,
+                  unnest(ws[1:len(ws)-1]) AS v,
+                  unnest(ws[2:len(ws)]) AS w
+           FROM base WHERE len(ws) > 1),
+    bim AS (SELECT v, w, COUNT(*) AS cvw FROM bi GROUP BY v, w),
+    ctx AS (SELECT v, SUM(cvw) AS cv FROM bim GROUP BY v),
+    lpb AS (
+      SELECT v, w,
+             CAST(floor(ln({BIGRAM_LAM} * CAST(cvw AS DOUBLE) / cv
+                           + {1.0 - BIGRAM_LAM} * CAST(cw AS DOUBLE)
+                             / n_total) * 1e6 + 0.5) AS BIGINT) AS lp
+      FROM bim JOIN ctx USING (v) JOIN uni USING (w) CROSS JOIN n),
+    lpu AS (
+      SELECT w,
+             CAST(floor(ln(CAST(cw AS DOUBLE) / n_total) * 1e6 + 0.5)
+                  AS BIGINT) AS lp
+      FROM uni CROSS JOIN n),
+    firsts AS (SELECT doc_id, ws[1] AS w FROM base),
+    scored AS (
+      SELECT doc_id, lp FROM firsts JOIN lpu USING (w)
+      UNION ALL
+      SELECT doc_id, lp FROM bi JOIN lpb USING (v, w))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp) AS BIGINT) AS sum_lp_micro,
+           CAST(CASE WHEN SUM(lp) >= {BIGRAM_KEEP_MIN_MICRO} * COUNT(*)
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM scored GROUP BY doc_id
+    """,
+    description="KenLM-style quality filter, one order up from "
+                "unigram_logprob: per-document sum of INTERPOLATED "
+                "BIGRAM log-probabilities under the corpus's own LM "
+                "(Jelinek-Mercer: p(w|v) = 0.75 c(v,w)/c(v.) + 0.25 "
+                "c(w)/N -- the first token scores under the unigram "
+                "model), keep bit on the mean-per-token threshold. The "
+                "bigram stream is built JVM-side with zip_with over two "
+                "array slices (no window, no shuffle for pairing); the "
+                "context totals derive from the bigram model itself "
+                "(groupBy v over c(v,w) -- no extra corpus scan), and "
+                "the per-(v,w) model joins back WITHOUT a broadcast "
+                "hint: unlike the O(V) unigram table the bigram table "
+                "is O(min(V^2, tokens)) and at 100 TB belongs in a "
+                "shuffle join (AQE still broadcasts it when small, as "
+                "here). Log-probs quantized to integer micro-units; "
+                "0.75/0.25 are binary-exact doubles so the only "
+                "cross-engine float residue is the unigram row's "
+                "documented 1-ulp ln() boundary case. Empty documents "
+                "(no tokens) are excluded by both engines.",
+    tags=("text", "curation", "quality"),
+    driver_slot=False,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", lwords_col().alias("ws")).where(
+        F.size("ws") > 0)
+    toks = base.select("doc_id", F.explode("ws").alias("w"))
+    bi = (
+        base.where(F.size("ws") > 1)
+        .select("doc_id", F.explode(F.expr(
+            "zip_with(slice(ws, 1, size(ws) - 1), "
+            "slice(ws, 2, size(ws) - 1), "
+            "(a, b) -> struct(a AS v, b AS w))")).alias("g"))
+        .select("doc_id", F.col("g.v").alias("v"), F.col("g.w").alias("w"))
+    )
+    # barrier both fitted models (lazy localCheckpoint, the unigram
+    # row's discipline): each feeds two+ downstream references and
+    # would otherwise re-run its token-stream aggregation per reference
+    uni = toks.groupBy("w").agg(F.count("*").alias("cw")) \
+        .localCheckpoint(eager=False)
+    total = uni.agg(F.sum("cw").alias("n_total"))
+    bim = bi.groupBy("v", "w").agg(F.count("*").alias("cvw")) \
+        .localCheckpoint(eager=False)
+    ctx = bim.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    lp_bi = F.floor(
+        F.log(F.lit(BIGRAM_LAM) * F.col("cvw").cast("double") / F.col("cv")
+              + F.lit(1.0 - BIGRAM_LAM) * F.col("cw").cast("double")
+              / F.col("n_total")) * 1e6 + 0.5
+    ).cast("bigint")
+    lpb = (bim.join(ctx, "v").join(uni, "w")
+           .crossJoin(F.broadcast(total))
+           .select("v", "w", lp_bi.alias("lp")))
+    lp_uni = F.floor(
+        F.log(F.col("cw").cast("double") / F.col("n_total")) * 1e6 + 0.5
+    ).cast("bigint")
+    lpu = uni.crossJoin(F.broadcast(total)).select("w", lp_uni.alias("lp"))
+    firsts = base.select("doc_id", F.col("ws").getItem(0).alias("w"))
+    scored = (
+        firsts.join(F.broadcast(lpu), "w").select("doc_id", "lp")
+        .unionByName(bi.join(lpb, ["v", "w"]).select("doc_id", "lp"))
+    )
+    summed = F.sum("lp").cast("bigint")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        summed.alias("sum_lp_micro"),
+        F.when(summed >= F.lit(BIGRAM_KEEP_MIN_MICRO) * F.count("*"), 1)
+        .otherwise(0).cast("bigint").alias("keep"),
+    )
+
+
 # ----------------------------------------------------------- dedup_spans
 
 #: word n-gram length for the duplicated-span profile. Exact substring
