@@ -338,3 +338,26 @@ def test_connected_components_loop_stats_stay_bounded(spark, monkeypatch):
         labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     ).bit_length()
     assert bits < 100_000, f"inherited sizeInBytes has {bits} bits"
+
+
+def test_connected_components_small_graph_skips_seed_barrier(spark, caplog):
+    """r16: a graph whose EDGE list fits the broadcast budget must take
+    the unbarriered-seed local finish -- zero barrier writes (the log
+    line is the behavioral pin; correctness is pinned by the
+    union-find/random-graph tests, which now route through this path)."""
+    import logging
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"])
+    with caplog.at_level(logging.INFO,
+                         logger="aws_cloudfront_realtime_monitoring_spark.operators.graph"):
+        got = {r.node: r.lbl for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    msgs = [r.getMessage() for r in caplog.records
+            if "converged" in r.getMessage()]
+    assert msgs and "unbarriered seed" in msgs[0]
+    assert "0 barrier writes" in msgs[0]
