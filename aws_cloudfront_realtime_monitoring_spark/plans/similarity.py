@@ -979,7 +979,7 @@ def ann_topk_trained(
     spark: SparkSession, sf_dir: str, k: int = 16, nprobe: int | None = None,
     max_iters: int = 8, top_k: int = 3,
     centroids: list[list[int]] | None = None,
-    fit_fraction: float | str | None = None,
+    fit_fraction: float | str | None = "auto",
 ) -> DataFrame:
     """IVF top-k with a TRAINED coarse quantizer: k-means centroids
     (operators/kmeans.py, integer-exact Lloyd) replace the sign-pattern
@@ -999,9 +999,12 @@ def ann_topk_trained(
 
     Pass ``centroids`` to search with a pre-trained index (the
     production shape: train once, search many); otherwise the quantizer
-    is fitted here (``fit_fraction`` forwards to ``fit_kmeans`` —
-    ``"auto"`` caps the training set at FIT_SAMPLE_TARGET vectors, the
-    measured 5.8x fit amortization). Scale note: centroids ride the
+    is fitted here with ``fit_fraction="auto"`` BY DEFAULT — the
+    training set caps at FIT_SAMPLE_TARGET (20k) vectors, the measured
+    5.8x fit amortization with recall at-or-above full-fit; sub-20k
+    corpora (every registry sf) fit in full, unchanged. Pass
+    ``fit_fraction=None`` to force a full-corpus fit, or a float to pin
+    the sample. Scale note: centroids ride the
     plan as literals, so the assignment stage is a narrow map with k
     distance expressions — fine through k of a few hundred; past that
     the distance map belongs in a Pandas UDF (documented ceiling, same
