@@ -394,8 +394,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # as u in >= 1 symmetrized row, so n_nodes <= n_edges): when even
         # the edge list fits the broadcast budget, the label table
         # certainly does, and the whole small-graph fast path below is
-        # safe without ever materializing the seed. The count itself
-        # costs only the cache materialization the seed job paid anyway.
+        # safe without ever materializing the seed. Cost: for small
+        # graphs the count IS the cache materialization the seed job
+        # used to pay; for big graphs it adds one scan of the
+        # already-cached edges before the seed job -- cheap relative to
+        # the loop the big path is about to run.
         n_edges = edges.count()
         if n_edges <= BROADCAST_MAX_NODES:
             # Small-graph fast path (r16): run the two-phase local finish

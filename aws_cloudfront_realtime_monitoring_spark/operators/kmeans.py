@@ -149,9 +149,15 @@ def assign_clusters_batches(qvecs: DataFrame, centroids: list[list[int]],
     ])
 
     def assign_iter(batches):
-        from aws_cloudfront_realtime_monitoring_spark.operators.scratch import (
-            scratch,
+        from aws_cloudfront_realtime_monitoring_spark.operators import (
+            scratch as _scratch_mod,
         )
+
+        # re-assert worker-side (r16): a media-kernel A/B arm on a
+        # reused worker may have left scratch.ENABLED=False (see
+        # plans/similarity.py block_pair)
+        _scratch_mod.ENABLED = True
+        scratch = _scratch_mod.scratch
 
         cn = np.einsum("ij,ij->i", cmat, cmat)
         for pdf in batches:

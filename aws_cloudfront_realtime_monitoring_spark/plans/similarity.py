@@ -561,9 +561,17 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit-identical to the fresh-allocation spelling (same dtypes,
         # same operation ORDER) -- the oracle hash pins it.
         if USE_POOL:
-            from aws_cloudfront_realtime_monitoring_spark.operators.scratch import (
-                scratch,
+            from aws_cloudfront_realtime_monitoring_spark.operators import (
+                scratch as _scratch_mod,
             )
+
+            # re-assert worker-side (r16): a media-kernel A/B arm on a
+            # REUSED worker may have left scratch.ENABLED=False; each
+            # kernel's closure is authoritative for its own tasks, else
+            # this kernel's measured 2.2x mitigation silently degrades
+            # to fresh allocs after any such run in the session
+            _scratch_mod.ENABLED = True
+            scratch = _scratch_mod.scratch
         else:  # A/B instrumentation path (tools/measure_scratch_ab.py)
             def scratch(key_: str, shape: tuple, dtype) -> np.ndarray:
                 return np.empty(shape, dtype=dtype)
