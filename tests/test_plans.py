@@ -159,7 +159,10 @@ _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            # -- the same documented shape as ann_topk_bruteforce /
            # ann_ivf_recall); the trained side itself is a broadcast
            # HASH join on the cluster id
-           "ann_trained_recall"}
+           "ann_trained_recall",
+           # r16: the same one-row broadcast n_total relation as
+           # unigram_logprob, cross-joined onto both fitted models
+           "bigram_logprob"}
 _ROWUDF_OK = {"udtf_tokenize"}
 
 
