@@ -419,6 +419,17 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                     "(unbarriered seed, %d edges), %d barrier writes",
                     n_edges, step,
                 )
+                if not own_tmp:
+                    # anchor unconditionally (r16 ADVICE): finish() only
+                    # localCheckpoints when own_tmp, but THIS result is a
+                    # lazy plan over the cached edge relation that the
+                    # finally block unpersists — every downstream action
+                    # would recompute the seed aggregation from `pairs`,
+                    # and a non-deterministic `pairs` could then disagree
+                    # with the driver-collected union-find root map. Every
+                    # pre-r16 return path was barriered; keep that
+                    # contract for caller-supplied checkpoint_dir too.
+                    done = done.localCheckpoint()
                 return finish(done)
             # oversized contracted graph: barrier the seed (barrier()
             # picks localCheckpoint — small_labels is already known) and

@@ -95,6 +95,17 @@ def assign_clusters(qvecs: DataFrame, centroids: list[list[int]],
     return out.drop(*[f"__d{j}" for j in range(len(centroids))])
 
 
+#: snapshot into the assign_iter closure at plan-build time (r16 ADVICE:
+#: mirrors similarity.SCRATCH_POOL and multimodal.MEDIA_SCRATCH): True
+#: uses the per-worker scratch pool, False allocates fresh tiles per
+#: batch, so tools/measure_scratch_ab.py-style interleaved A/B runs can
+#: isolate the allocation variable for THIS kernel too — and a debugging
+#: arm that disables pooling is no longer silently re-enabled by the
+#: next kmeans assignment. Values are bit-identical either way (same
+#: ops, same order; tests/test_kmeans.py pins the replica).
+KMEANS_SCRATCH = True
+
+
 def assign_clusters_batches(qvecs: DataFrame, centroids: list[list[int]],
                             vec_col: str = "qv") -> DataFrame:
     """``assign_clusters``'s contract computed per Arrow batch
@@ -148,16 +159,24 @@ def assign_clusters_batches(qvecs: DataFrame, centroids: list[list[int]],
         StructField("dist", LongType()),
     ])
 
-    def assign_iter(batches):
-        from aws_cloudfront_realtime_monitoring_spark.operators import (
-            scratch as _scratch_mod,
-        )
+    # snapshot HERE so the closure shipped to executors carries the
+    # (possibly A/B-flipped) module value, not a hardcoded True
+    USE_POOL = KMEANS_SCRATCH
 
-        # re-assert worker-side (r16): a media-kernel A/B arm on a
-        # reused worker may have left scratch.ENABLED=False (see
-        # plans/similarity.py block_pair)
-        _scratch_mod.ENABLED = True
-        scratch = _scratch_mod.scratch
+    def assign_iter(batches):
+        if USE_POOL:
+            from aws_cloudfront_realtime_monitoring_spark.operators import (
+                scratch as _scratch_mod,
+            )
+
+            # re-assert worker-side (r16): a media-kernel A/B arm on a
+            # reused worker may have left scratch.ENABLED=False (see
+            # plans/similarity.py block_pair)
+            _scratch_mod.ENABLED = True
+            scratch = _scratch_mod.scratch
+        else:  # A/B instrumentation path (same shape as block_pair's)
+            def scratch(key_: str, shape: tuple, dtype) -> np.ndarray:
+                return np.empty(shape, dtype=dtype)
 
         cn = np.einsum("ij,ij->i", cmat, cmat)
         for pdf in batches:

@@ -273,6 +273,11 @@ def _decode_subimage(
         span = ph * (rb + 1)
         lines = buf[pos : pos + span].reshape(ph, rb + 1)
         pos += span
+        # ALIASING GUARD (r16 verdict): _defilter returns a POOLED buffer
+        # and _unpack_samples' depth==8 path is a view of it -- the view
+        # must be consumed (copied into px by this strided assignment)
+        # before the next loop iteration's _defilter call reuses the
+        # pool. Never hold it across iterations.
         px[y0::dy, x0::dx] = _unpack_samples(
             _defilter(lines, rb, bpp), pw, ch, depth
         )

@@ -566,7 +566,15 @@ BIGRAM_KEEP_MIN_MICRO = -3_390_000
                 "hint: unlike the O(V) unigram table the bigram table "
                 "is O(min(V^2, tokens)) and at 100 TB belongs in a "
                 "shuffle join (AQE still broadcasts it when small, as "
-                "here). Log-probs quantized to integer micro-units; "
+                "here). The UNIGRAM table (lpu) IS broadcast-hinted for "
+                "the first-token join: O(V) rows like unigram_logprob's "
+                "-- natural-language vocabularies plateau in the tens "
+                "of millions (~hundreds of MB as (token, int64)), "
+                "inside executor broadcast budgets; a pathological "
+                "unbounded-vocabulary corpus should drop that one hint "
+                "and let the join shuffle (same documented posture as "
+                "unigram_logprob). Log-probs quantized to integer "
+                "micro-units; "
                 "0.75/0.25 are binary-exact doubles so the only "
                 "cross-engine float residue is the unigram row's "
                 "documented 1-ulp ln() boundary case. Empty documents "

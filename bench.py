@@ -141,13 +141,24 @@ MEM_PROBE_BYTES = 256 << 20
 MEM_PROBE_CHUNK_BYTES = 8 << 20
 MEM_PROBE_FILL_BUDGET_SEC = 2.0
 
+#: minimum bytes the streaming-sum bandwidth figure may be measured
+#: over (r16 ADVICE): in a degraded window the early-exited fill can
+#: leave as little as 8 MB backed, and a sum over a cache-resident
+#: prefix reports a HIGHER bw_gbps than a healthy full-256MB probe --
+#: since the headline takes max(start, end), one degraded probe could
+#: skew the cross-round series the regime gate protects. Below the
+#: floor the probe returns bw_gbps=None and the headline max skips it.
+MEM_PROBE_BW_FLOOR_BYTES = 64 << 20
 
-def _memory_probe(n_runs: int = 3) -> tuple[float, float]:
+
+def _memory_probe(n_runs: int = 3) -> tuple[float, float | None]:
     """(fault_mbps, bw_gbps): first-touch fill rate of a fresh array
     (chunked, early-exit after MEM_PROBE_FILL_BUDGET_SEC -- see above),
     then max-of-N GB/s of streaming sums over the now-backed prefix.
     Max for the sums -- best available bandwidth in this window; the
-    fill is single-shot by nature (pages fault once)."""
+    fill is single-shot by nature (pages fault once). ``bw_gbps`` is
+    None when the backed prefix is under MEM_PROBE_BW_FLOOR_BYTES (a
+    cache-resident sum is not a bandwidth measurement)."""
     import numpy as np
 
     arr = np.empty(MEM_PROBE_BYTES // 8, np.float64)
@@ -169,6 +180,10 @@ def _memory_probe(n_runs: int = 3) -> tuple[float, float]:
         # regime signal; bw is attribution only).
         arr[touched:] = 1.0
         touched = len(arr)
+    if touched * 8 < MEM_PROBE_BW_FLOOR_BYTES:
+        # degraded window left too small a prefix backed: a streaming
+        # sum over it measures cache, not memory bandwidth (r16 ADVICE)
+        return round(fault_mbps, 1), None
     backed = arr[:touched]
     backed.sum()  # warm-up: cache state
     best = 0.0
@@ -634,7 +649,12 @@ def _render_output(
         # external-cores signature; attribution only, nothing
         # normalizes by it
         headline["fault_mbps"] = min(mem_start[0], mem_end[0])
-        headline["bw_gbps"] = max(mem_start[1], mem_end[1])
+        # a probe whose fill early-exited below the bw floor reports
+        # None -- exclude it from the max instead of letting a cache-
+        # tinted prefix sum outbid a healthy full-array probe
+        bws = [b for b in (mem_start[1], mem_end[1]) if b is not None]
+        if bws:
+            headline["bw_gbps"] = max(bws)
     detail = dict(
         headline,
         # the regime gate's full record: final probe readings, verdict,

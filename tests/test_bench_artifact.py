@@ -232,3 +232,41 @@ def test_regime_gate_recovers_mid_budget(monkeypatch):
     assert out["healthy"] is True
     assert out["attempts"] == 2
     assert out["calib_sec"] == 0.505 and out["fault_mbps"] == 45.0
+
+
+def test_memory_probe_nulls_bw_below_floor(monkeypatch):
+    """r16 ADVICE: a degraded window's early-exited fill can leave as
+    little as one chunk backed; a streaming sum over that cache-resident
+    prefix is NOT a bandwidth measurement and must come back None, not
+    a (higher-than-healthy) number."""
+    # budget 0 exits after the first 8 MB chunk; an infinite fault floor
+    # suppresses the finish-the-fill branch, leaving touched < bw floor
+    monkeypatch.setattr(bench, "MEM_PROBE_FILL_BUDGET_SEC", 0.0)
+    monkeypatch.setattr(bench, "REGIME_FAULT_MIN_MBPS", float("inf"))
+    fault, bw = bench._memory_probe(n_runs=1)
+    assert fault > 0
+    assert bw is None
+
+
+def test_render_output_skips_none_bw(tmp_path):
+    """A probe pair where one side nulled its bandwidth: the headline max
+    uses the surviving reading; when BOTH are None the field is absent."""
+    times = {"q": 1.0}
+    one_none = bench._render_output(
+        times=times, sf=0.1, load_start=1.0, load_end=1.0,
+        load_flagged=False, reran=[], query_ext_cores={"q": 0.0},
+        wait_budget_left=0.0, calib_start=0.5, calib_end=0.5,
+        mem_start=(9.0, None), mem_end=(40.0, 7.5), sidecar_dir=tmp_path,
+    )
+    rec = json.loads(one_none)
+    assert rec["bw_gbps"] == 7.5
+    assert rec["fault_mbps"] == 9.0
+    both_none = bench._render_output(
+        times=times, sf=0.1, load_start=1.0, load_end=1.0,
+        load_flagged=False, reran=[], query_ext_cores={"q": 0.0},
+        wait_budget_left=0.0, calib_start=0.5, calib_end=0.5,
+        mem_start=(9.0, None), mem_end=(8.0, None), sidecar_dir=tmp_path,
+    )
+    rec = json.loads(both_none)
+    assert "bw_gbps" not in rec
+    assert rec["fault_mbps"] == 8.0

@@ -361,3 +361,27 @@ def test_connected_components_small_graph_skips_seed_barrier(spark, caplog):
             if "converged" in r.getMessage()]
     assert msgs and "unbarriered seed" in msgs[0]
     assert "0 barrier writes" in msgs[0]
+
+
+def test_connected_components_anchored_with_caller_checkpoint_dir(
+        spark, tmp_path):
+    """r16 ADVICE: the small-graph fast path returned an UNANCHORED lazy
+    plan when the caller passed checkpoint_dir (finish() only
+    localCheckpoints when own_tmp) -- every downstream action recomputed
+    the seed aggregation from the unpersisted edge cache, and a
+    non-deterministic `pairs` input could then disagree with the
+    driver-collected union-find map. Pin: the result collects the exact
+    min-labels REPEATEDLY after return (edges unpersisted, temp dir the
+    caller's), i.e. the plan is anchored, not a live recompute of a
+    dropped cache."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (50, 60)], ["doc_a", "doc_b"]
+    )
+    out = connected_components(df, checkpoint_dir=str(tmp_path))
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 60: 50}
+    for _ in range(2):  # repeat: each action re-executes an unanchored plan
+        assert {r.node: r.lbl for r in out.collect()} == want
