@@ -1,0 +1,285 @@
+"""Product quantization (PQ) of residual vectors — the memory/IO scale
+path for the trained IVF index (``plans.similarity.ann_topk_pq``).
+
+At 100 TB the corpus VECTORS are the wall, not the index: a dim-64
+int64-quantized embedding is 512 bytes/row, so a 10^11-vector corpus
+holds ~50 TB of raw vectors that every probed inverted list must scan.
+IVF-PQ (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — the FAISS `IVFPQ` shape) replaces each
+vector in the index with M small codes:
+
+1. assign the vector to its coarse (k-means) cluster — the existing
+   trained-IVF quantizer (operators/kmeans.py);
+2. take the RESIDUAL r = x - centroid(cluster) (residuals concentrate
+   near 0, so a given code budget spends its precision where the data
+   actually is);
+3. split r into M contiguous subspaces of dim/M components each and
+   encode every sub-vector as the index of its nearest codebook entry
+   (one independent ksub-entry codebook per subspace, trained by the
+   same deterministic integer Lloyd as the coarse quantizer).
+
+The encoded index row is (id, cluster, M codes) — M + O(1) bytes of
+payload instead of dim * 8 — and search scans codes, not vectors:
+a probe builds one ADC (asymmetric distance computation) lookup table
+of dot(q_sub, codebook entry) per subspace — M * ksub integers, O(1)
+per probe — and a candidate's approximate score is
+
+    dot(q, x_hat) = dot(q, centroid(cluster)) + sum_m LUT[m][code_m]
+
+exact int64 arithmetic on the RECONSTRUCTION x_hat, so ranking is
+bit-stable across engines, partitionings, and retries (the repo-wide
+integer-exactness contract). The short list the ADC scan produces is
+then re-ranked on true vectors fetched by id — the standard exact
+re-rank that restores ranking quality at O(shortlist) cost.
+
+Scale shape:
+- training is corpus-size-INDEPENDENT: codebooks fit on the same
+  deterministic <= FIT_SAMPLE_TARGET sample as the coarse quantizer
+  (r16's measured 5.8x fit amortization), collected once to the driver
+  — a bounded, model-training-sized collect (20k x dim int64 ~ 10 MB,
+  the documented kmeans/CC O(small) contract), after which Lloyd runs
+  in numpy with the SAME determinism rules as the distributed fit
+  (h60-ordered init, first-min argmin, half-away-from-zero integer
+  means, integer-equality convergence);
+- encoding is a narrow Arrow map (``mapInPandas``): vectors never
+  shuffle, centroids + codebooks ride the closure (k*dim + M*ksub*dsub
+  integers);
+- the ADC scan shuffles only (id, cluster, codes) — the 10-50x smaller
+  relation is the point — and the exact re-rank joins a broadcast
+  shortlist (queries x shortlist rows) back against the raw vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions.hashing import h60
+
+#: snapshot into the encode closure at plan-build time — the pooled-
+#: buffer A/B flag, mirroring KMEANS_SCRATCH / similarity.SCRATCH_POOL.
+PQ_SCRATCH = True
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _argmin_codes(sub: "object", cb: "object") -> "object":
+    """Nearest-codebook-entry index per row of ``sub`` ((n, dsub) int64)
+    against ``cb`` ((ksub, dsub) int64): exact int64 expansion
+    d_j = |r|^2 - 2 r.c_j + |c_j|^2, first-minimum tiebreak (np.argmin)
+    — the same arithmetic and tie rule as assign_clusters_batches."""
+    np = _np()
+    d = sub @ cb.T
+    np.multiply(d, -2, out=d)
+    d += np.einsum("ij,ij->i", sub, sub)[:, None]
+    d += np.einsum("ij,ij->i", cb, cb)[None, :]
+    return np.argmin(d, axis=1)
+
+
+def _lloyd_int(sub: "object", ksub: int, max_iters: int) -> "object":
+    """Deterministic integer Lloyd over one subspace's residual sample
+    ((n, dsub) int64, rows already in the h60-sample order): init = the
+    first ksub rows (the numpy analog of init_centroids' smallest-
+    (h60(id), id) rule — the sample arrives sorted by exactly that
+    key), argmin with the first-min tiebreak, centroid update by
+    integer mean rounded half away from zero, convergence on integer
+    equality. Returns (ksub', dsub) int64 (ksub' < ksub when the
+    sample has fewer rows). Pure integer ops end to end — bit-stable
+    across runs and replicas."""
+    np = _np()
+    from .kmeans import _round_div
+
+    cb = sub[: min(ksub, len(sub))].copy()
+    for _ in range(max_iters):
+        codes = _argmin_codes(sub, cb)
+        new_cb = cb.copy()
+        for j in range(len(cb)):
+            members = sub[codes == j]
+            if len(members):
+                s = members.sum(axis=0, dtype=np.int64)
+                new_cb[j] = [_round_div(int(v), len(members)) for v in s]
+            # empty cells keep their centroid (the fit_kmeans rule)
+        if np.array_equal(new_cb, cb):
+            break
+        cb = new_cb
+    return cb
+
+
+def fit_pq(
+    qvecs: DataFrame,
+    coarse_centroids: list[list[int]],
+    m: int = 8,
+    ksub: int = 256,
+    max_iters: int = 8,
+    vec_col: str = "qv",
+    id_col: str = "vec_id",
+    sample_target: int | None = None,
+) -> list[list[list[int]]]:
+    """Train M residual sub-codebooks on a deterministic sample.
+
+    ``qvecs`` is an (id, int64-vector) relation (the ``qvec()``
+    convention). The training set is the <= ``sample_target`` rows with
+    the smallest (h60(id), id) — ONE TakeOrderedAndProject job, fully
+    deterministic, corpus-size-independent (the same key init_centroids
+    seeds from, so fit cost is fixed at any N; defaults to
+    kmeans.FIT_SAMPLE_TARGET). Residuals against the caller's coarse
+    centroids are computed driver-side on the collected sample — a
+    bounded model-training collect (sample x dim int64, ~10 MB at the
+    default), NOT a data collect — and each subspace trains an
+    independent integer Lloyd (see ``_lloyd_int`` for the determinism
+    rules).
+
+    Returns ``codebooks``: M lists of <= ksub centroids of dim/M ints
+    each. Raises when dim is not divisible by ``m`` (the standard PQ
+    constraint) or the sample is empty."""
+    np = _np()
+    from .kmeans import FIT_SAMPLE_TARGET
+
+    if m < 1:
+        raise ValueError(f"fit_pq: m must be >= 1, got {m}")
+    if ksub < 1:
+        raise ValueError(f"fit_pq: ksub must be >= 1, got {ksub}")
+    if ksub > 65_536:
+        raise ValueError(
+            f"fit_pq: ksub must fit a 16-bit code, got {ksub}")
+    if not coarse_centroids:
+        raise ValueError("fit_pq: coarse_centroids must be non-empty")
+    target = FIT_SAMPLE_TARGET if sample_target is None else sample_target
+    from pyspark.sql import functions as F
+
+    rows = (
+        qvecs.select(id_col, vec_col,
+                     h60(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(target)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fit_pq: qvecs is empty")
+    x = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(
+            f"fit_pq: dim {dim} not divisible by m={m} subspaces")
+    cmat = np.asarray(coarse_centroids, dtype=np.int64)
+    if cmat.shape[1] != dim:
+        raise ValueError(
+            f"fit_pq: coarse centroid dim {cmat.shape[1]} != vector dim {dim}")
+    res = x - cmat[_argmin_codes(x, cmat)]
+    dsub = dim // m
+    return [
+        [[int(v) for v in row]
+         for row in _lloyd_int(
+             np.ascontiguousarray(res[:, s * dsub:(s + 1) * dsub]),
+             ksub, max_iters)]
+        for s in range(m)
+    ]
+
+
+def encode_pq(
+    qvecs: DataFrame,
+    coarse_centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Encode every vector as (coarse ``cluster``, M-wide ``codes``) —
+    the PQ index relation. A narrow Arrow map (``mapInPandas``, the
+    assign_clusters_batches shape): vectors never shuffle, the models
+    ride the closure. The output DROPS the vector column — the index
+    carries codes only, which is the compression (dim*8 bytes -> M
+    smallint codes + one int); callers keep their own raw relation for
+    the exact re-rank. Exact int64 arithmetic, first-min tiebreaks —
+    bit-stable, pinned against a numpy replica in tests."""
+    np = _np()
+    import pandas as pd  # noqa: F401 (mapInPandas batches)
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    if not coarse_centroids or not codebooks:
+        raise ValueError("encode_pq: empty coarse_centroids or codebooks")
+    clash = {c for c in qvecs.columns if c in ("cluster", "codes")}
+    if clash:
+        raise ValueError(f"encode_pq: input already has {sorted(clash)}")
+    cmat = np.asarray(coarse_centroids, dtype=np.int64)
+    cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+    if cmat.shape[1] != m * dsub:
+        raise ValueError(
+            f"encode_pq: dim {cmat.shape[1]} != m*dsub {m * dsub}")
+    out_schema = StructType(
+        [f for f in qvecs.schema.fields if f.name != vec_col]
+        + [StructField("cluster", IntegerType()),
+           StructField("codes", ArrayType(ShortType()))]
+    )
+    use_pool = PQ_SCRATCH
+
+    def encode_iter(batches):
+        if use_pool:
+            from aws_cloudfront_realtime_monitoring_spark.operators import (
+                scratch as _scratch_mod,
+            )
+
+            _scratch_mod.ENABLED = True
+            scratch = _scratch_mod.scratch
+        else:
+            def scratch(key_: str, shape: tuple, dtype):
+                return np.empty(shape, dtype=dtype)
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                out = pdf.drop(columns=[vec_col])
+                out["cluster"] = np.array([], dtype=np.int32)
+                out["codes"] = []
+                yield out
+                continue
+            x = scratch("pq.x", (n, cmat.shape[1]), np.int64)
+            np.stack(pdf[vec_col].to_numpy(), axis=0, out=x)
+            cl = _argmin_codes(x, cmat)
+            r = scratch("pq.res", (n, cmat.shape[1]), np.int64)
+            np.subtract(x, cmat[cl], out=r)
+            codes = scratch("pq.codes", (n, m), np.int16)
+            for s in range(m):
+                codes[:, s] = _argmin_codes(
+                    np.ascontiguousarray(r[:, s * dsub:(s + 1) * dsub]),
+                    cbs[s])
+            out = pdf.drop(columns=[vec_col])
+            out["cluster"] = cl.astype(np.int32)
+            # per-row copies: the Arrow serializer holds the lists past
+            # this iteration, so they must not alias the pooled buffer
+            out["codes"] = [codes[i].copy() for i in range(n)]
+            yield out
+
+    return qvecs.mapInPandas(encode_iter, out_schema)
+
+
+def adc_tables(
+    query_vec: list[int],
+    coarse_centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+) -> tuple[list[int], list[list[int]]]:
+    """The per-probe ADC model: (base, lut) where ``base[c]`` =
+    dot(q, centroid_c) and ``lut[s][j]`` = dot(q_sub_s, codebook_s[j]),
+    all exact int64 — a candidate's approximate score is
+    base[cluster] + sum_s lut[s][codes[s]] = dot(q, reconstruction).
+    O(k*dim + M*ksub*dsub) integer work per probe, done once."""
+    np = _np()
+    q = np.asarray(query_vec, dtype=np.int64)
+    cmat = np.asarray(coarse_centroids, dtype=np.int64)
+    base = (cmat @ q).tolist()
+    dsub = len(codebooks[0][0])
+    lut = [
+        (np.asarray(cb, dtype=np.int64)
+         @ q[s * dsub:(s + 1) * dsub]).tolist()
+        for s, cb in enumerate(codebooks)
+    ]
+    return [int(b) for b in base], [[int(v) for v in row] for row in lut]

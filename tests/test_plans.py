@@ -160,6 +160,10 @@ _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            # ann_ivf_recall); the trained side itself is a broadcast
            # HASH join on the cluster id
            "ann_trained_recall",
+           # r17: same shape as ann_trained_recall -- the audit's
+           # ground-truth side IS ann_topk_bruteforce; the PQ side is a
+           # broadcast HASH join on cluster + a broadcast shortlist join
+           "ann_pq_recall",
            # r16: the same one-row broadcast n_total relation as
            # unigram_logprob, cross-joined onto both fitted models
            "bigram_logprob"}

@@ -494,3 +494,123 @@ def test_probe_clusters_fanout_and_guards(spark):
 
     with _pytest.raises(ValueError, match="cluster"):
         probe_clusters(df.withColumn("cluster", F.lit(1)), cents)
+
+
+def test_pq_saturated_shortlist_equals_trained_path(spark, sf_dir):
+    """r17 (r16 verdict #1): with the SAME coarse centroids and a
+    shortlist wide enough to admit every probed candidate, IVF-PQ must
+    return EXACTLY the uncompressed trained path's answer -- the probed
+    lists are identical (same argmin/tie rules on both sides) and the
+    exact re-rank scores every candidate, so ADC approximation decides
+    nothing. Pins the whole PQ plumbing (coarse assignment, probe-list
+    choice, ADC join shape, re-rank arithmetic) to the audited path."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        fit_kmeans,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_pq,
+        ann_topk_trained,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _, _ = fit_kmeans(emb, k=16, max_iters=8)
+    trained = sorted(map(tuple, ann_topk_trained(
+        spark, sf_dir, centroids=cents).collect()))
+    pq = sorted(map(tuple, ann_topk_pq(
+        spark, sf_dir, centroids=cents, shortlist_mult=10_000).collect()))
+    assert pq == trained and len(pq) > 0
+
+
+def test_pq_default_shortlist_subset_and_audit_shape(spark, sf_dir):
+    """The default-budget PQ search: output contract, per-query dense
+    ranks, and the recall audit's conservation law (n_both +
+    n_exact_only == top-3 per query, since the exact side always has 3
+    rows per probe)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_pq_recall,
+        ann_topk_pq,
+    )
+
+    out = ann_topk_pq(spark, sf_dir)
+    assert out.columns == ["query_id", "cand_id", "rnk", "cos6"]
+    rows = out.collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+    audit = ann_pq_recall(spark, sf_dir).collect()
+    assert audit
+    for r in audit:
+        assert r.n_both + r.n_exact_only == 3, tuple(r)
+        assert r.n_both + r.n_pq_only <= 3, tuple(r)
+
+
+def test_pq_encode_matches_numpy_replica_and_pool_flag(spark, monkeypatch):
+    """encode_pq's codes replicated independently in numpy (quantize ->
+    coarse argmin -> residual -> per-subspace argmin, first-min ties),
+    plus the PQ_SCRATCH=False fresh-allocation arm's bit-identity and
+    the code-range invariant."""
+    import numpy as np
+
+    from aws_cloudfront_realtime_monitoring_spark.operators import pq as pqm
+
+    rows = [(i, [int((i * 13 + d * 5) % 17 - 8) * 250_000
+                 for d in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, qv ARRAY<BIGINT>")
+    cents = [[0] * 8, [1_500_000] * 8]
+    cbs = pqm.fit_pq(df, cents, m=4, ksub=4, max_iters=6)
+    assert len(cbs) == 4 and all(len(cb) <= 4 for cb in cbs)
+    got = {r.vec_id: (r.cluster, list(r.codes))
+           for r in pqm.encode_pq(df, cents, cbs).collect()}
+    # independent replica
+    x = np.array([v for _, v in rows], dtype=np.int64)
+    cmat = np.array(cents, dtype=np.int64)
+    cl = np.argmin(((x[:, None, :] - cmat[None]) ** 2).sum(2), axis=1)
+    res = x - cmat[cl]
+    want = {}
+    for i, (vid, _) in enumerate(rows):
+        codes = []
+        for s, cb in enumerate(cbs):
+            cbm = np.array(cb, dtype=np.int64)
+            dd = ((res[i, s * 2:(s + 1) * 2][None, :] - cbm) ** 2).sum(1)
+            codes.append(int(np.argmin(dd)))
+        want[vid] = (int(cl[i]), codes)
+    assert got == want
+    for _, codes in got.values():
+        assert all(0 <= c < 4 for c in codes)
+    monkeypatch.setattr(pqm, "PQ_SCRATCH", False)
+    fresh = {r.vec_id: (r.cluster, list(r.codes))
+             for r in pqm.encode_pq(df, cents, cbs).collect()}
+    assert fresh == got
+
+
+def test_fit_pq_guards_and_determinism(spark):
+    """fit_pq rejects a dim not divisible by m, empty inputs, and an
+    oversized ksub; two fits of the same relation are integer-identical
+    (the repo determinism contract -- no RNG anywhere)."""
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import fit_pq
+
+    rows = [(i, [int((i * 3 + d) % 7 - 3) * 500_000 for d in range(6)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, qv ARRAY<BIGINT>")
+    cents = [[0] * 6]
+    with _pytest.raises(ValueError, match="divisible"):
+        fit_pq(df, cents, m=4)
+    with _pytest.raises(ValueError, match="non-empty"):
+        fit_pq(df, [], m=2)
+    with _pytest.raises(ValueError, match="16-bit"):
+        fit_pq(df, cents, m=2, ksub=1 << 17)
+    empty = spark.createDataFrame([], "vec_id BIGINT, qv ARRAY<BIGINT>")
+    with _pytest.raises(ValueError, match="empty"):
+        fit_pq(empty, cents, m=2)
+    a = fit_pq(df, cents, m=3, ksub=4)
+    b = fit_pq(df, cents, m=3, ksub=4)
+    assert a == b
+    assert len(a) == 3 and all(len(row) == 2 for cb in a for row in cb)

@@ -114,6 +114,136 @@ def _nprobe_sweep(spark, last_dir: tuple[str, str], args) -> None:
         "cells": cells}))
 
 
+def _dir_bytes(path: str) -> int:
+    return sum(p.stat().st_size for p in Path(path).rglob("*")
+               if p.is_file() and not p.name.startswith(("_", ".")))
+
+
+def _pq_sweep(spark, last_dir: tuple[str, str], args) -> None:
+    """IVF-PQ cells at the largest built decade (r17, r16 verdict #1):
+    fit the coarse quantizer (auto-sample, the r16 measured default)
+    and the PQ codebooks once, time the encode pass, record the HONEST
+    on-disk compression ratio (encoded index parquet vs the raw
+    quantized-vector parquet the uncompressed trained index scans),
+    then per nprobe time PQ search + recall@3 next to the uncompressed
+    trained path on the SAME centroids -- the ratio and the recall
+    delta are the two numbers SCALE.md needs. One JSON line + a
+    markdown table."""
+    import shutil
+    import tempfile
+
+    from aws_cloudfront_realtime_monitoring_spark.functions.quantize import (
+        qvec,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        fit_kmeans,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import (
+        encode_pq,
+        fit_pq,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_pq,
+        ann_topk_trained,
+    )
+
+    label, d = last_dir
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    k = 64 if n > 50_000 else 16
+    t0 = time.perf_counter()
+    cents, _, iters = fit_kmeans(emb, k=k, max_iters=8,
+                                 fit_fraction="auto")
+    coarse_fit_s = round(time.perf_counter() - t0, 2)
+    qvecs = emb.select("vec_id", qvec().alias("qv"))
+    t0 = time.perf_counter()
+    cbs = fit_pq(qvecs, cents, m=args.pq_m, ksub=args.pq_ksub)
+    pq_fit_s = round(time.perf_counter() - t0, 2)
+    print(f"# fits @{label} (n={n}, k={k}, m={args.pq_m}, "
+          f"ksub={args.pq_ksub}): coarse {coarse_fit_s}s/{iters}it, "
+          f"pq {pq_fit_s}s", file=sys.stderr)
+
+    tmp = tempfile.mkdtemp(prefix="pq_size_")
+    try:
+        t0 = time.perf_counter()
+        encode_pq(qvecs, cents, cbs).write.mode("overwrite").parquet(
+            f"{tmp}/index")
+        encode_s = round(time.perf_counter() - t0, 2)
+        qvecs.write.mode("overwrite").parquet(f"{tmp}/raw")
+        idx_b, raw_b = _dir_bytes(f"{tmp}/index"), _dir_bytes(f"{tmp}/raw")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ratio = round(raw_b / idx_b, 2) if idx_b else None
+    print(f"# encode {encode_s}s; index {idx_b} B vs raw {raw_b} B "
+          f"= {ratio}x", file=sys.stderr)
+
+    cells = {}
+    for nprobe in (args.nprobe_sweep or [2, 4, 8]):
+        for arm, thunk, audit in (
+            ("pq",
+             lambda: ann_topk_pq(spark, d, centroids=cents, codebooks=cbs,
+                                 nprobe=nprobe),
+             lambda: _pq_recall_nprobe(spark, d, cents, cbs, nprobe)),
+            ("trained",
+             lambda: ann_topk_trained(spark, d, centroids=cents,
+                                      nprobe=nprobe),
+             lambda: ann_trained_recall_nprobe(spark, d, cents, nprobe)),
+        ):
+            cell = mss.timed(spark, thunk, args.runs)
+            rec = audit().collect()
+            cell["recall_at3"] = round(
+                sum(r.n_both for r in rec) / (3 * len(rec)), 3)
+            cells[f"np{nprobe}:{arm}"] = cell
+            print(f"# np{nprobe}:{arm}: {cell}", file=sys.stderr)
+
+    print(f"\n# IVF-PQ sweep @{label} (n={n}, k={k}, m={args.pq_m}, "
+          f"ksub={args.pq_ksub}); coarse fit {coarse_fit_s}s/{iters}it, "
+          f"pq fit {pq_fit_s}s, encode {encode_s}s, on-disk index "
+          f"{idx_b} B vs raw {raw_b} B = {ratio}x smaller")
+    print("| nprobe | arm | search min (s) | recall@3 | ext |")
+    print("|---|---|---|---|---|")
+    for name, c in cells.items():
+        np_, arm = name.split(":")
+        print(f"| {np_[2:]} | {arm} | {c['sec']} | {c['recall_at3']} |"
+              f" {c['ext_cores']} |")
+    print(json.dumps({
+        "metric": "ann_pq_sweep", "n": n, "k": k,
+        "m": args.pq_m, "ksub": args.pq_ksub,
+        "coarse_fit_s": coarse_fit_s, "pq_fit_s": pq_fit_s,
+        "encode_s": encode_s, "index_bytes": idx_b, "raw_bytes": raw_b,
+        "compression": ratio, "cells": cells}))
+
+
+def _pq_recall_nprobe(spark, d, cents, cbs, nprobe):
+    """ann_pq_recall's n_both relation with the nprobe knob exposed."""
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_bruteforce_df,
+        ann_topk_pq,
+    )
+
+    pq = ann_topk_pq(
+        spark, d, centroids=cents, codebooks=cbs, nprobe=nprobe
+    ).where(F.col("rnk") <= 3).select(
+        F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c"))
+    exact = ann_topk_bruteforce_df(spark, d).where(
+        F.col("rnk") <= 3).select(
+        F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c"))
+    joined = pq.join(
+        exact,
+        (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
+        "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("i_q"), F.col("e_q")).alias("query_id"),
+            (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
+            .cast("int").alias("is_both"))
+        .groupBy("query_id")
+        .agg(F.sum("is_both").cast("bigint").alias("n_both"))
+    )
+
+
 def ann_trained_recall_nprobe(spark, d, cents, nprobe):
     """ann_trained_recall with the nprobe knob exposed (the registry row
     pins the production default; the sweep varies it)."""
@@ -166,6 +296,17 @@ def main() -> None:
     ap.add_argument("--fit-fraction", type=float, default=0.1,
                     help="sample fraction for the sample-fit arm of "
                          "--nprobe-sweep")
+    ap.add_argument("--pq-sweep", action="store_true",
+                    help="run ONLY the IVF-PQ sweep (r17): fit coarse + "
+                         "codebooks once at the LAST --copies decade, "
+                         "time encode, record the on-disk compression "
+                         "ratio, then per nprobe (--nprobe-sweep or "
+                         "2/4/8) time PQ search + recall@3 next to the "
+                         "uncompressed trained path on the same index")
+    ap.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subspace count for --pq-sweep")
+    ap.add_argument("--pq-ksub", type=int, default=256,
+                    help="PQ codebook size per subspace for --pq-sweep")
     args = ap.parse_args()
 
     load, flagged = _wait_for_quiet_box()
@@ -183,6 +324,11 @@ def main() -> None:
     for c in args.copies:
         build_scaled_embeddings(spark, "/root/testdata/sf0.1", c)
         dirs.append((f"x{c}", str(SWEEP_DIR / f"sf0.1x{c}")))
+
+    if args.pq_sweep:
+        _pq_sweep(spark, dirs[-1], args)
+        spark.stop()
+        return
 
     if args.nprobe_sweep:
         _nprobe_sweep(spark, dirs[-1], args)
