@@ -736,3 +736,190 @@ def gif_anim_payload(doc_id: int) -> bytes:
 def attach_gif_anim_payload(docs: DataFrame) -> DataFrame:
     """(doc_id, payload BINARY): one animated GIF per document."""
     return _attach(docs, gif_anim_payload)
+
+
+# --------------------------- WebP / VP8L (r17, the last oracle gap)
+#
+# r16 verdict #4: WebP was the one decoder family verified only by
+# pytest goldens (bit-exact vs libwebp) because "an encoder would be a
+# codec in itself" -- true for lossy VP8, NOT for lossless VP8L. This
+# encoder writes a spec-conformant VP8L still (RFC 9649 / the WebP
+# lossless bitstream spec): no transforms, no color cache, no meta
+# prefix image, no backward references -- every pixel is a prefix-coded
+# ARGB literal. It is NOT the trivial spelling though: green/red/blue
+# use FULL (non-simple) prefix codes, so decoding exercises the
+# code-length code (zero-run symbols 17/18, literal lengths, canonical
+# reconstruction) and real multi-bit canonical walks; alpha and
+# distance use the simple-code form, so both header paths run in one
+# stream. Written independently of operators/webp.py from the spec
+# (the _gif_lzw precedent): the encoder knows the BIT LAYOUT, the
+# decoder its own tables, and the pixel formulas below are what the
+# DuckDB oracle recomputes.
+#
+# Content (closed-form, oracle-recomputable): W = doc_id % 20 + 4,
+# H = doc_id % 14 + 4; per pixel (x, y):
+#   g = (doc_id      % 240) + ((x + y)     % 16)
+#   r = (doc_id * 7  % 240) + ((2*x + y)   % 16)
+#   b = (doc_id * 13 % 240) + ((x + 3*y)   % 16)
+#   a = 255
+# Each channel uses exactly the 16 contiguous values base..base+15, so
+# its full prefix code is the complete 16-symbol/4-bit canonical code;
+# the 2-D position-dependence makes the POSITION-WEIGHTED sum pin pixel
+# placement, the wsum_px discipline.
+
+class _LBits:
+    """LSB-first bit writer -- the exact inverse of webp._Bits."""
+
+    __slots__ = ("acc", "n", "out")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def put_code(self, code: int, nbits: int) -> None:
+        """A canonical PREFIX code: DEFLATE bit order, the MSB of the
+        code is the first bit on the wire."""
+        for i in range(nbits - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, nbits), the canonical assignment webp._Prefix
+    reconstructs: codes count up within a length, lengths ordered by
+    ascending symbol."""
+    max_len = max(lengths.values())
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths.values():
+        bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for sym in sorted(lengths):
+        ln = lengths[sym]
+        out[sym] = (next_code[ln], ln)
+        next_code[ln] += 1
+    return out
+
+
+#: code-length-code lengths the full codes below ship: literal "4"
+#: every pixel-value symbol, "0" for short zero gaps, 17/18 for zero
+#: runs. Kraft-complete: 1/2 + 1/4 + 1/8 + 1/8 = 1.
+_VP8L_CL_LENGTHS = {4: 1, 0: 2, 17: 3, 18: 3}
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15)
+
+
+def _write_full_code(bw: _LBits, base: int, alphabet_size: int) -> None:
+    """A full (non-simple) prefix code over exactly the 16 contiguous
+    symbols base..base+15, each at length 4 (complete: 16 * 2^-4 = 1):
+    code-length-code header, then the length stream as zero runs +
+    sixteen literal '4's."""
+    cl = _canonical_codes(_VP8L_CL_LENGTHS)
+    bw.put(0, 1)  # not a simple code
+    # cl lengths ride in _VP8L_CL_ORDER; symbols 17,18,0,...,4 need the
+    # first 7 slots
+    bw.put(7 - 4, 4)
+    for sym in _VP8L_CL_ORDER[:7]:
+        bw.put(_VP8L_CL_LENGTHS.get(sym, 0), 3)
+    bw.put(0, 1)  # no max_symbol early stop: runs cover the tail
+
+    def zeros(n: int) -> None:
+        # 18 = zero-run 11..138 (7 extra bits), 17 = zero-run 3..10
+        # (THREE extra bits -- the first encoder draft wrote 2 and its
+        # replica trace faithfully reproduced the same bug; the
+        # decoder's spec-correct br.read(3) caught it)
+        while n > 0:
+            if n >= 11:
+                r = min(n, 138)
+                bw.put_code(*cl[18])
+                bw.put(r - 11, 7)
+            elif n >= 3:
+                r = min(n, 10)
+                bw.put_code(*cl[17])
+                bw.put(r - 3, 3)
+            else:
+                r = 1
+                bw.put_code(*cl[0])
+            n -= r
+
+    zeros(base)
+    for _ in range(16):
+        bw.put_code(*cl[4])
+    zeros(alphabet_size - base - 16)
+
+
+def _write_simple_code(bw: _LBits, symbol: int) -> None:
+    """The 1-symbol simple-code form (0 bits per decoded symbol)."""
+    bw.put(1, 1)  # simple
+    bw.put(0, 1)  # num_symbols - 1 = 0
+    if symbol > 1:
+        bw.put(1, 1)  # 8-bit first symbol
+        bw.put(symbol, 8)
+    else:
+        bw.put(0, 1)  # 1-bit first symbol
+        bw.put(symbol, 1)
+
+
+def webp_channel_bases(doc_id: int) -> tuple[int, int, int]:
+    """(gbase, rbase, bbase) — THE formula the oracle mirrors."""
+    return (doc_id % 240, (doc_id * 7) % 240, (doc_id * 13) % 240)
+
+
+def vp8l_webp_payload(doc_id: int) -> bytes:
+    """Lossless-WebP still per the module formulas: RIFF/WEBP container
+    around one VP8L chunk of prefix-coded ARGB literals."""
+    w = doc_id % 20 + 4
+    h = doc_id % 14 + 4
+    gbase, rbase, bbase = webp_channel_bases(doc_id)
+    bw = _LBits()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # alpha_is_used hint (informational)
+    bw.put(0, 3)  # version
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no color cache
+    bw.put(0, 1)  # no meta prefix image
+    # green's alphabet carries the literals + 24 length prefixes (+ no
+    # cache): 280 symbols; red/blue/alpha are plain 256-symbol bytes
+    _write_full_code(bw, gbase, 256 + 24)
+    _write_full_code(bw, rbase, 256)
+    _write_full_code(bw, bbase, 256)
+    _write_simple_code(bw, 255)  # alpha: constant, 0 bits/pixel
+    _write_simple_code(bw, 0)    # distance: never read (no back-refs)
+    gcode = _canonical_codes({gbase + j: 4 for j in range(16)})
+    rcode = _canonical_codes({rbase + j: 4 for j in range(16)})
+    bcode = _canonical_codes({bbase + j: 4 for j in range(16)})
+    for y in range(h):
+        for x in range(w):
+            bw.put_code(*gcode[gbase + (x + y) % 16])
+            bw.put_code(*rcode[rbase + (2 * x + y) % 16])
+            bw.put_code(*bcode[bbase + (x + 3 * y) % 16])
+            # alpha: single-symbol code, zero bits
+    data = b"\x2f" + bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunk += b"\x00"  # RIFF even-byte padding
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def attach_webp_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): one lossless-WebP still per document."""
+    return _attach(docs, vp8l_webp_payload)

@@ -749,6 +749,15 @@ def decode_pixel_stats(payload: bytes) -> dict:
         from .gif import decode_gif
 
         fmt, (w, h, _n, px) = "gif", decode_gif(payload)  # first frame
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        # r17: the VP8L still's RGBA is a real prefix-decode; animated
+        # canvases (px is None) stay outside this row's contract
+        w, h, _n, px, _codec = decode_webp(payload)
+        if px is None:
+            raise ValueError("pixel stats: animated WebP canvas")
+        fmt = "webp"
     else:
         raise ValueError("pixel stats: unrecognized image signature")
     p64 = px.astype(np.int64)

@@ -1218,3 +1218,70 @@ def test_alpha_plane_differential_vs_libwebp():
         gw, gh, nf, rgba, codec = decode_webp(payload)
         assert (gw, gh, nf, codec) == (w, h, 1, "vp8x")
         assert np.array_equal(rgba[..., 3], ref[..., 3]), (w, h)
+
+
+def test_vp8l_synth_encoder_roundtrips_exactly():
+    """r17 (r16 verdict #4): media_synth's spec-written VP8L encoder
+    (full prefix codes + code-length zero runs for g/r/b, simple codes
+    for alpha/distance) must decode to EXACTLY the module formulas'
+    pixels through the real decoder — the GIF _gif_lzw discipline
+    applied to the last decoder family without a pixel-content oracle.
+    Sweeps doc_ids covering every (w, h) residue, base wrap (239/240),
+    and zero-run shapes (literal 0s, 17-runs, chained 18-runs)."""
+    import numpy as np
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+        vp8l_webp_payload,
+        webp_channel_bases,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.webp import (
+        count_webp_frames,
+        decode_webp,
+    )
+
+    for doc_id in list(range(60)) + [239, 240, 1234, 99999]:
+        p = vp8l_webp_payload(doc_id)
+        w, h, n, rgba, codec = decode_webp(p)
+        assert (codec, n) == ("vp8l", 1)
+        assert count_webp_frames(p) == (w, h, 1)
+        W, H = doc_id % 20 + 4, doc_id % 14 + 4
+        assert (w, h) == (W, H)
+        gb, rb, bb = webp_channel_bases(doc_id)
+        xs = np.arange(W)[None, :]
+        ys = np.arange(H)[:, None]
+        want = np.stack([
+            (rb + (2 * xs + ys) % 16) + 0 * ys,
+            (gb + (xs + ys) % 16) + 0 * ys,
+            (bb + (xs + 3 * ys) % 16) + 0 * ys,
+            np.broadcast_to(np.uint8(255), (H, W)),
+        ], axis=2).astype(np.uint8)
+        assert np.array_equal(rgba, want), doc_id
+
+
+def test_vp8l_synth_pixel_stats_contract():
+    """decode_pixel_stats' WebP branch: fmt/n_ch/sums match an
+    independent integer recomputation (what the SQL oracle does), and
+    an animated canvas is a ValueError, not a bogus stats row."""
+    import numpy as np
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+        vp8l_webp_payload,
+        webp_channel_bases,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        decode_pixel_stats,
+    )
+
+    for doc_id in (0, 7, 39, 239):
+        st = decode_pixel_stats(vp8l_webp_payload(doc_id))
+        W, H = doc_id % 20 + 4, doc_id % 14 + 4
+        gb, rb, bb = webp_channel_bases(doc_id)
+        s = ws = 0
+        for y in range(H):
+            for x in range(W):
+                c = (gb + (x + y) % 16 + rb + (2 * x + y) % 16
+                     + bb + (x + 3 * y) % 16 + 255)
+                s += c
+                ws += (y * W + x + 1) * c
+        assert st == {"fmt": "webp", "width": W, "height": H, "n_ch": 4,
+                      "sum_px": s, "wsum_px": ws, "n_px": W * H}
