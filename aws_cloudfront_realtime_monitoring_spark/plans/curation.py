@@ -423,10 +423,9 @@ LP_KEEP_MIN_MICRO = -3_402_000
 
 _LWORDS = _LWORDS_SQL  # the one lowered-word spelling (r11 review)
 
-
-@register(
-    "unigram_logprob",
-    oracle=f"""
+#: shared by unigram_logprob and the r17 streaming-parity row
+#: (stream_lm_filter_equiv) -- one oracle spelling, like PII_ORACLE_SQL
+UNIGRAM_ORACLE_SQL = f"""
     WITH toks AS (
       SELECT doc_id, unnest({_LWORDS}) AS w FROM documents),
     model AS (
@@ -444,7 +443,55 @@ _LWORDS = _LWORDS_SQL  # the one lowered-word spelling (r11 review)
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM toks JOIN lp USING (w)
     GROUP BY doc_id
-    """,
+    """
+
+
+def lm_toks(docs: DataFrame) -> DataFrame:
+    """The (doc_id, lowered word) token stream both LM-filter stages
+    consume -- one spelling so the fit side and the scoring side (and
+    the batch vs streaming inputs of the r17 parity row) can never
+    tokenize differently."""
+    return docs.select("doc_id", F.explode(lwords_col()).alias("w"))
+
+
+def lm_unigram_lp(toks: DataFrame) -> DataFrame:
+    """Fit the unigram LM over a token stream: the (w, lp_micro)
+    broadcast model relation. Barriered (lazy localCheckpoint) because
+    it feeds both the corpus total and the scoring join."""
+    model = toks.groupBy("w").agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint(eager=False)
+    # corpus total from the model, NOT a second token-stream scan
+    total = model.agg(F.sum("cnt").alias("n_total"))
+    lp_micro = F.floor(
+        F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1e6 + 0.5
+    ).cast("bigint")
+    return model.crossJoin(F.broadcast(total)).select(
+        "w", lp_micro.alias("lp_micro"))
+
+
+def lm_unigram_score(toks: DataFrame, lp: DataFrame) -> DataFrame:
+    """Score a token stream under a fitted (w, lp_micro) model: per-doc
+    token count, exact integer log-prob sum, and the multiplied-through
+    keep bit. ``toks`` may be a STREAMING relation -- the model side
+    broadcasts per micro-batch (the stream-static join shape) and the
+    groupBy is a complete-mode stateful aggregation."""
+    summed = F.sum("lp_micro").cast("bigint")
+    return (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            summed.alias("sum_lp_micro"),
+            F.when(summed >= F.lit(LP_KEEP_MIN_MICRO) * F.count("*"), 1)
+            .otherwise(0).cast("bigint").alias("keep"),
+        )
+    )
+
+
+@register(
+    "unigram_logprob",
+    oracle=UNIGRAM_ORACLE_SQL,
     description="Perplexity-proxy filter: per-document sum of unigram "
                 "log-probabilities under the corpus's own unigram LM, "
                 "with a keep bit on the mean-per-token threshold (the "
@@ -470,32 +517,10 @@ _LWORDS = _LWORDS_SQL  # the one lowered-word spelling (r11 review)
     driver_slot=False,
 )
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(lwords_col()).alias("w"))
-    # barrier the O(vocab) model (lazy localCheckpoint): it feeds both the
-    # corpus total and the broadcast lookup, and without it each reference
-    # re-runs the token-stream scan + aggregation (audit: 3 corpus scans
-    # where the operator needs 2 -- model build + scoring join)
-    model = toks.groupBy("w").agg(
-        F.count("*").alias("cnt")
-    ).localCheckpoint(eager=False)
-    # corpus total from the model, NOT a second token-stream scan
-    total = model.agg(F.sum("cnt").alias("n_total"))
-    lp_micro = F.floor(
-        F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1e6 + 0.5
-    ).cast("bigint")
-    lp = model.crossJoin(F.broadcast(total)).select("w", lp_micro.alias("lp_micro"))
-    summed = F.sum("lp_micro").cast("bigint")
-    return (
-        toks.join(F.broadcast(lp), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            summed.alias("sum_lp_micro"),
-            F.when(summed >= F.lit(LP_KEEP_MIN_MICRO) * F.count("*"), 1)
-            .otherwise(0).cast("bigint").alias("keep"),
-        )
-    )
+    # fit + score over the same token stream, via the shared helpers
+    # the streaming parity row reuses (r17: one spelling, no drift)
+    toks = lm_toks(load_table(spark, sf_dir, "documents"))
+    return lm_unigram_score(toks, lm_unigram_lp(toks))
 
 
 # ------------------------------------------------------- bigram_logprob

@@ -226,13 +226,46 @@ from .curation import (  # noqa: E402
     DECON_MOD,
     DECON_ORACLE_SQL,
     PII_ORACLE_SQL,
+    UNIGRAM_ORACLE_SQL,
     _planted_col,
     decon_bench_ngrams,
     decon_corpus_hits,
     decon_count,
     decon_grams,
+    lm_toks,
+    lm_unigram_lp,
+    lm_unigram_score,
     pii_projection,
 )
+
+
+@register(
+    "stream_lm_filter_equiv",
+    oracle=UNIGRAM_ORACLE_SQL,
+    description="Streaming==batch equivalence for the LM quality-filter "
+                "family (r17, r16 verdict #7): the unigram LM is FITTED "
+                "batch-side (the production shape — models train "
+                "offline) and the scoring stage runs inside a "
+                "Structured Streaming query: documents arrive as a file "
+                "stream, tokens join the STATIC broadcast (w, lp_micro) "
+                "model per micro-batch (the stream-static join shape, "
+                "like stream_decontaminate_equiv), and the per-doc "
+                "token-count/log-prob-sum/keep-bit aggregation runs as "
+                "a complete-mode stateful groupBy. Must hash-match the "
+                "batch unigram_logprob oracle exactly — fit and scoring "
+                "share ONE set of projections (lm_toks/lm_unigram_lp/"
+                "lm_unigram_score), so the batch and stream spellings "
+                "cannot drift. Verified by the test suite outside the "
+                "50-row driver budget (driver_slot=False).",
+    tags=("streaming", "curation", "quality"),
+    driver_slot=False,
+)
+def stream_lm_filter_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    lp = lm_unigram_lp(lm_toks(load_table(spark, sf_dir, "documents")))
+    scored = lm_unigram_score(lm_toks(_documents_stream(spark, sf_dir)), lp)
+    return _run_to_parquet(scored, "complete")
 
 
 @register(
