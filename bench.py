@@ -54,6 +54,22 @@ HEADLINE = [
     "subquery_shapes",
 ]
 
+#: NON-HEADLINE wall-time series (r17, r16 verdict #3): operators added
+#: after the headline set froze get their round-over-round series HERE
+#: -- same min-of-N timing, recorded in the BENCH_DETAIL sidecar under
+#: "extra_queries" and NEVER in the headline total, so the 29-query
+#: official number stays comparable across every round while new ops
+#: still show regressions. Versioned: append-only, each entry tagged
+#: with the round it entered the series.
+EXTRA_QUERIES = [
+    "bigram_logprob",      # entered r17 (operator landed r16)
+    "ann_trained_recall",  # entered r17: the auto-fit trained-ANN path
+                           # (fit_kmeans auto-sample + nprobe default)
+                           # plus the brute-force audit join
+    "ann_pq_recall",       # entered r17 (operator landed r17): IVF-PQ
+                           # train + encode + ADC scan + exact re-rank
+]
+
 
 #: start-of-run 1-min load above this = a noisy neighbor is bursting; wait
 #: (bounded) for it to pass, and flag the run if it never does. r02's bench
@@ -546,6 +562,20 @@ def main() -> None:
         print(f"# {name}: {times[name]}s (runs: {[round(t, 2) for t in per_run]})",
               file=sys.stderr)
 
+    # non-headline series (r17): same timing discipline, sidecar-only,
+    # no drift-gate re-runs (their priors live in BENCH_DETAIL history,
+    # not the official queries map) and no contribution to the total
+    extra_times: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        registry[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+        per_run, _ext = timed_runs(name)
+        extra_times[name] = round(min(per_run), 3)
+        print(f"# extra {name}: {extra_times[name]}s "
+              f"(runs: {[round(t, 2) for t in per_run]})", file=sys.stderr)
+
     calib_end = _calibration_sec(spark)
     mem_end = _memory_probe()
     # end-of-run verdict under the same thresholds: a gate-passed window
@@ -569,6 +599,7 @@ def main() -> None:
         mem_start=mem_start,
         mem_end=mem_end,
         regime=regime,
+        extra_queries=extra_times,
     ))
     spark.stop()
 
@@ -597,6 +628,7 @@ def _render_output(
     mem_start: tuple[float, float] | None = None,
     mem_end: tuple[float, float] | None = None,
     regime: dict | None = None,
+    extra_queries: dict[str, float] | None = None,
     sidecar_dir: Path | None = None,
 ) -> str:
     """Write full diagnostics to the sidecar, return the compact stdout
@@ -684,6 +716,10 @@ def _render_output(
         # SPARK_GRAFT_BENCH_MIDRUN_WAIT); 0 = neighbors stayed noisy
         # past the budget and later re-runs raced them
         midrun_wait_left_sec=round(wait_budget_left, 1),
+        # the NON-headline series (r17): min-of-N seconds for operators
+        # added after the headline set froze (EXTRA_QUERIES) -- sidecar
+        # only, never part of the official total
+        extra_queries=extra_queries or {},
     )
     try:
         ((sidecar_dir or Path(__file__).resolve().parent) / SIDECAR).write_text(

@@ -270,3 +270,29 @@ def test_render_output_skips_none_bw(tmp_path):
     rec = json.loads(both_none)
     assert "bw_gbps" not in rec
     assert rec["fault_mbps"] == 8.0
+
+
+def test_extra_queries_ride_sidecar_not_stdout(tmp_path):
+    """r17 (r16 verdict #3): the non-headline series (EXTRA_QUERIES --
+    ops added after the headline set froze) lands in the sidecar's
+    extra_queries map and never in the stdout line's queries/value, so
+    the official total stays round-over-round comparable."""
+    times = {name: 1.0 for name in bench.HEADLINE}
+    line = bench._render_output(
+        times=times, sf=0.1, load_start=1.0, load_end=1.0,
+        load_flagged=False, reran=[], query_ext_cores={},
+        wait_budget_left=0.0, calib_start=0.5, calib_end=0.5,
+        extra_queries={"bigram_logprob": 0.7, "ann_pq_recall": 2.1},
+        sidecar_dir=tmp_path,
+    )
+    rec = json.loads(line)
+    assert "bigram_logprob" not in rec["queries"]
+    assert rec["value"] == round(sum(times.values()), 3)
+    detail = json.loads((tmp_path / bench.SIDECAR).read_text())
+    assert detail["extra_queries"] == {"bigram_logprob": 0.7,
+                                       "ann_pq_recall": 2.1}
+    # every EXTRA_QUERIES name must resolve in the full registry
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+    reg = load_full()
+    for name in bench.EXTRA_QUERIES:
+        assert name in reg, name
