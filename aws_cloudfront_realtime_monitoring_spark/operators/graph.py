@@ -109,6 +109,25 @@ BROADCAST_MAX_NODES = 2_000_000
 LC_CHAIN_MAX = 1
 
 
+#: memory-only persist of the small-graph fast path's seed labeling
+#: (r17, r16 verdict #6): the unbarriered seed subplan is evaluated by
+#: each of the local-finish probe's two broadcast builds and once more
+#: by the final root-map apply / anchor. A MEMORY_ONLY persist trades
+#: those recomputes (each a scan+agg of the <= 2M-row cached edge
+#: relation) for one cache write + two reads. Module flag so
+#: tools/measure_cc_seed_ab.py can interleave both spellings; results
+#: are identical either way (same plan, same values -- the
+#: dedup_clusters oracle hash pins it). MEASURED (r17, interleaved
+#: A/B min-of-5, load ~3.6 -- a drifting window, so min is the
+#: comparator): dedup_clusters@sf0.1 persist 5.191 s vs recompute
+#: 5.163 s (a wash -- that seed is ~3k rows, recomputes are noise);
+#: near-gate 1M-node chain persist 11.773 s vs recompute 13.864 s
+#: (1.18x -- at gate-sized seeds the three scans of the 2M-row edge
+#: cache are real work). Persist is the default: free at the small
+#: end, measured win at the heavy end, and the cache is
+#: label-table-sized by the fast path's own gate.
+CC_SEED_PERSIST = True
+
 #: contracted label-graph edge cap for the driver union-find finish --
 #: the same two-bigint-columns sizing argument as BROADCAST_MAX_NODES
 #: (~32 MB at the cap), and the same CBO-style role: under it the local
@@ -412,29 +431,50 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             # (the dominant term at sf0.1, where the local finish always
             # engages and the loop never runs).
             small_labels = True
-            done = _local_finish(spark, edges, seed_plan)
-            if done is not None:
-                _LOG.info(
-                    "connected_components converged: local finish "
-                    "(unbarriered seed, %d edges), %d barrier writes",
-                    n_edges, step,
-                )
-                if not own_tmp:
-                    # anchor unconditionally (r16 ADVICE): finish() only
-                    # localCheckpoints when own_tmp, but THIS result is a
-                    # lazy plan over the cached edge relation that the
-                    # finally block unpersists — every downstream action
-                    # would recompute the seed aggregation from `pairs`,
-                    # and a non-deterministic `pairs` could then disagree
-                    # with the driver-collected union-find root map. Every
-                    # pre-r16 return path was barriered; keep that
-                    # contract for caller-supplied checkpoint_dir too.
-                    done = done.localCheckpoint()
-                return finish(done)
-            # oversized contracted graph: barrier the seed (barrier()
-            # picks localCheckpoint — small_labels is already known) and
-            # fall into the unchanged distributed loop
-            labels = barrier(seed_plan)
+            # CC_SEED_PERSIST (r17): cache the seed so the probe's two
+            # broadcast builds and the final apply read it instead of
+            # each re-running the scan+agg; identical plan semantics.
+            # Released in the finally below AFTER every return path has
+            # materialized (finish()/the anchor localCheckpoint eagerly;
+            # the fallback barriers).
+            if CC_SEED_PERSIST:
+                from pyspark import StorageLevel
+
+                # MEMORY_ONLY: the seed is label-table-sized (<= the
+                # 2M-row broadcast budget) and a disk spill here would
+                # cost more than the recompute it replaces
+                seed_rel = seed_plan.persist(StorageLevel.MEMORY_ONLY)
+            else:
+                seed_rel = seed_plan
+            try:
+                done = _local_finish(spark, edges, seed_rel)
+                if done is not None:
+                    _LOG.info(
+                        "connected_components converged: local finish "
+                        "(unbarriered seed, %d edges), %d barrier writes",
+                        n_edges, step,
+                    )
+                    if not own_tmp:
+                        # anchor unconditionally (r16 ADVICE): finish()
+                        # only localCheckpoints when own_tmp, but THIS
+                        # result is a lazy plan over the cached edge
+                        # relation that the finally block unpersists —
+                        # every downstream action would recompute the
+                        # seed aggregation from `pairs`, and a
+                        # non-deterministic `pairs` could then disagree
+                        # with the driver-collected union-find root map.
+                        # Every pre-r16 return path was barriered; keep
+                        # that contract for caller-supplied
+                        # checkpoint_dir too.
+                        done = done.localCheckpoint()
+                    return finish(done)
+                # oversized contracted graph: barrier the seed (barrier()
+                # picks localCheckpoint — small_labels is already known)
+                # and fall into the unchanged distributed loop
+                labels = barrier(seed_rel)
+            finally:
+                if CC_SEED_PERSIST:
+                    seed_rel.unpersist()
             _LOG.info("cc: <=%d nodes (edge proxy), broadcast_labels=True",
                       n_edges)
         else:

@@ -385,3 +385,21 @@ def test_connected_components_anchored_with_caller_checkpoint_dir(
     want = {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 60: 50}
     for _ in range(2):  # repeat: each action re-executes an unanchored plan
         assert {r.node: r.lbl for r in out.collect()} == want
+
+
+def test_cc_seed_persist_flag_arms_agree(spark, monkeypatch):
+    """r17 (r16 verdict #6): CC_SEED_PERSIST only changes WHERE the seed
+    labeling is read from (cache vs recompute), never its values — both
+    arms must return identical components through the fast path."""
+    from aws_cloudfront_realtime_monitoring_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (50, 60), (50, 70)], ["doc_a", "doc_b"]
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 60: 50, 70: 50}
+    on = {r.node: r.lbl
+          for r in graph.connected_components(df).collect()}
+    monkeypatch.setattr(graph, "CC_SEED_PERSIST", False)
+    off = {r.node: r.lbl
+           for r in graph.connected_components(df).collect()}
+    assert on == off == want

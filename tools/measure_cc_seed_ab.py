@@ -1,0 +1,119 @@
+"""Interleaved A/B of the CC fast path's seed persist (r17, r16 verdict
+#6): the small-graph local finish evaluates the unbarriered seed subplan
+three times (the probe's two broadcast builds + the final apply/anchor);
+``graph.CC_SEED_PERSIST`` trades those recomputes for one MEMORY_ONLY
+cache write + reads. This tool runs the full ``dedup_clusters`` registry
+row (the production consumer of the fast path) with the flag flipped
+per run, INTERLEAVED A/B/A/B so memory-regime drift (the r14/r15
+first-touch-fault findings) cannot masquerade as an arm effect — the
+measure_scratch_ab discipline.
+
+Also drives a just-under-the-edge-gate synthetic graph (edge count close
+to BROADCAST_MAX_NODES scaled down via a monkeypatched gate) so the cell
+the verdict asked for — "at sf0.1 and just under the edge gate" — is a
+real measurement, not an extrapolation.
+
+Usage: python tools/measure_cc_seed_ab.py [--reps 5] [--sf-dir DIR]
+Prints per-arm runs, medians, and one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from bench import _wait_for_quiet_box  # noqa: E402
+
+from aws_cloudfront_realtime_monitoring_spark.operators import graph  # noqa: E402
+from aws_cloudfront_realtime_monitoring_spark.plans import load_full  # noqa: E402
+from aws_cloudfront_realtime_monitoring_spark.session import get_spark  # noqa: E402
+
+
+def _time_dedup_clusters(spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    load_full()["dedup_clusters"].build(spark, sf_dir).write.format(
+        "noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return sec
+
+
+def _time_edge_gate_graph(spark, n_nodes: int) -> float:
+    """An ascending-chain graph sized just under the edge gate (the
+    symmetrized edge count is 2*(n-1), so n_nodes <= 1M keeps the fast
+    path engaged at BROADCAST_MAX_NODES = 2M): the seed labeling is
+    maximally NON-flat (every node's label points one back), so the
+    contracted label graph is ~n pairs — the local finish's heaviest
+    legal shape, evaluating the seed subplan at its largest."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.range(n_nodes - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    t0 = time.perf_counter()
+    graph.connected_components(pairs).write.format("noop").mode(
+        "overwrite").save()
+    sec = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return sec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--gate-nodes", type=int, default=1_000_000,
+                    help="node count for the near-gate synthetic cell "
+                         "(symmetrized edges = 2*(n-1) must stay under "
+                         "BROADCAST_MAX_NODES so the fast path engages)")
+    args = ap.parse_args()
+
+    load, flagged = _wait_for_quiet_box()
+    print(f"# start load {load:.2f} flagged={flagged}", file=sys.stderr)
+    spark = get_spark("cc_seed_ab")
+    import __spark_entry__
+
+    __spark_entry__._ship_package(spark)
+
+    cells: dict[str, dict] = {}
+    for cell_name, thunk in (
+        ("dedup_clusters@sf0.1",
+         lambda: _time_dedup_clusters(spark, args.sf_dir)),
+        (f"near_gate@{args.gate_nodes}",
+         lambda: _time_edge_gate_graph(spark, args.gate_nodes)),
+    ):
+        thunk()  # untimed warm-up (worker spinup, file listing)
+        runs = {"persist": [], "recompute": []}
+        for rep in range(args.reps):
+            for arm, flag in (("persist", True), ("recompute", False)):
+                graph.CC_SEED_PERSIST = flag
+                sec = thunk()
+                runs[arm].append(round(sec, 3))
+                print(f"# {cell_name} rep{rep} {arm}: {sec:.3f}s",
+                      file=sys.stderr)
+        cells[cell_name] = {
+            arm: {"runs": r, "median": round(statistics.median(r), 3),
+                  "min": min(r)}
+            for arm, r in runs.items()
+        }
+    graph.CC_SEED_PERSIST = True
+
+    print("\n| cell | arm | median (s) | min (s) | runs |")
+    print("|---|---|---|---|---|")
+    for cell_name, arms in cells.items():
+        for arm, st in arms.items():
+            print(f"| {cell_name} | {arm} | {st['median']} | {st['min']} |"
+                  f" {st['runs']} |")
+    print(json.dumps({"metric": "cc_seed_ab", "cells": cells,
+                      "reps": args.reps, "load_start": round(load, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
