@@ -283,3 +283,38 @@ def adc_tables(
         for s, cb in enumerate(codebooks)
     ]
     return [int(b) for b in base], [[int(v) for v in row] for row in lut]
+
+
+def save_pq(spark, codebooks: list[list[list[int]]], path: str) -> None:
+    """Persist trained PQ codebooks as parquet (subspace INT, code INT,
+    centroid ARRAY<BIGINT>) — the train-once artifact completing the
+    coarse quantizer's save_centroids (operators/kmeans.py): together
+    they make ann_topk_pq's ``centroids=``/``codebooks=`` arguments a
+    load-from-storage production shape. One row per (subspace, code):
+    M x ksub x dsub integers, model-state-sized."""
+    rows = [(s, j, [int(v) for v in c])
+            for s, cb in enumerate(codebooks)
+            for j, c in enumerate(cb)]
+    (spark.createDataFrame(
+        rows, "subspace INT, code INT, centroid ARRAY<BIGINT>")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_pq(spark, path: str) -> list[list[list[int]]]:
+    """Inverse of :func:`save_pq`: M lists of codebook entries, ordered
+    by (subspace, code) — a reordered load would silently remap every
+    stored code (the load_centroids discipline)."""
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    if not rows:
+        raise ValueError("PQ codebook relation is empty")
+    n_sub = rows[-1].subspace + 1
+    out: list[list[list[int]]] = [[] for _ in range(n_sub)]
+    for r in rows:
+        if r.subspace < 0 or r.code != len(out[r.subspace]):
+            raise ValueError(
+                "PQ codebook relation is not dense (subspace, 0..ksub-1) "
+                "sequences")
+        out[r.subspace].append([int(v) for v in r.centroid])
+    if not all(out):
+        raise ValueError("PQ codebook relation has an empty subspace")
+    return out

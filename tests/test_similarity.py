@@ -614,3 +614,28 @@ def test_fit_pq_guards_and_determinism(spark):
     b = fit_pq(df, cents, m=3, ksub=4)
     assert a == b
     assert len(a) == 3 and all(len(row) == 2 for cb in a for row in cb)
+
+
+def test_pq_codebook_save_load_roundtrip(spark, tmp_path):
+    """Train-once/search-many for the PQ index: saved codebooks reload
+    in (subspace, code) order and search identically; a shuffled or
+    gapped relation is rejected, never silently remapped."""
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import (
+        fit_pq,
+        load_pq,
+        save_pq,
+    )
+
+    rows = [(i, [int((i * 11 + d * 3) % 13 - 6) * 400_000
+                 for d in range(6)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, qv ARRAY<BIGINT>")
+    cbs = fit_pq(df, [[0] * 6], m=3, ksub=4)
+    save_pq(spark, cbs, str(tmp_path / "pq"))
+    assert load_pq(spark, str(tmp_path / "pq")) == cbs
+    # a gapped code sequence must be rejected
+    bad = spark.read.parquet(str(tmp_path / "pq")).where("code != 1")
+    bad.write.mode("overwrite").parquet(str(tmp_path / "bad"))
+    with _pytest.raises(ValueError, match="dense"):
+        load_pq(spark, str(tmp_path / "bad"))

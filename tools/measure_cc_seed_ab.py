@@ -54,6 +54,16 @@ def _time_edge_gate_graph(spark, n_nodes: int) -> float:
     legal shape, evaluating the seed subplan at its largest."""
     from pyspark.sql import functions as F
 
+    # checked-nothing guard: CC_SEED_PERSIST only acts inside the
+    # small-graph fast path (n_edges <= BROADCAST_MAX_NODES after
+    # symmetrization). An oversized cell would time the distributed
+    # loop on BOTH arms and print a confident null having measured
+    # nothing -- refuse it arithmetically up front.
+    if 2 * (n_nodes - 1) > graph.BROADCAST_MAX_NODES:
+        raise ValueError(
+            f"gate cell n_nodes={n_nodes}: 2*(n-1) edges exceed "
+            f"BROADCAST_MAX_NODES={graph.BROADCAST_MAX_NODES}; the fast "
+            "path (the thing under test) would not engage")
     pairs = spark.range(n_nodes - 1).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
     t0 = time.perf_counter()
