@@ -539,9 +539,83 @@ BIGRAM_LAM = 0.75
 BIGRAM_KEEP_MIN_MICRO = -3_390_000
 
 
-@register(
-    "bigram_logprob",
-    oracle=f"""
+def lm_bigram_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws) word-array relation the bigram stages consume —
+    shared by the fit side, the scoring side, and the r17 streaming
+    parity row (the lm_toks discipline, one order up)."""
+    return docs.select("doc_id", lwords_col().alias("ws")).where(
+        F.size("ws") > 0)
+
+
+def lm_bigram_pairs(base: DataFrame) -> DataFrame:
+    """(doc_id, v, w) adjacent-pair stream via zip_with over array
+    slices — no window, no pairing shuffle."""
+    return (
+        base.where(F.size("ws") > 1)
+        .select("doc_id", F.explode(F.expr(
+            "zip_with(slice(ws, 1, size(ws) - 1), "
+            "slice(ws, 2, size(ws) - 1), "
+            "(a, b) -> struct(a AS v, b AS w))")).alias("g"))
+        .select("doc_id", F.col("g.v").alias("v"), F.col("g.w").alias("w"))
+    )
+
+
+def lm_bigram_models(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fit the interpolated bigram LM over a (doc_id, ws) relation:
+    returns ``(lpu, lpb)`` — the (w, lp) unigram and (v, w, lp) bigram
+    micro-log-prob model relations. Both fitted aggregates are
+    barriered (lazy localCheckpoint): each feeds two+ downstream
+    references and would otherwise re-run its token-stream aggregation
+    per reference."""
+    toks = base.select("doc_id", F.explode("ws").alias("w"))
+    bi = lm_bigram_pairs(base)
+    uni = toks.groupBy("w").agg(F.count("*").alias("cw")) \
+        .localCheckpoint(eager=False)
+    total = uni.agg(F.sum("cw").alias("n_total"))
+    bim = bi.groupBy("v", "w").agg(F.count("*").alias("cvw")) \
+        .localCheckpoint(eager=False)
+    ctx = bim.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    lp_bi = F.floor(
+        F.log(F.lit(BIGRAM_LAM) * F.col("cvw").cast("double") / F.col("cv")
+              + F.lit(1.0 - BIGRAM_LAM) * F.col("cw").cast("double")
+              / F.col("n_total")) * 1e6 + 0.5
+    ).cast("bigint")
+    lpb = (bim.join(ctx, "v").join(uni, "w")
+           .crossJoin(F.broadcast(total))
+           .select("v", "w", lp_bi.alias("lp")))
+    lp_uni = F.floor(
+        F.log(F.col("cw").cast("double") / F.col("n_total")) * 1e6 + 0.5
+    ).cast("bigint")
+    lpu = uni.crossJoin(F.broadcast(total)).select("w", lp_uni.alias("lp"))
+    return lpu, lpb
+
+
+def lm_bigram_score(base: DataFrame, lpu: DataFrame,
+                    lpb: DataFrame) -> DataFrame:
+    """Score a (doc_id, ws) relation under fitted (lpu, lpb) models:
+    first token under the broadcast unigram model, the rest under the
+    (deliberately unhinted) bigram model, exact integer micro sums and
+    the multiplied-through keep bit. ``base`` may be STREAMING — the
+    static models broadcast/join per micro-batch and the per-doc
+    groupBy runs as a complete-mode stateful aggregation."""
+    firsts = base.select("doc_id", F.col("ws").getItem(0).alias("w"))
+    scored = (
+        firsts.join(F.broadcast(lpu), "w").select("doc_id", "lp")
+        .unionByName(
+            lm_bigram_pairs(base).join(lpb, ["v", "w"])
+            .select("doc_id", "lp"))
+    )
+    summed = F.sum("lp").cast("bigint")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        summed.alias("sum_lp_micro"),
+        F.when(summed >= F.lit(BIGRAM_KEEP_MIN_MICRO) * F.count("*"), 1)
+        .otherwise(0).cast("bigint").alias("keep"),
+    )
+
+
+#: shared by bigram_logprob and the r17 streaming-parity row
+BIGRAM_ORACLE_SQL = f"""
     WITH base AS (
       SELECT doc_id, {_LWORDS} AS ws FROM documents
       WHERE len({_LWORDS}) > 0),
@@ -576,7 +650,12 @@ BIGRAM_KEEP_MIN_MICRO = -3_390_000
            CAST(CASE WHEN SUM(lp) >= {BIGRAM_KEEP_MIN_MICRO} * COUNT(*)
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM scored GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "bigram_logprob",
+    oracle=BIGRAM_ORACLE_SQL,
     description="KenLM-style quality filter, one order up from "
                 "unigram_logprob: per-document sum of INTERPOLATED "
                 "BIGRAM log-probabilities under the corpus's own LM "
@@ -608,51 +687,11 @@ BIGRAM_KEEP_MIN_MICRO = -3_390_000
     driver_slot=False,
 )
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", lwords_col().alias("ws")).where(
-        F.size("ws") > 0)
-    toks = base.select("doc_id", F.explode("ws").alias("w"))
-    bi = (
-        base.where(F.size("ws") > 1)
-        .select("doc_id", F.explode(F.expr(
-            "zip_with(slice(ws, 1, size(ws) - 1), "
-            "slice(ws, 2, size(ws) - 1), "
-            "(a, b) -> struct(a AS v, b AS w))")).alias("g"))
-        .select("doc_id", F.col("g.v").alias("v"), F.col("g.w").alias("w"))
-    )
-    # barrier both fitted models (lazy localCheckpoint, the unigram
-    # row's discipline): each feeds two+ downstream references and
-    # would otherwise re-run its token-stream aggregation per reference
-    uni = toks.groupBy("w").agg(F.count("*").alias("cw")) \
-        .localCheckpoint(eager=False)
-    total = uni.agg(F.sum("cw").alias("n_total"))
-    bim = bi.groupBy("v", "w").agg(F.count("*").alias("cvw")) \
-        .localCheckpoint(eager=False)
-    ctx = bim.groupBy("v").agg(F.sum("cvw").alias("cv"))
-    lp_bi = F.floor(
-        F.log(F.lit(BIGRAM_LAM) * F.col("cvw").cast("double") / F.col("cv")
-              + F.lit(1.0 - BIGRAM_LAM) * F.col("cw").cast("double")
-              / F.col("n_total")) * 1e6 + 0.5
-    ).cast("bigint")
-    lpb = (bim.join(ctx, "v").join(uni, "w")
-           .crossJoin(F.broadcast(total))
-           .select("v", "w", lp_bi.alias("lp")))
-    lp_uni = F.floor(
-        F.log(F.col("cw").cast("double") / F.col("n_total")) * 1e6 + 0.5
-    ).cast("bigint")
-    lpu = uni.crossJoin(F.broadcast(total)).select("w", lp_uni.alias("lp"))
-    firsts = base.select("doc_id", F.col("ws").getItem(0).alias("w"))
-    scored = (
-        firsts.join(F.broadcast(lpu), "w").select("doc_id", "lp")
-        .unionByName(bi.join(lpb, ["v", "w"]).select("doc_id", "lp"))
-    )
-    summed = F.sum("lp").cast("bigint")
-    return scored.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        summed.alias("sum_lp_micro"),
-        F.when(summed >= F.lit(BIGRAM_KEEP_MIN_MICRO) * F.count("*"), 1)
-        .otherwise(0).cast("bigint").alias("keep"),
-    )
+    # fit + score over the same relation, via the shared helpers the
+    # streaming parity row reuses (r17: one spelling, no drift)
+    base = lm_bigram_base(load_table(spark, sf_dir, "documents"))
+    lpu, lpb = lm_bigram_models(base)
+    return lm_bigram_score(base, lpu, lpb)
 
 
 # ----------------------------------------------------------- dedup_spans

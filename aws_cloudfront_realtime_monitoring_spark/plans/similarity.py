@@ -1099,6 +1099,7 @@ def ann_topk_pq(
     shortlist_mult: int = PQ_SHORTLIST_MULT,
     centroids: list[list[int]] | None = None,
     codebooks: list[list[list[int]]] | None = None,
+    index: DataFrame | None = None,
     fit_fraction: float | str | None = "auto",
 ) -> DataFrame:
     """IVF-PQ top-k: the trained-quantizer ANN path with a PRODUCT-
@@ -1124,8 +1125,14 @@ def ann_topk_pq(
 
     Training is corpus-size-independent: the coarse quantizer fits on
     the r16 auto-sample and the codebooks on fit_pq's h60-deterministic
-    <= 20k sample. Pass ``centroids``/``codebooks`` to search a
-    pre-trained index (train once, search many). The probe side
+    <= 20k sample. Pass ``centroids``/``codebooks`` to search with
+    pre-trained models (train once, search many; save_centroids/
+    save_pq persist them), and ``index`` to search a PRE-ENCODED
+    (vec_id, cluster, codes) relation — the full production shape,
+    where the encode pass ran once at ingest and each search scans the
+    stored codes directly (at 100 TB the encoded index is what lives
+    on disk; re-encoding per query would scan the raw vectors the
+    index exists to avoid). The probe side
     (N_QUERIES rows) is collected driver-side to build the ADC models —
     a probe-set-sized collect, the documented model-state contract.
 
@@ -1152,7 +1159,13 @@ def ann_topk_pq(
     if nprobe is None:
         # the ann_topk_trained measured default: knee at ~k/8 lists
         nprobe = min(len(centroids), max(2, len(centroids) // 8))
-    index = encode_pq(qvecs, centroids, codebooks)
+    if index is None:
+        index = encode_pq(qvecs, centroids, codebooks)
+    else:
+        missing = {"vec_id", "cluster", "codes"} - set(index.columns)
+        if missing:
+            raise ValueError(
+                f"ann_topk_pq: pre-encoded index is missing {sorted(missing)}")
 
     # probe models: nprobe nearest centroids per probe (the
     # probe_clusters (dist, idx) tie rule, in numpy: lexsort minor key

@@ -223,6 +223,7 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .curation import (  # noqa: E402
+    BIGRAM_ORACLE_SQL,
     DECON_MOD,
     DECON_ORACLE_SQL,
     PII_ORACLE_SQL,
@@ -232,11 +233,43 @@ from .curation import (  # noqa: E402
     decon_corpus_hits,
     decon_count,
     decon_grams,
+    lm_bigram_base,
+    lm_bigram_models,
+    lm_bigram_score,
     lm_toks,
     lm_unigram_lp,
     lm_unigram_score,
     pii_projection,
 )
+
+
+@register(
+    "stream_bigram_filter_equiv",
+    oracle=BIGRAM_ORACLE_SQL,
+    description="Streaming==batch equivalence for the BIGRAM LM gate — "
+                "stream_lm_filter_equiv one order up (r17, r16 verdict "
+                "#7): both models (the broadcast-hinted unigram table "
+                "and the deliberately UNHINTED O(min(V^2, tokens)) "
+                "bigram table) are fitted batch-side, and the scoring "
+                "stage — zip_with adjacent-pair build, first-token "
+                "unigram leg, per-doc stateful sum — runs inside a "
+                "Structured Streaming query over the document file "
+                "stream (complete mode, parquet sink). Must hash-match "
+                "the batch bigram_logprob oracle; fit and scoring share "
+                "one set of projections (lm_bigram_base/_models/"
+                "_score). Verified by the test suite outside the "
+                "50-row driver budget (driver_slot=False).",
+    tags=("streaming", "curation", "quality"),
+    driver_slot=False,
+)
+def stream_bigram_filter_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    lpu, lpb = lm_bigram_models(
+        lm_bigram_base(load_table(spark, sf_dir, "documents")))
+    scored = lm_bigram_score(
+        lm_bigram_base(_documents_stream(spark, sf_dir)), lpu, lpb)
+    return _run_to_parquet(scored, "complete")
 
 
 @register(

@@ -562,16 +562,17 @@ def main() -> None:
         print(f"# {name}: {times[name]}s (runs: {[round(t, 2) for t in per_run]})",
               file=sys.stderr)
 
-    # non-headline series (r17): same timing discipline, sidecar-only,
-    # no drift-gate re-runs (their priors live in BENCH_DETAIL history,
-    # not the official queries map) and no contribution to the total
+    # non-headline series (r17): sidecar-only, no drift-gate re-runs
+    # (their priors live in BENCH_DETAIL history, not the official
+    # queries map) and no contribution to the total. min-of-2 with no
+    # separate warm-up: the ANN rows REFIT their models inside build()
+    # (~40 s each at sf0.1 — the honest cost of the registry row), so
+    # the headline discipline's 1+3 executions would add ~7 min per
+    # round for series whose job is drift detection, not precision;
+    # worker spinup is already warm after the 29 headline rows.
     extra_times: dict[str, float] = {}
     for name in EXTRA_QUERIES:
-        registry[name].build(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        spark.catalog.clearCache()
-        per_run, _ext = timed_runs(name)
+        per_run, _ext = timed_runs(name, n_runs=2)
         extra_times[name] = round(min(per_run), 3)
         print(f"# extra {name}: {extra_times[name]}s "
               f"(runs: {[round(t, 2) for t in per_run]})", file=sys.stderr)

@@ -639,3 +639,53 @@ def test_pq_codebook_save_load_roundtrip(spark, tmp_path):
     bad.write.mode("overwrite").parquet(str(tmp_path / "bad"))
     with _pytest.raises(ValueError, match="dense"):
         load_pq(spark, str(tmp_path / "bad"))
+
+
+def test_pq_search_from_saved_index(spark, sf_dir, tmp_path):
+    """The full production lifecycle: encode once, write the index +
+    models to parquet, reload everything, search the STORED codes
+    (index=...) — identical output to the self-contained fit+encode
+    search; a wrong-shaped index relation is rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.functions.quantize import (
+        qvec,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        fit_kmeans,
+        load_centroids,
+        save_centroids,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import (
+        encode_pq,
+        fit_pq,
+        load_pq,
+        save_pq,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        ann_topk_pq,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = emb.select("vec_id", qvec().alias("qv"))
+    cents, _, _ = fit_kmeans(emb, k=8, max_iters=4)
+    cbs = fit_pq(qvecs, cents, m=8, ksub=16)
+    save_centroids(spark, cents, str(tmp_path / "c"))
+    save_pq(spark, cbs, str(tmp_path / "p"))
+    encode_pq(qvecs, cents, cbs).write.parquet(str(tmp_path / "idx"))
+
+    c2 = load_centroids(spark, str(tmp_path / "c"))
+    p2 = load_pq(spark, str(tmp_path / "p"))
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    stored = sorted(map(tuple, ann_topk_pq(
+        spark, sf_dir, centroids=c2, codebooks=p2, index=idx).collect()))
+    fresh = sorted(map(tuple, ann_topk_pq(
+        spark, sf_dir, centroids=cents, codebooks=cbs).collect()))
+    assert stored == fresh and len(stored) > 0
+    with _pytest.raises(ValueError, match="missing"):
+        ann_topk_pq(spark, sf_dir, centroids=c2, codebooks=p2,
+                    index=idx.drop("codes"))
