@@ -689,3 +689,46 @@ def test_pq_search_from_saved_index(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="missing"):
         ann_topk_pq(spark, sf_dir, centroids=c2, codebooks=p2,
                     index=idx.drop("codes"))
+
+
+def test_pq_adc_tables_reconstruction_property():
+    """Property (hypothesis): for any small integer query/model, the ADC
+    identity holds exactly — base[cluster] + sum_s lut[s][code_s] ==
+    dot(q, centroid[cluster] + concat(codebook_s[code_s])) in int64.
+    This is the arithmetic the Spark-side aggregate expression computes;
+    pinning it driver-side means the JVM expression and the model build
+    can only disagree if one of them changes shape."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import (
+        adc_tables,
+    )
+
+    small = st.integers(-2_000_000, 2_000_000)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        m = data.draw(st.integers(1, 4))
+        dsub = data.draw(st.integers(1, 4))
+        k = data.draw(st.integers(1, 3))
+        ksub = data.draw(st.integers(1, 4))
+        dim = m * dsub
+        q = data.draw(st.lists(small, min_size=dim, max_size=dim))
+        cents = [data.draw(st.lists(small, min_size=dim, max_size=dim))
+                 for _ in range(k)]
+        cbs = [[data.draw(st.lists(small, min_size=dsub, max_size=dsub))
+                for _ in range(ksub)] for _ in range(m)]
+        base, lut = adc_tables(q, cents, cbs)
+        c = data.draw(st.integers(0, k - 1))
+        codes = [data.draw(st.integers(0, ksub - 1)) for _ in range(m)]
+        recon = np.array(cents[c], dtype=np.int64)
+        for s, j in enumerate(codes):
+            recon[s * dsub:(s + 1) * dsub] += np.array(cbs[s][j], np.int64)
+        want = int(np.array(q, np.int64) @ recon)
+        got = base[c] + sum(lut[s][codes[s]] for s in range(m))
+        assert got == want
+
+    check()

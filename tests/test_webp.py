@@ -1285,3 +1285,30 @@ def test_vp8l_synth_pixel_stats_contract():
                 ws += (y * W + x + 1) * c
         assert st == {"fmt": "webp", "width": W, "height": H, "n_ch": 4,
                       "sum_px": s, "wsum_px": ws, "n_px": W * H}
+
+
+def test_vp8l_synth_container_mutation_fuzz():
+    """r17: the media_synth encoder's RIFF containers under the same
+    decode-or-ValueError contract as the golden-encoder fuzz — byte
+    flips and truncations of a full WebP file must never escape
+    decode_webp as anything but a clean ValueError."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+        vp8l_webp_payload,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.webp import (
+        decode_webp,
+    )
+
+    rng = np.random.RandomState(41)
+    base = vp8l_webp_payload(137)
+    for _ in range(300):
+        blob = bytearray(base)
+        for _f in range(rng.randint(1, 6)):
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        if rng.rand() < 0.5:
+            blob = blob[: rng.randint(1, len(blob))]
+        try:
+            _w, _h, _n, px, _codec = decode_webp(bytes(blob))
+            assert px is None or px.dtype == np.uint8
+        except ValueError:
+            pass
