@@ -974,6 +974,113 @@ def ann_ivf_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- hybrid retrieval (r17)
+
+#: reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009's
+#: k=60 -- the standard dampener: rank-1 contributes 1/61, rank-5 1/65,
+#: so no single list dominates the fusion)
+RRF_K = 60
+RRF_TOPK = 5
+
+#: (BM25 query id, probe vec_id) pairs: the fixture pairing that makes
+#: a text query and a vector probe one HYBRID query. One spelling for
+#: both engines (a literal VALUES relation).
+RRF_PAIRS = [("q_join", 0), ("q_stream", 1), ("q_scan", 2)]
+
+
+def _rrf_oracle() -> str:
+    from .text import _bm25_sql, _bm25_values, bm25_split_expr
+
+    bm = _bm25_sql(bm25_split_expr("duck"), _bm25_values("duck"))
+    ann = REGISTRY["ann_topk_bruteforce"].oracle
+    pairs = ", ".join(f"('{q}', {v})" for q, v in RRF_PAIRS)
+    return f"""
+    WITH bm AS ({bm}),
+    ann AS ({ann}),
+    pairs(pair_id, vec_query) AS (VALUES {pairs}),
+    t AS (SELECT p.pair_id, bm.doc_id, bm.rnk AS rt
+          FROM bm JOIN pairs p ON bm.query_id = p.pair_id),
+    v AS (SELECT p.pair_id, ann.cand_id AS doc_id, ann.rnk AS rv
+          FROM ann JOIN pairs p ON ann.query_id = p.vec_query),
+    f AS (SELECT COALESCE(t.pair_id, v.pair_id) AS pair_id,
+                 COALESCE(t.doc_id, v.doc_id) AS doc_id,
+                 (CASE WHEN rt IS NOT NULL
+                       THEN 1000000000 // ({RRF_K} + rt) ELSE 0 END
+                  + CASE WHEN rv IS NOT NULL
+                         THEN 1000000000 // ({RRF_K} + rv) ELSE 0 END)
+                   AS rrf_micro
+          FROM t FULL OUTER JOIN v
+            ON t.pair_id = v.pair_id AND t.doc_id = v.doc_id),
+    r AS (SELECT pair_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY pair_id
+                   ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+          FROM f)
+    SELECT pair_id, doc_id, rrf_micro, rnk FROM r WHERE rnk <= {RRF_TOPK}
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_rrf_oracle(),
+    description="Hybrid lexical+vector retrieval via reciprocal rank "
+                f"fusion (RRF, k={RRF_K} -- Cormack et al. 2009, the "
+                "standard score-free fusion modern RAG/curation "
+                "pipelines run over a BM25 list and an ANN list): each "
+                "fixture query pairs a BM25 term query with a probe "
+                "vector, the two top-k relations FULL-OUTER join on "
+                "(query, doc), and the fused score is the exact integer "
+                f"sum of 10^9 div ({RRF_K} + rank) contributions -- "
+                "rank-only fusion, so the incomparable BM25-micro and "
+                "cosine score scales never meet, and integer division "
+                "keeps both engines bit-identical. Scale shape: fuses "
+                "two ALREADY-top-k relations (queries x k rows each), "
+                "so the fusion itself is broadcast-sized at any corpus "
+                "size; the cost is the two retrieval legs it composes, "
+                "each audited on its own registry row. EXTRAS tier "
+                "(driver budget full; same Spark-vs-DuckDB hash check "
+                "via the pytest suite).",
+    tags=("retrieval", "similarity", "bm25", "ann"),
+    driver_slot=False,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import bm25_topk
+
+    bm = bm25_topk(spark, sf_dir).select(
+        F.col("query_id").alias("t_q"), "doc_id",
+        F.col("rnk").alias("rt"))
+    ann = ann_topk_bruteforce(spark, sf_dir).select(
+        F.col("query_id").alias("v_q"),
+        F.col("cand_id").alias("doc_id"), F.col("rnk").alias("rv"))
+    pairs = spark.createDataFrame(RRF_PAIRS, "pair_id STRING, vec_query BIGINT")
+    t = bm.join(F.broadcast(pairs), F.col("t_q") == F.col("pair_id")).select(
+        "pair_id", "doc_id", "rt")
+    v = ann.join(F.broadcast(pairs), F.col("v_q") == F.col("vec_query")).select(
+        "pair_id", "doc_id", "rv")
+    f = (
+        t.alias("t").join(
+            v.alias("v"),
+            (F.col("t.pair_id") == F.col("v.pair_id"))
+            & (F.col("t.doc_id") == F.col("v.doc_id")),
+            "full_outer")
+        .select(
+            F.coalesce(F.col("t.pair_id"), F.col("v.pair_id")).alias("pair_id"),
+            F.coalesce(F.col("t.doc_id"), F.col("v.doc_id")).alias("doc_id"),
+            (F.when(F.col("rt").isNotNull(),
+                    F.expr(f"1000000000L div ({RRF_K} + rt)")).otherwise(0)
+             + F.when(F.col("rv").isNotNull(),
+                      F.expr(f"1000000000L div ({RRF_K} + rv)")).otherwise(0)
+             ).cast("bigint").alias("rrf_micro"),
+        )
+    )
+    w = W.partitionBy("pair_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        f.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= RRF_TOPK)
+        .select("pair_id", "doc_id", "rrf_micro", "rnk")
+    )
+
+
 # -------------------------------------------- trained-quantizer ANN (r15)
 #
 # r14 verdict #5: the sign-LSH quantizer's measured recall@3 is 3-5/15

@@ -164,6 +164,10 @@ _NLJ_OK = {"q1_hourly_measure_by_dim", "ago_filter_count", "text_tfidf_topk",
            # ground-truth side IS ann_topk_bruteforce; the PQ side is a
            # broadcast HASH join on cluster + a broadcast shortlist join
            "ann_pq_recall",
+           # r17: embeds ann_topk_bruteforce as its vector leg (the
+           # documented broadcast-probe NLJ); the fusion itself is two
+           # broadcast-sized top-k relations full-outer joined
+           "hybrid_rrf_retrieval",
            # r16: the same one-row broadcast n_total relation as
            # unigram_logprob, cross-joined onto both fitted models
            "bigram_logprob"}

@@ -732,3 +732,48 @@ def test_pq_adc_tables_reconstruction_property():
         assert got == want
 
     check()
+
+
+def test_pq_lloyd_matches_pure_python_replica():
+    """_lloyd_int pinned against an INDEPENDENT pure-Python-int Lloyd
+    (the fit_kmeans numpy-replica discipline): same init (first ksub
+    sample rows), first-min argmin tiebreak, half-away-from-zero
+    integer means, integer-equality convergence — any drift in the
+    rules is a cross-run determinism break."""
+    import numpy as np
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        _round_div,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import (
+        _lloyd_int,
+    )
+
+    rng = np.random.RandomState(23)
+    sub = rng.randint(-2_000_000, 2_000_001, size=(60, 3)).astype(np.int64)
+    ksub, iters = 5, 7
+    got = _lloyd_int(sub.copy(), ksub, iters)
+
+    rows = [[int(v) for v in r] for r in sub]
+    cb = [list(r) for r in rows[:ksub]]
+    for _ in range(iters):
+        assign = []
+        for r in rows:
+            best, best_d = 0, None
+            for j, c in enumerate(cb):
+                d = sum((x - y) ** 2 for x, y in zip(r, c))
+                if best_d is None or d < best_d:  # strict <: first min
+                    best, best_d = j, d
+            assign.append(best)
+        new_cb = [list(c) for c in cb]
+        for j in range(ksub):
+            members = [rows[i] for i, a in enumerate(assign) if a == j]
+            if members:
+                new_cb[j] = [
+                    _round_div(sum(col), len(members))
+                    for col in zip(*members)
+                ]
+        if new_cb == cb:
+            break
+        cb = new_cb
+    assert [[int(v) for v in row] for row in got] == cb
