@@ -150,8 +150,12 @@ def fit_pq(
     target = FIT_SAMPLE_TARGET if sample_target is None else sample_target
     from pyspark.sql import functions as F
 
+    # the fit_kmeans dirty-row guard: NULL vectors / NULL elements would
+    # otherwise surface as an opaque object-dtype numpy error below
+    clean = qvecs.where(F.col(vec_col).isNotNull()).where(
+        ~F.exists(F.col(vec_col), lambda x: x.isNull()))
     rows = (
-        qvecs.select(id_col, vec_col,
+        clean.select(id_col, vec_col,
                      h60(F.col(id_col).cast("string")).alias("__h"))
         .orderBy("__h", id_col)
         .limit(target)
@@ -159,6 +163,10 @@ def fit_pq(
     )
     if not rows:
         raise ValueError("fit_pq: qvecs is empty")
+    lens = {len(r[vec_col]) for r in rows}
+    if len(lens) > 1:
+        raise ValueError(
+            f"fit_pq: {vec_col} has inconsistent vector lengths {sorted(lens)}")
     x = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
     dim = x.shape[1]
     if dim % m:

@@ -68,6 +68,7 @@ EXTRA_QUERIES = [
                            # plus the brute-force audit join
     "ann_pq_recall",       # entered r17 (operator landed r17): IVF-PQ
                            # train + encode + ADC scan + exact re-rank
+    "hybrid_rrf_retrieval",  # entered r17: BM25 + ANN rank fusion
 ]
 
 

@@ -777,3 +777,24 @@ def test_pq_lloyd_matches_pure_python_replica():
             break
         cb = new_cb
     assert [[int(v) for v in row] for row in got] == cb
+
+
+def test_fit_pq_drops_dirty_rows_and_rejects_ragged(spark):
+    """The fit_kmeans dirty-input discipline applied to fit_pq: NULL
+    vectors and vectors with NULL elements are dropped before the
+    sample collect (no opaque object-dtype numpy error), and ragged
+    lengths are a clear ValueError."""
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import fit_pq
+
+    rows = [(0, None), (1, [1_000_000, None]),
+            (2, [500_000, -500_000]), (3, [250_000, 750_000])]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, qv ARRAY<BIGINT>")
+    cbs = fit_pq(df, [[0, 0]], m=2, ksub=2)
+    assert len(cbs) == 2 and all(cb for cb in cbs)
+    ragged = spark.createDataFrame(
+        [(0, [1_000_000]), (1, [1_000_000, 2_000_000])],
+        "vec_id BIGINT, qv ARRAY<BIGINT>")
+    with _pytest.raises(ValueError, match="inconsistent"):
+        fit_pq(ragged, [[0]], m=1, ksub=2)
