@@ -737,29 +737,9 @@ def decode_pixel_stats(payload: bytes) -> dict:
     every static-PNG profile, and the full T.81 JPEG frame matrix
     (incl. hierarchical pyramids) qualify; other formats raise
     ``ValueError`` (callers use the usual skip/propagate contract)."""
-    if payload[:2] == b"BM":
-        fmt, (w, h, px) = "bmp", decode_bmp_pixels(payload)
-    elif payload[: len(_PNG_SIG)] == _PNG_SIG:
-        fmt, (w, h, px) = "png", decode_png_pixels(payload)
-    elif payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg_pixels
-
-        fmt, (w, h, px) = "jpeg", decode_jpeg_pixels(payload)
-    elif payload[:6] in (b"GIF87a", b"GIF89a"):
-        from .gif import decode_gif
-
-        fmt, (w, h, _n, px) = "gif", decode_gif(payload)  # first frame
-    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        from .webp import decode_webp
-
-        # r17: the VP8L still's RGBA is a real prefix-decode; animated
-        # canvases (px is None) stay outside this row's contract
-        w, h, _n, px, _codec = decode_webp(payload)
-        if px is None:
-            raise ValueError("pixel stats: animated WebP canvas")
-        fmt = "webp"
-    else:
-        raise ValueError("pixel stats: unrecognized image signature")
+    # one dispatch shared with the resize operator (_decode_any_pixels,
+    # r17): the two tiers can never recognize different format sets
+    fmt, w, h, px = _decode_any_pixels(payload)
     p64 = px.astype(np.int64)
     csum = p64.sum(axis=2) if p64.ndim == 3 else p64  # per-pixel channels
     weights = np.arange(1, w * h + 1, dtype=np.int64).reshape(h, w)
@@ -900,3 +880,116 @@ def sample_animation_frames(
             yield pd.DataFrame(rows, columns=_FRAME_SAMPLE_COLS)
 
     return docs_with_payload.mapInPandas(frames_iter, FRAME_SAMPLE_SCHEMA)
+
+
+# ------------------------------------------------- image resize (r17)
+#
+# The brief's multimodal operator list names decode / feature-extract /
+# RESIZE / frame-sample; resize was the one without an implementation.
+# Nearest-neighbor with the PURE-INTEGER index rule
+# src = (dst * in_size) // out_size — deterministic, engine-portable
+# (a SQL oracle recomputes the same indices with integer division), and
+# the standard thumbnail/pre-embedding downsample of a training-data
+# pipeline. Same narrow Arrow-batched map shape as decode_batches:
+# payloads decode and resize inside the task, nothing shuffles, nothing
+# reaches the driver.
+
+RESIZE_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, width BIGINT, height BIGINT, "
+    "out_w BIGINT, out_h BIGINT, n_ch BIGINT, sum_px BIGINT, "
+    "wsum_px BIGINT, n_px BIGINT"
+)
+
+_RESIZE_STATS_COLS = [
+    "doc_id", "fmt", "width", "height", "out_w", "out_h", "n_ch",
+    "sum_px", "wsum_px", "n_px",
+]
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w[, ch]) sample array:
+    out[y, x] = px[(y * h) // out_h, (x * w) // out_w] — floor-integer
+    source indices, no float rounding anywhere, so Spark, numpy, and
+    the SQL oracle can never disagree on which source pixel a
+    destination cell reads."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"resize_nearest: bad target {out_h}x{out_w}")
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ys][:, xs]
+
+
+def resize_pixel_stats_batches(
+    docs_with_payload: DataFrame, out_h: int, out_w: int,
+    skip_invalid: bool = True,
+) -> DataFrame:
+    """decode → nearest-neighbor resize → oracle-checkable integer
+    stats, per Arrow batch: the image_pixel_stats_batches discipline
+    over the RESIZED raster (sum_px / position-weighted wsum_px in
+    DESTINATION coordinates, so a resize that samples the wrong source
+    pixels or places them wrong cannot hash-match)."""
+    use_pool = MEDIA_SCRATCH
+
+    def stats_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import scratch as _scratch_mod
+
+        _scratch_mod.ENABLED = use_pool
+        weights = np.arange(1, out_h * out_w + 1, dtype=np.int64).reshape(
+            out_h, out_w)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if pd.isna(r.doc_id):
+                    if skip_invalid:
+                        continue
+                    raise ValueError("NULL doc_id in resize batch")
+                payload = bytes(r.payload) if r.payload is not None else b""
+                try:
+                    fmt, w, h, px = _decode_any_pixels(payload)
+                except ValueError:
+                    if skip_invalid:
+                        continue
+                    raise
+                small = resize_nearest(px, out_h, out_w).astype(np.int64)
+                csum = small.sum(axis=2) if small.ndim == 3 else small
+                rows.append({
+                    "doc_id": int(r.doc_id), "fmt": fmt,
+                    "width": w, "height": h,
+                    "out_w": out_w, "out_h": out_h,
+                    "n_ch": px.shape[2] if px.ndim == 3 else 1,
+                    "sum_px": int(small.sum()),
+                    "wsum_px": int((weights * csum).sum()),
+                    "n_px": out_h * out_w,
+                })
+            yield pd.DataFrame(rows, columns=_RESIZE_STATS_COLS)
+
+    return docs_with_payload.mapInPandas(stats_iter, RESIZE_STATS_SCHEMA)
+
+
+def _decode_any_pixels(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    """(fmt, width, height, sample array) for every static format the
+    pixel-stats tier decodes — the decode_pixel_stats dispatch, shared
+    so resize and stats can never recognize different formats."""
+    if payload[:2] == b"BM":
+        fmt, (w, h, px) = "bmp", decode_bmp_pixels(payload)
+    elif payload[: len(_PNG_SIG)] == _PNG_SIG:
+        fmt, (w, h, px) = "png", decode_png_pixels(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        fmt, (w, h, px) = "jpeg", decode_jpeg_pixels(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        fmt, (w, h, _n, px) = "gif", decode_gif(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        w, h, _n, px, _codec = decode_webp(payload)
+        if px is None:
+            raise ValueError("pixel decode: animated WebP canvas")
+        fmt = "webp"
+    else:
+        raise ValueError("pixel decode: unrecognized image signature")
+    return fmt, w, h, px

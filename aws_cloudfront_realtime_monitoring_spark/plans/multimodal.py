@@ -594,6 +594,63 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webp_resize_stats",
+    oracle="""
+    WITH g0 AS (
+      SELECT doc_id, doc_id % 20 + 4 AS w, doc_id % 14 + 4 AS h,
+             doc_id % 240 AS gb, (doc_id * 7) % 240 AS rb,
+             (doc_id * 13) % 240 AS bb
+      FROM documents),
+    gy AS (SELECT doc_id, w, h, gb, rb, bb, unnest(range(0, 6)) AS y
+           FROM g0),
+    gyx AS (SELECT doc_id, w, h, gb, rb, bb, y, unnest(range(0, 8)) AS x
+            FROM gy),
+    m AS (SELECT doc_id, w, h, gb, rb, bb, y, x,
+                 (y * h) // 6 AS sy, (x * w) // 8 AS sx
+          FROM gyx)
+    SELECT doc_id, 'webp' AS fmt, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, CAST(8 AS BIGINT) AS out_w,
+           CAST(6 AS BIGINT) AS out_h, CAST(4 AS BIGINT) AS n_ch,
+           CAST(SUM((gb + (sx + sy) % 16) + (rb + (2 * sx + sy) % 16)
+                    + (bb + (sx + 3 * sy) % 16) + 255) AS BIGINT)
+             AS sum_px,
+           CAST(SUM((y * 8 + x + 1)
+                    * ((gb + (sx + sy) % 16) + (rb + (2 * sx + sy) % 16)
+                       + (bb + (sx + 3 * sy) % 16) + 255)) AS BIGINT)
+             AS wsum_px,
+           CAST(48 AS BIGINT) AS n_px
+    FROM m
+    GROUP BY doc_id, w, h
+    """,
+    description="REAL decode + nearest-neighbor RESIZE under the "
+                "weighted-sum hash discipline (r17 — the brief's "
+                "multimodal list names decode/feature-extract/resize/"
+                "frame-sample; resize was the last without an "
+                "operator): every synth WebP still resamples to 8x6 "
+                "with the pure-integer index rule src = (dst * in) // "
+                "out (resize_nearest), and the oracle recomputes the "
+                "resized channel sums by applying the SAME integer "
+                "division to the source-pixel formulas — a resize that "
+                "reads the wrong source pixel or places it wrong "
+                "cannot match the destination-weighted wsum_px. Narrow "
+                "Arrow map (decode + resample inside the task, nothing "
+                "shuffles); the thumbnail/pre-embedding downsample "
+                "stage of a multimodal training pipeline. EXTRAS tier "
+                "(driver budget full; same hash check via the pytest "
+                "suite).",
+    tags=("multimodal", "pandas-udf", "webp", "resize"),
+    driver_slot=False,
+)
+def webp_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media_synth import attach_webp_payload
+    from ..operators.multimodal import resize_pixel_stats_batches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return resize_pixel_stats_batches(
+        attach_webp_payload(docs), out_h=6, out_w=8, skip_invalid=False)
+
+
+@register(
     "gif_frames_real_stats",
     oracle="""
     WITH f AS (

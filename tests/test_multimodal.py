@@ -487,3 +487,27 @@ def test_gif_lzw_min_code_size_ceiling():
 
     with pytest.raises(ValueError, match="min code size"):
         _lzw_decode(b"\x00", 9, 10)
+
+
+def test_resize_nearest_integer_rule_and_replica():
+    """r17: resize_nearest's pure-integer index rule — out[y, x] ==
+    px[(y*h)//out_h, (x*w)//out_w] — replicated element-by-element in
+    pure Python for up/down/identity scales; degenerate targets raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(5)
+    for (h, w, oh, ow) in ((7, 11, 3, 4), (4, 4, 4, 4), (3, 2, 9, 5),
+                           (1, 1, 2, 2), (10, 3, 1, 1)):
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = resize_nearest(px, oh, ow)
+        assert out.shape == (oh, ow, 3)
+        for y in range(oh):
+            for x in range(ow):
+                assert (out[y, x] == px[(y * h) // oh, (x * w) // ow]).all()
+    with _pytest.raises(ValueError, match="bad target"):
+        resize_nearest(px, 0, 4)
