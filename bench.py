@@ -69,6 +69,9 @@ EXTRA_QUERIES = [
     "ann_pq_recall",       # entered r17 (operator landed r17): IVF-PQ
                            # train + encode + ADC scan + exact re-rank
     "hybrid_rrf_retrieval",  # entered r17: BM25 + ANN rank fusion
+    "webp_resize_stats",   # entered r17: VP8L decode + integer-rule
+                           # nearest resize (the media pixel tier's
+                           # first wall-time series entry)
 ]
 
 
