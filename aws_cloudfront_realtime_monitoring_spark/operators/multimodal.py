@@ -734,8 +734,10 @@ def decode_pixel_stats(payload: bytes) -> dict:
     image (r15). Unlike :func:`decode_image` — whose metadata a header
     walk could fake — matching both requires the entire pixel pipeline
     (defilter/predict/expand/composite/placement) to be correct. BMP,
-    every static-PNG profile, and the full T.81 JPEG frame matrix
-    (incl. hierarchical pyramids) qualify; other formats raise
+    every static-PNG profile, the full T.81 JPEG frame matrix (incl.
+    hierarchical pyramids), GIF first frames, and static WebP (VP8 /
+    VP8L, r17) qualify — exactly the ``_decode_any_pixels`` dispatch
+    set, shared with the resize tier; other formats raise
     ``ValueError`` (callers use the usual skip/propagate contract)."""
     # one dispatch shared with the resize operator (_decode_any_pixels,
     # r17): the two tiers can never recognize different format sets

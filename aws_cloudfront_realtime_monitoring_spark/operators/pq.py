@@ -142,9 +142,14 @@ def fit_pq(
         raise ValueError(f"fit_pq: m must be >= 1, got {m}")
     if ksub < 1:
         raise ValueError(f"fit_pq: ksub must be >= 1, got {ksub}")
-    if ksub > 65_536:
+    if ksub > 32_768:
+        # codes are stored SIGNED 16-bit (np.int16 buffers here, Spark
+        # ShortType in the index schema), so the largest representable
+        # code id is 32767 -- a 65536 bound would let encode_pq's int16
+        # assignment wrap code ids negative with no error
         raise ValueError(
-            f"fit_pq: ksub must fit a 16-bit code, got {ksub}")
+            f"fit_pq: ksub must fit a signed 16-bit code (<= 32768), "
+            f"got {ksub}")
     if not coarse_centroids:
         raise ValueError("fit_pq: coarse_centroids must be non-empty")
     target = FIT_SAMPLE_TARGET if sample_target is None else sample_target
@@ -250,8 +255,25 @@ def encode_pq(
                 out["codes"] = []
                 yield out
                 continue
+            if pdf[vec_col].isna().any():
+                # the fit_kmeans dirty-row discipline: a NULL vector is
+                # the caller's skip case, not an opaque np.stack
+                # TypeError deep inside an executor task (fit_pq
+                # FILTERS its training sample; the index build must not
+                # silently drop corpus rows, so it fails loudly)
+                bad = pdf.loc[pdf[vec_col].isna()].index[0]
+                raise ValueError(
+                    f"encode_pq: NULL {vec_col} vector in batch (first "
+                    f"at pandas index {bad}); filter dirty rows before "
+                    "encoding")
             x = scratch("pq.x", (n, cmat.shape[1]), np.int64)
-            np.stack(pdf[vec_col].to_numpy(), axis=0, out=x)
+            try:
+                np.stack(pdf[vec_col].to_numpy(), axis=0, out=x)
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"encode_pq: {vec_col} has NULL elements or ragged "
+                    f"lengths (expected dim {cmat.shape[1]}): {e}"
+                ) from e
             cl = _argmin_codes(x, cmat)
             r = scratch("pq.res", (n, cmat.shape[1]), np.int64)
             np.subtract(x, cmat[cl], out=r)

@@ -941,17 +941,23 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def ann_ivf_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-composition form (the r1-r7 build), kept as the SQL
-    build's pinned-equal replica (tests/test_similarity.py)."""
-    ivf = ann_topk_ivf_df(spark, sf_dir).where(F.col("rnk") <= 3).select(
+def recall_audit(approx: DataFrame, exact: DataFrame,
+                 only_label: str) -> DataFrame:
+    """The shared top-3 recall-audit shape (r17 review: this block was
+    copy-pasted four times across the IVF/trained/PQ audits and the
+    scale sweep). Both inputs carry the (query_id, cand_id, rnk) ANN
+    contract; the output is one row per query with ``n_both`` /
+    ``n_{only_label}_only`` / ``n_exact_only`` counts over the top-3
+    cut — full-outer joined so the conservation law
+    ``n_both + n_*_only = 3`` holds per side (pinned in tests)."""
+    a = approx.where(F.col("rnk") <= 3).select(
         F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c")
     )
-    exact = ann_topk_bruteforce_df(spark, sf_dir).where(F.col("rnk") <= 3).select(
+    e = exact.where(F.col("rnk") <= 3).select(
         F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c")
     )
-    joined = ivf.join(
-        exact,
+    joined = a.join(
+        e,
         (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
         "full_outer",
     )
@@ -961,16 +967,27 @@ def ann_ivf_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
             .cast("int").alias("is_both"),
             (F.col("i_c").isNotNull() & F.col("e_c").isNull())
-            .cast("int").alias("is_ivf_only"),
+            .cast("int").alias("is_a_only"),
             (F.col("e_c").isNotNull() & F.col("i_c").isNull())
             .cast("int").alias("is_exact_only"),
         )
         .groupBy("query_id")
         .agg(
             F.sum("is_both").cast("bigint").alias("n_both"),
-            F.sum("is_ivf_only").cast("bigint").alias("n_ivf_only"),
+            F.sum("is_a_only").cast("bigint")
+            .alias(f"n_{only_label}_only"),
             F.sum("is_exact_only").cast("bigint").alias("n_exact_only"),
         )
+    )
+
+
+def ann_ivf_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-composition form (the r1-r7 build), kept as the SQL
+    build's pinned-equal replica (tests/test_similarity.py)."""
+    return recall_audit(
+        ann_topk_ivf_df(spark, sf_dir),
+        ann_topk_bruteforce_df(spark, sf_dir),
+        "ivf",
     )
 
 
@@ -1266,6 +1283,13 @@ def ann_topk_pq(
     if nprobe is None:
         # the ann_topk_trained measured default: knee at ~k/8 lists
         nprobe = min(len(centroids), max(2, len(centroids) // 8))
+    elif not 1 <= nprobe <= len(centroids):
+        # mirror probe_clusters' guard: nprobe=0 would silently return
+        # an EMPTY result (no probe model rows) and a negative value
+        # would silently probe k-|nprobe| lists via the [:nprobe] slice
+        raise ValueError(
+            f"ann_topk_pq: nprobe must be in [1, {len(centroids)}], "
+            f"got {nprobe}")
     if index is None:
         index = encode_pq(qvecs, centroids, codebooks)
     else:
@@ -1282,6 +1306,12 @@ def ann_topk_pq(
     probe_rows = qvecs.where(F.col("vec_id") < N_QUERIES).collect()
     model_rows = []
     for r in sorted(probe_rows, key=lambda r: r["vec_id"]):
+        if r["qv"] is None or any(v is None for v in r["qv"]):
+            # the fit_kmeans dirty-row discipline: a NULL probe vector
+            # is the caller's skip case, not an opaque numpy cast error
+            raise ValueError(
+                f"ann_topk_pq: probe vector {r['vec_id']} is NULL or "
+                f"has NULL elements")
         q = np.asarray(list(r["qv"]), dtype=np.int64)
         d = np.einsum("ij,ij->i", cmat - q, cmat - q)
         order = np.lexsort((np.arange(len(cmat)), d))[:nprobe]
@@ -1368,36 +1398,13 @@ def ann_pq_recall(
     nprobe: int | None = None,
     shortlist_mult: int = PQ_SHORTLIST_MULT,
 ) -> DataFrame:
-    pq = ann_topk_pq(
-        spark, sf_dir, centroids=centroids, codebooks=codebooks,
-        nprobe=nprobe, shortlist_mult=shortlist_mult,
-    ).where(F.col("rnk") <= 3).select(
-        F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c")
-    )
-    exact = ann_topk_bruteforce_df(spark, sf_dir).where(F.col("rnk") <= 3).select(
-        F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c")
-    )
-    joined = pq.join(
-        exact,
-        (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
-        "full_outer",
-    )
-    return (
-        joined.select(
-            F.coalesce(F.col("i_q"), F.col("e_q")).alias("query_id"),
-            (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
-            .cast("int").alias("is_both"),
-            (F.col("i_c").isNotNull() & F.col("e_c").isNull())
-            .cast("int").alias("is_pq_only"),
-            (F.col("e_c").isNotNull() & F.col("i_c").isNull())
-            .cast("int").alias("is_exact_only"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.sum("is_both").cast("bigint").alias("n_both"),
-            F.sum("is_pq_only").cast("bigint").alias("n_pq_only"),
-            F.sum("is_exact_only").cast("bigint").alias("n_exact_only"),
-        )
+    return recall_audit(
+        ann_topk_pq(
+            spark, sf_dir, centroids=centroids, codebooks=codebooks,
+            nprobe=nprobe, shortlist_mult=shortlist_mult,
+        ),
+        ann_topk_bruteforce_df(spark, sf_dir),
+        "pq",
     )
 
 
@@ -1425,33 +1432,8 @@ def ann_trained_recall(
     spark: SparkSession, sf_dir: str,
     centroids: list[list[int]] | None = None,
 ) -> DataFrame:
-    trained = ann_topk_trained(
-        spark, sf_dir, centroids=centroids
-    ).where(F.col("rnk") <= 3).select(
-        F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c")
-    )
-    exact = ann_topk_bruteforce_df(spark, sf_dir).where(F.col("rnk") <= 3).select(
-        F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c")
-    )
-    joined = trained.join(
-        exact,
-        (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
-        "full_outer",
-    )
-    return (
-        joined.select(
-            F.coalesce(F.col("i_q"), F.col("e_q")).alias("query_id"),
-            (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
-            .cast("int").alias("is_both"),
-            (F.col("i_c").isNotNull() & F.col("e_c").isNull())
-            .cast("int").alias("is_trained_only"),
-            (F.col("e_c").isNotNull() & F.col("i_c").isNull())
-            .cast("int").alias("is_exact_only"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.sum("is_both").cast("bigint").alias("n_both"),
-            F.sum("is_trained_only").cast("bigint").alias("n_trained_only"),
-            F.sum("is_exact_only").cast("bigint").alias("n_exact_only"),
-        )
+    return recall_audit(
+        ann_topk_trained(spark, sf_dir, centroids=centroids),
+        ann_topk_bruteforce_df(spark, sf_dir),
+        "trained",
     )

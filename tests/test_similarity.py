@@ -607,6 +607,11 @@ def test_fit_pq_guards_and_determinism(spark):
         fit_pq(df, [], m=2)
     with _pytest.raises(ValueError, match="16-bit"):
         fit_pq(df, cents, m=2, ksub=1 << 17)
+    # the boundary is SIGNED int16: 32769 would wrap negative in the
+    # int16 code buffer, so it must be rejected; 32768 itself is the
+    # largest legal value (codes 0..32767)
+    with _pytest.raises(ValueError, match="16-bit"):
+        fit_pq(df, cents, m=2, ksub=32_769)
     empty = spark.createDataFrame([], "vec_id BIGINT, qv ARRAY<BIGINT>")
     with _pytest.raises(ValueError, match="empty"):
         fit_pq(empty, cents, m=2)
@@ -798,3 +803,47 @@ def test_fit_pq_drops_dirty_rows_and_rejects_ragged(spark):
         "vec_id BIGINT, qv ARRAY<BIGINT>")
     with _pytest.raises(ValueError, match="inconsistent"):
         fit_pq(ragged, [[0]], m=1, ksub=2)
+
+
+def test_encode_pq_rejects_dirty_vectors(spark):
+    """encode_pq fails LOUDLY on dirty input (r17 review): the index
+    build must not silently drop corpus rows (a dropped row is a
+    document that can never be retrieved), so unlike fit_pq -- which
+    FILTERS its training sample -- a NULL vector or NULL element is a
+    clear ValueError, not an opaque executor numpy crash."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import encode_pq
+
+    cents = [[0, 0]]
+    cbs = [[[0], [1_000_000]], [[0], [-1_000_000]]]
+    whole_null = spark.createDataFrame(
+        [(0, [500_000, -500_000]), (1, None)],
+        "vec_id BIGINT, qv ARRAY<BIGINT>")
+    with _pytest.raises(Exception) as ei:
+        encode_pq(whole_null, cents, cbs).collect()
+    assert "NULL qv vector" in str(ei.value)
+    elem_null = spark.createDataFrame(
+        [(0, [500_000, None])], "vec_id BIGINT, qv ARRAY<BIGINT>")
+    with _pytest.raises(Exception) as ei:
+        encode_pq(elem_null, cents, cbs).collect()
+    assert "NULL elements or ragged" in str(ei.value)
+    del Py4JJavaError  # imported for documentation; Spark wraps either way
+
+
+def test_ann_topk_pq_rejects_bad_nprobe(spark, sf_dir):
+    """Explicit nprobe outside [1, k] raises the probe_clusters guard
+    message instead of silently returning empty (nprobe=0) or probing
+    k-|n| lists (negative) -- r17 review parity with the uncompressed
+    trained path."""
+    import pytest as _pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import ann_topk_pq
+
+    cents = [[0] * 64, [1_000_000] * 64]
+    cbs = [[[0] * 8, [500_000] * 8] for _ in range(8)]
+    for bad in (0, -1, 3):
+        with _pytest.raises(ValueError, match=r"nprobe must be in \[1, 2\]"):
+            ann_topk_pq(spark, sf_dir, centroids=cents, codebooks=cbs,
+                        nprobe=bad)

@@ -216,63 +216,34 @@ def _pq_sweep(spark, last_dir: tuple[str, str], args) -> None:
 
 def _pq_recall_nprobe(spark, d, cents, cbs, nprobe):
     """ann_pq_recall's n_both relation with the nprobe knob exposed."""
-    from pyspark.sql import functions as F
-
     from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
         ann_topk_bruteforce_df,
         ann_topk_pq,
+        recall_audit,
     )
 
-    pq = ann_topk_pq(
-        spark, d, centroids=cents, codebooks=cbs, nprobe=nprobe
-    ).where(F.col("rnk") <= 3).select(
-        F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c"))
-    exact = ann_topk_bruteforce_df(spark, d).where(
-        F.col("rnk") <= 3).select(
-        F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c"))
-    joined = pq.join(
-        exact,
-        (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
-        "full_outer")
-    return (
-        joined.select(
-            F.coalesce(F.col("i_q"), F.col("e_q")).alias("query_id"),
-            (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
-            .cast("int").alias("is_both"))
-        .groupBy("query_id")
-        .agg(F.sum("is_both").cast("bigint").alias("n_both"))
-    )
+    return recall_audit(
+        ann_topk_pq(spark, d, centroids=cents, codebooks=cbs,
+                    nprobe=nprobe),
+        ann_topk_bruteforce_df(spark, d),
+        "pq",
+    ).select("query_id", "n_both")
 
 
 def ann_trained_recall_nprobe(spark, d, cents, nprobe):
     """ann_trained_recall with the nprobe knob exposed (the registry row
     pins the production default; the sweep varies it)."""
-    from pyspark.sql import functions as F
-
     from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
         ann_topk_bruteforce_df,
         ann_topk_trained,
+        recall_audit,
     )
 
-    trained = ann_topk_trained(
-        spark, d, centroids=cents, nprobe=nprobe
-    ).where(F.col("rnk") <= 3).select(
-        F.col("query_id").alias("i_q"), F.col("cand_id").alias("i_c"))
-    exact = ann_topk_bruteforce_df(spark, d).where(
-        F.col("rnk") <= 3).select(
-        F.col("query_id").alias("e_q"), F.col("cand_id").alias("e_c"))
-    joined = trained.join(
-        exact,
-        (F.col("i_q") == F.col("e_q")) & (F.col("i_c") == F.col("e_c")),
-        "full_outer")
-    return (
-        joined.select(
-            F.coalesce(F.col("i_q"), F.col("e_q")).alias("query_id"),
-            (F.col("i_c").isNotNull() & F.col("e_c").isNotNull())
-            .cast("int").alias("is_both"))
-        .groupBy("query_id")
-        .agg(F.sum("is_both").cast("bigint").alias("n_both"))
-    )
+    return recall_audit(
+        ann_topk_trained(spark, d, centroids=cents, nprobe=nprobe),
+        ann_topk_bruteforce_df(spark, d),
+        "trained",
+    ).select("query_id", "n_both")
 
 
 def main() -> None:
