@@ -1,0 +1,273 @@
+"""Learned byte-pair-encoding tokenizer: merge learning + corpus encode.
+
+The missing piece between the regex token ESTIMATES (plans/text.py's
+``n_bpe_tokens``) and what a training pipeline actually runs: token
+counts under the tokenizer the model will train with. The algorithm is
+Sennrich/Haddow/Birch 2016 ("Neural Machine Translation of Rare Words
+with Subword Units"): learn the most frequent adjacent symbol pair,
+merge it everywhere, repeat; encode by replaying merges in learned
+order (the GPT-2 style lowest-rank-first greedy apply).
+
+Spark shape (the fit_kmeans / fit_pq model discipline):
+
+- ``fit_bpe`` trains on the <= ``sample_target`` documents with the
+  smallest (h60(doc_id), doc_id) — ONE TakeOrderedAndProject job, fully
+  deterministic, corpus-size-INDEPENDENT: at 100 TB the fit cost is
+  identical to sf0.01's. Merge learning itself runs driver-side over a
+  word-frequency dict (model-state-sized: distinct sample words, not
+  corpus rows).
+- ``encode_bpe_batches`` is a zero-shuffle Arrow narrow map
+  (``mapInPandas``): the merge table rides the closure (O(n_merges)
+  strings), documents never move, and a per-batch word -> tokens memo
+  exploits the Zipf distribution so the greedy merge loop runs once per
+  DISTINCT word per batch, not once per occurrence.
+- ``save_bpe`` / ``load_bpe`` persist the merge table as parquet —
+  train-once / encode-many, the save_centroids contract.
+
+Word segmentation is the repo's single lowered-word spelling
+(``plans/text.lwords_col`` / ``_LWORDS_SQL``): lowercase, split on the
+explicit whitespace class, drop empties. Each word gets a trailing
+``</w>`` end-of-word symbol (the paper's formulation), so
+``"".join(tokens_of(word)) == word + "</w>"`` is an invariant the tests
+pin.
+
+Determinism rules (so two fits of the same relation are identical and
+retries can't change answers): pair counts are exact integers; the
+merge chosen each round is the max by ``(count, reversed lexicographic
+pair)`` — i.e. among equally frequent pairs the lexicographically
+SMALLEST (left, right) wins; the greedy apply breaks rank ties by
+leftmost position. No floats anywhere.
+
+Reference parity note: the reference system (lambda_function.py) has no
+tokenizer — this is a driver-mandated training-data-pipeline extension
+(SURVEY.md section 2, LLM tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: fit-sample cap shared with the other model fits (kmeans/pq): the
+#: merge table plateaus well before 20k documents of distinct words
+DEFAULT_N_MERGES = 200
+
+#: end-of-word marker symbol (Sennrich et al. 2016)
+EOW = "</w>"
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+# --------------------------------------------------------------- fit
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict:
+    """Adjacent-pair frequencies over a {symbol-tuple: count} vocab."""
+    counts: dict[tuple[str, str], int] = {}
+    for syms, n in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + n
+    return counts
+
+
+def _merge_vocab(
+    vocab: dict[tuple[str, ...], int], pair: tuple[str, str]
+) -> dict[tuple[str, ...], int]:
+    """Replace every adjacent occurrence of ``pair`` with its
+    concatenation (left-to-right, non-overlapping)."""
+    a, b = pair
+    out: dict[tuple[str, ...], int] = {}
+    for syms, n in vocab.items():
+        merged = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        key = tuple(merged)
+        out[key] = out.get(key, 0) + n
+    return out
+
+
+def fit_bpe(
+    docs: DataFrame,
+    n_merges: int = DEFAULT_N_MERGES,
+    sample_target: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a deterministic document
+    sample. Returns the ordered merge list (rank = list position).
+    Stops early (shorter list) when no adjacent pair is left to merge —
+    callers must treat the merge table as variable-length.
+
+    NULL texts are dropped before the sample collect (the fit_kmeans
+    dirty-row discipline: training skips them; they are not an error).
+    Raises when the sample is empty or ``n_merges`` < 1.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h60
+    from ..operators.kmeans import FIT_SAMPLE_TARGET
+    from ..plans.text import WS_PY
+
+    if n_merges < 1:
+        raise ValueError(f"fit_bpe: n_merges must be >= 1, got {n_merges}")
+    target = FIT_SAMPLE_TARGET if sample_target is None else sample_target
+    rows = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(text_col).alias("__t"),
+                h60(F.col(id_col).cast("string")).alias("__h"),
+                F.col(id_col).alias("__i"))
+        .orderBy("__h", "__i")
+        .limit(target)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fit_bpe: docs is empty")
+    ws = re.compile(WS_PY)
+    freqs: dict[str, int] = {}
+    for r in rows:
+        for w in ws.split(r["__t"].lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    vocab = {tuple(list(w) + [EOW]): n for w, n in freqs.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        # max count; ties -> lexicographically smallest (left, right).
+        # One pass, no float, no hash-order dependence.
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = _merge_vocab(vocab, best)
+    return merges
+
+
+# ------------------------------------------------------------ encode
+
+
+def bpe_word_tokens(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Tokenize ONE lowered word by greedy lowest-rank merge replay
+    (leftmost-first on rank ties). Pure function — the per-word kernel
+    ``encode_bpe_batches`` memoizes; also the unit the replica tests
+    drive directly."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def encode_bpe_batches(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document learned-BPE tokens: ``(id_col, n_tokens, tokens)``.
+
+    Zero-shuffle Arrow narrow map; the merge-rank dict rides the
+    closure. Unknown characters (absent from the training sample)
+    simply never merge — they come out as single-character tokens, the
+    standard open-vocabulary behavior. NULL text raises (the encode_pq
+    r17 contract: an encode pass must not silently drop corpus rows).
+    A document with no words yields ``n_tokens = 0`` and an empty
+    array."""
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..plans.text import WS_PY
+
+    if not isinstance(merges, list) or any(
+        not (isinstance(m, tuple) and len(m) == 2) for m in merges
+    ):
+        raise ValueError(
+            "encode_bpe_batches: merges must be a list of (left, right) "
+            "tuples (fit_bpe/load_bpe output)")
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    id_field = [f for f in docs.schema.fields if f.name == id_col]
+    if not id_field:
+        raise ValueError(f"encode_bpe_batches: no column {id_col!r}")
+    out_schema = StructType([
+        id_field[0],
+        StructField("n_tokens", LongType()),
+        StructField("tokens", ArrayType(StringType())),
+    ])
+
+    def encode_iter(batches):
+        ws = re.compile(WS_PY)
+        for pdf in batches:
+            if pdf[text_col].isna().any():
+                bad = pdf.loc[pdf[text_col].isna(), id_col].iloc[0]
+                raise ValueError(
+                    f"encode_bpe_batches: NULL {text_col} at "
+                    f"{id_col}={bad}; filter dirty rows before encoding")
+            memo: dict[str, list[str]] = {}
+            n_out = []
+            toks_out = []
+            for t in pdf[text_col]:
+                toks: list[str] = []
+                for w in ws.split(t.lower()):
+                    if not w:
+                        continue
+                    cached = memo.get(w)
+                    if cached is None:
+                        cached = memo[w] = bpe_word_tokens(w, ranks)
+                    toks.extend(cached)
+                n_out.append(len(toks))
+                toks_out.append(toks)
+            yield pdf[[id_col]].assign(n_tokens=n_out, tokens=toks_out)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode_iter, out_schema)
+
+
+# ------------------------------------------------------- persistence
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge table as parquet (rank INT, left STRING,
+    right STRING) — the save_centroids train-once contract. Rank order
+    IS the model: a reordered table is a different tokenizer."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    (spark.createDataFrame(rows, "rank INT, left STRING, right STRING")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_bpe`, validated dense 0..n-1 by rank (the
+    load_centroids discipline — a gap or reorder would silently change
+    every encoding)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    if not rows:
+        raise ValueError("BPE merge relation is empty")
+    if [r.rank for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            "BPE merge relation is not a dense 0..n-1 rank sequence")
+    return [(r.left, r.right) for r in rows]

@@ -744,3 +744,40 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _bm25_sql(split_expr, _bm25_values("spark"), dl_rel="bm25_dl_tmp")
     )
+
+
+@register(
+    "bpe_token_stats",
+    oracle=None,  # iterative merge LEARNING is outside the SQL-oracle
+                  # contract (the kmeans/ann_trained_recall precedent)
+                  # -- rows-only here; the encoding itself is pinned
+                  # bit-exact against an independent pure-Python
+                  # replica in tests/test_bpe.py
+    description="Per-document token statistics under a LEARNED BPE "
+                "tokenizer (operators/bpe.py, Sennrich 2016): merges "
+                "fit on the h60-deterministic <= 20k-doc sample "
+                "(corpus-size-independent, the fit_kmeans discipline), "
+                "then one zero-shuffle Arrow encode pass with the merge "
+                "table in the closure and a per-batch word memo. "
+                "Returns (doc_id, n_tokens, n_distinct_tokens, tok_fp) "
+                "where tok_fp h60-fingerprints the exact token sequence "
+                "-- the token counts a real training pipeline needs for "
+                "shard packing / domain mixing, vs text_profile's regex "
+                "ESTIMATE.",
+    tags=("text", "llm", "tokenizer", "model"),
+    driver_slot=False,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import h60
+    from ..operators.bpe import encode_bpe_batches, fit_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs)
+    enc = encode_bpe_batches(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("bigint")
+        .alias("n_distinct_tokens"),
+        h60(F.concat_ws("\x1f", "tokens")).alias("tok_fp"),
+    )

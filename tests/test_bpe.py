@@ -1,0 +1,189 @@
+"""Learned-BPE tokenizer (operators/bpe.py): the fit is pinned against
+the Sennrich et al. 2016 hand-worked merges and a brute-force replica;
+the Spark encode pass is pinned bit-exact against an INDEPENDENT
+pure-Python replay (sequential rank-order merge application, a
+different algorithm from the kernel's greedy lowest-rank-first apply --
+equivalent only when the merge table was actually learned by BPE, which
+is exactly the contract under test)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from aws_cloudfront_realtime_monitoring_spark.operators.bpe import (
+    EOW,
+    bpe_word_tokens,
+    encode_bpe_batches,
+    fit_bpe,
+    load_bpe,
+    save_bpe,
+)
+from aws_cloudfront_realtime_monitoring_spark.plans.text import WS_PY
+
+
+def _replica_fit(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Brute-force merge learning written independently of the
+    production _pair_counts/_merge_vocab helpers: recount every word
+    occurrence (no frequency dict) each round."""
+    ws = re.compile(WS_PY)
+    words = [list(w) + [EOW] for t in texts for w in ws.split(t.lower()) if w]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        top = max(counts.values())
+        best = sorted(p for p, n in counts.items() if n == top)[0]
+        merges.append(best)
+        for syms in words:
+            i = 0
+            while i < len(syms) - 1:
+                if (syms[i], syms[i + 1]) == best:
+                    syms[i:i + 2] = [syms[i] + syms[i + 1]]
+                else:
+                    i += 1
+    return merges
+
+
+def _replica_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sequential rank-order replay (the training-style apply) -- NOT
+    the kernel's greedy lowest-rank-first loop."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i:i + 2] = [a + b]
+            else:
+                i += 1
+    return syms
+
+
+#: the paper's corpus shape: low x5, lower x2, newest x6, widest x3
+_PAPER = ["low " * 5 + "lower " * 2, "newest " * 6 + "widest " * 3]
+
+
+def test_fit_matches_paper_and_replica(spark):
+    df = spark.createDataFrame(
+        list(enumerate(_PAPER)), "doc_id BIGINT, text STRING")
+    merges = fit_bpe(df, n_merges=10)
+    # hand-checkable head (Sennrich 2016 worked example with the
+    # smallest-pair tie rule): es(9) -> est(9) -> est</w>(9)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", EOW)]
+    assert merges == _replica_fit(_PAPER, 10)
+
+
+def test_fit_is_deterministic_and_guarded(spark):
+    df = spark.createDataFrame(
+        list(enumerate(_PAPER)), "doc_id BIGINT, text STRING")
+    assert fit_bpe(df, n_merges=6) == fit_bpe(df, n_merges=6)
+    with pytest.raises(ValueError, match="n_merges"):
+        fit_bpe(df, n_merges=0)
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="empty"):
+        fit_bpe(empty)
+    # NULL text rows are training skips, not errors
+    dirty = spark.createDataFrame(
+        [(0, "ab ab"), (1, None)], "doc_id BIGINT, text STRING")
+    assert fit_bpe(dirty, n_merges=2)[0] == ("a", "b")
+
+
+def test_fit_stops_early_when_fully_merged(spark):
+    df = spark.createDataFrame([(0, "aa aa")], "doc_id BIGINT, text STRING")
+    merges = fit_bpe(df, n_merges=50)
+    # "aa</w>" has 3 symbols -> at most 2 merges exist
+    assert len(merges) == 2
+    assert bpe_word_tokens("aa", {p: i for i, p in enumerate(merges)}) \
+        == ["aa" + EOW]
+
+
+def test_word_tokens_reconstruction_property():
+    merges = _replica_fit(_PAPER, 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ["low", "lower", "newest", "widest", "lowest",
+              "unseen", "xyzzy", "w", ""]:
+        toks = bpe_word_tokens(w, ranks)
+        assert "".join(toks) == w + EOW
+        assert toks == _replica_encode(w, merges)
+
+
+def test_encode_batches_matches_replica_on_testdata(spark, sf_dir):
+    """The full Spark pass (fit on the deterministic sample + Arrow
+    encode with the per-batch memo) equals a driver-side pure-Python
+    replay document for document."""
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, n_merges=60)
+    got = {
+        r["doc_id"]: (r["n_tokens"], tuple(r["tokens"]))
+        for r in encode_bpe_batches(docs, merges).collect()
+    }
+    ws = re.compile(WS_PY)
+    raw = docs.select("doc_id", "text").collect()
+    assert len(got) == len(raw) > 0
+    for r in raw:
+        toks = []
+        for w in ws.split(r["text"].lower()):
+            if w:
+                toks.extend(_replica_encode(w, merges))
+        assert got[r["doc_id"]] == (len(toks), tuple(toks)), r["doc_id"]
+
+
+def test_encode_rejects_null_text_and_bad_merges(spark):
+    dirty = spark.createDataFrame(
+        [(0, "ok"), (1, None)], "doc_id BIGINT, text STRING")
+    with pytest.raises(Exception) as ei:
+        encode_bpe_batches(dirty, [("a", "b")]).collect()
+    assert "NULL text" in str(ei.value)
+    clean = spark.createDataFrame([(0, "ok")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="list of \\(left, right\\)"):
+        encode_bpe_batches(clean, [("a", "b", "c")])
+    with pytest.raises(ValueError, match="no column"):
+        encode_bpe_batches(
+            clean.withColumnRenamed("doc_id", "d"), [("a", "b")])
+
+
+def test_empty_document_yields_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "  \t "), (2, "low")], "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+           for r in encode_bpe_batches(df, [("l", "o")]).collect()}
+    assert out[0] == (0, []) and out[1] == (0, [])
+    assert out[2] == (2, ["lo", "w" + EOW]) or out[2][0] >= 2
+
+
+def test_save_load_roundtrip_and_validation(spark, tmp_path):
+    merges = _replica_fit(_PAPER, 5)
+    p = str(tmp_path / "bpe_model")
+    save_bpe(spark, merges, p)
+    assert load_bpe(spark, p) == merges
+    # a gapped rank sequence is a different tokenizer -> loud failure
+    bad = str(tmp_path / "bpe_bad")
+    (spark.createDataFrame([(0, "a", "b"), (2, "c", "d")],
+                           "rank INT, left STRING, right STRING")
+     .write.mode("overwrite").parquet(bad))
+    with pytest.raises(ValueError, match="dense"):
+        load_bpe(spark, bad)
+
+
+def test_registry_row_shape_and_determinism(spark, sf_dir):
+    """bpe_token_stats: stable schema, one row per document, token
+    fingerprints reproducible across two independent builds (retries
+    can't change answers)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+
+    q = load_full()["bpe_token_stats"]
+    a = q.build(spark, sf_dir).toPandas().sort_values("doc_id")
+    b = q.build(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert list(a.columns) == [
+        "doc_id", "n_tokens", "n_distinct_tokens", "tok_fp"]
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert (a["n_distinct_tokens"] <= a["n_tokens"]).all()
+    assert (a["n_tokens"] > 0).any()
