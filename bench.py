@@ -72,6 +72,8 @@ EXTRA_QUERIES = [
     "webp_resize_stats",   # entered r17: VP8L decode + integer-rule
                            # nearest resize (the media pixel tier's
                            # first wall-time series entry)
+    "bpe_token_stats",     # entered r17: learned-BPE fit (20k sample)
+                           # + zero-shuffle Arrow encode of the corpus
 ]
 
 
