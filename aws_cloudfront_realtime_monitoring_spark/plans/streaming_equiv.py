@@ -273,6 +273,38 @@ def stream_bigram_filter_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_bpe_tokens_equiv",
+    oracle=None,  # BPE merge learning is outside the SQL-oracle
+                  # contract (the bpe_token_stats precedent); the
+                  # stream==batch hash parity is pinned in
+                  # tests/test_bpe.py instead
+    description="Streaming==batch equivalence for the learned-BPE "
+                "tokenizer (r17): merges are fitted batch-side (the "
+                "production shape — tokenizers train offline) and the "
+                "encode pass runs INSIDE a Structured Streaming query "
+                "as a stateless Arrow map over the document file "
+                "stream (mapInPandas is streaming-compatible; no "
+                "state, no watermark — each micro-batch encodes its "
+                "own documents and appends). The parquet-sink result "
+                "must equal the batch bpe_token_stats relation row for "
+                "row; batch and stream share the encode kernel AND the "
+                "stats projection (bpe_stats_cols), so the spellings "
+                "cannot drift. Verified by the test suite outside the "
+                "50-row driver budget (driver_slot=False).",
+    tags=("streaming", "text", "tokenizer"),
+    driver_slot=False,
+)
+def stream_bpe_tokens_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_bpe_batches, fit_bpe
+    from ..sources.tables import load_table
+    from .text import bpe_stats_cols
+
+    merges = fit_bpe(load_table(spark, sf_dir, "documents"))
+    enc = encode_bpe_batches(_documents_stream(spark, sf_dir), merges)
+    return _run_to_parquet(bpe_stats_cols(enc), "append")
+
+
+@register(
     "stream_lm_filter_equiv",
     oracle=UNIGRAM_ORACLE_SQL,
     description="Streaming==batch equivalence for the LM quality-filter "

@@ -746,6 +746,22 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_stats_cols(enc: DataFrame) -> DataFrame:
+    """The ONE projection from encode_bpe_batches output to the
+    bpe_token_stats row shape -- shared by the batch registry row and
+    the streaming-parity row (the lm_* shared-projection discipline:
+    batch and stream spellings cannot drift)."""
+    from ..functions.hashing import h60
+
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("bigint")
+        .alias("n_distinct_tokens"),
+        h60(F.concat_ws("\x1f", "tokens")).alias("tok_fp"),
+    )
+
+
 @register(
     "bpe_token_stats",
     oracle=None,  # iterative merge LEARNING is outside the SQL-oracle
@@ -768,16 +784,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver_slot=False,
 )
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import h60
     from ..operators.bpe import encode_bpe_batches, fit_bpe
 
     docs = load_table(spark, sf_dir, "documents")
     merges = fit_bpe(docs)
-    enc = encode_bpe_batches(docs, merges)
-    return enc.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct("tokens")).cast("bigint")
-        .alias("n_distinct_tokens"),
-        h60(F.concat_ws("\x1f", "tokens")).alias("tok_fp"),
-    )
+    return bpe_stats_cols(encode_bpe_batches(docs, merges))

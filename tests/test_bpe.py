@@ -187,3 +187,22 @@ def test_registry_row_shape_and_determinism(spark, sf_dir):
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert (a["n_distinct_tokens"] <= a["n_tokens"]).all()
     assert (a["n_tokens"] > 0).any()
+
+
+def test_stream_encode_equals_batch(spark, sf_dir):
+    """stream_bpe_tokens_equiv: the streaming encode (batch-fitted
+    merges, stateless Arrow map per micro-batch, append parquet sink)
+    produces EXACTLY the batch bpe_token_stats relation -- the
+    stream==batch contract the oracle harness can't check for a
+    non-SQL-expressible op."""
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+
+    reg = load_full()
+    batch = reg["bpe_token_stats"].build(spark, sf_dir).toPandas()
+    stream = reg["stream_bpe_tokens_equiv"].build(spark, sf_dir).toPandas()
+    key = ["doc_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = stream.sort_values(key).reset_index(drop=True)
+    assert list(b.columns) == list(s.columns)
+    assert b.equals(s)
+    assert len(b) > 0
