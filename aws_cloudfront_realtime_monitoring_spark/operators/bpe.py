@@ -47,18 +47,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: fit-sample cap shared with the other model fits (kmeans/pq): the
-#: merge table plateaus well before 20k documents of distinct words
+#: default merge-table size; the fit SAMPLE is capped separately by
+#: kmeans.FIT_SAMPLE_TARGET (20k docs), shared with the other model fits
 DEFAULT_N_MERGES = 200
 
 #: end-of-word marker symbol (Sennrich et al. 2016)
 EOW = "</w>"
-
-
-def _np():
-    import numpy as np
-
-    return np
 
 
 # --------------------------------------------------------------- fit
@@ -127,7 +121,12 @@ def fit_bpe(
         .select(F.col(text_col).alias("__t"),
                 h60(F.col(id_col).cast("string")).alias("__h"),
                 F.col(id_col).alias("__i"))
-        .orderBy("__h", "__i")
+        # __t as final tiebreak: with DUPLICATE ids (a duplicate-ingest
+        # corpus) the (h60, id) key ties at the limit boundary and
+        # TakeOrderedAndProject would pick arbitrary rows per
+        # partitioning -- two fits of the same relation could disagree
+        # (r17 review)
+        .orderBy("__h", "__i", "__t")
         .limit(target)
         .collect()
     )

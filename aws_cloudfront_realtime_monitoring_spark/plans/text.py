@@ -753,12 +753,19 @@ def bpe_stats_cols(enc: DataFrame) -> DataFrame:
     batch and stream spellings cannot drift)."""
     from ..functions.hashing import h60
 
+    # length-prefix framing, not a bare separator join: no character is
+    # guaranteed absent from tokens (WS_PY does not strip \x1f), so
+    # ["a\x1fb</w>"] and ["a", "b</w>"] would collide under a plain
+    # concat_ws("\x1f") -- "<len>:<token>" frames are unambiguous for
+    # any token content (r17 review)
+    framed = F.transform(
+        "tokens", lambda t: F.concat(F.length(t), F.lit(":"), t))
     return enc.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("tokens")).cast("bigint")
         .alias("n_distinct_tokens"),
-        h60(F.concat_ws("\x1f", "tokens")).alias("tok_fp"),
+        h60(F.concat_ws("", framed)).alias("tok_fp"),
     )
 
 

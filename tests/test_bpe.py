@@ -156,7 +156,8 @@ def test_empty_document_yields_zero_tokens(spark):
     out = {r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
            for r in encode_bpe_batches(df, [("l", "o")]).collect()}
     assert out[0] == (0, []) and out[1] == (0, [])
-    assert out[2] == (2, ["lo", "w" + EOW]) or out[2][0] >= 2
+    # only ("l","o") merges; "w" and EOW stay separate symbols
+    assert out[2] == (3, ["lo", "w", EOW])
 
 
 def test_save_load_roundtrip_and_validation(spark, tmp_path):
@@ -206,3 +207,29 @@ def test_stream_encode_equals_batch(spark, sf_dir):
     assert list(b.columns) == list(s.columns)
     assert b.equals(s)
     assert len(b) > 0
+
+
+def test_tok_fp_distinguishes_separator_collisions(spark):
+    """The fingerprint uses length-prefix framing, not a bare separator
+    join: a token CONTAINING \\x1f must not collide with the split pair
+    (r17 review -- WS_PY does not strip \\x1f, so no separator
+    character is guaranteed absent from tokens)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import bpe_stats_cols
+
+    enc = spark.createDataFrame(
+        [(0, 1, ["a\x1fb</w>"]), (1, 2, ["a", "b</w>"])],
+        "doc_id BIGINT, n_tokens BIGINT, tokens ARRAY<STRING>")
+    rows = {r["doc_id"]: r["tok_fp"]
+            for r in bpe_stats_cols(enc).collect()}
+    assert rows[0] != rows[1]
+
+
+def test_fit_deterministic_with_duplicate_doc_ids(spark):
+    """Duplicate ids tie on the (h60, id) sample key; the text tiebreak
+    keeps the fit deterministic across partitionings (r17 review)."""
+    rows = [(i % 3, f"w{i} " * 4) for i in range(30)]
+    a = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    b = spark.createDataFrame(list(reversed(rows)),
+                              "doc_id BIGINT, text STRING").repartition(7)
+    assert fit_bpe(a, n_merges=8, sample_target=10) \
+        == fit_bpe(b, n_merges=8, sample_target=10)

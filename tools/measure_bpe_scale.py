@@ -46,20 +46,22 @@ from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table  
 
 
 def _checksum(spark, docs, merges) -> dict:
-    """One encode pass reduced to order-free exact integers."""
+    """One encode pass reduced to order-free exact integers — through
+    the SHARED bpe_stats_cols projection (the registry row's spelling;
+    a hand-copied fingerprint expression here could silently drift,
+    r17 review)."""
     from pyspark.sql import functions as F
 
-    from aws_cloudfront_realtime_monitoring_spark.functions.hashing import h60
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import bpe_stats_cols
 
-    enc = encode_bpe_batches(docs, merges)
-    row = enc.select(
+    stats = bpe_stats_cols(encode_bpe_batches(docs, merges))
+    row = stats.select(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         # 60-bit hashes sum past int64 at a few thousand docs -- reduce
         # mod a prime first (order-free, still collision-resistant
         # enough for a determinism check)
-        F.sum(h60(F.concat_ws("\x1f", "tokens")) % F.lit(1_000_000_007))
-        .alias("fp_sum"),
+        F.sum(F.col("tok_fp") % F.lit(1_000_000_007)).alias("fp_sum"),
     ).collect()[0]
     return {"n_docs": int(row["n_docs"]), "n_tokens": int(row["n_tokens"]),
             "fp_sum": int(row["fp_sum"])}
