@@ -233,3 +233,29 @@ def test_fit_deterministic_with_duplicate_doc_ids(spark):
                               "doc_id BIGINT, text STRING").repartition(7)
     assert fit_bpe(a, n_merges=8, sample_target=10) \
         == fit_bpe(b, n_merges=8, sample_target=10)
+
+
+def test_bpe_counts_feed_shard_packing(spark, sf_dir):
+    """The pipeline composes end-to-end: learned-tokenizer counts
+    (bpe_token_stats) ARE the pack_shards input contract -- shards
+    respect capacity under the real token counts, every document is
+    packed exactly once, and only genuinely oversize docs overflow."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
+        pack_shards,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.plans import load_full
+
+    stats = load_full()["bpe_token_stats"].build(spark, sf_dir)
+    cap = 256
+    packed = pack_shards(stats.select("doc_id", "n_tokens"),
+                         capacity=cap, n_groups=4).toPandas()
+    src = stats.toPandas()
+    assert sorted(packed["doc_id"]) == sorted(src["doc_id"])
+    fills = packed.groupby("shard_id")["n_tokens"].sum()
+    over = packed[packed["oversize"] == 1]
+    ok = packed[packed["oversize"] == 0]
+    assert (ok.groupby("shard_id")["n_tokens"].sum() <= cap).all()
+    # oversize shards hold exactly one doc, each genuinely > capacity
+    assert (over.groupby("shard_id").size() == 1).all()
+    assert (over["n_tokens"] > cap).all()
+    assert len(fills) > 1
