@@ -270,3 +270,106 @@ def load_bpe(spark, path: str) -> list[tuple[str, str]]:
         raise ValueError(
             "BPE merge relation is not a dense 0..n-1 rank sequence")
     return [(r.left, r.right) for r in rows]
+
+
+# ----------------------------------------------------- vocab and ids
+
+
+def build_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """The token -> id table a shard writer needs (training shards
+    store INT ids, not strings). One distributed distinct over an
+    encode pass — only distinct TOKENS shuffle (vocabulary-sized, not
+    corpus-sized) — then ids assigned driver-side in sorted-token order
+    (deterministic: independent of partitioning, retries, and doc
+    order). The collect is vocabulary-sized — the documented
+    model-state contract (fit_kmeans/fit_pq)."""
+    from pyspark.sql import functions as F
+
+    enc = encode_bpe_batches(docs, merges, text_col=text_col,
+                             id_col=id_col)
+    toks = (enc.select(F.explode("tokens").alias("tok"))
+            .distinct().collect())
+    return {t: i for i, t in enumerate(sorted(r["tok"] for r in toks))}
+
+
+def tokens_to_ids(
+    enc: DataFrame,
+    vocab: dict[str, int],
+    oov: str = "error",
+) -> DataFrame:
+    """Map the ``tokens`` array to ``token_ids ARRAY<INT>`` inside one
+    Arrow narrow map (the vocab dict rides the closure — vocabulary-
+    sized, like the merge table). ``oov`` policy for tokens absent from
+    the vocab: ``"error"`` fails loudly (an encode-side vocab should be
+    total over its own corpus), ``"skip"`` drops them, or any INT-like
+    string (e.g. ``"0"``) substitutes that id — the <unk> convention.
+    Output keeps every input column and appends ``token_ids``."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    if oov not in ("error", "skip"):
+        try:
+            unk = int(oov)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"tokens_to_ids: oov must be 'error', 'skip', or an "
+                f"int-like <unk> id, got {oov!r}") from None
+    else:
+        unk = None
+    if "tokens" not in enc.columns:
+        raise ValueError("tokens_to_ids: input has no 'tokens' column "
+                         "(encode_bpe_batches output expected)")
+    vmap = dict(vocab)
+    out_schema = StructType(list(enc.schema.fields) + [
+        StructField("token_ids", ArrayType(IntegerType())),
+    ])
+
+    def ids_iter(batches):
+        for pdf in batches:
+            ids_out = []
+            for toks in pdf["tokens"]:
+                ids = []
+                for t in toks:
+                    j = vmap.get(t)
+                    if j is None:
+                        if oov == "error":
+                            raise ValueError(
+                                f"tokens_to_ids: token {t!r} not in "
+                                "vocab (oov='error'); rebuild the vocab "
+                                "or pass an <unk> id")
+                        if oov == "skip":
+                            continue
+                        j = unk
+                    ids.append(j)
+                ids_out.append(ids)
+            yield pdf.assign(token_ids=ids_out)
+
+    return enc.mapInPandas(ids_iter, out_schema)
+
+
+def save_vocab(spark, vocab: dict[str, int], path: str) -> None:
+    """Persist a vocab as parquet (id INT, token STRING) — ids must be
+    a dense 0..V-1 permutation (the shard format's contract)."""
+    if sorted(vocab.values()) != list(range(len(vocab))):
+        raise ValueError("save_vocab: ids must be dense 0..V-1")
+    rows = [(i, t) for t, i in vocab.items()]
+    (spark.createDataFrame(rows, "id INT, token STRING")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_vocab(spark, path: str) -> dict[str, int]:
+    """Inverse of :func:`save_vocab`, validated dense and duplicate-free
+    (the load_centroids discipline)."""
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError("vocab relation is empty")
+    vocab = {r.token: r.id for r in rows}
+    if len(vocab) != len(rows) or \
+            sorted(vocab.values()) != list(range(len(rows))):
+        raise ValueError(
+            "vocab relation has duplicate tokens or non-dense ids")
+    return vocab

@@ -259,3 +259,52 @@ def test_bpe_counts_feed_shard_packing(spark, sf_dir):
     assert (over.groupby("shard_id").size() == 1).all()
     assert (over["n_tokens"] > cap).all()
     assert len(fills) > 1
+
+
+def test_vocab_ids_roundtrip_and_persistence(spark, sf_dir, tmp_path):
+    """build_vocab -> tokens_to_ids -> ids map back to the exact token
+    sequence (the shard format's contract); vocab save/load validates
+    density; OOV policies behave as documented."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.bpe import (
+        build_vocab,
+        load_vocab,
+        save_vocab,
+        tokens_to_ids,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, n_merges=40)
+    vocab = build_vocab(docs, merges)
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    # deterministic across two builds
+    assert vocab == build_vocab(docs, merges)
+
+    p = str(tmp_path / "vocab")
+    save_vocab(spark, vocab, p)
+    assert load_vocab(spark, p) == vocab
+
+    inv = {i: t for t, i in vocab.items()}
+    enc = encode_bpe_batches(docs, merges)
+    out = tokens_to_ids(enc, vocab).collect()
+    assert len(out) > 0
+    for r in out:
+        assert [inv[i] for i in r["token_ids"]] == list(r["tokens"])
+
+    # OOV policies on a vocab missing a token
+    small = spark.createDataFrame([(0, "zz qq")], "doc_id BIGINT, text STRING")
+    enc2 = encode_bpe_batches(small, merges)
+    partial = {t: i for i, t in enumerate(
+        sorted({t for r in enc2.collect() for t in r["tokens"]} - {"q"}))}
+    with pytest.raises(Exception) as ei:
+        tokens_to_ids(enc2, partial, oov="error").collect()
+    assert "not in vocab" in str(ei.value)
+    skipped = tokens_to_ids(enc2, partial, oov="skip").collect()[0]
+    assert len(skipped["token_ids"]) < skipped["n_tokens"]
+    unked = tokens_to_ids(enc2, partial, oov=str(len(partial))).collect()[0]
+    assert len(unked["token_ids"]) == unked["n_tokens"]
+    assert len(partial) in unked["token_ids"]
+    with pytest.raises(ValueError, match="oov must be"):
+        tokens_to_ids(enc2, partial, oov="nope")
+    with pytest.raises(ValueError, match="dense"):
+        save_vocab(spark, {"a": 0, "b": 2}, str(tmp_path / "bad"))
