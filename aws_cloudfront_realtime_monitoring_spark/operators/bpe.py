@@ -373,3 +373,36 @@ def load_vocab(spark, path: str) -> dict[str, int]:
         raise ValueError(
             "vocab relation has duplicate tokens or non-dense ids")
     return vocab
+
+
+def chunk_id_seqs(
+    enc_ids: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's ``token_ids`` into fixed-length training
+    sequences — the tokenize -> shard intermediate (context-window
+    packing's per-document half; cross-document concat packing is
+    ``pack_shards``'s territory). Pure Catalyst (sequence + slice +
+    posexplode): zero Python, zero shuffle, whole-stage codegen. The
+    final sequence per document is the (possibly short) remainder —
+    padding is the trainer's concern, not the pipeline's. Documents
+    with no tokens yield no sequences. Output: (id_col, seq_idx,
+    seq_ids, seq_n)."""
+    from pyspark.sql import functions as F
+
+    if seq_len < 1:
+        raise ValueError(f"chunk_id_seqs: seq_len must be >= 1, got {seq_len}")
+    if "token_ids" not in enc_ids.columns:
+        raise ValueError("chunk_id_seqs: input has no 'token_ids' column "
+                         "(tokens_to_ids output expected)")
+    n_seqs = F.ceil(F.size("token_ids") / F.lit(seq_len)).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_seqs - 1),
+        lambda i: F.slice("token_ids", i * seq_len + 1, seq_len))
+    return (
+        enc_ids.select(id_col, F.posexplode(windows)
+                       .alias("seq_idx", "seq_ids"))
+        .select(id_col, "seq_idx", "seq_ids",
+                F.size("seq_ids").cast("int").alias("seq_n"))
+    )

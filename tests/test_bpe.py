@@ -308,3 +308,38 @@ def test_vocab_ids_roundtrip_and_persistence(spark, sf_dir, tmp_path):
         tokens_to_ids(enc2, partial, oov="nope")
     with pytest.raises(ValueError, match="dense"):
         save_vocab(spark, {"a": 0, "b": 2}, str(tmp_path / "bad"))
+
+
+def test_chunk_id_seqs_windows_reconstruct(spark, sf_dir):
+    """Fixed-length sequence windows: every window except a doc's last
+    has exactly seq_len ids, the concatenation reconstructs the full id
+    sequence in order, zero-token docs yield no rows, and bad inputs
+    fail loudly."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.bpe import (
+        build_vocab,
+        chunk_id_seqs,
+        tokens_to_ids,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, n_merges=40)
+    ids = tokens_to_ids(encode_bpe_batches(docs, merges),
+                        build_vocab(docs, merges))
+    seq_len = 16
+    out = chunk_id_seqs(ids, seq_len).collect()
+    src = {r["doc_id"]: list(r["token_ids"]) for r in ids.collect()}
+    got: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["seq_idx"])):
+        assert r["seq_n"] == len(r["seq_ids"]) <= seq_len
+        got.setdefault(r["doc_id"], []).extend(r["seq_ids"])
+        # only the LAST window of a doc may be short
+        if r["seq_n"] < seq_len:
+            assert (r["seq_idx"] + 1) * seq_len >= len(src[r["doc_id"]])
+    assert got == {d: v for d, v in src.items() if v}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seq_len"):
+        chunk_id_seqs(ids, 0)
+    with _pytest.raises(ValueError, match="token_ids"):
+        chunk_id_seqs(docs, 8)
