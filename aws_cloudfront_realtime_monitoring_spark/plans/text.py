@@ -796,3 +796,48 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = fit_bpe(docs)
     return bpe_stats_cols(encode_bpe_batches(docs, merges))
+
+
+@register(
+    "bpe_seq_windows",
+    oracle=None,  # the upstream merge learning has no SQL oracle (the
+                  # bpe_token_stats precedent); the window mechanics are
+                  # reconstruction-pinned in tests/test_bpe.py
+    description="The full tokenize -> ids -> fixed-length sequence "
+                "pipeline as one relation (r17): learned-BPE encode, "
+                "sorted-order vocab ids, then 32-id training windows "
+                "via chunk_id_seqs -- per-doc window counts plus an "
+                "h60 fingerprint over the framed id sequence. Plan "
+                "shape: one scan, two Arrow narrow maps, a codegen'd "
+                "Generate, one final aggregation shuffle; nothing "
+                "corpus-sized crosses the wire except the (doc_id, "
+                "window) rows being aggregated.",
+    tags=("text", "llm", "tokenizer"),
+    driver_slot=False,
+)
+def bpe_seq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import h60
+    from ..operators.bpe import (
+        build_vocab,
+        chunk_id_seqs,
+        encode_bpe_batches,
+        fit_bpe,
+        tokens_to_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs)
+    vocab = build_vocab(docs, merges)
+    ids = tokens_to_ids(encode_bpe_batches(docs, merges), vocab)
+    seqs = chunk_id_seqs(ids, seq_len=32)
+    framed = F.transform(
+        "seq_ids", lambda i: F.concat(i.cast("string"), F.lit(",")))
+    return (
+        seqs.select("doc_id", "seq_idx", "seq_n",
+                    h60(F.concat_ws("", framed)).alias("seq_fp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_seqs"),
+             F.sum("seq_n").cast("bigint").alias("n_ids"),
+             F.sum(F.col("seq_fp") % F.lit(1_000_000_007))
+             .cast("bigint").alias("fp_sum"))
+    )
