@@ -280,6 +280,7 @@ def build_vocab(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    enc: DataFrame | None = None,
 ) -> dict[str, int]:
     """The token -> id table a shard writer needs (training shards
     store INT ids, not strings). One distributed distinct over an
@@ -287,11 +288,18 @@ def build_vocab(
     corpus-sized) — then ids assigned driver-side in sorted-token order
     (deterministic: independent of partitioning, retries, and doc
     order). The collect is vocabulary-sized — the documented
-    model-state contract (fit_kmeans/fit_pq)."""
+    model-state contract (fit_kmeans/fit_pq).
+
+    Pass ``enc`` (an encode_bpe_batches result, ideally checkpointed)
+    to reuse an existing encode pass instead of running a fresh one —
+    the encode is the pipeline's dominant cost, and a caller that
+    needs BOTH the vocab and the encoded relation (bpe_seq_windows)
+    would otherwise pay it twice (r17 review)."""
     from pyspark.sql import functions as F
 
-    enc = encode_bpe_batches(docs, merges, text_col=text_col,
-                             id_col=id_col)
+    if enc is None:
+        enc = encode_bpe_batches(docs, merges, text_col=text_col,
+                                 id_col=id_col)
     toks = (enc.select(F.explode("tokens").alias("tok"))
             .distinct().collect())
     return {t: i for i, t in enumerate(sorted(r["tok"] for r in toks))}
@@ -354,6 +362,11 @@ def tokens_to_ids(
 def save_vocab(spark, vocab: dict[str, int], path: str) -> None:
     """Persist a vocab as parquet (id INT, token STRING) — ids must be
     a dense 0..V-1 permutation (the shard format's contract)."""
+    if not vocab:
+        # load_vocab rejects an empty relation, so blessing one here
+        # would create an artifact that can never be loaded -- fail at
+        # the save, next to the root cause (r17 review)
+        raise ValueError("save_vocab: vocab is empty")
     if sorted(vocab.values()) != list(range(len(vocab))):
         raise ValueError("save_vocab: ids must be dense 0..V-1")
     rows = [(i, t) for t, i in vocab.items()]
@@ -397,9 +410,16 @@ def chunk_id_seqs(
         raise ValueError("chunk_id_seqs: input has no 'token_ids' column "
                          "(tokens_to_ids output expected)")
     n_seqs = F.ceil(F.size("token_ids") / F.lit(seq_len)).cast("int")
-    windows = F.transform(
-        F.sequence(F.lit(0), n_seqs - 1),
-        lambda i: F.slice("token_ids", i * seq_len + 1, seq_len))
+    # guard the zero-token case: sequence(0, -1) is NOT empty -- Spark
+    # defaults the step to -1 and expands [0, -1], which would emit two
+    # spurious empty windows per empty document (r17 review, verified
+    # by execution)
+    windows = F.when(
+        F.size("token_ids") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seqs - 1),
+            lambda i: F.slice("token_ids", i * seq_len + 1, seq_len)),
+    ).otherwise(F.expr("array()").cast("array<array<int>>"))
     return (
         enc_ids.select(id_col, F.posexplode(windows)
                        .alias("seq_idx", "seq_ids"))

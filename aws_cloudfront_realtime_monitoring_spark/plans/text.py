@@ -807,11 +807,14 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pipeline as one relation (r17): learned-BPE encode, "
                 "sorted-order vocab ids, then 32-id training windows "
                 "via chunk_id_seqs -- per-doc window counts plus an "
-                "h60 fingerprint over the framed id sequence. Plan "
-                "shape: one scan, two Arrow narrow maps, a codegen'd "
-                "Generate, one final aggregation shuffle; nothing "
-                "corpus-sized crosses the wire except the (doc_id, "
-                "window) rows being aggregated.",
+                "h60 fingerprint over the framed id sequence. The "
+                "encode pass runs ONCE: a lazy localCheckpoint "
+                "materializes it on the vocab collect and the main "
+                "query reuses the checkpoint (r17 review -- the naive "
+                "composition encodes the corpus twice, once inside "
+                "build_vocab and once for the ids map). Plan shape "
+                "after the checkpoint: ids Arrow map, codegen'd "
+                "Generate, one final aggregation shuffle.",
     tags=("text", "llm", "tokenizer"),
     driver_slot=False,
 )
@@ -827,9 +830,11 @@ def bpe_seq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = fit_bpe(docs)
-    vocab = build_vocab(docs, merges)
-    ids = tokens_to_ids(encode_bpe_batches(docs, merges), vocab)
-    seqs = chunk_id_seqs(ids, seq_len=32)
+    # encode once: the vocab collect materializes the lazy checkpoint,
+    # the ids map below reads it back instead of re-running the encode
+    enc = encode_bpe_batches(docs, merges).localCheckpoint(eager=False)
+    vocab = build_vocab(docs, merges, enc=enc)
+    seqs = chunk_id_seqs(tokens_to_ids(enc, vocab), seq_len=32)
     framed = F.transform(
         "seq_ids", lambda i: F.concat(i.cast("string"), F.lit(",")))
     return (

@@ -308,6 +308,11 @@ def test_vocab_ids_roundtrip_and_persistence(spark, sf_dir, tmp_path):
         tokens_to_ids(enc2, partial, oov="nope")
     with pytest.raises(ValueError, match="dense"):
         save_vocab(spark, {"a": 0, "b": 2}, str(tmp_path / "bad"))
+    # an empty vocab must fail at SAVE time: load_vocab rejects the
+    # empty relation, so blessing it would persist an unloadable
+    # artifact (r17 review)
+    with pytest.raises(ValueError, match="empty"):
+        save_vocab(spark, {}, str(tmp_path / "bad2"))
 
 
 def test_chunk_id_seqs_windows_reconstruct(spark, sf_dir):
@@ -338,8 +343,17 @@ def test_chunk_id_seqs_windows_reconstruct(spark, sf_dir):
             assert (r["seq_idx"] + 1) * seq_len >= len(src[r["doc_id"]])
     assert got == {d: v for d, v in src.items() if v}
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="seq_len"):
+    with pytest.raises(ValueError, match="seq_len"):
         chunk_id_seqs(ids, 0)
-    with _pytest.raises(ValueError, match="token_ids"):
+    with pytest.raises(ValueError, match="token_ids"):
         chunk_id_seqs(docs, 8)
+
+    # zero-token docs yield NO rows (sequence(0,-1) is [0,-1] in Spark,
+    # not empty -- the unguarded spelling emitted two spurious empty
+    # windows per empty doc; r17 review, pinned here)
+    empty_ids = spark.createDataFrame(
+        [(7, []), (8, [1, 2, 3])],
+        "doc_id BIGINT, token_ids ARRAY<INT>")
+    rows = chunk_id_seqs(empty_ids, 2).collect()
+    assert sorted((r["doc_id"], r["seq_idx"], list(r["seq_ids"]))
+                  for r in rows) == [(8, 0, [1, 2]), (8, 1, [3])]
