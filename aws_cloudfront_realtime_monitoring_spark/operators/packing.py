@@ -210,3 +210,66 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
         .alias("pack_group"),
     )
     return tagged.groupBy("pack_group").applyInPandas(pack_group, PACKED_SCHEMA)
+
+
+def pack_token_sequences(
+    ids: DataFrame,
+    seq_len: int,
+    n_groups: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packed-pretraining sequences: concatenate SHORT documents into
+    full ``seq_len`` training sequences (the T5/GPT data-pipeline step
+    after tokenization — training on one doc per sequence wastes the
+    context window on padding). Input is a (id_col, token_ids) relation
+    (``tokens_to_ids`` output); output is one row per sequence:
+    ``(seq_id, token_ids, doc_ids, n_docs, n_tokens, oversize)``.
+
+    Composition of the two existing halves, each already verified:
+
+    1. :func:`pack_shards` assigns docs to <= ``seq_len``-token shards
+       (hash-scattered FFD — the deterministic two-level shape);
+    2. one equi-join brings each doc's ids to its shard row, and a
+       groupBy per shard concatenates member docs in ascending
+       ``doc_id`` order (array_sort on (doc_id, ids) structs — total
+       and deterministic);
+    3. a doc LONGER than ``seq_len`` owns a dedicated oversize shard;
+       its single concatenated row is split into ``seq_len`` windows by
+       the :func:`~..operators.bpe.chunk_id_seqs` rule downstream of
+       this function if the caller wants fixed-length output —
+       emitting it whole here keeps "every token exactly once" a
+       one-relation invariant the tests pin.
+
+    Shuffle budget: the scatter+pack shuffle moves (doc_id, count)
+    rows; the join + groupBy move each token id exactly once — the
+    lower bound for any packer that relocates documents."""
+    from pyspark.sql import functions as F
+
+    if "token_ids" not in ids.columns:
+        raise ValueError("pack_token_sequences: input has no 'token_ids' "
+                         "column (tokens_to_ids output expected)")
+    counts = ids.select(
+        F.col(id_col),
+        F.size("token_ids").cast("bigint").alias("n_tokens"))
+    packed = pack_shards(counts, capacity=seq_len, n_groups=n_groups,
+                         id_col=id_col)
+    joined = ids.select(F.col(id_col).alias("doc_id"), "token_ids").join(
+        packed.select("doc_id", "shard_id", "oversize"), "doc_id")
+    members = F.array_sort(
+        F.collect_list(F.struct("doc_id", "token_ids")))
+    return (
+        joined.groupBy("shard_id")
+        .agg(
+            F.flatten(F.transform(members, lambda m: m["token_ids"]))
+            .alias("token_ids"),
+            F.transform(members, lambda m: m["doc_id"]).alias("doc_ids"),
+            F.count("*").cast("int").alias("n_docs"),
+            F.max("oversize").cast("int").alias("oversize"),
+        )
+        .select(
+            F.col("shard_id").alias("seq_id"), "token_ids", "doc_ids",
+            "n_docs",
+            F.size("token_ids").cast("int").alias("n_tokens"),
+            "oversize",
+        )
+    )

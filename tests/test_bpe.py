@@ -357,3 +357,52 @@ def test_chunk_id_seqs_windows_reconstruct(spark, sf_dir):
     rows = chunk_id_seqs(empty_ids, 2).collect()
     assert sorted((r["doc_id"], r["seq_idx"], list(r["seq_ids"]))
                   for r in rows) == [(8, 0, [1, 2]), (8, 1, [3])]
+
+
+def test_pack_token_sequences_conservation_and_capacity(spark, sf_dir):
+    """Packed pretraining: every token id appears exactly once across
+    the packed output (multiset conservation), non-oversize sequences
+    respect seq_len and hold whole documents in ascending doc_id order,
+    oversize sequences are single genuinely-long docs, and the packing
+    is deterministic."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.bpe import (
+        build_vocab,
+        tokens_to_ids,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
+        pack_token_sequences,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, n_merges=40)
+    enc = encode_bpe_batches(docs, merges)
+    ids = tokens_to_ids(enc, build_vocab(docs, merges, enc=enc))
+    src = {r["doc_id"]: list(r["token_ids"]) for r in ids.collect()}
+    seq_len = 128
+
+    out = pack_token_sequences(ids, seq_len, n_groups=4).collect()
+    # conservation: concatenating each sequence's member docs from the
+    # SOURCE reproduces its token_ids exactly, and every doc appears
+    # exactly once across all sequences
+    seen = []
+    for r in out:
+        expect = [t for d in r["doc_ids"] for t in src[d]]
+        assert list(r["token_ids"]) == expect
+        assert list(r["doc_ids"]) == sorted(r["doc_ids"])
+        assert r["n_tokens"] == len(expect) and r["n_docs"] == len(r["doc_ids"])
+        seen.extend(r["doc_ids"])
+        if not r["oversize"]:
+            assert r["n_tokens"] <= seq_len
+        else:
+            assert r["n_docs"] == 1 and r["n_tokens"] > seq_len
+    assert sorted(seen) == sorted(src)
+    # real packing happened: fewer sequences than documents
+    assert len(out) < len(src)
+
+    again = pack_token_sequences(ids, seq_len, n_groups=4).collect()
+    assert sorted((r["seq_id"], tuple(r["token_ids"])) for r in again) \
+        == sorted((r["seq_id"], tuple(r["token_ids"])) for r in out)
+
+    with pytest.raises(ValueError, match="token_ids"):
+        pack_token_sequences(docs, seq_len)
