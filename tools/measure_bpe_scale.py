@@ -111,13 +111,47 @@ def main() -> None:
         results[f"bpe@{label}"] = cell
         print(f"# bpe@{label}: {cell}", file=sys.stderr)
 
-    print("\n| cell | docs | tokens | fit (s) | encode min (s) "
-          "| tokens/s | deterministic |")
+        # packed-pretraining stage: ids + FFD shard assignment + the
+        # token-moving join/concat -- the only BPE stage with a
+        # corpus-sized shuffle (each token id crosses the wire once)
+        from pyspark.sql import functions as F
+
+        from aws_cloudfront_realtime_monitoring_spark.operators.bpe import (
+            build_vocab,
+            tokens_to_ids,
+        )
+        from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
+            pack_token_sequences,
+        )
+
+        enc = encode_bpe_batches(docs, merges).localCheckpoint(eager=False)
+        vocab = build_vocab(docs, merges, enc=enc)
+        idsrel = tokens_to_ids(enc, vocab)
+        pcell = mss.timed(
+            spark, lambda: pack_token_sequences(idsrel, 2048)
+            .select("seq_id", "n_tokens"), args.runs)
+        prow = pack_token_sequences(idsrel, 2048).agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.avg(F.when(F.col("oversize") == 0, F.col("n_tokens")))
+            .alias("fill")).collect()[0]
+        pcell.update({"n_seqs": int(prow["n_seqs"]),
+                      "n_tokens": int(prow["n_tokens"]),
+                      "mean_fill_2048": round(float(prow["fill"]), 1),
+                      "conserved": int(prow["n_tokens"]) == a["n_tokens"],
+                      "vocab_size": len(vocab)})
+        results[f"pack@{label}"] = pcell
+        print(f"# pack@{label}: {pcell}", file=sys.stderr)
+
+    print("\n| cell | docs/seqs | tokens | fit (s) | min wall (s) "
+          "| tokens/s | deterministic/conserved |")
     print("|---|---|---|---|---|---|---|")
     for name, r in results.items():
-        print(f"| {name} | {r['n_docs']} | {r['n_tokens']} | {r['fit_s']} "
-              f"| {r.get('sec', '-')} | {r.get('tokens_per_s', '-')} "
-              f"| {r['deterministic']} |")
+        n = r.get("n_docs", r.get("n_seqs", "-"))
+        ok = r.get("deterministic", r.get("conserved", "-"))
+        print(f"| {name} | {n} | {r.get('n_tokens', '-')} "
+              f"| {r.get('fit_s', '-')} | {r.get('sec', '-')} "
+              f"| {r.get('tokens_per_s', '-')} | {ok} |")
     print(json.dumps({"metric": "bpe_scale", "results": results,
                       "load_start": round(load, 2)}))
     spark.stop()
