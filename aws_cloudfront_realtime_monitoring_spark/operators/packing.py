@@ -133,6 +133,20 @@ def pack_shards(docs_with_tokens: DataFrame, capacity: int,
                 "pack_shards: NULL doc_id/n_tokens rows violate the "
                 "packing schema; filter or repair them upstream"
             )
+        if pdf["doc_id"].duplicated().any():
+            # equal ids hash to the same group, so this per-group check
+            # catches EVERY duplicate with zero extra jobs. Duplicates
+            # are a double hazard: the FFD sort's (n_tokens, doc_id)
+            # key stops being total (assignment order would depend on
+            # partitioning -- a determinism hole), and
+            # pack_token_sequences' doc_id equi-join would CROSS-join
+            # the duplicate rows, silently duplicating tokens
+            # (r17 review, verified: 5 tokens in -> 9 out)
+            bad = int(pdf.loc[pdf["doc_id"].duplicated(), "doc_id"].iloc[0])
+            raise ValueError(
+                f"pack_shards: duplicate doc_id {bad}; ids must be "
+                "unique (dedupe upstream)"
+            )
         group = int(pdf["pack_group"].iloc[0])
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
@@ -245,6 +259,9 @@ def pack_token_sequences(
     lower bound for any packer that relocates documents."""
     from pyspark.sql import functions as F
 
+    if seq_len < 1:
+        raise ValueError(
+            f"pack_token_sequences: seq_len must be >= 1, got {seq_len}")
     if "token_ids" not in ids.columns:
         raise ValueError("pack_token_sequences: input has no 'token_ids' "
                          "column (tokens_to_ids output expected)")

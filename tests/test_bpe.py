@@ -406,3 +406,29 @@ def test_pack_token_sequences_conservation_and_capacity(spark, sf_dir):
 
     with pytest.raises(ValueError, match="token_ids"):
         pack_token_sequences(docs, seq_len)
+
+
+def test_pack_rejects_duplicate_doc_ids_and_bad_seq_len(spark):
+    """Duplicate doc_ids would cross-join in the shard join and
+    silently duplicate tokens (r17 review: 5 tokens in -> 9 out before
+    the guard), and they break the FFD sort's total order -- pack_group
+    rejects them with zero extra jobs (equal ids hash to the same
+    group). seq_len < 1 fails loudly like chunk_id_seqs."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
+        pack_shards,
+        pack_token_sequences,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, [10, 11]), (1, [20, 21]), (2, [30])],
+        "doc_id BIGINT, token_ids ARRAY<INT>")
+    with pytest.raises(Exception) as ei:
+        pack_token_sequences(dup, 8).collect()
+    assert "duplicate doc_id 1" in str(ei.value)
+    counts = spark.createDataFrame(
+        [(1, 2), (1, 2)], "doc_id BIGINT, n_tokens BIGINT")
+    with pytest.raises(Exception) as ei:
+        pack_shards(counts, capacity=8).collect()
+    assert "duplicate doc_id 1" in str(ei.value)
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_token_sequences(dup.limit(1), 0)

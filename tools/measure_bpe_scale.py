@@ -38,8 +38,13 @@ import measure_skew_scale as mss  # noqa: E402
 from scale_sweep import build_scaled_documents  # noqa: E402
 
 from aws_cloudfront_realtime_monitoring_spark.operators.bpe import (  # noqa: E402
+    build_vocab,
     encode_bpe_batches,
     fit_bpe,
+    tokens_to_ids,
+)
+from aws_cloudfront_realtime_monitoring_spark.operators.packing import (  # noqa: E402
+    pack_token_sequences,
 )
 from aws_cloudfront_realtime_monitoring_spark.session import get_spark  # noqa: E402
 from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table  # noqa: E402
@@ -116,14 +121,6 @@ def main() -> None:
         # corpus-sized shuffle (each token id crosses the wire once)
         from pyspark.sql import functions as F
 
-        from aws_cloudfront_realtime_monitoring_spark.operators.bpe import (
-            build_vocab,
-            tokens_to_ids,
-        )
-        from aws_cloudfront_realtime_monitoring_spark.operators.packing import (
-            pack_token_sequences,
-        )
-
         enc = encode_bpe_batches(docs, merges).localCheckpoint(eager=False)
         vocab = build_vocab(docs, merges, enc=enc)
         idsrel = tokens_to_ids(enc, vocab)
@@ -135,10 +132,18 @@ def main() -> None:
             F.sum("n_tokens").alias("n_tokens"),
             F.avg(F.when(F.col("oversize") == 0, F.col("n_tokens")))
             .alias("fill")).collect()[0]
+        # None guards (r17 review): an all-oversize cell makes fill
+        # NULL; an empty corpus makes the sums NULL -- record honestly
+        # instead of a TypeError that discards every earlier cell
+        n_tok = int(prow["n_tokens"]) if prow["n_tokens"] is not None else 0
         pcell.update({"n_seqs": int(prow["n_seqs"]),
-                      "n_tokens": int(prow["n_tokens"]),
-                      "mean_fill_2048": round(float(prow["fill"]), 1),
-                      "conserved": int(prow["n_tokens"]) == a["n_tokens"],
+                      "n_tokens": n_tok,
+                      "mean_fill_2048": (round(float(prow["fill"]), 1)
+                                         if prow["fill"] is not None
+                                         else None),
+                      "conserved": n_tok == a["n_tokens"],
+                      "tokens_per_s": (round(n_tok / pcell["sec"])
+                                       if pcell.get("sec") else None),
                       "vocab_size": len(vocab)})
         results[f"pack@{label}"] = pcell
         print(f"# pack@{label}: {pcell}", file=sys.stderr)
