@@ -432,3 +432,30 @@ def test_pack_rejects_duplicate_doc_ids_and_bad_seq_len(spark):
     assert "duplicate doc_id 1" in str(ei.value)
     with pytest.raises(ValueError, match="seq_len"):
         pack_token_sequences(dup.limit(1), 0)
+
+
+def test_property_random_corpora_greedy_equals_replay():
+    """Hypothesis sweep over random small corpora: for any merge table
+    actually LEARNED by BPE, the kernel's greedy lowest-rank-first
+    apply equals the sequential rank-order replay for every word, and
+    reconstruction holds -- the equivalence the testdata pin relies on,
+    exercised over the input space instead of one corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(words, st.integers(1, 12))
+    def check(ws, n_merges):
+        corpus = [" ".join(ws)]
+        merges = _replica_fit(corpus, n_merges)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in set(ws) | {"dcba", "aaaa", ""}:
+            toks = bpe_word_tokens(w, ranks)
+            assert "".join(toks) == w + EOW
+            assert toks == _replica_encode(w, merges)
+
+    check()
