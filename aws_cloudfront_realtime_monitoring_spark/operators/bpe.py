@@ -58,35 +58,82 @@ EOW = "</w>"
 # --------------------------------------------------------------- fit
 
 
-def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict:
-    """Adjacent-pair frequencies over a {symbol-tuple: count} vocab."""
+def _apply_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """One word's symbols with every adjacent (a, b) merged
+    (left-to-right, non-overlapping)."""
+    merged = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            merged.append(a + b)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
+def learn_merges(
+    freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """The driver-side merge-learning loop over a word-frequency dict —
+    the INDEXED incremental algorithm (subword-nmt's optimization):
+    pair counts and a pair -> affected-words index are maintained
+    incrementally, so each merge costs O(words containing that pair),
+    not O(whole vocabulary). The r17 naive rescan was
+    O(merges x distinct words x word length) — minutes on a real
+    20k-doc sample with ~10^5 distinct words; the output is
+    BIT-IDENTICAL (pinned against the brute-force replica and the
+    Sennrich worked example in tests/test_bpe.py, plus a hypothesis
+    sweep over random corpora).
+
+    Determinism: exact integer counts; each round's merge is the max
+    count with the lexicographically SMALLEST (left, right) tiebreak;
+    stops early when no pair remains."""
+    words: list[list[str]] = []
+    wfreq: list[int] = []
+    for w, n in freqs.items():
+        words.append(list(w) + [EOW])
+        wfreq.append(n)
     counts: dict[tuple[str, str], int] = {}
-    for syms, n in vocab.items():
-        for a, b in zip(syms, syms[1:]):
-            counts[(a, b)] = counts.get((a, b), 0) + n
-    return counts
-
-
-def _merge_vocab(
-    vocab: dict[tuple[str, ...], int], pair: tuple[str, str]
-) -> dict[tuple[str, ...], int]:
-    """Replace every adjacent occurrence of ``pair`` with its
-    concatenation (left-to-right, non-overlapping)."""
-    a, b = pair
-    out: dict[tuple[str, ...], int] = {}
-    for syms, n in vocab.items():
-        merged = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                merged.append(a + b)
-                i += 2
-            else:
-                merged.append(syms[i])
-                i += 1
-        key = tuple(merged)
-        out[key] = out.get(key, 0) + n
-    return out
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        n = wfreq[wi]
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + n
+            index.setdefault(p, set()).add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for wi in sorted(index.pop(best, ())):
+            # only words CONTAINING the pair are touched (sorted for a
+            # deterministic update order, though count arithmetic is
+            # order-free)
+            syms = words[wi]
+            n = wfreq[wi]
+            new_syms = _apply_merge(syms, *best)
+            for p in zip(syms, syms[1:]):
+                c = counts.get(p, 0) - n
+                if c > 0:
+                    counts[p] = c
+                else:
+                    counts.pop(p, None)
+                s = index.get(p)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        index.pop(p, None)
+            for p in zip(new_syms, new_syms[1:]):
+                counts[p] = counts.get(p, 0) + n
+                index.setdefault(p, set()).add(wi)
+            words[wi] = new_syms
+        # the merged pair itself must not survive as a candidate
+        counts.pop(best, None)
+        index.pop(best, None)
+    return merges
 
 
 def fit_bpe(
@@ -138,18 +185,7 @@ def fit_bpe(
         for w in ws.split(r["__t"].lower()):
             if w:
                 freqs[w] = freqs.get(w, 0) + 1
-    vocab = {tuple(list(w) + [EOW]): n for w, n in freqs.items()}
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        counts = _pair_counts(vocab)
-        if not counts:
-            break
-        # max count; ties -> lexicographically smallest (left, right).
-        # One pass, no float, no hash-order dependence.
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(best)
-        vocab = _merge_vocab(vocab, best)
-    return merges
+    return learn_merges(freqs, n_merges)
 
 
 # ------------------------------------------------------------ encode

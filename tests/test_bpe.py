@@ -452,6 +452,15 @@ def test_property_random_corpora_greedy_equals_replay():
     def check(ws, n_merges):
         corpus = [" ".join(ws)]
         merges = _replica_fit(corpus, n_merges)
+        # the production INDEXED learner (incremental pair counts,
+        # r17) must be bit-identical to the brute-force recount
+        from collections import Counter
+
+        from aws_cloudfront_realtime_monitoring_spark.operators.bpe import (
+            learn_merges,
+        )
+
+        assert learn_merges(dict(Counter(ws)), n_merges) == merges
         ranks = {p: i for i, p in enumerate(merges)}
         for w in set(ws) | {"dcba", "aaaa", ""}:
             toks = bpe_word_tokens(w, ranks)
