@@ -457,3 +457,45 @@ def test_assign_clusters_batches_pool_flag_is_bit_identical(
     fresh = {r.vec_id: (r.cluster, r.dist)
              for r in km.assign_clusters_batches(df, cents).collect()}
     assert pooled == fresh and len(pooled) == 40
+
+
+def test_fit_kmeans_auto_driver_path_matches_distributed(spark, sf_dir):
+    """r17 optimization: fit_fraction='auto' runs the whole Lloyd loop
+    driver-side in numpy on the collected bounded sample. On a corpus
+    at or under FIT_SAMPLE_TARGET the auto training set IS the full
+    corpus, so the driver path must reproduce the distributed
+    (fit_fraction=None) loop bit-for-bit: centroids, iteration count,
+    and full-corpus assignments."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c_dist, a_dist, i_dist = fit_kmeans(emb, k=K, max_iters=MAX_ITERS)
+    c_auto, a_auto, i_auto = fit_kmeans(
+        emb, k=K, max_iters=MAX_ITERS, fit_fraction="auto")
+    assert c_auto == c_dist
+    assert i_auto == i_dist
+    assert sorted(
+        (r.vec_id, r.cluster, r.dist) for r in a_auto.collect()
+    ) == sorted((r.vec_id, r.cluster, r.dist) for r in a_dist.collect())
+
+
+def test_fit_kmeans_auto_sampled_driver_matches_explicit_fraction(spark):
+    """When auto derives a fraction < 1 the driver-side loop must train
+    on exactly the hash sample the distributed sampled path uses: pin
+    auto (sample_target < corpus) against the explicit-fraction
+    distributed loop with the same fraction."""
+    import aws_cloudfront_realtime_monitoring_spark.operators.kmeans as km
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(400)],
+        "vec_id long, embedding array<double>")
+    old_target = km.FIT_SAMPLE_TARGET
+    km.FIT_SAMPLE_TARGET = 200
+    try:
+        c_auto, a_auto, i_auto = fit_kmeans(
+            df, k=3, max_iters=4, fit_fraction="auto")
+    finally:
+        km.FIT_SAMPLE_TARGET = old_target
+    c_frac, a_frac, i_frac = fit_kmeans(
+        df, k=3, max_iters=4, fit_fraction=200 / 400)
+    assert c_auto == c_frac
+    assert i_auto == i_frac
+    assert a_auto.count() == 400
