@@ -767,6 +767,11 @@ def attach_gif_anim_payload(docs: DataFrame) -> DataFrame:
 # the 2-D position-dependence makes the POSITION-WEIGHTED sum pin pixel
 # placement, the wsum_px discipline.
 
+#: (code, nbits) -> bit-reversed code, shared across writers: a pure
+#: bit-arithmetic memo (codes are <= 15 bits, so the table is tiny)
+_REV_CODES: dict[tuple[int, int], int] = {}
+
+
 class _LBits:
     """LSB-first bit writer -- the exact inverse of webp._Bits."""
 
@@ -787,9 +792,18 @@ class _LBits:
 
     def put_code(self, code: int, nbits: int) -> None:
         """A canonical PREFIX code: DEFLATE bit order, the MSB of the
-        code is the first bit on the wire."""
-        for i in range(nbits - 1, -1, -1):
-            self.put((code >> i) & 1, 1)
+        code is the first bit on the wire. One put() of the bit-reversed
+        code (r17: the bit-at-a-time loop was the synth hot spot;
+        LSB-first packing of the reversal writes the identical bit
+        sequence), with the reversal memoized — codes repeat heavily."""
+        key = (code, nbits)
+        r = _REV_CODES.get(key)
+        if r is None:
+            r = 0
+            for i in range(nbits):
+                r |= ((code >> i) & 1) << (nbits - 1 - i)
+            _REV_CODES[key] = r
+        self.put(r, nbits)
 
     def done(self) -> bytes:
         if self.n:

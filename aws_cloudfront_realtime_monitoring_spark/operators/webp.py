@@ -90,15 +90,43 @@ class _Bits:
         self.nacc -= n
         return v
 
+    def peek(self, n: int) -> tuple[int, int]:
+        """(next-up-to-n bits LSB-first, bits actually available):
+        non-consuming fill for the table-driven prefix fast path (r17).
+        Near stream end fewer than ``n`` bits may exist — the missing
+        high bits of the returned value are zero and the caller must
+        check the available count before trusting a match."""
+        while self.nacc < n and self.i < len(self.data):
+            self.acc |= self.data[self.i] << self.nacc
+            self.i += 1
+            self.nacc += 8
+        return self.acc & ((1 << n) - 1), self.nacc
+
 
 class _Prefix:
     """Canonical prefix code, DEFLATE bit order (the first bit read is
     the most significant bit of the canonical code).  A code with a
     single used symbol reads zero bits per symbol (the simple-code
     num_symbols=1 form); any other code must be complete (Kraft sum
-    exactly 1) or the stream is rejected."""
+    exactly 1) or the stream is rejected.
 
-    __slots__ = ("table", "single")
+    Decode is table-driven (r17 optimization round): a primary table
+    indexed by the next ``fast_bits`` STREAM bits (LSB-first, so the
+    index is the bit-reversed canonical code plus don't-care padding)
+    resolves any symbol whose code is <= fast_bits long in ONE lookup
+    instead of a per-bit dict walk — the classic zlib/libwebp primary-
+    table shape. Symbols with longer codes (and reads near the end of
+    the stream) fall back to the original bit-by-bit walk, so decoded
+    symbols and error behavior are bit-identical (pinned by the
+    libwebp-golden suite and the pixel-content oracle rows); the
+    profile showed the per-bit walk at ~75% of VP8L decode wall."""
+
+    __slots__ = ("table", "single", "fast", "fast_bits")
+
+    #: primary-table width cap: 2^8 entries build in microseconds while
+    #: covering every code the synth corpus and typical encoders emit;
+    #: longer codes (up to the format's 15) take the fallback walk
+    FAST_BITS_MAX = 8
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -107,6 +135,8 @@ class _Prefix:
         if len(nz) == 1:
             self.table = None
             self.single = nz[0][1]
+            self.fast = None
+            self.fast_bits = 0
             return
         self.single = -1
         max_len = max(ln for ln, _ in nz)
@@ -124,15 +154,38 @@ class _Prefix:
             code = (code + bl_count[ln - 1]) << 1
             next_code[ln] = code
         table: dict[tuple[int, int], int] = {}
+        fast_bits = min(max_len, self.FAST_BITS_MAX)
+        fast: list[tuple[int, int] | None] = [None] * (1 << fast_bits)
         for sym, ln in enumerate(lengths):
             if ln:
-                table[(ln, next_code[ln])] = sym
+                code = next_code[ln]
+                table[(ln, code)] = sym
                 next_code[ln] += 1
+                if ln <= fast_bits:
+                    # stream order is MSB-of-code first, reader is
+                    # LSB-first: the table index's low ln bits are the
+                    # bit-reversed code; higher bits are don't-care
+                    rev = 0
+                    for b in range(ln):
+                        rev |= ((code >> b) & 1) << (ln - 1 - b)
+                    for pad in range(1 << (fast_bits - ln)):
+                        fast[rev | (pad << ln)] = (sym, ln)
         self.table = table
+        self.fast = fast
+        self.fast_bits = fast_bits
 
     def read(self, br: _Bits) -> int:
         if self.table is None:
             return self.single
+        v, avail = br.peek(self.fast_bits)
+        e = self.fast[v]
+        if e is not None and e[1] <= avail:
+            br.acc >>= e[1]
+            br.nacc -= e[1]
+            return e[0]
+        # fallback: code longer than the primary table (or the stream
+        # ends mid-code) — the original per-bit canonical walk, so
+        # symbols and truncation errors are unchanged
         code = 0
         ln = 0
         while ln < 15:

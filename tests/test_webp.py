@@ -1312,3 +1312,27 @@ def test_vp8l_synth_container_mutation_fuzz():
             assert px is None or px.dtype == np.uint8
         except ValueError:
             pass
+
+
+def test_prefix_fast_table_matches_bitwalk_decode():
+    """r17: _Prefix.read resolves short codes through a primary table
+    (one peek + lookup) with a per-bit canonical-walk fallback. Forcing
+    the table width to 0 disables the fast path entirely; every synth
+    payload must decode to identical pixels either way, so the table
+    provably changes nothing about decoded output."""
+    from aws_cloudfront_realtime_monitoring_spark.operators import webp as webp_mod
+    from aws_cloudfront_realtime_monitoring_spark.operators.media_synth import (
+        vp8l_webp_payload,
+    )
+
+    payloads = [vp8l_webp_payload(i) for i in range(40)]
+    fast = [webp_mod.decode_webp(p) for p in payloads]
+    old = webp_mod._Prefix.FAST_BITS_MAX
+    webp_mod._Prefix.FAST_BITS_MAX = 0
+    try:
+        slow = [webp_mod.decode_webp(p) for p in payloads]
+    finally:
+        webp_mod._Prefix.FAST_BITS_MAX = old
+    for (wf, hf, nf, pxf, cf), (ws, hs, ns, pxs, cs) in zip(fast, slow):
+        assert (wf, hf, nf, cf) == (ws, hs, ns, cs)
+        assert (pxf == pxs).all()
