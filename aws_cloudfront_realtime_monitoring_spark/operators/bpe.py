@@ -257,13 +257,17 @@ def encode_bpe_batches(
 
     def encode_iter(batches):
         ws = re.compile(WS_PY)
+        # ONE memo per task, not per batch (r17, guide 4.5): the Zipf
+        # head repeats across every batch of the partition, so a
+        # task-lifetime memo amortizes the greedy merge loop over the
+        # whole partition's distinct words
+        memo: dict[str, list[str]] = {}
         for pdf in batches:
             if pdf[text_col].isna().any():
                 bad = pdf.loc[pdf[text_col].isna(), id_col].iloc[0]
                 raise ValueError(
                     f"encode_bpe_batches: NULL {text_col} at "
                     f"{id_col}={bad}; filter dirty rows before encoding")
-            memo: dict[str, list[str]] = {}
             n_out = []
             toks_out = []
             for t in pdf[text_col]:

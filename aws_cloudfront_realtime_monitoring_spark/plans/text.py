@@ -619,12 +619,28 @@ def bm25_dl_select(split_expr: str) -> str:
     statement the builder checkpoints AND the one
     tools/measure_bm25_stages.py times (r12 review: the tool carried a
     hand copy of every stage, which a scoring tweak would silently
-    desynchronize)."""
-    return (
-        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl"
-        f" FROM (SELECT doc_id, {split_expr} AS term FROM documents)"
-        " GROUP BY doc_id"
-    )
+    desynchronize).
+
+    r17 (guide 2.4, remove shuffles outright): a document's token count
+    is the LENGTH of its split array, so dl is a narrow map over the
+    corpus — no explode, no per-token groupBy shuffle. Row-identical to
+    the old explode+COUNT form: array length = exploded-row count for
+    every tokenized doc, and the ``> 0`` filter reproduces explode's
+    dropping of zero-token (and NULL-text: size/len of NULL is NULL)
+    documents. The per-engine array fragment is recovered from the
+    shared ``bm25_split_expr`` spelling so the tokenizer still has one
+    home."""
+    for wrap, size_fn in (("explode(", "size"), ("unnest(", "len")):
+        if split_expr.startswith(wrap) and split_expr.endswith(")"):
+            arr = split_expr[len(wrap):-1]
+            return (
+                "SELECT doc_id, CAST(__n AS BIGINT) AS dl"
+                f" FROM (SELECT doc_id, {size_fn}({arr}) AS __n"
+                " FROM documents)"
+                " WHERE __n > 0"
+            )
+    raise ValueError(
+        f"bm25_dl_select: unrecognized split fragment {split_expr!r}")
 
 
 def bm25_tf_select(split_expr: str, values_clause: str) -> str:
