@@ -90,18 +90,23 @@ def _lloyd_int(sub: "object", ksub: int, max_iters: int) -> "object":
     sample has fewer rows). Pure integer ops end to end — bit-stable
     across runs and replicas."""
     np = _np()
-    from .kmeans import _round_div
 
     cb = sub[: min(ksub, len(sub))].copy()
     for _ in range(max_iters):
         codes = _argmin_codes(sub, cb)
-        new_cb = cb.copy()
-        for j in range(len(cb)):
-            members = sub[codes == j]
-            if len(members):
-                s = members.sum(axis=0, dtype=np.int64)
-                new_cb[j] = [_round_div(int(v), len(members)) for v in s]
-            # empty cells keep their centroid (the fit_kmeans rule)
+        # vectorized integer-mean update (r17: the per-cluster Python
+        # loop was ~0.11 s per subspace at ksub=256 — 0.9 s of the PQ
+        # fit): per-cluster sums via one scatter-add, then the exact
+        # _round_div arithmetic elementwise in int64 (numerator and
+        # denominator are nonnegative, so numpy floor-div == Python
+        # floor-div; |sums| <= sample_n * 2e6 keeps 2*|s|+n far inside
+        # int64). Empty cells keep their centroid (the fit_kmeans rule).
+        counts = np.bincount(codes, minlength=len(cb))
+        sums = np.zeros_like(cb)
+        np.add.at(sums, codes, sub)
+        n = np.maximum(counts, 1)[:, None]
+        means = np.sign(sums) * ((np.abs(sums) * 2 + n) // (2 * n))
+        new_cb = np.where(counts[:, None] > 0, means, cb)
         if np.array_equal(new_cb, cb):
             break
         cb = new_cb
