@@ -1141,11 +1141,9 @@ def ann_topk_trained(
     distance expressions — fine through k of a few hundred; past that
     the distance map belongs in a Pandas UDF (documented ceiling, same
     class as the kmeans driver-side k x dim model state)."""
-    from ..operators.kmeans import (
-        assign_clusters_batches,
-        fit_kmeans,
-        probe_clusters,
-    )
+    import numpy as np
+
+    from ..operators.kmeans import assign_clusters_batches, fit_kmeans
 
     emb = load_table(spark, sf_dir, "embeddings")
     if centroids is None:
@@ -1166,19 +1164,38 @@ def ann_topk_trained(
         F.col("vec_id").alias("cand_id"), F.col("qv").alias("c_qv"),
         qnorm("qv").alias("c_nrm"), "cluster",
     )
-    # lazy localCheckpoint barrier (the dedup signature-barrier
-    # spelling): the probe plan carries k ~200-node distance aggregates
-    # that CollapseProject re-inlines through every downstream
-    # projection (each __d is referenced exactly once, so projection
-    # collapse is legal) — measured 196+ s of driver CPU inside
-    # Catalyst's gatherCommutative on a 500-row corpus before the fix.
-    # The barrier caps the optimizer's view at a materialized leaf of
-    # <= N_QUERIES * nprobe rows.
-    probes = probe_clusters(
-        emb.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), qvec().alias("p_qv")),
-        centroids, nprobe=nprobe, vec_col="p_qv",
-    ).withColumn("p_nrm", qnorm("p_qv")).localCheckpoint(eager=False)
+    # probe models built DRIVER-side (r17, the ann_topk_pq shape): the
+    # probe set is N_QUERIES rows by construction — a bounded
+    # model-state collect — so the nprobe-nearest-centroid fanout is
+    # one numpy pass instead of k ~200-node _sq_dist Catalyst trees +
+    # array_sort/explode + the localCheckpoint barrier those trees
+    # forced (the pre-r17 spelling; see probe_clusters for the
+    # distributed form ivf_search still uses on unbounded probe sets).
+    # The quantized vectors come back from the JVM's own qvec()
+    # projection, distances use the pinned exact int64 expansion, and
+    # ties break by lowest centroid index (np.lexsort minor key) —
+    # identical rows to the old probe relation.
+    cmat = np.asarray(centroids, dtype=np.int64)
+    probe_rows = emb.select(
+        "vec_id", qvec().alias("qv")
+    ).where(F.col("vec_id") < N_QUERIES).collect()
+    model_rows = []
+    for r in sorted(probe_rows, key=lambda r: r["vec_id"]):
+        if r["qv"] is None or any(v is None for v in r["qv"]):
+            raise ValueError(
+                f"ann_topk_trained: probe vector {r['vec_id']} is NULL "
+                f"or has NULL elements")
+        q = np.asarray(list(r["qv"]), dtype=np.int64)
+        d = np.einsum("ij,ij->i", cmat - q, cmat - q)
+        order = np.lexsort((np.arange(len(cmat)), d))[:nprobe]
+        nrm = int(q @ q)
+        for c in order:
+            model_rows.append(
+                ([int(v) for v in q], int(c), int(r["vec_id"]), nrm))
+    probes = spark.createDataFrame(
+        model_rows,
+        "p_qv ARRAY<BIGINT>, cluster INT, query_id BIGINT, p_nrm BIGINT",
+    )
     # corpus rows carry ONE (argmin) cluster and a probe's nprobe
     # clusters are distinct, so each (query, cand) pair joins at most
     # once — no dedup stage needed

@@ -847,3 +847,41 @@ def test_ann_topk_pq_rejects_bad_nprobe(spark, sf_dir):
         with _pytest.raises(ValueError, match=r"nprobe must be in \[1, 2\]"):
             ann_topk_pq(spark, sf_dir, centroids=cents, codebooks=cbs,
                         nprobe=bad)
+
+
+def test_trained_probe_fanout_matches_probe_clusters(spark, sf_dir):
+    """r17: ann_topk_trained builds its probe->cluster fanout driver-side
+    (numpy lexsort over the exact int64 distances, the ann_topk_pq
+    shape). Pin it against the distributed probe_clusters spelling on
+    the same centroids: identical (query_id, cluster) fanout rows for
+    every nprobe."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        fit_kmeans, probe_clusters)
+    from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
+        N_QUERIES, qvec)
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _, _ = fit_kmeans(emb, k=8, max_iters=4, fit_fraction="auto")
+    cmat = np.asarray(centroids, dtype=np.int64)
+    probe_rows = emb.select("vec_id", qvec().alias("qv")).where(
+        F.col("vec_id") < N_QUERIES).collect()
+    for nprobe in (1, 2, 5):
+        distributed = sorted(
+            (r.query_id, r.cluster)
+            for r in probe_clusters(
+                emb.where(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    qvec().alias("p_qv")),
+                centroids, nprobe=nprobe, vec_col="p_qv",
+            ).collect())
+        local = []
+        for r in probe_rows:
+            q = np.asarray(list(r["qv"]), dtype=np.int64)
+            d = np.einsum("ij,ij->i", cmat - q, cmat - q)
+            for c in np.lexsort((np.arange(len(cmat)), d))[:nprobe]:
+                local.append((r["vec_id"], int(c)))
+        assert sorted(local) == distributed
