@@ -106,6 +106,24 @@ ALWAYS_RERUN = {"cf_parse_wire_roundtrip"}
 #: anything a regression. 3.2e9 rows ~ 0.6 s on this box quiet.
 CALIBRATION_ROWS = 3_200_000_000
 CALIBRATION_SPLITS = 32
+
+#: core count this bench leg runs with: the driver ALSO invokes the
+#: bench at a LOWER count (master local[$SPARK_GRAFT_CPUS]) to measure
+#: per-query scaling
+try:
+    N_CPUS = max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+except ValueError:
+    N_CPUS = 32
+#: the calibration kernel is embarrassingly parallel over its 32
+#: splits, so its wall scales ~(32 / cores). Gate DEFAULTS and the
+#: cross-round prior clamp follow (r17): without this the low-core leg
+#: can never probe healthy (the kernel reads ~4x the 32-core band on
+#: local[8]), burns the full REGIME_WAIT_BUDGET before every run, and
+#: then re-runs most queries because the 2.0x clamp cannot stretch
+#: 32-core priors to the real core ratio. At >= 32 cores the factor is
+#: 1.0 and nothing changes; an explicit SPARK_GRAFT_REGIME_CALIB_MAX
+#: stays absolute.
+CORE_SCALE = max(1.0, 32.0 / N_CPUS)
 #: reference kernel time all cross-round normalization divides against:
 #: the fastest official kernel cell on record (BENCH_r13, a ~day-factor-
 #: 1.0 box). `calib_norm_total` in the stdout line is
@@ -115,8 +133,12 @@ CALIBRATION_SPLITS = 32
 CALIBRATION_REF_SEC = 0.492
 #: bound on how far a calibration ratio may scale a drift-gate prior:
 #: a corrupt kernel cell (one bad round) must not widen the gate into
-#: uselessness or collapse it into re-running everything.
-CALIBRATION_RATIO_CLAMP = (0.5, 2.0)
+#: uselessness or collapse it into re-running everything. The upper
+#: bound stretches by CORE_SCALE (r17): on the driver's low-core leg
+#: every query legitimately runs ~32/cores slower than the repo's
+#: 32-core priors, and the kernel ratio measures exactly that factor —
+#: clamping it at 2.0 there would spuriously re-run most of the set.
+CALIBRATION_RATIO_CLAMP = (0.5, 2.0 * CORE_SCALE)
 
 
 def _calibration_sec(spark, n_runs: int = 3) -> float:
@@ -232,8 +254,8 @@ def _memory_probe(n_runs: int = 3) -> tuple[float, float | None]:
 #: calib kernel within REGIME_CALIB_MAX of the reference cell. 0.62 s
 #: passes every accepted-round cell on record (r13 0.492, r14 0.597)
 #: and fails r15's degraded 0.673.
-REGIME_CALIB_MAX = float(os.environ.get("SPARK_GRAFT_REGIME_CALIB_MAX",
-                                        "0.62"))
+REGIME_CALIB_MAX = float(
+    os.environ.get("SPARK_GRAFT_REGIME_CALIB_MAX") or 0.62 * CORE_SCALE)
 #: first-touch fault floor: r14's healthy window probed 41 MB/s, the
 #: degraded r15 window 14.4, the collapse regime 2-3. 25 separates them.
 REGIME_FAULT_MIN_MBPS = float(os.environ.get(
@@ -410,24 +432,38 @@ def _prior_round_times(
     re-running queries to confirm what the kernel already measured (r13
     re-ran 12/29 on a box the kernel showed was fine), and on a FAST day
     priors shrink so real regressions stand out sooner. Rounds without a
-    kernel cell (pre-r13) stay raw."""
+    kernel cell (pre-r13) stay raw on the 32-core leg; on a LOWER-core
+    leg (r17) they scale by the recorded core ratio instead — the
+    kernel ratio already encodes the core slowdown for kernel-carrying
+    rounds, but a raw pre-r13 prior would otherwise undercut every
+    low-core measurement and re-run half the set (observed: 15/29
+    spurious drift re-runs on local[8] before the fix)."""
     here = Path(__file__).resolve().parent
     best: dict[str, float] = {}
     for p in here.glob("BENCH_r*.json"):
         try:
-            rec = json.loads(p.read_text())
+            wrapper = json.loads(p.read_text())
         except (json.JSONDecodeError, OSError):
             continue
         # the driver wraps this script's JSON line under "parsed" (null when
-        # that round's bench crashed before printing its line)
-        rec = rec.get("parsed") or rec
+        # that round's bench crashed before printing its line); the wrapper
+        # records the core count the round ran with
+        rec = wrapper.get("parsed") or wrapper
         if not isinstance(rec, dict) or rec.get("sf") != sf:
             continue
+        round_cpus = wrapper.get("cpus") if isinstance(
+            wrapper.get("cpus"), (int, float)) else 32
         calib_round = rec.get("calib_sec")
         scale = 1.0
+        lo, hi = CALIBRATION_RATIO_CLAMP
         if calib_now and isinstance(calib_round, (int, float)) and calib_round > 0:
-            lo, hi = CALIBRATION_RATIO_CLAMP
             scale = min(max(float(calib_now) / float(calib_round), lo), hi)
+        elif round_cpus != N_CPUS and N_CPUS > 0:
+            # kernel-less round on a different-core leg: ideal-linear
+            # core ratio (conservative for overhead-bound queries,
+            # which scale sub-linearly — priors inflate, never shrink,
+            # on the low-core leg)
+            scale = min(max(float(round_cpus) / N_CPUS, lo), hi)
         for name, sec in (rec.get("queries") or {}).items():
             if isinstance(sec, (int, float)):
                 best[name] = min(best.get(name, float("inf")),

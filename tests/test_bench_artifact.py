@@ -296,3 +296,67 @@ def test_extra_queries_ride_sidecar_not_stdout(tmp_path):
     reg = load_full()
     for name in bench.EXTRA_QUERIES:
         assert name in reg, name
+
+
+def test_regime_thresholds_scale_with_core_count(monkeypatch):
+    """r17: the driver's low-core bench leg runs the same 32-split
+    calibration kernel ~32/cores slower, so the gate's DEFAULT calib
+    threshold and the prior clamp's upper bound scale by the core
+    ratio — else local[8] can never probe healthy and burns the full
+    regime wait before every run. Explicit env overrides stay
+    absolute; at 32 cores nothing changes."""
+    import importlib
+
+    import bench as bench_mod
+
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+        monkeypatch.delenv("SPARK_GRAFT_REGIME_CALIB_MAX", raising=False)
+        b = importlib.reload(bench_mod)
+        assert b.CORE_SCALE == 4.0
+        assert abs(b.REGIME_CALIB_MAX - 0.62 * 4) < 1e-9
+        assert b.CALIBRATION_RATIO_CLAMP == (0.5, 8.0)
+        monkeypatch.setenv("SPARK_GRAFT_REGIME_CALIB_MAX", "0.9")
+        b = importlib.reload(bench_mod)
+        assert b.REGIME_CALIB_MAX == 0.9
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "64")
+        monkeypatch.delenv("SPARK_GRAFT_REGIME_CALIB_MAX", raising=False)
+        b = importlib.reload(bench_mod)
+        assert b.CORE_SCALE == 1.0
+        assert b.REGIME_CALIB_MAX == 0.62
+        assert b.CALIBRATION_RATIO_CLAMP == (0.5, 2.0)
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+        monkeypatch.delenv("SPARK_GRAFT_REGIME_CALIB_MAX", raising=False)
+        importlib.reload(bench_mod)
+
+
+def test_prior_round_times_scales_kernelless_rounds_by_core_ratio(
+        tmp_path, monkeypatch):
+    """r17: a pre-r13 artifact (no calib cell) recorded at 32 cores must
+    not feed its raw prior to a low-core leg — it scales by the
+    recorded core ratio (ideal-linear, clamped); kernel-carrying rounds
+    keep the kernel-ratio normalization, and same-core legs see raw
+    priors unchanged."""
+    import importlib
+    import json
+
+    import bench as bench_mod
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({
+        "cpus": 32,
+        "parsed": {"sf": 0.1, "queries": {"q": 0.4}}}))
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+        b = importlib.reload(bench_mod)
+        monkeypatch.setattr(b, "__file__", str(tmp_path / "bench.py"))
+        low = b._prior_round_times(0.1, calib_now=2.0)
+        assert abs(low["q"] - 0.4 * 4) < 1e-9  # 32/8 core ratio
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+        b = importlib.reload(bench_mod)
+        monkeypatch.setattr(b, "__file__", str(tmp_path / "bench.py"))
+        same = b._prior_round_times(0.1, calib_now=0.6)
+        assert same["q"] == 0.4  # kernel-less, same cores: raw
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+        importlib.reload(bench_mod)
