@@ -90,18 +90,6 @@ class _Bits:
         self.nacc -= n
         return v
 
-    def peek(self, n: int) -> tuple[int, int]:
-        """(next-up-to-n bits LSB-first, bits actually available):
-        non-consuming fill for the table-driven prefix fast path (r17).
-        Near stream end fewer than ``n`` bits may exist — the missing
-        high bits of the returned value are zero and the caller must
-        check the available count before trusting a match."""
-        while self.nacc < n and self.i < len(self.data):
-            self.acc |= self.data[self.i] << self.nacc
-            self.i += 1
-            self.nacc += 8
-        return self.acc & ((1 << n) - 1), self.nacc
-
 
 class _Prefix:
     """Canonical prefix code, DEFLATE bit order (the first bit read is
@@ -156,20 +144,21 @@ class _Prefix:
         table: dict[tuple[int, int], int] = {}
         fast_bits = min(max_len, self.FAST_BITS_MAX)
         fast: list[tuple[int, int] | None] = [None] * (1 << fast_bits)
-        for sym, ln in enumerate(lengths):
-            if ln:
-                code = next_code[ln]
-                table[(ln, code)] = sym
-                next_code[ln] += 1
-                if ln <= fast_bits:
-                    # stream order is MSB-of-code first, reader is
-                    # LSB-first: the table index's low ln bits are the
-                    # bit-reversed code; higher bits are don't-care
-                    rev = 0
-                    for b in range(ln):
-                        rev |= ((code >> b) & 1) << (ln - 1 - b)
-                    for pad in range(1 << (fast_bits - ln)):
-                        fast[rev | (pad << ln)] = (sym, ln)
+        # walk only the used symbols (nz is already in symbol order, so
+        # canonical code assignment is identical to an alphabet scan)
+        for ln, sym in nz:
+            code = next_code[ln]
+            table[(ln, code)] = sym
+            next_code[ln] += 1
+            if ln <= fast_bits:
+                # stream order is MSB-of-code first, reader is
+                # LSB-first: the table index's low ln bits are the
+                # bit-reversed code; higher bits are don't-care
+                rev = 0
+                for b in range(ln):
+                    rev |= ((code >> b) & 1) << (ln - 1 - b)
+                for pad in range(1 << (fast_bits - ln)):
+                    fast[rev | (pad << ln)] = (sym, ln)
         self.table = table
         self.fast = fast
         self.fast_bits = fast_bits
@@ -177,9 +166,15 @@ class _Prefix:
     def read(self, br: _Bits) -> int:
         if self.table is None:
             return self.single
-        v, avail = br.peek(self.fast_bits)
-        e = self.fast[v]
-        if e is not None and e[1] <= avail:
+        # inlined peek (per-symbol hot path): fill the accumulator to
+        # fast_bits if the stream still has bytes, then one table lookup
+        n = self.fast_bits
+        while br.nacc < n and br.i < len(br.data):
+            br.acc |= br.data[br.i] << br.nacc
+            br.i += 1
+            br.nacc += 8
+        e = self.fast[br.acc & ((1 << n) - 1)]
+        if e is not None and e[1] <= br.nacc:
             br.acc >>= e[1]
             br.nacc -= e[1]
             return e[0]
