@@ -354,22 +354,31 @@ def _synth_wire_lines(events: DataFrame, ts_int_math: bool = False) -> DataFrame
     integer truncation (``us div 1000``) instead of ``%.3f`` float
     formatting -- byte-replicable in DuckDB, which float formatting is not
     (engine rounding rules differ at sub-ms ties).
+
+    Built as ONE SQL expression parsed JVM-side (r17 optimization round,
+    the parser's r6 ``_typed_token_sql`` precedent): the Column spelling
+    cost ~150 py4j round-trips per build -- measured 0.27 s quiet /
+    >1 s under load, ~half the flagship roundtrip row's wall -- where
+    the single ``selectExpr`` is one. Rendered lines are byte-identical
+    (full-corpus old-vs-new equality pinned at both ts modes; the
+    DuckDB oracle hashes of the three consuming rows gate every drift).
     """
     from ..schema import CF_FIELDS
 
-    status = F.coalesce(
-        *[F.when(F.col("event_type") == t, F.lit(str(s))) for t, s in _TYPE_STATUS.items()],
-        F.lit("500"),
-    )
+    # first-match CASE == the old coalesce(when...) chain: each WHEN arm
+    # yields its literal exactly when event_type matches, else '500'
+    # (including NULL event_type)
+    status = ("CASE " + " ".join(
+        f"WHEN `event_type` = '{t}' THEN '{s}'"
+        for t, s in _TYPE_STATUS.items()) + " ELSE '500' END")
     if ts_int_math:
         from ..functions.timestream import sec_mmm_sql
 
-        ts_tok = F.expr(sec_mmm_sql("ts"))
+        ts_tok = sec_mmm_sql("ts")
     else:
-        ts_tok = F.format_string(
-            "%.3f", F.unix_micros("ts").cast("double") / F.lit(1_000_000.0)
-        )
-    bytes_tok = F.round(F.col("value") * 100, 0).cast("bigint").cast("string")
+        ts_tok = ("format_string('%.3f', "
+                  "CAST(unix_micros(`ts`) AS DOUBLE) / 1000000.0D)")
+    bytes_tok = "CAST(CAST(round(`value` * 100, 0) AS BIGINT) AS STRING)"
     # cs-headers payload (A9 wire shape, reference test.json:39-72): URL-
     # encoded newline-delimited K:V block exercising every branch of the
     # reference's header loop (lambda_function.py:40-49) -- a value with a
@@ -377,38 +386,33 @@ def _synth_wire_lines(events: DataFrame, ts_int_math: bool = False) -> DataFrame
     # without ':' (skipped), and a trailing empty entry (dropped). The
     # names field (A10) keeps `badentry`: the names parser drops only
     # empties (lambda_function.py:50-52).
-    headers_tok = F.url_encode(
-        F.concat(
-            F.lit("Host:h"), F.col("user_id").cast("string"),
-            F.lit(".example.com\nX-B:"), bytes_tok,
-            F.lit("\nX-Tag:u:"), F.col("user_id").cast("string"),
-            F.lit(" "), F.col("event_type"),
-            F.lit("\nbadentry\n"),
-        )
+    headers_tok = (
+        "url_encode(concat('Host:h', CAST(`user_id` AS STRING), "
+        f"'.example.com\\nX-B:', {bytes_tok}, "
+        "'\\nX-Tag:u:', CAST(`user_id` AS STRING), ' ', `event_type`, "
+        "'\\nbadentry\\n'))"
     )
     field_exprs = {
         "timestamp": ts_tok,
-        "c-ip": F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        "c-ip": "concat('u', CAST(`user_id` AS STRING))",
         "sc-status": status,
         "sc-bytes": bytes_tok,
-        "cs-method": F.lit("GET"),
-        "cs-uri-stem": F.concat(F.lit("/e/"), F.col("event_id").cast("string")),
-        "cs-user-agent": F.col("props"),
+        "cs-method": "'GET'",
+        "cs-uri-stem": "concat('/e/', CAST(`event_id` AS STRING))",
+        "cs-user-agent": "`props`",
         "cs-headers": headers_tok,
-        "cs-header-names": F.url_encode(F.lit("Host\nX-B\nX-Tag\nbadentry\n")),
+        "cs-header-names": "url_encode('Host\\nX-B\\nX-Tag\\nbadentry\\n')",
     }
     # coalesce each field: concat_ws SKIPS null inputs, so a NULL source
     # column would silently DROP its token and left-shift every later
     # field -- the '-' sentinel is the wire contract for absent values
     # (r8 review; latent, the fixtures carry no NULLs)
-    line = F.concat_ws(
-        "\t",
-        *[
-            F.coalesce(field_exprs.get(name, F.lit("-")), F.lit("-"))
-            for name, _ in CF_FIELDS
-        ],
-    )
-    return events.select(line.alias("value"))
+    dash = "'-'"
+    line = "concat_ws('\\t', " + ", ".join(
+        f"coalesce({field_exprs.get(name, dash)}, '-')"
+        for name, _ in CF_FIELDS
+    ) + ")"
+    return events.selectExpr(f"{line} AS value")
 
 
 @register(

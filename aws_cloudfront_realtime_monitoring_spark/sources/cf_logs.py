@@ -95,6 +95,30 @@ def _url_decode_permissive(col: Column) -> Column:
     return F.coalesce(F.try_url_decode(col), col)
 
 
+def _url_decode_permissive_sql(tok: str) -> str:
+    """SQL-string form of :func:`_url_decode_permissive` (same tree: the
+    raw token is the coalesce fallback)."""
+    return f"coalesce(try_url_decode({tok}), {tok})"
+
+
+def _cs_headers_sql(tok: str) -> str:
+    """SQL-string form of :func:`parse_cs_headers` -- identical filter/
+    transform lambdas, parsed JVM-side in the parser's single
+    ``selectExpr`` (r17; the ``_typed_token_sql`` rationale)."""
+    return (
+        f"transform(filter(split({_url_decode_permissive_sql(tok)}, '\\n'), "
+        "x -> x != '' AND contains(x, ':')), "
+        "x -> struct(split_part(x, ':', 1) AS Name, "
+        "substr(x, instr(x, ':') + 1) AS Value))"
+    )
+
+
+def _cs_header_names_sql(tok: str) -> str:
+    """SQL-string form of :func:`parse_cs_header_names`."""
+    return (f"filter(split({_url_decode_permissive_sql(tok)}, '\\n'), "
+            "x -> x != '')")
+
+
 def parse_cs_headers(col: Column) -> Column:
     """Encoded ``cs-headers`` -> array<struct<Name,Value>> (A9).
 
@@ -167,20 +191,27 @@ def parse_log_lines(
 
     # Positional schema apply + cast (A5-A8) + rename (A12) + timestamp
     # conversion keeping ms (A15/D3), all in one whole-stage-codegen'd
-    # projection.
-    cols: list[Column] = []
+    # projection. The 40 field expressions ship as SQL strings in ONE
+    # selectExpr call (r17 optimization round): the per-field Column
+    # composition (F.expr + alias + special-case wrappers) cost ~120
+    # py4j round-trips per parser build -- pure driver latency that
+    # multiplies under load -- while the string list marshals in a
+    # single call and parses JVM-side into the same analyzed plan
+    # (oracle rows + the parser/fuzz suites pin byte-identical output).
+    exprs: list[str] = []
     for i, (wire_name, typ) in enumerate(CF_FIELDS):
         col = storage_name(wire_name)
-        tok = _typed_token("__toks", i, typ)
+        tok = _typed_token_sql("__toks", i, typ)
         if wire_name == "timestamp":
-            cols.append(F.timestamp_seconds(tok).alias(col))
+            e = f"timestamp_seconds({tok})"
         elif wire_name == "cs-headers" and parse_headers:
-            cols.append(parse_cs_headers(tok).alias(col))
+            e = _cs_headers_sql(tok)
         elif wire_name == "cs-header-names" and parse_headers:
-            cols.append(parse_cs_header_names(tok).alias(col))
+            e = _cs_header_names_sql(tok)
         else:
-            cols.append(tok.alias(col))
-    out = toks_df.select(*cols)
+            e = tok
+        exprs.append(f"{e} AS `{col}`")
+    out = toks_df.selectExpr(*exprs)
 
     if drop_headers and not parse_headers:
         # Reference deletes both header fields pre-ingest for cost
