@@ -290,6 +290,30 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
         .select(id_col, quantize(F.col(vec_col)).alias("qv"))
     )
     if auto_fraction:
+        # ONE capped collect serves as both the stats pass and the
+        # training sample when the corpus fits under FIT_SAMPLE_TARGET
+        # (r17 continuation): limit(target+1) coming back with <= target
+        # rows proves no row was cut, so the count/dim facts derive
+        # driver-side from the very rows the Lloyd loop trains on --
+        # the sub-target fit drops from 2 Spark jobs to 1. A bigger
+        # corpus falls back to the agg + hash-sampled collect below;
+        # the probe costs it one partial-scan CollectLimit job (Spark
+        # runs limit incrementally, first partitions only), not a
+        # second corpus pass.
+        probe = qall.select(
+            id_col, "qv", h60(F.col(id_col).cast("string")).alias("__h")
+        ).limit(FIT_SAMPLE_TARGET + 1).collect()
+        if not probe:
+            raise ValueError("fit_kmeans: vectors DataFrame is empty")
+        if len(probe) <= FIT_SAMPLE_TARGET:
+            dims = {len(r["qv"]) for r in probe}
+            if len(dims) > 1:
+                raise ValueError(
+                    f"fit_kmeans: {vec_col} has inconsistent vector "
+                    f"lengths (expected {min(dims)} elements)"
+                )
+            return _fit_kmeans_driver(qall, k, max_iters, id_col, 1.0,
+                                      rows=probe)
         # one pass derives the fraction AND the schema facts the old
         # path paid three jobs for (count / first-row dim / ragged
         # probe): count, min(size), max(size) in a single aggregate.
@@ -298,8 +322,6 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
         n_corpus, dim_lo, dim_hi = qall.agg(
             F.count("*"), F.min(F.size("qv")), F.max(F.size("qv"))
         ).first()
-        if not n_corpus:
-            raise ValueError("fit_kmeans: vectors DataFrame is empty")
         if dim_lo != dim_hi:
             raise ValueError(
                 f"fit_kmeans: {vec_col} has inconsistent vector lengths "
@@ -396,7 +418,7 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
 
 
 def _fit_kmeans_driver(qall: DataFrame, k: int, max_iters: int,
-                       id_col: str, fit_fraction: float):
+                       id_col: str, fit_fraction: float, rows=None):
     """The ``"auto"``-mode Lloyd loop, driver-side (r17): collect the
     <= FIT_SAMPLE_TARGET-row training sample ONCE (with its h60 keys
     computed JVM-side, so init needs no Python hash replica) and run
@@ -404,7 +426,11 @@ def _fit_kmeans_driver(qall: DataFrame, k: int, max_iters: int,
     tie rules, bit-identical centroids to the distributed loop (the
     fit_pq ``_lloyd_int`` precedent; equality pinned in
     tests/test_kmeans.py). Inputs are pre-validated (non-empty,
-    uniform dim) by the caller's stats pass."""
+    uniform dim) by the caller's stats pass. ``rows`` carries the
+    already-collected (id, qv, __h) sample when the caller's capped
+    probe collect proved the corpus fits under the target (r17
+    continuation) -- same rows the collect below would fetch, minus
+    the second Spark job."""
     import numpy as np
 
     sampled = fit_fraction < 1.0
@@ -415,9 +441,10 @@ def _fit_kmeans_driver(qall: DataFrame, k: int, max_iters: int,
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod))
             < F.lit(int(fit_fraction * mod))
         )
-    rows = sample_df.select(
-        id_col, "qv", h60(F.col(id_col).cast("string")).alias("__h")
-    ).collect()
+    if rows is None:
+        rows = sample_df.select(
+            id_col, "qv", h60(F.col(id_col).cast("string")).alias("__h")
+        ).collect()
     if not rows:
         raise ValueError(
             "fit_kmeans: vectors DataFrame is empty"

@@ -499,3 +499,35 @@ def test_fit_kmeans_auto_sampled_driver_matches_explicit_fraction(spark):
     assert c_auto == c_frac
     assert i_auto == i_frac
     assert a_auto.count() == 400
+
+
+def test_fit_kmeans_auto_capped_probe_boundary(spark):
+    """r17 continuation: the auto fit's capped probe collect serves as
+    BOTH the stats pass and the training sample when the corpus fits
+    under FIT_SAMPLE_TARGET. Pin the boundary on both sides: at
+    n == target the fused single-job path must match the distributed
+    full fit bit-for-bit; at n == target + 1 the fallback must match
+    the explicit hash-fraction fit the old path would have run."""
+    import aws_cloudfront_realtime_monitoring_spark.operators.kmeans as km
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, [float(i % 11), float((7 * i) % 13)]) for i in range(n)],
+            "vec_id long, embedding array<double>")
+
+    old_target = km.FIT_SAMPLE_TARGET
+    km.FIT_SAMPLE_TARGET = 150
+    try:
+        # n == target: fused path, fraction 1.0
+        c_auto, _, i_auto = fit_kmeans(
+            corpus(150), k=3, max_iters=4, fit_fraction="auto")
+        # n == target + 1: fallback agg + hash-sampled collect
+        c_auto2, _, i_auto2 = fit_kmeans(
+            corpus(151), k=3, max_iters=4, fit_fraction="auto")
+    finally:
+        km.FIT_SAMPLE_TARGET = old_target
+    c_full, _, i_full = fit_kmeans(corpus(150), k=3, max_iters=4)
+    assert (c_auto, i_auto) == (c_full, i_full)
+    c_frac, _, i_frac = fit_kmeans(
+        corpus(151), k=3, max_iters=4, fit_fraction=150 / 151)
+    assert (c_auto2, i_auto2) == (c_frac, i_frac)
