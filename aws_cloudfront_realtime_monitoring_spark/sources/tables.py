@@ -205,6 +205,37 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
     return cache
 
 
+#: (session key, normalized sf_dir, table) -> (source (size, mtime_ns),
+#: resolved DataFrame). Catalog-resolution memo (r17 optimization round):
+#: ``spark.read.parquet`` re-lists the layout directory and re-reads a
+#: footer for the schema on EVERY call -- ~0.1 s of driver latency per
+#: table per plan build, paid by every query and multiplied by the
+#: bench's repeated builds. The memo holds the resolved LAZY relation
+#: (metadata only -- every action still scans the parquet files; nothing
+#: computed is stored), keyed and invalidated exactly like
+#: register_views' view memo: per session, per directory, per source
+#: (size, mtime_ns) signature, so a testdata regeneration under a live
+#: session re-resolves instead of serving a stale schema. This is what a
+#: table catalog does for a production engine (metastore-cached relation
+#: resolution); the per-build re-listing was pure overhead at any scale.
+_TABLE_MEMO: dict[tuple, tuple[tuple, DataFrame]] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple:
+    """Stable identity of a session for lifetime-scoped memos: the
+    register_views key discipline (applicationId + context startTime +
+    JVM session UUID; Connect sessions use their client session_id)."""
+    try:
+        sc = spark.sparkContext
+        try:
+            sess = str(spark._jsparkSession.sessionUUID())
+        except Exception:
+            sess = ""
+        return (sc.applicationId, sc.startTime, sess)
+    except Exception:
+        return ("connect", getattr(spark, "session_id", None) or id(spark), "")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the UTC session-timezone pin must hold on the layout-cache HIT
     # path too: _read_raw sets it while normalizing, but a warm cache
@@ -212,10 +243,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # host timezone would shift every date/hour bucket away from the
     # DuckDB oracle's naive-as-UTC reading (r11 review)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+        sig = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        sig = None
+    key = (_session_key(spark), os.path.normpath(os.path.abspath(sf_dir)),
+           name)
+    if sig is not None:
+        hit = _TABLE_MEMO.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
     cache = layout_dir(spark, sf_dir, name)
     if cache is None:
-        return _read_raw(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    return spark.read.parquet(cache)
+        df = _read_raw(spark, src)
+    else:
+        df = spark.read.parquet(cache)
+    if sig is not None:
+        _TABLE_MEMO[key] = (sig, df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -263,22 +310,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     instead of blocking registration of the tables that DO exist). The
     stat signature distinguishes partial from full layouts, so switching
     between them re-registers."""
-    try:
-        sc = spark.sparkContext
-        # temp views are per-SESSION, not per-context: a sibling from
-        # spark.newSession() shares (applicationId, startTime) but has
-        # its own empty view catalog, so the key needs the JVM
-        # session's UUID too or the sibling gets a false memo hit and
-        # no views (r11 review)
-        try:
-            sess = str(spark._jsparkSession.sessionUUID())
-        except Exception:
-            sess = ""
-        key = (sc.applicationId, sc.startTime, sess)
-    except Exception:
-        # Spark Connect: no sparkContext. The client session_id is unique
-        # per connect session (a UUID, never reused the way id() can be).
-        key = ("connect", getattr(spark, "session_id", None) or id(spark), "")
+    # temp views are per-SESSION, not per-context: a sibling from
+    # spark.newSession() shares (applicationId, startTime) but has its
+    # own empty view catalog, so the key needs the JVM session's UUID
+    # too or the sibling gets a false memo hit and no views (r11
+    # review); _session_key carries that discipline (and the Connect
+    # fallback) for this memo and the load_table relation memo alike
+    key = _session_key(spark)
     sig = _source_sig(sf_dir)
     cur = (os.path.normpath(sf_dir), sig)
     if _VIEWS_CURRENT.get(key) == cur:

@@ -280,3 +280,24 @@ def test_load_table_pins_utc_on_cache_hit(spark, sf_dir):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_load_table_memo_invalidates_on_source_rewrite(spark, tmp_path):
+    """r17 continuation: load_table memoizes the resolved relation per
+    (session, dir, table, source stat) -- metadata only. A memo hit must
+    return the resolved frame without re-listing; a source REWRITE
+    (new size/mtime) must re-resolve instead of serving the old data."""
+    import pandas as pd
+
+    from aws_cloudfront_realtime_monitoring_spark.sources import tables
+
+    d = str(tmp_path)
+    src = os.path.join(d, "events.parquet")
+    pd.DataFrame({"event_id": [1, 2]}).to_parquet(src)
+    df1 = tables.load_table(spark, d, "events")
+    assert df1.count() == 2
+    assert tables.load_table(spark, d, "events") is df1  # memo hit
+    # regenerate with different contents (size/mtime change)
+    pd.DataFrame({"event_id": [1, 2, 3, 4, 5]}).to_parquet(src)
+    df2 = tables.load_table(spark, d, "events")
+    assert df2.count() == 5
