@@ -6,11 +6,13 @@ Algorithm: TWO-PHASE star contraction (the Kiveris et al. "Connected
 Components in MapReduce and Beyond" shape). Phase 1 — one distributed
 seed round labels every node min(self, neighbors); when even the edge
 list fits the broadcast budget (n_nodes <= n_edges, so the label table
-certainly fits), the seed is never barriered at all — the local finish
-runs directly on the seed subplan over the cached edges (r16: zero
-parquet round-trips, zero Observations; the recomputed seed aggregate
-is a scan+agg of a <= 2M-row cached relation, cheaper than one parquet
-commit). Phase 2, common case — when the CONTRACTED label graph
+certainly fits), the seed is a LAZY localCheckpoint that the local
+finish's probe job materializes as a side effect (r16 ran the finish on
+the unbarriered seed subplan; r17 lazy-checkpoints it — still zero
+parquet round-trips and zero dedicated barrier jobs, the seed computes
+once, and the materialized checkpoint anchors the returned plan so no
+separate anchor job runs either). Phase 2, common case — when the
+CONTRACTED label graph
 (distinct cross-label pairs) fits the same ~2M-row broadcast budget as
 the label table, a driver union-find finishes it exactly and one
 broadcast join applies the root map, with the driver touching only
@@ -109,24 +111,21 @@ BROADCAST_MAX_NODES = 2_000_000
 LC_CHAIN_MAX = 1
 
 
-#: memory-only persist of the small-graph fast path's seed labeling
-#: (r17, r16 verdict #6): the unbarriered seed subplan is evaluated by
-#: each of the local-finish probe's two broadcast builds and once more
-#: by the final root-map apply / anchor. A MEMORY_ONLY persist trades
-#: those recomputes (each a scan+agg of the <= 2M-row cached edge
-#: relation) for one cache write + two reads. Module flag so
-#: tools/measure_cc_seed_ab.py can interleave both spellings; results
-#: are identical either way (same plan, same values -- the
-#: dedup_clusters oracle hash pins it). MEASURED (r17, interleaved
-#: A/B min-of-5, load ~3.6 -- a drifting window, so min is the
-#: comparator): dedup_clusters@sf0.1 persist 5.191 s vs recompute
-#: 5.163 s (a wash -- that seed is ~3k rows, recomputes are noise);
-#: near-gate 1M-node chain persist 11.773 s vs recompute 13.864 s
-#: (1.18x -- at gate-sized seeds the three scans of the 2M-row edge
-#: cache are real work). Persist is the default: free at the small
-#: end, measured win at the heavy end, and the cache is
-#: label-table-sized by the fast path's own gate.
-CC_SEED_PERSIST = True
+#: Seed handling in the small-graph fast path (history): r16 ran the
+#: probe/apply on the UNBARRIERED seed subplan (three recomputes of a
+#: scan+agg over the cached edges); r17 first added a MEMORY_ONLY
+#: persist (measured: a wash at sf0.1's ~3k-row seed, 1.18x at a
+#: near-gate 1M-node chain where the three 2M-row-cache scans are real
+#: work; tools/measure_cc_seed_ab.py). The current spelling subsumes
+#: both: the seed is a LAZY localCheckpoint (eager=False), so the
+#: probe's broadcast build materializes it as a side effect of the
+#: probe job (localCheckpoint persists MEMORY_AND_DISK and truncates
+#: lineage when the first job that computes it finishes) -- one
+#: evaluation total, like the persist arm, AND the materialized
+#: checkpoint anchors the returned root-map apply plan, which removes
+#: the separate anchor localCheckpoint job every build previously paid
+#: (measured 0.32-0.38 s of dedup_clusters' sf0.1 wall; see
+#: connected_components below).
 
 #: contracted label-graph edge cap for the driver union-find finish --
 #: the same two-bigint-columns sizing argument as BROADCAST_MAX_NODES
@@ -431,50 +430,41 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             # (the dominant term at sf0.1, where the local finish always
             # engages and the loop never runs).
             small_labels = True
-            # CC_SEED_PERSIST (r17): cache the seed so the probe's two
-            # broadcast builds and the final apply read it instead of
-            # each re-running the scan+agg; identical plan semantics.
-            # Released in the finally below AFTER every return path has
-            # materialized (finish()/the anchor localCheckpoint eagerly;
-            # the fallback barriers).
-            if CC_SEED_PERSIST:
-                from pyspark import StorageLevel
-
-                # MEMORY_ONLY: the seed is label-table-sized (<= the
-                # 2M-row broadcast budget) and a disk spill here would
-                # cost more than the recompute it replaces
-                seed_rel = seed_plan.persist(StorageLevel.MEMORY_ONLY)
-            else:
-                seed_rel = seed_plan
-            try:
-                done = _local_finish(spark, edges, seed_rel)
-                if done is not None:
-                    _LOG.info(
-                        "connected_components converged: local finish "
-                        "(unbarriered seed, %d edges), %d barrier writes",
-                        n_edges, step,
-                    )
-                    if not own_tmp:
-                        # anchor unconditionally (r16 ADVICE): finish()
-                        # only localCheckpoints when own_tmp, but THIS
-                        # result is a lazy plan over the cached edge
-                        # relation that the finally block unpersists —
-                        # every downstream action would recompute the
-                        # seed aggregation from `pairs`, and a
-                        # non-deterministic `pairs` could then disagree
-                        # with the driver-collected union-find root map.
-                        # Every pre-r16 return path was barriered; keep
-                        # that contract for caller-supplied
-                        # checkpoint_dir too.
-                        done = done.localCheckpoint()
-                    return finish(done)
-                # oversized contracted graph: barrier the seed (barrier()
-                # picks localCheckpoint — small_labels is already known)
-                # and fall into the unchanged distributed loop
-                labels = barrier(seed_rel)
-            finally:
-                if CC_SEED_PERSIST:
-                    seed_rel.unpersist()
+            # LAZY seed checkpoint (r17): localCheckpoint(eager=False)
+            # marks the seed RDD for checkpointing without running a
+            # job; the local-finish probe's broadcast build is the
+            # first execution, so the checkpoint MATERIALIZES as a side
+            # effect of the probe job (persisted MEMORY_AND_DISK,
+            # lineage truncated when that job completes). Consequences,
+            # each replacing a job the r16/early-r17 spellings paid:
+            #   - the seed is computed ONCE (the CC_SEED_PERSIST effect,
+            #     without a separate cache to release);
+            #   - the returned root-map apply plan references only the
+            #     materialized checkpoint plus a literal map relation,
+            #     so it is recompute-safe after the finally unpersists
+            #     edges (the r16 ADVICE anchoring hazard) and can be
+            #     returned LAZILY for BOTH own_tmp and caller-supplied
+            #     checkpoint_dir -- the per-build anchor localCheckpoint
+            #     job (measured 0.32-0.38 s of dedup_clusters' sf0.1
+            #     wall) disappears;
+            #   - the oversized-contracted-graph fallback reuses the
+            #     same materialized seed as its round-0 labels with no
+            #     fresh barrier (it is lc-backed: lc_streak starts at 1
+            #     so the next barrier rolls to parquet per LC_CHAIN_MAX).
+            seed_rel = seed_plan.localCheckpoint(eager=False)
+            done = _local_finish(spark, edges, seed_rel)
+            if done is not None:
+                _LOG.info(
+                    "connected_components converged: local finish "
+                    "(lazy-checkpointed seed, %d edges), %d barrier "
+                    "writes", n_edges, step,
+                )
+                return done
+            # oversized contracted graph: the probe job already
+            # materialized the seed checkpoint -- it IS the barrier;
+            # fall into the unchanged distributed loop
+            labels = seed_rel
+            lc_streak = 1
             _LOG.info("cc: <=%d nodes (edge proxy), broadcast_labels=True",
                       n_edges)
         else:

@@ -359,7 +359,7 @@ def test_connected_components_small_graph_skips_seed_barrier(spark, caplog):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     msgs = [r.getMessage() for r in caplog.records
             if "converged" in r.getMessage()]
-    assert msgs and "unbarriered seed" in msgs[0]
+    assert msgs and "lazy-checkpointed seed" in msgs[0]
     assert "0 barrier writes" in msgs[0]
 
 
@@ -387,19 +387,27 @@ def test_connected_components_anchored_with_caller_checkpoint_dir(
         assert {r.node: r.lbl for r in out.collect()} == want
 
 
-def test_cc_seed_persist_flag_arms_agree(spark, monkeypatch):
-    """r17 (r16 verdict #6): CC_SEED_PERSIST only changes WHERE the seed
-    labeling is read from (cache vs recompute), never its values — both
-    arms must return identical components through the fast path."""
+def test_cc_fast_path_result_survives_source_overwrite(spark, tmp_path):
+    """r17: the fast path returns a LAZY plan whose only data leaf is the
+    seed checkpoint the probe job materialized (no anchor job). Pin the
+    anchoring structurally: OVERWRITE the parquet the edges were read
+    from after connected_components returns — a plan that still
+    referenced the source would see the new rows (or die on the changed
+    file set); the anchored plan must keep collecting the original
+    components."""
     from aws_cloudfront_realtime_monitoring_spark.operators import graph
 
-    df = spark.createDataFrame(
+    src = str(tmp_path / "pairs_parquet")
+    spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (50, 60), (50, 70)], ["doc_a", "doc_b"]
-    )
+    ).coalesce(1).write.mode("overwrite").parquet(src)
     want = {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 60: 50, 70: 50}
-    on = {r.node: r.lbl
-          for r in graph.connected_components(df).collect()}
-    monkeypatch.setattr(graph, "CC_SEED_PERSIST", False)
-    off = {r.node: r.lbl
-           for r in graph.connected_components(df).collect()}
-    assert on == off == want
+    out = graph.connected_components(spark.read.parquet(src))
+    assert {r.node: r.lbl for r in out.collect()} == want
+    # replace the source with a DIFFERENT graph; the returned relation
+    # must be anchored off the materialized seed checkpoint, not live
+    spark.createDataFrame(
+        [(7, 8)], ["doc_a", "doc_b"]).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    for _ in range(2):
+        assert {r.node: r.lbl for r in out.collect()} == want

@@ -1,20 +1,20 @@
-"""Interleaved A/B of the CC fast path's seed persist (r17, r16 verdict
-#6): the small-graph local finish evaluates the unbarriered seed subplan
-three times (the probe's two broadcast builds + the final apply/anchor);
-``graph.CC_SEED_PERSIST`` trades those recomputes for one MEMORY_ONLY
-cache write + reads. This tool runs the full ``dedup_clusters`` registry
-row (the production consumer of the fast path) with the flag flipped
-per run, INTERLEAVED A/B/A/B so memory-regime drift (the r14/r15
-first-touch-fault findings) cannot masquerade as an arm effect — the
-measure_scratch_ab discipline.
+"""CC fast-path seed-handling measurement (r17).
 
-Also drives a just-under-the-edge-gate synthetic graph (edge count close
-to BROADCAST_MAX_NODES scaled down via a monkeypatched gate) so the cell
-the verdict asked for — "at sf0.1 and just under the edge gate" — is a
-real measurement, not an extrapolation.
+History: r16 evaluated the unbarriered seed subplan three times (the
+probe's two broadcast builds + the final apply/anchor); early r17 added
+a ``CC_SEED_PERSIST`` MEMORY_ONLY cache and this tool A/B'd it
+interleaved (measured: a wash at sf0.1's ~3k-row seed — persist 5.191 s
+vs recompute 5.163 s median in a drifting window; 1.18x at the
+near-gate 1M-node chain — 11.773 s vs 13.864 s). The current spelling
+(late r17) subsumes the persist: the seed is a LAZY localCheckpoint the
+probe job materializes as a side effect, which also anchors the
+returned plan and removes the separate anchor-localCheckpoint job. The
+flag is gone, so this tool now measures the two cells under the current
+spelling — same quiet-box gate, same cells, same output shape — so the
+series stays comparable with the recorded A/B numbers.
 
 Usage: python tools/measure_cc_seed_ab.py [--reps 5] [--sf-dir DIR]
-Prints per-arm runs, medians, and one JSON line.
+Prints per-rep runs, medians, and one JSON line.
 """
 
 from __future__ import annotations
@@ -54,11 +54,10 @@ def _time_edge_gate_graph(spark, n_nodes: int) -> float:
     legal shape, evaluating the seed subplan at its largest."""
     from pyspark.sql import functions as F
 
-    # checked-nothing guard: CC_SEED_PERSIST only acts inside the
-    # small-graph fast path (n_edges <= BROADCAST_MAX_NODES after
-    # symmetrization). An oversized cell would time the distributed
-    # loop on BOTH arms and print a confident null having measured
-    # nothing -- refuse it arithmetically up front.
+    # checked-nothing guard: the fast path (the thing under test) only
+    # engages when n_edges <= BROADCAST_MAX_NODES after symmetrization.
+    # An oversized cell would time the distributed loop and print a
+    # confident number having measured nothing -- refuse it up front.
     if 2 * (n_nodes - 1) > graph.BROADCAST_MAX_NODES:
         raise ValueError(
             f"gate cell n_nodes={n_nodes}: 2*(n-1) edges exceed "
@@ -99,28 +98,21 @@ def main() -> None:
          lambda: _time_edge_gate_graph(spark, args.gate_nodes)),
     ):
         thunk()  # untimed warm-up (worker spinup, file listing)
-        runs = {"persist": [], "recompute": []}
+        runs = []
         for rep in range(args.reps):
-            for arm, flag in (("persist", True), ("recompute", False)):
-                graph.CC_SEED_PERSIST = flag
-                sec = thunk()
-                runs[arm].append(round(sec, 3))
-                print(f"# {cell_name} rep{rep} {arm}: {sec:.3f}s",
-                      file=sys.stderr)
-        cells[cell_name] = {
-            arm: {"runs": r, "median": round(statistics.median(r), 3),
-                  "min": min(r)}
-            for arm, r in runs.items()
-        }
-    graph.CC_SEED_PERSIST = True
+            sec = thunk()
+            runs.append(round(sec, 3))
+            print(f"# {cell_name} rep{rep}: {sec:.3f}s", file=sys.stderr)
+        cells[cell_name] = {"runs": runs,
+                            "median": round(statistics.median(runs), 3),
+                            "min": min(runs)}
 
-    print("\n| cell | arm | median (s) | min (s) | runs |")
-    print("|---|---|---|---|---|")
-    for cell_name, arms in cells.items():
-        for arm, st in arms.items():
-            print(f"| {cell_name} | {arm} | {st['median']} | {st['min']} |"
-                  f" {st['runs']} |")
-    print(json.dumps({"metric": "cc_seed_ab", "cells": cells,
+    print("\n| cell | median (s) | min (s) | runs |")
+    print("|---|---|---|---|")
+    for cell_name, st in cells.items():
+        print(f"| {cell_name} | {st['median']} | {st['min']} |"
+              f" {st['runs']} |")
+    print(json.dumps({"metric": "cc_seed_lazy_lc", "cells": cells,
                       "reps": args.reps, "load_start": round(load, 2)}))
     spark.stop()
 
