@@ -227,9 +227,21 @@ def init_centroids(qvecs: DataFrame, k: int, vec_col: str = "qv",
 FIT_SAMPLE_TARGET = 20_000
 
 
+def _h60_sort_key(id_col: str):
+    """Driver-side replay of ``orderBy("__h", id_col)`` (ascending,
+    Spark's NULLS FIRST) over collected (id, qv, __h) rows — shared by
+    the auto-mode Lloyd fit and fit_pq's shared-sample path so both
+    reproduce init_centroids' ordering bit-for-bit."""
+    return lambda r: (
+        r["__h"] is not None, r["__h"] if r["__h"] is not None else 0,
+        r[id_col] is not None, r[id_col] if r[id_col] is not None else 0,
+    )
+
+
 def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               fit_fraction: float | str | None = None):
+               fit_fraction: float | str | None = None,
+               return_sample: bool = False):
     """Lloyd's algorithm on quantized vectors.
 
     Returns ``(centroids, assignments, n_iters)`` where ``centroids`` is a
@@ -267,6 +279,17 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     full-corpus ``None``) keep the distributed loop: there the
     training-set size is not bounded by a constant, and a driver
     collect would violate the model-state-only contract.
+
+    ``return_sample`` (r17 optimization round): when True the function
+    returns a 4-tuple ``(centroids, assignments, n_iters, sample)``
+    where ``sample`` is the collected (id, qv, __h) training rows IF
+    the auto-mode capped probe proved the clean corpus fits under
+    FIT_SAMPLE_TARGET (the rows are then the COMPLETE clean relation),
+    else None. A caller that next trains PQ codebooks on the same
+    deterministic sample (``fit_pq(sample_rows=...)``) reuses this
+    collect instead of paying its own TakeOrdered corpus job — one
+    Spark job saved per composed fit, with bit-identical models (the
+    shared ``_h60_sort_key`` replays the ordering driver-side).
     """
     # drop NULL vectors (and vectors with a NULL element) up front: they
     # would propagate dist=NULL through every distance term, yield a
@@ -312,8 +335,9 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
                     f"fit_kmeans: {vec_col} has inconsistent vector "
                     f"lengths (expected {min(dims)} elements)"
                 )
-            return _fit_kmeans_driver(qall, k, max_iters, id_col, 1.0,
-                                      rows=probe)
+            fit = _fit_kmeans_driver(qall, k, max_iters, id_col, 1.0,
+                                     rows=probe)
+            return (*fit, probe) if return_sample else fit
         # one pass derives the fraction AND the schema facts the old
         # path paid three jobs for (count / first-row dim / ragged
         # probe): count, min(size), max(size) in a single aggregate.
@@ -328,7 +352,8 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
                 f"(expected {dim_lo} elements)"
             )
         fit_fraction = min(1.0, FIT_SAMPLE_TARGET / n_corpus)
-        return _fit_kmeans_driver(qall, k, max_iters, id_col, fit_fraction)
+        fit = _fit_kmeans_driver(qall, k, max_iters, id_col, fit_fraction)
+        return (*fit, None) if return_sample else fit
     sampled = fit_fraction is not None and fit_fraction < 1.0
     if sampled:
         mod = 1 << 20
@@ -414,6 +439,8 @@ def fit_kmeans(vectors: DataFrame, k: int = 8, max_iters: int = 20,
     # holding qvecs cached for an unbounded caller lifetime would leak
     # executor memory for the session (r11 review: documented trade).
     qvecs.unpersist()
+    if return_sample:
+        return centroids, assignments, n_iters, None
     return centroids, assignments, n_iters
 
 
@@ -454,10 +481,7 @@ def _fit_kmeans_driver(qall: DataFrame, k: int, max_iters: int,
     # (h60, id) with Spark's NULLS FIRST (h60 is NULL only for a NULL
     # id; practically ids are non-null, but the sort must not crash on
     # one)
-    rows.sort(key=lambda r: (
-        r["__h"] is not None, r["__h"] if r["__h"] is not None else 0,
-        r[id_col] is not None, r[id_col] if r[id_col] is not None else 0,
-    ))
+    rows.sort(key=_h60_sort_key(id_col))
     x = np.array([list(r["qv"]) for r in rows], dtype=np.int64)
     centroids = [list(int(v) for v in row) for row in x[:min(k, len(x))]]
     if len(centroids) < k:

@@ -122,6 +122,7 @@ def fit_pq(
     vec_col: str = "qv",
     id_col: str = "vec_id",
     sample_target: int | None = None,
+    sample_rows: list | None = None,
 ) -> list[list[list[int]]]:
     """Train M residual sub-codebooks on a deterministic sample.
 
@@ -139,9 +140,20 @@ def fit_pq(
 
     Returns ``codebooks``: M lists of <= ksub centroids of dim/M ints
     each. Raises when dim is not divisible by ``m`` (the standard PQ
-    constraint) or the sample is empty."""
+    constraint) or the sample is empty.
+
+    ``sample_rows`` (r17 optimization round): the caller may pass the
+    already-collected (id, qv, __h) rows of the COMPLETE clean relation
+    — the rows ``fit_kmeans(..., fit_fraction="auto",
+    return_sample=True)`` hands back when its capped probe proved the
+    corpus fits under FIT_SAMPLE_TARGET. Sorting them driver-side by
+    the same (h60, id) key and taking the first ``target`` reproduces
+    the TakeOrderedAndProject collect below EXACTLY (same set by
+    completeness, same order by the shared ``_h60_sort_key``), so the
+    codebooks are bit-identical and the composed coarse+PQ fit pays ONE
+    corpus collect instead of two."""
     np = _np()
-    from .kmeans import FIT_SAMPLE_TARGET
+    from .kmeans import FIT_SAMPLE_TARGET, _h60_sort_key
 
     if m < 1:
         raise ValueError(f"fit_pq: m must be >= 1, got {m}")
@@ -160,17 +172,24 @@ def fit_pq(
     target = FIT_SAMPLE_TARGET if sample_target is None else sample_target
     from pyspark.sql import functions as F
 
-    # the fit_kmeans dirty-row guard: NULL vectors / NULL elements would
-    # otherwise surface as an opaque object-dtype numpy error below
-    clean = qvecs.where(F.col(vec_col).isNotNull()).where(
-        ~F.exists(F.col(vec_col), lambda x: x.isNull()))
-    rows = (
-        clean.select(id_col, vec_col,
-                     h60(F.col(id_col).cast("string")).alias("__h"))
-        .orderBy("__h", id_col)
-        .limit(target)
-        .collect()
-    )
+    if sample_rows is not None:
+        # shared-sample path (docstring): sort the complete clean rows
+        # by the same key the JVM orderBy would use and keep the first
+        # `target` — identical rows to the collect below
+        rows = sorted(sample_rows, key=_h60_sort_key(id_col))[:target]
+    else:
+        # the fit_kmeans dirty-row guard: NULL vectors / NULL elements
+        # would otherwise surface as an opaque object-dtype numpy error
+        # below
+        clean = qvecs.where(F.col(vec_col).isNotNull()).where(
+            ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+        rows = (
+            clean.select(id_col, vec_col,
+                         h60(F.col(id_col).cast("string")).alias("__h"))
+            .orderBy("__h", id_col)
+            .limit(target)
+            .collect()
+        )
     if not rows:
         raise ValueError("fit_pq: qvecs is empty")
     lens = {len(r[vec_col]) for r in rows}

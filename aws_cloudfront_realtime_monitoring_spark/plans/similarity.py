@@ -1291,12 +1291,20 @@ def ann_topk_pq(
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvecs = emb.select("vec_id", qvec().alias("qv"))
+    fit_sample = None
     if centroids is None:
-        centroids, _, _ = fit_kmeans(emb, k=k, max_iters=max_iters,
-                                     fit_fraction=fit_fraction)
+        # return_sample (r17): when the auto-fit's capped probe proves
+        # the clean corpus fits under FIT_SAMPLE_TARGET, the collected
+        # rows are the complete clean relation — fit_pq trains on the
+        # same deterministic sample, so handing it the rows saves its
+        # TakeOrdered corpus collect (one Spark job per composed fit;
+        # codebooks bit-identical, pinned in tests/test_similarity.py).
+        centroids, _, _, fit_sample = fit_kmeans(
+            emb, k=k, max_iters=max_iters, fit_fraction=fit_fraction,
+            return_sample=True)
     if codebooks is None:
         codebooks = fit_pq(qvecs, centroids, m=m, ksub=ksub,
-                           max_iters=max_iters)
+                           max_iters=max_iters, sample_rows=fit_sample)
     if nprobe is None:
         # the ann_topk_trained measured default: knee at ~k/8 lists
         nprobe = min(len(centroids), max(2, len(centroids) // 8))

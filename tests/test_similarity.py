@@ -885,3 +885,32 @@ def test_trained_probe_fanout_matches_probe_clusters(spark, sf_dir):
             for c in np.lexsort((np.arange(len(cmat)), d))[:nprobe]:
                 local.append((r["vec_id"], int(c)))
         assert sorted(local) == distributed
+
+
+def test_fit_pq_shared_sample_matches_own_collect(spark):
+    """r17 optimization round: fit_pq(sample_rows=...) -- the rows
+    fit_kmeans(fit_fraction="auto", return_sample=True) hands back when
+    its capped probe proved the clean corpus complete -- must train
+    BIT-IDENTICAL codebooks to fit_pq's own TakeOrdered collect (the
+    driver-side (h60, id) sort replays the JVM orderBy exactly). Dirty
+    rows are exercised: the shared sample is the CLEAN relation, same
+    as fit_pq's own filter."""
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        fit_kmeans)
+    from aws_cloudfront_realtime_monitoring_spark.operators.pq import fit_pq
+
+    ints = [[(i * 7919) % 2_000_001 - 1_000_000,
+             (i * 104729) % 2_000_001 - 1_000_000] for i in range(64)]
+    emb_rows = [(i, [v / 1e6 for v in vec]) for i, vec in enumerate(ints)]
+    emb_rows += [(64, None), (65, [0.5, None])]  # dirty rows both drop
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cen, _, _, sample = fit_kmeans(
+        emb, k=4, max_iters=6, fit_fraction="auto", return_sample=True)
+    assert sample is not None and len(sample) == 64  # clean rows only
+    qv_rows = [(i, vec) for i, vec in enumerate(ints)]
+    qv_rows += [(64, None), (65, [1, None])]
+    qv = spark.createDataFrame(qv_rows, "vec_id BIGINT, qv ARRAY<BIGINT>")
+    own = fit_pq(qv, cen, m=2, ksub=4, max_iters=6)
+    shared = fit_pq(qv, cen, m=2, ksub=4, max_iters=6, sample_rows=sample)
+    assert own == shared
