@@ -268,31 +268,44 @@ REGIME_RETRY_SLEEP_SEC = int(os.environ.get(
     "SPARK_GRAFT_REGIME_SLEEP", "60"))
 
 
-def _regime_gate(spark) -> dict:
+def _regime_gate(spark, wait_budget_sec: int | None = None) -> dict:
     """Probe-until-healthy (bounded): returns a dict with the FINAL
     probe readings (they double as the run's start probes -- no
     duplicate probing), the health verdict, the wall seconds spent
     waiting, and the thresholds applied. Healthy = CPU kernel within
     band AND first-touch faults above floor AND 1-min load under the
     start cap. The load check reuses MAX_START_LOAD: the quiet-box wait
-    has already run, so a still-high load here means it timed out."""
-    deadline = time.time() + REGIME_WAIT_BUDGET_SEC
+    has already run, so a still-high load here means it timed out.
+
+    r18 (VERDICT #1): degraded-window probes are CHEAP -- the no-Spark
+    memory probe (the discriminator for every degraded window on
+    record; its early-exit caps it at ~2 s) runs first, and the Spark
+    calibration kernel (~2.5 s of real CPU x 4 runs) only runs once
+    memory reads healthy or on the final attempt (whose readings the
+    artifact records). A probe loop that hammers a collapsed box with
+    the kernel both wastes budget and adds load to the window it is
+    waiting out."""
+    deadline = time.time() + (REGIME_WAIT_BUDGET_SEC
+                              if wait_budget_sec is None else wait_budget_sec)
     t_gate0 = time.time()
     attempts = 0
     while True:
         attempts += 1
-        calib = _calibration_sec(spark)
         fault_mbps, bw_gbps = _memory_probe()
         load = os.getloadavg()[0]
+        final = time.time() + REGIME_RETRY_SLEEP_SEC > deadline
         fails = []
-        if calib > REGIME_CALIB_MAX:
-            fails.append(f"calib {calib}s > {REGIME_CALIB_MAX}")
         if fault_mbps < REGIME_FAULT_MIN_MBPS:
             fails.append(f"fault {fault_mbps} MB/s < {REGIME_FAULT_MIN_MBPS}")
         if load > MAX_START_LOAD:
             fails.append(f"load {load:.1f} > {MAX_START_LOAD}")
+        calib = None
+        if not fails or final:
+            calib = _calibration_sec(spark)
+            if calib > REGIME_CALIB_MAX:
+                fails.append(f"calib {calib}s > {REGIME_CALIB_MAX}")
         healthy = not fails
-        if healthy or time.time() + REGIME_RETRY_SLEEP_SEC > deadline:
+        if healthy or final:
             if not healthy:
                 print(f"# regime gate: NO healthy window inside "
                       f"{REGIME_WAIT_BUDGET_SEC}s ({'; '.join(fails)}) -- "
@@ -324,6 +337,25 @@ def _regime_gate(spark) -> dict:
 MID_RUN_WAIT_BUDGET_SEC = int(
     os.environ.get("SPARK_GRAFT_BENCH_MIDRUN_WAIT", "600")
 )
+
+#: r18 (VERDICT #1): how many times the WHOLE timed section may re-run
+#: when the run fails to bracket healthy (start gate never probed
+#: healthy, or the end probe shows the window decayed mid-run — the
+#: exact failure mode that made every BENCH_r17 leg uninterpretable:
+#: both legs ran inside fault-collapse windows the 1200 s start budget
+#: could not outlast). Each retry first re-enters the regime gate with
+#: a fresh REGIME_RETRY_WAIT_SEC budget and only re-runs if a healthy
+#: window actually appeared (re-running into the same collapse would
+#: burn wall for nothing); per-query times MERGE BY MIN across passes —
+#: a degraded window only ever inflates a query's wall, so the min
+#: over all passes is exactly the min-of-N methodology with more N.
+#: 0 disables (the pre-r18 single-pass behavior).
+REGIME_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_REGIME_RETRIES", "1"))
+#: wait budget for each retry's regime gate (separate from the start
+#: gate's REGIME_WAIT_BUDGET_SEC so one env var cannot silently double
+#: the worst-case wall)
+REGIME_RETRY_WAIT_SEC = int(
+    os.environ.get("SPARK_GRAFT_BENCH_REGIME_RETRY_WAIT", "1200"))
 
 
 def _wait_for_quiet_box(max_wait: int = MAX_LOAD_WAIT_SEC) -> tuple[float, bool]:
@@ -556,77 +588,133 @@ def main() -> None:
                   file=sys.stderr)
 
     times: dict[str, float] = {}
+    extra_times: dict[str, float] = {}
     query_ext_cores: dict[str, float] = {}
     reran: list[str] = []
-    for name in HEADLINE:
-        # one untimed warm-up: Python-worker spinup (pandas UDF queries) and
-        # first-touch file listing are process effects, not plan cost
-        registry[name].build(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        spark.catalog.clearCache()
-        per_run, ext_max = timed_runs(name)
-        # re-run triggers, most-specific first: the flagship always gets an
-        # extra min-of-3; a min that drifts past RERUN_FACTOR x the best
-        # prior round is far more often a neighbor's CPU burst than a plan
-        # change; and a neighbor burst OBSERVED during the runs taints
-        # them even when no prior exists to drift against
-        prior = prior_times.get(name)
-        rerun_reason = None
-        if name in ALWAYS_RERUN:
-            rerun_reason = "flagship"
-        elif prior and min(per_run) > RERUN_FACTOR * prior:
-            rerun_reason = f"drift vs prior {prior}s"
-        elif ext_max > MAX_EXTERNAL_CORES:
-            rerun_reason = f"neighbor burst {ext_max:.1f} ext cores"
-        if rerun_reason:
-            if rerun_reason != "flagship":
-                print(f"# {name}: {min(per_run):.2f}s ({rerun_reason}) -- "
-                      "re-running before recording", file=sys.stderr)
-            if ext_max > MAX_EXTERNAL_CORES:
-                # pause (bounded) so the extra min-of-3 actually measures a
-                # quiet box; if the budget runs dry the extra runs still
-                # happen -- the min can only improve the number
-                quiet_down()
-            extra, extra_ext = timed_runs(name)
-            per_run += extra
-            ext_max = max(ext_max, extra_ext)
-            reran.append(name)
-        query_ext_cores[name] = round(ext_max, 2)
-        # ContextCleaner only reclaims finished broadcasts/shuffles when the
-        # driver JVM GCs; after 3 noop runs of a heavy query, nudge a GC so
-        # leftover blocks don't tax the NEXT query's measurement
-        if os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1":
-            spark.sparkContext._jvm.System.gc()
-        # min of runs: single-JVM local mode has multi-second GC/JIT
-        # variance; the min is the reproducible cost of the plan itself
-        times[name] = round(min(per_run), 3)
-        print(f"# {name}: {times[name]}s (runs: {[round(t, 2) for t in per_run]})",
-              file=sys.stderr)
 
-    # non-headline series (r17): sidecar-only, no drift-gate re-runs
-    # (their priors live in BENCH_DETAIL history, not the official
-    # queries map) and no contribution to the total. min-of-2 with no
-    # separate warm-up: the ANN rows REFIT their models inside build()
-    # (~40 s each at sf0.1 — the honest cost of the registry row), so
-    # the headline discipline's 1+3 executions would add ~7 min per
-    # round for series whose job is drift detection, not precision;
-    # worker spinup is already warm after the 29 headline rows.
-    extra_times: dict[str, float] = {}
-    for name in EXTRA_QUERIES:
-        per_run, _ext = timed_runs(name, n_runs=2)
-        extra_times[name] = round(min(per_run), 3)
-        print(f"# extra {name}: {extra_times[name]}s "
-              f"(runs: {[round(t, 2) for t in per_run]})", file=sys.stderr)
+    def run_pass() -> None:
+        """One full timed pass over HEADLINE + EXTRA_QUERIES, merging
+        per-query results into the enclosing maps BY MIN (pass 1 fills
+        them; a regime-retry pass can only improve a number, never
+        regress it -- degraded windows inflate wall, so min-over-passes
+        is the min-of-N methodology with more N)."""
+        for name in HEADLINE:
+            # one untimed warm-up: Python-worker spinup (pandas UDF
+            # queries) and first-touch file listing are process effects,
+            # not plan cost
+            registry[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
+            per_run, ext_max = timed_runs(name)
+            # re-run triggers, most-specific first: the flagship always
+            # gets an extra min-of-3; a min that drifts past RERUN_FACTOR
+            # x the best prior round is far more often a neighbor's CPU
+            # burst than a plan change; and a neighbor burst OBSERVED
+            # during the runs taints them even when no prior exists to
+            # drift against
+            prior = prior_times.get(name)
+            rerun_reason = None
+            if name in ALWAYS_RERUN:
+                rerun_reason = "flagship"
+            elif prior and min(per_run) > RERUN_FACTOR * prior:
+                rerun_reason = f"drift vs prior {prior}s"
+            elif ext_max > MAX_EXTERNAL_CORES:
+                rerun_reason = f"neighbor burst {ext_max:.1f} ext cores"
+            if rerun_reason:
+                if rerun_reason != "flagship":
+                    print(f"# {name}: {min(per_run):.2f}s ({rerun_reason}) "
+                          "-- re-running before recording", file=sys.stderr)
+                if ext_max > MAX_EXTERNAL_CORES:
+                    # pause (bounded) so the extra min-of-3 actually
+                    # measures a quiet box; if the budget runs dry the
+                    # extra runs still happen -- the min can only improve
+                    # the number
+                    quiet_down()
+                extra, extra_ext = timed_runs(name)
+                per_run += extra
+                ext_max = max(ext_max, extra_ext)
+                if name not in reran:
+                    reran.append(name)
+            query_ext_cores[name] = max(
+                query_ext_cores.get(name, 0.0), round(ext_max, 2))
+            # ContextCleaner only reclaims finished broadcasts/shuffles
+            # when the driver JVM GCs; after 3 noop runs of a heavy
+            # query, nudge a GC so leftover blocks don't tax the NEXT
+            # query's measurement
+            if os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1":
+                spark.sparkContext._jvm.System.gc()
+            # min of runs: single-JVM local mode has multi-second GC/JIT
+            # variance; the min is the reproducible cost of the plan
+            times[name] = min(times.get(name, float("inf")),
+                              round(min(per_run), 3))
+            print(f"# {name}: {times[name]}s "
+                  f"(runs: {[round(t, 2) for t in per_run]})",
+                  file=sys.stderr)
 
-    calib_end = _calibration_sec(spark)
-    mem_end = _memory_probe()
-    # end-of-run verdict under the same thresholds: a gate-passed window
-    # can DECAY mid-run (observed r16: start fault 29 MB/s, end 12) --
-    # regime_ok && !regime_end_ok tells a reader the total is bracketed
-    # by one healthy and one degraded probe, not two healthy ones
-    regime["end_ok"] = (calib_end <= REGIME_CALIB_MAX
-                        and mem_end[0] >= REGIME_FAULT_MIN_MBPS)
+        # non-headline series (r17): sidecar-only, no drift-gate re-runs
+        # (their priors live in BENCH_DETAIL history, not the official
+        # queries map) and no contribution to the total. min-of-2 with no
+        # separate warm-up: the ANN rows REFIT their models inside
+        # build() (the honest cost of the registry row), so the headline
+        # discipline's 1+3 executions would add ~7 min per round for
+        # series whose job is drift detection, not precision; worker
+        # spinup is already warm after the 29 headline rows.
+        for name in EXTRA_QUERIES:
+            per_run, _ext = timed_runs(name, n_runs=2)
+            extra_times[name] = min(extra_times.get(name, float("inf")),
+                                    round(min(per_run), 3))
+            print(f"# extra {name}: {extra_times[name]}s "
+                  f"(runs: {[round(t, 2) for t in per_run]})",
+                  file=sys.stderr)
+
+    # r18 (VERDICT #1): retry-across-windows. A single pass recorded in
+    # a fault-collapse window made every BENCH_r17 comparison
+    # uninterpretable; now a run that fails to bracket healthy (either
+    # probe) re-enters the gate with a fresh bounded budget and -- only
+    # if a healthy window actually appeared -- re-runs the whole timed
+    # section, so one driver invocation lands in the first healthy
+    # stretch instead of recording a flagged artifact. Flags reported
+    # are those bracketing the LAST pass; per-pass brackets live in the
+    # sidecar ("passes").
+    passes: list[dict] = []
+    retries_left = REGIME_RETRIES
+    while True:
+        run_pass()
+        calib_end = _calibration_sec(spark)
+        mem_end = _memory_probe()
+        # end-of-run verdict under the same thresholds: a gate-passed
+        # window can DECAY mid-run (observed r16: start fault 29 MB/s,
+        # end 12) -- regime_ok && !regime_end_ok tells a reader the
+        # total is bracketed by one healthy and one degraded probe
+        regime["end_ok"] = (calib_end <= REGIME_CALIB_MAX
+                            and mem_end[0] >= REGIME_FAULT_MIN_MBPS)
+        passes.append({
+            "start_ok": regime["healthy"], "end_ok": regime["end_ok"],
+            "calib_start": regime["calib_sec"], "calib_end": calib_end,
+            "fault_start": regime["fault_mbps"], "fault_end": mem_end[0],
+        })
+        if (regime["healthy"] and regime["end_ok"]) or retries_left <= 0:
+            break
+        retries_left -= 1
+        print("# regime: run not bracketed healthy "
+              f"(start_ok={regime['healthy']} end_ok={regime['end_ok']}) "
+              "-- waiting for a healthy window to re-run", file=sys.stderr)
+        regate = _regime_gate(spark, wait_budget_sec=REGIME_RETRY_WAIT_SEC)
+        regate["wait_sec"] = round(
+            regate["wait_sec"] + regime["wait_sec"], 1)  # cumulative
+        if not regate["healthy"]:
+            # no healthy window inside the retry budget: re-running into
+            # the same collapse would burn wall without improving the
+            # artifact -- keep the recorded passes and their honest
+            # flags (regime still describes the gate that bracketed
+            # them); only the cumulative wait is taken from the retry
+            regime["wait_sec"] = regate["wait_sec"]
+            break
+        regime = regate
+        calib_start = regime["calib_sec"]
+        mem_start = (regime["fault_mbps"], regime["bw_gbps"])
+        prior_times.update(_prior_round_times(sf, calib_now=calib_start))
 
     print(_render_output(
         times=times,
@@ -643,6 +731,7 @@ def main() -> None:
         mem_end=mem_end,
         regime=regime,
         extra_queries=extra_times,
+        passes=passes,
     ))
     spark.stop()
 
@@ -672,6 +761,7 @@ def _render_output(
     mem_end: tuple[float, float] | None = None,
     regime: dict | None = None,
     extra_queries: dict[str, float] | None = None,
+    passes: list[dict] | None = None,
     sidecar_dir: Path | None = None,
 ) -> str:
     """Write full diagnostics to the sidecar, return the compact stdout
@@ -763,6 +853,11 @@ def _render_output(
         # added after the headline set froze (EXTRA_QUERIES) -- sidecar
         # only, never part of the official total
         extra_queries=extra_queries or {},
+        # r18 retry-across-windows: one record per full timed pass
+        # (regime brackets at each pass's start/end); >1 entry means a
+        # degraded pass was re-run in a later healthy window and every
+        # per-query number is the min over all passes
+        passes=passes or [],
     )
     try:
         ((sidecar_dir or Path(__file__).resolve().parent) / SIDECAR).write_text(

@@ -35,6 +35,11 @@ def _fake_run(tmp_path):
                 "attempts": 19,
                 "thresholds": {"calib_max_sec": 0.62,
                                "fault_min_mbps": 25.0, "load_max": 4.0}},
+        passes=[{"start_ok": False, "end_ok": False, "calib_start": 0.651,
+                 "calib_end": 0.7, "fault_start": 11.2, "fault_end": 9.0},
+                {"start_ok": True, "end_ok": True, "calib_start": 0.55,
+                 "calib_end": 0.598, "fault_start": 41.0,
+                 "fault_end": 2048.7}],
         sidecar_dir=tmp_path,
     )
     return line, tmp_path / bench.SIDECAR
@@ -90,6 +95,10 @@ def test_sidecar_carries_verbose_diagnostics(tmp_path):
     assert detail["regime"]["healthy"] is False
     assert detail["regime"]["thresholds"]["calib_max_sec"] == 0.62
     assert json.loads(line).get("regime_ok") in (False, None)
+    # r18 retry-across-windows: per-pass regime brackets ride in the
+    # sidecar (>1 entry = a degraded pass re-ran in a healthier window)
+    assert len(detail["passes"]) == 2
+    assert detail["passes"][1]["end_ok"] is True
     # the sidecar is a superset of the stdout line's fields
     rec = json.loads(line)
     for k in ("metric", "value", "unit", "queries", "sf"):
@@ -218,8 +227,13 @@ def test_regime_gate_retries_then_flags_no_healthy_window(monkeypatch):
 
 def test_regime_gate_recovers_mid_budget(monkeypatch):
     """A degraded window that clears: the gate's LAST probe is the one
-    recorded (fresh readings, not the degraded first attempt)."""
-    calibs = iter([0.700, 0.505])
+    recorded (fresh readings, not the degraded first attempt). r18:
+    degraded-memory attempts must NOT run the Spark calibration kernel
+    (the cheap no-Spark memory probe is the discriminator; the kernel
+    runs only once memory reads healthy or on the final attempt) -- a
+    single-element calib iterator pins the skip."""
+    calibs = iter([0.505])  # would StopIteration if the degraded
+    #                         attempt also ran the kernel
     monkeypatch.setattr(bench, "_calibration_sec", lambda s: next(calibs))
     faults = iter([(10.0, 2.0), (45.0, 9.0)])
     monkeypatch.setattr(bench, "_memory_probe", lambda: next(faults))
@@ -232,6 +246,25 @@ def test_regime_gate_recovers_mid_budget(monkeypatch):
     assert out["healthy"] is True
     assert out["attempts"] == 2
     assert out["calib_sec"] == 0.505 and out["fault_mbps"] == 45.0
+
+
+def test_regime_gate_honors_explicit_wait_budget(monkeypatch):
+    """r18 retry-across-windows: each retry re-enters the gate with its
+    own bounded budget (REGIME_RETRY_WAIT_SEC), independent of the
+    start gate's REGIME_WAIT_BUDGET_SEC."""
+    monkeypatch.setattr(bench, "_calibration_sec", lambda s: 0.505)
+    monkeypatch.setattr(bench, "_memory_probe", lambda: (12.0, None))
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    clock = [0.0]
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda sec: clock.__setitem__(0, clock[0] + sec))
+    monkeypatch.setattr(bench, "REGIME_WAIT_BUDGET_SEC", 10_000)
+    monkeypatch.setattr(bench, "REGIME_RETRY_SLEEP_SEC", 60)
+    out = bench._regime_gate(spark=None, wait_budget_sec=150)
+    assert out["healthy"] is False
+    assert out["attempts"] == 3  # t=0, 60, 120; bounded by the 150s arg
+    assert out["wait_sec"] == 120.0
 
 
 def test_memory_probe_nulls_bw_below_floor(monkeypatch):
