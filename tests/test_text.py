@@ -357,6 +357,48 @@ def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
         assert all(len(c) == CHUNK_WORDS for c in chunks[:-1])
 
 
+def test_bm25_combined_stage_matches_stage_statements(spark, sf_dir):
+    """r18 (guide §6): the one-corpus-scan combined (doc_id, dl, tfs)
+    statement the builder checkpoints must reproduce the unfused stage
+    statements row-for-row — dl vs bm25_dl_select, and the inlined tfs
+    vs bm25_tf_select's explode+join+COUNT (whose spelling the DuckDB
+    oracle still runs)."""
+    from aws_cloudfront_realtime_monitoring_spark.plans.text import (
+        _bm25_values,
+        bm25_combined_select,
+        bm25_dl_select,
+        bm25_split_expr,
+        bm25_tf_select,
+    )
+    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    split = bm25_split_expr("spark")
+    combined = spark.sql(bm25_combined_select(split))
+    combined.createOrReplaceTempView("bm25_combined_test")
+
+    dl_new = spark.sql("SELECT doc_id, dl FROM bm25_combined_test")
+    dl_old = spark.sql(bm25_dl_select(split))
+    assert dl_new.schema == dl_old.schema
+    assert dl_new.exceptAll(dl_old).count() == 0
+    assert dl_old.exceptAll(dl_new).count() == 0
+
+    tf_new = spark.sql(
+        "SELECT doc_id, query_id, term, tf FROM bm25_combined_test "
+        "LATERAL VIEW inline(tfs) t")
+    tf_old = spark.sql(bm25_tf_select(split, _bm25_values("spark")))
+    # names+types only: inline()'s struct fields are nullable where the
+    # VALUES/COUNT(*) spelling is not -- laundered by the scoring tail's
+    # aggregates, so the registry row's final schema is identical (the
+    # full-query schema equality is asserted by the oracle suite)
+    assert [(f.name, f.dataType) for f in tf_new.schema.fields] == \
+        [(f.name, f.dataType) for f in tf_old.schema.fields]
+    assert tf_new.exceptAll(tf_old).count() == 0
+    assert tf_old.exceptAll(tf_new).count() == 0
+
+
 def test_bm25_matches_python_replica(spark, sf_dir):
     """BM25 scores equal an independent Python implementation of the
     Robertson idf / k1-b saturation formula (guards the formula itself --

@@ -58,10 +58,22 @@ def _stage_pass(spark, qcopies: int | None) -> dict[str, float]:
     # the exact SQL the registry row composes (r12 review: a hand copy
     # here would silently desynchronize on any scoring tweak)
     from aws_cloudfront_realtime_monitoring_spark.plans.text import (
-        bm25_dl_select, bm25_score_ctes, bm25_split_expr, bm25_tf_select)
+        bm25_combined_select, bm25_dl_select, bm25_score_ctes,
+        bm25_split_expr, bm25_tf_select)
 
     split_expr = bm25_split_expr("spark")
     out: dict[str, float] = {}
+
+    if qcopies is None:
+        # r18: the registry row now checkpoints ONE fused corpus pass
+        # (dl + fixture-query tfs) instead of separate dl/tf scans; time
+        # it alongside the unfused stages (which stay: the oracle runs
+        # them, and the copies sweep scales only the unfused tf's
+        # VALUES clause)
+        t0 = time.time()
+        spark.sql(bm25_combined_select(split_expr)).localCheckpoint(
+            eager=True)
+        out["combined"] = time.time() - t0
 
     t0 = time.time()
     dl = spark.sql(bm25_dl_select(split_expr)).localCheckpoint(eager=True)
