@@ -220,6 +220,32 @@ def _materialize(spark: SparkSession, src: str, sf_dir: str, name: str, st) -> s
 #: resolution); the per-build re-listing was pure overhead at any scale.
 _TABLE_MEMO: dict[tuple, tuple[tuple, DataFrame]] = {}
 
+#: r18 hygiene (r17 verdict #6): the memos above and _VIEWS_CURRENT are
+#: keyed by session and never evicted, so a very long-lived process that
+#: creates many sessions grows them without bound (tiny per entry, but
+#: unbounded). An LRU of recently seen SESSION keys caps the growth:
+#: when a new session key pushes the list past the cap, the oldest
+#: session's entries leave both memos. Evicting a still-live session is
+#: harmless — the memo is a resolution cache, the next load_table just
+#: re-resolves.
+_SESSION_LRU: list[tuple] = []
+_SESSION_LRU_CAP = 4
+
+
+def _touch_session(skey: tuple) -> None:
+    """Mark ``skey`` most-recently-used; evict the oldest session's memo
+    entries past _SESSION_LRU_CAP."""
+    if _SESSION_LRU and _SESSION_LRU[-1] == skey:
+        return  # fast path: same session as the last call
+    if skey in _SESSION_LRU:
+        _SESSION_LRU.remove(skey)
+    _SESSION_LRU.append(skey)
+    while len(_SESSION_LRU) > _SESSION_LRU_CAP:
+        dead = _SESSION_LRU.pop(0)
+        for k in [k for k in _TABLE_MEMO if k[0] == dead]:
+            del _TABLE_MEMO[k]
+        _VIEWS_CURRENT.pop(dead, None)
+
 
 def _session_key(spark: SparkSession) -> tuple:
     """Stable identity of a session for lifetime-scoped memos: the
@@ -249,8 +275,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         sig = (st.st_size, st.st_mtime_ns)
     except OSError:
         sig = None
-    key = (_session_key(spark), os.path.normpath(os.path.abspath(sf_dir)),
-           name)
+    skey = _session_key(spark)
+    _touch_session(skey)
+    key = (skey, os.path.normpath(os.path.abspath(sf_dir)), name)
     if sig is not None:
         hit = _TABLE_MEMO.get(key)
         if hit is not None and hit[0] == sig:
@@ -317,6 +344,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     # review); _session_key carries that discipline (and the Connect
     # fallback) for this memo and the load_table relation memo alike
     key = _session_key(spark)
+    _touch_session(key)
     sig = _source_sig(sf_dir)
     cur = (os.path.normpath(sf_dir), sig)
     if _VIEWS_CURRENT.get(key) == cur:

@@ -301,3 +301,39 @@ def test_load_table_memo_invalidates_on_source_rewrite(spark, tmp_path):
     pd.DataFrame({"event_id": [1, 2, 3, 4, 5]}).to_parquet(src)
     df2 = tables.load_table(spark, d, "events")
     assert df2.count() == 5
+
+
+def test_session_memos_evict_oldest_session_past_lru_cap():
+    """r18 hygiene (r17 verdict #6): the per-session resolution memos
+    never evicted, so a long-lived multi-session process grew them
+    without bound. Session keys past _SESSION_LRU_CAP must take their
+    _TABLE_MEMO and _VIEWS_CURRENT entries with them; recently used
+    sessions keep theirs. Pure-dict test -- no Spark needed."""
+    from aws_cloudfront_realtime_monitoring_spark.sources import tables
+
+    saved = (dict(tables._TABLE_MEMO), dict(tables._VIEWS_CURRENT),
+             list(tables._SESSION_LRU))
+    try:
+        tables._TABLE_MEMO.clear()
+        tables._VIEWS_CURRENT.clear()
+        tables._SESSION_LRU.clear()
+        keys = [("app", i, "u") for i in range(tables._SESSION_LRU_CAP + 2)]
+        for sk in keys:
+            tables._TABLE_MEMO[(sk, "/d", "events")] = ((1, 1), None)
+            tables._VIEWS_CURRENT[sk] = ("/d", ())
+            tables._touch_session(sk)
+        evicted, kept = keys[:2], keys[2:]
+        for sk in evicted:
+            assert (sk, "/d", "events") not in tables._TABLE_MEMO
+            assert sk not in tables._VIEWS_CURRENT
+        for sk in kept:
+            assert (sk, "/d", "events") in tables._TABLE_MEMO
+            assert sk in tables._VIEWS_CURRENT
+        # re-touching an existing key is an LRU bump, not an eviction
+        tables._touch_session(kept[0])
+        assert (kept[0], "/d", "events") in tables._TABLE_MEMO
+        assert len(tables._SESSION_LRU) == tables._SESSION_LRU_CAP
+    finally:
+        tables._TABLE_MEMO.clear(); tables._TABLE_MEMO.update(saved[0])
+        tables._VIEWS_CURRENT.clear(); tables._VIEWS_CURRENT.update(saved[1])
+        tables._SESSION_LRU[:] = saved[2]
