@@ -1330,6 +1330,7 @@ def ann_topk_pq(
     cmat = np.asarray(centroids, dtype=np.int64)
     probe_rows = qvecs.where(F.col("vec_id") < N_QUERIES).collect()
     model_rows = []
+    rerank_rows = []
     for r in sorted(probe_rows, key=lambda r: r["vec_id"]):
         if r["qv"] is None or any(v is None for v in r["qv"]):
             # the fit_kmeans dirty-row discipline: a NULL probe vector
@@ -1344,6 +1345,14 @@ def ann_topk_pq(
         for c in order:
             model_rows.append(
                 (int(r["vec_id"]), int(c), int(base[c]), lut))
+        # the exact-re-rank probe relation, from the SAME collected rows
+        # (r18): qqe is the JVM's own qvec() projection handed back
+        # verbatim and qnrm its exact int64 self-dot — identical values
+        # to the pre-r18 `base_rel.where(vec_id < N_QUERIES)` subtree,
+        # which cost one more corpus scan per run just to rebuild rows
+        # this collect already fetched
+        rerank_rows.append(
+            (int(r["vec_id"]), [int(v) for v in q], int(q @ q)))
     probes = spark.createDataFrame(
         model_rows,
         "query_id BIGINT, cluster INT, base_dot BIGINT, "
@@ -1372,11 +1381,13 @@ def ann_topk_pq(
     )
     # exact re-rank: fetch the shortlist's raw vectors (broadcast join —
     # queries x shortlist rows against the corpus scan) and order by the
-    # true integer cosine, the shared exactness contract
+    # true integer cosine, the shared exactness contract. The probe side
+    # is a literal relation from the collected probe rows (r18) — the
+    # ann_topk_trained shape — instead of a third corpus scan whose
+    # pushed vec_id filter re-fetched the same N_QUERIES rows.
     base_rel = qvecs.withColumn("nrm", qnorm("qv"))
-    probes_rel = base_rel.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("qqe"), F.col("nrm").alias("qnrm"))
+    probes_rel = spark.createDataFrame(
+        rerank_rows, "query_id BIGINT, qqe ARRAY<BIGINT>, qnrm BIGINT")
     fetched = (
         base_rel.join(F.broadcast(short),
                       base_rel["vec_id"] == short["cand_id"])
