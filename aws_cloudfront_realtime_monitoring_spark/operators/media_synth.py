@@ -921,12 +921,33 @@ def vp8l_webp_payload(doc_id: int) -> bytes:
     gcode = _canonical_codes({gbase + j: 4 for j in range(16)})
     rcode = _canonical_codes({rbase + j: 4 for j in range(16)})
     bcode = _canonical_codes({bbase + j: 4 for j in range(16)})
+    # one 12-bit word per pixel (r18): every channel code here is
+    # exactly 4 bits, so the three put_code calls per pixel (each a
+    # memo lookup + a method call — the measured synth hot spot after
+    # the r17 one-put fix) collapse into ONE inline LSB-first pack of
+    # (g | r << 4 | b << 8) with writer state in locals. Identical bit
+    # placement and byte flush order to sequential put_code calls
+    # (g's 4 bits land at n, r's at n+4, b's at n+8); alpha stays the
+    # zero-bit single-symbol code.
+    def _rev4(code: int) -> int:
+        return ((code & 1) << 3) | ((code & 2) << 1) \
+            | ((code & 4) >> 1) | ((code & 8) >> 3)
+
+    gr = [_rev4(gcode[gbase + j][0]) for j in range(16)]
+    rr = [_rev4(rcode[rbase + j][0]) for j in range(16)]
+    br_ = [_rev4(bcode[bbase + j][0]) for j in range(16)]
+    acc, n, out = bw.acc, bw.n, bw.out
     for y in range(h):
         for x in range(w):
-            bw.put_code(*gcode[gbase + (x + y) % 16])
-            bw.put_code(*rcode[rbase + (2 * x + y) % 16])
-            bw.put_code(*bcode[bbase + (x + 3 * y) % 16])
-            # alpha: single-symbol code, zero bits
+            acc |= (gr[(x + y) % 16]
+                    | rr[(2 * x + y) % 16] << 4
+                    | br_[(x + 3 * y) % 16] << 8) << n
+            n += 12
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+    bw.acc, bw.n = acc, n
     data = b"\x2f" + bw.done()
     chunk = b"VP8L" + struct.pack("<I", len(data)) + data
     if len(data) % 2:

@@ -192,6 +192,33 @@ class _Prefix:
         raise ValueError("VP8L prefix code walk exceeded 15 bits")
 
 
+#: _Prefix-by-lengths memo (r18, guide §4.5 — the bpe encode-memo
+#: precedent): a prefix decoder is a PURE function of its code-length
+#: list, and real corpora repeat codebooks heavily across images (the
+#: synth corpus measures 2400 builds but only 483 distinct length
+#: tuples — an 80% hit rate), yet ~38% of decode wall was rebuilding
+#: canonical tables per image. Process-lifetime memo, bounded: on
+#: overflow it clears and rebuilds the hot set (decode stays correct
+#: either way — construction errors are raised before anything is
+#: stored, so invalid streams still fail identically).
+_PREFIX_MEMO: dict[tuple, _Prefix] = {}
+_PREFIX_MEMO_CAP = 4096
+
+
+def _prefix_for(lengths: list[int]) -> _Prefix:
+    # FAST_BITS_MAX rides the key: the table-off parity test (and any
+    # A/B instrumentation) flips the class attribute, and a memo hit
+    # built under the other width would silently undo the flip
+    key = (_Prefix.FAST_BITS_MAX, tuple(lengths))
+    p = _PREFIX_MEMO.get(key)
+    if p is None:
+        p = _Prefix(lengths)
+        if len(_PREFIX_MEMO) >= _PREFIX_MEMO_CAP:
+            _PREFIX_MEMO.clear()
+        _PREFIX_MEMO[key] = p
+    return p
+
+
 def _read_code_lengths(
     br: _Bits, cl: _Prefix, alphabet_size: int
 ) -> list[int]:
@@ -251,13 +278,13 @@ def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
         lengths = [0] * alphabet_size
         for s in syms:
             lengths[s] = 1
-        return _Prefix(lengths)
+        return _prefix_for(lengths)
     num_cl = 4 + br.read(4)
     cl_lengths = [0] * 19
     for i in range(num_cl):
         cl_lengths[_CL_ORDER[i]] = br.read(3)
-    cl = _Prefix(cl_lengths)
-    return _Prefix(_read_code_lengths(br, cl, alphabet_size))
+    cl = _prefix_for(cl_lengths)
+    return _prefix_for(_read_code_lengths(br, cl, alphabet_size))
 
 
 def _prefix_value(br: _Bits, prefix: int) -> int:

@@ -351,8 +351,16 @@ def test_assign_clusters_batches_matches_column_form(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _, _ = fit_kmeans(emb, k=16, max_iters=4)
     qvecs = emb.select("vec_id", qvec(F.col("embedding")).alias("qv"))
+    # deterministic k=16 centroids WITHOUT a Lloyd fit (r18 suite-wall
+    # trim): the subject is assignment-form equality, which holds for
+    # ANY centroid set — init_centroids gives 16 real data vectors in
+    # one top-k job instead of a 4-iteration distributed fit
+    from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
+        init_centroids,
+    )
+
+    cents = init_centroids(qvecs, 16, vec_col="qv")
     col_form = {r.vec_id: (r.cluster, r.dist)
                 for r in assign_clusters(qvecs, cents).collect()}
     batch_form = {r.vec_id: (r.cluster, r.dist)
@@ -366,23 +374,21 @@ def test_assign_clusters_batches_matches_column_form(spark, sf_dir):
             qvecs.withColumn("cluster", F.lit(1)), cents)
 
 
-def test_centroid_save_load_roundtrip(spark, sf_dir, tmp_path):
+def test_centroid_save_load_roundtrip(fitted, spark, sf_dir, tmp_path):
     """r15: the train-once artifact — saved centroids reload in
-    cluster order and reproduce the identical search."""
+    cluster order and reproduce the identical search. Uses the module
+    fixture's trained centroids (r18 suite-wall trim: the roundtrip and
+    the search equality hold for any trained model; a second
+    distributed fit added nothing)."""
     from aws_cloudfront_realtime_monitoring_spark.operators.kmeans import (
-        fit_kmeans,
         load_centroids,
         save_centroids,
     )
     from aws_cloudfront_realtime_monitoring_spark.plans.similarity import (
         ann_topk_trained,
     )
-    from aws_cloudfront_realtime_monitoring_spark.sources.tables import (
-        load_table,
-    )
 
-    cents, _, _ = fit_kmeans(
-        load_table(spark, sf_dir, "embeddings"), k=8, max_iters=4)
+    _, cents, _, _ = fitted
     p = str(tmp_path / "index")
     save_centroids(spark, cents, p)
     loaded = load_centroids(spark, p)
@@ -396,7 +402,9 @@ def test_centroid_save_load_roundtrip(spark, sf_dir, tmp_path):
     import pytest as _pytest
     from pyspark.sql import functions as F
 
-    (spark.read.parquet(p).where(F.col("cluster") != 3)
+    # drop an INTERIOR cluster: removing the last one would leave a
+    # still-dense 0..k-2 sequence and not exercise the gap refusal
+    (spark.read.parquet(p).where(F.col("cluster") != 1)
      .write.mode("overwrite").parquet(str(tmp_path / "gapped")))
     with _pytest.raises(ValueError, match="dense"):
         load_centroids(spark, str(tmp_path / "gapped"))
@@ -459,22 +467,24 @@ def test_assign_clusters_batches_pool_flag_is_bit_identical(
     assert pooled == fresh and len(pooled) == 40
 
 
-def test_fit_kmeans_auto_driver_path_matches_distributed(spark, sf_dir):
+def test_fit_kmeans_auto_driver_path_matches_distributed(fitted, spark):
     """r17 optimization: fit_fraction='auto' runs the whole Lloyd loop
     driver-side in numpy on the collected bounded sample. On a corpus
     at or under FIT_SAMPLE_TARGET the auto training set IS the full
     corpus, so the driver path must reproduce the distributed
     (fit_fraction=None) loop bit-for-bit: centroids, iteration count,
-    and full-corpus assignments."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    c_dist, a_dist, i_dist = fit_kmeans(emb, k=K, max_iters=MAX_ITERS)
+    and full-corpus assignments. The distributed arm is the module
+    ``fitted`` fixture (same corpus, same k, same max_iters) — r18
+    suite-wall trim: re-fitting the identical model here doubled the
+    most expensive fixture for no extra coverage."""
+    emb, c_dist, a_dist_rows, i_dist = fitted
     c_auto, a_auto, i_auto = fit_kmeans(
         emb, k=K, max_iters=MAX_ITERS, fit_fraction="auto")
     assert c_auto == c_dist
     assert i_auto == i_dist
     assert sorted(
         (r.vec_id, r.cluster, r.dist) for r in a_auto.collect()
-    ) == sorted((r.vec_id, r.cluster, r.dist) for r in a_dist.collect())
+    ) == sorted((r.vec_id, r.cluster, r.dist) for r in a_dist_rows)
 
 
 def test_fit_kmeans_auto_sampled_driver_matches_explicit_fraction(spark):

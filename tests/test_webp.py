@@ -1336,3 +1336,58 @@ def test_prefix_fast_table_matches_bitwalk_decode():
     for (wf, hf, nf, pxf, cf), (ws, hs, ns, pxs, cs) in zip(fast, slow):
         assert (wf, hf, nf, cf) == (ws, hs, ns, cs)
         assert (pxf == pxs).all()
+
+
+def test_prefix_memo_purity_and_error_paths():
+    """r18: _Prefix construction is memoized by (table width, lengths).
+    Pin the memo's contract: identical lengths return the identical
+    decoder object (pure function), invalid lengths raise EVERY call
+    (never cached), the table-off A/B sees width-specific entries, and
+    cap overflow clears rather than grows."""
+    import pytest
+
+    from aws_cloudfront_realtime_monitoring_spark.operators import webp as W
+
+    W._PREFIX_MEMO.clear()
+    lens = [0] * 256
+    for s in range(16):
+        lens[s] = 4
+    p1 = W._prefix_for(lens)
+    p2 = W._prefix_for(list(lens))
+    assert p1 is p2  # pure-function memo hit
+    # invalid (Kraft-incomplete) lengths raise on every call and leave
+    # nothing behind
+    bad = [0] * 256
+    bad[0] = bad[1] = 2  # two len-2 codes: Kraft sum 1/2, incomplete
+    for _ in range(2):
+        with pytest.raises(ValueError, match="complete"):
+            W._prefix_for(bad)
+    assert all(k[1] != tuple(bad) for k in W._PREFIX_MEMO)
+    # a different table width is a different entry (the table-off
+    # parity test flips FAST_BITS_MAX and must not hit stale tables)
+    old = W._Prefix.FAST_BITS_MAX
+    try:
+        W._Prefix.FAST_BITS_MAX = 0
+        p0 = W._prefix_for(lens)
+        assert p0 is not p1 and p0.fast_bits == 0
+    finally:
+        W._Prefix.FAST_BITS_MAX = old
+    # overflow clears (bounded memory), then refills
+    try:
+        W._PREFIX_MEMO_CAP_SAVED = W._PREFIX_MEMO_CAP
+        W._PREFIX_MEMO_CAP = 2
+        W._PREFIX_MEMO.clear()
+        W._prefix_for(lens)
+        lens2 = [0] * 256
+        for s in range(8, 24):
+            lens2[s] = 4
+        W._prefix_for(lens2)
+        lens3 = [0] * 256
+        for s in range(32, 48):
+            lens3[s] = 4
+        W._prefix_for(lens3)
+        assert len(W._PREFIX_MEMO) <= 2
+    finally:
+        W._PREFIX_MEMO_CAP = W._PREFIX_MEMO_CAP_SAVED
+        del W._PREFIX_MEMO_CAP_SAVED
+        W._PREFIX_MEMO.clear()
