@@ -1445,6 +1445,47 @@ def ann_pq_recall(
 
 
 @register(
+    "ann_pq_indexed_search",
+    oracle=None,  # iterative k-means + PQ training (the ann_pq_recall
+                  # precedent) — rows-only; arithmetic exactness is
+                  # pinned by tests/test_similarity.py
+    description="IVF-PQ search over a MATERIALIZED index — the r17 "
+                "verdict's requested benchmark variant of the"
+                " production shape (encode once at ingest, search the"
+                " stored codes): the build fits the coarse quantizer"
+                " and codebooks, encodes the corpus, EAGERLY"
+                " checkpoints the (cand_id, cluster, codes) relation,"
+                " and hands it to ann_topk_pq via the existing"
+                " ``index=`` path, so the search plan scans stored"
+                " codes instead of a live encode subtree. Every build"
+                " still re-fits and re-encodes from the parquet inputs"
+                " (no cross-run caching — the checkpoint lives and"
+                " dies with the build); what the row isolates in the"
+                " series is the search-over-stored-codes shape vs"
+                " ann_pq_recall's recompute-per-reference plan plus"
+                " audit join. Results are ann_topk_pq's own (same"
+                " models, same search), pinned by the saved-index"
+                " equality test.",
+    tags=("similarity", "ann", "pq"),
+    driver_slot=False,
+)
+def ann_pq_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import fit_kmeans
+    from ..operators.pq import encode_pq, fit_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = emb.select("vec_id", qvec().alias("qv"))
+    centroids, _, _, sample = fit_kmeans(
+        emb, k=16, max_iters=8, fit_fraction="auto", return_sample=True)
+    codebooks = fit_pq(qvecs, centroids, m=8, ksub=256, max_iters=8,
+                       sample_rows=sample)
+    index = encode_pq(qvecs, centroids, codebooks).localCheckpoint(
+        eager=True)
+    return ann_topk_pq(spark, sf_dir, centroids=centroids,
+                       codebooks=codebooks, index=index)
+
+
+@register(
     "ann_trained_recall",
     oracle=None,  # iterative k-means training is outside the SQL-oracle
                   # contract (the documented kmeans/semdedup_kmeans

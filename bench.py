@@ -74,6 +74,13 @@ EXTRA_QUERIES = [
                            # first wall-time series entry)
     "bpe_token_stats",     # entered r17: learned-BPE fit (20k sample)
                            # + zero-shuffle Arrow encode of the corpus
+    "ann_pq_indexed_search",  # entered r18 (r17 verdict #3): IVF-PQ
+                           # search over a per-run MATERIALIZED index
+                           # (fit + encode + eager checkpoint + search
+                           # via the index= path) — the production
+                           # encode-at-ingest shape, isolating
+                           # search-over-stored-codes from
+                           # ann_pq_recall's recompute + audit join
 ]
 
 
