@@ -567,7 +567,13 @@ def test_streaming_state_plateaus_across_watermark_horizons(spark, shape):
     final state must stay far below total input rows (no unbounded
     accumulation)."""
     n_batches, step_s, per_batch = 18, 2400, 20  # 40 min apart, 6 h span
-    with tempfile.TemporaryDirectory() as d, tempfile.TemporaryDirectory() as ck:
+    # ignore_cleanup_errors on the CHECKPOINT dir (r18): the state-store
+    # maintenance thread snapshots asynchronously after query.stop(), and
+    # on a slow box its .snapshot.tmp writes race the tempdir's rmtree --
+    # observed as a teardown-only "Directory not empty" flake with the
+    # test body fully passed. Leftover files are in /tmp and harmless.
+    with tempfile.TemporaryDirectory() as d, tempfile.TemporaryDirectory(
+            ignore_cleanup_errors=True) as ck:
         for b in range(n_batches):
             path = os.path.join(d, f"b{b:03d}.txt")
             with open(path, "w") as f:
