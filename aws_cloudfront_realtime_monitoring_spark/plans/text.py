@@ -155,54 +155,55 @@ def _langid_case_sql() -> str:
     tags=("text",),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # rand() barrier: stops CollapseProject from re-inlining the split into
-    # every consumer below (no CSE across HOF lambdas otherwise)
-    base = docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.length("text").cast("bigint").alias("n_chars"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
-        .cast("bigint").alias("n_bpe_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0))
-        .cast("bigint").alias("n_punct"),
-        words_col().alias("words"),
-        F.rand(7).alias("__b1"),
+    from ..sources.tables import register_views
+
+    # One spark.sql statement instead of three Column-composed selects
+    # (r18, the cf_parse/simhash SQL-string precedent, guide §4): the
+    # Column form's ~200 py4j round-trips (4 stopword arrays x 10
+    # literals, HOF lambdas, the CASE chain) cost 0.28-0.55 s of
+    # driver-side build latency per invocation -- >= 50% of this row's
+    # wall -- while a SQL string parses JVM-side in one call with the
+    # same analyzed plan (verified: exceptAll 0/0 both directions at
+    # sf0.01/sf0.1 and the DuckDB oracle hash).
+    register_views(spark, sf_dir)
+    # rand() barrier: stops CollapseProject from re-inlining the split
+    # into every consumer below (no CSE across HOF lambdas otherwise)
+    bpe_lit = BPE_RE.replace("\\", "\\\\")
+    scores = ", ".join(
+        f"size(filter(words, x -> array_contains(array("
+        + ", ".join(f"'{s}'" for s in STOPWORDS[l])
+        + f"), x))) AS s_{l}"
+        for l in LANG_ORDER
     )
-    scored = base.select(
-        "doc_id", "labeled_lang", "n_chars", "n_bpe_tokens", "n_punct",
-        F.size("words").cast("bigint").alias("n_ws_tokens"),
-        F.aggregate(
-            F.col("words"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-        ).alias("sum_word_len"),
-        *[
-            F.size(
-                F.filter(
-                    F.col("words"),
-                    lambda x: F.array_contains(
-                        F.array(*[F.lit(s) for s in STOPWORDS[l]]), x
-                    ),
-                )
-            ).alias(f"s_{l}")
-            for l in LANG_ORDER
-        ],
-    )
-    best = F.greatest(*[F.col(f"s_{l}") for l in LANG_ORDER])
-    pred = F.when(best == 0, "unknown")
-    for l in LANG_ORDER:
-        pred = pred.when(F.col(f"s_{l}") == best, l)
-    return scored.select(
-        "doc_id", "labeled_lang", "n_chars", "n_ws_tokens", "n_bpe_tokens",
-        pred.alias("pred_lang"),
-        best.cast("bigint").alias("top_score"),
-        "sum_word_len", "n_punct",
-        F.col("s_en").cast("bigint").alias("n_stop"),
-        F.when(
-            F.col("n_ws_tokens").between(10, 1000)
-            & (F.col("s_en") * 20 >= F.col("n_ws_tokens")),
-            1,
-        ).otherwise(0).alias("quality_pass"),
-    )
+    return spark.sql(f"""
+        WITH base AS (
+          SELECT doc_id, lang AS labeled_lang,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(size(regexp_extract_all(text, '{bpe_lit}', 0)) AS BIGINT)
+                   AS n_bpe_tokens,
+                 CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS BIGINT)
+                   AS n_punct,
+                 {words_spark_sql()} AS words,
+                 rand(7) AS __b1
+          FROM documents),
+        scored AS (
+          SELECT doc_id, labeled_lang, n_chars, n_bpe_tokens, n_punct,
+                 CAST(size(words) AS BIGINT) AS n_ws_tokens,
+                 aggregate(words, CAST(0 AS BIGINT),
+                           (acc, x) -> acc + length(x)) AS sum_word_len,
+                 {scores}
+          FROM base)
+        SELECT doc_id, labeled_lang, n_chars, n_ws_tokens, n_bpe_tokens,
+               {_langid_case_sql()} AS pred_lang,
+               CAST(GREATEST({", ".join(f"s_{l}" for l in LANG_ORDER)})
+                    AS BIGINT) AS top_score,
+               sum_word_len, n_punct,
+               CAST(s_en AS BIGINT) AS n_stop,
+               CASE WHEN n_ws_tokens BETWEEN 10 AND 1000
+                     AND s_en * 20 >= n_ws_tokens THEN 1 ELSE 0 END
+                 AS quality_pass
+        FROM scored
+    """)
 
 
 #: top-k terms kept per document in the TF-IDF ranking
