@@ -437,37 +437,44 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promoted into the driver registry in r6 (previously pytest-only);
     oracle: DuckDB builds the same adjacent n-gram lists with
     list_transform over the word array."""
-    docs = load_table(spark, sf_dir, "documents")
-    # words materialized once per row behind a CollapseProject barrier so
-    # the three gram sizes don't each re-split the text
-    w = docs.select(
-        "doc_id", words_col().alias("ws"), F.rand(11).alias("__b")
-    )
+    from ..sources.tables import register_views
 
-    def gram(n: int) -> Column:
-        return adjacent_grams(F.col("ws"), n)
+    # One spark.sql statement instead of Column composition (r18, the
+    # text_profile/cf_parse precedent, guide §4): the zip_with gram
+    # chains and the repeated excess-fraction arithmetic cost 0.22-0.40 s
+    # of per-invocation py4j build latency (~50% of the row's wall);
+    # the SQL string parses JVM-side in one call with identical plan
+    # node shapes. Words still materialize once per row behind the
+    # rand() CollapseProject barrier so the three gram sizes don't each
+    # re-split the text.
+    register_views(spark, sf_dir)
 
-    def excess_frac(g: Column) -> Column:
+    def excess_frac(g: str) -> str:
         # 4-dp round-half-up via exact integers: micro = (dup*20000 + total)
         # div (2*total). Operands stay < 2^31, so the double division inside
         # floor() is exact (an integer quotient divides exactly; a non-
         # integer one sits >= 1/(2*total) from the boundary, far beyond one
         # ulp). micro/10000.0 is then ONE correctly-rounded IEEE op on
         # identical integers in both engines -> bit-identical doubles.
-        total = F.size(g).cast("bigint")
-        dup = total - F.size(F.array_distinct(g)).cast("bigint")
-        micro = F.floor((dup * 20000 + total) / (total * 2))
-        return F.when(total == F.lit(0), F.lit(0.0)).otherwise(
-            micro / F.lit(10000.0)
+        total = f"CAST(size({g}) AS BIGINT)"
+        dup = f"({total} - CAST(size(array_distinct({g})) AS BIGINT))"
+        micro = f"FLOOR(({dup} * 20000 + {total}) / ({total} * 2))"
+        return (
+            f"CASE WHEN {total} = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE {micro} / CAST(10000.0 AS DOUBLE) END"
         )
 
-    return w.select(
-        "doc_id",
-        F.size("ws").cast("bigint").alias("n_words"),
-        excess_frac(gram(1)).alias("dup_word_frac"),
-        excess_frac(gram(2)).alias("dup_2gram_frac"),
-        excess_frac(gram(3)).alias("dup_3gram_frac"),
-    )
+    return spark.sql(f"""
+        WITH w AS (
+          SELECT doc_id, {words_spark_sql()} AS ws, rand(11) AS __b
+          FROM documents)
+        SELECT doc_id,
+               CAST(size(ws) AS BIGINT) AS n_words,
+               {excess_frac('ws')} AS dup_word_frac,
+               {excess_frac(grams_spark_sql('ws', 2))} AS dup_2gram_frac,
+               {excess_frac(grams_spark_sql('ws', 3))} AS dup_3gram_frac
+        FROM w
+    """)
 
 
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
