@@ -127,50 +127,34 @@ def derivative_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _grid_union(events, start: str, end: str):
-    """Shared hourly-grid union idiom for the interpolation family
-    (one spelling; the r6 tiebreak fix previously had to be applied to
-    two verbatim copies -- r8 review): per-series hourly grid rows
-    (is_grid=1, tie sentinel -1) unioned with the real observations
-    (is_grid=0, tie=event_id), plus the forward GROWING window whose
-    (t, is_grid, tie) order is total. Returns (merged, wf)."""
-    grid = (
-        events.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence(
-                    F.lit(start).cast("timestamp"),
-                    F.lit(end).cast("timestamp"),
-                    F.expr("INTERVAL 1 HOUR"),
-                )
-            ).alias("t"),
-        )
-        .select(
-            "event_type", "t",
-            F.lit(None).cast("double").alias("v"), F.lit(1).alias("is_grid"),
-            F.lit(-1).cast("bigint").alias("tie"),
-        )
-    )
-    pts = events.select(
-        "event_type", F.col("ts").alias("t"),
-        F.col("value").alias("v"), F.lit(0).alias("is_grid"),
-        F.col("event_id").alias("tie"),
-    )
-    wf = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("t").asc(), F.col("is_grid").asc(), F.col("tie").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    return grid.unionByName(pts), wf
+def _grid_spark_sql_cte(start: str, end: str) -> str:
+    """``merged`` CTE body (no leading WITH) -- the Spark-SQL twin of
+    ``_grid_oracle_cte`` and the ONE Spark spelling of the hourly-grid
+    union idiom (r18; previously the Column-composed ``_grid_union``,
+    whose tiebreak/ordering contract this string reproduces exactly):
+    per-series hourly grid rows (is_grid=1, tie sentinel -1) unioned
+    with the real observations (is_grid=0, tie=event_id). Consumers
+    attach GROWING windows ordered by the total (t, is_grid, tie)."""
+    return f"""merged AS (
+      SELECT event_type,
+             explode(sequence(CAST('{start}' AS TIMESTAMP),
+                              CAST('{end}' AS TIMESTAMP),
+                              INTERVAL 1 HOUR)) AS t,
+             CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+             CAST(-1 AS BIGINT) AS tie
+      FROM (SELECT DISTINCT event_type FROM events)
+      UNION ALL
+      SELECT event_type, ts AS t, value AS v, 0 AS is_grid,
+             event_id AS tie
+      FROM events)"""
 
 
 def _grid_oracle_cte(start: str, end: str) -> str:
     """hours + merged CTE body (no leading WITH) for the interpolation
-    oracles -- the DuckDB twin of ``_grid_union``, ONE spelling (r11
-    review: the r6 tiebreak fix had to be hand-applied to two verbatim
-    copies of this fragment; the next boundary fix lands once)."""
+    oracles -- the DuckDB twin of ``_grid_spark_sql_cte``, ONE spelling
+    (r11 review: the r6 tiebreak fix had to be hand-applied to two
+    verbatim copies of this fragment; the next boundary fix lands
+    once)."""
     return f"""hours AS (
       SELECT event_type,
              make_timestamp(unnest(generate_series(
@@ -226,9 +210,13 @@ def _grid_oracle_cte(start: str, end: str) -> str:
     tags=("timeseries", "interpolation"),
 )
 def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    merged, wf = _grid_union(events, "2024-01-02 00:00:00",
-                             "2024-01-04 00:00:00")
+    from ..sources.tables import register_views
+
+    # One spark.sql statement instead of Column composition (r18, the
+    # text_profile/cf_parse precedent, guide §4: the window specs +
+    # union + sequence grid cost 0.21-0.32 s of per-invocation py4j
+    # build latency, ~40% of the row's wall; the SQL string parses
+    # JVM-side in one call with identical plan node shapes).
     # BOTH lookups use GROWING frames (unboundedPreceding..current): Spark's
     # shrinking-frame processor (current..unboundedFollowing) recomputes the
     # aggregate per row -- O(n^2) per partition, measured 75 s at sf0.1.
@@ -237,45 +225,39 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolation weight 0, so exclusion from `next` is immaterial).
     # event_id tiebreak (grid sentinel -1) totalizes both lookup orders
     # (r7 review: the LOCF sibling's ADVICE fix, applied here too)
-    wr = (
-        W.partitionBy("event_type")
-        .orderBy(F.col("t").desc(), F.col("is_grid").desc(),
-                 F.col("tie").desc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    real_v = F.when(F.col("is_grid") == 0, F.col("v"))
-    real_t = F.when(F.col("is_grid") == 0, F.unix_micros("t"))
-    pv = F.last(real_v, ignorenulls=True).over(wf)
-    pt = F.last(real_t, ignorenulls=True).over(wf)
-    nv = F.last(real_v, ignorenulls=True).over(wr)
-    nt = F.last(real_t, ignorenulls=True).over(wr)
-    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
-        (F.unix_micros("t") - F.col("prev_t")).cast("double")
-        / (F.col("next_t") - F.col("prev_t")).cast("double")
-    )
-    return (
-        merged.select(
-            "event_type", "t", "is_grid",
-            pv.alias("prev_v"), pt.alias("prev_t"),
-            nv.alias("next_v"), nt.alias("next_t"),
-        )
-        .where(
-            (F.col("is_grid") == 1)
-            & F.col("prev_v").isNotNull()
-            & F.col("next_v").isNotNull()
-            & (F.col("next_t") > F.col("prev_t"))
-        )
-        .select(
-            "event_type",
-            F.col("t").alias("grid_ts"),
-            # floor-half-up, not ROUND(double, 4): a dyadic grid/gap
-            # ratio can land interp on a repr-tie rational where the
-            # engines' ROUND disagree (r11 review, reproduced vs
-            # DuckDB); FLOOR(x*1e4 + 0.5)/1e4 is the identical IEEE
-            # chain on both
-            (F.floor(interp * 10000.0 + 0.5) / 10000.0).alias("interp"),
-        )
-    )
+    register_views(spark, sf_dir)
+    fwd = ("OVER (PARTITION BY event_type "
+           "ORDER BY t ASC, is_grid ASC, tie ASC "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    rev = ("OVER (PARTITION BY event_type "
+           "ORDER BY t DESC, is_grid DESC, tie DESC "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    real_v = "CASE WHEN is_grid = 0 THEN v END"
+    real_t = "CASE WHEN is_grid = 0 THEN unix_micros(t) END"
+    # floor-half-up, not ROUND(double, 4): a dyadic grid/gap ratio can
+    # land interp on a repr-tie rational where the engines' ROUND
+    # disagree (r11 review, reproduced vs DuckDB); FLOOR(x*1e4 + 0.5)/1e4
+    # is the identical IEEE chain on both
+    return spark.sql(f"""
+        WITH {_grid_spark_sql_cte("2024-01-02 00:00:00",
+                                  "2024-01-04 00:00:00")},
+        filled AS (
+          SELECT event_type, t, is_grid,
+                 last({real_v}, true) {fwd} AS prev_v,
+                 last({real_t}, true) {fwd} AS prev_t,
+                 last({real_v}, true) {rev} AS next_v,
+                 last({real_t}, true) {rev} AS next_t
+          FROM merged)
+        SELECT event_type, t AS grid_ts,
+               FLOOR((prev_v + (next_v - prev_v)
+                      * (CAST(unix_micros(t) - prev_t AS DOUBLE)
+                         / CAST(next_t - prev_t AS DOUBLE)))
+                     * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / CAST(10000.0 AS DOUBLE) AS interp
+        FROM filled
+        WHERE is_grid = 1 AND prev_v IS NOT NULL AND next_v IS NOT NULL
+          AND next_t > prev_t
+    """)
 
 
 @register(
@@ -629,27 +611,32 @@ def hll_cube_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver_slot=False,
 )
 def interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    merged, wf = _grid_union(events, "2023-12-31 20:00:00",
-                             "2024-01-04 00:00:00")
-    locf = F.last(
-        F.when(F.col("is_grid") == 0, F.col("v")), ignorenulls=True
-    ).over(wf)
+    from ..sources.tables import register_views
+
+    # One spark.sql statement (r18, same treatment as its linear-fill
+    # sibling; identical plan node shapes, oracle green at two SFs).
     # FLOOR(x*1e4 + 0.5)/1e4, not ROUND(double, 4): the carried-forward
     # raw value is exactly the repr-tie shape derivative_rate diverged on
     # cross-engine (r11; applied here r13 review)
-    locf4 = F.floor(F.col("locf_v") * 10000.0 + 0.5) / 10000.0
-    return (
-        merged
-        .select("event_type", "t", "is_grid", locf.alias("locf_v"))
-        .where(F.col("is_grid") == 1)
-        .select(
-            "event_type",
-            F.col("t").alias("grid_ts"),
-            locf4.alias("locf"),
-            F.coalesce(locf4, F.lit(0.0)).alias("fill_zero"),
-        )
-    )
+    register_views(spark, sf_dir)
+    locf4 = ("FLOOR(locf_v * CAST(10000.0 AS DOUBLE) "
+             "+ CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE)")
+    return spark.sql(f"""
+        WITH {_grid_spark_sql_cte("2023-12-31 20:00:00",
+                                  "2024-01-04 00:00:00")},
+        filled AS (
+          SELECT event_type, t, is_grid,
+                 last(CASE WHEN is_grid = 0 THEN v END, true)
+                   OVER (PARTITION BY event_type
+                         ORDER BY t ASC, is_grid ASC, tie ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS locf_v
+          FROM merged)
+        SELECT event_type, t AS grid_ts,
+               {locf4} AS locf,
+               COALESCE({locf4}, CAST(0.0 AS DOUBLE)) AS fill_zero
+        FROM filled WHERE is_grid = 1
+    """)
 
 
 # ------------------------------------------------------------ zorder_key
