@@ -306,87 +306,83 @@ def interpolate_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "quantile", "stats"),
 )
 def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    q = events.select(
-        "event_type",
-        "value",
-        "event_id",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
-        F.col("user_id").alias("y"),
-    )
-    # 2^33 multiplier: injective while event_id < 2^33 (the old 1e7
-    # collided past sf~1, making min_by/max_by ties engine-dependent --
-    # r8 review); x <= ~1e6 keeps the key far inside int64
-    key = F.col("x") * 8_589_934_592 + F.col("event_id")
-    # percentile keeps ALL values in its partial-aggregation buffers, which
-    # forces the whole mixed aggregate onto the slow object-hash path and
-    # ships every value through the shuffle; isolating it in its own
-    # (cheap, declarative) plan and broadcast-joining the |groups|-row
-    # results is ~2.5x faster and scales the same way
-    # GK-sketch contract probes: percentile_approx(acc) has rank error
-    # <= n/acc, so the sketch's p50 (an actual data value) must sit between
-    # the exact interpolated percentiles at 0.5 -/+ 2/acc (the 2x margin
-    # absorbs the interpolation-index offset at small n)
+    # One spark.sql statement instead of ~35 composed Columns (r18, the
+    # text_profile/cf_parse precedent, guide §4: 0.20-0.40 s of
+    # per-invocation py4j build latency, ~30% of the row's wall; the
+    # SQL string parses JVM-side in one call, identical plan shapes).
+    #
+    # Preserved contracts, spelled exactly as the Column form compiled:
+    # - 2^33 min_by/max_by key multiplier: injective while event_id <
+    #   2^33 (the old 1e7 collided past sf~1, making ties engine-
+    #   dependent -- r8 review); x <= ~1e6 keeps the key inside int64.
+    # - percentile keeps ALL values in its partial-aggregation buffers,
+    #   which forces the whole mixed aggregate onto the slow object-hash
+    #   path and ships every value through the shuffle; isolating it in
+    #   its own (cheap, declarative) plan and broadcast-joining the
+    #   |groups|-row results is ~2.5x faster and scales the same way.
+    # - GK-sketch contract probes: percentile_approx(acc) has rank error
+    #   <= n/acc, so the sketch's p50 (an actual data value) must sit
+    #   between the exact interpolated percentiles at 0.5 -/+ 2/acc
+    #   (the 2x margin absorbs the interpolation-index offset at small n).
+    # - FLOOR(x*1e4 + 0.5)/1e4, the portable cross-engine rounding:
+    #   ROUND(double, n) diverges between Spark (shortest-repr HALF_UP)
+    #   and DuckDB (scaled-double round) on repr-tie rationals (r11);
+    #   percentile interpolation between 2-decimal neighbors can land on
+    #   a 5th-decimal tie (r13 review). All float chains below keep the
+    #   Column form's association order so doubles stay bit-identical.
+    register_views(spark, sf_dir)
     acc = 100
 
-    def q4(col):
-        # FLOOR(x*1e4 + 0.5)/1e4, the portable cross-engine rounding:
-        # ROUND(double, n) diverges between Spark (shortest-repr HALF_UP)
-        # and DuckDB (scaled-double round) on repr-tie rationals -- the
-        # exact class derivative_rate/interpolate_linear_fill hit in r11;
-        # percentile interpolation between 2-decimal neighbors can land
-        # on a 5th-decimal tie (r13 review)
-        return F.floor(col * 10000.0 + 0.5) / 10000.0
+    def q4(col: str) -> str:
+        return (f"FLOOR({col} * CAST(10000.0 AS DOUBLE) "
+                f"+ CAST(0.5 AS DOUBLE)) / CAST(10000.0 AS DOUBLE)")
 
-    pct = q.groupBy("event_type").agg(
-        q4(F.percentile("value", F.lit(0.5))).alias("p50"),
-        q4(F.percentile("value", F.lit(0.9))).alias("p90"),
-        q4(F.percentile("value", F.lit(0.99))).alias("p99"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("p50_gk"),
-        F.percentile("value", F.lit(0.5 - 2.0 / acc)).alias("p50_lo"),
-        F.percentile("value", F.lit(0.5 + 2.0 / acc)).alias("p50_hi"),
-    )
-    s = q.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.min_by("event_id", key).alias("min_event"),
-        F.max_by("event_id", key).alias("max_event"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-    ).join(F.broadcast(pct), "event_type")
-    nd = F.col("n").cast("double")
-    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
-    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    var = (sxx - sx * sx / nd) / (nd - F.lit(1.0)) / F.lit(10000.0)
-    corr = (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
-    )
-    return s.select(
-        "event_type",
-        "n",
-        "p50",
-        "p90",
-        "p99",
-        (F.floor(var * 10000.0 + 0.5) / 10000.0).alias("var_value"),
-        (F.floor(corr * 1000000.0 + 0.5) / 1000000.0).alias("corr_xy"),
-        "min_event",
-        "max_event",
-        "min_value",
-        "max_value",
-        F.when(
-            (F.col("p50_gk") >= F.col("p50_lo"))
-            & (F.col("p50_gk") <= F.col("p50_hi")),
-            1,
-        )
-        .otherwise(0)
-        .cast("bigint")
-        .alias("p50_approx_ok"),
-    )
+    nd, sx, sxx = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sxx AS DOUBLE)"
+    sy, syy, sxy = "CAST(sy AS DOUBLE)", "CAST(syy AS DOUBLE)", "CAST(sxy AS DOUBLE)"
+    var = (f"(({sxx} - {sx} * {sx} / {nd}) / ({nd} - CAST(1.0 AS DOUBLE))"
+           f" / CAST(10000.0 AS DOUBLE))")
+    corr = (f"(({nd} * {sxy} - {sx} * {sy}) / "
+            f"(SQRT({nd} * {sxx} - {sx} * {sx})"
+            f" * SQRT({nd} * {syy} - {sy} * {sy})))")
+    return spark.sql(f"""
+        WITH q AS (
+          SELECT event_type, value, event_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS x,
+                 user_id AS y
+          FROM events),
+        pct AS (
+          SELECT event_type,
+                 {q4('percentile(value, CAST(0.5 AS DOUBLE))')} AS p50,
+                 {q4('percentile(value, CAST(0.9 AS DOUBLE))')} AS p90,
+                 {q4('percentile(value, CAST(0.99 AS DOUBLE))')} AS p99,
+                 percentile_approx(value, CAST(0.5 AS DOUBLE), {acc})
+                   AS p50_gk,
+                 percentile(value, CAST({0.5 - 2.0 / acc!r} AS DOUBLE))
+                   AS p50_lo,
+                 percentile(value, CAST({0.5 + 2.0 / acc!r} AS DOUBLE))
+                   AS p50_hi
+          FROM q GROUP BY event_type),
+        s AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(x * x) AS sxx,
+                 SUM(y) AS sy, SUM(y * y) AS syy,
+                 SUM(x * y) AS sxy,
+                 min_by(event_id, x * 8589934592 + event_id) AS min_event,
+                 max_by(event_id, x * 8589934592 + event_id) AS max_event,
+                 MIN(value) AS min_value, MAX(value) AS max_value
+          FROM q GROUP BY event_type)
+        SELECT /*+ BROADCAST(pct) */
+               event_type, n, p50, p90, p99,
+               FLOOR({var} * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / CAST(10000.0 AS DOUBLE) AS var_value,
+               FLOOR({corr} * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / CAST(1000000.0 AS DOUBLE) AS corr_xy,
+               min_event, max_event, min_value, max_value,
+               CAST(CASE WHEN p50_gk >= p50_lo AND p50_gk <= p50_hi
+                         THEN 1 ELSE 0 END AS BIGINT) AS p50_approx_ok
+        FROM s JOIN pct USING (event_type)
+    """)
 
 
 @register(
